@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch downsampling and read-time re-aggregation as declarative DataFrame
+  * transforms — the Spark-native equivalent of the reference's per-point
+  * Python loops.
+  *
+  * Reference semantics:
+  *  - rollup: biggraphite/drivers/_downsampling.py:29-349 — stage0
+  *    last-write-wins per step, then each coarser stage aggregates stage0
+  *    points per step via Aggregator.merge, storing (value, count) partials
+  *  - read-time grouping: biggraphite/accessor.py:413-584 (PointGrouper) —
+  *    group source-stage rows per target step, accumulate per replica,
+  *    aggregate with the metric's aggregator, return the replica with the
+  *    highest point count (accessor.py:468-505)
+  *  - NaN rules: metric.py:340-370 (see graft.model.Aggregator)
+  *
+  * All five aggregators are computed in one codegen'd pass and dispatched by
+  * the metric's `aggregator` column — one shuffle per rollup regardless of
+  * how many metrics/aggregators are involved. Partial (map-side) aggregation
+  * applies to every branch, so this scales linearly at 100 TB.
+  */
+object Downsample {
+
+  private def nn(v: Column): Column = when(!isnan(v) && v.isNotNull, v)
+
+  /** Merge raw stage0 rows (count=1 each) into per-step (value, count)
+    * partials: metric.py:218-261 `Aggregator.merge` as grouped columns.
+    * Expects columns: metric_id, ts (seconds), value, aggregator.
+    * Emits: metric_id, aggregator, ts (step-aligned), value, count.
+    */
+  def rollupStage(points: DataFrame, precisionS: Long): DataFrame = {
+    val stepTs = (floor(col("ts") / precisionS) * precisionS).cast("long")
+    points
+      .groupBy(col("metric_id"), col("aggregator"), stepTs.as("ts"))
+      .agg(
+        sum(nn(col("value"))).as("sum_v"),
+        count(nn(col("value"))).cast("double").as("cnt_nn"),
+        min(nn(col("value"))).as("min_v"),
+        max(nn(col("value"))).as("max_v"),
+        max_by(col("value"), when(nn(col("value")).isNotNull, col("ts"))).as("last_v"),
+        count(lit(1)).cast("double").as("cnt_all"))
+      .select(
+        col("metric_id"), col("aggregator"), col("ts"),
+        mergedValue().as("value"),
+        mergedCount().as("count"))
+  }
+
+  /** Merge already-aggregated (value, count) rows into a coarser stage —
+    * same dispatch but counts are summed (weighted), matching
+    * Aggregator.merge over partials. Expects: metric_id, ts, value, count,
+    * aggregator. */
+  def rollupAggregatedStage(points: DataFrame, precisionS: Long): DataFrame = {
+    val stepTs = (floor(col("ts") / precisionS) * precisionS).cast("long")
+    points
+      .groupBy(col("metric_id"), col("aggregator"), stepTs.as("ts"))
+      .agg(
+        sum(nn(col("value"))).as("sum_v"),
+        sum(when(nn(col("value")).isNotNull, col("count")).otherwise(lit(0.0))).as("cnt_nn"),
+        min(nn(col("value"))).as("min_v"),
+        max(nn(col("value"))).as("max_v"),
+        max_by(col("value"), when(nn(col("value")).isNotNull, col("ts"))).as("last_v"),
+        sum(col("count")).cast("double").as("cnt_all"))
+      .select(
+        col("metric_id"), col("aggregator"), col("ts"),
+        mergedValue().as("value"),
+        mergedCount().as("count"))
+  }
+
+  /** metric.py merge: value column per aggregator; all-NaN groups keep NaN
+    * (min/max of the empty non-NaN set is null → NaN). */
+  private def mergedValue(): Column = {
+    val naN = lit(Double.NaN)
+    when(col("aggregator").isin("total", "average", "sum"),
+        coalesce(col("sum_v"), naN))
+      .when(col("aggregator").isin("minimum", "min"), coalesce(col("min_v"), naN))
+      .when(col("aggregator").isin("maximum", "max"), coalesce(col("max_v"), naN))
+      .otherwise(coalesce(col("last_v"), naN)) // last
+  }
+
+  /** metric.py:340-370: total/average count only non-NaN inputs; the others
+    * keep every contributing count. */
+  private def mergedCount(): Column =
+    when(col("aggregator").isin("total", "average", "sum"), col("cnt_nn"))
+      .otherwise(col("cnt_all"))
+
+  /** Last-write-wins dedup per (metric_id, step): latest `orderCol` wins —
+    * the batch analog of the stage0 ring-buffer override
+    * (_downsampling.py:128-189) and of Cassandra upsert semantics. */
+  def lastWriteWins(points: DataFrame, precisionS: Long, orderCol: Column): DataFrame = {
+    val step = floor(col("ts") / precisionS)
+    val w = Window.partitionBy(col("metric_id"), step.as("step")).orderBy(orderCol.desc)
+    points.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Read-time re-aggregation with replica resolution
+    * (accessor.py:413-584). Input: metric_id, ts, value, count, replica,
+    * aggregator. Groups to `targetPrecisionS` steps; per (group, replica)
+    * runs Aggregator.aggregate; keeps the replica with the highest summed
+    * count (ties → lowest replica id, matching the reference's first-wins
+    * iteration order at accessor.py:480-505). Emits metric_id, ts, value.
+    */
+  def pointGrouper(rows: DataFrame, targetPrecisionS: Long): DataFrame = {
+    val stepTs = (floor(col("ts") / targetPrecisionS) * targetPrecisionS).cast("long")
+    val perReplica = rows
+      .groupBy(col("metric_id"), col("aggregator"), col("replica"), stepTs.as("ts"))
+      .agg(
+        sum(nn(col("value"))).as("sum_v"),
+        sum(when(nn(col("value")).isNotNull, col("count")).otherwise(lit(0.0))).as("cnt_nn"),
+        min(nn(col("value"))).as("min_v"),
+        max(nn(col("value"))).as("max_v"),
+        max_by(col("value"), when(nn(col("value")).isNotNull, col("ts"))).as("last_v"),
+        sum(col("count")).cast("double").as("count_sum"))
+    val naN = lit(Double.NaN)
+    val finalValue =
+      when(col("aggregator").isin("total", "sum"), coalesce(col("sum_v"), naN))
+        .when(col("aggregator") === "average",
+          when(col("cnt_nn") > 0, col("sum_v") / col("cnt_nn")).otherwise(naN))
+        .when(col("aggregator").isin("minimum", "min"), coalesce(col("min_v"), naN))
+        .when(col("aggregator").isin("maximum", "max"), coalesce(col("max_v"), naN))
+        .otherwise(coalesce(col("last_v"), naN))
+    val w = Window.partitionBy(col("metric_id"), col("ts"))
+      .orderBy(col("count_sum").desc, col("replica").asc)
+    perReplica
+      .withColumn("value", finalValue)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .select(col("metric_id"), col("ts"), col("value"))
+  }
+
+  /** Dense time-spine materialization (plugins/graphite.py:182-219): one
+    * slot per step in [startS, endS), null where no point. */
+  def denseSpine(points: DataFrame, startS: Long, endS: Long, stepS: Long): DataFrame = {
+    val spine = points.sparkSession.range(startS, endS, stepS)
+      .select(col("id").as("ts"))
+    val metricIds = points.select("metric_id").distinct()
+    metricIds.crossJoin(spine)
+      .join(points, Seq("metric_id", "ts"), "left")
+      .select(col("metric_id"), col("ts"), col("value"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.glob.{Glob, GlobPredicates}
+
+/** The metric-name catalog as a DataFrame: one row per metric with derived
+  * per-component path columns `p0..pN`, `depth`, and `parent` — the same
+  * shape the reference stores in `metrics_metadata`
+  * (biggraphite/drivers/cassandra.py:662-713) and as ES documents
+  * (biggraphite/drivers/elasticsearch.py:202-221). Those columns are what
+  * make glob resolution a pruned columnar scan instead of a regex-only
+  * full scan.
+  */
+object MetricCatalog {
+
+  /** Number of materialized component columns; the reference's
+    * COMPONENTS_MAX_LEN=64 is env-tunable (drivers/cassandra_common.py:20-22).
+    * 16 covers realistic Graphite namespaces; deeper names still work via
+    * the regex path. */
+  val MaxComponents = 16
+
+  /** Add id/p0..pN/depth/parent columns to a DataFrame with a `name`
+    * column. Pure column derivations — no shuffle. */
+  def withDerivedColumns(df: DataFrame, maxComponents: Int = MaxComponents): DataFrame = {
+    val parts = split(col("name"), "\\.")
+    val withComponents = (0 until maxComponents).foldLeft(df) { (d, i) =>
+      d.withColumn(s"p$i", element_at(parts, i + 1))
+    }
+    withComponents
+      .withColumn("depth", size(parts))
+      .withColumn("parent",
+        when(size(parts) > 1,
+          concat(concat_ws(".", slice(parts, lit(1), size(parts) - 1)), lit(".")))
+          .otherwise(lit("")))
+  }
+
+  /** Resolve a glob over the catalog: prunable component predicates + the
+    * authoritative anchored-regex post-filter, sorted by name and capped —
+    * the reference's max_metrics_per_pattern guard
+    * (drivers/cassandra.py:291-295,2149-2176). */
+  def globMetrics(catalog: DataFrame, glob: String,
+      maxMetrics: Int = 5000): DataFrame = {
+    require(Glob.isValid(glob), s"invalid glob: $glob")
+    GlobPredicates.fullyDefined(glob) match {
+      case Some(names) =>
+        // fully-defined shortcut (drivers/cassandra.py:2100-2113)
+        catalog.filter(col("name").isin(names: _*)).orderBy("name").limit(maxMetrics)
+      case None =>
+        catalog.filter(GlobPredicates.forMetrics(glob, col("name")))
+          .orderBy("name").limit(maxMetrics)
+    }
+  }
+
+  /** Directory names derived from metrics — the ES driver's approach when
+    * no directory index exists (drivers/elasticsearch.py:587-629): every
+    * proper prefix of every metric name. */
+  def directories(catalog: DataFrame): DataFrame = {
+    val parts = split(col("name"), "\\.")
+    catalog
+      .select(explode(sequence(lit(1), size(parts) - 1)).as("d"), parts.as("parts"))
+      .select(concat_ws(".", slice(col("parts"), lit(1), col("d"))).as("name"))
+      .distinct()
+  }
+
+  /** Glob over directory names (drivers/cassandra.py:2071-2076). */
+  def globDirectories(catalog: DataFrame, glob: String,
+      maxMetrics: Int = 5000): DataFrame = {
+    require(Glob.isValid(glob), s"invalid glob: $glob")
+    directories(catalog)
+      .filter(col("name").rlike(Glob.toRegex(glob)))
+      .orderBy("name").limit(maxMetrics)
+  }
+
+  /** Latest-version dedup by name — the ES doc resolution rule
+    * (drivers/elasticsearch.py:667-677): keep the most recent updated_on. */
+  def dedupByName(catalog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("name")).orderBy(col("updated_on").desc)
+    catalog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Metrics whose catalog entry went stale (bgutil clean,
+    * drivers/cassandra.py:3052-3141): updated_on older than maxAgeS. */
+  def expiredMetrics(catalog: DataFrame, nowS: Long, maxAgeS: Long): DataFrame =
+    catalog.filter(col("updated_on") <= (lit(nowS) - lit(maxAgeS)).cast("timestamp"))
+
+  /** Orphan points: points whose metric has no catalog row (bgutil repair,
+    * drivers/cassandra.py:2734-2842) — a left-anti join. */
+  def orphanPoints(points: DataFrame, catalog: DataFrame): DataFrame =
+    points.join(catalog.select(col("id").as("metric_id")), Seq("metric_id"), "left_anti")
+
+  /** Directories missing from a directory table (bgutil repair,
+    * drivers/cassandra.py:2844-2934): expected ancestor set minus existing. */
+  def missingDirectories(catalog: DataFrame, existingDirs: DataFrame): DataFrame =
+    directories(catalog).join(existingDirs, Seq("name"), "left_anti")
+
+  /** Directories with no metric beneath them (bgutil clean empty dirs,
+    * drivers/cassandra.py:2936-3050): anti-join dirs against the ancestor
+    * closure of live metrics. */
+  def emptyDirectories(existingDirs: DataFrame, catalog: DataFrame): DataFrame =
+    existingDirs.join(directories(catalog), Seq("name"), "left_anti")
+}
