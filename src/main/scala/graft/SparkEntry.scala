@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.glob.Glob
-import graft.operators.Downsample
+import graft.operators.{Dedup, Downsample, Similarity, TextAnalysis}
 import graft.sources.MetricCatalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -347,11 +347,306 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select("event_type", "user_id", "total", "rn")
         .orderBy("event_type", "rn")
+    },
+
+    // D1: exact dedup by content hash (hash-groupBy)
+    "d1_dedup_exact" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+        .withColumn("n_dupes", col("n_docs") - col("n_unique"))
+        .orderBy("source")
+    },
+
+    // D2: MinHash + LSH banding candidate pairs (8 hashes, 8 bands)
+    "d2_minhash_lsh" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+      Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // D3: SimHash 16-bit fingerprints
+    "d3_simhash" -> { (s, dir) =>
+      Dedup.simhash(table(s, dir, "documents"), "doc_id", "text", bits = 16)
+        .orderBy("doc_id")
+    },
+
+    // D4: exact n-gram Jaccard verification of the LSH candidates
+    "d4_ngram_jaccard" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
+      Dedup.jaccard(pairs, sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // D5: embedding-cosine near-dup pairs, blocked by label
+    "d5_embedding_dedup" -> { (s, dir) =>
+      Dedup.cosinePairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // K1: brute-force cosine top-k (broadcast query set, single corpus scan)
+    "k1_knn_brute" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // K2: LSH-bucketed ANN (deterministic hyperplanes, per-bucket top-k)
+    "k2_knn_lsh" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 3, planes = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // T1: n-gram/stopword-heuristic language ID
+    "t1_langid" -> { (s, dir) =>
+      TextAnalysis.langId(table(s, dir, "documents"), "text")
+        .select("doc_id", "score_en", "score_de", "score_fr", "score_es",
+          "pred_lang")
+        .orderBy("doc_id")
+    },
+
+    // T2: heuristic quality scoring
+    "t2_quality" -> { (s, dir) =>
+      TextAnalysis.qualityScore(table(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "stopword_ratio", "avg_word_len",
+          "quality_score")
+        .orderBy("doc_id")
+    },
+
+    // T3: whitespace + BPE-ish token counting
+    "t3_tokens" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(table(s, dir, "documents"), "text")
+        .select("doc_id", "ws_tokens", "subword_tokens")
+        .orderBy("doc_id")
+    },
+
+    // T4: winnowing-style document fingerprint over word 4-grams
+    "t4_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // MM1: multimodal binary-column plumbing (payload as opaque blob +
+    // typed metadata extraction; see operators.Multimodal for the
+    // partition-batched decode path)
+    "mm1_multimodal_meta" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          lower(hex(substring(col("payload"), 1, 4))).as("magic"),
+          (ascii(substring(col("payload").cast("string"), 1, 1)) % 3).as("kind_tag"),
+          (floor(octet_length(col("payload")) / 256) + 1).cast("long").as("n_frames"))
+        .orderBy("doc_id")
     })
 
   // ---- oracle SQL -----------------------------------------------------
 
+  /** Shared DuckDB CTEs for the dedup oracles: word 3-shingles and the
+    * 8-hash minhash signature with 8 single-row bands. */
+  private val ShinglesCte =
+    """base AS (
+      |  SELECT doc_id,
+      |         string_split_regex(lower(substr(text, 1, 4096)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM base, LATERAL unnest(range(1, greatest(len(toks) - 2, 1) + 1)) t(i))""".stripMargin
+
+  private val SigCte =
+    "sig AS (SELECT doc_id, " +
+      (0 until 8).map(i => s"min(substr(md5('${i}_' || shingle), 1, 16)) AS h$i")
+        .mkString(", ") +
+      " FROM sh GROUP BY doc_id)"
+
+  private val BandedPairsCte =
+    "banded AS (" +
+      (0 until 8).map(i => s"SELECT doc_id, $i AS band_idx, h$i AS band_val FROM sig")
+        .mkString(" UNION ALL ") + "),\n" +
+      """pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b USING (band_idx, band_val)
+        |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  private def langScoreSql(lang: String): String = {
+    val words = graft.operators.TextAnalysis.StopwordMarkers(lang)
+    words.map(w => s"len(list_filter(toks, t -> t = '$w'))").mkString(" + ") +
+      s" AS score_$lang"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dupes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      s"""WITH $ShinglesCte,
+         |$SigCte,
+         |$BandedPairsCte
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "d3_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(substr(text, 1, 4096)), '\s+')) AS tok
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN substr(md5(tok), b, 1) IN
+        |        ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+        |  FROM toks, LATERAL unnest(range(1, 17)) t(b)
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN CAST(pow(2, 16 - b) AS BIGINT) ELSE 0 END) AS fingerprint
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |$SigCte,
+         |$BandedPairsCte,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN dsh a ON a.doc_id = p.id_a
+         |  JOIN dsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a AS id_a, p.id_b AS id_b,
+         |  round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i USING (id_a, id_b)
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |WHERE round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d5_embedding_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a
+        |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "k1_knn_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 5),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "k2_knn_lsh" ->
+      """WITH proj AS (
+        |  SELECT e.vec_id, j,
+        |    sum(e.embedding[i + 1]::DOUBLE *
+        |      CASE WHEN substr(md5(j || '_' || i), 1, 1) IN
+        |        ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM embeddings e,
+        |       LATERAL unnest(range(0, 4)) p(j),
+        |       LATERAL unnest(range(0, len(e.embedding))) d(i)
+        |  GROUP BY e.vec_id, j),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |sigs AS (
+        |  SELECT e.vec_id, e.embedding, b.bucket
+        |  FROM embeddings e JOIN buckets b USING (vec_id)),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 5),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "t1_langid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |scores AS (
+         |  SELECT doc_id, ${langScoreSql("en")}, ${langScoreSql("de")},
+         |    ${langScoreSql("fr")}, ${langScoreSql("es")}
+         |  FROM toks)
+         |SELECT doc_id, score_en, score_de, score_fr, score_es,
+         |  CASE WHEN score_en >= score_de AND score_en >= score_fr
+         |         AND score_en >= score_es THEN 'en'
+         |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |       WHEN score_fr >= score_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(text), '\\s+') AS toks,
+         |    len(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(toks) AS n_tokens, alpha_len,
+         |    ${graft.operators.TextAnalysis.StopwordMarkers.values.flatten.toSeq.distinct
+            .map(w => s"len(list_filter(toks, x -> x = '$w'))").mkString(" + ")} AS stop_cnt
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  floor(stop_cnt / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+         |  floor(alpha_len / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS avg_word_len,
+         |  floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+         |    (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE)) * 0.3 +
+         |    least(alpha_len / CAST(n_tokens AS DOUBLE) / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000 AS quality_score
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(substr(text, 1, 4096)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS shingle
+        |  FROM base, LATERAL unnest(range(1, greatest(len(toks) - 3, 1) + 1)) t(i))
+        |SELECT doc_id,
+        |  min(substr(md5(shingle), 1, 16)) AS fp_min,
+        |  max(substr(md5(shingle), 1, 16)) AS fp_max,
+        |  count(*) AS n_grams
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "mm1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(text::BLOB) AS n_bytes,
+        |  lower(substr(hex(text::BLOB), 1, 8)) AS magic,
+        |  ascii(substr(text, 1, 1)) % 3 AS kind_tag,
+        |  octet_length(text::BLOB) // 256 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "a1_aggregators" ->
       s"""WITH $PointsCte
          |SELECT name,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines
+  * (beyond-reference scope, SURVEY.md §7.4): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Hashing is built on md5 hex-string prefixes so that signatures are
+  * engine-portable (identical in any engine with md5) and need no UDFs —
+  * every step is codegen'd built-ins. Each stage is a groupBy/join on
+  * bounded keys, so the shuffles scale linearly with corpus size; LSH
+  * banding turns the quadratic all-pairs problem into per-bucket joins.
+  */
+object Dedup {
+
+  /** Lowercased word shingles of size n as one row per (id, shingle).
+    * Truncates to `maxChars` so signature cost is bounded per document. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      maxChars: Int = 4096): DataFrame = {
+    val tokens = split(lower(substring(col(textCol), 1, maxChars)), "\\s+")
+    df.select(col(idCol), tokens.as("toks"))
+      .select(col(idCol),
+        explode(sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))))
+          .as("i"), col("toks"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("shingle"))
+  }
+
+  /** Exact dedup groups: md5 of full text; keep the lowest id per group
+    * (hash-groupBy — one shuffle on the 128-bit key). */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k independent hash functions simulated as
+    * md5(seed||shingle) string prefixes, min per doc — the classic
+    * permutation-min estimate of Jaccard similarity. Emits idCol plus
+    * h0..h{k-1}. */
+  def minhashSignature(sh: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    val hashes = (0 until numHashes).map { i =>
+      min(substring(md5(concat_ws("_", lit(i), col("shingle"))), 1, 16)).as(s"h$i")
+    }
+    sh.groupBy(col(idCol)).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** LSH banding: group `numHashes` minhashes into `bands` concatenated
+    * band values; docs sharing any band value become candidate pairs
+    * (a < b). The per-band groupBy join bounds the blowup to true
+    * near-duplicate buckets. */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band_idx"), concat(hs: _*).as("band_val")).as(s"b$b")
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+    val left = banded.select(col("band_idx"), col("band_val"), col(idCol).as("id_a"))
+    val right = banded.select(col("band_idx"), col("band_val"), col(idCol).as("id_b"))
+    left.join(right, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash fingerprint over `bits` bits (≤ 31): per token, bit b is the
+    * high bit of the b-th md5 nibble; the fingerprint bit is the sign of
+    * the per-bit vote sum. One explode × bits, two groupBys. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxChars: Int = 4096): DataFrame = {
+    val tokens = split(lower(substring(col(textCol), 1, maxChars)), "\\s+")
+    val toks = df.select(col(idCol), explode(tokens).as("tok"))
+    val votes = toks
+      .select(col(idCol), col("tok"),
+        explode(sequence(lit(1), lit(bits))).as("b"))
+      .withColumn("vote",
+        when(substring(md5(col("tok")), col("b"), lit(1))
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum("vote").as("s"))
+    votes.groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0,
+        pow(lit(2), lit(bits) - col("b")).cast("long")).otherwise(0L))
+        .as("fingerprint"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (|A∩B| / |A∪B| over distinct
+    * shingles) — the verification stage after LSH blocking. `pairs` has
+    * columns id_a, id_b. */
+  def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val distinctSh = sh.distinct()
+    val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val shA = distinctSh.select(col(idCol).as("id_a"), col("shingle"))
+    val shB = distinctSh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("i"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("sz_a") + col("sz_b") - col("i")), 6).as("jaccard"))
+  }
+
+  /** Embedding near-dup: cosine similarity over pairs blocked by a
+    * `blockCol` (label, LSH bucket, …); quadratic only within blocks. */
+  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = embeddings.select(col(blockCol), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = embeddings.select(col(blockCol), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    a.join(b, Seq(blockCol)).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(round(col("cos"), 4) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (beyond-reference scope, SURVEY.md §7.4).
+  *
+  * The exact path is a brute-force cosine top-k (fine for a broadcast-able
+  * query set); the scale path buckets vectors with deterministic
+  * random-hyperplane LSH so that at 100 TB each query only scans its
+  * bucket. All math is codegen'd higher-order functions on array columns —
+  * no UDFs, no collect.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float/double array columns, computed in
+    * double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force top-k by cosine: every query row against every corpus row.
+    * The query set is broadcast, so the corpus is scanned exactly once with
+    * no shuffle of the big side. Ties break on the lower corpus id for
+    * determinism. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim): the high bit
+    * of the first md5 nibble of "plane_dim". Portable to any engine with
+    * md5 — no RNG state to ship. */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(substring(md5(concat_ws("_", lit(plane), dim)), 1, 1)
+      .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)
+
+  /** Random-hyperplane LSH bucket signature: bit j = sign(v · w_j) over
+    * `planes` deterministic ±1 hyperplanes, packed into a string key. */
+  def lshBucket(vecCol: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (v, i) => v.cast("double") * planeSign(j, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Bucketed ANN: queries only join their own LSH bucket, then exact
+    * cosine top-k within the bucket. Recall < 1 by construction; the
+    * bucket join replaces the full cross product at scale. */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}
