@@ -35,13 +35,14 @@ object Downsample {
   def rollupStage(points: DataFrame, precisionS: Long): DataFrame = {
     val stepTs = (floor(col("ts") / precisionS) * precisionS).cast("long")
     points
+      .withColumn("__ord", when(nn(col("value")).isNotNull, col("ts")))
       .groupBy(col("metric_id"), col("aggregator"), stepTs.as("ts"))
       .agg(
         sum(nn(col("value"))).as("sum_v"),
         count(nn(col("value"))).cast("double").as("cnt_nn"),
         min(nn(col("value"))).as("min_v"),
         max(nn(col("value"))).as("max_v"),
-        max_by(col("value"), when(nn(col("value")).isNotNull, col("ts"))).as("last_v"),
+        max_by(col("value"), col("__ord")).as("last_v"),
         count(lit(1)).cast("double").as("cnt_all"))
       .select(
         col("metric_id"), col("aggregator"), col("ts"),
@@ -56,13 +57,14 @@ object Downsample {
   def rollupAggregatedStage(points: DataFrame, precisionS: Long): DataFrame = {
     val stepTs = (floor(col("ts") / precisionS) * precisionS).cast("long")
     points
+      .withColumn("__ord", when(nn(col("value")).isNotNull, col("ts")))
       .groupBy(col("metric_id"), col("aggregator"), stepTs.as("ts"))
       .agg(
         sum(nn(col("value"))).as("sum_v"),
         sum(when(nn(col("value")).isNotNull, col("count")).otherwise(lit(0.0))).as("cnt_nn"),
         min(nn(col("value"))).as("min_v"),
         max(nn(col("value"))).as("max_v"),
-        max_by(col("value"), when(nn(col("value")).isNotNull, col("ts"))).as("last_v"),
+        max_by(col("value"), col("__ord")).as("last_v"),
         sum(col("count")).cast("double").as("cnt_all"))
       .select(
         col("metric_id"), col("aggregator"), col("ts"),
@@ -107,13 +109,14 @@ object Downsample {
   def pointGrouper(rows: DataFrame, targetPrecisionS: Long): DataFrame = {
     val stepTs = (floor(col("ts") / targetPrecisionS) * targetPrecisionS).cast("long")
     val perReplica = rows
+      .withColumn("__ord", when(nn(col("value")).isNotNull, col("ts")))
       .groupBy(col("metric_id"), col("aggregator"), col("replica"), stepTs.as("ts"))
       .agg(
         sum(nn(col("value"))).as("sum_v"),
         sum(when(nn(col("value")).isNotNull, col("count")).otherwise(lit(0.0))).as("cnt_nn"),
         min(nn(col("value"))).as("min_v"),
         max(nn(col("value"))).as("max_v"),
-        max_by(col("value"), when(nn(col("value")).isNotNull, col("ts"))).as("last_v"),
+        max_by(col("value"), col("__ord")).as("last_v"),
         sum(col("count")).cast("double").as("count_sum"))
     val naN = lit(Double.NaN)
     val finalValue =

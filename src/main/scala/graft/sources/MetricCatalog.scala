@@ -27,7 +27,7 @@ object MetricCatalog {
   def withDerivedColumns(df: DataFrame, maxComponents: Int = MaxComponents): DataFrame = {
     val parts = split(col("name"), "\\.")
     val withComponents = (0 until maxComponents).foldLeft(df) { (d, i) =>
-      d.withColumn(s"p$i", element_at(parts, i + 1))
+      d.withColumn(s"p$i", get(parts, lit(i)))
     }
     withComponents
       .withColumn("depth", size(parts))
@@ -60,6 +60,9 @@ object MetricCatalog {
   def directories(catalog: DataFrame): DataFrame = {
     val parts = split(col("name"), "\\.")
     catalog
+      // depth-1 names have no parent dirs (and sequence(1,0) would step
+      // BACKWARD in Spark, yielding phantom empty prefixes)
+      .filter(size(parts) > 1)
       .select(explode(sequence(lit(1), size(parts) - 1)).as("d"), parts.as("parts"))
       .select(concat_ws(".", slice(col("parts"), lit(1), col("d"))).as("name"))
       .distinct()

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Stage
+
+/** Partitioned Parquet layout for the points table: one directory tree
+  * partitioned by (stage, bucket) where bucket is a time span sized like
+  * the reference's Cassandra row keys — Spark's partition pruning then
+  * plays the role of the hand-built per-partition SELECTs
+  * (biggraphite/drivers/cassandra.py:796-809,1846-1919).
+  *
+  * Schema: metric_id, ts (epoch s), value, count, replica
+  * (+ stage, bucket partition columns).
+  */
+object PointsStore {
+
+  /** Partition sizing constants ported from drivers/cassandra.py:641-648:
+    * target ~2000 points per read partition, hard cap 25000 points, never
+    * finer than 6 h per partition. */
+  val ExpectedPointsPerRead = 2000L
+  val MaxPartitionSize = 25000L
+  val MinPartitionSpanS: Long = 6L * 3600
+
+  /** Bucket span in seconds for a stage (the `_row_size_ms` analog). */
+  def bucketSpanS(precisionS: Long): Long =
+    math.min(precisionS * MaxPartitionSize,
+      math.max(precisionS * ExpectedPointsPerRead, MinPartitionSpanS))
+
+  def bucketOf(stage: Stage) = {
+    val span = bucketSpanS(stage.precisionS)
+    (tsS: Long) => tsS / span * span
+  }
+
+  /** Append points for one stage. Expects metric_id, ts, value, count,
+    * replica. The shuffle implied by the partitioned write is the batch
+    * analog of the reference's per-partition unlogged batches
+    * (drivers/cassandra.py:2235-2257). */
+  def write(points: DataFrame, baseDir: String, stage: Stage): Unit = {
+    val span = bucketSpanS(stage.precisionS)
+    points
+      .withColumn("stage", lit(stage.toString))
+      .withColumn("bucket", (col("ts") / span).cast("long") * span)
+      .repartition(col("stage"), col("bucket"))
+      .write.mode("append")
+      .partitionBy("stage", "bucket")
+      .parquet(baseDir)
+  }
+
+  /** Pruned scan of one stage and time range; `metricIds` optionally
+    * narrows to a metric set (pushed to parquet as an IN filter).
+    * Partition pruning on (stage, bucket) replaces the reference's
+    * hand-computed partition list (drivers/cassandra.py:1887-1919). */
+  def read(spark: SparkSession, baseDir: String, stage: Stage,
+      startS: Long, endS: Long, metricIds: Seq[String] = Nil): DataFrame = {
+    val span = bucketSpanS(stage.precisionS)
+    val b0 = startS / span * span
+    val b1 = endS / span * span
+    var df = spark.read.parquet(baseDir)
+      .filter(col("stage") === stage.toString)
+      .filter(col("bucket") >= b0 && col("bucket") <= b1)
+      .filter(col("ts") >= startS && col("ts") < endS)
+    if (metricIds.nonEmpty) df = df.filter(col("metric_id").isin(metricIds: _*))
+    df
+  }
+
+  /** Retention enforcement — the TTL/compaction-window analog
+    * (drivers/cassandra.py:752,943-946): per-stage, keep only rows newer
+    * than the stage duration. The bucket predicate prunes whole partitions
+    * before the row-level ts filter touches the survivors' pages. Returns
+    * the surviving rows; a caller overwrites the table location (or
+    * deletes partition dirs out-of-band on a real deployment). */
+  def expireOldBuckets(points: DataFrame, stages: Seq[Stage], nowS: Long): DataFrame =
+    stages.map { st =>
+      val span = bucketSpanS(st.precisionS)
+      val cutoff = nowS - st.durationS
+      points.filter(col("stage") === st.toString &&
+        col("bucket") >= cutoff / span * span &&
+        col("ts") >= cutoff)
+    }.reduce(_ unionByName _)
+}

@@ -29,6 +29,16 @@ final class MetricAggregates(metadata: MetricMetadata, capacity: Int = 20) {
   private val stageValue = Array.fill(nStages)(Double.NaN)
   private val stageCount = Array.fill(nStages)(0.0)
 
+  /** Restore from a checkpointed snapshot (streaming state). */
+  def restore(st: MetricAggregates.State): this.type = {
+    Array.copy(st.buffer, 0, buffer, 0, capacity)
+    stage0Ts = st.stage0Ts
+    Array.copy(st.stageTs, 0, stageTs, 0, nStages)
+    Array.copy(st.stageValue, 0, stageValue, 0, nStages)
+    Array.copy(st.stageCount, 0, stageCount, 0, nStages)
+    this
+  }
+
   /** One emitted downsampled point. */
   final case class Emitted(ts: Long, value: Double, count: Double, stage: Stage)
 
@@ -140,6 +150,11 @@ final class MetricAggregates(metadata: MetricMetadata, capacity: Int = 20) {
     }
   }
 
+  /** Serializable snapshot for checkpointable streaming state. */
+  def snapshot: MetricAggregates.State =
+    MetricAggregates.State(buffer.clone(), stage0Ts,
+      stageTs.clone(), stageValue.clone(), stageCount.clone())
+
   /** _downsampling.py:361-369: idle-state eviction predicate. */
   def obsolete(nowS: Long): Boolean = {
     val keepalive =
@@ -147,4 +162,12 @@ final class MetricAggregates(metadata: MetricMetadata, capacity: Int = 20) {
       else retention.stages(1).precisionS * 2
     stage0Ts < nowS - keepalive
   }
+}
+
+object MetricAggregates {
+  /** Checkpointable downsampler state (ring buffer + per-stage running
+    * aggregates) — a plain product type so Spark encoders can persist it
+    * in a streaming state store. */
+  final case class State(buffer: Array[Double], stage0Ts: Long,
+      stageTs: Array[Long], stageValue: Array[Double], stageCount: Array[Double])
 }

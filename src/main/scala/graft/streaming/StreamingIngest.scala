@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model._
+
+/** Structured-Streaming ingestion: the carbon write path (SURVEY.md §3.2)
+  * as `groupByKey(metric).flatMapGroupsWithState` carrying the exact
+  * ring-buffer downsampler state per metric.
+  *
+  * Semantics preserved from the reference
+  * (biggraphite/drivers/_downsampling.py, plugins/carbon.py:177-369):
+  *  - per-metric ring buffer (capacity 20) with last-write-wins per stage0
+  *    step; out-of-order points within the buffer are merged, older ones
+  *    dropped from rollups
+  *  - every emission is (metric, stage, ts, value, count); persisting with
+  *    last-write-wins per (metric, stage, ts) — e.g. a foreachBatch upsert
+  *    — reproduces the store exactly (re-emission of running coarse
+  *    aggregates replaces the DelayedWriter, _delayed_writer.py:27-148)
+  *  - idle metrics are evicted via processing-time timeout, replacing the
+  *    hourly purge sweep (_downsampling.py:72-82)
+  */
+object StreamingIngest {
+
+  /** One incoming raw point. */
+  final case class RawPoint(metric: String, ts: Long, value: Double)
+
+  /** One emitted downsampled row. */
+  final case class OutPoint(metric: String, stage: String, ts: Long,
+      value: Double, count: Double)
+
+  /** Build the per-metric stateful transform. `metadataFor` resolves a
+    * metric name to its metadata (e.g. from a broadcast catalog snapshot);
+    * it must be serializable.
+    *
+    * `idleTimeoutMs > 0` enables processing-time state eviction (the purge
+    * sweep). Note ProcessingTimeTimeout makes Spark schedule follow-up
+    * batches to advance the timeout clock — correct for a real
+    * always-on ingest, but a drain-and-stop run (Trigger.AvailableNow, or
+    * processAllAvailable in tests) should pass 0 for NoTimeout. */
+  def downsampleFlow(
+      pointsStream: Dataset[RawPoint],
+      metadataFor: String => MetricMetadata,
+      capacity: Int = Downsampler.Capacity,
+      idleTimeoutMs: Long = 2 * 3600 * 1000L): Dataset[OutPoint] = {
+    val spark = pointsStream.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    pointsStream
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState[MetricAggregates.State, OutPoint](
+        OutputMode.Append, timeoutConf) {
+        (metric: String, rows: Iterator[RawPoint],
+            state: GroupState[MetricAggregates.State]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val agg = new MetricAggregates(metadataFor(metric), capacity)
+            if (state.exists) agg.restore(state.get)
+            val emitted = agg.update(rows.map(p => (p.ts, p.value)).toSeq)
+            state.update(agg.snapshot)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            emitted.iterator.map(e =>
+              OutPoint(metric, e.stage.toString, e.ts, e.value, e.count))
+          }
+      }
+  }
+
+  /** Batch view of the same dataflow for backfills: per-metric dedup
+    * (last-write-wins on ingest order) then one grouped rollup per stage —
+    * semantically the steady-state result of feeding every point through
+    * the incremental path. */
+  def batchDownsample(points: DataFrame, catalog: DataFrame): DataFrame = {
+    import graft.operators.Downsample
+    val withMeta = points.join(broadcast(
+      catalog.select(col("name").as("metric_id"), col("aggregator"),
+        col("retention"))), Seq("metric_id"))
+    val stages = catalog.select("retention").distinct().collect()
+      .map(r => Retention.fromString(r.getString(0)))
+      .flatMap(r => r.stages.map(s => (r.toString, s)))
+    stages.map { case (ret, st) =>
+      val forRet = withMeta.filter(col("retention") === ret)
+      val rolled =
+        if (st.stage0) Downsample.lastWriteWins(forRet, st.precisionS,
+          col("ts")).select(col("metric_id"), col("ts"), col("value"),
+          lit(1.0).as("count"))
+        else Downsample.rollupStage(forRet, st.precisionS)
+          .select(col("metric_id"), col("ts"), col("value"), col("count"))
+      rolled.withColumn("stage", lit(st.toString))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.model.{Metric, MetricMetadata, Retention, Stage}
+
+/** Finder glob matrix (tests/plugins/test_graphite.py:163-191) against the
+  * catalog DataFrame, plus the partitioned points store round-trip. */
+class CatalogAndStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val catalog = MetricCatalog.withDerivedColumns(
+    Seq("a", "a.a", "a.b.c", "x.y").toDF("name"))
+
+  private def globNames(glob: String): Seq[String] =
+    MetricCatalog.globMetrics(catalog, glob).select("name").as[String]
+      .collect().toSeq
+
+  private def dirNames(glob: String): Seq[String] =
+    MetricCatalog.globDirectories(catalog, glob).select("name").as[String]
+      .collect().toSeq
+
+  test("finder glob matrix (test_graphite.py:186-191)") {
+    assert(globNames("a") === Seq("a"))
+    assert(dirNames("a") === Seq("a"))
+    assert(globNames("a.*") === Seq("a.a"))
+    assert(dirNames("a.*") === Seq("a.b"))
+    assert(globNames("*.{a,b,c,y,z}") === Seq("a.a", "x.y"))
+    assert(dirNames("*.{a,b,c,y,z}") === Seq("a.b"))
+    assert(globNames("?.[a-c]") === Seq("a.a"))
+    assert(globNames("?.[a-z]") === Seq("a.a", "x.y"))
+    assert(globNames("*.*.*") === Seq("a.b.c"))
+  }
+
+  test("directories derive every proper prefix (elasticsearch.py:587-629)") {
+    assert(MetricCatalog.directories(catalog).as[String].collect().sorted
+      .toSeq === Seq("a", "a.b", "x"))
+  }
+
+  test("derived component columns match the ES document shape") {
+    val row = catalog.filter($"name" === "a.b.c")
+      .select("p0", "p1", "p2", "depth", "parent").collect().head
+    assert(row.getString(0) === "a" && row.getString(1) === "b" &&
+      row.getString(2) === "c" && row.getInt(3) === 3 &&
+      row.getString(4) === "a.b.")
+  }
+
+  test("result cap (drivers/cassandra.py:2149-2176)") {
+    assert(globNames("**").size === 4)
+    assert(MetricCatalog.globMetrics(catalog, "**", maxMetrics = 2)
+      .count() === 2)
+  }
+
+  test("points store round-trip with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("pts").toString
+    val stage = Stage.fromString("60*60s", stage0 = true)
+    val pts = (0 until 500).map(i =>
+      ("m1", i * 60L, i.toDouble, 1.0, 0)).toDF(
+      "metric_id", "ts", "value", "count", "replica")
+    PointsStore.write(pts, dir, stage)
+    val got = PointsStore.read(spark, dir, stage, 0L, 6000L, Seq("m1"))
+    assert(got.count() === 100)
+    // partition pruning: the bucket filter must reach the file index
+    val planStr = got.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("bucket"), planStr.take(2000))
+    // and the ts/metric filters must be pushed to parquet
+    assert(planStr.contains("PushedFilters") && planStr.contains("ts"),
+      planStr.take(2000))
+  }
+
+  test("retention expiry drops whole old buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("pts2").toString
+    val stage = Stage.fromString("10*60s", stage0 = true) // 600 s retention
+    val pts = Seq(("m", 0L, 1.0, 1.0, 0), ("m", 100000L, 2.0, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica")
+    PointsStore.write(pts, dir, stage)
+    val all = spark.read.parquet(dir)
+    val kept = PointsStore.expireOldBuckets(all, Seq(stage), nowS = 100100L)
+    assert(kept.select("ts").as[Long].collect().toSeq === Seq(100000L))
+  }
+}

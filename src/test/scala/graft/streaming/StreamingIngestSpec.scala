@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSuite
+import graft.model._
+import graft.streaming.StreamingIngest.{OutPoint, RawPoint}
+
+/** The streaming ingest path must reproduce the incremental downsampler's
+  * golden sequences (tests/drivers/test_drivers_downsampling.py) across
+  * micro-batches, with state carried in the state store. */
+class StreamingIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+
+  test("micro-batched feed reproduces the golden emission sequence") {
+    implicit val sqlCtx = spark.sqlContext
+    val meta = StreamingIngestSpec.meta
+    val input = MemoryStream[RawPoint]
+    val out = StreamingIngest.downsampleFlow(
+      input.toDS(), StreamingIngestSpec.lookupMeta, capacity = 3, idleTimeoutMs = 0)
+    val query = out.writeStream
+      .format("memory").queryName("ds_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // batch 1: single point -> stage0 + provisional stage1
+      input.addData(RawPoint("test.metric.sum", 0L, 1.0))
+      query.processAllAvailable()
+      val b1 = spark.table("ds_out").as[OutPoint].collect().toSeq
+      assert(b1.toSet === Set(
+        OutPoint("test.metric.sum", "3*10s_0", 0L, 1.0, 1.0),
+        OutPoint("test.metric.sum", "3*100s_aggr", 0L, 1.0, 1.0)))
+
+      // batch 2: override + new step, state survived the batch boundary
+      input.addData(RawPoint("test.metric.sum", 0L, 5.0),
+        RawPoint("test.metric.sum", 10L, 9.0))
+      query.processAllAvailable()
+      val b2 = spark.table("ds_out").as[OutPoint].collect().toSeq
+        .diff(b1)
+      assert(b2.toSet === Set(
+        OutPoint("test.metric.sum", "3*10s_0", 0L, 5.0, 1.0),
+        OutPoint("test.metric.sum", "3*10s_0", 10L, 9.0, 1.0),
+        OutPoint("test.metric.sum", "3*100s_aggr", 0L, 14.0, 2.0)))
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS ds_out")
+    }
+  }
+
+  test("last-write-wins store of emissions equals reference end state") {
+    implicit val sqlCtx = spark.sqlContext
+    val meta = StreamingIngestSpec.meta
+    val input = MemoryStream[RawPoint]
+    val out = StreamingIngest.downsampleFlow(input.toDS(), StreamingIngestSpec.lookupMeta, capacity = 3, idleTimeoutMs = 0)
+    val query = out.writeStream
+      .format("memory").queryName("ds_out2")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // the test_feed_extended sequence split across three micro-batches
+      input.addData(RawPoint("m", 0L, 1.0), RawPoint("m", 1L, 2.0))
+      query.processAllAvailable()
+      input.addData(RawPoint("m", 10L, 15.0), RawPoint("m", 30L, 25.0))
+      query.processAllAvailable()
+      input.addData(RawPoint("m", 60L, 150.0), RawPoint("m", 300L, 1500.0),
+        RawPoint("m", 300L, 1501.0))
+      query.processAllAvailable()
+      val all = spark.table("ds_out2").as[OutPoint].collect().toSeq
+      // upsert semantics: last emission per (metric, stage, ts) wins
+      val store = all.zipWithIndex
+        .groupBy { case (p, _) => (p.metric, p.stage, p.ts) }
+        .map { case (_, es) => es.maxBy(_._2)._1 }.toSet
+      assert(store === Set(
+        OutPoint("m", "3*10s_0", 0L, 2.0, 1.0),
+        OutPoint("m", "3*10s_0", 10L, 15.0, 1.0),
+        OutPoint("m", "3*10s_0", 30L, 25.0, 1.0),
+        OutPoint("m", "3*10s_0", 60L, 150.0, 1.0),
+        OutPoint("m", "3*10s_0", 300L, 1501.0, 1.0),
+        OutPoint("m", "3*100s_aggr", 0L, 192.0, 4.0),
+        OutPoint("m", "3*100s_aggr", 300L, 1501.0, 1.0)))
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS ds_out2")
+    }
+  }
+}
+
+object StreamingIngestSpec {
+  /** Held outside the suite so stateful-stream closures never capture the
+    * (non-serializable) test class. */
+  val meta: MetricMetadata = MetricMetadata(
+    aggregator = Aggregator.Total,
+    retention = Retention.fromString("3*10s:3*100s"))
+
+  val lookupMeta: String => MetricMetadata = _ => meta
+}
