@@ -467,7 +467,8 @@ object SparkEntry {
 
   private val SigCte =
     "sig AS (SELECT doc_id, " +
-      (0 until 8).map(i => s"min(substr(md5('${i}_' || shingle), 1, 16)) AS h$i")
+      (0 until 8).map(i =>
+        s"min(substr(md5('${i / 4}_' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
         .mkString(", ") +
       " FROM sh GROUP BY doc_id)"
 

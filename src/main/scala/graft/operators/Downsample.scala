@@ -126,12 +126,15 @@ object Downsample {
         .when(col("aggregator").isin("minimum", "min"), coalesce(col("min_v"), naN))
         .when(col("aggregator").isin("maximum", "max"), coalesce(col("max_v"), naN))
         .otherwise(coalesce(col("last_v"), naN))
-    val w = Window.partitionBy(col("metric_id"), col("ts"))
-      .orderBy(col("count_sum").desc, col("replica").asc)
+    // Densest-replica pick as a second aggregation instead of a ranking
+    // window: max_by over (count_sum, -replica) needs no sort, keeps
+    // map-side partial aggregation, and AQE can coalesce the exchange —
+    // strictly cheaper than row_number at scale.
     perReplica
       .withColumn("value", finalValue)
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") === 1)
+      .groupBy(col("metric_id"), col("ts"))
+      .agg(max_by(col("value"),
+        struct(col("count_sum"), -col("replica"))).as("value"))
       .select(col("metric_id"), col("ts"), col("value"))
   }
 
