@@ -349,6 +349,41 @@ object SparkEntry {
         .orderBy("event_type", "rn")
     },
 
+    // S2: metric auto-create on first write — incoming names minus the
+    // existing catalog (left anti), with derived tree columns
+    // (plugins/carbon.py:210-230,310-369)
+    "s2_metric_autocreate" -> { (s, dir) =>
+      val pts = points(s, dir)
+      val cutoff = T0 + 15 * 86400
+      val existing = pts.filter(col("ts") < cutoff).select("name").distinct()
+      val incoming = pts.filter(col("ts") >= cutoff).select("name").distinct()
+      MetricCatalog.withDerivedColumns(
+        incoming.join(existing, Seq("name"), "left_anti"))
+        .select("name", "p0", "p1", "p2", "depth", "parent")
+        .orderBy("name")
+    },
+
+    // M5: touch/read_on refresh with deterministic sampling — the
+    // reference samples 10% of reads (drivers/cassandra.py:303,1921-1935);
+    // here the sample is content-addressed (md5 prefix) so it is
+    // reproducible in any engine
+    "m5_touch_sampling" -> { (s, dir) =>
+      points(s, dir).select("name").distinct()
+        .filter(substring(md5(col("name")), 1, 1).isin("0", "1", "2"))
+        .orderBy("name")
+    },
+
+    // M6: copy a subtree under a new prefix (cli/command_copy.py:37-190)
+    "m6_copy_subtree" -> { (s, dir) =>
+      points(s, dir)
+        .filter(col("name").rlike(Glob.toRegex("ev.view.**")))
+        .withColumn("new_name",
+          regexp_replace(col("name"), "^ev\\.view\\.", "copy.view."))
+        .groupBy("new_name").agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 4).as("sum_v"))
+        .orderBy("new_name")
+    },
+
     // D1: exact dedup by content hash (hash-groupBy)
     "d1_dedup_exact" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
@@ -488,6 +523,33 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "s2_metric_autocreate" ->
+      s"""WITH $PointsCte,
+         |existing AS (SELECT DISTINCT name FROM points WHERE ts < $T0 + 15 * 86400),
+         |incoming AS (SELECT DISTINCT name FROM points WHERE ts >= $T0 + 15 * 86400),
+         |fresh AS (SELECT name FROM incoming WHERE name NOT IN (SELECT name FROM existing))
+         |SELECT name,
+         |  split_part(name, '.', 1) AS p0,
+         |  split_part(name, '.', 2) AS p1,
+         |  split_part(name, '.', 3) AS p2,
+         |  len(string_split(name, '.')) AS depth,
+         |  split_part(name, '.', 1) || '.' || split_part(name, '.', 2) || '.' AS parent
+         |FROM fresh ORDER BY name""".stripMargin,
+
+    "m5_touch_sampling" ->
+      s"""WITH $PointsCte
+         |SELECT DISTINCT name FROM points
+         |WHERE substr(md5(name), 1, 1) IN ('0', '1', '2')
+         |ORDER BY name""".stripMargin,
+
+    "m6_copy_subtree" ->
+      s"""WITH $PointsCte
+         |SELECT regexp_replace(name, '^ev\\.view\\.', 'copy.view.') AS new_name,
+         |  count(*) AS cnt, round(sum(value), 4) AS sum_v
+         |FROM points
+         |WHERE regexp_matches(name, '${Glob.toRegex("ev.view.**")}')
+         |GROUP BY 1 ORDER BY new_name""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_unique,

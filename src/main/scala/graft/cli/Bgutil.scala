@@ -1,0 +1,180 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.{Downsample, TimeSeriesReader}
+import graft.sources.{MetricCatalog, PointsStore}
+
+/** `bgutil`-equivalent admin CLI (biggraphite/cli/commands.py:38-54) over a
+  * directory-backed database: `<db>/catalog` (metric metadata parquet) and
+  * `<db>/points` ((stage, bucket)-partitioned parquet).
+  *
+  * Subcommands: syncdb, write, read, list, du, stats, clean, repair,
+  * copy, delete, info — each a thin driver over the library operators,
+  * exactly as the reference CLI wraps its accessor.
+  */
+object Bgutil {
+
+  final case class Db(spark: SparkSession, dir: String) {
+    def catalogPath = s"$dir/catalog"
+    def pointsPath = s"$dir/points"
+    def catalog: DataFrame = spark.read.parquet(catalogPath)
+    def points: DataFrame = spark.read.parquet(pointsPath)
+    def hasCatalog: Boolean = new java.io.File(catalogPath).exists()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: bgutil <dbdir> <syncdb|write|read|list|du|stats|clean|repair|copy|delete|info> [args...]")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(Db(spark, args(0)), args(1), args.drop(2))
+    finally spark.stop()
+  }
+
+  def run(db: Db, cmd: String, rest: Array[String]): Unit = cmd match {
+    case "syncdb" => syncdb(db)
+    case "write" => write(db, rest(0), rest(1).toLong, rest(2).toDouble,
+      if (rest.length > 3) rest(3) else Retention.default.toString,
+      if (rest.length > 4) rest(4) else "average")
+    case "read" => read(db, rest(0), rest(1).toLong, rest(2).toLong).show(200)
+    case "list" => list(db, rest(0)).show(200, truncate = false)
+    case "du" => du(db).show(200, truncate = false)
+    case "stats" => stats(db).show(200, truncate = false)
+    case "clean" => clean(db, rest(0).toLong, rest(1).toLong)
+    case "repair" => repair(db).show(200, truncate = false)
+    case "copy" => copy(db, rest(0), rest(1))
+    case "delete" => delete(db, rest(0))
+    case "info" => info(db)
+    case other => System.err.println(s"unknown command: $other"); sys.exit(2)
+  }
+
+  /** Create the table layout (drivers/cassandra.py:2289-2355 syncdb). */
+  def syncdb(db: Db): Unit = {
+    import db.spark.implicits._
+    if (!db.hasCatalog) {
+      MetricCatalog.withDerivedColumns(Seq.empty[String].toDF("name"))
+        .withColumn("id", col("name"))
+        .withColumn("aggregator", col("name"))
+        .withColumn("retention", col("name"))
+        .withColumn("updated_on", lit(0L))
+        .write.parquet(db.catalogPath)
+    }
+  }
+
+  /** Ingest one point, auto-creating the metric (plugins/carbon.py:177-230):
+    * runs the incremental downsampler for every stage and upserts with
+    * last-write-wins. Single-point convenience; bulk ingest goes through
+    * StreamingIngest. */
+  def write(db: Db, name: String, ts: Long, value: Double,
+      retentionStr: String, aggregatorName: String): Unit = {
+    import db.spark.implicits._
+    val metadata = MetricMetadata(Aggregator.fromName(aggregatorName),
+      Retention.fromString(retentionStr))
+    val metric = Metric(name, metadata)
+    syncdb(db)
+    val existing = if (db.hasCatalog) db.catalog else null
+    val row = MetricCatalog.withDerivedColumns(Seq(metric.name).toDF("name"))
+      .withColumn("id", lit(metric.id))
+      .withColumn("aggregator", lit(metadata.aggregator.name))
+      .withColumn("retention", lit(metadata.retention.toString))
+      .withColumn("updated_on", lit(ts))
+    val merged = MetricCatalog.dedupByName(
+      existing.unionByName(row, allowMissingColumns = true))
+    val tmp = db.catalogPath + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    db.spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(db.catalogPath)
+
+    metadata.retention.stages.foreach { st =>
+      val stepTs = st.roundDown(ts)
+      val pts = Seq((metric.id, stepTs, value, 1.0, 0))
+        .toDF("metric_id", "ts", "value", "count", "replica")
+      PointsStore.write(pts, db.pointsPath, st)
+    }
+  }
+
+  /** Read a dense series (cli/command_read.py:73-147). */
+  def read(db: Db, glob: String, startS: Long, endS: Long): DataFrame = {
+    val matched = MetricCatalog.globMetrics(db.catalog, glob).collect()
+    matched.map { r =>
+      val metric = Metric(r.getAs[String]("name"),
+        r.getAs[String]("id"),
+        MetricMetadata(Aggregator.fromName(r.getAs[String]("aggregator")),
+          Retention.fromString(r.getAs[String]("retention"))))
+      TimeSeriesReader.fetchSeries(db.spark, db.pointsPath, metric,
+        startS, endS, nowS = endS)
+        .withColumn("name", lit(metric.name))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(db.spark.emptyDataFrame)
+  }
+
+  /** Resolve a glob to names (cli/command_list.py:23-49). */
+  def list(db: Db, glob: String): DataFrame =
+    MetricCatalog.globMetrics(db.catalog, glob).select("name")
+
+  /** 24 bytes/point estimate per metric (cli/command_du.py:24-75). */
+  def du(db: Db): DataFrame =
+    db.points.groupBy("metric_id").agg((count(lit(1)) * 24).as("bytes"))
+
+  /** Per-namespace metric/point counts (cli/command_stats.py:54-94). */
+  def stats(db: Db): DataFrame = {
+    val ns = split(col("name"), "\\.").getItem(0).as("ns")
+    db.catalog.select(ns, col("id").as("metric_id"))
+      .join(db.points, Seq("metric_id"), "left")
+      .groupBy("ns")
+      .agg(countDistinct("metric_id").as("metrics"), count(col("ts")).as("points"))
+  }
+
+  /** Drop expired metrics and TTL-expired points
+    * (drivers/cassandra.py:3052-3141 + per-stage TTLs). */
+  def clean(db: Db, nowS: Long, maxAgeS: Long): Unit = {
+    val kept = db.catalog.filter(col("updated_on") > nowS - maxAgeS)
+    val tmp = db.catalogPath + ".tmp"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    db.spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(db.catalogPath)
+  }
+
+  /** Orphan points without a catalog row (drivers/cassandra.py:2734-2842). */
+  def repair(db: Db): DataFrame =
+    MetricCatalog.orphanPoints(db.points, db.catalog)
+      .select("metric_id").distinct()
+
+  /** Copy points of a subtree to a new prefix (cli/command_copy.py:37-190). */
+  def copy(db: Db, glob: String, newPrefix: String): Unit = {
+    val ids = MetricCatalog.globMetrics(db.catalog, glob)
+      .select(col("id").as("metric_id"), col("name"))
+    db.points.join(broadcast(ids), Seq("metric_id"))
+      .withColumn("metric_id", concat(lit(newPrefix), col("name")))
+      .drop("name")
+      .write.mode(SaveMode.Append).partitionBy("stage", "bucket")
+      .parquet(db.pointsPath)
+  }
+
+  /** Delete a subtree from the catalog (cli/command_delete.py:26-55). */
+  def delete(db: Db, glob: String): Unit = {
+    val regex = graft.glob.Glob.toRegex(glob)
+    val kept = db.catalog.filter(!col("name").rlike(regex))
+    val tmp = db.catalogPath + ".tmp"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    db.spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(db.catalogPath)
+  }
+
+  def info(db: Db): Unit = {
+    println(s"catalog: ${db.catalog.count()} metrics")
+    if (new java.io.File(db.pointsPath).exists())
+      println(s"points: ${db.points.count()} rows, stages: " +
+        db.points.select("stage").distinct().collect().map(_.getString(0))
+          .sorted.mkString(", "))
+  }
+}
