@@ -39,12 +39,78 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
       }
-      name -> ((System.nanoTime() - t0) / 1e9, n)
-    }
-    val qs = results.map { case (k, (sec, _)) => s""""$k":$sec""" }
+      name -> (System.nanoTime() - t0) / 1e9
+    } ++ baselineMicroBench(spark)
+    val qs = results.map { case (k, sec) => s""""$k":$sec""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Micro-benchmarks mirroring the reference's accessor_bench comparable
+    * targets (BASELINE.md): 3-wildcard glob over a 10k-metric catalog,
+    * single-series read of 3600 stage0 points (and re-aggregated at the
+    * next stage), and ingest of 100 metrics × 1 point incl. downsampling
+    * (benchmarks/accessor_bench.py:99-192). */
+  private def baselineMicroBench(spark: SparkSession): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model._
+    import graft.operators.{Downsample, TimeSeriesReader}
+    import graft.sources.{MetricCatalog, PointsStore}
+
+    def timed(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- untimed setup -------------------------------------------------
+    val retention = Retention.fromString("3600*60s:2160*3600s")
+    val names = for (i <- 0 until 10; j <- 0 until 10; k <- 0 until 100)
+      yield s"toto.tutu.$i.tata.$j.titi.$k.chipiron"
+    val catalog = MetricCatalog.withDerivedColumns(names.toDF("name"))
+      .withColumn("id", col("name"))
+      .withColumn("aggregator", lit("average"))
+      .withColumn("retention", lit(retention.toString))
+      .cache()
+    catalog.count()
+    val metric = Metric("toto.tutu.0.tata.0.titi.0.chipiron",
+      MetricMetadata(Aggregator.Average, retention))
+    val storeDir = java.nio.file.Files.createTempDirectory("bgbench").toString
+    val pts = (0 until 3600).map(i =>
+      (metric.id, i * 60L, i.toDouble, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica")
+    PointsStore.write(pts, storeDir, retention.stage0)
+    PointsStore.write(
+      Downsample.rollupStage(pts.withColumn("aggregator", lit("average")), 3600)
+        .withColumn("replica", lit(0)),
+      storeDir, retention.stages(1))
+
+    // ---- timed ---------------------------------------------------------
+    Seq(
+      "bg_glob_3wild" -> timed {
+        MetricCatalog.globMetrics(catalog,
+          "toto.tutu.*.tata.*.titi.*.chipiron").count()
+      },
+      "bg_read_3600_stage0" -> timed {
+        TimeSeriesReader.fetchSeries(spark, storeDir, metric,
+          0L, 3600 * 60L, nowS = 3600 * 60L).count()
+      },
+      "bg_read_3600_stage1" -> timed {
+        val rows = PointsStore.read(spark, storeDir, retention.stages(1),
+          0L, 3600 * 60L, Seq(metric.id))
+          .withColumn("aggregator", lit("average"))
+        Downsample.pointGrouper(rows, 3600).count()
+      },
+      "bg_ingest_100x1" -> timed {
+        val incoming = (0 until 100).map(m =>
+          (names(m), 777 * 60L, m.toDouble, 1.0, 0))
+          .toDF("metric_id", "ts", "value", "count", "replica")
+          .withColumn("aggregator", lit("average"))
+        PointsStore.write(incoming.drop("aggregator"), storeDir, retention.stage0)
+        PointsStore.write(
+          Downsample.rollupStage(incoming, 3600).withColumn("replica", lit(0)),
+          storeDir, retention.stages(1))
+      })
   }
 }

@@ -27,8 +27,13 @@ object SparkEntry {
 
   // ---- shared view builders -------------------------------------------
 
-  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+  private def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // the testdata carries TIMESTAMP(NANOS) columns Spark rejects by
+    // default; settable at runtime, so guard here in case the caller's
+    // session (e.g. the driver harness) did not configure it
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Epoch seconds for a raw `ts` column that is either a timestamp or
     * (with spark.sql.legacy.parquet.nanosAsLong) nanosecond longs. Integral

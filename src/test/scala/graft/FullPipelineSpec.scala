@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.{Downsample, TimeSeriesReader}
+import graft.sources.{MetricCatalog, PointsStore}
+import graft.streaming.StreamingIngest
+
+/** End-to-end on the driver-provided testdata: events → batch downsample →
+  * partitioned store → glob find → re-aggregated read, checked against a
+  * direct computation (SURVEY.md §3.1/§3.2 as one flow). */
+class FullPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("events through store and back (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val raw = ev.select(
+      concat(lit("ev."), col("event_type"), lit("."), col("user_id") % 10).as("metric_id"),
+      expr("ts div 1000000000").as("ts"),
+      col("value"))
+
+    val retention = Retention.fromString("1440*60s:720*3600s")
+    val catalog = MetricCatalog.withDerivedColumns(
+      raw.select(col("metric_id").as("name")).distinct())
+      .withColumn("id", col("name"))
+      .withColumn("aggregator", lit("average"))
+      .withColumn("retention", lit(retention.toString))
+
+    // ingest: batch downsample all stages, write each into the store
+    val rolled = StreamingIngest.batchDownsample(
+      raw.withColumn("metric_id", col("metric_id")), catalog)
+    val storeDir = java.nio.file.Files.createTempDirectory("pipe").toString
+    retention.stages.foreach { st =>
+      PointsStore.write(
+        rolled.filter(col("stage") === st.toString)
+          .select("metric_id", "ts", "value", "count")
+          .withColumn("replica", lit(0)),
+        storeDir, st)
+    }
+
+    // read back at stage1 (3600 s) through glob find + grouped fetch
+    val got = TimeSeriesReader.findAndFetch(spark, catalog, storeDir,
+      "ev.click.*", retention.stages(1), 1704067200L, 1704067200L + 86400)
+      .withColumn("value", round(col("value"), 6))
+      .as[(String, Long, Double)].collect().toSeq
+
+    // direct oracle: the ingest path last-write-wins per 60 s stage0 step,
+    // so the expected hourly average is over the deduped step values
+    val want = Downsample.lastWriteWins(raw, 60, col("ts"))
+      .filter(col("metric_id").rlike("^ev\\.click\\.[^.]*$"))
+      .filter(col("ts") >= 1704067200L && col("ts") < 1704067200L + 86400)
+      .groupBy(col("metric_id").as("name"),
+        (floor(col("ts") / 3600) * 3600).cast("long").as("ts"))
+      .agg(round(avg("value"), 6).as("value"))
+      .orderBy("name", "ts")
+      .as[(String, Long, Double)].collect().toSeq
+
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+}
