@@ -37,6 +37,12 @@ object MetricCatalog {
           .otherwise(lit("")))
   }
 
+  /** Derive the metric id column with the native UUIDv5 expression
+    * (graft.functions.MetricUuid5) — codegen'd, so id assignment for
+    * billions of names stays a projection inside the scan stage. */
+  def withMetricId(df: DataFrame): DataFrame =
+    df.withColumn("id", graft.functions.GraftFunctions.graft_uuid5(col("name")))
+
   /** Resolve a glob over the catalog: prunable component predicates + the
     * authoritative anchored-regex post-filter, sorted by name and capped —
     * the reference's max_metrics_per_pattern guard
