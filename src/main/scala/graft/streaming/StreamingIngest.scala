@@ -71,6 +71,55 @@ object StreamingIngest {
       }
   }
 
+  /** Wire the stateful downsample flow into a running ingest job: each
+    * micro-batch's emissions are appended per stage into a
+    * [[graft.sources.PointsStore]] layout (last-write-wins applied within
+    * the batch; across batches the store read applies it on merge, like
+    * Cassandra upserts). This is the carbon plugin's write path
+    * (plugins/carbon.py:177-204) as one streaming query.
+    *
+    * Caller owns trigger/checkpoint choice, e.g.
+    * `.trigger(Trigger.AvailableNow)` for drain-and-stop. On local
+    * single-JVM runs set
+    * `spark.sql.streaming.checkpoint.fileChecksum.enabled=false`
+    * (Spark 4.1 checksum manager can deadlock there). */
+  def startIngestJob(
+      pointsStream: Dataset[RawPoint],
+      metadataFor: String => MetricMetadata,
+      storeDir: String,
+      checkpointDir: String,
+      capacity: Int = Downsampler.Capacity,
+      idleTimeoutMs: Long = 0L) = {
+    import graft.operators.Downsample
+    import graft.sources.PointsStore
+    val out = downsampleFlow(pointsStream, metadataFor, capacity, idleTimeoutMs)
+    out.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[OutPoint], batchId: Long) =>
+        val spark = batch.sparkSession
+        val stages = batch.select("stage").distinct()
+          .collect().map(_.getString(0))
+        stages.foreach { stageStr =>
+          val st = Stage.fromString(stageStr.stripSuffix("_0").stripSuffix("_aggr"),
+            stage0 = stageStr.endsWith("_0"))
+          val rows = batch.filter(col("stage") === stageStr)
+            .select(col("metric").as("metric_id"), col("ts"),
+              col("value"), col("count"))
+            .withColumn("replica", lit(0))
+            // batchId is monotonic across restarts (checkpoint-tracked):
+            // readers resolve upserts by last-write-wins on batch_seq
+            .withColumn("batch_seq", lit(batchId))
+          // in-batch last-write-wins per (metric, ts): later emissions of
+          // the same running aggregate supersede earlier ones
+          val deduped = Downsample.lastWriteWins(
+            rows.withColumn("__seq", monotonically_increasing_id()),
+            st.precisionS, col("__seq")).drop("__seq")
+          PointsStore.write(deduped, storeDir, st)
+        }
+        ()
+      }
+  }
+
   /** Batch view of the same dataflow for backfills: per-metric dedup
     * (last-write-wins on ingest order) then one grouped rollup per stage —
     * semantically the steady-state result of feeding every point through

@@ -86,6 +86,49 @@ class StreamingIngestSpec extends SparkSuite {
   }
 }
 
+class IngestJobSpec extends graft.SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.Trigger
+  import org.apache.spark.sql.functions._
+  import graft.streaming.StreamingIngest.RawPoint
+
+  test("ingest job writes the store across restarts (checkpointed state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = java.nio.file.Files.createTempDirectory("ingest").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("ckpt").toString
+
+    // one source across restarts: the checkpoint tracks its offsets, so
+    // only the query object is recreated (a real restart)
+    val input = MemoryStream[RawPoint]
+    def drain(points: RawPoint*): Unit = {
+      input.addData(points: _*)
+      val q = StreamingIngest.startIngestJob(input.toDS(),
+        StreamingIngestSpec.lookupMeta, storeDir, ckptDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // run 1: two points; run 2 (fresh query, same checkpoint): an override
+    // plus a step that closes the first stage1 window
+    drain(RawPoint("m", 0L, 1.0), RawPoint("m", 10L, 9.0))
+    drain(RawPoint("m", 0L, 5.0), RawPoint("m", 300L, 70.0))
+
+    val store = spark.read.parquet(storeDir)
+    // read-side merge: last write per (stage, metric, ts) wins, ordered
+    // by the checkpoint-monotonic batch_seq
+    val merged = graft.operators.Downsample.lastWriteWins(
+      store.filter(col("stage") === "3*100s_aggr"), 100, col("batch_seq"))
+    val stage1 = merged.select("ts", "value", "count")
+      .as[(Long, Double, Double)].collect().toSet
+    // after both runs: step 0 = 5 + 9 = 14 (count 2), step 300 = 70
+    assert(stage1.map(_._1) === Set(0L, 300L))
+    val byTs = stage1.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byTs(300L) === ((70.0, 1.0)))
+    assert(byTs(0L)._1 === 14.0 && byTs(0L)._2 === 2.0)
+  }
+}
+
 object StreamingIngestSpec {
   /** Held outside the suite so stateful-stream closures never capture the
     * (non-serializable) test class. */
