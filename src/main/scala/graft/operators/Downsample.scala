@@ -89,6 +89,30 @@ object Downsample {
     when(col("aggregator").isin("total", "average", "sum"), col("cnt_nn"))
       .otherwise(col("cnt_all"))
 
+  /** Skew-resistant rollup: salt the group key, aggregate to per-salt
+    * partials, then merge the partials with [[rollupAggregatedStage]].
+    * Same result as [[rollupStage]] (the aggregators' partial merge is
+    * associative by construction — metric.py:218-261), but a metric whose
+    * step holds millions of points spreads over `saltBuckets` reducers
+    * instead of hot-spotting one. Use when AQE skew handling isn't enough
+    * (e.g. a single monster key at 100 TB). */
+  def rollupStageSalted(points: DataFrame, precisionS: Long,
+      saltBuckets: Int): DataFrame = {
+    // `last` partials would lose intra-step ordering (their ts is
+    // step-aligned, so the merge could not tell which salt was newest);
+    // route those metrics through the direct path
+    val lastRows = points.filter(col("aggregator") === "last")
+    val salted = points.filter(col("aggregator") =!= "last")
+      .withColumn("__salt", pmod(hash(col("ts")), lit(saltBuckets)))
+    val partials = rollupStage(
+      salted.withColumn("metric_id",
+        concat_ws("#", col("metric_id"), col("__salt"))), precisionS)
+      .withColumn("metric_id",
+        substring_index(col("metric_id"), "#", 1))
+    rollupAggregatedStage(partials, precisionS)
+      .unionByName(rollupStage(lastRows, precisionS))
+  }
+
   /** Last-write-wins dedup per (metric_id, step): latest `orderCol` wins —
     * the batch analog of the stage0 ring-buffer override
     * (_downsampling.py:128-189) and of Cassandra upsert semantics. */

@@ -120,6 +120,29 @@ object StreamingIngest {
       }
   }
 
+  /** Event-time windowed rollup — the pure Structured Streaming
+    * alternative for coarse stages: tumbling windows of the stage
+    * precision with a watermark bounding out-of-order tolerance (the
+    * reference's ±15 min, drivers/cassandra.py:638-640). Emits final
+    * (metric, ts, value, count) averages-as-partials once the watermark
+    * passes; late points beyond the watermark are dropped, mirroring the
+    * ring buffer's eviction of too-old points. */
+  def windowedRollupStream(
+      pointsStream: Dataset[RawPoint],
+      precisionS: Long,
+      watermark: String = "15 minutes"): DataFrame = {
+    pointsStream
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("metric"),
+        window(col("event_time"), s"$precisionS seconds"))
+      .agg(sum(when(!isnan(col("value")), col("value"))).as("value"),
+        count(when(!isnan(col("value")), col("value"))).cast("double").as("count"))
+      .select(col("metric").as("metric_id"),
+        col("window.start").cast("long").as("ts"),
+        col("value"), col("count"))
+  }
+
   /** Batch view of the same dataflow for backfills: per-metric dedup
     * (last-write-wins on ingest order) then one grouped rollup per stage —
     * semantically the steady-state result of feeding every point through

@@ -69,6 +69,18 @@ class CatalogAndStoreSpec extends SparkSuite {
       planStr.take(2000))
   }
 
+  test("component predicates reach the parquet scan (F5 pushdown)") {
+    val dir = java.nio.file.Files.createTempDirectory("cat").toString
+    catalog.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val got = MetricCatalog.globMetrics(onDisk, "a.*")
+    val plan = got.queryExecution.executedPlan.toString
+    // equality on p0 and depth must be pushed to the scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(p0,a)") && plan.contains("EqualTo(depth,2)"),
+      plan.take(2500))
+  }
+
   test("retention expiry drops whole old buckets") {
     val dir = java.nio.file.Files.createTempDirectory("pts2").toString
     val stage = Stage.fromString("10*60s", stage0 = true) // 600 s retention
