@@ -102,6 +102,22 @@ object Bench {
           .withColumn("aggregator", lit("average"))
         Downsample.pointGrouper(rows, 3600).count()
       },
+      // ingest throughput vs the reference's ~200k points/s design point
+      // (plugins/carbon.py:93-95): 1M points through stage0 LWW dedup +
+      // both rollups + partitioned store writes
+      "bg_ingest_1m_points" -> timed {
+        val raw = spark.range(1000000L).select(
+          concat(lit("bulk.m"), (col("id") % 1000)).as("metric_id"),
+          ((col("id") / 1000).cast("long") * 60).as("ts"),
+          col("id").cast("double").as("value"))
+          .withColumn("aggregator", lit("average"))
+        val deduped = Downsample.lastWriteWins(raw, 60, col("value"))
+          .withColumn("count", lit(1.0)).withColumn("replica", lit(0))
+        PointsStore.write(deduped.drop("aggregator"), storeDir, retention.stage0)
+        PointsStore.write(
+          Downsample.rollupStage(deduped, 3600).withColumn("replica", lit(0)),
+          storeDir, retention.stages(1))
+      },
       "bg_ingest_100x1" -> timed {
         val incoming = (0 until 100).map(m =>
           (names(m), 777 * 60L, m.toDouble, 1.0, 0))

@@ -448,6 +448,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K3: IVF ANN — deterministic coarse quantizer (first-nCells
+    // centroids), single-probe cell scan
+    "k3_knn_ivf" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfKnn(emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        emb, "vec_id", "embedding", k = 3, nCells = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // T1: n-gram/stopword-heuristic language ID
     "t1_langid" -> { (s, dir) =>
       TextAnalysis.langId(table(s, dir, "documents"), "text")
@@ -645,6 +654,29 @@ object SparkEntry {
         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
         |  FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
         |  WHERE q.vec_id < 5),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "k3_knn_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+        |  WHERE vec_id < 5),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
+        |      c.cell_id ASC) AS r
+        |  FROM embeddings e CROSS JOIN cents c),
+        |cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE r = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM cells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id
+        |  WHERE q.vec_id >= 5 AND q.vec_id < 10),
         |r AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

@@ -117,10 +117,16 @@ object Downsample {
     * the batch analog of the stage0 ring-buffer override
     * (_downsampling.py:128-189) and of Cassandra upsert semantics. */
   def lastWriteWins(points: DataFrame, precisionS: Long, orderCol: Column): DataFrame = {
+    val cols = points.columns
     val step = floor(col("ts") / precisionS)
-    val w = Window.partitionBy(col("metric_id"), step.as("step")).orderBy(orderCol.desc)
-    points.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // max_by over the packed row needs no sort (vs a row_number window)
+    // and aggregates partially map-side — the winner per slot is decided
+    // before the shuffle wherever a mapper holds competing writes
+    points
+      .withColumn("__row", struct(cols.map(col): _*))
+      .groupBy(col("metric_id"), step.as("__step"))
+      .agg(max_by(col("__row"), orderCol).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
   /** Read-time re-aggregation with replica resolution

@@ -62,6 +62,41 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** IVF-style ANN with a deterministic coarse quantizer: the first
+    * `nCells` corpus vectors (by id) act as centroids, every vector is
+    * assigned to its nearest centroid (one argmax pass), and a query
+    * scans only its own cell. The classic inverted-file trade: one
+    * corpus × centroids pass (cheap, nCells ≪ corpus) replaces the full
+    * cross product; recall < 1 like any single-probe IVF. Deterministic
+    * end-to-end — no trained state to ship. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int): DataFrame = {
+    val centroids = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+      val scored = df.select(col(id), col(vec))
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", round(cosine(col(vec), col("centroid")), 6))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("ccos").desc, col("cell_id").asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col(id), col(vec), col("cell_id"))
+    }
+    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    val c = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv")
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Bucketed ANN: queries only join their own LSH bucket, then exact
     * cosine top-k within the bucket. Recall < 1 by construction; the
     * bucket join replaces the full cross product at scale. */
