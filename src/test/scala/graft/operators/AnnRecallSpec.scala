@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Approximate-ANN sanity: the LSH and IVF paths must return genuinely
+  * similar neighbors (non-trivial recall vs the exact top-k) while
+  * scanning only a fraction of the corpus — the trade they exist for. */
+class AnnRecallSpec extends SparkSuite {
+
+  private def recallAt3(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, want) =>
+      approx.get(q).map(got => got.intersect(want).size / 3.0).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  test("lsh and ivf recall vs exact top-3 (sf0.001 embeddings)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+
+    val exact = topk(Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id"))
+    val lsh = topk(Similarity.lshKnn(queries, emb, "vec_id", "embedding", 3, planes = 4)
+      .select("query_id", "rank", "neighbor_id"))
+    val ivf = topk(Similarity.ivfKnn(queries, emb, "vec_id", "embedding", 3, nCells = 8)
+      .select("query_id", "rank", "neighbor_id"))
+
+    val rLsh = recallAt3(lsh, exact)
+    val rIvf = recallAt3(ivf, exact)
+    info(f"recall@3: lsh=$rLsh%.2f ivf=$rIvf%.2f")
+    // single-probe approximations on random-ish vectors: expect imperfect
+    // but clearly better-than-chance recall (chance ≈ 3/500)
+    assert(rLsh > 0.05 && rLsh <= 1.0)
+    assert(rIvf > 0.05 && rIvf <= 1.0)
+  }
+}
