@@ -65,6 +65,23 @@ object PointsStore {
     df
   }
 
+  /** Bucketed table layout for co-located joins: points and catalog
+    * bucketed by metric_id land join-compatible partitions on disk, so a
+    * points ⋈ metadata join (J1) needs NO shuffle of the points side —
+    * the at-scale alternative to broadcasting when the catalog itself is
+    * huge. Spark bucketing requires the session catalog, hence
+    * saveAsTable. */
+  def writeBucketed(points: DataFrame, tableName: String, buckets: Int): Unit = {
+    val sortCols =
+      if (points.columns.contains("ts")) Seq("metric_id", "ts")
+      else Seq("metric_id")
+    points.write.mode("overwrite")
+      .bucketBy(buckets, "metric_id")
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
   /** Retention enforcement — the TTL/compaction-window analog
     * (drivers/cassandra.py:752,943-946): per-stage, keep only rows newer
     * than the stage duration. The bucket predicate prunes whole partitions

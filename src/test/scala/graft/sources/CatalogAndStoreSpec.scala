@@ -81,6 +81,41 @@ class CatalogAndStoreSpec extends SparkSuite {
       plan.take(2500))
   }
 
+  test("bucketed points x bucketed catalog joins without shuffling points") {
+    import org.apache.spark.sql.functions.{col, sum => sqlSum}
+    val pts = (0 until 1000).map(i =>
+      (s"m${i % 50}", i.toLong, i.toDouble)).toDF("metric_id", "ts", "value")
+    val cat = (0 until 50).map(i => (s"m$i", "average"))
+      .toDF("metric_id", "aggregator")
+    spark.sql("DROP TABLE IF EXISTS pts_bucketed")
+    spark.sql("DROP TABLE IF EXISTS cat_bucketed")
+    // the in-memory metastore forgets tables between JVMs but their
+    // warehouse directories persist — clear them too
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("pts_bucketed", "cat_bucketed").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    PointsStore.writeBucketed(pts, "pts_bucketed", buckets = 8)
+    PointsStore.writeBucketed(cat, "cat_bucketed", buckets = 8)
+    val joined = spark.table("pts_bucketed")
+      .join(spark.table("cat_bucketed").hint("merge"), Seq("metric_id"))
+      .groupBy("metric_id", "aggregator").agg(sqlSum("value").as("s"))
+    assert(joined.count() === 50)
+    // co-located buckets: the sort-merge join must read both sides
+    // without an Exchange (shuffle) under it
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"), joinPart.take(2500))
+    spark.sql("DROP TABLE IF EXISTS pts_bucketed")
+    spark.sql("DROP TABLE IF EXISTS cat_bucketed")
+  }
+
   test("retention expiry drops whole old buckets") {
     val dir = java.nio.file.Files.createTempDirectory("pts2").toString
     val stage = Stage.fromString("10*60s", stage0 = true) // 600 s retention
