@@ -323,7 +323,7 @@ object SparkEntry {
       dirty.select(
         col("dirty"),
         concat_ws(".", parts).as("clean"),
-        size(parts).as("depth"),
+        size(parts).cast("long").as("depth"),
         concat(concat_ws(".", slice(parts, lit(1), size(parts) - 1)), lit("."))
           .as("parent"))
         .orderBy("dirty")
@@ -350,7 +350,8 @@ object SparkEntry {
         .orderBy(col("total").desc, col("user_id").asc)
       totals.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select("event_type", "user_id", "total", "rn")
+        .select(col("event_type"), col("user_id"), col("total"),
+          col("rn").cast("long").as("rn"))
         .orderBy("event_type", "rn")
     },
 
@@ -364,7 +365,8 @@ object SparkEntry {
       val incoming = pts.filter(col("ts") >= cutoff).select("name").distinct()
       MetricCatalog.withDerivedColumns(
         incoming.join(existing, Seq("name"), "left_anti"))
-        .select("name", "p0", "p1", "p2", "depth", "parent")
+        .select(col("name"), col("p0"), col("p1"), col("p2"),
+          col("depth").cast("long").as("depth"), col("parent"))
         .orderBy("name")
     },
 
@@ -460,23 +462,29 @@ object SparkEntry {
     // T1: n-gram/stopword-heuristic language ID
     "t1_langid" -> { (s, dir) =>
       TextAnalysis.langId(table(s, dir, "documents"), "text")
-        .select("doc_id", "score_en", "score_de", "score_fr", "score_es",
-          "pred_lang")
+        .select(col("doc_id"),
+          col("score_en").cast("long").as("score_en"),
+          col("score_de").cast("long").as("score_de"),
+          col("score_fr").cast("long").as("score_fr"),
+          col("score_es").cast("long").as("score_es"),
+          col("pred_lang"))
         .orderBy("doc_id")
     },
 
     // T2: heuristic quality scoring
     "t2_quality" -> { (s, dir) =>
       TextAnalysis.qualityScore(table(s, dir, "documents"), "text")
-        .select("doc_id", "n_tokens", "stopword_ratio", "avg_word_len",
-          "quality_score")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("stopword_ratio"), col("avg_word_len"), col("quality_score"))
         .orderBy("doc_id")
     },
 
     // T3: whitespace + BPE-ish token counting
     "t3_tokens" -> { (s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"), "text")
-        .select("doc_id", "ws_tokens", "subword_tokens")
+        .select(col("doc_id"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("subword_tokens").cast("long").as("subword_tokens"))
         .orderBy("doc_id")
     },
 
@@ -494,9 +502,10 @@ object SparkEntry {
       docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
         .select(
           col("doc_id"),
-          octet_length(col("payload")).as("n_bytes"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
           lower(hex(substring(col("payload"), 1, 4))).as("magic"),
-          (ascii(substring(col("payload").cast("string"), 1, 1)) % 3).as("kind_tag"),
+          (ascii(substring(col("payload").cast("string"), 1, 1)) % 3)
+            .cast("long").as("kind_tag"),
           (floor(octet_length(col("payload")) / 256) + 1).cast("long").as("n_frames"))
         .orderBy("doc_id")
     })
@@ -587,7 +596,7 @@ object SparkEntry {
         |  FROM toks, LATERAL unnest(range(1, 17)) t(b)
         |  GROUP BY doc_id, b)
         |SELECT doc_id,
-        |  sum(CASE WHEN s > 0 THEN CAST(pow(2, 16 - b) AS BIGINT) ELSE 0 END) AS fingerprint
+        |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 16 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d4_ngram_jaccard" ->
@@ -743,7 +752,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  octet_length(text::BLOB) AS n_bytes,
         |  lower(substr(hex(text::BLOB), 1, 8)) AS magic,
-        |  ascii(substr(text, 1, 1)) % 3 AS kind_tag,
+        |  CAST(ascii(substr(text, 1, 1)) % 3 AS BIGINT) AS kind_tag,
         |  octet_length(text::BLOB) // 256 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 

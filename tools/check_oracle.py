@@ -58,8 +58,15 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
+        got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+        want_types = dict(zip(want_rel.columns, [str(t) for t in want_rel.types]))
         if got_cols != want_cols:
             print(f"FAIL {name}: columns {got_cols} != {want_cols}")
+            failures += 1
+        elif got_types != want_types:
+            diff = {c: (got_types[c], want_types[c]) for c in got_types
+                    if got_types[c] != want_types.get(c)}
+            print(f"FAIL {name}: dtype mismatch {diff}")
             failures += 1
         elif got != want:
             diffs = [(g, w) for g, w in zip(got, want) if g != w]
