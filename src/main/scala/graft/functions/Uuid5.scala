@@ -41,6 +41,7 @@ case class MetricUuid5(child: Expression) extends UnaryExpression {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.uuid5Descriptor)
+    e.injectOptimizerRule(_ => graft.plans.RegexPrefixPushdown)
   }
 }
 
