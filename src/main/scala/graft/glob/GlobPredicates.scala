@@ -41,7 +41,17 @@ object GlobPredicates {
       if (globstarIdx >= 0 && i >= globstarIdx) None
       else componentPredicate(comp, col(s"p$i"))
     }
-    (depthPred.toSeq ++ positional :+ regexFilter).reduce(_ && _)
+    // whole-name literal prefix (leading fully-literal components) — a
+    // directly pushable range predicate on the name column itself, like
+    // the SASI prefix LIKE shortcut (drivers/cassandra_sasi.py:191-272)
+    val namePrefix = {
+      val lead = components.takeWhile {
+        case Glob.Parts(List(Glob.Literal(_))) => true; case _ => false
+      }.collect { case Glob.Parts(List(Glob.Literal(v))) => v }
+      if (lead.isEmpty || lead.length == components.length) None
+      else Some(nameCol.startsWith(lead.mkString("", ".", ".")))
+    }
+    (depthPred.toSeq ++ positional ++ namePrefix :+ regexFilter).reduce(_ && _)
   }
 
   /** Fully-defined glob (no wildcards at all) → direct name equality, the
