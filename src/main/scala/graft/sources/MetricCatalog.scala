@@ -74,6 +74,20 @@ object MetricCatalog {
       .distinct()
   }
 
+  /** The reference's hard failure when a glob explodes
+    * (drivers/cassandra.py:605-607, TooManyMetrics): resolve with a
+    * limit of max+1 and throw if the cap is hit. */
+  final class TooManyMetrics(glob: String, max: Int)
+    extends RuntimeException(
+      s"Query '$glob' yields more than $max results")
+
+  def globMetricsStrict(catalog: DataFrame, glob: String,
+      maxMetrics: Int = 5000): DataFrame = {
+    val capped = globMetrics(catalog, glob, maxMetrics + 1)
+    if (capped.count() > maxMetrics) throw new TooManyMetrics(glob, maxMetrics)
+    capped
+  }
+
   /** Glob over directory names (drivers/cassandra.py:2071-2076). */
   def globDirectories(catalog: DataFrame, glob: String,
       maxMetrics: Int = 5000): DataFrame = {

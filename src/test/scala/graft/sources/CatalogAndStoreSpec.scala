@@ -51,6 +51,13 @@ class CatalogAndStoreSpec extends SparkSuite {
       .count() === 2)
   }
 
+  test("strict glob raises TooManyMetrics past the cap (cassandra.py:605-607)") {
+    assertThrows[MetricCatalog.TooManyMetrics] {
+      MetricCatalog.globMetricsStrict(catalog, "**", maxMetrics = 2).count()
+    }
+    assert(MetricCatalog.globMetricsStrict(catalog, "a.*").count() === 1)
+  }
+
   test("points store round-trip with partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("pts").toString
     val stage = Stage.fromString("60*60s", stage0 = true)
