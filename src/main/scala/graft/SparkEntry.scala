@@ -357,17 +357,68 @@ object SparkEntry {
 
     // S2: metric auto-create on first write — incoming names minus the
     // existing catalog (left anti), with derived tree columns
-    // (plugins/carbon.py:210-230,310-369)
+    // (plugins/carbon.py:210-230,310-369). The name grain includes the
+    // props key so genuinely-new names appear after the cutoff at every
+    // scale factor (the anti-join filters ~7% of incoming as existing).
     "s2_metric_autocreate" -> { (s, dir) =>
-      val pts = points(s, dir)
+      val ev = table(s, dir, "events")
+      val pts = ev.select(
+        concat(lit("ev."), col("event_type"), lit("."), col("user_id"),
+          lit(".k"), get_json_object(col("props"), "$.k")).as("name"),
+        tsSeconds(ev).as("ts"))
       val cutoff = T0 + 15 * 86400
       val existing = pts.filter(col("ts") < cutoff).select("name").distinct()
       val incoming = pts.filter(col("ts") >= cutoff).select("name").distinct()
       MetricCatalog.withDerivedColumns(
         incoming.join(existing, Seq("name"), "left_anti"))
-        .select(col("name"), col("p0"), col("p1"), col("p2"),
+        .select(col("name"), col("p0"), col("p1"), col("p2"), col("p3"),
           col("depth").cast("long").as("depth"), col("parent"))
         .orderBy("name")
+    },
+
+    // E1: the FULL storage lifecycle end-to-end over a real PointsStore —
+    // write (stage0 LWW + stage1 rollup, partitioned parquet store) →
+    // catalog with derived columns → glob resolution → planned
+    // multi-metric read (stage pick by window age → pruned scan →
+    // pointGrouper → dense spine). Mirrors SURVEY §3.1/§3.2; the oracle
+    // recomputes the same hourly series directly from events.
+    "e1_storage_read_path" -> { (s, dir) =>
+      import graft.model.{Retention, Stage}
+      import graft.operators.{Downsample, TimeSeriesReader}
+      import graft.sources.PointsStore
+      val store = java.nio.file.Files.createTempDirectory("graft_e1").toString
+      val retention = "1440*60s:720*3600s" // 1 day fine, 30 days hourly
+      val ret = Retention.fromString(retention)
+      val pts = points(s, dir)
+        .withColumn("metric_id", col("name"))
+        .withColumn("aggregator",
+          when(split(col("name"), "\\.").getItem(1).isin("click", "purchase"),
+            "total").otherwise("average"))
+      // ingest: stage0 last-write-wins + stage1 (value,count) partials
+      val stage0 = Downsample.lastWriteWins(pts, ret.stage0.precisionS,
+          col("ts") * 10000000L + col("event_id"))
+        .select(col("metric_id"), col("ts"), col("value"),
+          lit(1.0).as("count"), lit(0).as("replica"))
+      PointsStore.write(stage0, store, ret.stage0)
+      val st1 = ret.stages(1)
+      val stage1 = Downsample.rollupStage(pts, st1.precisionS)
+        .select(col("metric_id"), col("ts"), col("value"), col("count"),
+          lit(0).as("replica"))
+      PointsStore.write(stage1, store, st1)
+      // catalog: id = name keeps the store join oracle-checkable
+      val catalog = MetricCatalog.withDerivedColumns(
+        pts.select("name").distinct())
+        .withColumn("id", col("name"))
+        .withColumn("aggregator",
+          when(split(col("name"), "\\.").getItem(1).isin("click", "purchase"),
+            "total").otherwise("average"))
+        .withColumn("retention", lit(retention))
+      // read 2 days starting 30 days before `now` → stage1 (hourly) pick
+      val nowS = T0 + 30 * 86400
+      TimeSeriesReader.findAndFetchPlanned(s, catalog, store,
+        "ev.{click,view}.*", T0, T0 + 2 * 86400, nowS)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
     },
 
     // M5: touch/read_on refresh with deterministic sampling — the
@@ -419,7 +470,9 @@ object SparkEntry {
     // D4: exact n-gram Jaccard verification of the LSH candidates
     "d4_ngram_jaccard" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      // the shingle relation feeds both the signature pipeline and the
+      // Jaccard verification — cache it so the tokenize+explode runs once
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3).cache()
       val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
       Dedup.jaccard(pairs, sh, "doc_id")
@@ -547,17 +600,42 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "s2_metric_autocreate" ->
-      s"""WITH $PointsCte,
-         |existing AS (SELECT DISTINCT name FROM points WHERE ts < $T0 + 15 * 86400),
-         |incoming AS (SELECT DISTINCT name FROM points WHERE ts >= $T0 + 15 * 86400),
+      s"""WITH pts AS (
+         |  SELECT 'ev.' || event_type || '.' || user_id || '.k' ||
+         |           json_extract_string(props, '$$.k') AS name,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS ts
+         |  FROM events),
+         |existing AS (SELECT DISTINCT name FROM pts WHERE ts < $T0 + 15 * 86400),
+         |incoming AS (SELECT DISTINCT name FROM pts WHERE ts >= $T0 + 15 * 86400),
          |fresh AS (SELECT name FROM incoming WHERE name NOT IN (SELECT name FROM existing))
          |SELECT name,
          |  split_part(name, '.', 1) AS p0,
          |  split_part(name, '.', 2) AS p1,
          |  split_part(name, '.', 3) AS p2,
+         |  split_part(name, '.', 4) AS p3,
          |  len(string_split(name, '.')) AS depth,
-         |  split_part(name, '.', 1) || '.' || split_part(name, '.', 2) || '.' AS parent
+         |  split_part(name, '.', 1) || '.' || split_part(name, '.', 2) || '.' ||
+         |    split_part(name, '.', 3) || '.' AS parent
          |FROM fresh ORDER BY name""".stripMargin,
+
+    "e1_storage_read_path" ->
+      s"""WITH $PointsCte,
+         |names AS (
+         |  SELECT DISTINCT name FROM points
+         |  WHERE split_part(name, '.', 2) IN ('click', 'view')),
+         |w AS (
+         |  SELECT name, (ts // 3600) * 3600 AS ts, value FROM points
+         |  WHERE ts >= $T0 AND ts < $T0 + 2 * 86400),
+         |g AS (
+         |  SELECT name, ts,
+         |    round(CASE WHEN split_part(name, '.', 2) IN ('click', 'purchase')
+         |          THEN sum(value) ELSE sum(value) / count(*) END, 4) AS value
+         |  FROM w GROUP BY name, ts),
+         |spine AS (SELECT unnest(range($T0, $T0 + 2 * 86400, 3600)) AS ts)
+         |SELECT names.name AS name, spine.ts AS ts, g.value AS value
+         |FROM names CROSS JOIN spine
+         |LEFT JOIN g ON g.name = names.name AND g.ts = spine.ts
+         |ORDER BY name, ts""".stripMargin,
 
     "m5_touch_sampling" ->
       s"""WITH $PointsCte

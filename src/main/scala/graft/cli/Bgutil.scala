@@ -104,20 +104,12 @@ object Bgutil {
     }
   }
 
-  /** Read a dense series (cli/command_read.py:73-147). */
-  def read(db: Db, glob: String, startS: Long, endS: Long): DataFrame = {
-    val matched = MetricCatalog.globMetrics(db.catalog, glob).collect()
-    matched.map { r =>
-      val metric = Metric(r.getAs[String]("name"),
-        r.getAs[String]("id"),
-        MetricMetadata(Aggregator.fromName(r.getAs[String]("aggregator")),
-          Retention.fromString(r.getAs[String]("retention"))))
-      TimeSeriesReader.fetchSeries(db.spark, db.pointsPath, metric,
-        startS, endS, nowS = endS)
-        .withColumn("name", lit(metric.name))
-    }.reduceOption(_ unionByName _)
-      .getOrElse(db.spark.emptyDataFrame)
-  }
+  /** Read dense series for every metric matching the glob
+    * (cli/command_read.py:73-147) — one planned job per retention class,
+    * not one plan per metric (TimeSeriesReader.findAndFetchPlanned). */
+  def read(db: Db, glob: String, startS: Long, endS: Long): DataFrame =
+    TimeSeriesReader.findAndFetchPlanned(db.spark, db.catalog, db.pointsPath,
+      glob, startS, endS, nowS = endS)
 
   /** Resolve a glob to names (cli/command_list.py:23-49). */
   def list(db: Db, glob: String): DataFrame =

@@ -61,6 +61,11 @@ object Glob {
         case ']' => flushLit(); inCharSel = false; sb += ']'
         case '-' if inCharSel => flushLit(); sb += '-'
         case '{' => flushLit(); sb += '('
+        // a bare comma (outside {}) becomes a TOP-LEVEL '|', same as the
+        // reference tokenizer (glob_utils.py:154-155): the pattern turns
+        // into a whole-string alternation with per-branch anchoring quirks
+        // ('^a|b$'). Predicate generators must treat such globs as
+        // regex-only (hasTopLevelAlternation).
         case ',' if !inCharSel => flushLit(); sb += '|'
         case '}' => flushLit(); sb += ')'
         case other => lit += other
@@ -208,6 +213,29 @@ object Glob {
       else i += 1
     }
     out.toList.sorted
+  }
+
+  /** A bare comma outside `{}` groups / `[]` selectors — the reference
+    * tokenizer emits EXPR_SELECT_SEPARATOR for it (glob_utils.py:154-155),
+    * so the compiled regex becomes a WHOLE-PATTERN alternation (`^a|b$`).
+    * Component-wise predicates (and the fully-defined shortcut) cannot
+    * represent that: callers must fall back to the regex-only path. */
+  def hasTopLevelAlternation(glob: String): Boolean = {
+    var depth = 0
+    var inSel = false
+    var escaped = false
+    glob.exists { c =>
+      if (escaped) { escaped = false; false }
+      else c match {
+        case '\\' => escaped = true; false
+        case '{' if !inSel => depth += 1; false
+        case '}' if !inSel => depth -= 1; false
+        case '[' => inSel = true; false
+        case ']' => inSel = false; false
+        case ',' => !inSel && depth == 0
+        case _ => false
+      }
+    }
   }
 
   /** Cheap prefilter on a name (glob_utils.py:214-255): dot-count check +

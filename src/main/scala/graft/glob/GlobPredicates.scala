@@ -22,11 +22,18 @@ object GlobPredicates {
 
   /** Build a predicate over columns p0..pN + depth for metric names.
     * `nameCol` gets the final rlike regex; component columns get the
-    * prunable prefilters. */
-  def forMetrics(glob: String, nameCol: Column): Column = {
+    * prunable prefilters. `maxComponents` bounds the positional predicates
+    * to the columns the catalog actually materializes (deeper components
+    * fall back to the regex post-filter instead of referencing a
+    * nonexistent column). */
+  def forMetrics(glob: String, nameCol: Column,
+      maxComponents: Int = ComponentsMaxLen): Column = {
     val components = Glob.parse(glob)
     val regexFilter = nameCol.rlike(Glob.toRegex(glob))
     if (components.isEmpty) return regexFilter
+    // bare top-level comma → the regex is a whole-pattern alternation;
+    // component-wise predicates would contradict it (see Glob.toRegex:64)
+    if (Glob.hasTopLevelAlternation(glob)) return regexFilter
     val hasGlobstar = components.contains(Glob.Globstar)
     val depthPred: Option[Column] =
       if (hasGlobstar) {
@@ -38,7 +45,7 @@ object GlobPredicates {
     // globstar positions are unknown, so skip them (regex still applies).
     val globstarIdx = components.indexOf(Glob.Globstar)
     val positional = components.zipWithIndex.flatMap { case (comp, i) =>
-      if (globstarIdx >= 0 && i >= globstarIdx) None
+      if (i >= maxComponents || (globstarIdx >= 0 && i >= globstarIdx)) None
       else componentPredicate(comp, col(s"p$i"))
     }
     // whole-name literal prefix (leading fully-literal components) — a

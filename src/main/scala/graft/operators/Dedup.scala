@@ -60,9 +60,18 @@ object Dedup {
   /** LSH banding: group `numHashes` minhashes into `bands` concatenated
     * band values; docs sharing any band value become candidate pairs
     * (a < b). The per-band groupBy join bounds the blowup to true
-    * near-duplicate buckets. */
+    * near-duplicate buckets.
+    *
+    * `maxBucketSize` is the degenerate-bucket guard: a band value shared
+    * by m docs yields m² join rows, and one pathological value (empty
+    * docs, boilerplate) can go quadratic on the whole corpus. Buckets
+    * larger than the cap are dropped BEFORE the self-join (count per
+    * (band_idx, band_val) + semi-join) — at 100 TB such buckets are
+    * near-certain exact-dup clusters better handled by exact dedup, so
+    * skipping them loses no useful candidates. Pass 0 to disable. */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
-      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+      numHashes: Int = 8, bands: Int = 4,
+      maxBucketSize: Int = 5000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
@@ -71,8 +80,17 @@ object Dedup {
     val banded = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_val"))
-    val left = banded.select(col("band_idx"), col("band_val"), col(idCol).as("id_a"))
-    val right = banded.select(col("band_idx"), col("band_val"), col(idCol).as("id_b"))
+    val capped =
+      if (maxBucketSize <= 0) banded
+      else {
+        val ok = banded.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+          .select("band_idx", "band_val")
+        banded.join(ok, Seq("band_idx", "band_val"), "left_semi")
+      }
+    val left = capped.select(col("band_idx"), col("band_val"), col(idCol).as("id_a"))
+    val right = capped.select(col("band_idx"), col("band_val"), col(idCol).as("id_b"))
     left.join(right, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -103,7 +121,10 @@ object Dedup {
     * shingles) — the verification stage after LSH blocking. `pairs` has
     * columns id_a, id_b. */
   def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val distinctSh = sh.distinct()
+    // the distinct shingle set feeds THREE branches of this plan (sizes,
+    // join side A, join side B) — cache it so the explode+distinct shuffle
+    // runs once, not three times (at scale: persist(DISK_ONLY) upstream)
+    val distinctSh = sh.distinct().cache()
     val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val shA = distinctSh.select(col(idCol).as("id_a"), col("shingle"))
     val shB = distinctSh.select(col(idCol).as("id_b"), col("shingle"))

@@ -32,11 +32,13 @@ object Downsample {
     * Expects columns: metric_id, ts (seconds), value, aggregator.
     * Emits: metric_id, aggregator, ts (step-aligned), value, count.
     */
-  def rollupStage(points: DataFrame, precisionS: Long): DataFrame = {
+  def rollupStage(points: DataFrame, precisionS: Long,
+      extraGroupCols: Seq[Column] = Nil): DataFrame = {
     val stepTs = (floor(col("ts") / precisionS) * precisionS).cast("long")
     points
       .withColumn("__ord", when(nn(col("value")).isNotNull, col("ts")))
-      .groupBy(col("metric_id"), col("aggregator"), stepTs.as("ts"))
+      .groupBy(Seq(col("metric_id"), col("aggregator"), stepTs.as("ts"))
+        ++ extraGroupCols: _*)
       .agg(
         sum(nn(col("value"))).as("sum_v"),
         count(nn(col("value"))).cast("double").as("cnt_nn"),
@@ -104,11 +106,10 @@ object Downsample {
     val lastRows = points.filter(col("aggregator") === "last")
     val salted = points.filter(col("aggregator") =!= "last")
       .withColumn("__salt", pmod(hash(col("ts")), lit(saltBuckets)))
-    val partials = rollupStage(
-      salted.withColumn("metric_id",
-        concat_ws("#", col("metric_id"), col("__salt"))), precisionS)
-      .withColumn("metric_id",
-        substring_index(col("metric_id"), "#", 1))
+    // salt rides as its own grouping column — metric_id stays untouched,
+    // so ids containing any separator character are safe
+    val partials = rollupStage(salted, precisionS,
+      extraGroupCols = Seq(col("__salt")))
     rollupAggregatedStage(partials, precisionS)
       .unionByName(rollupStage(lastRows, precisionS))
   }
@@ -116,7 +117,8 @@ object Downsample {
   /** Last-write-wins dedup per (metric_id, step): latest `orderCol` wins —
     * the batch analog of the stage0 ring-buffer override
     * (_downsampling.py:128-189) and of Cassandra upsert semantics. */
-  def lastWriteWins(points: DataFrame, precisionS: Long, orderCol: Column): DataFrame = {
+  def lastWriteWins(points: DataFrame, precisionS: Long, orderCol: Column,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val cols = points.columns
     val step = floor(col("ts") / precisionS)
     // max_by over the packed row needs no sort (vs a row_number window)
@@ -124,7 +126,8 @@ object Downsample {
     // before the shuffle wherever a mapper holds competing writes
     points
       .withColumn("__row", struct(cols.map(col): _*))
-      .groupBy(col("metric_id"), step.as("__step"))
+      .groupBy(Seq(col("metric_id"), step.as("__step"))
+        ++ extraKeys.map(col): _*)
       .agg(max_by(col("__row"), orderCol).as("__row"))
       .select(cols.map(c => col(s"__row.$c")): _*)
   }

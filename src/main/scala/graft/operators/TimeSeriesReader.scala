@@ -58,4 +58,43 @@ object TimeSeriesReader {
       .select(col("name"), col("ts"), col("value"))
       .orderBy("name", "ts")
   }
+
+  /** Planned multi-metric read — the full find+fetch lifecycle
+    * (plugins/graphite.py:365-412,142-225) as ONE job per retention class:
+    * resolve the glob, group the matched metrics by retention driver-side
+    * (the match list is bounded by the glob cap, so this is planning
+    * metadata, not data), pick the stage + aligned window per retention
+    * (metric.py:593-623), then run a single pruned scan + pointGrouper +
+    * dense spine per group. Plan fan-out = #distinct retentions (typically
+    * a handful), never #metrics — a glob matching 5,000 metrics is still
+    * one scan, unlike a per-metric plan/union loop.
+    *
+    * Every found leaf gets a dense vector — metrics with no points in the
+    * window come back all-null (plugins/graphite.py:182-219). */
+  def findAndFetchPlanned(spark: SparkSession, catalog: DataFrame,
+      baseDir: String, glob: String, startS: Long, endS: Long,
+      nowS: Long, maxMetrics: Int = 5000): DataFrame = {
+    import spark.implicits._
+    val matched = MetricCatalog.globMetrics(catalog, glob, maxMetrics)
+      .select("name", "id", "aggregator", "retention").collect()
+    if (matched.isEmpty)
+      return Seq.empty[(String, Long, Double)].toDF("name", "ts", "value")
+    val groups = matched.groupBy(_.getAs[String]("retention")).toSeq.sortBy(_._1)
+    groups.map { case (retStr, rows) =>
+      val p = plan(Retention.fromString(retStr), startS, endS, nowS)
+      val clampedStart = math.max(p.startS, p.endS - p.stage.durationS)
+      val metas = rows.toSeq.map(r => (r.getAs[String]("id"),
+        r.getAs[String]("name"), r.getAs[String]("aggregator")))
+      val metaDf = metas.toDF("metric_id", "name", "aggregator")
+      val scan = PointsStore
+        .read(spark, baseDir, p.stage, clampedStart, p.endS, metas.map(_._1))
+        .drop("aggregator")
+        .join(broadcast(metaDf.select("metric_id", "aggregator")), Seq("metric_id"))
+      val series = Downsample.pointGrouper(scan, p.stepS)
+      val spine = spark.range(p.startS, p.endS, p.stepS).select(col("id").as("ts"))
+      broadcast(metaDf.select("metric_id", "name")).crossJoin(spine)
+        .join(series, Seq("metric_id", "ts"), "left")
+        .select(col("name"), col("ts"), col("value"))
+    }.reduce(_ unionByName _).orderBy("name", "ts")
+  }
 }

@@ -46,6 +46,11 @@ object RegexPrefixPushdown extends Rule[LogicalPlan] {
     * for non-anchored patterns. */
   private[plans] def literalPrefix(regex: String): Option[String] = {
     if (!regex.startsWith("^")) return None
+    // A '|' at parenthesis depth 0 makes the whole pattern an alternation
+    // ('^ab|cd' ≡ (^ab)|(cd)) — the '^'-anchored branch no longer covers
+    // every match, so no prefix can be derived. Bare commas outside braces
+    // in a glob compile to exactly this shape (glob_utils.py:203-207).
+    if (hasTopLevelAlternation(regex)) return None
     val sb = new StringBuilder
     var i = 1
     val n = regex.length
@@ -68,5 +73,28 @@ object RegexPrefixPushdown extends Rule[LogicalPlan] {
       }
     }
     Some(sb.toString)
+  }
+
+  /** True if the pattern contains an unescaped '|' at parenthesis depth 0
+    * (outside character classes) — i.e. the regex as a whole is an
+    * alternation and the leading '^' anchors only its first branch. */
+  private[plans] def hasTopLevelAlternation(regex: String): Boolean = {
+    var i = 0
+    var depth = 0
+    var inClass = false
+    val n = regex.length
+    while (i < n) {
+      regex(i) match {
+        case '\\' => i += 1 // skip escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass => depth += 1
+        case ')' if !inClass && depth > 0 => depth -= 1
+        case '|' if !inClass && depth == 0 => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 }

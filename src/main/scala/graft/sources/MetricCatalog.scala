@@ -50,12 +50,20 @@ object MetricCatalog {
   def globMetrics(catalog: DataFrame, glob: String,
       maxMetrics: Int = 5000): DataFrame = {
     require(Glob.isValid(glob), s"invalid glob: $glob")
+    // a bare top-level comma makes the compiled regex a whole-pattern
+    // alternation ('a,b' → '^a|b$', matching the reference tokenizer);
+    // per-component predicates and the fully-defined shortcut would
+    // contradict it, so the regex alone is authoritative here
+    if (Glob.hasTopLevelAlternation(glob))
+      return catalog.filter(col("name").rlike(Glob.toRegex(glob)))
+        .orderBy("name").limit(maxMetrics)
     GlobPredicates.fullyDefined(glob) match {
       case Some(names) =>
         // fully-defined shortcut (drivers/cassandra.py:2100-2113)
         catalog.filter(col("name").isin(names: _*)).orderBy("name").limit(maxMetrics)
       case None =>
-        catalog.filter(GlobPredicates.forMetrics(glob, col("name")))
+        catalog.filter(GlobPredicates.forMetrics(glob, col("name"),
+            maxComponents = MaxComponents))
           .orderBy("name").limit(maxMetrics)
     }
   }
@@ -83,8 +91,13 @@ object MetricCatalog {
 
   def globMetricsStrict(catalog: DataFrame, glob: String,
       maxMetrics: Int = 5000): DataFrame = {
-    val capped = globMetrics(catalog, glob, maxMetrics + 1)
-    if (capped.count() > maxMetrics) throw new TooManyMetrics(glob, maxMetrics)
+    // cache before counting so the guard and the downstream consumer share
+    // one scan instead of re-executing the glob twice
+    val capped = globMetrics(catalog, glob, maxMetrics + 1).cache()
+    if (capped.count() > maxMetrics) {
+      capped.unpersist()
+      throw new TooManyMetrics(glob, maxMetrics)
+    }
     capped
   }
 
@@ -108,7 +121,9 @@ object MetricCatalog {
   /** Metrics whose catalog entry went stale (bgutil clean,
     * drivers/cassandra.py:3052-3141): updated_on older than maxAgeS. */
   def expiredMetrics(catalog: DataFrame, nowS: Long, maxAgeS: Long): DataFrame =
-    catalog.filter(col("updated_on") <= (lit(nowS) - lit(maxAgeS)).cast("timestamp"))
+    // updated_on is epoch seconds (long) everywhere in this catalog —
+    // compare longs directly, consistent with Bgutil.clean
+    catalog.filter(col("updated_on") <= lit(nowS - maxAgeS))
 
   /** Orphan points: points whose metric has no catalog row (bgutil repair,
     * drivers/cassandra.py:2734-2842) — a left-anti join. */

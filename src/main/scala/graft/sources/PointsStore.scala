@@ -36,13 +36,22 @@ object PointsStore {
   /** Append points for one stage. Expects metric_id, ts, value, count,
     * replica. The shuffle implied by the partitioned write is the batch
     * analog of the reference's per-partition unlogged batches
-    * (drivers/cassandra.py:2235-2257). */
-  def write(points: DataFrame, baseDir: String, stage: Stage): Unit = {
+    * (drivers/cassandra.py:2235-2257).
+    *
+    * The repartition key is SALTED by metric hash: live ingest always
+    * lands in the current time bucket, so repartitioning on (stage,
+    * bucket) alone would funnel every point of a batch through ONE task.
+    * Salting spreads the hot bucket over `writeSalt` writers; the
+    * partitionBy directory layout (and thus read-side pruning) is
+    * unchanged — each output partition simply holds writeSalt files. */
+  def write(points: DataFrame, baseDir: String, stage: Stage,
+      writeSalt: Int = 8): Unit = {
     val span = bucketSpanS(stage.precisionS)
     points
       .withColumn("stage", lit(stage.toString))
       .withColumn("bucket", (col("ts") / span).cast("long") * span)
-      .repartition(col("stage"), col("bucket"))
+      .repartition(col("stage"), col("bucket"),
+        pmod(hash(col("metric_id")), lit(writeSalt)))
       .write.mode("append")
       .partitionBy("stage", "bucket")
       .parquet(baseDir)
@@ -51,7 +60,15 @@ object PointsStore {
   /** Pruned scan of one stage and time range; `metricIds` optionally
     * narrows to a metric set (pushed to parquet as an IN filter).
     * Partition pruning on (stage, bucket) replaces the reference's
-    * hand-computed partition list (drivers/cassandra.py:1887-1919). */
+    * hand-computed partition list (drivers/cassandra.py:1887-1919).
+    *
+    * Stores written by the streaming ingest job carry a `batch_seq`
+    * column: each micro-batch re-emits running coarse aggregates, and the
+    * upsert contract (Cassandra-style last-write-wins,
+    * StreamingIngest.startIngestJob) is resolved HERE — the highest
+    * batch_seq per (metric, replica, step) wins, so every consumer of the
+    * read path (pointGrouper, fetchSeries, bgutil read) sees exactly the
+    * final state, never stale re-emissions. */
   def read(spark: SparkSession, baseDir: String, stage: Stage,
       startS: Long, endS: Long, metricIds: Seq[String] = Nil): DataFrame = {
     val span = bucketSpanS(stage.precisionS)
@@ -62,6 +79,11 @@ object PointsStore {
       .filter(col("bucket") >= b0 && col("bucket") <= b1)
       .filter(col("ts") >= startS && col("ts") < endS)
     if (metricIds.nonEmpty) df = df.filter(col("metric_id").isin(metricIds: _*))
+    if (df.columns.contains("batch_seq")) {
+      val extra = if (df.columns.contains("replica")) Seq("replica") else Nil
+      df = graft.operators.Downsample.lastWriteWins(
+        df, stage.precisionS, col("batch_seq"), extraKeys = extra)
+    }
     df
   }
 

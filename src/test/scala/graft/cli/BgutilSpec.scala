@@ -20,10 +20,10 @@ class BgutilSpec extends SparkSuite {
     assert(Bgutil.list(db, "sys.*.0.*").collect().map(_.getString(0)).toSeq ===
       Seq("sys.cpu.0.load", "sys.mem.0.used"))
 
-    val series = Bgutil.read(db, "sys.cpu.*.load", 120L, 240L)
-      .orderBy("ts").collect()
+    val seriesDf = Bgutil.read(db, "sys.cpu.*.load", 120L, 240L)
+    val series = seriesDf.orderBy("ts").collect()
     assert(series.length === 2)
-    assert(series.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+    assert(series.map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value"))).toSeq ===
       Seq((120L, 1.0), (180L, 3.0)))
 
     assert(Bgutil.du(db).count() === 2)
@@ -43,5 +43,36 @@ class BgutilSpec extends SparkSuite {
     // clean with a tight max age drops everything older
     Bgutil.clean(db, nowS = 10000L, maxAgeS = 100L)
     assert(db.catalog.count() === 0)
+  }
+
+  test("read is one planned scan per retention class, not a per-metric union") {
+    val dir = java.nio.file.Files.createTempDirectory("bgutil_plan").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    // 12 metrics sharing ONE retention → the read plan must contain no
+    // Union at all (the old implementation built a 12-way union)
+    (0 until 12).foreach { i =>
+      Bgutil.write(db, s"sys.cpu.$i.load", 120L, i.toDouble,
+        "60*60s:24*3600s", "average")
+    }
+    val q = Bgutil.read(db, "sys.cpu.*.load", 120L, 240L)
+    val unions = q.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.isEmpty,
+      s"expected no Union for a single retention class:\n${q.queryExecution.optimizedPlan}")
+    assert(q.count() === 12 * 2) // 12 metrics × 2 spine slots
+
+    // a second retention class adds exactly ONE union branch, not one per metric
+    Bgutil.write(db, "sys.gpu.0.load", 120L, 42.0, "120*30s:24*3600s", "average")
+    Bgutil.write(db, "sys.gpu.1.load", 150L, 43.0, "120*30s:24*3600s", "average")
+    val q2 = Bgutil.read(db, "sys.*.*.load", 120L, 240L)
+    val unions2 = q2.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions2.size === 1 && unions2.head.children.size === 2,
+      s"expected one 2-way union for two retention classes")
+    // 12 metrics × 2 slots at 60 s + 2 metrics × 4 slots at 30 s
+    assert(q2.count() === 12 * 2 + 2 * 4)
   }
 }

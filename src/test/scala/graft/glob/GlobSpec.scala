@@ -16,6 +16,18 @@ class GlobSpec extends AnyFunSuite {
     }
   }
 
+  test("bare top-level comma is a whole-pattern alternation") {
+    assert(hasTopLevelAlternation("a.b,c.d"))
+    assert(hasTopLevelAlternation("sys.cpu.0.load,sys.mem.0.used"))
+    assert(!hasTopLevelAlternation("a.{b,c}.d")) // braces keep it local
+    assert(!hasTopLevelAlternation("a.[,x].d"))  // selector-local comma
+    assert(!hasTopLevelAlternation("a\\,b"))     // escaped comma
+    assert(!hasTopLevelAlternation("sys.cpu.*"))
+    // the compiled regex gets the top-level '|' (reference tokenizer
+    // parity, glob_utils.py:154-155)
+    assert(toRegex("a,b") === "^a|b$")
+  }
+
   test("glob component detection (test_glob_utils.py:28-35)") {
     Seq("a*", "a.b*", "a.b?", "a.b[a-z]?", "a{b,c,d}.a", "a.*.a", "{a}")
       .foreach(g => assert(g.split("\\.").exists(isGlobComponent), g))

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** LSH banding guard rails: the degenerate-bucket cap
+  * (Dedup.lshCandidatePairs maxBucketSize) and its no-op behavior on
+  * healthy buckets. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(n: Int) = {
+    // 2 genuine near-dup docs + n copies of the SAME degenerate text
+    // (e.g. empty/boilerplate) that all collide into one band bucket
+    val near = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"))
+    val degenerate = (10L until (10L + n)).map(i => (i, "boilerplate text"))
+    (near ++ degenerate).toDF("doc_id", "text")
+  }
+
+  test("degenerate band buckets are capped before the self-join") {
+    val d = docs(20)
+    val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
+    val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+
+    val uncapped = Dedup.lshCandidatePairs(sig, "doc_id",
+      numHashes = 8, bands = 8, maxBucketSize = 0)
+    // 20 identical docs → C(20,2) = 190 pairs, plus the near-dup pair
+    assert(uncapped.count() >= 190)
+
+    val capped = Dedup.lshCandidatePairs(sig, "doc_id",
+      numHashes = 8, bands = 8, maxBucketSize = 10)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 20-doc bucket is dropped; the small near-dup bucket survives
+    assert(cappedPairs.contains((1L, 2L)))
+    assert(!cappedPairs.exists { case (a, b) => a >= 10L && b >= 10L })
+  }
+
+  test("cap larger than every bucket changes nothing") {
+    val d = docs(5)
+    val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
+    val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+    val a = Dedup.lshCandidatePairs(sig, "doc_id", 8, 8, maxBucketSize = 0)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = Dedup.lshCandidatePairs(sig, "doc_id", 8, 8, maxBucketSize = 1000)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a === b)
+  }
+}

@@ -19,6 +19,20 @@ class RegexPrefixLogicSpec extends AnyFunSuite {
     assert(literalPrefix("^ab*c$") === Some("a"))
     assert(literalPrefix("^a\\dx$") === Some("a"))
   }
+
+  test("top-level alternation yields no prefix (^ab|cd ≡ (^ab)|(cd))") {
+    assert(literalPrefix("^ab|cd") === None)
+    assert(literalPrefix("^ab|cd$") === None)
+    // escaped pipe is a literal, not an alternation
+    assert(literalPrefix("^a\\|b$") === Some("a|b"))
+    // pipe inside a character class is a literal
+    assert(literalPrefix("^x[|]y$") === Some("x"))
+    // pipe inside parens stays branch-local; the prefix before '(' holds
+    assert(literalPrefix("^a\\.(b|c)$") === Some("a."))
+    assert(literalPrefix(Glob.toRegex("a.{b,c}")) === Some("a."))
+    // bare comma outside braces compiles to a top-level '|' (Glob.scala:64)
+    assert(literalPrefix(Glob.toRegex("sys.a,other.b")) === None)
+  }
 }
 
 class RegexPrefixPushdownSpec extends SparkSuite {

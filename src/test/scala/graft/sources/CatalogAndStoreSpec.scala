@@ -20,6 +20,13 @@ class CatalogAndStoreSpec extends SparkSuite {
     MetricCatalog.globDirectories(catalog, glob).select("name").as[String]
       .collect().toSeq
 
+  test("bare-comma glob resolves via the regex-only path") {
+    // 'a.a,x.y' compiles to '^a\.a|x\.y$' — whole-pattern alternation;
+    // the component predicates / fully-defined shortcut must not
+    // contradict it (they would demand a single 'a,x'-literal component)
+    assert(globNames("a.a,x.y") === Seq("a.a", "x.y"))
+  }
+
   test("finder glob matrix (test_graphite.py:186-191)") {
     assert(globNames("a") === Seq("a"))
     assert(dirNames("a") === Seq("a"))
