@@ -16,7 +16,8 @@ object Bench {
     "a5_pointgrouper", "a7_dense_spine", "a11_clusters_diff",
     "f5_glob_predicates", "j1_points_metadata",
     "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
-    "k1_knn_brute", "t2_quality", "w2_topk_per_group")
+    "k1_knn_brute", "t2_quality", "w2_topk_per_group",
+    "e1_storage_read_path")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,7 +45,15 @@ object Bench {
     val qs = results.map { case (k, sec) => s""""$k":$sec""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout is interleaved with sbt/Spark noise — ALSO write the line to
+    // a dedicated file so the harness can parse it reliably
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 

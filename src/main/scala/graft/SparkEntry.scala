@@ -141,6 +141,28 @@ object SparkEntry {
         .orderBy("name", "ts")
     },
 
+    // A5b: 16-bit shard parity (2-bit replica ‖ 14-bit writer,
+    // accessor.py:40-63) — points carry raw shard ids with ~25 writers
+    // per replica; replica resolution must unpack the replica bits and
+    // aggregate ACROSS writers before picking the densest replica
+    // (accessor.py:468-505). Grouping by raw shard would fragment the
+    // counts and pick differently — the oracle discriminates.
+    "a5b_shard_writers" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val pts = ev.select(
+        concat(lit("ev."), col("event_type"), lit("."), (col("user_id") % 10)).as("metric_id"),
+        tsSeconds(ev).as("ts"), col("value"),
+        lit(1.0).as("count"),
+        // shard = pack(replica = user_id%2, writer = user_id%50)
+        (((col("user_id") % 2) * 16384) + (col("user_id") % 50)).cast("int").as("shard"))
+        .withColumn("aggregator", lit("average"))
+      Downsample.pointGrouper(
+        Downsample.withReplicaFromShard(pts), targetPrecisionS = 3600)
+        .select(col("metric_id").as("name"), col("ts"),
+          round(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    },
+
     // A7: dense time-spine materialization (plugins/graphite.py:182-219)
     "a7_dense_spine" -> { (s, dir) =>
       val pts = points(s, dir)
@@ -863,6 +885,26 @@ object SparkEntry {
          |  SELECT name, (ts // 3600) * 3600 AS ts, replica,
          |         sum(value) AS sum_v, count(*) AS cnt
          |  FROM points GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY name, ts ORDER BY cnt DESC, replica ASC) AS rn
+         |  FROM g)
+         |SELECT name, ts, round(sum_v / cnt, 4) AS value
+         |FROM r WHERE rn = 1 ORDER BY name, ts""".stripMargin,
+
+    "a5b_shard_writers" ->
+      s"""WITH pts AS (
+         |  SELECT 'ev.' || event_type || '.' || (user_id % 10) AS name,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         |         value,
+         |         (user_id % 2) * 16384 + (user_id % 50) AS shard
+         |  FROM events),
+         |unpacked AS (
+         |  SELECT name, ts, value, shard // 16384 AS replica FROM pts),
+         |g AS (
+         |  SELECT name, (ts // 3600) * 3600 AS ts, replica,
+         |         sum(value) AS sum_v, count(*) AS cnt
+         |  FROM unpacked GROUP BY 1, 2, 3),
          |r AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY name, ts ORDER BY cnt DESC, replica ASC) AS rn

@@ -104,6 +104,49 @@ object Bgutil {
     }
   }
 
+  /** Batched point ingest — CLI parity with `bgutil write` fed a point
+    * list (cli/command_write.py): ONE catalog merge and one store write
+    * per stage for the whole batch, instead of a catalog rewrite per
+    * point. All points share one retention/aggregator (like a single
+    * bgutil invocation). */
+  def writePoints(db: Db, points: Seq[(String, Long, Double)],
+      retentionStr: String, aggregatorName: String): Unit = {
+    if (points.isEmpty) return
+    import db.spark.implicits._
+    val metadata = MetricMetadata(Aggregator.fromName(aggregatorName),
+      Retention.fromString(retentionStr))
+    syncdb(db)
+    val names = points.map(_._1).distinct
+    val maxTs = points.map(_._2).max
+    val rows = MetricCatalog.withDerivedColumns(names.toDF("name"))
+      .withColumn("id", graft.functions.GraftFunctions.graft_uuid5(col("name")))
+      .withColumn("aggregator", lit(metadata.aggregator.name))
+      .withColumn("retention", lit(metadata.retention.toString))
+      .withColumn("updated_on", lit(maxTs))
+    val merged = MetricCatalog.dedupByName(
+      db.catalog.unionByName(rows, allowMissingColumns = true))
+    val tmp = db.catalogPath + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    db.spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(db.catalogPath)
+
+    val raw = points.toDF("name", "ts", "value")
+      .withColumn("metric_id", graft.functions.GraftFunctions.graft_uuid5(col("name")))
+      .withColumn("aggregator", lit(metadata.aggregator.name))
+    metadata.retention.stages.foreach { st =>
+      val staged =
+        if (st.stage0)
+          Downsample.lastWriteWins(raw, st.precisionS, col("ts"))
+            .select(col("metric_id"),
+              (floor(col("ts") / st.precisionS) * st.precisionS).cast("long").as("ts"),
+              col("value"), lit(1.0).as("count"), lit(0).as("replica"))
+        else
+          Downsample.rollupStage(raw, st.precisionS)
+            .select(col("metric_id"), col("ts"), col("value"), col("count"),
+              lit(0).as("replica"))
+      PointsStore.write(staged, db.pointsPath, st)
+    }
+  }
+
   /** Read dense series for every metric matching the glob
     * (cli/command_read.py:73-147) — one planned job per retention class,
     * not one plan per metric (TimeSeriesReader.findAndFetchPlanned). */

@@ -132,15 +132,35 @@ object Downsample {
       .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
+  /** Derive the `replica` column from a 16-bit `shard` column
+    * (2-bit replica ‖ 14-bit writer, accessor.py:40-63 — see
+    * [[graft.model.Shard]]). Rows written by DIFFERENT writers of the
+    * same replica land in one replica group, so [[pointGrouper]]'s
+    * per-replica accumulation spans writers exactly like the reference
+    * (accessor.py:480-505 keys its accumulators on the unpacked
+    * replica, never the raw shard). */
+  def withReplicaFromShard(df: DataFrame): DataFrame =
+    df.withColumn("replica",
+      shiftright(col("shard").bitwiseAND(lit(graft.model.Shard.ReplicaMask)),
+        graft.model.Shard.ReplicaShift).cast("int"))
+
   /** Read-time re-aggregation with replica resolution
     * (accessor.py:413-584). Input: metric_id, ts, value, count, replica,
     * aggregator. Groups to `targetPrecisionS` steps; per (group, replica)
     * runs Aggregator.aggregate; keeps the replica with the highest summed
     * count (ties → lowest replica id, matching the reference's first-wins
     * iteration order at accessor.py:480-505). Emits metric_id, ts, value.
-    */
-  def pointGrouper(rows: DataFrame, targetPrecisionS: Long): DataFrame = {
+    *
+    * `xffSourcePrecisionS`: when set, enforces the metric's xFilesFactor
+    * (stored and round-tripped by the reference, metric.py:691-698;
+    * consumed by graphite/whisper at aggregation time): a window whose
+    * known/expected source-point ratio is below the row's `xff` column
+    * comes back NaN. `expected` = targetPrecision / sourcePrecision,
+    * `known` = source rows present in the winning replica's window. */
+  def pointGrouper(rows: DataFrame, targetPrecisionS: Long,
+      xffSourcePrecisionS: Option[Long] = None): DataFrame = {
     val stepTs = (floor(col("ts") / targetPrecisionS) * targetPrecisionS).cast("long")
+    val xffCol = if (xffSourcePrecisionS.isDefined) col("xff") else lit(0.0)
     val perReplica = rows
       .withColumn("__ord", when(nn(col("value")).isNotNull, col("ts")))
       .groupBy(col("metric_id"), col("aggregator"), col("replica"), stepTs.as("ts"))
@@ -150,7 +170,9 @@ object Downsample {
         min(nn(col("value"))).as("min_v"),
         max(nn(col("value"))).as("max_v"),
         max_by(col("value"), col("__ord")).as("last_v"),
-        sum(col("count")).cast("double").as("count_sum"))
+        sum(col("count")).cast("double").as("count_sum"),
+        count(lit(1)).cast("double").as("rows_n"),
+        max(xffCol).as("__xff"))
     val naN = lit(Double.NaN)
     val finalValue =
       when(col("aggregator").isin("total", "sum"), coalesce(col("sum_v"), naN))
@@ -163,12 +185,20 @@ object Downsample {
     // window: max_by over (count_sum, -replica) needs no sort, keeps
     // map-side partial aggregation, and AQE can coalesce the exchange —
     // strictly cheaper than row_number at scale.
-    perReplica
+    val picked = perReplica
       .withColumn("value", finalValue)
       .groupBy(col("metric_id"), col("ts"))
-      .agg(max_by(col("value"),
-        struct(col("count_sum"), -col("replica"))).as("value"))
-      .select(col("metric_id"), col("ts"), col("value"))
+      .agg(max_by(struct(col("value"), col("rows_n"), col("__xff")),
+        struct(col("count_sum"), -col("replica"))).as("__w"))
+    xffSourcePrecisionS match {
+      case None =>
+        picked.select(col("metric_id"), col("ts"), col("__w.value").as("value"))
+      case Some(srcP) =>
+        val expected = lit((targetPrecisionS / srcP).toDouble)
+        picked.select(col("metric_id"), col("ts"),
+          when(col("__w.rows_n") / expected < col("__w.__xff"), naN)
+            .otherwise(col("__w.value")).as("value"))
+    }
   }
 
   /** Dense time-spine materialization (plugins/graphite.py:182-219): one

@@ -50,12 +50,14 @@ object Similarity {
       .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)
 
   /** Random-hyperplane LSH bucket signature: bit j = sign(v · w_j) over
-    * `planes` deterministic ±1 hyperplanes, packed into a string key. */
-  def lshBucket(vecCol: Column, planes: Int): Column = {
+    * `planes` deterministic ±1 hyperplanes, packed into a string key.
+    * `planeOffset` selects a disjoint hyperplane family — independent
+    * hash tables use offsets 0, planes, 2·planes, … */
+  def lshBucket(vecCol: Column, planes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (v, i) => v.cast("double") * planeSign(j, i)),
+          (v, i) => v.cast("double") * planeSign(planeOffset + j, i)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, "1").otherwise("0")
     }
@@ -73,15 +75,19 @@ object Similarity {
       vecCol: String, k: Int, nCells: Int): DataFrame = {
     val centroids = corpus.filter(col(idCol) < nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    // argmax as a max_by AGGREGATION, not a ranking window: no full
+    // shuffle+sort of the corpus, partial aggregation runs map-side, and
+    // the vector rides along in the packed struct (constant per id).
+    // Ties break to the lowest cell id via the negated struct field —
+    // same order the window's (ccos desc, cell_id asc) sort produced.
     def assign(df: DataFrame, id: String, vec: String): DataFrame = {
-      val scored = df.select(col(id), col(vec))
+      df.select(col(id), col(vec))
         .crossJoin(broadcast(centroids))
         .withColumn("ccos", round(cosine(col(vec), col("centroid")), 6))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("ccos").desc, col("cell_id").asc)
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col(id), col(vec), col("cell_id"))
+        .groupBy(col(id))
+        .agg(max_by(struct(col(vec).as("v"), col("cell_id")),
+          struct(col("ccos"), -col("cell_id"))).as("__w"))
+        .select(col(id), col("__w.v").as(vec), col("__w.cell_id").as("cell_id"))
     }
     val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv")
@@ -99,16 +105,58 @@ object Similarity {
 
   /** Bucketed ANN: queries only join their own LSH bucket, then exact
     * cosine top-k within the bucket. Recall < 1 by construction; the
-    * bucket join replaces the full cross product at scale. */
+    * bucket join replaces the full cross product at scale.
+    *
+    * `multiProbe` additionally probes every bucket at Hamming distance 1
+    * from the query's signature (the classic multi-probe LSH trade:
+    * planes+1 buckets scanned instead of 1, recall rises steeply because
+    * a near neighbor most often differs in exactly one marginal
+    * hyperplane). Only the QUERY side fans out per table — the corpus
+    * keeps one bucket per (vector, table).
+    *
+    * `tables` unions candidates from that many INDEPENDENT hyperplane
+    * families (LSH's recall amplifier: a neighbor is found if ANY table
+    * buckets it with the query; miss probability decays exponentially in
+    * the table count). Candidate pairs found by several tables/probes are
+    * deduped by a (query, neighbor) groupBy before ranking. Expected scan
+    * fraction ≈ tables · probes / 2^planes. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      vecCol: String, k: Int, planes: Int = 8,
+      multiProbe: Boolean = false, tables: Int = 1): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val perTable = (0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col(vec), planes, planeOffset = t * planes).as("bucket"))
+      }
+      df.select(col(id), col(vec),
+        explode(array(perTable: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"))
+    }
+    val q0 = bucketed(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    val q =
+      if (!multiProbe) q0
+      else {
+        val flips = (1 to planes).map { j =>
+          val bit = when(substring(col("bucket"), j, 1) === "1", "0").otherwise("1")
+          concat(substring(col("bucket"), 1, j - 1), bit,
+            substring(col("bucket"), j + 1, planes - j))
+        }
+        q0.select(col("query_id"), col("qv"), col("tbl"),
+          explode(array(col("bucket") +: flips: _*)).as("bucket"))
+      }
+    val c = bucketed(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv")
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      // a pair can surface through several tables/probes — dedup before
+      // ranking (cos is identical on every copy, max is arbitrary-safe)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -45,6 +45,26 @@ class BgutilSpec extends SparkSuite {
     assert(db.catalog.count() === 0)
   }
 
+  test("writePoints batches: one catalog merge, stage rollups, readable back") {
+    val dir = java.nio.file.Files.createTempDirectory("bgutil_batch").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    val pts = Seq(
+      ("sys.cpu.0.load", 0L, 1.0), ("sys.cpu.0.load", 60L, 3.0),
+      ("sys.cpu.0.load", 3620L, 5.0), // second stage-1 window
+      ("sys.cpu.1.load", 0L, 7.0))
+    Bgutil.writePoints(db, pts, "60*60s:24*3600s", "average")
+    assert(db.catalog.count() === 2)
+    // stage0 series reads back at 60 s
+    val s0 = Bgutil.read(db, "sys.cpu.0.load", 0L, 120L).collect()
+    assert(s0.map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value"))).toSeq
+      === Seq((0L, 1.0), (60L, 3.0)))
+    // stage1 rollup exists: (0, avg partial of 2 pts), (3600, 1 pt)
+    val st1 = graft.sources.PointsStore.read(spark, db.pointsPath,
+      graft.model.Stage(24, 3600, stage0 = false), 0L, 7200L)
+    assert(st1.count() === 3) // 2 metrics in window 0 + 1 in window 3600
+  }
+
   test("read is one planned scan per retention class, not a per-metric union") {
     val dir = java.nio.file.Files.createTempDirectory("bgutil_plan").toString
     val db = Db(spark, dir)

@@ -39,4 +39,38 @@ class AnnRecallSpec extends SparkSuite {
     assert(rLsh > 0.05 && rLsh <= 1.0)
     assert(rIvf > 0.05 && rIvf <= 1.0)
   }
+
+  test("multi-probe recall/cost curve; best config reaches recall ≥ 0.5") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topk(Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id"))
+
+    // expected scan fraction per query ≈ tables·probes / 2^planes — the
+    // cost axis of the curve (probes = planes+1 when multi-probing)
+    val configs = Seq(
+      (4, false, 1), (4, true, 1), (8, true, 1),
+      (6, true, 2), (6, true, 3), (5, true, 3))
+    val curve = configs.map { case (planes, mp, tables) =>
+      val got = topk(Similarity.lshKnn(queries, emb, "vec_id", "embedding", 3,
+        planes = planes, multiProbe = mp, tables = tables)
+        .select("query_id", "rank", "neighbor_id"))
+      val r = recallAt3(got, exact)
+      val probes = if (mp) planes + 1 else 1
+      val frac = math.min(1.0, tables * probes.toDouble / (1 << planes))
+      info(f"planes=$planes multiProbe=$mp tables=$tables " +
+        f"recall@3=$r%.2f scan≈${frac * 100}%.1f%% of corpus")
+      (planes, mp, tables, r, frac)
+    }
+    // at least one config must be genuinely useful: recall ≥ 0.5 while
+    // scanning well under half the corpus
+    assert(curve.exists { case (_, _, _, r, frac) => r >= 0.5 && frac < 0.5 },
+      curve.map { case (p, mp, t, r, f) =>
+        f"(planes=$p mp=$mp tables=$t r=$r%.2f scan=$f%.2f)" }.mkString(", "))
+  }
 }

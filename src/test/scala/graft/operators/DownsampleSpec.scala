@@ -47,6 +47,63 @@ class DownsampleSpec extends SparkSuite {
     assert(got.toSeq === Seq((0L, 1.0), (60L, 0.5)))
   }
 
+  test("shard unpack: writers within a replica aggregate together " +
+      "(test_accessor.py:256-266, accessor.py:40-63)") {
+    import graft.model.Shard
+    // the reference golden case uses raw shards 0xFFFF (replica 3) and
+    // 0x0000 (replica 0): step 0 has only replica 3 → 1/1 = 1.0; step 60
+    // has replica 3 (count 2) vs replica 0 (count 4) → replica 0 → 0.5
+    val df = Seq(
+      ("m", 0L, 1.0, 1.0, 0xFFFF), ("m", 60L, 2.0, 2.0, 0xFFFF),
+      ("m", 60L, 2.0, 4.0, 0x0000))
+      .toDF("metric_id", "ts", "value", "count", "shard")
+      .withColumn("aggregator", lit("average"))
+    val got = Downsample.pointGrouper(
+      Downsample.withReplicaFromShard(df), targetPrecisionS = 60)
+      .orderBy("ts").select("ts", "value").as[(Long, Double)].collect()
+    assert(got.toSeq === Seq((0L, 1.0), (60L, 0.5)))
+
+    // two DIFFERENT writers of replica 0 outvote one writer of replica 1:
+    // their counts sum per replica (2+2=4 > 3), so replica 0's combined
+    // average (10+20)/4 = 7.5 wins — grouping by raw shard would instead
+    // pick replica 1's 9.0
+    val w = Seq(
+      ("m", 0L, 10.0, 2.0, Shard.pack(0, 7)),
+      ("m", 0L, 20.0, 2.0, Shard.pack(0, 8)),
+      ("m", 0L, 27.0, 3.0, Shard.pack(1, 9)))
+      .toDF("metric_id", "ts", "value", "count", "shard")
+      .withColumn("aggregator", lit("average"))
+    val got2 = Downsample.pointGrouper(
+      Downsample.withReplicaFromShard(w), targetPrecisionS = 60)
+      .select("ts", "value").as[(Long, Double)].collect()
+    assert(got2.toSeq === Seq((0L, 7.5)))
+    assert(Shard.unpack(Shard.pack(3, 0x3FFF)) === (3, 0x3FFF))
+    assert(Shard.unpack(0xFFFF) === (3, 0x3FFF))
+    assert(Shard.unpack(0x0000) === (0, 0))
+  }
+
+  test("xFilesFactor nulls under-filled windows (metric.py:691-698)") {
+    // target 120 s from source 60 s → expected 2 points per window.
+    // window 0: 2/2 = 1.0 ≥ xff — kept; window 120: 1/2 = 0.5 < 0.6 → NaN
+    val df = rows(("m", 0L, 1.0, 1.0, 0), ("m", 60L, 3.0, 1.0, 0),
+        ("m", 120L, 5.0, 1.0, 0))
+      .withColumn("xff", lit(0.6))
+    val got = Downsample.pointGrouper(df, targetPrecisionS = 120,
+        xffSourcePrecisionS = Some(60L))
+      .orderBy("ts").select("ts", "value").as[(Long, Double)].collect()
+    assert(got.length === 2)
+    assert(got(0) === ((0L, 2.0)))
+    assert(got(1)._1 === 120L && got(1)._2.isNaN)
+
+    // boundary: known/expected == xff is NOT below the factor — kept
+    // (whisper nulls only when the known fraction is strictly less)
+    val half = rows(("m", 120L, 5.0, 1.0, 0)).withColumn("xff", lit(0.5))
+    val gotHalf = Downsample.pointGrouper(half, targetPrecisionS = 120,
+        xffSourcePrecisionS = Some(60L))
+      .select("ts", "value").as[(Long, Double)].collect()
+    assert(gotHalf.toSeq === Seq((120L, 5.0)))
+  }
+
   test("easily queryable series: avg per minute = index (test_utils.py:116-137)") {
     val start = 864000L
     val pts = (0 until 60).flatMap { i =>
