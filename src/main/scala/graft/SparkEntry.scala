@@ -492,9 +492,12 @@ object SparkEntry {
     // D4: exact n-gram Jaccard verification of the LSH candidates
     "d4_ngram_jaccard" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      // the shingle relation feeds both the signature pipeline and the
-      // Jaccard verification — cache it so the tokenize+explode runs once
-      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3).cache()
+      // NOTE: the shingle relation feeds both the signature pipeline and
+      // the Jaccard verification. Deliberately NOT cached: the repeated
+      // subtrees are identical, so ReusedExchange computes each shuffle
+      // once, and every explicit cache() variant measured SLOWER at
+      // sf0.1 (materialization breaks whole-stage codegen pipelines).
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
       val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
       Dedup.jaccard(pairs, sh, "doc_id")

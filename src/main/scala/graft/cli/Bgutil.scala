@@ -18,11 +18,38 @@ import graft.sources.{MetricCatalog, PointsStore}
 object Bgutil {
 
   final case class Db(spark: SparkSession, dir: String) {
-    def catalogPath = s"$dir/catalog"
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    /** Catalog versions commit via a CURRENT pointer file: the parquet is
+      * written to a fresh `catalog_v{N}` dir, then CURRENT is replaced by
+      * an atomic rename. A writer killed mid-commit leaves the previous
+      * version intact — readers never observe a partial catalog (the old
+      * two-phase overwrite had a destructive window). */
+    private def currentFile = Paths.get(s"$dir/CURRENT")
+    private def version: Long =
+      if (Files.exists(currentFile)) Files.readString(currentFile).trim.toLong
+      else 0L
+    def catalogPath: String =
+      if (Files.exists(currentFile)) s"$dir/catalog_v$version"
+      else s"$dir/catalog" // pre-versioning layout
     def pointsPath = s"$dir/points"
     def catalog: DataFrame = spark.read.parquet(catalogPath)
     def points: DataFrame = spark.read.parquet(pointsPath)
     def hasCatalog: Boolean = new java.io.File(catalogPath).exists()
+
+    /** Commit a new catalog version atomically. */
+    def commitCatalog(df: DataFrame): Unit = {
+      val prev = catalogPath
+      val next = version + 1
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/catalog_v$next")
+      val tmp = Paths.get(s"$dir/CURRENT.tmp")
+      Files.writeString(tmp, next.toString)
+      Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      // old version is garbage now; best-effort cleanup
+      if (prev != s"$dir/catalog_v$next" && Files.exists(Paths.get(prev)))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -64,12 +91,12 @@ object Bgutil {
   def syncdb(db: Db): Unit = {
     import db.spark.implicits._
     if (!db.hasCatalog) {
-      MetricCatalog.withDerivedColumns(Seq.empty[String].toDF("name"))
-        .withColumn("id", col("name"))
-        .withColumn("aggregator", col("name"))
-        .withColumn("retention", col("name"))
-        .withColumn("updated_on", lit(0L))
-        .write.parquet(db.catalogPath)
+      db.commitCatalog(
+        MetricCatalog.withDerivedColumns(Seq.empty[String].toDF("name"))
+          .withColumn("id", col("name"))
+          .withColumn("aggregator", col("name"))
+          .withColumn("retention", col("name"))
+          .withColumn("updated_on", lit(0L)))
     }
   }
 
@@ -92,9 +119,7 @@ object Bgutil {
       .withColumn("updated_on", lit(ts))
     val merged = MetricCatalog.dedupByName(
       existing.unionByName(row, allowMissingColumns = true))
-    val tmp = db.catalogPath + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    db.spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(db.catalogPath)
+    db.commitCatalog(merged)
 
     metadata.retention.stages.foreach { st =>
       val stepTs = st.roundDown(ts)
@@ -125,9 +150,7 @@ object Bgutil {
       .withColumn("updated_on", lit(maxTs))
     val merged = MetricCatalog.dedupByName(
       db.catalog.unionByName(rows, allowMissingColumns = true))
-    val tmp = db.catalogPath + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    db.spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(db.catalogPath)
+    db.commitCatalog(merged)
 
     val raw = points.toDF("name", "ts", "value")
       .withColumn("metric_id", graft.functions.GraftFunctions.graft_uuid5(col("name")))
@@ -173,12 +196,8 @@ object Bgutil {
 
   /** Drop expired metrics and TTL-expired points
     * (drivers/cassandra.py:3052-3141 + per-stage TTLs). */
-  def clean(db: Db, nowS: Long, maxAgeS: Long): Unit = {
-    val kept = db.catalog.filter(col("updated_on") > nowS - maxAgeS)
-    val tmp = db.catalogPath + ".tmp"
-    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    db.spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(db.catalogPath)
-  }
+  def clean(db: Db, nowS: Long, maxAgeS: Long): Unit =
+    db.commitCatalog(db.catalog.filter(col("updated_on") > nowS - maxAgeS))
 
   /** Orphan points without a catalog row (drivers/cassandra.py:2734-2842). */
   def repair(db: Db): DataFrame =
@@ -199,10 +218,7 @@ object Bgutil {
   /** Delete a subtree from the catalog (cli/command_delete.py:26-55). */
   def delete(db: Db, glob: String): Unit = {
     val regex = graft.glob.Glob.toRegex(glob)
-    val kept = db.catalog.filter(!col("name").rlike(regex))
-    val tmp = db.catalogPath + ".tmp"
-    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    db.spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(db.catalogPath)
+    db.commitCatalog(db.catalog.filter(!col("name").rlike(regex)))
   }
 
   def info(db: Db): Unit = {

@@ -120,11 +120,21 @@ object Dedup {
   /** Exact n-gram Jaccard for candidate pairs (|A∩B| / |A∪B| over distinct
     * shingles) — the verification stage after LSH blocking. `pairs` has
     * columns id_a, id_b. */
-  def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    // the distinct shingle set feeds THREE branches of this plan (sizes,
-    // join side A, join side B) — cache it so the explode+distinct shuffle
-    // runs once, not three times (at scale: persist(DISK_ONLY) upstream)
-    val distinctSh = sh.distinct().cache()
+  def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame =
+    jaccardOpt(pairs, sh, idCol, cacheDistinct = false)
+
+  /** The distinct shingle set feeds THREE branches of this plan (sizes,
+    * join side A, join side B). No cache by default: the branches share an
+    * identical shuffle subtree, so Spark's ReusedExchange computes it once
+    * — measured at sf0.1, every explicit cache() variant (raw shingles,
+    * signatures, distinct set) was neutral-to-2× SLOWER than exchange
+    * reuse because materialization breaks whole-stage codegen pipelines.
+    * The knob remains for memory-pressure situations where a
+    * persist(DISK_ONLY) beats recomputation. */
+  def jaccardOpt(pairs: DataFrame, sh: DataFrame, idCol: String,
+      cacheDistinct: Boolean): DataFrame = {
+    val d0 = sh.distinct()
+    val distinctSh = if (cacheDistinct) d0.cache() else d0
     val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val shA = distinctSh.select(col(idCol).as("id_a"), col("shingle"))
     val shB = distinctSh.select(col(idCol).as("id_b"), col("shingle"))

@@ -45,6 +45,24 @@ class BgutilSpec extends SparkSuite {
     assert(db.catalog.count() === 0)
   }
 
+  test("catalog commits are versioned behind an atomic CURRENT pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("bgutil_ver").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "a.b", 60L, 1.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "a.c", 60L, 2.0, "60*60s:24*3600s", "average")
+    val current = java.nio.file.Paths.get(s"$dir/CURRENT")
+    assert(java.nio.file.Files.exists(current))
+    val v = java.nio.file.Files.readString(current).trim.toLong
+    assert(v === 3L) // syncdb + 2 writes
+    // only the current version dir remains (older ones garbage-collected)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("catalog_v"))
+      .map(_.getName).toSeq
+    assert(dirs === Seq(s"catalog_v$v"))
+    assert(db.catalog.count() === 2)
+  }
+
   test("writePoints batches: one catalog merge, stage rollups, readable back") {
     val dir = java.nio.file.Files.createTempDirectory("bgutil_batch").toString
     val db = Db(spark, dir)
