@@ -72,20 +72,38 @@ object SparkEntry {
 
   // ---- flagship -------------------------------------------------------
 
-  /** Flagship: the full read path (find glob → fetch → downsample →
-    * replica-resolve → dense spine) on sf0.001; driver smoke-checks
-    * rows>0. */
+  /** Flagship: the FULL storage lifecycle on sf0.001 — ingest into a real
+    * partitioned PointsStore (stage0 LWW + stage1 rollup), build the
+    * catalog, then glob → planned multi-metric read → dense hourly
+    * series (SURVEY §3.1/§3.2). Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
+    import graft.model.Retention
+    import graft.operators.TimeSeriesReader
+    import graft.sources.PointsStore
+    val store = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val ret = Retention.fromString("1440*60s:720*3600s")
     val pts = points(spark, dir)
-      .filter(col("name").rlike(Glob.toRegex("ev.*.*")))
-      .filter(col("ts") >= T0 && col("ts") < T0 + 7 * 86400)
       .withColumn("metric_id", col("name"))
       .withColumn("aggregator", lit("average"))
-      .withColumn("count", lit(1.0))
-    val series = Downsample.pointGrouper(pts, targetPrecisionS = 3600)
-    Downsample.denseSpine(series, T0, T0 + 86400, 3600)
-      .withColumnRenamed("metric_id", "name")
+    val stage0 = Downsample.lastWriteWins(pts, ret.stage0.precisionS,
+        col("ts") * 10000000L + col("event_id"))
+      .select(col("metric_id"), col("ts"), col("value"),
+        lit(1.0).as("count"), lit(0).as("replica"))
+    PointsStore.write(stage0, store, ret.stage0)
+    val st1 = ret.stages(1)
+    PointsStore.write(
+      Downsample.rollupStage(pts, st1.precisionS)
+        .select(col("metric_id"), col("ts"), col("value"), col("count"),
+          lit(0).as("replica")),
+      store, st1)
+    val catalog = MetricCatalog.withDerivedColumns(
+      pts.select("name").distinct())
+      .withColumn("id", col("name"))
+      .withColumn("aggregator", lit("average"))
+      .withColumn("retention", lit(ret.toString))
+    TimeSeriesReader.findAndFetchPlanned(spark, catalog, store,
+      "ev.*.*", T0, T0 + 86400, nowS = T0 + 30 * 86400)
       .orderBy("name", "ts")
   }
 

@@ -17,12 +17,35 @@ import graft.sources.{MetricCatalog, PointsStore}
 object TimeSeriesReader {
 
   /** A planned fetch: the aligned window and chosen stage
-    * (metric.py:593-623). */
+    * (metric.py:593-623). `stepS` may be a coarser multiple of the stage
+    * precision when consolidation applies. */
   final case class FetchPlan(startS: Long, endS: Long, stage: Stage, stepS: Long)
 
   def plan(retention: Retention, startS: Long, endS: Long, nowS: Long): FetchPlan = {
     val (s, e, stage) = retention.alignTimeWindow(startS, endS, nowS)
     FetchPlan(s, e, stage, stage.precisionS)
+  }
+
+  /** graphite-web's maxDataPoints consolidation, planned server-side:
+    * when the aligned window holds more than `maxDataPoints` steps, the
+    * step widens to the smallest multiple of the stage precision that
+    * fits the budget (graphite consolidates client-side after fetching;
+    * planning it here means the consolidation happens INSIDE the same
+    * grouped pass that re-aggregates replicas — no extra shuffle, and
+    * far fewer rows leave the cluster). The window edges re-align to the
+    * coarser step. */
+  def planConsolidated(retention: Retention, startS: Long, endS: Long,
+      nowS: Long, maxDataPoints: Int): FetchPlan = {
+    val p = plan(retention, startS, endS, nowS)
+    val points = (p.endS - p.startS) / p.stepS
+    if (maxDataPoints <= 0 || points <= maxDataPoints) p
+    else {
+      val factor = Math.floorDiv(points + maxDataPoints - 1, maxDataPoints)
+      val stepS = p.stepS * factor
+      val start = Math.floorDiv(p.startS, stepS) * stepS
+      val end = Math.floorDiv(p.endS + stepS - 1, stepS) * stepS
+      FetchPlan(start, end, p.stage, stepS)
+    }
   }
 
   /** Fetch one metric's dense series from a points store directory.
@@ -73,24 +96,36 @@ object TimeSeriesReader {
     * window come back all-null (plugins/graphite.py:182-219). */
   def findAndFetchPlanned(spark: SparkSession, catalog: DataFrame,
       baseDir: String, glob: String, startS: Long, endS: Long,
-      nowS: Long, maxMetrics: Int = 5000): DataFrame = {
+      nowS: Long, maxMetrics: Int = 5000, maxDataPoints: Int = 0): DataFrame = {
     import spark.implicits._
+    val hasXff = catalog.columns.contains("xfilesfactor")
+    val cols = Seq("name", "id", "aggregator", "retention") ++
+      (if (hasXff) Seq("xfilesfactor") else Nil)
     val matched = MetricCatalog.globMetrics(catalog, glob, maxMetrics)
-      .select("name", "id", "aggregator", "retention").collect()
+      .select(cols.map(col): _*).collect()
     if (matched.isEmpty)
       return Seq.empty[(String, Long, Double)].toDF("name", "ts", "value")
     val groups = matched.groupBy(_.getAs[String]("retention")).toSeq.sortBy(_._1)
     groups.map { case (retStr, rows) =>
-      val p = plan(Retention.fromString(retStr), startS, endS, nowS)
+      val p = planConsolidated(Retention.fromString(retStr), startS, endS,
+        nowS, maxDataPoints)
       val clampedStart = math.max(p.startS, p.endS - p.stage.durationS)
       val metas = rows.toSeq.map(r => (r.getAs[String]("id"),
-        r.getAs[String]("name"), r.getAs[String]("aggregator")))
-      val metaDf = metas.toDF("metric_id", "name", "aggregator")
+        r.getAs[String]("name"), r.getAs[String]("aggregator"),
+        if (hasXff) r.getAs[Double]("xfilesfactor") else 0.0))
+      val metaDf = metas.toDF("metric_id", "name", "aggregator", "xff")
       val scan = PointsStore
         .read(spark, baseDir, p.stage, clampedStart, p.endS, metas.map(_._1))
         .drop("aggregator")
-        .join(broadcast(metaDf.select("metric_id", "aggregator")), Seq("metric_id"))
-      val series = Downsample.pointGrouper(scan, p.stepS)
+        .join(broadcast(metaDf.select("metric_id", "aggregator", "xff")),
+          Seq("metric_id"))
+      // consolidation (step > stage precision) is where xFilesFactor
+      // bites: under-filled coarse windows come back NaN when the
+      // catalog carries a factor (whisper consolidation semantics)
+      val xffSrc =
+        if (hasXff && p.stepS > p.stage.precisionS) Some(p.stage.precisionS)
+        else None
+      val series = Downsample.pointGrouper(scan, p.stepS, xffSrc)
       val spine = spark.range(p.startS, p.endS, p.stepS).select(col("id").as("ts"))
       broadcast(metaDf.select("metric_id", "name")).crossJoin(spine)
         .join(series, Seq("metric_id", "ts"), "left")

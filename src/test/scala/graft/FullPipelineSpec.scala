@@ -60,4 +60,12 @@ class FullPipelineSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("flagship entry returns a dense multi-metric day (driver smoke)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq === Seq("name", "ts", "value"))
+    val n = df.count()
+    // every found metric gets a full 24-slot hourly spine
+    assert(n > 0 && n % 24 === 0)
+  }
 }
