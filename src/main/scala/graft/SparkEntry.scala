@@ -461,6 +461,38 @@ object SparkEntry {
         .orderBy("name", "ts")
     },
 
+    // E2: consolidated read over the real store — maxDataPoints widens
+    // the step (96 hourly slots → 48 two-hour slots) inside the same
+    // grouped pass, and xFilesFactor (0.75) NaNs two-hour windows backed
+    // by only one of the two expected hourly partials (whisper
+    // consolidation semantics; graphite-web does this client-side).
+    "e2_consolidated_read" -> { (s, dir) =>
+      import graft.model.Retention
+      import graft.operators.{Downsample, TimeSeriesReader}
+      import graft.sources.PointsStore
+      val store = java.nio.file.Files.createTempDirectory("graft_e2").toString
+      val ret = Retention.fromString("1440*60s:720*3600s")
+      val pts = points(s, dir)
+        .withColumn("metric_id", col("name"))
+        .withColumn("aggregator", lit("average"))
+      val st1 = ret.stages(1)
+      PointsStore.write(
+        Downsample.rollupStage(pts, st1.precisionS)
+          .select(col("metric_id"), col("ts"), col("value"), col("count"),
+            lit(0).as("replica")),
+        store, st1)
+      val catalog = MetricCatalog.withDerivedColumns(
+        pts.select("name").distinct())
+        .withColumn("id", col("name"))
+        .withColumn("aggregator", lit("average"))
+        .withColumn("retention", lit(ret.toString))
+        .withColumn("xfilesfactor", lit(0.75))
+      TimeSeriesReader.findAndFetchPlanned(s, catalog, store, "ev.**",
+        T0, T0 + 4 * 86400, nowS = T0 + 30 * 86400, maxDataPoints = 48)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    },
+
     // M5: touch/read_on refresh with deterministic sampling — the
     // reference samples 10% of reads (drivers/cassandra.py:303,1921-1935);
     // here the sample is content-addressed (md5 prefix) so it is
@@ -678,6 +710,30 @@ object SparkEntry {
          |SELECT names.name AS name, spine.ts AS ts, g.value AS value
          |FROM names CROSS JOIN spine
          |LEFT JOIN g ON g.name = names.name AND g.ts = spine.ts
+         |ORDER BY name, ts""".stripMargin,
+
+    "e2_consolidated_read" ->
+      s"""WITH $PointsCte,
+         |names AS (SELECT DISTINCT name FROM points),
+         |w AS (
+         |  SELECT name, (ts // 3600) * 3600 AS h, value FROM points
+         |  WHERE ts >= $T0 AND ts < $T0 + 4 * 86400),
+         |hourly AS (
+         |  SELECT name, h, sum(value) AS sv, count(*) AS c
+         |  FROM w GROUP BY 1, 2),
+         |twoh AS (
+         |  SELECT name, (h // 7200) * 7200 AS ts, sum(sv) AS sv,
+         |         sum(c) AS c, count(*) AS known
+         |  FROM hourly GROUP BY 1, 2),
+         |vals AS (
+         |  SELECT name, ts,
+         |    CASE WHEN known / 2.0 < 0.75 THEN 'NaN'::DOUBLE
+         |         ELSE round(sv / c, 4) END AS value
+         |  FROM twoh),
+         |spine AS (SELECT unnest(range($T0, $T0 + 4 * 86400, 7200)) AS ts)
+         |SELECT names.name AS name, spine.ts AS ts, vals.value AS value
+         |FROM names CROSS JOIN spine
+         |LEFT JOIN vals ON vals.name = names.name AND vals.ts = spine.ts
          |ORDER BY name, ts""".stripMargin,
 
     "m5_touch_sampling" ->
