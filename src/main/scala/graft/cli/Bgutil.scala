@@ -1,6 +1,6 @@
 package graft.cli
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -181,14 +181,24 @@ object Bgutil {
   def list(db: Db, glob: String): DataFrame =
     MetricCatalog.globMetrics(db.catalog, glob).select("name")
 
-  /** 24 bytes/point estimate per metric (cli/command_du.py:24-75). */
-  def du(db: Db): DataFrame =
-    db.points.groupBy("metric_id").agg((count(lit(1)) * 24).as("bytes"))
+  /** 24 bytes/point estimate per metric (cli/command_du.py:24-75);
+    * `total = true` is the `-s` flag (one summed row). */
+  def du(db: Db, total: Boolean = false): DataFrame = {
+    val per = db.points.groupBy("metric_id").agg((count(lit(1)) * 24).as("bytes"))
+    if (total) per.agg(sum("bytes").as("bytes")) else per
+  }
 
-  /** Per-namespace metric/point counts (cli/command_stats.py:54-94). */
-  def stats(db: Db): DataFrame = {
-    val ns = split(col("name"), "\\.").getItem(0).as("ns")
-    db.catalog.select(ns, col("id").as("metric_id"))
+  /** Per-namespace metric/point counts (cli/command_stats.py:54-94).
+    * Namespaces are classified by the FIRST matching regex rule, like
+    * the reference's Namespaces config (command_stats.py:54-77); names
+    * matching no rule fall into "other". Default: first path component. */
+  def stats(db: Db, nsRules: Seq[(String, String)] = Nil): DataFrame = {
+    val ns =
+      if (nsRules.isEmpty) split(col("name"), "\\.").getItem(0)
+      else nsRules.foldRight(lit("other"): Column) { case ((label, regex), rest) =>
+        when(col("name").rlike(regex), label).otherwise(rest)
+      }
+    db.catalog.select(ns.as("ns"), col("id").as("metric_id"))
       .join(db.points, Seq("metric_id"), "left")
       .groupBy("ns")
       .agg(countDistinct("metric_id").as("metrics"), count(col("ts")).as("points"))

@@ -143,6 +143,32 @@ object StreamingIngest {
         col("value"), col("count"))
   }
 
+  /** Event-time ingest job for one aggregated stage: the watermark-based
+    * alternative to the stateful flow. Windows are emitted ONCE, when the
+    * watermark passes (append mode) — final results only, so the store
+    * needs no batch_seq upsert resolution, at the price of the
+    * watermark's emission latency and hard lateness cutoff (the
+    * reference's ±15 min, drivers/cassandra.py:638-640). Rows land in
+    * the standard [[graft.sources.PointsStore]] layout, pruned-readable
+    * like any batch write. */
+  def startEventTimeIngestJob(
+      pointsStream: Dataset[RawPoint],
+      stage: Stage,
+      storeDir: String,
+      checkpointDir: String,
+      watermark: String = "15 minutes") = {
+    import graft.sources.PointsStore
+    windowedRollupStream(pointsStream, stage.precisionS, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PointsStore.write(batch.withColumn("replica", lit(0)),
+          storeDir, stage)
+        ()
+      }
+  }
+
   /** Batch view of the same dataflow for backfills: per-metric dedup
     * (last-write-wins on ingest order) then one grouped rollup per stage —
     * semantically the steady-state result of feeding every point through

@@ -27,9 +27,18 @@ class BgutilSpec extends SparkSuite {
       Seq((120L, 1.0), (180L, 3.0)))
 
     assert(Bgutil.du(db).count() === 2)
+    // du -s: one total row = sum of per-metric bytes
+    val totalBytes = Bgutil.du(db, total = true).collect()(0).getLong(0)
+    assert(totalBytes === Bgutil.du(db).agg(
+      org.apache.spark.sql.functions.sum("bytes")).collect()(0).getLong(0))
     val st = Bgutil.stats(db).collect().map(r =>
       (r.getString(0), r.getLong(1))).toMap
     assert(st("sys") === 2)
+    // regex-rule classification, first match wins, fallback "other"
+    val st2 = Bgutil.stats(db, Seq(
+      ("cpus", "^sys\\.cpu\\."), ("memory", "^sys\\.mem\\."))).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(st2 === Map("cpus" -> 1L, "memory" -> 1L))
 
     assert(Bgutil.repair(db).count() === 0)
 
