@@ -571,10 +571,13 @@ object SparkEntry {
     },
 
     // K2: LSH-bucketed ANN (deterministic hyperplanes, per-bucket top-k)
+    // with multi-probe: each query also scans the 4 buckets at Hamming
+    // distance 1 — the config the recall sweep showed is actually useful
+    // (AnnRecallSpec: 0.43-0.52 recall vs 0.17 single-probe)
     "k2_knn_lsh" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb,
-        "vec_id", "embedding", k = 3, planes = 4)
+        "vec_id", "embedding", k = 3, planes = 4, multiProbe = true)
         .orderBy("query_id", "rank")
     },
 
@@ -818,34 +821,48 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
-    "k2_knn_lsh" ->
-      """WITH proj AS (
-        |  SELECT e.vec_id, j,
-        |    sum(e.embedding[i + 1]::DOUBLE *
-        |      CASE WHEN substr(md5(j || '_' || i), 1, 1) IN
-        |        ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END) AS s
-        |  FROM embeddings e,
-        |       LATERAL unnest(range(0, 4)) p(j),
-        |       LATERAL unnest(range(0, len(e.embedding))) d(i)
-        |  GROUP BY e.vec_id, j),
-        |buckets AS (
-        |  SELECT vec_id,
-        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-        |  FROM proj GROUP BY vec_id),
-        |sigs AS (
-        |  SELECT e.vec_id, e.embedding, b.bucket
-        |  FROM embeddings e JOIN buckets b USING (vec_id)),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
-        |  FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-        |  WHERE q.vec_id < 5),
-        |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+    "k2_knn_lsh" -> {
+      // query-side probe set: the exact bucket + each 1-bit flip
+      val flips = (1 to 4).map { j =>
+        s"""SELECT vec_id,
+           |  substr(bucket, 1, ${j - 1}) ||
+           |  (CASE WHEN substr(bucket, $j, 1) = '1' THEN '0' ELSE '1' END) ||
+           |  substr(bucket, ${j + 1}) AS bucket
+           |FROM buckets WHERE vec_id < 5""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH proj AS (
+         |  SELECT e.vec_id, j,
+         |    sum(e.embedding[i + 1]::DOUBLE *
+         |      CASE WHEN substr(md5(j || '_' || i), 1, 1) IN
+         |        ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END) AS s
+         |  FROM embeddings e,
+         |       LATERAL unnest(range(0, 4)) p(j),
+         |       LATERAL unnest(range(0, len(e.embedding))) d(i)
+         |  GROUP BY e.vec_id, j),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id, bucket FROM buckets WHERE vec_id < 5
+         |  UNION ALL $flips),
+         |cands AS (
+         |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM probes p
+         |  JOIN buckets c ON c.bucket = p.bucket AND c.vec_id != p.vec_id),
+         |scored AS (
+         |  SELECT cands.query_id, cands.neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+         |  FROM cands
+         |  JOIN embeddings q ON q.vec_id = cands.query_id
+         |  JOIN embeddings c ON c.vec_id = cands.neighbor_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "k3_knn_ivf" ->
       """WITH cents AS (
