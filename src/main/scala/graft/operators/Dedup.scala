@@ -149,6 +149,41 @@ object Dedup {
         round(col("i") / (col("sz_a") + col("sz_b") - col("i")), 6).as("jaccard"))
   }
 
+  /** Duplicate-cluster resolution: connected components over verified
+    * duplicate pairs (id_a, id_b) by iterative min-label propagation —
+    * the standard "keep one document per duplicate cluster" step after
+    * LSH + verification. Each iteration is one join + one partial
+    * aggregation; labels converge in O(cluster diameter) rounds (near-dup
+    * clusters are shallow — a handful of rounds in practice).
+    * `localCheckpoint` truncates the growing lineage each round so plans
+    * stay flat at scale. Returns (id, cluster) where cluster = the
+    * smallest member id of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("id_b"), col("cluster").as("nc")), Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(min("nc").as("nc"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = updated.alias("u")
+        .join(labels.alias("l"), "id")
+        .filter(col("u.cluster") =!= col("l.cluster"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup: cosine similarity over pairs blocked by a
     * `blockCol` (label, LSH bucket, …); quadratic only within blocks. */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,

@@ -37,6 +37,21 @@ class DedupSpec extends SparkSuite {
     assert(!cappedPairs.exists { case (a, b) => a >= 10L && b >= 10L })
   }
 
+  test("connected components: chains merge, separate clusters stay apart") {
+    // component {1,2,3,4} as a chain (worst-case diameter) + pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+    // reversed edge direction converges to the same labels
+    val rev = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponents(rev)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
   test("cap larger than every bucket changes nothing") {
     val d = docs(5)
     val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
