@@ -596,6 +596,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K4: int8-quantized brute-force top-k — the memory-scale variant
+    // (4× smaller corpus; cosine is scale-invariant so per-vector
+    // symmetric quantization preserves ranking up to rounding)
+    "k4_knn_quantized" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceKnnQuantized(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // K3: IVF ANN — deterministic coarse quantizer (first-nCells
     // centroids), single-probe cell scan
     "k3_knn_ivf" -> { (s, dir) =>
@@ -858,6 +868,26 @@ object SparkEntry {
         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 5),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "k4_knn_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      v -> CAST(round(v::DOUBLE * 127 / greatest(
+        |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30))
+        |        AS INT)) AS qvec
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.qvec::DOUBLE[], b.qvec::DOUBLE[]), 6) AS cos
+        |  FROM q a JOIN q b ON a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 5),
         |r AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

@@ -75,7 +75,8 @@ object Bgutil {
     case "write" => write(db, rest(0), rest(1).toLong, rest(2).toDouble,
       if (rest.length > 3) rest(3) else Retention.default.toString,
       if (rest.length > 4) rest(4) else "average")
-    case "read" => read(db, rest(0), rest(1).toLong, rest(2).toLong).show(200)
+    case "read" => read(db, rest(0), rest(1).toLong, rest(2).toLong,
+      maxDataPoints = if (rest.length > 3) rest(3).toInt else 0).show(200)
     case "list" => list(db, rest(0)).show(200, truncate = false)
     case "du" => du(db).show(200, truncate = false)
     case "stats" => stats(db).show(200, truncate = false)
@@ -172,10 +173,13 @@ object Bgutil {
 
   /** Read dense series for every metric matching the glob
     * (cli/command_read.py:73-147) — one planned job per retention class,
-    * not one plan per metric (TimeSeriesReader.findAndFetchPlanned). */
-  def read(db: Db, glob: String, startS: Long, endS: Long): DataFrame =
+    * not one plan per metric (TimeSeriesReader.findAndFetchPlanned).
+    * `maxDataPoints > 0` consolidates server-side (graphite-web's
+    * maxDataPoints), applying xFilesFactor when the catalog carries it. */
+  def read(db: Db, glob: String, startS: Long, endS: Long,
+      maxDataPoints: Int = 0): DataFrame =
     TimeSeriesReader.findAndFetchPlanned(db.spark, db.catalog, db.pointsPath,
-      glob, startS, endS, nowS = endS)
+      glob, startS, endS, nowS = endS, maxDataPoints = maxDataPoints)
 
   /** Resolve a glob to names (cli/command_list.py:23-49). */
   def list(db: Db, glob: String): DataFrame =

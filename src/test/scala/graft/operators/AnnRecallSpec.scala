@@ -38,6 +38,13 @@ class AnnRecallSpec extends SparkSuite {
     // but clearly better-than-chance recall (chance ≈ 3/500)
     assert(rLsh > 0.05 && rLsh <= 1.0)
     assert(rIvf > 0.05 && rIvf <= 1.0)
+
+    // int8 quantization must be ranking-preserving to near-identity
+    val quant = topk(Similarity.bruteForceKnnQuantized(queries, emb,
+      "vec_id", "embedding", 3).select("query_id", "rank", "neighbor_id"))
+    val rQuant = recallAt3(quant, exact)
+    info(f"recall@3: int8-quantized=$rQuant%.2f")
+    assert(rQuant >= 0.9)
   }
 
   test("multi-probe recall/cost curve; best config reaches recall ≥ 0.5") {
