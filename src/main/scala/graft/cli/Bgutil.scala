@@ -38,17 +38,44 @@ object Bgutil {
     def hasCatalog: Boolean = new java.io.File(catalogPath).exists()
 
     /** Commit a new catalog version atomically. */
-    def commitCatalog(df: DataFrame): Unit = {
-      val prev = catalogPath
-      val next = version + 1
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/catalog_v$next")
-      val tmp = Paths.get(s"$dir/CURRENT.tmp")
+    def commitCatalog(df: DataFrame): Unit =
+      commitVersioned(df, currentFile, "catalog")
+
+    // ---- directories table (drivers/cassandra.py:698-713,1783-1804) --
+    // Maintained alongside the catalog; the reference tolerates drift
+    // and reconciles in repair/clean, and so do we (repairDirectories).
+
+    private def dirsCurrentFile = Paths.get(s"$dir/CURRENT_DIRS")
+    def hasDirectories: Boolean = Files.exists(dirsCurrentFile)
+    def directoriesPath: String = {
+      val v = Files.readString(dirsCurrentFile).trim.toLong
+      s"$dir/directories_v$v"
+    }
+    def directories: DataFrame = spark.read.parquet(directoriesPath)
+
+    def commitDirectories(df: DataFrame): Unit =
+      commitVersioned(df, dirsCurrentFile, "directories")
+
+    private def commitVersioned(df: DataFrame,
+        pointer: java.nio.file.Path, label: String): Unit = {
+      val prevVersion =
+        if (Files.exists(pointer)) Files.readString(pointer).trim.toLong else 0L
+      val prev =
+        if (Files.exists(pointer)) Some(s"$dir/${label}_v$prevVersion")
+        else if (label == "catalog" && Files.exists(Paths.get(s"$dir/catalog")))
+          Some(s"$dir/catalog") // pre-versioning layout
+        else None
+      val next = prevVersion + 1
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/${label}_v$next")
+      val tmp = Paths.get(s"$dir/$label.CURRENT.tmp")
       Files.writeString(tmp, next.toString)
-      Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       // old version is garbage now; best-effort cleanup
-      if (prev != s"$dir/catalog_v$next" && Files.exists(Paths.get(prev)))
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
+      prev.filter(_ != s"$dir/${label}_v$next").foreach { p =>
+        if (Files.exists(Paths.get(p)))
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
     }
   }
 
@@ -81,7 +108,10 @@ object Bgutil {
     case "du" => du(db).show(200, truncate = false)
     case "stats" => stats(db).show(200, truncate = false)
     case "clean" => clean(db, rest(0).toLong, rest(1).toLong)
-    case "repair" => repair(db).show(200, truncate = false)
+    case "repair" =>
+      repair(db).show(200, truncate = false)
+      repairDirectories(db).show(200, truncate = false)
+    case "dirs" => listDirs(db, rest(0)).show(200, truncate = false)
     case "copy" => copy(db, rest(0), rest(1))
     case "delete" => delete(db, rest(0))
     case "info" => info(db)
@@ -128,6 +158,51 @@ object Bgutil {
         .toDF("metric_id", "ts", "value", "count", "replica")
       PointsStore.write(pts, db.pointsPath, st)
     }
+    upsertDirectories(db, Seq(metric.name).toDF("name"))
+  }
+
+  /** Maintain the stored directories table: union the ancestor chains of
+    * newly created names (drivers/cassandra.py:1783-1804 creates the
+    * parent chain per metric create). Drift is tolerated and reconciled
+    * by [[repairDirectories]], mirroring the reference's repair-based
+    * consistency model. */
+  private def upsertDirectories(db: Db, names: DataFrame): Unit = {
+    val newDirs = MetricCatalog.directories(names)
+    val merged =
+      if (db.hasDirectories) db.directories.unionByName(newDirs).distinct()
+      else newDirs
+    db.commitDirectories(merged)
+  }
+
+  /** Directory glob over the STORED directories table when present
+    * (the Cassandra model, drivers/cassandra.py:2071-2076), falling back
+    * to on-the-fly derivation from metric names (the ES model). */
+  def listDirs(db: Db, glob: String, maxResults: Int = 5000): DataFrame = {
+    require(graft.glob.Glob.isValid(glob), s"invalid glob: $glob")
+    val dirs =
+      if (db.hasDirectories) db.directories
+      else MetricCatalog.directories(db.catalog)
+    dirs.filter(col("name").rlike(graft.glob.Glob.toRegex(glob)))
+      .orderBy("name").limit(maxResults)
+  }
+
+  /** Reconcile the stored directories table against the catalog: add
+    * ancestor dirs that are missing (reference repair,
+    * drivers/cassandra.py:2844-2934), drop dirs with no metric beneath
+    * (clean empty dirs, drivers/cassandra.py:2936-3050). Returns the
+    * missing set that was added. */
+  def repairDirectories(db: Db): DataFrame = {
+    import db.spark.implicits._
+    val stored =
+      if (db.hasDirectories) db.directories.select("name")
+      else Seq.empty[String].toDF("name")
+    val missing = MetricCatalog.missingDirectories(db.catalog, stored)
+      .localCheckpoint(true) // survives the version cleanup below
+    val empty = MetricCatalog.emptyDirectories(stored, db.catalog)
+    val fixed = stored.unionByName(missing)
+      .join(empty, Seq("name"), "left_anti").distinct()
+    db.commitDirectories(fixed)
+    missing
   }
 
   /** Batched point ingest — CLI parity with `bgutil write` fed a point
@@ -153,6 +228,7 @@ object Bgutil {
       db.catalog.unionByName(rows, allowMissingColumns = true))
     db.commitCatalog(merged)
 
+    upsertDirectories(db, names.toDF("name"))
     val raw = points.toDF("name", "ts", "value")
       .withColumn("metric_id", graft.functions.GraftFunctions.graft_uuid5(col("name")))
       .withColumn("aggregator", lit(metadata.aggregator.name))

@@ -54,6 +54,29 @@ class BgutilSpec extends SparkSuite {
     assert(db.catalog.count() === 0)
   }
 
+  test("directories table maintained on write, reconciled by repair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bgutil_dirs").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "sys.cpu.0.load", 60L, 1.0, "60*60s:24*3600s", "average")
+    Bgutil.writePoints(db, Seq(("app.api.req", 60L, 2.0)),
+      "60*60s:24*3600s", "total")
+    assert(db.hasDirectories)
+    assert(Bgutil.listDirs(db, "**").collect().map(_.getString(0)).toSeq ===
+      Seq("app", "app.api", "sys", "sys.cpu", "sys.cpu.0"))
+    assert(Bgutil.listDirs(db, "sys.*").collect().map(_.getString(0)).toSeq ===
+      Seq("sys.cpu"))
+
+    // tamper: drop one real dir, add a bogus empty one
+    db.commitDirectories(
+      Seq("app", "app.api", "sys", "sys.cpu", "zz.ghost").toDF("name"))
+    val added = Bgutil.repairDirectories(db)
+    assert(added.collect().map(_.getString(0)).toSeq === Seq("sys.cpu.0"))
+    assert(Bgutil.listDirs(db, "**").collect().map(_.getString(0)).toSeq ===
+      Seq("app", "app.api", "sys", "sys.cpu", "sys.cpu.0")) // ghost gone
+  }
+
   test("catalog commits are versioned behind an atomic CURRENT pointer") {
     val dir = java.nio.file.Files.createTempDirectory("bgutil_ver").toString
     val db = Db(spark, dir)
