@@ -286,8 +286,12 @@ object Bgutil {
 
   /** Drop expired metrics and TTL-expired points
     * (drivers/cassandra.py:3052-3141 + per-stage TTLs). */
-  def clean(db: Db, nowS: Long, maxAgeS: Long): Unit =
+  def clean(db: Db, nowS: Long, maxAgeS: Long): Unit = {
     db.commitCatalog(db.catalog.filter(col("updated_on") > nowS - maxAgeS))
+    // per-stage TTL: drop whole expired bucket partitions (metadata-only,
+    // like Cassandra's TTL + compaction windows)
+    PointsStore.dropExpiredBuckets(db.pointsPath, nowS)
+  }
 
   /** Orphan points without a catalog row (drivers/cassandra.py:2734-2842). */
   def repair(db: Db): DataFrame =

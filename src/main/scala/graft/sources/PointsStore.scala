@@ -104,6 +104,62 @@ object PointsStore {
       .saveAsTable(tableName)
   }
 
+  /** Compact one stage in place: collapse streaming re-emissions
+    * (batch_seq upsert duplicates) to their final values — the batch
+    * analog of Cassandra compaction folding upserted cells
+    * (drivers/cassandra.py:943-1019 tunes exactly this). Uses dynamic
+    * partition overwrite so ONLY the buckets that exist are rewritten,
+    * and the read path afterwards skips the per-read LWW merge (the
+    * batch_seq column is dropped). No-op when the stage carries no
+    * batch_seq. */
+  def compactStage(spark: SparkSession, baseDir: String, stage: Stage): Unit = {
+    val rows = read(spark, baseDir, stage, Long.MinValue / 2, Long.MaxValue / 2)
+    // read() already applied batch_seq last-write-wins; rewrite the result
+    val compacted = rows.drop("batch_seq")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // materialize before overwriting the directories being read
+      val snapshot = compacted.localCheckpoint(true)
+      snapshot.write.mode("overwrite")
+        .partitionBy("stage", "bucket")
+        .parquet(baseDir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** TTL enforcement as a METADATA operation: delete whole bucket
+    * directories whose entire span is older than the stage's retention
+    * (the reference's per-stage TTL + time-window compaction,
+    * drivers/cassandra.py:752,943-946 — expiry never touches live data
+    * files). Returns the deleted partition paths. Rows younger than the
+    * cutoff inside a surviving bucket are left for read-side ts filters
+    * (same as Cassandra, where TTL'd cells linger until compaction). */
+  def dropExpiredBuckets(baseDir: String, nowS: Long): Seq[String] = {
+    val root = new java.io.File(baseDir)
+    if (!root.exists()) return Nil
+    val deleted = Seq.newBuilder[String]
+    for {
+      stageDir <- Option(root.listFiles()).getOrElse(Array.empty)
+      if stageDir.isDirectory && stageDir.getName.startsWith("stage=")
+      stageStr = java.net.URLDecoder.decode(
+        stageDir.getName.stripPrefix("stage="), "UTF-8")
+      stage = Stage.fromString(stageStr)
+      cutoff = nowS - stage.durationS
+      span = bucketSpanS(stage.precisionS)
+      bucketDir <- Option(stageDir.listFiles()).getOrElse(Array.empty)
+      if bucketDir.isDirectory && bucketDir.getName.startsWith("bucket=")
+      bucket = bucketDir.getName.stripPrefix("bucket=").toLong
+      if bucket + span <= cutoff
+    } {
+      org.apache.commons.io.FileUtils.deleteQuietly(bucketDir)
+      deleted += bucketDir.getPath
+    }
+    deleted.result()
+  }
+
   /** Retention enforcement — the TTL/compaction-window analog
     * (drivers/cassandra.py:752,943-946): per-stage, keep only rows newer
     * than the stage duration. The bucket predicate prunes whole partitions

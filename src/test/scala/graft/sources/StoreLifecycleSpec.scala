@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.model.Stage
+
+/** Store lifecycle beyond reads/writes: streaming-upsert compaction and
+  * TTL bucket drops (the Cassandra compaction/TTL analogs). */
+class StoreLifecycleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("compactStage folds batch_seq re-emissions to final values") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val stage = Stage(1000, 60, stage0 = false)
+    // batch 1 emits a running aggregate, batch 2 supersedes it
+    PointsStore.write(Seq(("m", 0L, 10.0, 1.0, 0, 1L), ("m", 60L, 5.0, 1.0, 0, 1L))
+      .toDF("metric_id", "ts", "value", "count", "replica", "batch_seq"),
+      dir, stage)
+    PointsStore.write(Seq(("m", 0L, 30.0, 3.0, 0, 2L))
+      .toDF("metric_id", "ts", "value", "count", "replica", "batch_seq"),
+      dir, stage)
+    // raw file rows: 3; logical rows after LWW: 2
+    assert(spark.read.parquet(dir).count() === 3)
+    val before = PointsStore.read(spark, dir, stage, 0L, 120L)
+      .orderBy("ts").select("ts", "value").as[(Long, Double)].collect().toSeq
+    assert(before === Seq((0L, 30.0), (60L, 5.0)))
+
+    PointsStore.compactStage(spark, dir, stage)
+    // physically 2 rows now, no batch_seq column, same logical contents
+    val raw = spark.read.parquet(dir)
+    assert(raw.count() === 2)
+    assert(!raw.columns.contains("batch_seq"))
+    val after = PointsStore.read(spark, dir, stage, 0L, 120L)
+      .orderBy("ts").select("ts", "value").as[(Long, Double)].collect().toSeq
+    assert(after === before)
+  }
+
+  test("dropExpiredBuckets deletes only wholly-expired bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ttl").toString
+    // stage duration = 24 h; bucket span = max(2000*3600, 6h) capped — for
+    // 3600 s precision span = 3600*2000 s; use a 60 s stage0 instead:
+    // span = max(60*2000, 6h) = 120000 s; duration = 1440*60 = 86400 s
+    val stage = Stage(1440, 60, stage0 = true)
+    val span = PointsStore.bucketSpanS(60)
+    val nowS = 10 * span
+    // bucket 0 is wholly older than nowS - 86400; the bucket containing
+    // (nowS - span) survives
+    PointsStore.write(Seq(("m", 10L, 1.0, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica"), dir, stage)
+    PointsStore.write(Seq(("m", nowS - span, 2.0, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica"), dir, stage)
+
+    val deleted = PointsStore.dropExpiredBuckets(dir, nowS)
+    assert(deleted.size === 1 && deleted.head.contains("bucket=0"))
+    val left = spark.read.parquet(dir).select("ts").as[Long].collect().toSeq
+    assert(left === Seq(nowS - span))
+  }
+}
