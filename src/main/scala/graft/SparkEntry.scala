@@ -271,6 +271,14 @@ object SparkEntry {
       MetricCatalog.globDirectories(catalog, "ev.*").orderBy("name")
     },
 
+    // F11: combined find — leaves + branches for one glob, the
+    // find_nodes surface (plugins/graphite.py:405-412)
+    "f11_find_nodes" -> { (s, dir) =>
+      val catalog = MetricCatalog.withDerivedColumns(
+        points(s, dir).select("name").distinct())
+      graft.operators.TimeSeriesReader.findNodes(catalog, "ev.**")
+    },
+
     // F10: result cap (drivers/cassandra.py:2149-2176)
     "f10_result_cap" -> { (s, dir) =>
       val catalog = MetricCatalog.withDerivedColumns(
@@ -1170,6 +1178,18 @@ object SparkEntry {
     "f10_result_cap" ->
       s"""WITH $PointsCte
          |SELECT DISTINCT name FROM points ORDER BY name LIMIT 5""".stripMargin,
+
+    "f11_find_nodes" ->
+      s"""WITH $PointsCte,
+         |leaves AS (
+         |  SELECT DISTINCT name, TRUE AS is_leaf FROM points
+         |  WHERE regexp_matches(name, '${Glob.toRegex("ev.**")}')),
+         |dirs AS (
+         |  SELECT DISTINCT 'ev.' || event_type AS name, FALSE AS is_leaf
+         |  FROM events)
+         |SELECT name, is_leaf FROM leaves
+         |UNION ALL SELECT name, is_leaf FROM dirs
+         |ORDER BY name, is_leaf""".stripMargin,
 
     "s5_point_fetch" ->
       s"""WITH $PointsCte

@@ -82,6 +82,19 @@ object TimeSeriesReader {
       .orderBy("name", "ts")
   }
 
+  /** Combined find: leaves (metrics) and branches (directories) matching
+    * one glob, as graphite-web's find_nodes returns LeafNode/BranchNode
+    * sets together (plugins/graphite.py:405-412). One catalog pass per
+    * kind; `is_leaf` distinguishes them. */
+  def findNodes(catalog: DataFrame, glob: String,
+      maxMetrics: Int = 5000): DataFrame = {
+    val leaves = MetricCatalog.globMetrics(catalog, glob, maxMetrics)
+      .select(col("name"), lit(true).as("is_leaf"))
+    val dirs = MetricCatalog.globDirectories(catalog, glob, maxMetrics)
+      .select(col("name"), lit(false).as("is_leaf"))
+    leaves.unionByName(dirs).orderBy("name", "is_leaf")
+  }
+
   /** Planned multi-metric read — the full find+fetch lifecycle
     * (plugins/graphite.py:365-412,142-225) as ONE job per retention class:
     * resolve the glob, group the matched metrics by retention driver-side
