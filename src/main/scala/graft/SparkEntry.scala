@@ -623,6 +623,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // MM2: frame-sampling plumbing — every 4th frame of each payload
+    // (frames = 256-byte spans), with a per-frame byte tag; the explode /
+    // per-frame-extraction shape a video pipeline runs before decode
+    // (operators.Multimodal.sampleFrames is the library form)
+    "mm2_frame_sample" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val media = docs.select(col("doc_id"), col("text"))
+        .withColumn("n_frames",
+          floor((octet_length(col("text")) + 255) / 256).cast("int"))
+      media.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          ascii(expr("substring(text, frame_idx * 256 + 1, 1)"))
+            .cast("long").as("frame_tag"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // T1: n-gram/stopword-heuristic language ID
     "t1_langid" -> { (s, dir) =>
       TextAnalysis.langId(table(s, dir, "documents"), "text")
@@ -1023,6 +1040,19 @@ object SparkEntry {
         |  max(substr(md5(shingle), 1, 16)) AS fp_max,
         |  count(*) AS n_grams
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "mm2_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id, text,
+        |         (octet_length(text::BLOB) + 255) // 256 AS n_frames
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS frame_idx
+        |  FROM media)
+        |SELECT doc_id, frame_idx,
+        |  CAST(ascii(substr(text, CAST(frame_idx * 256 + 1 AS INT), 1)) AS BIGINT)
+        |    AS frame_tag
+        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm1_multimodal_meta" ->
       """SELECT doc_id,
