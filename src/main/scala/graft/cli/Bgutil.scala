@@ -82,7 +82,9 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|list|du|stats|clean|repair|copy|delete|info> [args...]")
+        "usage: bgutil <dbdir> <syncdb|write|read|list|dirs|du|stats|clean|repair|copy|delete|info> [args...]\n" +
+        "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
+        "  dirs <glob>                                   directory glob (stored table or derived)")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
