@@ -578,6 +578,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // D7: leakage-safe train/val/test split — assignment hashes the dup
+    // CLUSTER, so near-duplicate documents can never straddle splits
+    "d7_split_leakage_safe" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
+      val dup = Dedup.jaccard(pairs, sh, "doc_id")
+        .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+      Dedup.leakageSafeSplit(docs, "doc_id", Dedup.connectedComponents(dup))
+        .orderBy("doc_id")
+    },
+
     // D5: embedding-cosine near-dup pairs, blocked by label
     "d5_embedding_dedup" -> { (s, dir) =>
       Dedup.cosinePairs(table(s, dir, "embeddings"), "vec_id", "embedding",
@@ -878,6 +891,44 @@ object SparkEntry {
          |  SELECT e.id_a, r.cluster FROM edges e JOIN reach r ON r.id = e.id_b)
          |SELECT id AS doc_id, min(cluster) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "d7_split_leakage_safe" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$SigCte,
+         |$BandedPairsCte,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN dsh a ON a.doc_id = p.id_a
+         |  JOIN dsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p
+         |  LEFT JOIN inter i USING (id_a, id_b)
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b
+         |  WHERE round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.5),
+         |edges AS (
+         |  SELECT id_a, id_b FROM dup
+         |  UNION ALL SELECT id_b, id_a FROM dup),
+         |reach(id, cluster) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.cluster FROM edges e JOIN reach r ON r.id = e.id_b),
+         |comp AS (SELECT id, min(cluster) AS cluster FROM reach GROUP BY id),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('c', 'd')
+         |         THEN 'val'
+         |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('e', 'f')
+         |         THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM assigned ORDER BY doc_id""".stripMargin,
 
     "d5_embedding_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

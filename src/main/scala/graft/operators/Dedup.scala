@@ -184,6 +184,26 @@ object Dedup {
     labels
   }
 
+  /** Leakage-safe dataset splitting: assign train/val/test by a
+    * content-addressed hash of the DUPLICATE CLUSTER, not the document —
+    * near-duplicates always land in the same split, so a test document
+    * can never have a paraphrase of itself in train (the classic dedup
+    * leakage failure). Docs outside any dup cluster form singleton
+    * clusters of themselves. Hex-bucketed md5 keeps the assignment
+    * deterministic and engine-portable: first hex char 0-b → train
+    * (12/16), c-d → val (2/16), e-f → test (2/16). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      components: DataFrame): DataFrame = {
+    val withCluster = docs.select(col(idCol))
+      .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val h = substring(md5(col("cluster").cast("string")), 1, 1)
+    withCluster.withColumn("split",
+      when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train"))
+  }
+
   /** Embedding near-dup: cosine similarity over pairs blocked by a
     * `blockCol` (label, LSH bucket, …); quadratic only within blocks. */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,

@@ -52,6 +52,24 @@ class DedupSpec extends SparkSuite {
     assert(got2 === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("leakage-safe split: dup-cluster members always share a split") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val split = Dedup.leakageSafeSplit(docs, "doc_id",
+      Dedup.connectedComponents(pairs))
+    assert(split.count() === 40)
+    // every cluster maps to exactly one split value
+    val perCluster = split.groupBy("cluster")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(perCluster === 0)
+    // all three splits appear over 40 singleton-ish clusters
+    val splits = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.contains("train"))
+    assert(splits.size >= 2)
+  }
+
   test("cap larger than every bucket changes nothing") {
     val d = docs(5)
     val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
