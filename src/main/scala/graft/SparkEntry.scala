@@ -501,6 +501,44 @@ object SparkEntry {
         .orderBy("name", "ts")
     },
 
+    // E3: planned read across TWO retention classes in one call — the
+    // glob matches metrics whose retentions pick different stages
+    // (hourly vs 2-hourly), so the planned read runs one pruned scan per
+    // class and unions exactly two branches (BgutilSpec asserts the plan
+    // shape; this checks the VALUES against the oracle).
+    "e3_multi_retention_read" -> { (s, dir) =>
+      import graft.model.Retention
+      import graft.operators.{Downsample, TimeSeriesReader}
+      import graft.sources.PointsStore
+      val store = java.nio.file.Files.createTempDirectory("graft_e3").toString
+      val retA = Retention.fromString("1440*60s:720*3600s")   // hourly read
+      val retB = Retention.fromString("2880*60s:360*7200s")   // 2-hourly read
+      val isA = split(col("name"), "\\.").getItem(1).isin("click", "purchase")
+      val pts = points(s, dir)
+        .withColumn("metric_id", col("name"))
+        .withColumn("aggregator", lit("average"))
+      PointsStore.write(
+        Downsample.rollupStage(pts.filter(isA), retA.stages(1).precisionS)
+          .select(col("metric_id"), col("ts"), col("value"), col("count"),
+            lit(0).as("replica")),
+        store, retA.stages(1))
+      PointsStore.write(
+        Downsample.rollupStage(pts.filter(!isA), retB.stages(1).precisionS)
+          .select(col("metric_id"), col("ts"), col("value"), col("count"),
+            lit(0).as("replica")),
+        store, retB.stages(1))
+      val catalog = MetricCatalog.withDerivedColumns(
+        pts.select("name").distinct())
+        .withColumn("id", col("name"))
+        .withColumn("aggregator", lit("average"))
+        .withColumn("retention",
+          when(isA, retA.toString).otherwise(retB.toString))
+      TimeSeriesReader.findAndFetchPlanned(s, catalog, store, "ev.**",
+        T0, T0 + 2 * 86400, nowS = T0 + 30 * 86400)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    },
+
     // M5: touch/read_on refresh with deterministic sampling — the
     // reference samples 10% of reads (drivers/cassandra.py:303,1921-1935);
     // here the sample is content-addressed (md5 prefix) so it is
@@ -800,6 +838,29 @@ object SparkEntry {
          |SELECT names.name AS name, spine.ts AS ts, vals.value AS value
          |FROM names CROSS JOIN spine
          |LEFT JOIN vals ON vals.name = names.name AND vals.ts = spine.ts
+         |ORDER BY name, ts""".stripMargin,
+
+    "e3_multi_retention_read" ->
+      s"""WITH $PointsCte,
+         |named AS (
+         |  SELECT *, split_part(name, '.', 2) IN ('click', 'purchase') AS is_a
+         |  FROM points),
+         |names AS (SELECT DISTINCT name, is_a FROM named),
+         |w AS (
+         |  SELECT name, is_a,
+         |         CASE WHEN is_a THEN (ts // 3600) * 3600
+         |              ELSE (ts // 7200) * 7200 END AS ts,
+         |         value
+         |  FROM named WHERE ts >= $T0 AND ts < $T0 + 2 * 86400),
+         |g AS (
+         |  SELECT name, ts, round(sum(value) / count(*), 4) AS value
+         |  FROM w GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT n.name, s.ts
+         |  FROM names n, LATERAL unnest(range($T0, $T0 + 2 * 86400,
+         |    CASE WHEN n.is_a THEN 3600 ELSE 7200 END)) s(ts))
+         |SELECT spine.name AS name, spine.ts AS ts, g.value AS value
+         |FROM spine LEFT JOIN g ON g.name = spine.name AND g.ts = spine.ts
          |ORDER BY name, ts""".stripMargin,
 
     "m5_touch_sampling" ->

@@ -55,4 +55,37 @@ class EventTimeIngestSpec extends SparkSuite {
       assert(after === Seq(4.0))
     } finally q.stop()
   }
+
+  test("event-time rollup equals the batch rollup once windows close") {
+    spark.conf.set(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val store = java.nio.file.Files.createTempDirectory("et_eq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("et_eq_ck").toString
+    val stage = Stage(points = 1000, precisionS = 60, stage0 = false)
+    val pts = (0 until 200).map(i =>
+      RawPoint(s"m.${i % 5}", (i.toLong * 37) % 3000, i * 0.5))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawPoint]
+    val q = StreamingIngest.startEventTimeIngestJob(input.toDS(), stage,
+      store, ckpt, watermark = "30 seconds").start()
+    try {
+      input.addData(pts: _*)
+      q.processAllAvailable()
+      // sentinel advances the watermark far enough to close every window
+      input.addData(RawPoint("m.sentinel", 100000L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = PointsStore.read(spark, store, stage, 0L, 3600L)
+      .select("metric_id", "ts", "value", "count")
+      .as[(String, Long, Double, Double)].collect().toSet
+    val batch = graft.operators.Downsample.rollupStage(
+      pts.toDF("metric_id", "ts", "value")
+        .withColumn("aggregator", lit("average")), stage.precisionS)
+      .select("metric_id", "ts", "value", "count")
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
