@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.glob.Glob
-import graft.operators.{Dedup, Downsample, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Downsample, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.MetricCatalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -575,7 +575,8 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
       val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
-      Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
+      Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
+        maxBucketSize = 5000)
         .orderBy("id_a", "id_b")
     },
 
@@ -595,7 +596,8 @@ object SparkEntry {
       // sf0.1 (materialization breaks whole-stage codegen pipelines).
       val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
       val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
-      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
+        maxBucketSize = 5000)
       Dedup.jaccard(pairs, sh, "doc_id")
         .filter(col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
@@ -608,7 +610,8 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
       val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
-      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
+        maxBucketSize = 5000)
       val dup = Dedup.jaccard(pairs, sh, "doc_id")
         .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
       Dedup.connectedComponents(dup)
@@ -622,7 +625,8 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
       val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
-      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
+        maxBucketSize = 5000)
       val dup = Dedup.jaccard(pairs, sh, "doc_id")
         .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
       Dedup.leakageSafeSplit(docs, "doc_id", Dedup.connectedComponents(dup))
@@ -723,6 +727,63 @@ object SparkEntry {
     // T4: winnowing-style document fingerprint over word 4-grams
     "t4_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // T5: PII redaction — the corpus carries no PII, so the query plants
+    // deterministic synthetic PII (email/IP/SSN/phone derived from
+    // doc_id+source) and verifies both the counts and the md5 of the
+    // redacted text against the oracle running the SAME patterns
+    "t5_pii_redact" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), id, lit("@"), col("source"), lit(".com"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.12"),
+          lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" tel 800-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 3 === 0, " alt bob@example.org").otherwise(""))
+          .as("text"))
+      TextAnalysis.redactPii(aug, "text")
+        .select(col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_ssn").cast("long").as("n_ssn"),
+          col("n_phone").cast("long").as("n_phone"),
+          substring(md5(col("redacted")), 1, 16).as("red_hash"))
+        .orderBy("doc_id")
+    },
+
+    // T6: Gopher-style repetition filters — top-2-gram fraction and
+    // duplicate-2-gram fraction per document
+    "t6_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(table(s, dir, "documents"), "doc_id",
+        "text", n = 2)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          col("top_n"), col("top_ratio"), col("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // P1: greedy sequence packing into 256-token context windows,
+    // sharded by doc_id % 8 (deterministic, oracle = recursive CTE)
+    "p1_sequence_packing" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val withTok = docs.select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Packing.packGreedy(withTok, "doc_id", "n_tokens",
+        capacity = 256, numShards = 8)
+        .orderBy("doc_id")
+    },
+
+    // P2: stratified sampling / language mixing — per-language keep rates
+    // in sixteenths of the md5 keyspace, content-addressed on doc_id
+    "p2_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedSample(table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 8, "de" -> 4, "fr" -> 12, "zh" -> 2),
+        defaultSixteenths = 16)
+        .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
 
@@ -1152,6 +1213,79 @@ object SparkEntry {
         |  max(substr(md5(shingle), 1, 16)) AS fp_max,
         |  count(*) AS n_grams
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t5_pii_redact" -> {
+      val pats = graft.operators.TextAnalysis.PiiPatterns
+      val counts = pats.map { case (kind, pat) =>
+        s"len(regexp_extract_all(t, '$pat')) AS n_$kind"
+      }.mkString(",\n    ")
+      val redacted = pats.foldLeft("t") { case (c, (kind, pat)) =>
+        s"regexp_replace($c, '$pat', '[${kind.toUpperCase}]', 'g')"
+      }
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@' || source || '.com' ||
+         |    ' ip 10.' || (doc_id % 256) || '.0.12' ||
+         |    ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' tel 800-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' alt bob@example.org' ELSE '' END AS t
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id,
+         |    $counts,
+         |    $redacted AS r
+         |  FROM aug)
+         |SELECT doc_id, n_email, n_ip, n_ssn, n_phone,
+         |  substr(md5(r), 1, 16) AS red_hash
+         |FROM red ORDER BY doc_id""".stripMargin
+    },
+
+    "t6_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(substr(text, 1, 4096)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS shingle
+        |  FROM base, LATERAL unnest(range(1, greatest(len(toks) - 1, 1) + 1)) t(i)),
+        |per AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct,
+        |  max(c) AS top_n,
+        |  floor(max(c) / CAST(sum(c) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS top_ratio,
+        |  floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_ratio
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p1_sequence_packing" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, rn, doc_id, n_tokens, n_tokens AS acc,
+        |         CAST(0 AS BIGINT) AS pack_idx, CAST(1 AS BIGINT) AS pack_pos
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN d.n_tokens
+        |         ELSE p.acc + d.n_tokens END,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN p.pack_idx + 1
+        |         ELSE p.pack_idx END,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN CAST(1 AS BIGINT)
+        |         ELSE p.pack_pos + 1 END
+        |  FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT doc_id, shard, pack_idx, pack_pos, n_tokens
+        |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "p2_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <
+        |  CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 12
+        |       WHEN 'zh' THEN 2 ELSE 16 END
+        |ORDER BY doc_id""".stripMargin,
 
     "mm2_frame_sample" ->
       """WITH media AS (

@@ -26,11 +26,10 @@ object Bgutil {
       * version intact — readers never observe a partial catalog (the old
       * two-phase overwrite had a destructive window). */
     private def currentFile = Paths.get(s"$dir/CURRENT")
-    private def version: Long =
-      if (Files.exists(currentFile)) Files.readString(currentFile).trim.toLong
-      else 0L
+    // pointer content is an opaque token: "N" (legacy) or "N-nonce"
     def catalogPath: String =
-      if (Files.exists(currentFile)) s"$dir/catalog_v$version"
+      if (Files.exists(currentFile))
+        s"$dir/catalog_v${Files.readString(currentFile).trim}"
       else s"$dir/catalog" // pre-versioning layout
     def pointsPath = s"$dir/points"
     def catalog: DataFrame = spark.read.parquet(catalogPath)
@@ -47,32 +46,52 @@ object Bgutil {
 
     private def dirsCurrentFile = Paths.get(s"$dir/CURRENT_DIRS")
     def hasDirectories: Boolean = Files.exists(dirsCurrentFile)
-    def directoriesPath: String = {
-      val v = Files.readString(dirsCurrentFile).trim.toLong
-      s"$dir/directories_v$v"
-    }
+    def directoriesPath: String =
+      s"$dir/directories_v${Files.readString(dirsCurrentFile).trim}"
     def directories: DataFrame = spark.read.parquet(directoriesPath)
 
     def commitDirectories(df: DataFrame): Unit =
       commitVersioned(df, dirsCurrentFile, "directories")
 
+    /** Crash-atomic AND concurrency-loud: each commit writes to a unique
+      * `{label}_v{N}-{nonce}` directory (two racing writers can never
+      * clobber each other's parquet), then re-reads the pointer just
+      * before the atomic move and fails if another commit won the race —
+      * a compare-and-swap on the pointer content. A genuine lost-update
+      * window remains between the check and the move (the filesystem has
+      * no CAS primitive), but a concurrent commit now almost always fails
+      * loudly instead of silently discarding updates; this is a
+      * single-writer tool like the reference CLI. */
     private def commitVersioned(df: DataFrame,
         pointer: java.nio.file.Path, label: String): Unit = {
-      val prevVersion =
-        if (Files.exists(pointer)) Files.readString(pointer).trim.toLong else 0L
-      val prev =
-        if (Files.exists(pointer)) Some(s"$dir/${label}_v$prevVersion")
-        else if (label == "catalog" && Files.exists(Paths.get(s"$dir/catalog")))
+      def token: Option[String] =
+        if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+      val prevToken = token
+      val prev = prevToken match {
+        case Some(t) => Some(s"$dir/${label}_v$t")
+        case None if label == "catalog" &&
+          Files.exists(Paths.get(s"$dir/catalog")) =>
           Some(s"$dir/catalog") // pre-versioning layout
-        else None
-      val next = prevVersion + 1
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/${label}_v$next")
+        case None => None
+      }
+      val prevVersion = prevToken.map(_.takeWhile(_.isDigit).toLong).getOrElse(0L)
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val nextToken = s"${prevVersion + 1}-$nonce"
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/${label}_v$nextToken")
+      if (token != prevToken) {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$dir/${label}_v$nextToken"))
+        throw new IllegalStateException(
+          s"concurrent $label commit detected: pointer moved from " +
+            s"$prevToken to $token while writing v$nextToken; " +
+            "this commit was discarded — retry on the new version")
+      }
       val tmp = Paths.get(s"$dir/$label.CURRENT.tmp")
-      Files.writeString(tmp, next.toString)
+      Files.writeString(tmp, nextToken)
       Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       // old version is garbage now; best-effort cleanup
-      prev.filter(_ != s"$dir/${label}_v$next").foreach { p =>
+      prev.filter(_ != s"$dir/${label}_v$nextToken").foreach { p =>
         if (Files.exists(Paths.get(p)))
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       }

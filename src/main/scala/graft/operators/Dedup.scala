@@ -68,18 +68,14 @@ object Dedup {
     * larger than the cap are dropped BEFORE the self-join (count per
     * (band_idx, band_val) + semi-join) — at 100 TB such buckets are
     * near-certain exact-dup clusters better handled by exact dedup, so
-    * skipping them loses no useful candidates. Pass 0 to disable. */
+    * skipping them loses no useful candidates. The guard is OFF by
+    * default (0): dropping buckets is recall-affecting, so scale-sensitive
+    * callers opt in explicitly and can audit what a cap would exclude via
+    * [[lshOversizedBuckets]] with the same arguments. */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
       numHashes: Int = 8, bands: Int = 4,
-      maxBucketSize: Int = 5000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(b).as("band_idx"), concat(hs: _*).as("band_val")).as(s"b$b")
-    }
-    val banded = signatures
-      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+      maxBucketSize: Int = 0): DataFrame = {
+    val banded = bandedRows(signatures, idCol, numHashes, bands)
     val capped =
       if (maxBucketSize <= 0) banded
       else {
@@ -95,6 +91,30 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  private def bandedRows(signatures: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band_idx"), concat(hs: _*).as("band_val")).as(s"b$b")
+    }
+    signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+  }
+
+  /** The LSH buckets a `maxBucketSize` cap would drop, with their sizes —
+    * the observability companion to [[lshCandidatePairs]]: run it with the
+    * same (numHashes, bands) to quantify how many documents a cap excludes
+    * before enabling it. Returns (band_idx, band_val, n_docs). */
+  def lshOversizedBuckets(signatures: DataFrame, idCol: String,
+      numHashes: Int = 8, bands: Int = 4,
+      maxBucketSize: Int = 5000): DataFrame =
+    bandedRows(signatures, idCol, numHashes, bands)
+      .groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
 
   /** SimHash fingerprint over `bits` bits (≤ 31): per token, bit b is the
     * high bit of the b-th md5 nibble; the fingerprint bit is the sign of
@@ -156,8 +176,16 @@ object Dedup {
     * aggregation; labels converge in O(cluster diameter) rounds (near-dup
     * clusters are shallow — a handful of rounds in practice).
     * `localCheckpoint` truncates the growing lineage each round so plans
-    * stay flat at scale. Returns (id, cluster) where cluster = the
-    * smallest member id of the component. */
+    * stay flat at scale. Each round combines one hop of neighbor-min
+    * propagation with one pointer-jumping step (cluster := min(cluster,
+    * cluster-of-cluster)), so labels cover 2^i hops after i rounds —
+    * a chain of length L converges in O(log L) rounds, not O(L).
+    *
+    * Throws IllegalStateException if labels are still moving after
+    * `maxIter` rounds: silently returning unconverged labels would split
+    * clusters and break leakageSafeSplit's no-leakage guarantee.
+    * Returns (id, cluster) where cluster = the smallest member id of the
+    * component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -170,9 +198,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("id_b"), col("cluster").as("nc")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min("nc").as("nc"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
+      // pointer jumping: follow the label one more level (labels are
+      // always node ids, so the self-join below always finds a row)
+      val updated = propagated
+        .join(propagated.select(col("id").as("cluster"),
+          col("cluster").as("cc")), Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
       converged = updated.alias("u")
         .join(labels.alias("l"), "id")
@@ -181,6 +216,11 @@ object Dedup {
       labels = updated
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds; " +
+          "a duplicate chain is deeper than 2^maxIter hops or the input " +
+          "is pathological — raise maxIter rather than consuming split clusters")
     labels
   }
 

@@ -75,6 +75,55 @@ object TextAnalysis {
     df.withColumn("ws_tokens", ws).withColumn("subword_tokens", bpeish)
   }
 
+  /** PII patterns, shared by the redactor and its oracle SQL. Written to
+    * the common subset of Java regex and RE2 (no lookaround, no
+    * backreferences) so the exact same pattern string runs in Spark's
+    * codegen'd regexp_replace and in any RE2-based engine. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // order matters: emails contain dots+digits, so they go first; IPv4
+    // before phone so dotted phone fragments can't half-match an IP
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b")
+
+  /** PII redaction: count then mask emails / IPv4s / SSN-shaped ids /
+    * phone numbers with `[KIND]` tokens, in one codegen'd pass per
+    * document (chained regexp_replace — no shuffle, no UDF). Adds
+    * `n_<kind>` counts and `redacted`. The pattern list is a heuristic
+    * floor, not a compliance guarantee — swap in heavier patterns (or an
+    * NER model via mapInPandas) behind the same column contract. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (kind, pat)) =>
+      d.withColumn(s"n_$kind", regexp_count(col(textCol), lit(pat)))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (kind, pat)) =>
+        regexp_replace(c, pat, s"[${kind.toUpperCase}]")
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Gopher-style repetition statistics over word n-grams: the fraction
+    * of all n-grams claimed by the single most frequent one (`top_ratio`)
+    * and the duplicate fraction (1 − distinct/total, `dup_ratio`) —
+    * the two filters repetitive/boilerplate text fails first
+    * (Rae et al. 2021, "Scaling Language Models", table A1). Two grouped
+    * passes over exploded n-grams, partial-aggregated map-side. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val perGram = Dedup.shingles(df, idCol, textCol, n)
+      .groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+    perGram.groupBy(col(idCol))
+      .agg(sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_n"))
+      .withColumn("top_ratio", round6(col("top_n") / col("n_grams")))
+      .withColumn("dup_ratio",
+        round6(lit(1.0) - col("n_distinct") / col("n_grams")))
+  }
+
   /** Document fingerprint: min/max md5 prefix over word 4-grams — a
     * winnowing-style content signature that survives reordering-free edits
     * and is identical across engines. */

@@ -41,10 +41,13 @@ object TimeSeriesReader {
     if (maxDataPoints <= 0 || points <= maxDataPoints) p
     else {
       val factor = Math.floorDiv(points + maxDataPoints - 1, maxDataPoints)
-      val stepS = p.stepS * factor
-      val start = Math.floorDiv(p.startS, stepS) * stepS
-      val end = Math.floorDiv(p.endS + stepS - 1, stepS) * stepS
-      FetchPlan(start, end, p.stage, stepS)
+      // keep the fine-aligned edges: consolidated windows anchor at
+      // p.startS (graphite-web consolidates the fetched series from its
+      // first point), so the emitted spine stays inside [startS, endS)
+      // and holds ceil(points/factor) ≤ maxDataPoints slots — no
+      // out-of-window slot and no budget overshoot from re-aligning
+      // outward to the coarser step
+      FetchPlan(p.startS, p.endS, p.stage, p.stepS * factor)
     }
   }
 
@@ -138,7 +141,16 @@ object TimeSeriesReader {
       val xffSrc =
         if (hasXff && p.stepS > p.stage.precisionS) Some(p.stage.precisionS)
         else None
-      val series = Downsample.pointGrouper(scan, p.stepS, xffSrc)
+      // consolidated windows anchor at the (stage-aligned) window start,
+      // which need not be a multiple of the widened step: shift to a
+      // start-relative timeline for the grouping, shift back after —
+      // pointGrouper itself stays absolute-aligned for plain reads
+      val series =
+        if (p.stepS > p.stage.precisionS)
+          Downsample.pointGrouper(
+              scan.withColumn("ts", col("ts") - p.startS), p.stepS, xffSrc)
+            .withColumn("ts", col("ts") + p.startS)
+        else Downsample.pointGrouper(scan, p.stepS, xffSrc)
       val spine = spark.range(p.startS, p.endS, p.stepS).select(col("id").as("ts"))
       broadcast(metaDf.select("metric_id", "name")).crossJoin(spine)
         .join(series, Seq("metric_id", "ts"), "left")

@@ -150,7 +150,14 @@ object StreamingIngest {
     * watermark's emission latency and hard lateness cutoff (the
     * reference's ±15 min, drivers/cassandra.py:638-640). Rows land in
     * the standard [[graft.sources.PointsStore]] layout, pruned-readable
-    * like any batch write. */
+    * like any batch write.
+    *
+    * Although append-mode windows are final, a micro-batch REPLAYED after
+    * a crash (failure between the parquet append and the checkpoint
+    * commit) appends its rows a second time. Stamping `batch_seq` =
+    * batchId makes the sink idempotent: the store read path resolves
+    * duplicates last-write-wins on batch_seq (PointsStore.read), exactly
+    * like the stateful [[startIngestJob]]. */
   def startEventTimeIngestJob(
       pointsStream: Dataset[RawPoint],
       stage: Stage,
@@ -162,8 +169,10 @@ object StreamingIngest {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        PointsStore.write(batch.withColumn("replica", lit(0)),
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        PointsStore.write(
+          batch.withColumn("replica", lit(0))
+            .withColumn("batch_seq", lit(batchId)),
           storeDir, stage)
         ()
       }

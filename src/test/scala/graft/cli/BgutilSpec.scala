@@ -85,13 +85,15 @@ class BgutilSpec extends SparkSuite {
     Bgutil.write(db, "a.c", 60L, 2.0, "60*60s:24*3600s", "average")
     val current = java.nio.file.Paths.get(s"$dir/CURRENT")
     assert(java.nio.file.Files.exists(current))
-    val v = java.nio.file.Files.readString(current).trim.toLong
-    assert(v === 3L) // syncdb + 2 writes
+    // pointer token is "N-nonce": N counts commits, the nonce keeps
+    // concurrent committers from ever sharing a directory
+    val token = java.nio.file.Files.readString(current).trim
+    assert(token.takeWhile(_.isDigit).toLong === 3L) // syncdb + 2 writes
     // only the current version dir remains (older ones garbage-collected)
     val dirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("catalog_v"))
       .map(_.getName).toSeq
-    assert(dirs === Seq(s"catalog_v$v"))
+    assert(dirs === Seq(s"catalog_v$token"))
     assert(db.catalog.count() === 2)
   }
 

@@ -23,6 +23,34 @@ class ConsolidationSpec extends SparkSuite {
     assert(p2.stepS === 60L)
   }
 
+  test("consolidated spine stays inside the requested window and budget") {
+    val ret = Retention.fromString("3600*60s:2160*3600s")
+    // [120, 720) = 10 fine steps, budget 4 → factor 3 → step 180 anchored
+    // at 120 (NOT floor-aligned out to 0); slots = ceil(600/180) = 4
+    val p = TimeSeriesReader.planConsolidated(ret, 120L, 720L,
+      nowS = 720L, maxDataPoints = 4)
+    assert(p.stepS === 180L)
+    assert(p.startS === 120L && p.endS === 720L)
+    assert((p.endS - p.startS + p.stepS - 1) / p.stepS <= 4)
+
+    val store = java.nio.file.Files.createTempDirectory("consol_anchor").toString
+    val stage0 = Stage(60, 60, stage0 = true)
+    val pts = (2 until 12).map(i => ("m.x", i * 60L, i.toDouble)) // ts 120..660
+    PointsStore.write(pts.toDF("metric_id", "ts", "value")
+      .withColumn("count", lit(1.0)).withColumn("replica", lit(0)),
+      store, stage0)
+    val catalog = MetricCatalog.withDerivedColumns(Seq("m.x").toDF("name"))
+      .withColumn("id", col("name"))
+      .withColumn("aggregator", lit("average"))
+      .withColumn("retention", lit("60*60s:24*3600s"))
+    val got = TimeSeriesReader.findAndFetchPlanned(spark, catalog, store,
+      "m.x", 120L, 720L, nowS = 720L, maxDataPoints = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // windows anchor at 120: [120,300)→3, [300,480)→6, [480,660)→9, [660,720)→11
+    assert(got.toSeq === Seq((120L, 3.0), (300L, 6.0), (480L, 9.0), (660L, 11.0)))
+    assert(got.forall { case (ts, _) => ts >= 120L && ts < 720L })
+  }
+
   test("consolidated read applies xFilesFactor from the catalog") {
     val store = java.nio.file.Files.createTempDirectory("consol").toString
     val stage0 = Stage(60, 60, stage0 = true)

@@ -52,6 +52,34 @@ class DedupSpec extends SparkSuite {
     assert(got2 === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("connected components: long chains converge via pointer jumping") {
+    // a 41-node chain has diameter 40; one-hop propagation alone needs
+    // 40 rounds, pointer jumping covers 2^i hops after i rounds
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, maxIter = 10)
+    assert(got.count() === 41)
+    assert(got.filter(col("cluster") =!= 0L).isEmpty)
+  }
+
+  test("connected components: non-convergence throws, never splits clusters") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("oversized-bucket report matches what a cap would drop") {
+    val d = docs(20)
+    val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
+    val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+    val over = Dedup.lshOversizedBuckets(sig, "doc_id",
+      numHashes = 8, bands = 8, maxBucketSize = 10).collect()
+    // the 20-doc degenerate text collides in every one of the 8 bands
+    assert(over.length === 8)
+    assert(over.forall(_.getLong(2) === 20L))
+  }
+
   test("leakage-safe split: dup-cluster members always share a split") {
     val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
