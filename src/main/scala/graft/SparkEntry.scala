@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.glob.Glob
-import graft.operators.{Dedup, Downsample, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Downsample, Packing, Sampling, SeriesFunctions, Similarity, TextAnalysis}
 import graft.sources.MetricCatalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,45 @@ object SparkEntry {
 
   /** Day-1 window of the synthetic corpus (events start 2024-01-01 UTC). */
   private val T0 = 1704067200L
+
+  /** DuckDB mirror of [[hourlySeries]]: replica-resolved hourly averages
+    * on a dense 2-day spine (same shape the a7 oracle builds). */
+  private lazy val SeriesCte =
+    s"""$PointsCte,
+       |windowed AS (
+       |  SELECT * FROM points WHERE ts >= $T0 AND ts < $T0 + 2 * 86400),
+       |g AS (
+       |  SELECT name, (ts // 3600) * 3600 AS ts, replica,
+       |         sum(value) AS sum_v, count(*) AS cnt
+       |  FROM windowed GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY name, ts ORDER BY cnt DESC, replica ASC) AS rn
+       |  FROM g),
+       |series AS (
+       |  SELECT name, ts, round(sum_v / cnt, 4) AS value FROM r WHERE rn = 1),
+       |spine AS (SELECT unnest(range($T0, $T0 + 2 * 86400, 3600)) AS ts),
+       |names AS (SELECT DISTINCT name FROM windowed),
+       |base AS (
+       |  SELECT n.name, s.ts, se.value
+       |  FROM names n CROSS JOIN spine s
+       |  LEFT JOIN series se ON se.name = n.name AND se.ts = s.ts)""".stripMargin
+
+  /** Canonical fetched-series fixture for the graphite-function queries:
+    * two days of hourly averages per metric on a dense spine — nullable
+    * `value` slots are graphite's None, so the g* oracles exercise the
+    * null semantics of every transform. */
+  private def hourlySeries(s: SparkSession, dir: String): DataFrame = {
+    val pts = points(s, dir)
+      .filter(col("ts") >= T0 && col("ts") < T0 + 2 * 86400)
+      .withColumn("metric_id", col("name"))
+      .withColumn("aggregator", lit("average"))
+      .withColumn("count", lit(1.0))
+    val series = Downsample.pointGrouper(pts, targetPrecisionS = 3600)
+      .withColumn("value", round(col("value"), 4))
+    Downsample.denseSpine(series, T0, T0 + 2 * 86400, 3600)
+      .select(col("metric_id").as("name"), col("ts"), col("value"))
+  }
 
   private def stepTs(precisionS: Long): Column =
     (floor(col("ts") / precisionS) * precisionS).cast("long")
@@ -787,6 +826,64 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // G1: graphite rate functions (derivative / nonNegativeDerivative /
+    // perSecond) over a dense hourly series — the render transforms
+    // graphite-web applies per-point in Python run here as one
+    // window-function plan (functions.py semantics; see SeriesFunctions)
+    "g1_rate_functions" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val d = SeriesFunctions.derivative(base)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("deriv"))
+      val nn = SeriesFunctions.nonNegativeDerivative(base)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("nn_deriv"))
+      val ps = SeriesFunctions.perSecond(base)
+        .select(col("name"), col("ts"), round(col("value") * 1e6, 4).as("per_sec_u"))
+      d.join(nn, Seq("name", "ts")).join(ps, Seq("name", "ts"))
+        .orderBy("name", "ts")
+    },
+
+    // G2: graphite window functions — trailing movingAverage(4),
+    // running integral (None slots stay None but don't reset the
+    // accumulator), keepLastValue forward-fill
+    "g2_window_functions" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val ma = SeriesFunctions.movingAverage(base, points = 4)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("mavg"))
+      val integ = SeriesFunctions.integral(base)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("integ"))
+      val klv = SeriesFunctions.keepLastValue(base)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("filled"))
+      ma.join(integ, Seq("name", "ts")).join(klv, Seq("name", "ts"))
+        .orderBy("name", "ts")
+    },
+
+    // G3: summarize(2h, sum) re-bucketing, then cross-series combines
+    // (sumSeries / averageSeries / countSeries) per slot, aliased like
+    // graphite's sumSeries(ev.click.*) target
+    "g3_summarize_combine" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+        .filter(col("name").startsWith("ev.click."))
+      val summ = SeriesFunctions.summarize(base, intervalS = 7200, fn = "sum")
+      val sums = SeriesFunctions.combineSeries(summ, "sum", "sum_click")
+        .select(col("ts"), round(col("value"), 4).as("sum_v"))
+      val avgs = SeriesFunctions.combineSeries(summ, "avg", "avg_click")
+        .select(col("ts"), round(col("value"), 4).as("avg_v"))
+      val counts = SeriesFunctions.combineSeries(summ, "count", "n_click")
+        .select(col("ts"), col("value").cast("long").as("n_series"))
+      sums.join(avgs, Seq("ts")).join(counts, Seq("ts")).orderBy("ts")
+    },
+
+    // G4: highestMax(3) series selection + aliasByNode(1, 2) relabel —
+    // two-pass top-n (tiny per-series aggregate + broadcast semi-join),
+    // never a global sort of the points
+    "g4_highest_series" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      SeriesFunctions.aliasByNode(
+        SeriesFunctions.highest(base, n = 3, by = "max"), Seq(1, 2))
+        .select(col("name"), col("ts"), round(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    },
+
     // MM1: multimodal binary-column plumbing (payload as opaque blob +
     // typed metadata extraction; see operators.Multimodal for the
     // partition-batched decode path)
@@ -1286,6 +1383,54 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 12
         |       WHEN 'zh' THEN 2 ELSE 16 END
         |ORDER BY doc_id""".stripMargin,
+
+    "g1_rate_functions" ->
+      s"""WITH $SeriesCte
+         |SELECT name, ts,
+         |  round(value - lag(value) OVER w, 4) AS deriv,
+         |  CASE WHEN value - lag(value) OVER w >= 0
+         |       THEN round(value - lag(value) OVER w, 4) END AS nn_deriv,
+         |  CASE WHEN value - lag(value) OVER w >= 0
+         |       THEN round((value - lag(value) OVER w)
+         |                  / (ts - lag(ts) OVER w) * 1e6, 4) END AS per_sec_u
+         |FROM base WINDOW w AS (PARTITION BY name ORDER BY ts)
+         |ORDER BY name, ts""".stripMargin,
+
+    "g2_window_functions" ->
+      s"""WITH $SeriesCte
+         |SELECT name, ts,
+         |  round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         |        4) AS mavg,
+         |  CASE WHEN value IS NOT NULL THEN
+         |    round(sum(value) OVER
+         |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         |  END AS integ,
+         |  round(last_value(value IGNORE NULLS) OVER
+         |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+         |FROM base WINDOW w AS (PARTITION BY name ORDER BY ts)
+         |ORDER BY name, ts""".stripMargin,
+
+    "g3_summarize_combine" ->
+      s"""WITH $SeriesCte,
+         |summ AS (
+         |  SELECT name, (ts // 7200) * 7200 AS ts, sum(value) AS value
+         |  FROM base WHERE name LIKE 'ev.click.%' GROUP BY 1, 2)
+         |SELECT ts, round(sum(value), 4) AS sum_v,
+         |  round(avg(value), 4) AS avg_v,
+         |  count(value) AS n_series
+         |FROM summ GROUP BY ts ORDER BY ts""".stripMargin,
+
+    "g4_highest_series" ->
+      s"""WITH $SeriesCte,
+         |ranked AS (
+         |  SELECT name FROM (
+         |    SELECT name, max(value) AS m FROM base GROUP BY name)
+         |  ORDER BY m DESC NULLS LAST, name ASC LIMIT 3)
+         |SELECT split_part(b.name, '.', 2) || '.' || split_part(b.name, '.', 3)
+         |    AS name,
+         |  b.ts AS ts, round(b.value, 4) AS value
+         |FROM base b JOIN ranked r ON b.name = r.name
+         |ORDER BY name, ts""".stripMargin,
 
     "mm2_frame_sample" ->
       """WITH media AS (

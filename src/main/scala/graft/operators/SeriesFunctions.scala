@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Graphite render-function layer over fetched series.
+  *
+  * The reference exposes fetch results to graphite-web, which applies the
+  * render API's series transforms (`derivative`, `summarize`,
+  * `movingAverage`, `sumSeries`, …) driver-side in Python, one series at a
+  * time (the plugin hands graphite-web a `FetchedSeries` iterable,
+  * plugins/graphite.py:142-225). A user switching to this engine keeps the
+  * same transforms, but they run AS the query plan — window functions
+  * partitioned by series name and grouped aggregations, parallel over
+  * metrics and codegen'd, instead of a Python loop over every point.
+  *
+  * All functions take the canonical fetched shape (name, ts, value) that
+  * [[TimeSeriesReader.findAndFetchPlanned]] emits — value is nullable, a
+  * null slot being graphite's `None` — and preserve extra columns where
+  * noted. Null semantics follow graphite's `safe*` helpers: aggregates
+  * skip None; pointwise transforms propagate it.
+  *
+  * Scale shape: every per-series window shuffles once on `name` (hash
+  * partitioning over the metric space — even load at any metric count);
+  * cross-series combines shuffle once on `ts`. Nothing here widens at
+  * 100 TB beyond those single exchanges.
+  */
+object SeriesFunctions {
+
+  private def perSeries = Window.partitionBy("name").orderBy("ts")
+
+  /** d/dt as graphite `derivative`: value − previous value, None for the
+    * first point and across None gaps (functions.py derivative). */
+  def derivative(df: DataFrame): DataFrame =
+    df.withColumn("value", col("value") - lag("value", 1).over(perSeries))
+
+  /** `nonNegativeDerivative`: like derivative but counter resets (negative
+    * deltas) become None instead of misleading negatives. */
+  def nonNegativeDerivative(df: DataFrame): DataFrame = {
+    val delta = col("value") - lag("value", 1).over(perSeries)
+    df.withColumn("value", when(delta >= 0, delta))
+  }
+
+  /** `perSecond`: non-negative delta divided by the actual time gap to the
+    * previous point — rate that stays correct across missing slots. */
+  def perSecond(df: DataFrame): DataFrame = {
+    val delta = col("value") - lag("value", 1).over(perSeries)
+    val dt = col("ts") - lag("ts", 1).over(perSeries)
+    df.withColumn("value", when(delta >= 0, delta / dt))
+  }
+
+  /** `integral`: running sum per series; None inputs stay None in the
+    * output but do not reset the accumulator (graphite's behavior). */
+  def integral(df: DataFrame): DataFrame = {
+    val running = sum("value")
+      .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("value", when(col("value").isNotNull, running))
+  }
+
+  /** `timeShift`: relabel each point `offsetS` later (negative = earlier).
+    * Pure column arithmetic — composes with any downstream join/compare. */
+  def timeShift(df: DataFrame, offsetS: Long): DataFrame =
+    df.withColumn("ts", col("ts") + offsetS)
+
+  /** `scale` + `offset` in one pass: value·factor + add. */
+  def scaleOffset(df: DataFrame, factor: Double, add: Double = 0.0): DataFrame =
+    df.withColumn("value", col("value") * factor + add)
+
+  /** `movingAverage` over a trailing window of `points` slots (current
+    * slot included), None slots skipped — graphite's safeAvg over the
+    * window. The first slots average whatever prefix exists. */
+  def movingAverage(df: DataFrame, points: Int): DataFrame = {
+    require(points > 0)
+    df.withColumn("value",
+      avg("value").over(perSeries.rowsBetween(-(points - 1), 0)))
+  }
+
+  /** `keepLastValue`: forward-fill None slots with the most recent
+    * non-None value (no gap limit — document the difference vs graphite's
+    * optional `limit`; an unlimited fill is the common call). */
+  def keepLastValue(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      last("value", ignoreNulls = true)
+        .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** `summarize`: re-bucket each series into `intervalS` windows with one
+    * of graphite's summary functions ("sum", "avg", "max", "min", "last").
+    * Windows align to multiples of `intervalS`, graphite's default. Only
+    * non-empty windows are emitted (pair with a spine join for density). */
+  def summarize(df: DataFrame, intervalS: Long, fn: String): DataFrame = {
+    val w = (floor(col("ts") / intervalS) * intervalS).cast("long")
+    val agg: Column = fn match {
+      case "sum" => sum("value")
+      case "avg" => avg("value")
+      case "max" => max("value")
+      case "min" => min("value")
+      case "last" => max_by(col("value"), when(col("value").isNotNull, col("ts")))
+      case other => throw new IllegalArgumentException(
+        s"summarize: unknown function '$other'")
+    }
+    df.groupBy(col("name"), w.as("ts")).agg(agg.as("value"))
+  }
+
+  /** Cross-series combine — `sumSeries` / `averageSeries` / `minSeries` /
+    * `maxSeries` / `countSeries`: collapse all input series into one named
+    * `alias`, slot by slot, skipping None (graphite safe* semantics: a
+    * slot where every series is None stays None — aggregates over all-null
+    * groups already return null). One shuffle on ts. */
+  def combineSeries(df: DataFrame, fn: String, alias: String): DataFrame = {
+    val agg: Column = fn match {
+      case "sum" => sum("value")
+      case "avg" => avg("value")
+      case "min" => min("value")
+      case "max" => max("value")
+      case "count" => count("value").cast("double")
+      case other => throw new IllegalArgumentException(
+        s"combineSeries: unknown function '$other'")
+    }
+    df.groupBy("ts").agg(agg.as("value"))
+      .select(lit(alias).as("name"), col("ts"), col("value"))
+  }
+
+  /** `aliasByNode`: rebuild the display name from selected dot-separated
+    * components (0-based; graphite allows negatives — supported here). */
+  def aliasByNode(df: DataFrame, nodes: Seq[Int]): DataFrame = {
+    val parts = split(col("name"), "\\.")
+    val picked = nodes.map { n =>
+      if (n >= 0) parts.getItem(n)
+      else element_at(parts, n) // element_at supports negative indexing
+    }
+    df.withColumn("name", concat_ws(".", picked: _*))
+  }
+
+  /** `highestMax` / `highestCurrent` / `highestAverage`: keep the `n`
+    * series that rank highest by the chosen statistic. Two passes — a
+    * per-series aggregate (map-side partials, tiny result) and a
+    * broadcast semi-join back — never a global sort of the points. Ties
+    * break on the lexically smaller name for determinism. */
+  def highest(df: DataFrame, n: Int, by: String = "max"): DataFrame = {
+    val stat: Column = by match {
+      case "max" => max("value")
+      case "average" => avg("value")
+      case "current" => max_by(col("value"), when(col("value").isNotNull, col("ts")))
+      case other => throw new IllegalArgumentException(
+        s"highest: unknown statistic '$other'")
+    }
+    val ranked = df.groupBy("name").agg(stat.as("__stat"))
+      .orderBy(col("__stat").desc_nulls_last, col("name").asc)
+      .limit(n)
+      .select("name")
+    df.join(broadcast(ranked), Seq("name"), "left_semi")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Golden tests for the graphite render-function layer, mirroring
+  * graphite-web functions.py semantics (None propagation in pointwise
+  * transforms, None-skipping in aggregates). */
+class SeriesFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** a: 1, None, 4, 2   b: 10, 20, None, None  (step 60) */
+  private def series: DataFrame = Seq(
+    ("a", 0L, Some(1.0)), ("a", 60L, None), ("a", 120L, Some(4.0)),
+    ("a", 180L, Some(2.0)),
+    ("b", 0L, Some(10.0)), ("b", 60L, Some(20.0)), ("b", 120L, None),
+    ("b", 180L, None))
+    .toDF("name", "ts", "value")
+
+  private def vals(df: DataFrame, name: String): Seq[Option[Double]] =
+    df.filter(col("name") === name).orderBy("ts").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+
+  test("derivative: first point and None gaps produce None") {
+    val d = SeriesFunctions.derivative(series)
+    assert(vals(d, "a") === Seq(None, None, None, Some(-2.0)))
+    assert(vals(d, "b") === Seq(None, Some(10.0), None, None))
+  }
+
+  test("nonNegativeDerivative: counter resets become None") {
+    val d = SeriesFunctions.nonNegativeDerivative(series)
+    assert(vals(d, "a") === Seq(None, None, None, None)) // -2 suppressed
+    assert(vals(d, "b") === Seq(None, Some(10.0), None, None))
+  }
+
+  test("perSecond divides by the actual time gap") {
+    val d = SeriesFunctions.perSecond(series)
+    assert(vals(d, "b")(1) === Some(10.0 / 60))
+  }
+
+  test("integral: running sum, None slots stay None but don't reset") {
+    val d = SeriesFunctions.integral(series)
+    assert(vals(d, "a") === Seq(Some(1.0), None, Some(5.0), Some(7.0)))
+  }
+
+  test("movingAverage skips None inside the trailing window") {
+    val d = SeriesFunctions.movingAverage(series, points = 2)
+    // a @120: window (None, 4) → 4; a @180: (4, 2) → 3
+    assert(vals(d, "a") === Seq(Some(1.0), Some(1.0), Some(4.0), Some(3.0)))
+    // b @120: (20, None) → 20; b @180: (None, None) → None
+    assert(vals(d, "b") === Seq(Some(10.0), Some(15.0), Some(20.0), None))
+  }
+
+  test("keepLastValue forward-fills from the last non-None") {
+    val d = SeriesFunctions.keepLastValue(series)
+    assert(vals(d, "a") === Seq(Some(1.0), Some(1.0), Some(4.0), Some(2.0)))
+    assert(vals(d, "b") === Seq(Some(10.0), Some(20.0), Some(20.0), Some(20.0)))
+  }
+
+  test("timeShift and scaleOffset are pure column arithmetic") {
+    val d = SeriesFunctions.scaleOffset(
+      SeriesFunctions.timeShift(series, 3600), factor = 2.0, add = 1.0)
+    val row = d.filter(col("name") === "a" && col("ts") === 3600L).collect()(0)
+    assert(row.getDouble(2) === 3.0)
+  }
+
+  test("summarize: window alignment and the 'last' summary function") {
+    val s = SeriesFunctions.summarize(series, intervalS = 120, fn = "last")
+    val got = s.filter(col("name") === "a").orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // [0,120): points (1, None) → last non-None = 1; [120,240): (4,2) → 2
+    assert(got === Seq((0L, 1.0), (120L, 2.0)))
+    intercept[IllegalArgumentException] {
+      SeriesFunctions.summarize(series, 120, "median")
+    }
+  }
+
+  test("combineSeries: slots where every series is None stay None") {
+    val c = SeriesFunctions.combineSeries(series, "sum", "total")
+    val got = c.orderBy("ts").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq((0L, Some(11.0)), (60L, Some(20.0)),
+      (120L, Some(4.0)), (180L, Some(2.0))))
+    assert(c.select("name").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("total"))
+    // all-None slot: restrict to series b → ts 120/180 are None
+    val onlyB = SeriesFunctions.combineSeries(
+      series.filter(col("name") === "b"), "avg", "b_avg")
+    val bVals = onlyB.orderBy("ts").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(bVals === Seq(Some(10.0), Some(20.0), None, None))
+  }
+
+  test("aliasByNode supports negative node indexes") {
+    val d = SeriesFunctions.aliasByNode(
+      Seq(("ev.click.3", 0L, 1.0)).toDF("name", "ts", "value"), Seq(1, -1))
+    assert(d.select("name").collect()(0).getString(0) === "click.3")
+  }
+
+  test("highest keeps the top-n series with name tie-break") {
+    val many = Seq(
+      ("m1", 0L, Some(5.0)), ("m2", 0L, Some(9.0)), ("m3", 0L, Some(9.0)),
+      ("m4", 0L, None))
+      .toDF("name", "ts", "value")
+    val top2 = SeriesFunctions.highest(many, n = 2, by = "max")
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(top2 === Seq("m2", "m3")) // tie at 9.0 → both beat 5.0
+    val top3 = SeriesFunctions.highest(many, n = 3, by = "max")
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(top3 === Seq("m1", "m2", "m3")) // all-None series ranks last
+  }
+}
