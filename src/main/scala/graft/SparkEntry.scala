@@ -540,6 +540,45 @@ object SparkEntry {
         .orderBy("name", "ts")
     },
 
+    // E4: the COMPLETE graphite render flow as one plan — store write →
+    // glob → planned read → perSecond rate → summarize(2h, max) →
+    // highestMax(3) → aliasByNode(1,2): what graphite-web does per-series
+    // in Python (plugins/graphite.py:142-225 hands it FetchedSeries)
+    // runs here as window functions + grouped aggregates downstream of
+    // the same pruned store scan. Values round to 4 right after the
+    // fetch so the rate/rank arithmetic is bit-identical cross-engine.
+    "e4_render_pipeline" -> { (s, dir) =>
+      import graft.model.Retention
+      import graft.operators.{Downsample, SeriesFunctions, TimeSeriesReader}
+      import graft.sources.PointsStore
+      val store = java.nio.file.Files.createTempDirectory("graft_e4").toString
+      val ret = Retention.fromString("1440*60s:720*3600s")
+      val pts = points(s, dir)
+        .withColumn("metric_id", col("name"))
+        .withColumn("aggregator", lit("average"))
+      val st1 = ret.stages(1)
+      PointsStore.write(
+        Downsample.rollupStage(pts, st1.precisionS)
+          .select(col("metric_id"), col("ts"), col("value"), col("count"),
+            lit(0).as("replica")),
+        store, st1)
+      val catalog = MetricCatalog.withDerivedColumns(
+        pts.select("name").distinct())
+        .withColumn("id", col("name"))
+        .withColumn("aggregator", lit("average"))
+        .withColumn("retention", lit(ret.toString))
+      val fetched = TimeSeriesReader.findAndFetchPlanned(s, catalog, store,
+        "ev.*.*", T0, T0 + 2 * 86400, nowS = T0 + 30 * 86400)
+        .withColumn("value", round(col("value"), 4))
+      val rate = SeriesFunctions.perSecond(fetched)
+      val summ = SeriesFunctions.summarize(rate, intervalS = 7200, fn = "max")
+      SeriesFunctions.aliasByNode(
+        SeriesFunctions.highest(summ, n = 3, by = "max"), Seq(1, 2))
+        .select(col("name"), col("ts"),
+          round(col("value") * 1e6, 4).as("rate_u"))
+        .orderBy("name", "ts")
+    },
+
     // E3: planned read across TWO retention classes in one call — the
     // glob matches metrics whose retentions pick different stages
     // (hourly vs 2-hourly), so the planned read runs one pruned scan per
@@ -706,6 +745,31 @@ object SparkEntry {
       Similarity.bruteForceKnnQuantized(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // KM1: Lloyd's k-means (2 iterations, deterministic first-k init)
+    // then final assignment — the trained coarse quantizer behind
+    // IVF ANN and SemDeDup. Oracle = the same iterations unrolled as CTEs
+    "km1_kmeans" -> { (s, dir) =>
+      import graft.operators.Clustering
+      val emb = table(s, dir, "embeddings")
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Clustering.assignCells(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell_id"), col("ccos").as("cos"))
+        .orderBy("vec_id")
+    },
+
+    // D8: SemDeDup — semantic near-dup pairs within trained k-means
+    // cells (cluster-blocked pairwise, never corpus²)
+    "d8_semdedup" -> { (s, dir) =>
+      import graft.operators.Clustering
+      val emb = table(s, dir, "embeddings")
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Clustering.semanticDupPairs(emb, "vec_id", "embedding", cents,
+        threshold = 0.4)
+        .orderBy("id_a", "id_b")
     },
 
     // K3: IVF ANN — deterministic coarse quantizer (first-nCells
@@ -935,6 +999,41 @@ object SparkEntry {
       s" AS score_$lang"
   }
 
+  /** DuckDB CTE chain mirroring [[graft.operators.Clustering]]: seeds
+    * c0 with the first `k` vectors, unrolls `iters` assign+update rounds
+    * (a1/m1/c1 … ), and ends with the final assignment `a{iters+1}`
+    * (vec_id, embedding, cell_id, ccos, rn) against c{iters}. Rounding
+    * (ccos to 6, means to 6) matches the Spark side exactly so the
+    * iteration trajectories stay bit-identical across engines. */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    def assign(i: Int): String =
+      s"""a$i AS (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+         |      c.cell_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN c${i - 1} c)""".stripMargin
+    val init =
+      s"""c0 AS (
+         |  SELECT vec_id AS cell_id,
+         |    list_transform(embedding, v -> v::DOUBLE) AS centroid
+         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assign(i)},
+         |m$i AS (
+         |  SELECT cell_id, pos, round(avg(v), 6) AS m
+         |  FROM (SELECT a.cell_id, u.i AS pos, a.embedding[u.i + 1]::DOUBLE AS v
+         |        FROM a$i a, LATERAL unnest(range(0, len(a.embedding))) u(i)
+         |        WHERE a.rn = 1)
+         |  GROUP BY cell_id, pos),
+         |c$i AS (
+         |  SELECT cell_id, list(m ORDER BY pos) AS centroid
+         |  FROM m$i GROUP BY cell_id)""".stripMargin
+    }
+    (Seq(init) ++ rounds ++ Seq(assign(iters + 1))).mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s2_metric_autocreate" ->
       s"""WITH pts AS (
@@ -996,6 +1095,39 @@ object SparkEntry {
          |SELECT names.name AS name, spine.ts AS ts, vals.value AS value
          |FROM names CROSS JOIN spine
          |LEFT JOIN vals ON vals.name = names.name AND vals.ts = spine.ts
+         |ORDER BY name, ts""".stripMargin,
+
+    "e4_render_pipeline" ->
+      s"""WITH $PointsCte,
+         |names AS (SELECT DISTINCT name FROM points),
+         |w AS (
+         |  SELECT name, (ts // 3600) * 3600 AS ts, value FROM points
+         |  WHERE ts >= $T0 AND ts < $T0 + 2 * 86400),
+         |g AS (
+         |  SELECT name, ts, round(sum(value) / count(*), 4) AS value
+         |  FROM w GROUP BY 1, 2),
+         |spine AS (SELECT unnest(range($T0, $T0 + 2 * 86400, 3600)) AS ts),
+         |dense AS (
+         |  SELECT n.name, s.ts, g.value
+         |  FROM names n CROSS JOIN spine s
+         |  LEFT JOIN g ON g.name = n.name AND g.ts = s.ts),
+         |rate AS (
+         |  SELECT name, ts,
+         |    CASE WHEN value - lag(value) OVER pw >= 0
+         |         THEN (value - lag(value) OVER pw) /
+         |              (ts - lag(ts) OVER pw) END AS value
+         |  FROM dense WINDOW pw AS (PARTITION BY name ORDER BY ts)),
+         |summ AS (
+         |  SELECT name, (ts // 7200) * 7200 AS ts, max(value) AS value
+         |  FROM rate GROUP BY 1, 2),
+         |top AS (
+         |  SELECT name FROM (
+         |    SELECT name, max(value) AS s FROM summ GROUP BY name)
+         |  ORDER BY s DESC NULLS LAST, name ASC LIMIT 3)
+         |SELECT split_part(summ.name, '.', 2) || '.' ||
+         |       split_part(summ.name, '.', 3) AS name,
+         |  summ.ts AS ts, round(summ.value * 1e6, 4) AS rate_u
+         |FROM summ JOIN top ON top.name = summ.name
          |ORDER BY name, ts""".stripMargin,
 
     "e3_multi_retention_read" ->
@@ -1255,6 +1387,20 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    "km1_kmeans" ->
+      s"""WITH ${kmeansOracleCtes(k = 4, iters = 2)}
+         |SELECT vec_id, cell_id, ccos AS cos FROM a3 WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "d8_semdedup" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |sel AS (SELECT vec_id, embedding, cell_id FROM a3 WHERE rn = 1)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+         |FROM sel a JOIN sel b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "t1_langid" ->
       s"""WITH toks AS (

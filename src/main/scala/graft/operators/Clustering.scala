@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for training-data curation
+  * (beyond-reference scope, SURVEY.md §7.4): a deterministic Lloyd's
+  * k-means over array columns, the trained coarse quantizer for IVF-style
+  * ANN, and SemDeDup-style semantic deduplication (Abbas et al. 2023:
+  * cluster, then drop near-identical pairs WITHIN each cluster — the
+  * cluster structure bounds the pairwise comparison to cell-sized blocks).
+  *
+  * Everything is declarative DataFrame ops — no collect, no UDFs, no
+  * MLlib dependency:
+  *  - assignment: corpus × broadcast(centroids) + a max_by aggregation
+  *    (map-side partials; never a corpus-wide sort),
+  *  - centroid update: posexplode to (cell, dim) rows → one partial-
+  *    aggregated groupBy of k·d cells → re-assembled array.
+  * Per iteration that is one broadcast join and two shuffles whose
+  * output is k·d rows — at 100 TB the corpus is scanned `iters` times
+  * but never reshuffled by itself.
+  *
+  * Determinism: init = the first k vectors by id, cosine rounded to 6
+  * before the argmax, ties to the lowest cell, centroid means rounded to
+  * 6 — identical results in any engine, rerun, or partitioning.
+  */
+object Clustering {
+
+  /** Nearest-centroid assignment by cosine: returns (idCol, vecCol,
+    * cell_id, ccos). `centroids` must be (cell_id, centroid) and small
+    * enough to broadcast (k centroids — always, by construction). */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(Similarity.cosine(col(vecCol), col("centroid")), 6))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol).as("v"), col("cell_id"), col("ccos")),
+        struct(col("ccos"), -col("cell_id"))).as("__w"))
+      .select(col(idCol), col("__w.v").as(vecCol),
+        col("__w.cell_id").as("cell_id"), col("__w.ccos").as("ccos"))
+
+  /** Lloyd's k-means: `iters` rounds of assign + element-wise-mean
+    * update, seeded with the first `k` vectors by id. Returns
+    * (cell_id, centroid). A cell that loses every member simply drops
+    * out (k shrinks) — the deterministic analog of the usual
+    * reseed-empty-cell heuristic, and what a grouped mean naturally
+    * yields in any engine. */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0)
+    var cents = corpus.filter(col(idCol) < k)
+      .select(col(idCol).as("cell_id"),
+        transform(col(vecCol), v => v.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, idCol, vecCol, cents)
+      val means = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cell_id", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+      cents = means.groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"),
+          transform(col("pm"), x => round(x.getField("m"), 6)).as("centroid"))
+        // k rows — materialize so each round's broadcast plan stays flat
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** SemDeDup: semantic near-duplicate pairs = cosine ≥ `threshold`
+    * WITHIN a k-means cell. The trained cells play the role D5's label
+    * blocks played — pairwise cost is Σ cell² instead of corpus², and
+    * unlike labels the blocks come from the data itself. Returns
+    * (id_a, id_b, cos) with id_a < id_b; feed to
+    * [[Dedup.connectedComponents]] / [[Dedup.leakageSafeSplit]] like any
+    * other duplicate-pair source. */
+  def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val cells = assignCells(corpus, idCol, vecCol, centroids)
+    val a = cells.select(col("cell_id"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = cells.select(col("cell_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}
