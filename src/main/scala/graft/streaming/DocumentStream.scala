@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.TextAnalysis
+
+/** Streaming face of the training-data curation operators: documents
+  * arrive continuously (crawl output, log shipping) and must be deduped
+  * and quality-gated BEFORE they hit the corpus store — the same
+  * operators [[graft.operators.Dedup]] / [[graft.operators.TextAnalysis]]
+  * run in batch, expressed over an unbounded stream.
+  *
+  * Scale shape: the dedup state is keyed on a 128-bit content hash and
+  * bounded by the event-time watermark — state size is (arrival rate ×
+  * horizon), independent of total corpus size, so the stream never
+  * accumulates 100 TB of history. The quality gate is stateless column
+  * arithmetic (no shuffle, no state); it composes before the dedup so
+  * rejected documents never enter the state store at all.
+  */
+object DocumentStream {
+
+  /** Exact streaming dedup on content: drop any document whose text hash
+    * was already seen within the watermark horizon. Uses
+    * `dropDuplicatesWithinWatermark`, so state for a hash is evicted once
+    * the watermark passes its event time — re-posts farther apart than
+    * the horizon are treated as new documents (document the horizon as
+    * the dedup guarantee, exactly like the reference treats its
+    * ±15 min out-of-order window, drivers/cassandra.py:638-640).
+    *
+    * `eventTimeCol` must be a timestamp column; the watermark is set
+    * here, so callers should not set another one downstream. */
+  def dedupExact(docs: DataFrame, textCol: String, eventTimeCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__content_key", md5(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("__content_key")
+      .drop("__content_key")
+
+  /** Stateless curation gate: language-independent quality score +
+    * PII redaction in one pass. Safe in any output mode — pure column
+    * arithmetic, no aggregation — so it runs per micro-batch with zero
+    * state. Returns the input columns plus `quality_score` and
+    * `redacted`; documents below `minQuality` are dropped. */
+  def qualityGate(docs: DataFrame, textCol: String,
+      minQuality: Double): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs, textCol)
+      .filter(col("quality_score") >= minQuality)
+    TextAnalysis.redactPii(scored, textCol)
+      .drop("n_tokens", "stopword_ratio", "avg_word_len")
+  }
+
+  /** End-to-end curation job: gate → dedup → parquet append, stamped
+    * with `batch_seq` = batchId so a micro-batch replayed after a crash
+    * resolves last-write-wins on read (same idempotency contract as
+    * [[StreamingIngest.startEventTimeIngestJob]]). */
+  def startCurationJob(docs: DataFrame, textCol: String,
+      eventTimeCol: String, outDir: String, checkpointDir: String,
+      minQuality: Double = 0.0,
+      watermark: String = "1 hour"): StreamingQuery = {
+    val curated = dedupExact(qualityGate(docs, textCol, minQuality),
+      textCol, eventTimeCol, watermark)
+    curated.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_seq", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+}
