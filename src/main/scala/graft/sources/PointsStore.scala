@@ -81,8 +81,14 @@ object PointsStore {
     if (metricIds.nonEmpty) df = df.filter(col("metric_id").isin(metricIds: _*))
     if (df.columns.contains("batch_seq")) {
       val extra = if (df.columns.contains("replica")) Seq("replica") else Nil
+      // null batch_seq (rows from files written without the column, e.g.
+      // after a terminal compactStage followed by new streaming appends)
+      // must LOSE to any real sequence — max_by would otherwise return
+      // null for an all-null group and erase the row entirely
       df = graft.operators.Downsample.lastWriteWins(
-        df, stage.precisionS, col("batch_seq"), extraKeys = extra)
+        df.withColumn("batch_seq",
+          coalesce(col("batch_seq"), lit(Long.MinValue))),
+        stage.precisionS, col("batch_seq"), extraKeys = extra)
     }
     df
   }
@@ -113,21 +119,80 @@ object PointsStore {
     * batch_seq column is dropped). No-op when the stage carries no
     * batch_seq. */
   def compactStage(spark: SparkSession, baseDir: String, stage: Stage): Unit = {
-    val rows = read(spark, baseDir, stage, Long.MinValue / 2, Long.MaxValue / 2)
-    // read() already applied batch_seq last-write-wins; rewrite the result
-    val compacted = rows.drop("batch_seq")
+    // terminal form: drops the batch_seq column, so use it only on stores
+    // that stop receiving streaming writes (a later append would re-mix
+    // schemas; read() tolerates that via the null sentinel, but parquet
+    // schema inference on a mixed store is file-order dependent)
+    compactStageSlices(spark, baseDir, stage, bucketsPerSlice = Int.MaxValue,
+      dropBatchSeq = true)
+    ()
+  }
+
+  /** Driver-side listing of the bucket partition values present for one
+    * stage — directory metadata only (one entry per bucket dir), never
+    * row data, so it stays trivially small at any data volume. */
+  def listBuckets(baseDir: String, stage: Stage): Seq[Long] = {
+    // match on the DECODED dir name: Spark escapes partition values with
+    // its own %XX scheme ('*' → %2A), so building the escaped name by
+    // hand is fragile; decoding mirrors dropExpiredBuckets
+    val root = new java.io.File(baseDir)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("stage="))
+      .filter(d => java.net.URLDecoder.decode(
+        d.getName.stripPrefix("stage="), "UTF-8") == stage.toString)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty).toSeq)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toLong)
+      .sorted
+  }
+
+  /** Rolling per-slice compaction: collapse streaming re-emissions a few
+    * buckets at a time instead of materializing the whole stage at once —
+    * the whole-stage [[compactStage]] localCheckpoint is fine for a test
+    * store but at 100 TB would stage the entire table; each slice here
+    * bounds the working set to `bucketsPerSlice` partitions (time-window
+    * compaction, the TWCS analog of drivers/cassandra.py:943-1019, which
+    * also compacts per 3 h window precisely so compaction never touches
+    * the whole table).
+    *
+    * Slices are independent and the job is restartable at slice
+    * granularity: a killed run leaves earlier slices compacted and later
+    * ones still carrying batch_seq — the read path resolves both shapes.
+    * `sinceS` compacts only buckets at or after the cutoff: a live store
+    * only re-emits watermark-recent windows, so steady-state compaction
+    * touches a CONSTANT number of recent buckets, not the table's age.
+    *
+    * The winning `batch_seq` is KEPT by default so the store schema stays
+    * uniform while streaming keeps appending (a fresh re-emission after
+    * compaction still supersedes the compacted row via the normal read
+    * merge). `dropBatchSeq` is for terminal compaction only.
+    * Returns the compacted bucket values. */
+  def compactStageSlices(spark: SparkSession, baseDir: String, stage: Stage,
+      bucketsPerSlice: Int = 8, sinceS: Long = Long.MinValue,
+      dropBatchSeq: Boolean = false): Seq[Long] = {
+    require(bucketsPerSlice > 0)
+    val span = bucketSpanS(stage.precisionS)
+    val buckets = listBuckets(baseDir, stage)
+      .filter(b => sinceS == Long.MinValue || b + span > sinceS)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      // materialize before overwriting the directories being read
-      val snapshot = compacted.localCheckpoint(true)
-      snapshot.write.mode("overwrite")
-        .partitionBy("stage", "bucket")
-        .parquet(baseDir)
+      buckets.grouped(bucketsPerSlice).foreach { slice =>
+        // read() prunes to the slice's buckets and applies batch_seq
+        // last-write-wins; rewrite only those partition dirs
+        val merged = read(spark, baseDir, stage, slice.min, slice.max + span)
+        val rows = if (dropBatchSeq) merged.drop("batch_seq") else merged
+        // materialize before overwriting the directories being read
+        rows.localCheckpoint(true)
+          .write.mode("overwrite")
+          .partitionBy("stage", "bucket")
+          .parquet(baseDir)
+      }
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    buckets
   }
 
   /** TTL enforcement as a METADATA operation: delete whole bucket

@@ -35,6 +35,34 @@ class StoreLifecycleSpec extends SparkSuite {
     assert(after === before)
   }
 
+  test("compactStageSlices compacts per bucket slice; sinceS bounds scope") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_sl").toString
+    val stage = Stage(1440, 60, stage0 = true)
+    val span = PointsStore.bucketSpanS(60) // 120000 s
+    // three buckets, each with a superseded batch-1 row
+    def rows(seq: Long, v: Double) = (0 until 3).map(b =>
+      ("m", b * span + 60L, v, 1.0, 0, seq))
+      .toDF("metric_id", "ts", "value", "count", "replica", "batch_seq")
+    PointsStore.write(rows(1L, 1.0), dir, stage)
+    PointsStore.write(rows(2L, 9.0), dir, stage)
+    assert(PointsStore.listBuckets(dir, stage) === Seq(0L, span, 2 * span))
+    assert(spark.read.parquet(dir).count() === 6)
+
+    // sinceS limits compaction to the two newest buckets
+    val touched = PointsStore.compactStageSlices(spark, dir, stage,
+      bucketsPerSlice = 1, sinceS = span + 1)
+    assert(touched === Seq(span, 2 * span))
+    // bucket 0 still has both raw rows; others are folded to one row each
+    assert(spark.read.parquet(dir).count() === 4)
+
+    // full pass folds the rest; logical contents unchanged throughout
+    PointsStore.compactStageSlices(spark, dir, stage, bucketsPerSlice = 2)
+    assert(spark.read.parquet(dir).count() === 3)
+    val got = PointsStore.read(spark, dir, stage, 0L, 3 * span)
+      .orderBy("ts").select("ts", "value").as[(Long, Double)].collect().toSeq
+    assert(got === (0 until 3).map(b => (b * span + 60L, 9.0)))
+  }
+
   test("dropExpiredBuckets deletes only wholly-expired bucket partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ttl").toString
     // stage duration = 24 h; bucket span = max(2000*3600, 6h) capped — for
