@@ -28,13 +28,21 @@ object Clustering {
 
   /** Nearest-centroid assignment by cosine: returns (idCol, vecCol,
     * cell_id, ccos). `centroids` must be (cell_id, centroid) and small
-    * enough to broadcast (k centroids — always, by construction). */
+    * enough to broadcast (k centroids — always, by construction).
+    *
+    * Norms are precomputed per vector and per centroid BEFORE the
+    * corpus × k join, so each of the corpus·k pairs pays one interpreted
+    * array pass (the dot product), not three — bit-identical to
+    * `cosine()` by construction of [[Similarity.l2norm]]. */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
-    df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
+    df.select(col(idCol), col(vecCol),
+        Similarity.l2norm(col(vecCol)).as("__vn"))
+      .crossJoin(broadcast(centroids
+        .withColumn("__cn", Similarity.l2norm(col("centroid")))))
       .withColumn("ccos",
-        round(Similarity.cosine(col(vecCol), col("centroid")), 6))
+        round(Similarity.dot(col(vecCol), col("centroid")) /
+          (col("__vn") * col("__cn")), 6))
       .groupBy(col(idCol))
       .agg(max_by(
         struct(col(vecCol).as("v"), col("cell_id"), col("ccos")),
@@ -79,14 +87,18 @@ object Clustering {
     * other duplicate-pair source. */
   def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double): DataFrame = {
+    // norms once per vector BEFORE the within-cell self-join: each of the
+    // Σ cell² candidate pairs then costs one interpreted array pass
     val cells = assignCells(corpus, idCol, vecCol, centroids)
+      .withColumn("__n", Similarity.l2norm(col(vecCol)))
     val a = cells.select(col("cell_id"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
+      col(vecCol).as("va"), col("__n").as("na"))
     val b = cells.select(col("cell_id"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
+      col(vecCol).as("vb"), col("__n").as("nb"))
     a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -245,15 +245,21 @@ object Dedup {
   }
 
   /** Embedding near-dup: cosine similarity over pairs blocked by a
-    * `blockCol` (label, LSH bucket, …); quadratic only within blocks. */
+    * `blockCol` (label, LSH bucket, …); quadratic only within blocks.
+    * Norms are factored out per vector before the self-join so each
+    * within-block pair pays one interpreted array pass, not three
+    * (bit-identical per [[Similarity.l2norm]]). */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val a = embeddings.select(col(blockCol), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
-    val b = embeddings.select(col(blockCol), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
+    val withNorm = embeddings.select(col(blockCol), col(idCol), col(vecCol),
+      Similarity.l2norm(col(vecCol)).as("__n"))
+    val a = withNorm.select(col(blockCol), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("__n").as("na"))
+    val b = withNorm.select(col(blockCol), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("__n").as("nb"))
     a.join(b, Seq(blockCol)).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos",
+        Similarity.dot(col("vec_a"), col("vec_b")) / (col("na") * col("nb")))
       .filter(round(col("cos"), 4) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

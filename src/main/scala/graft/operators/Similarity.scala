@@ -15,14 +15,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Dot product of two float/double array columns in double precision.
+    * Array HOF lambdas are interpreted (no codegen), so per-PAIR work
+    * should be exactly one of these — precompute norms per vector with
+    * [[l2norm]] and divide, rather than calling [[cosine]] on every pair
+    * of a large join. */
+  def dot(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm, built from the exact expression subtree [[cosine]] uses so
+    * `dot(a,b) / (l2norm(a) * l2norm(b))` is bit-identical to
+    * `cosine(a,b)` — factoring it out of a pairwise join changes the
+    * op count (3 array passes per pair → 1), never the result. */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
   /** Cosine similarity between two float/double array columns, computed in
     * double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Brute-force top-k by cosine: every query row against every corpus row.
     * The query set is broadcast, so the corpus is scanned exactly once with
@@ -30,11 +41,14 @@ object Similarity {
     * determinism. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -64,12 +78,15 @@ object Similarity {
   def bruteForceKnnQuantized(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = quantizeInt8(queries, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col("qvec").as("qv"))
+      .select(col(idCol).as("query_id"), col("qvec").as("qv"),
+        l2norm(col("qvec")).as("qn"))
     val c = quantizeInt8(corpus, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("qvec").as("cv"))
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("cv"),
+        l2norm(col("qvec")).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -115,14 +132,18 @@ object Similarity {
     // the vector rides along in the packed struct (constant per id).
     // Ties break to the lowest cell id via the negated struct field —
     // same order the window's (ccos desc, cell_id asc) sort produced.
+    val cents = broadcast(centroids
+      .withColumn("__cn", l2norm(col("centroid"))))
     def assign(df: DataFrame, id: String, vec: String): DataFrame = {
-      df.select(col(id), col(vec))
-        .crossJoin(broadcast(centroids))
-        .withColumn("ccos", round(cosine(col(vec), col("centroid")), 6))
+      df.select(col(id), col(vec), l2norm(col(vec)).as("__vn"))
+        .crossJoin(cents)
+        .withColumn("ccos", round(
+          dot(col(vec), col("centroid")) / (col("__vn") * col("__cn")), 6))
         .groupBy(col(id))
-        .agg(max_by(struct(col(vec).as("v"), col("cell_id")),
+        .agg(max_by(struct(col(vec).as("v"), col("__vn").as("n"), col("cell_id")),
           struct(col("ccos"), -col("cell_id"))).as("__w"))
-        .select(col(id), col("__w.v").as(vec), col("__w.cell_id").as("cell_id"))
+        .select(col(id), col("__w.v").as(vec), col("__w.n").as(s"__n_$vec"),
+          col("__w.cell_id").as("cell_id"))
     }
     val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv")
@@ -130,7 +151,8 @@ object Similarity {
       "neighbor_id", "cv")
     val scored = c.join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__n_qv") * col("__n_cv")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -185,9 +207,12 @@ object Similarity {
     val c = bucketed(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
       "neighbor_id", "cv")
-    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val scored = c.withColumn("__cn", l2norm(col("cv")))
+      .join(broadcast(q.withColumn("__qn", l2norm(col("qv")))),
+        Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")), 6))
       // a pair can surface through several tables/probes — dedup before
       // ranking (cos is identical on every copy, max is arbitrary-safe)
       .groupBy("query_id", "neighbor_id")
