@@ -798,6 +798,17 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // PR1: dataset-card corpus profile per source — volume, exact-dup
+    // rate, token-length quantiles in ONE grouped pass (exact mode here
+    // for the oracle; operators.Profile.datasetCard(exact=false) swaps
+    // the distinct count for a HyperLogLog++ sketch at scale)
+    "pr1_dataset_card" -> { (s, dir) =>
+      import graft.operators.Profile
+      Profile.datasetCard(table(s, dir, "documents"), "source", "text",
+        exact = true)
+        .orderBy("source")
+    },
+
     // T1: n-gram/stopword-heuristic language ID
     "t1_langid" -> { (s, dir) =>
       TextAnalysis.langId(table(s, dir, "documents"), "text")
@@ -1401,6 +1412,24 @@ object SparkEntry {
          |FROM sel a JOIN sel b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "pr1_dataset_card" ->
+      """WITH t AS (
+        |  SELECT source, md5(text) AS fp,
+        |    len(string_split_regex(text, '\s+')) AS tok,
+        |    CAST(octet_length(text::BLOB) AS BIGINT) AS b
+        |  FROM documents)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT fp) AS n_unique,
+        |  CAST(sum(b) AS BIGINT) AS n_bytes,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  round(avg(tok), 4) AS avg_tokens,
+        |  round(quantile_cont(tok, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(tok, 0.9), 4) AS p90_tokens,
+        |  round(quantile_cont(tok, 0.99), 4) AS p99_tokens,
+        |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "t1_langid" ->
       s"""WITH toks AS (

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling — the "dataset card" statistics a training-data
+  * pipeline publishes per slice (source, language, license, …): volume,
+  * exact-duplicate rate, token-length distribution.
+  *
+  * One partial-aggregating grouped pass over the corpus; every statistic
+  * is mergeable map-side, so the shuffle carries one small row per group
+  * regardless of corpus size.
+  *
+  * `exact = false` swaps the distinct-document count for a HyperLogLog++
+  * sketch (`approx_count_distinct`, ±`rsd` relative error) — at 100 TB
+  * the sketch is the only viable distinct count (bounded memory,
+  * one pass, partials merge across executors); exact mode is for
+  * small-slice audits and cross-engine verification, where a
+  * count(DISTINCT) is affordable.
+  */
+object Profile {
+
+  /** Per-group dataset card over `textCol`, grouped by `groupCol`:
+    * n_docs, n_unique (by md5 of text), dup_ratio, n_bytes, n_tokens,
+    * avg_tokens, p50/p90/p99_tokens. */
+  def datasetCard(docs: DataFrame, groupCol: String, textCol: String,
+      exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+    val fp = md5(col(textCol))
+    val nTok = size(split(col(textCol), "\\s+")).cast("long")
+    val distinctCnt =
+      if (exact) count_distinct(col("__fp"))
+      else approx_count_distinct(col("__fp"), rsd)
+    docs
+      .select(col(groupCol), fp.as("__fp"), nTok.as("__tok"),
+        octet_length(col(textCol)).cast("long").as("__bytes"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        distinctCnt.as("n_unique"),
+        sum(col("__bytes")).as("n_bytes"),
+        sum(col("__tok")).as("n_tokens"),
+        round(avg(col("__tok")), 4).as("avg_tokens"),
+        round(percentile(col("__tok"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("__tok"), lit(0.9)), 4).as("p90_tokens"),
+        round(percentile(col("__tok"), lit(0.99)), 4).as("p99_tokens"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 6))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Dataset-card corpus profiling: exact mode invariants and the
+  * HyperLogLog sketch mode staying within its error bound. */
+class ProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = {
+    // source A: 100 docs, 80 unique (20 exact dups); source B: 50 unique
+    val a = (0 until 100).map(i =>
+      ("A", s"alpha document number ${i % 80} with some shared words"))
+    val b = (0 until 50).map(i =>
+      ("B", s"beta text $i of deliberately differing length ${"pad " * (i % 7)}"))
+    (a ++ b).toDF("source", "text")
+  }
+
+  test("exact card: counts, dup ratio, quantile ordering") {
+    val card = Profile.datasetCard(corpus, "source", "text", exact = true)
+      .orderBy("source").collect()
+    val byName = card.map(r => r.getString(0) -> r).toMap
+    val a = byName("A")
+    assert(a.getLong(a.fieldIndex("n_docs")) === 100L)
+    assert(a.getLong(a.fieldIndex("n_unique")) === 80L)
+    assert(a.getDouble(a.fieldIndex("dup_ratio")) === 0.2)
+    val b = byName("B")
+    assert(b.getLong(b.fieldIndex("n_docs")) === 50L)
+    assert(b.getLong(b.fieldIndex("n_unique")) === 50L)
+    assert(b.getDouble(b.fieldIndex("dup_ratio")) === 0.0)
+    // quantiles are monotone and bounded by the token sums
+    for (r <- card) {
+      val (p50, p90, p99) = (r.getDouble(r.fieldIndex("p50_tokens")),
+        r.getDouble(r.fieldIndex("p90_tokens")),
+        r.getDouble(r.fieldIndex("p99_tokens")))
+      assert(p50 <= p90 && p90 <= p99)
+      assert(r.getDouble(r.fieldIndex("avg_tokens")) > 0)
+    }
+  }
+
+  test("sketch mode stays within the configured relative error") {
+    val exact = Profile.datasetCard(corpus, "source", "text", exact = true)
+      .select("source", "n_unique").as[(String, Long)].collect().toMap
+    val approx = Profile.datasetCard(corpus, "source", "text",
+      exact = false, rsd = 0.05)
+      .select("source", "n_unique").as[(String, Long)].collect().toMap
+    for ((src, ex) <- exact) {
+      val ap = approx(src)
+      // HLL++ at rsd=0.05: allow 4 sigma
+      assert(math.abs(ap - ex) <= math.max(2, (ex * 0.2).toLong),
+        s"$src: approx $ap vs exact $ex")
+    }
+  }
+}
