@@ -15,14 +15,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two float/double array columns in double precision.
-    * Array HOF lambdas are interpreted (no codegen), so per-PAIR work
-    * should be exactly one of these — precompute norms per vector with
-    * [[l2norm]] and divide, rather than calling [[cosine]] on every pair
-    * of a large join. */
-  def dot(x: Column, y: Column): Column = aggregate(
-    zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two numeric array columns in double precision —
+    * the native codegen'd [[graft.functions.ArrayDot]] expression (one
+    * tight loop per pair; the HOF form `aggregate(zip_with(...))` runs an
+    * interpreted lambda per element and matched it bit-for-bit but ~3×
+    * slower). Per-PAIR work should be exactly one of these — precompute
+    * norms per vector with [[l2norm]] and divide, rather than calling
+    * [[cosine]] on every pair of a large join. */
+  def dot(x: Column, y: Column): Column =
+    graft.functions.ArrayDot.array_dot(x, y)
 
   /** L2 norm, built from the exact expression subtree [[cosine]] uses so
     * `dot(a,b) / (l2norm(a) * l2norm(b))` is bit-identical to
