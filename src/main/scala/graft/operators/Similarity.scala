@@ -96,25 +96,42 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane component for (plane, dim): the high bit
-    * of the first md5 nibble of "plane_dim". Portable to any engine with
-    * md5 — no RNG state to ship. */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(substring(md5(concat_ws("_", lit(plane), dim)), 1, 1)
-      .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)
+    * of the first md5 nibble of "plane_dim" — the exact JVM mirror of the
+    * portable SQL derivation (`substr(md5(plane || '_' || dim), 1, 1) IN
+    * ('8'..'f')`) the cross-engine oracles use. No RNG state to ship. */
+  private def planeSign(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+  }
+
+  /** Hyperplanes a bucket signature can address before erroring — plane
+    * literals are materialized to this many dims and sliced per row. */
+  val MaxLshDims = 4096
 
   /** Random-hyperplane LSH bucket signature: bit j = sign(v · w_j) over
     * `planes` deterministic ±1 hyperplanes, packed into a string key.
     * `planeOffset` selects a disjoint hyperplane family — independent
-    * hash tables use offsets 0, planes, 2·planes, … */
+    * hash tables use offsets 0, planes, 2·planes, …
+    *
+    * The hyperplane components depend only on (plane, dim), so they are
+    * precomputed HERE, once, as literal arrays — the projection is then a
+    * native [[graft.functions.ArrayDot]] per plane instead of an
+    * interpreted per-element lambda that recomputed an md5 for every
+    * (row, plane, dim). Product values and fold order are unchanged, so
+    * bucket strings (and the cross-engine oracle) are identical. */
   def lshBucket(vecCol: Column, planes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { j =>
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (v, i) => v.cast("double") * planeSign(planeOffset + j, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val w = Array.tabulate(MaxLshDims)(i => planeSign(planeOffset + j, i))
+      val proj = graft.functions.ArrayDot.array_dot(vecCol,
+        slice(lit(w), lit(1), size(vecCol)))
       when(proj > 0, "1").otherwise("0")
     }
-    concat(bits: _*)
+    // fail loudly past the plane-literal length — a silent truncation
+    // would bucket long vectors on a prefix
+    when(size(vecCol) <= MaxLshDims, concat(bits: _*))
+      .otherwise(raise_error(
+        lit(s"lshBucket: vector exceeds $MaxLshDims dims")).cast("string"))
   }
 
   /** IVF-style ANN with a deterministic coarse quantizer: the first
