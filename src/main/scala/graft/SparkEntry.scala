@@ -648,11 +648,13 @@ object SparkEntry {
         .orderBy("source")
     },
 
-    // D2: MinHash + LSH banding candidate pairs (8 hashes, 8 bands)
+    // D2: MinHash + LSH banding candidate pairs (8 hashes, 8 bands).
+    // Signatures come from the native one-pass MinHashSig expression —
+    // no shingle explode, no shuffle before the banding groupBy
     "d2_minhash_lsh" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
-      val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+      val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
+        numHashes = 8, n = 3)
       Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
         maxBucketSize = 5000)
         .orderBy("id_a", "id_b")
@@ -667,13 +669,13 @@ object SparkEntry {
     // D4: exact n-gram Jaccard verification of the LSH candidates
     "d4_ngram_jaccard" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      // NOTE: the shingle relation feeds both the signature pipeline and
-      // the Jaccard verification. Deliberately NOT cached: the repeated
-      // subtrees are identical, so ReusedExchange computes each shuffle
-      // once, and every explicit cache() variant measured SLOWER at
-      // sf0.1 (materialization breaks whole-stage codegen pipelines).
+      // signatures are native one-pass (no shuffle); the shingle
+      // relation remains only for the Jaccard verification join.
+      // Deliberately NOT cached: measured at sf0.1, explicit cache()
+      // variants ran SLOWER than exchange reuse + codegen
       val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
-      val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+      val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
+        numHashes = 8, n = 3)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
         maxBucketSize = 5000)
       Dedup.jaccard(pairs, sh, "doc_id")
@@ -687,7 +689,8 @@ object SparkEntry {
     "d6_dup_clusters" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
-      val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+      val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
+        numHashes = 8, n = 3)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
         maxBucketSize = 5000)
       val dup = Dedup.jaccard(pairs, sh, "doc_id")
@@ -702,7 +705,8 @@ object SparkEntry {
     "d7_split_leakage_safe" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
-      val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+      val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
+        numHashes = 8, n = 3)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
         maxBucketSize = 5000)
       val dup = Dedup.jaccard(pairs, sh, "doc_id")

@@ -55,7 +55,26 @@ object Dedup {
   // array_min, no explode) benchmarked 5x SLOWER here: HOF lambdas are
   // interpreted (no whole-stage codegen) and re-evaluate the tokenizer
   // per element. The explode + partial-aggregating groupBy IS the fast
-  // path, locally and at scale.
+  // composable path; minhashSignatureFromText below beats both with a
+  // native expression when the caller doesn't otherwise need the
+  // exploded shingle rows.
+
+  /** MinHash signatures straight from the text column via the native
+    * one-pass [[graft.functions.MinHashSig]] expression — same h0..h{k-1}
+    * values as shingles→[[minhashSignature]] (parity proven in
+    * `MinHashSigSpec`) with NO shingle explode and NO shuffle: the
+    * signature of a 100 TB corpus becomes map-only work. Prefer this
+    * whenever the shingle rows aren't separately needed (LSH banding
+    * only needs the signatures; Jaccard verification still explodes). */
+  def minhashSignatureFromText(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, n: Int = 3, maxChars: Int = 4096): DataFrame = {
+    val sig = graft.functions.MinHashSig.minhash_sig(
+      lower(substring(col(textCol), 1, maxChars)), numHashes, n)
+    df.select(col(idCol), sig.as("__sig"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i =>
+          element_at(col("__sig"), i + 1).as(s"h$i")): _*)
+  }
 
   /** LSH banding: group `numHashes` minhashes into `bands` concatenated
     * band values; docs sharing any band value become candidate pairs
