@@ -785,6 +785,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K5: IVF ANN over the TRAINED k-means quantizer — cells from
+    // Clustering.kmeansFit instead of k3's first-nCells heuristic;
+    // same single-probe inverted-file scan shape
+    "k5_knn_ivf_trained" -> { (s, dir) =>
+      import graft.operators.Clustering
+      val emb = table(s, dir, "embeddings")
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.ivfKnnTrained(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        emb, "vec_id", "embedding", k = 3, centroids = cents)
+        .orderBy("query_id", "rank")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -1434,6 +1448,21 @@ object SparkEntry {
         |  round(quantile_cont(tok, 0.99), 4) AS p99_tokens,
         |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "k5_knn_ivf_trained" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |cells AS (SELECT vec_id, embedding, cell_id FROM a3 WHERE rn = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+         |  FROM cells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id
+         |  WHERE q.vec_id >= 5 AND q.vec_id < 10),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     "t1_langid" ->
       s"""WITH toks AS (

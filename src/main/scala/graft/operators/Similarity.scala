@@ -178,6 +178,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF ANN over a TRAINED coarse quantizer: the same inverted-file
+    * scan as [[ivfKnn]], but cells come from
+    * [[graft.operators.Clustering.kmeansFit]] (or any (cell_id, centroid)
+    * relation) instead of the first-nCells heuristic — centroids that
+    * track the data distribution give tighter cells, so recall at the
+    * same scan fraction improves. Assignment is one broadcast pass per
+    * side; scoring pays one native dot per within-cell candidate. */
+  def ivfKnnTrained(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: DataFrame): DataFrame = {
+    import graft.operators.Clustering
+    def side(df: DataFrame, as: String, vecAs: String): DataFrame =
+      Clustering.assignCells(df.select(col(idCol).as(as), col(vecCol).as(vecAs)),
+        as, vecAs, centroids)
+        .select(col(as), col(vecAs), col("cell_id"),
+          l2norm(col(vecAs)).as(s"__n_$vecAs"))
+    val q = side(queries, "query_id", "qv")
+    val c = side(corpus, "neighbor_id", "cv")
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__n_qv") * col("__n_cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Bucketed ANN: queries only join their own LSH bucket, then exact
     * cosine top-k within the bucket. Recall < 1 by construction; the
     * bucket join replaces the full cross product at scale.

@@ -39,6 +39,16 @@ class AnnRecallSpec extends SparkSuite {
     assert(rLsh > 0.05 && rLsh <= 1.0)
     assert(rIvf > 0.05 && rIvf <= 1.0)
 
+    // trained quantizer (k-means cells) vs the first-k heuristic at the
+    // same cell count — the trained cells must be competitive
+    val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val ivfT = topk(Similarity.ivfKnnTrained(queries, emb, "vec_id",
+      "embedding", 3, cents).select("query_id", "rank", "neighbor_id"))
+    val rIvfT = recallAt3(ivfT, exact)
+    info(f"recall@3: ivf-trained=$rIvfT%.2f (heuristic ivf=$rIvf%.2f)")
+    assert(rIvfT > 0.05 && rIvfT <= 1.0)
+
     // int8 quantization must be ranking-preserving to near-identity
     val quant = topk(Similarity.bruteForceKnnQuantized(queries, emb,
       "vec_id", "embedding", 3).select("query_id", "rank", "neighbor_id"))
