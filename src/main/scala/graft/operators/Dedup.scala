@@ -171,15 +171,32 @@ object Dedup {
     * The knob remains for memory-pressure situations where a
     * persist(DISK_ONLY) beats recomputation. */
   def jaccardOpt(pairs: DataFrame, sh: DataFrame, idCol: String,
-      cacheDistinct: Boolean): DataFrame = {
-    val d0 = sh.distinct()
+      cacheDistinct: Boolean, pruneToPairDocs: Boolean = false): DataFrame = {
+    // pruneToPairDocs: verification only ever needs shingles of documents
+    // that appear in a candidate pair, so the corpus-sized shingle
+    // relation CAN be semi-joined down first — the right call at corpus
+    // scale where LSH survivors are a sliver of the data. It is OFF by
+    // default because it costs one extra full-shingle shuffle and an
+    // eager materialization of the pair relation; measured at sf0.1
+    // (dup-heavy synthetic corpus where most docs ARE in a pair) it runs
+    // ~20% slower than plain exchange reuse. Flip it when
+    // |pair docs| ≪ |corpus|.
+    val p = if (pruneToPairDocs) pairs.localCheckpoint(true) else pairs
+    val base =
+      if (pruneToPairDocs) {
+        val pairDocs = p.select(col("id_a").as(idCol))
+          .union(p.select(col("id_b").as(idCol)))
+          .distinct()
+        sh.join(pairDocs, Seq(idCol), "left_semi")
+      } else sh
+    val d0 = base.distinct()
     val distinctSh = if (cacheDistinct) d0.cache() else d0
     val sizes = distinctSh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val shA = distinctSh.select(col(idCol).as("id_a"), col("shingle"))
     val shB = distinctSh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
+    val inter = p.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    pairs
+    p
       .join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("i"))
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))

@@ -37,6 +37,20 @@ class DedupSpec extends SparkSuite {
     assert(!cappedPairs.exists { case (a, b) => a >= 10L && b >= 10L })
   }
 
+  test("jaccard pruneToPairDocs (scale knob) returns identical results") {
+    val d = docs(8)
+    val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
+    val sig = Dedup.minhashSignature(sh, "doc_id", numHashes = 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = rows(Dedup.jaccard(pairs, sh, "doc_id"))
+    val pruned = rows(Dedup.jaccardOpt(pairs, sh, "doc_id",
+      cacheDistinct = false, pruneToPairDocs = true))
+    assert(plain.nonEmpty && pruned === plain)
+  }
+
   test("connected components: chains merge, separate clusters stay apart") {
     // component {1,2,3,4} as a chain (worst-case diameter) + pair {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
