@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.operators.{Clustering, Dedup, Similarity}
+
+/** Physical-plan shape assertions for the similarity/dedup hot paths —
+  * the properties that make them scale are checked, not assumed. */
+class PlanShapeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("native minhash signature is map-only: zero exchanges") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h")).toDF("doc_id", "text")
+    val p = plan(Dedup.minhashSignatureFromText(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("k-means assignment broadcasts centroids, aggregates map-side") {
+    val emb = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 7 + j).toFloat))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array.fill(8)(1.0)), (1L, Array.fill(8)(-1.0)))
+      .toDF("cell_id", "centroid")
+    val p = plan(Clustering.assignCells(emb, "vec_id", "embedding", cents))
+    assert(p.contains("Broadcast"), s"centroids not broadcast:\n$p")
+    // the argmax must reduce BEFORE the exchange (k rows per vector in,
+    // one out) — partial_max_by on the map side is the scale property.
+    // (Carrying the vector in the agg struct makes Spark pick
+    // SortAggregate — local per-partition sorts, NOT a corpus-wide sort;
+    // the exchange still moves one row per vector.)
+    assert(p.contains("partial_max_by"), s"no map-side partial argmax:\n$p")
+  }
+
+  test("brute-force kNN broadcasts the query side; corpus is not shuffled") {
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 3 + j).toFloat))).toDF("vec_id", "embedding")
+    val df = Similarity.bruteForceKnn(emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "embedding", k = 3)
+    val p = plan(df)
+    assert(p.contains("Broadcast"), s"query side not broadcast:\n$p")
+    // the only exchange allowed is the top-k window's partition by query
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"corpus shuffled more than the rank window:\n$p")
+  }
+
+  test("dot product runs inside whole-stage codegen") {
+    // a literal-only local relation folds to LocalTableScan, and HOFs
+    // like transform would break the codegen span themselves — build the
+    // arrays with CreateArray (codegen'd) over a real source
+    val df = spark.range(100).select(
+      array((0 until 8).map(j => (col("id") + j).cast("double")): _*).as("a"),
+      array((0 until 8).map(j => (col("id") * 2 + j).cast("double")): _*).as("b"))
+    val scored = df.select(
+      graft.functions.ArrayDot.array_dot(col("a"), col("b")).as("d"))
+    val p = plan(scored)
+    // a codegen'd project prints as "*(n) Project"
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection not inside whole-stage codegen:\n$p")
+    assert(p.contains("graft_array_dot"), s"expression missing:\n$p")
+  }
+}
