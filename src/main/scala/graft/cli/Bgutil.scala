@@ -101,8 +101,9 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|list|dirs|du|stats|clean|repair|copy|delete|info> [args...]\n" +
+        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|info> [args...]\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
+        "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
         "  dirs <glob>                                   directory glob (stored table or derived)")
       sys.exit(2)
     }
@@ -125,6 +126,8 @@ object Bgutil {
       if (rest.length > 4) rest(4) else "average")
     case "read" => read(db, rest(0), rest(1).toLong, rest(2).toLong,
       maxDataPoints = if (rest.length > 3) rest(3).toInt else 0).show(200)
+    case "render" => render(db, rest(0), rest(1).toLong, rest(2).toLong,
+      rest.drop(3).toSeq).show(200, truncate = false)
     case "list" => list(db, rest(0)).show(200, truncate = false)
     case "du" => du(db).show(200, truncate = false)
     case "stats" => stats(db).show(200, truncate = false)
@@ -277,6 +280,45 @@ object Bgutil {
       maxDataPoints: Int = 0): DataFrame =
     TimeSeriesReader.findAndFetchPlanned(db.spark, db.catalog, db.pointsPath,
       glob, startS, endS, nowS = endS, maxDataPoints = maxDataPoints)
+
+  /** The render API surface over the planned read: apply a graphite-style
+    * function chain to every series a glob matches — what a graphite-web
+    * `target=fn(fn(glob.*))` request runs, executed as ONE Spark plan
+    * downstream of the pruned store scan (plugins/graphite.py:142-225
+    * hands graphite-web an iterable and lets Python loop; here the
+    * transforms ARE the plan). Each spec is `name[:arg[:arg]]`:
+    * perSecond | derivative | nonNegativeDerivative | integral |
+    * keepLastValue | movingAverage:N | timeShift:S | scale:F[:ADD] |
+    * summarize:INTERVAL_S:FN | combine:FN:ALIAS | highest:N[:STAT] |
+    * aliasByNode:I[,J,…] */
+  def render(db: Db, glob: String, startS: Long, endS: Long,
+      fnSpecs: Seq[String], maxDataPoints: Int = 0): DataFrame = {
+    import graft.operators.{SeriesFunctions => SF}
+    val out = fnSpecs.foldLeft(read(db, glob, startS, endS, maxDataPoints)) {
+      (df, spec) =>
+        val parts = spec.split(":")
+        parts(0) match {
+          case "perSecond" => SF.perSecond(df)
+          case "derivative" => SF.derivative(df)
+          case "nonNegativeDerivative" => SF.nonNegativeDerivative(df)
+          case "integral" => SF.integral(df)
+          case "keepLastValue" => SF.keepLastValue(df)
+          case "movingAverage" => SF.movingAverage(df, parts(1).toInt)
+          case "timeShift" => SF.timeShift(df, parts(1).toLong)
+          case "scale" => SF.scaleOffset(df, parts(1).toDouble,
+            if (parts.length > 2) parts(2).toDouble else 0.0)
+          case "summarize" => SF.summarize(df, parts(1).toLong, parts(2))
+          case "combine" => SF.combineSeries(df, parts(1), parts(2))
+          case "highest" => SF.highest(df, parts(1).toInt,
+            if (parts.length > 2) parts(2) else "max")
+          case "aliasByNode" =>
+            SF.aliasByNode(df, parts(1).split(",").toSeq.map(_.toInt))
+          case other =>
+            throw new IllegalArgumentException(s"render: unknown function '$other'")
+        }
+    }
+    out.orderBy("name", "ts")
+  }
 
   /** Resolve a glob to names (cli/command_list.py:23-49). */
   def list(db: Db, glob: String): DataFrame =

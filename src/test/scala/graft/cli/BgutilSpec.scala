@@ -54,6 +54,34 @@ class BgutilSpec extends SparkSuite {
     assert(db.catalog.count() === 0)
   }
 
+  test("render applies a graphite function chain over the planned read") {
+    val dir = java.nio.file.Files.createTempDirectory("bgrender").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    // counter-style series: 10, 40, 100 → perSecond = (Δ/60): 0.5, 1.0
+    Bgutil.write(db, "sys.net.0.rx", 60L, 10.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "sys.net.0.rx", 120L, 40.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "sys.net.0.rx", 180L, 100.0, "60*60s:24*3600s", "average")
+
+    val rate = Bgutil.render(db, "sys.net.*.rx", 60L, 240L,
+      Seq("perSecond", "scale:60"))
+      .collect().map(r => (r.getAs[Long]("ts"), Option(r.get(
+        r.fieldIndex("value"))).map(_.asInstanceOf[Double])))
+    assert(rate.toSeq === Seq((60L, None), (120L, Some(30.0)),
+      (180L, Some(60.0))))
+
+    val summ = Bgutil.render(db, "sys.net.*.rx", 60L, 240L,
+      Seq("summarize:120:sum", "aliasByNode:1,2"))
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("ts"),
+        r.getAs[Double]("value")))
+    // windows align to multiples of 120: [0,120)={60s:10}, [120,240)={40,100}
+    assert(summ.toSeq === Seq(("net.0", 0L, 10.0), ("net.0", 120L, 140.0)))
+
+    intercept[IllegalArgumentException] {
+      Bgutil.render(db, "sys.net.*.rx", 60L, 240L, Seq("bogusFn"))
+    }
+  }
+
   test("directories table maintained on write, reconciled by repair") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bgutil_dirs").toString
