@@ -660,9 +660,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
-    // D3: SimHash 16-bit fingerprints
+    // D3: SimHash 16-bit fingerprints — native one-pass expression
+    // (no exploded token×bit rows, no shuffle)
     "d3_simhash" -> { (s, dir) =>
-      Dedup.simhash(table(s, dir, "documents"), "doc_id", "text", bits = 16)
+      Dedup.simhashNative(table(s, dir, "documents"), "doc_id", "text",
+        bits = 16)
         .orderBy("doc_id")
     },
 

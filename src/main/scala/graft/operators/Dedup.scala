@@ -135,9 +135,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucketSize)
 
+  /** SimHash fingerprints via the native one-pass
+    * [[graft.functions.SimHashSig]] expression — same fingerprints as
+    * [[simhash]] (parity in `SimHashSigSpec`) with no exploded
+    * (token × bits) rows and no shuffle: map-only at any corpus size. */
+  def simhashNative(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxChars: Int = 4096): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHashSig.simhash_sig(
+        lower(substring(col(textCol), 1, maxChars)), bits).as("fingerprint"))
+
   /** SimHash fingerprint over `bits` bits (≤ 31): per token, bit b is the
     * high bit of the b-th md5 nibble; the fingerprint bit is the sign of
-    * the per-bit vote sum. One explode × bits, two groupBys. */
+    * the per-bit vote sum. One explode × bits, two groupBys — kept as
+    * the composable reference form; [[simhashNative]] is the fast path. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, maxChars: Int = 4096): DataFrame = {
     val tokens = split(lower(substring(col(textCol), 1, maxChars)), "\\s+")
