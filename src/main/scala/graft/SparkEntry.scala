@@ -671,16 +671,14 @@ object SparkEntry {
     // D4: exact n-gram Jaccard verification of the LSH candidates
     "d4_ngram_jaccard" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      // signatures are native one-pass (no shuffle); the shingle
-      // relation remains only for the Jaccard verification join.
-      // Deliberately NOT cached: measured at sf0.1, explicit cache()
-      // variants ran SLOWER than exchange reuse + codegen
-      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      // fully native dedup plan: one-pass signatures, and verification
+      // over per-doc shingle SETS (ShingleSet + sorted-merge intersect) —
+      // the exploded (doc, shingle) relation never exists anywhere
       val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
         numHashes = 8, n = 3)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
         maxBucketSize = 5000)
-      Dedup.jaccard(pairs, sh, "doc_id")
+      Dedup.jaccardFromText(pairs, docs, "doc_id", "text", n = 3)
         .filter(col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     },
@@ -690,12 +688,11 @@ object SparkEntry {
     // maps to its cluster (= smallest member id), the keep-one set
     "d6_dup_clusters" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
       val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
         numHashes = 8, n = 3)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
         maxBucketSize = 5000)
-      val dup = Dedup.jaccard(pairs, sh, "doc_id")
+      val dup = Dedup.jaccardFromText(pairs, docs, "doc_id", "text", n = 3)
         .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
       Dedup.connectedComponents(dup)
         .select(col("id").as("doc_id"), col("cluster"))
@@ -706,12 +703,11 @@ object SparkEntry {
     // CLUSTER, so near-duplicate documents can never straddle splits
     "d7_split_leakage_safe" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
       val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
         numHashes = 8, n = 3)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8, bands = 8,
         maxBucketSize = 5000)
-      val dup = Dedup.jaccard(pairs, sh, "doc_id")
+      val dup = Dedup.jaccardFromText(pairs, docs, "doc_id", "text", n = 3)
         .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
       Dedup.leakageSafeSplit(docs, "doc_id", Dedup.connectedComponents(dup))
         .orderBy("doc_id")

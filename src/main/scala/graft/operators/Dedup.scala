@@ -173,6 +173,32 @@ object Dedup {
   def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame =
     jaccardOpt(pairs, sh, idCol, cacheDistinct = false)
 
+  /** Jaccard verification straight from the text column: each document's
+    * distinct shingle SET is built in one native pass
+    * ([[graft.functions.ShingleSet]], sorted array, map-only — the
+    * exploded (doc, shingle) relation never exists), pairs join the
+    * one-row-per-doc set table twice, and |A∩B| is a single sorted-merge
+    * ([[graft.functions.SortedIntersectCount]]) per pair. Same jaccard
+    * values as [[jaccard]] over [[shingles]] (parity in
+    * `ShingleSetSpec`); the plan drops the explode, the distinct
+    * shuffle, the per-doc size aggregation, and the exploded
+    * intersection groupBy. */
+  def jaccardFromText(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxChars: Int = 4096): DataFrame = {
+    val sets = docs.select(col(idCol),
+      graft.functions.ShingleSet.shingle_set(
+        lower(substring(col(textCol), 1, maxChars)), n).as("__ss"))
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("__sa"), col("__sb"))
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("__ss").as("__sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__ss").as("__sb")), Seq("id_b"))
+      .withColumn("__i", inter)
+      .select(col("id_a"), col("id_b"),
+        round(col("__i") /
+          (size(col("__sa")) + size(col("__sb")) - col("__i")), 6).as("jaccard"))
+  }
+
   /** The distinct shingle set feeds THREE branches of this plan (sizes,
     * join side A, join side B). No cache by default: the branches share an
     * identical shuffle subtree, so Spark's ReusedExchange computes it once
