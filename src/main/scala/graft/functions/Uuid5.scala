@@ -40,25 +40,57 @@ case class MetricUuid5(child: Expression) extends UnaryExpression {
   * `register(spark)` for already-built sessions. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftFunctions.uuid5Descriptor)
+    GraftFunctions.descriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.RegexPrefixPushdown)
   }
 }
 
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 
-  private[functions] val uuid5Descriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier("graft_uuid5"),
-      new ExpressionInfo(classOf[MetricUuid5].getName, "graft_uuid5"),
-      (exprs: Seq[Expression]) => MetricUuid5(exprs.head))
+  /** Int parameters of the native expressions must be literals in SQL
+    * (they shape the generated code). */
+  private def intArg(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private[functions] val builders
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_uuid5", classOf[MetricUuid5],
+      (es: Seq[Expression]) => MetricUuid5(es.head)),
+    ("graft_fingerprint", classOf[RollingFingerprint],
+      (es: Seq[Expression]) => RollingFingerprint(es(0),
+        intArg(es(1), "graft_fingerprint", "window"))),
+    ("graft_array_dot", classOf[ArrayDot],
+      (es: Seq[Expression]) => ArrayDot(es(0), es(1))),
+    ("graft_minhash_sig", classOf[MinHashSig],
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        intArg(es(1), "graft_minhash_sig", "numHashes"),
+        intArg(es(2), "graft_minhash_sig", "n"))),
+    ("graft_simhash", classOf[SimHashSig],
+      (es: Seq[Expression]) => SimHashSig(es(0),
+        intArg(es(1), "graft_simhash", "bits"))),
+    ("graft_shingle_set", classOf[ShingleSet],
+      (es: Seq[Expression]) => ShingleSet(es(0),
+        intArg(es(1), "graft_shingle_set", "n"))),
+    ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+
+  private[functions] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, cls, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+    }
 
   /** Register the functions on an existing session (test/driver use). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_uuid5", exprs => MetricUuid5(exprs.head), "built-in")
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 
   /** Column-API form. */
   def graft_uuid5(c: Column): Column = {
