@@ -989,6 +989,63 @@ object SparkEntry {
             .cast("long").as("kind_tag"),
           (floor(octet_length(col("payload")) / 256) + 1).cast("long").as("n_frames"))
         .orderBy("doc_id")
+    },
+
+    // DC1: benchmark decontamination — per training doc, how many of its
+    // distinct 3-grams appear in the eval set (source = src0). The eval
+    // vocabulary is collapsed to ONE sorted-array row and broadcast; each
+    // corpus doc computes its overlap in a single native merge pass
+    // (ShingleSet → SortedIntersectCount), zero corpus shuffles
+    "dc1_decontaminate" -> { (s, dir) =>
+      import graft.operators.Decontamination
+      val docs = table(s, dir, "documents")
+      val evalSet = Decontamination.evalNgramSet(
+        docs.filter(col("source") === "src0"), "text", n = 3)
+      Decontamination.contamination(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text", evalSet, n = 3)
+        .orderBy("doc_id")
+    },
+
+    // P3: per-domain cap (RefinedWeb-style) — keep ≤ 10 docs per source,
+    // chosen content-addressed (md5 rank) so reruns keep the same docs
+    "p3_domain_cap" -> { (s, dir) =>
+      Sampling.capPerStratum(table(s, dir, "documents"),
+        col("doc_id"), col("source"), cap = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // P4: deterministic corpus shuffle + dataloader sharding —
+    // reproducible global order (range sort on md5(seed‖id)) and a
+    // content-addressed shard in [0, 8)
+    "p4_shuffle_shard" -> { (s, dir) =>
+      Sampling.shuffleShard(table(s, dir, "documents"),
+        col("doc_id"), seed = "epoch0", nShards = 8)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"))
+        .orderBy("doc_id")
+    },
+
+    // G5: groupByNode(1, 'sum') — graphite's fleet rollup: collapse all
+    // series sharing name component 1 (the event type) slot-by-slot
+    "g5_group_by_node" -> { (s, dir) =>
+      SeriesFunctions.groupByNode(hourlySeries(s, dir), node = 1, fn = "sum")
+        .select(col("name"), col("ts"), round(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    },
+
+    // G6: series filtering + pointwise transforms — averageAbove(0.5)
+    // selection, then asPercent-of-slot-total, logarithm (None for ≤ 0),
+    // and clamp into [0, 5] over the surviving series
+    "g6_percent_pointwise" -> { (s, dir) =>
+      val base = SeriesFunctions.averageAbove(hourlySeries(s, dir), 0.5)
+      val pct = SeriesFunctions.asPercent(base)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("pct"))
+      val lg = SeriesFunctions.logarithm(base)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("log_v"))
+      val cl = SeriesFunctions.clamp(base, Some(0.0), Some(5.0))
+        .select(col("name"), col("ts"), round(col("value"), 4).as("clamped"))
+      pct.join(lg, Seq("name", "ts")).join(cl, Seq("name", "ts"))
+        .orderBy("name", "ts")
     })
 
   // ---- oracle SQL -----------------------------------------------------
@@ -1637,6 +1694,64 @@ object SparkEntry {
          |  b.ts AS ts, round(b.value, 4) AS value
          |FROM base b JOIN ranked r ON b.name = r.name
          |ORDER BY name, ts""".stripMargin,
+
+    "dc1_decontaminate" ->
+      s"""WITH $ShinglesCte,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |esh AS (
+         |  SELECT DISTINCT s.shingle
+         |  FROM dsh s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source = 'src0'),
+         |szs AS (SELECT doc_id, count(*) AS n_ngrams FROM dsh GROUP BY 1),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_shared
+         |  FROM dsh s JOIN esh e USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(z.n_ngrams AS BIGINT) AS n_ngrams,
+         |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(coalesce(h.n_shared, 0) / z.n_ngrams, 6) AS overlap
+         |FROM documents d
+         |JOIN szs z ON z.doc_id = d.doc_id
+         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.source <> 'src0'
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "p3_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "p4_shuffle_shard" ->
+      """SELECT doc_id,
+        |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(floor((strpos('0123456789abcdef',
+        |    substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+        |    * 8 / 16) AS INT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g5_group_by_node" ->
+      s"""WITH $SeriesCte
+         |SELECT split_part(name, '.', 2) AS name, ts,
+         |  round(sum(value), 4) AS value
+         |FROM base GROUP BY 1, 2 ORDER BY name, ts""".stripMargin,
+
+    "g6_percent_pointwise" ->
+      s"""WITH $SeriesCte,
+         |kept AS (
+         |  SELECT name FROM base GROUP BY name HAVING avg(value) >= 0.5),
+         |b AS (SELECT base.* FROM base JOIN kept USING (name))
+         |SELECT name, ts,
+         |  CASE WHEN sum(value) OVER (PARTITION BY ts) <> 0
+         |       THEN round(value / sum(value) OVER (PARTITION BY ts) * 100, 4)
+         |  END AS pct,
+         |  CASE WHEN value > 0 THEN round(log(value), 4) END AS log_v,
+         |  CASE WHEN value IS NOT NULL
+         |       THEN round(least(greatest(value, 0.0), 5.0), 4) END AS clamped
+         |FROM b ORDER BY name, ts""".stripMargin,
 
     "mm2_frame_sample" ->
       """WITH media AS (

@@ -21,8 +21,12 @@ object Sampling {
     * [0, 16). (locate/strpos exists in every target engine; conv() does
     * not, hence no base-16 parse here.) */
   private def hexBucket(keyCol: Column): Column =
+    digestBucket(md5(keyCol.cast("string")))
+
+  /** Same nibble-bucket over an already-computed hex digest column. */
+  private def digestBucket(digest: Column): Column =
     call_function("locate",
-      substring(md5(keyCol.cast("string")), 1, 1),
+      substring(digest, 1, 1),
       lit("0123456789abcdef")) - 1
 
   /** Keep a deterministic `sixteenths`/16 fraction of rows, addressed by
@@ -46,5 +50,54 @@ object Sampling {
       when(strataCol === stratum, lit(r)).otherwise(rest)
     }
     df.filter(hexBucket(keyCol) < rate)
+  }
+
+  /** Per-stratum cap (RefinedWeb-style per-domain limits): keep at most
+    * `cap` rows per stratum, chosen content-addressed — rank rows inside
+    * each stratum by md5(key) (ties broken by the key itself) and keep
+    * the first `cap`. The selection is a property of the data, not of
+    * partitioning or arrival order, so reruns and backfills keep the
+    * SAME documents.
+    *
+    * Scale shape: one hash-partition shuffle on the stratum column plus
+    * a per-partition sort (standard window). Domain skew makes single
+    * domains hot, but the sort key is only (16-byte digest, key) — a
+    * giant domain is a sort of its ids, not its payloads; project ids
+    * first and semi-join payloads back if rows are wide (that is what
+    * [[capPerStratumIds]] is for). */
+  def capPerStratum(df: DataFrame, keyCol: Column, strataCol: Column,
+      cap: Int): DataFrame = {
+    require(cap > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(keyCol.cast("string")), keyCol)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** The kept-key set of [[capPerStratum]] computed over (stratum, key)
+    * alone — shuffle the 2-column projection, then left-semi join the
+    * wide payload back (broadcast when the cap × strata product is
+    * small). The 100 TB form when document payloads are large. */
+  def capPerStratumIds(df: DataFrame, keyCol: Column, strataCol: Column,
+      cap: Int): DataFrame =
+    capPerStratum(df.select(strataCol, keyCol), keyCol, strataCol, cap)
+
+  /** Deterministic corpus shuffle + sharding for training dataloaders:
+    * `shuffle_key` = md5(seed ‖ key) gives a reproducible global order
+    * (ORDER BY shuffle_key = one range shuffle, no global window);
+    * `shard` = the first hex nibble scaled into [0, nShards) assigns
+    * each row to a dataloader shard with the same content-addressed
+    * stability as [[hashSample]]. nShards ≤ 16 keeps the assignment a
+    * pure column expression portable to any md5-capable engine (shard
+    * counts beyond 16 would read more nibbles the same way). */
+  def shuffleShard(df: DataFrame, keyCol: Column, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 16, "nShards is in [1, 16]")
+    val key = md5(concat(lit(seed), lit(":"), keyCol.cast("string")))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard",
+        floor(digestBucket(col("shuffle_key")) * nShards / 16).cast("int"))
   }
 }

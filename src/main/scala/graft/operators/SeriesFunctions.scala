@@ -132,6 +132,68 @@ object SeriesFunctions {
     df.withColumn("name", concat_ws(".", picked: _*))
   }
 
+  /** `groupByNode`: group series by one dot-separated name component and
+    * combine each group slot-by-slot with a summary function — graphite's
+    * fleet-rollup workhorse (`groupByNode(sys.cpu.*.load, 2, 'sum')`
+    * sums per host index). The grouped name IS the component value.
+    * One shuffle on (component, ts); map-side partials keep the exchange
+    * at the aggregate's cardinality, not the points'. */
+  def groupByNode(df: DataFrame, node: Int, fn: String): DataFrame = {
+    val parts = split(col("name"), "\\.")
+    val key = if (node >= 0) parts.getItem(node) else element_at(parts, node)
+    val agg: Column = fn match {
+      case "sum" => sum("value")
+      case "avg" => avg("value")
+      case "min" => min("value")
+      case "max" => max("value")
+      case "count" => count("value").cast("double")
+      case other => throw new IllegalArgumentException(
+        s"groupByNode: unknown function '$other'")
+    }
+    df.groupBy(key.as("name"), col("ts")).agg(agg.as("value"))
+  }
+
+  /** `asPercent` (of the slot total): each series' share of the sum over
+    * all input series at the same ts, × 100. None values contribute
+    * nothing to the total and stay None in the output; a slot whose
+    * total is 0 yields None (graphite returns None on zero/None
+    * denominators). One window shuffle on ts. */
+  def asPercent(df: DataFrame): DataFrame = {
+    val total = sum("value").over(Window.partitionBy("ts"))
+    df.withColumn("value",
+      when(total =!= 0, col("value") / total * 100))
+  }
+
+  /** `averageAbove` / `averageBelow`: keep only series whose per-series
+    * mean (None-skipping) clears the threshold — graphite's noise filter.
+    * Same two-pass shape as [[highest]]: tiny per-series aggregate,
+    * broadcast semi-join back. */
+  def averageAbove(df: DataFrame, threshold: Double,
+      above: Boolean = true): DataFrame = {
+    val stats = df.groupBy("name").agg(avg("value").as("__avg"))
+    val kept = (if (above) stats.filter(col("__avg") >= threshold)
+                else stats.filter(col("__avg") <= threshold)).select("name")
+    df.join(broadcast(kept), Seq("name"), "left_semi")
+  }
+
+  /** `absolute`, `logarithm`, and `clamp` (graphite's `minimum`/`maximum`
+    * pair) as single pointwise passes. `logarithm` yields None for
+    * values ≤ 0 like graphite. */
+  def absolute(df: DataFrame): DataFrame =
+    df.withColumn("value", abs(col("value")))
+
+  def logarithm(df: DataFrame, base: Double = 10.0): DataFrame =
+    df.withColumn("value",
+      when(col("value") > 0, log(base, col("value"))))
+
+  def clamp(df: DataFrame, lo: Option[Double], hi: Option[Double]): DataFrame = {
+    val lower = lo.map(l => greatest(col("value"), lit(l))).getOrElse(col("value"))
+    val both = hi.map(h => least(lower, lit(h))).getOrElse(lower)
+    // greatest/least skip nulls (so None would clamp to the bound);
+    // graphite propagates None through pointwise transforms
+    df.withColumn("value", when(col("value").isNotNull, both))
+  }
+
   /** `highestMax` / `highestCurrent` / `highestAverage`: keep the `n`
     * series that rank highest by the chosen statistic. Two passes — a
     * per-series aggregate (map-side partials, tiny result) and a

@@ -99,6 +99,58 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(d.select("name").collect()(0).getString(0) === "click.3")
   }
 
+  test("groupByNode collapses series sharing a component, per slot") {
+    val many = Seq(
+      ("ev.click.1", 0L, Some(1.0)), ("ev.click.2", 0L, Some(2.0)),
+      ("ev.view.1", 0L, Some(5.0)),
+      ("ev.click.1", 60L, None), ("ev.click.2", 60L, None))
+      .toDF("name", "ts", "value")
+    val g = SeriesFunctions.groupByNode(many, node = 1, fn = "sum")
+    val got = g.orderBy("name", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got === Seq(("click", 0L, Some(3.0)), ("click", 60L, None),
+      ("view", 0L, Some(5.0))))
+    intercept[IllegalArgumentException] {
+      SeriesFunctions.groupByNode(many, 1, "median")
+    }
+  }
+
+  test("asPercent: share of the slot total; zero/None totals yield None") {
+    val many = Seq(
+      ("a", 0L, Some(1.0)), ("b", 0L, Some(3.0)),
+      ("a", 60L, Some(2.0)), ("b", 60L, Some(-2.0)), // total 0 → None
+      ("a", 120L, None), ("b", 120L, None)) // all-None slot → None
+      .toDF("name", "ts", "value")
+    val p = SeriesFunctions.asPercent(many)
+    assert(vals(p, "a") === Seq(Some(25.0), None, None))
+    assert(vals(p, "b") === Seq(Some(75.0), None, None))
+  }
+
+  test("averageAbove/Below filter by the None-skipping series mean") {
+    // a: mean (1+4+2)/3 = 7/3 ≈ 2.33; b: mean 15
+    val above = SeriesFunctions.averageAbove(series, 10.0)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(above === Seq("b"))
+    val below = SeriesFunctions.averageAbove(series, 10.0, above = false)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(below === Seq("a"))
+  }
+
+  test("absolute / logarithm / clamp pointwise semantics") {
+    val one = Seq(("m", 0L, Some(-8.0)), ("m", 60L, Some(100.0)),
+      ("m", 120L, None)).toDF("name", "ts", "value")
+    assert(vals(SeriesFunctions.absolute(one), "m")
+      === Seq(Some(8.0), Some(100.0), None))
+    // log10: None for ≤ 0, None propagates
+    assert(vals(SeriesFunctions.logarithm(one), "m")
+      === Seq(None, Some(2.0), None))
+    assert(vals(SeriesFunctions.clamp(one, Some(0.0), Some(5.0)), "m")
+      === Seq(Some(0.0), Some(5.0), None))
+    assert(vals(SeriesFunctions.clamp(one, None, Some(5.0)), "m")
+      === Seq(Some(-8.0), Some(5.0), None))
+  }
+
   test("highest keeps the top-n series with name tie-break") {
     val many = Seq(
       ("m1", 0L, Some(5.0)), ("m2", 0L, Some(9.0)), ("m3", 0L, Some(9.0)),
