@@ -94,7 +94,16 @@ object Dedup {
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
       numHashes: Int = 8, bands: Int = 4,
       maxBucketSize: Int = 0): DataFrame = {
+    // the banded relation feeds up to three plan branches (bucket-size
+    // count, join left, join right); without an exchange boundary each
+    // branch would recompute the signature scan from the source — at
+    // corpus scale that is 3 full hashing passes instead of 1. The
+    // explicit repartition on the band key materializes banding ONCE
+    // (ReusedExchange on every consumer) and is exactly the partitioning
+    // the self-join and the bucket count need anyway, so it adds no
+    // extra shuffle — it just moves the one shuffle ahead of the fan-out.
     val banded = bandedRows(signatures, idCol, numHashes, bands)
+      .repartition(col("band_idx"), col("band_val"))
     val capped =
       if (maxBucketSize <= 0) banded
       else {
