@@ -991,6 +991,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // D9: duplicate-passage detection — the token spans of each document
+    // that occur more than once anywhere in the corpus (substring-level
+    // dedup at 5-gram granularity, the Spark analog of suffix-array
+    // dedup); overlapping duplicated windows merge into maximal spans
+    "d9_duplicate_spans" -> { (s, dir) =>
+      Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // T7: unigram-LM quality score (CCNet-style) — train token
+    // frequencies on sources ≠ src0, score EVERY doc by average negative
+    // log-likelihood; src0-only vocabulary pays the smoothed OOV floor
+    "t7_unigram_logloss" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val model = TextAnalysis.unigramModel(
+        docs.filter(col("source") =!= "src0"), "text")
+      TextAnalysis.unigramLogLoss(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+
     // DC1: benchmark decontamination — per training doc, how many of its
     // distinct 3-grams appear in the eval set (source = src0). The eval
     // vocabulary is collapsed to ONE sorted-array row and broadcast; each
@@ -1694,6 +1714,52 @@ object SparkEntry {
          |  b.ts AS ts, round(b.value, 4) AS value
          |FROM base b JOIN ranked r ON b.name = r.name
          |ORDER BY name, ts""".stripMargin,
+
+    "d9_duplicate_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(substr(text, 1, 4096)), '\s+') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         md5(array_to_string(toks[i:i+4], ' ')) AS gram
+        |  FROM base, LATERAL unnest(range(1, greatest(len(toks) - 4, 1) + 1)) t(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        |marked AS (
+        |  SELECT g.doc_id, g.pos FROM grams g
+        |  JOIN dup USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk)
+        |SELECT doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 5 AS BIGINT) AS span_end,
+        |  count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "t7_unigram_logloss" ->
+      """WITH ref AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents WHERE source <> 'src0'),
+        |model AS (SELECT tok, count(*) AS c FROM ref GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM model),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |nll AS (
+        |  SELECT t.doc_id,
+        |    -ln(coalesce(m.c / (tot.total + 1), 1.0 / (tot.total + 1))) AS v
+        |  FROM toks t CROSS JOIN tot LEFT JOIN model m ON m.tok = t.tok)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(v), 4) AS avg_nll
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dc1_decontaminate" ->
       s"""WITH $ShinglesCte,

@@ -326,6 +326,59 @@ object Dedup {
         .otherwise("train"))
   }
 
+  /** Duplicate-passage detection (substring-level dedup): find the token
+    * spans of each document that also occur elsewhere in the corpus —
+    * the Spark analog of suffix-array substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2021),
+    * approximated at k-gram granularity: a span is duplicated iff every
+    * k-token window inside it occurs more than once in the corpus.
+    *
+    * Plan shape (all linear in corpus token count):
+    *  1. positioned k-grams: one row per (doc, pos), md5-keyed so the
+    *     shuffle carries 16-byte digests, not text;
+    *  2. k-grams seen >1 time anywhere in the corpus (one groupBy —
+    *     within-doc repeats count, as in the suffix-array formulation);
+    *  3. semi-join marks duplicated positions;
+    *  4. gaps-and-islands window per doc merges overlapping windows
+    *     ([p, p+k) and [q, q+k) merge when q ≤ p+k) into maximal spans.
+    * The per-doc window sort is bounded by document length, never corpus
+    * size. Returns (doc_id, span_start, span_end, n_windows) with
+    * token-index spans [span_start, span_end). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, maxChars: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(substring(col(textCol), 1, maxChars)), "\\s+")
+    // one row per k-gram START (docs shorter than k contribute their
+    // whole text as one window, mirroring shingles()' max(n-k+1, 1))
+    val grams = df
+      .select(col(idCol), toks.as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - k, lit(0)))).as("pos"))
+      .select(col(idCol), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k))))
+          .as("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("gram")
+    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = dupPos
+      .withColumn("__new",
+        when(col("pos") > lag(col("pos"), 1).over(w) + k, 1)
+          .when(lag(col("pos"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col(idCol), col("__island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__island")
+  }
+
   /** Embedding near-dup: cosine similarity over pairs blocked by a
     * `blockCol` (label, LSH bucket, …); quadratic only within blocks.
     * Norms are factored out per vector before the self-join so each

@@ -135,4 +135,39 @@ object TextAnalysis {
       .agg(min("h").as("fp_min"), max("h").as("fp_max"),
         count(lit(1)).as("n_grams"))
   }
+
+  /** Unigram language-model token frequencies over a reference corpus —
+    * the training half of CCNet-style LM quality filtering (Wenzek et al.
+    * 2020 score documents by LM perplexity; a unigram model is the
+    * engine-portable core of the same mechanism). One grouped pass;
+    * the result is vocabulary-sized, not corpus-sized. */
+  def unigramModel(reference: DataFrame, textCol: String): DataFrame = {
+    val toks = reference.select(explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total"))
+    counts.crossJoin(broadcast(total))
+  }
+
+  /** Score each document by its average unigram negative log-likelihood
+    * under `model` (from [[unigramModel]]): low = fluent/common text,
+    * high = gibberish or vocabulary the reference corpus has never seen.
+    * Out-of-vocabulary tokens take an add-one-smoothed floor of
+    * 1/(total+1). The model is vocabulary-sized → broadcast join against
+    * the exploded tokens, then one per-doc aggregation: map-side work
+    * plus a single shuffle on the doc id at any corpus size. */
+  def unigramLogLoss(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val scored = model.select(col("tok"),
+      log(col("c") / (col("total") + 1)).as("__logp"))
+    val floor = model.agg(
+      log(lit(1.0) / (max(col("total")) + 1)).as("__floor"))
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    toks
+      .join(broadcast(scored), Seq("tok"), "left")
+      .crossJoin(broadcast(floor))
+      .withColumn("__nll", -coalesce(col("__logp"), col("__floor")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg("__nll"), 4).as("avg_nll"))
+  }
 }

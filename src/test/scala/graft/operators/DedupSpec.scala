@@ -122,4 +122,42 @@ class DedupSpec extends SparkSuite {
       .orderBy("id_a", "id_b").collect().toSeq
     assert(a === b)
   }
+
+  test("duplicateSpans merges overlapping duplicated windows into maximal spans") {
+    // docs 1 and 2 share the 7-token passage "one two three four five six
+    // seven" (3 overlapping 5-grams → ONE span of 7 tokens); their tails
+    // differ. doc 3 is unrelated.
+    val d = Seq(
+      (1L, "one two three four five six seven alpha beta gamma delta eps"),
+      (2L, "zz one two three four five six seven yy xx ww vv uu"),
+      (3L, "totally different words that appear nowhere else at all here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq === Seq(
+      (1L, 0L, 7L, 3L), // tokens [0,7) = the shared passage, 3 windows
+      (2L, 1L, 8L, 3L))) // same passage shifted by the leading "zz"
+  }
+
+  test("duplicateSpans: within-doc repetition counts as duplication") {
+    val d = Seq(
+      (1L, "a b c d e x y z w v a b c d e"), // 5-gram "a b c d e" twice
+      (2L, "nothing shared with any other document text"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSet === Set((1L, 0L, 5L), (1L, 10L, 15L)))
+  }
+
+  test("duplicateSpans: disjoint spans in one doc stay separate") {
+    val d = Seq(
+      (1L, "p q r s t MID1 MID2 MID3 u v w x y"),
+      (2L, "p q r s t OTHER words here u v w x y"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 5)
+      .filter($"doc_id" === 1L).orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(spans === Seq((0L, 5L), (8L, 13L)))
+  }
 }
