@@ -89,8 +89,15 @@ object Bench {
     import graft.operators.{Downsample, TimeSeriesReader}
     import graft.sources.{MetricCatalog, PointsStore}
 
+    // Median of `reps` runs: a single-shot number lets one GC pause or a
+    // cold code path decide the published figure (BENCH_r03 measured the
+    // same commit 28% slower than a local rerun). Each rep runs the full
+    // operation; the median is robust to one bad run in either direction.
     def timed(fn: => Unit): Double = {
-      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      val times = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(times.length / 2)
     }
 
     // ---- untimed setup -------------------------------------------------
@@ -134,28 +141,39 @@ object Bench {
       // ingest throughput vs the reference's ~200k points/s design point
       // (plugins/carbon.py:93-95): 1M points through stage0 LWW dedup +
       // both rollups + partitioned store writes
+      // ingest reps write to FRESH dirs so repetition neither appends to
+      // the read-micro store nor measures an ever-growing table
       "bg_ingest_1m_points" -> timed {
+        val dir = java.nio.file.Files.createTempDirectory("bgingest").toString
         val raw = spark.range(1000000L).select(
           concat(lit("bulk.m"), (col("id") % 1000)).as("metric_id"),
           ((col("id") / 1000).cast("long") * 60).as("ts"),
           col("id").cast("double").as("value"))
           .withColumn("aggregator", lit("average"))
+        // the deduped micro-batch feeds BOTH the stage0 write and the
+        // rollup — persist so the LWW shuffle runs once, exactly like a
+        // live ingest job holding its micro-batch in memory
         val deduped = Downsample.lastWriteWins(raw, 60, col("value"))
           .withColumn("count", lit(1.0)).withColumn("replica", lit(0))
-        PointsStore.write(deduped.drop("aggregator"), storeDir, retention.stage0)
-        PointsStore.write(
-          Downsample.rollupStage(deduped, 3600).withColumn("replica", lit(0)),
-          storeDir, retention.stages(1))
+          .persist()
+        try {
+          PointsStore.write(deduped.drop("aggregator"), dir, retention.stage0)
+          PointsStore.write(
+            Downsample.rollupStage(deduped, 3600).withColumn("replica", lit(0)),
+            dir, retention.stages(1))
+        } finally deduped.unpersist(false)
       },
       "bg_ingest_100x1" -> timed {
+        val dir = java.nio.file.Files.createTempDirectory("bgingest").toString
         val incoming = (0 until 100).map(m =>
           (names(m), 777 * 60L, m.toDouble, 1.0, 0))
           .toDF("metric_id", "ts", "value", "count", "replica")
           .withColumn("aggregator", lit("average"))
-        PointsStore.write(incoming.drop("aggregator"), storeDir, retention.stage0)
+        PointsStore.write(incoming.drop("aggregator"), dir, retention.stage0,
+          writeSalt = 1)
         PointsStore.write(
           Downsample.rollupStage(incoming, 3600).withColumn("replica", lit(0)),
-          storeDir, retention.stages(1))
+          dir, retention.stages(1), writeSalt = 1)
       })
   }
 }

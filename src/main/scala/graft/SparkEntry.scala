@@ -1026,6 +1026,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // DC2: the join-path decontamination for eval vocabularies too large
+    // for one array row — multi-row n-gram table + semi-join, same
+    // column contract as dc1 (here over a 2-source eval set)
+    "dc2_decontaminate_joined" -> { (s, dir) =>
+      import graft.operators.Decontamination
+      val docs = table(s, dir, "documents")
+      val evalTable = Decontamination.evalNgramTable(
+        docs.filter(col("source").isin("src0", "src1")), "text", n = 3)
+      Decontamination.contaminationJoined(
+        docs.filter(!col("source").isin("src0", "src1")), "doc_id", "text",
+        evalTable, n = 3)
+        .orderBy("doc_id")
+    },
+
     // P3: per-domain cap (RefinedWeb-style) — keep ≤ 10 docs per source,
     // chosen content-addressed (md5 rank) so reruns keep the same docs
     "p3_domain_cap" -> { (s, dir) =>
@@ -1782,6 +1796,27 @@ object SparkEntry {
          |WHERE d.source <> 'src0'
          |ORDER BY d.doc_id""".stripMargin,
 
+    "dc2_decontaminate_joined" ->
+      s"""WITH $ShinglesCte,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |esh AS (
+         |  SELECT DISTINCT s.shingle
+         |  FROM dsh s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source IN ('src0', 'src1')),
+         |szs AS (SELECT doc_id, count(*) AS n_ngrams FROM dsh GROUP BY 1),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_shared
+         |  FROM dsh s JOIN esh e USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(z.n_ngrams AS BIGINT) AS n_ngrams,
+         |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(coalesce(h.n_shared, 0) / z.n_ngrams, 6) AS overlap
+         |FROM documents d
+         |JOIN szs z ON z.doc_id = d.doc_id
+         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.source NOT IN ('src0', 'src1')
+         |ORDER BY d.doc_id""".stripMargin,
+
     "p3_domain_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source, row_number() OVER (
@@ -1792,12 +1827,21 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "p4_shuffle_shard" ->
-      """SELECT doc_id,
-        |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
-        |  CAST(floor((strpos('0123456789abcdef',
-        |    substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
-        |    * 8 / 16) AS INT) AS shard
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST((  (strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 268435456
+        |        + (strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1) * 16777216
+        |        + (strpos('0123456789abcdef', substr(shuffle_key, 3, 1)) - 1) * 1048576
+        |        + (strpos('0123456789abcdef', substr(shuffle_key, 4, 1)) - 1) * 65536
+        |        + (strpos('0123456789abcdef', substr(shuffle_key, 5, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substr(shuffle_key, 6, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(shuffle_key, 7, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(shuffle_key, 8, 1)) - 1)) % 8 AS INT)
+        |    AS shard
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "g5_group_by_node" ->
       s"""WITH $SeriesCte

@@ -13,15 +13,29 @@ import graft.functions.{ShingleSet, SortedIntersectCount}
   * the n is a parameter here — the synthetic docs are short, so tests
   * and oracles exercise n=3 while the mechanism is n-agnostic).
   *
-  * Scale shape: the eval set is tiny (thousands of docs) next to a
-  * 100 TB corpus, so the eval n-gram vocabulary is collapsed to ONE row
-  * (a sorted distinct array) and broadcast; each corpus document then
-  * computes its overlap in a single native merge pass
-  * ([[graft.functions.ShingleSet]] → [[graft.functions.SortedIntersectCount]])
-  * with NO shuffle of corpus rows and no exploded (doc, ngram) relation
-  * — the whole scan is map-only work after a one-row broadcast. The
-  * eval-side aggregation is an all-to-one collect_list, bounded by the
-  * eval vocabulary (not the corpus).
+  * Scale shape — two paths behind the same column contract
+  * (`id, n_ngrams, n_shared, overlap`):
+  *
+  *  - **Array path** ([[evalNgramSet]] + [[contamination]]) for a small
+  *    eval vocabulary: the whole vocabulary is collapsed to ONE row (a
+  *    sorted distinct array) and broadcast; each corpus document then
+  *    computes its overlap in a single native merge pass
+  *    ([[graft.functions.ShingleSet]] →
+  *    [[graft.functions.SortedIntersectCount]]) with NO shuffle of
+  *    corpus rows and no exploded (doc, ngram) relation. Bounded by the
+  *    single-row array limit — fine up to roughly a million n-grams.
+  *  - **Join path** ([[evalNgramTable]] + [[contaminationJoined]]) for
+  *    eval vocabularies past that bound (GPT-3-style 13-grams over a
+  *    full eval suite → tens of millions of strings): the vocabulary is
+  *    an ordinary multi-row table, the corpus side explodes its per-doc
+  *    shingle set, and a semi-join + per-doc count computes the overlap.
+  *    AQE broadcasts the vocabulary while it fits and falls back to a
+  *    shuffle join keyed on the n-gram beyond that — no single-row or
+  *    driver-side limit anywhere.
+  *
+  * Documents with no extractable n-grams (null or too-short text) are
+  * excluded from both reports — same contract as the eval side, which
+  * cannot match on them either.
   */
 object Decontamination {
 
@@ -33,9 +47,34 @@ object Decontamination {
       maxChars: Int = 4096): DataFrame =
     evalDocs
       .select(ShingleSet.shingle_set(
-        lower(substring(col(textCol), 1, maxChars)), n).as("__ss"))
+        lower(substring(coalesce(col(textCol), lit("")), 1, maxChars)), n)
+        .as("__ss"))
       .agg(array_sort(array_distinct(flatten(collect_list(col("__ss")))))
         .as("eval_ngrams"))
+
+  /** The distinct n-gram vocabulary of the eval set as a NORMAL
+    * multi-row table (`eval_ngram` string column) — the join side of
+    * [[contaminationJoined]], for eval suites whose vocabulary exceeds
+    * what one array row / one broadcast value can hold. */
+  def evalNgramTable(evalDocs: DataFrame, textCol: String, n: Int = 3,
+      maxChars: Int = 4096): DataFrame =
+    evalDocs
+      .select(explode(ShingleSet.shingle_set(
+        lower(substring(coalesce(col(textCol), lit("")), 1, maxChars)), n))
+        .as("eval_ngram"))
+      .distinct()
+
+  /** Corpus side shared by both paths: per-doc distinct shingle set,
+    * restricted to documents that HAVE shingles (null text and texts
+    * shorter than n words produce none and are dropped — they cannot be
+    * contaminated). */
+  private def docShingles(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, maxChars: Int): DataFrame =
+    corpus
+      .select(col(idCol), ShingleSet.shingle_set(
+        lower(substring(coalesce(col(textCol), lit("")), 1, maxChars)), n)
+        .as("__ss"))
+      .filter(size(col("__ss")) > 0)
 
   /** Per-document contamination report: distinct n-gram count, how many
     * of them appear in the eval vocabulary, and the overlap ratio.
@@ -44,17 +83,37 @@ object Decontamination {
     * a shuffle. Filter `n_shared > 0` (any-collision, the GPT-3 rule) or
     * on `overlap` for a softer threshold. */
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
-      evalSet: DataFrame, n: Int = 3, maxChars: Int = 4096): DataFrame = {
-    val ss = ShingleSet.shingle_set(
-      lower(substring(col(textCol), 1, maxChars)), n)
-    corpus
-      .select(col(idCol), ss.as("__ss"))
+      evalSet: DataFrame, n: Int = 3, maxChars: Int = 4096): DataFrame =
+    docShingles(corpus, idCol, textCol, n, maxChars)
       .crossJoin(broadcast(evalSet))
       .select(
         col(idCol),
         size(col("__ss")).cast("long").as("n_ngrams"),
         SortedIntersectCount.sorted_intersect_count(
           col("__ss"), col("eval_ngrams")).as("n_shared"))
+      .withColumn("overlap",
+        round(col("n_shared") / col("n_ngrams"), 6))
+
+  /** [[contamination]] for eval vocabularies too large for one array
+    * row: same output columns, computed by exploding the per-doc shingle
+    * set and semi-joining the multi-row vocabulary from
+    * [[evalNgramTable]]. One explode (map-side), one join on the n-gram
+    * (broadcast while the vocabulary fits, AQE shuffle join beyond), one
+    * per-doc count shuffle — nothing is corpus- or vocabulary-sized on
+    * the driver. */
+  def contaminationJoined(corpus: DataFrame, idCol: String, textCol: String,
+      evalTable: DataFrame, n: Int = 3, maxChars: Int = 4096): DataFrame = {
+    val docs = docShingles(corpus, idCol, textCol, n, maxChars)
+    val hits = docs
+      .select(col(idCol), explode(col("__ss")).as("eval_ngram"))
+      .join(evalTable, Seq("eval_ngram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    docs
+      .select(col(idCol), size(col("__ss")).cast("long").as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("__hits"), lit(0L)))
+      .drop("__hits")
       .withColumn("overlap",
         round(col("n_shared") / col("n_ngrams"), 6))
   }

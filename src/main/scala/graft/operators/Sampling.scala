@@ -71,9 +71,13 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol)
       .orderBy(md5(keyCol.cast("string")), keyCol)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= cap)
-      .drop("__rk")
+    // pick a rank column name the input provably doesn't use, so a
+    // caller whose frame already has __rk is never clobbered/misranked
+    val rk = Iterator.iterate("__rk")(_ + "_")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= cap)
+      .drop(rk)
   }
 
   /** The kept-key set of [[capPerStratum]] computed over (stratum, key)
@@ -84,20 +88,30 @@ object Sampling {
       cap: Int): DataFrame =
     capPerStratum(df.select(strataCol, keyCol), keyCol, strataCol, cap)
 
+  /** The first `nibbles` hex chars of a digest parsed as an integer —
+    * a uniform value in [0, 16^nibbles), built from locate/substr only
+    * so the same expression runs on any md5-capable engine. */
+  private def digestInt(digest: Column, nibbles: Int): Column =
+    (1 to nibbles).map { i =>
+      (call_function("locate", substring(digest, i, 1),
+        lit("0123456789abcdef")) - 1) *
+        lit(1L << (4 * (nibbles - i)))
+    }.reduce(_ + _)
+
   /** Deterministic corpus shuffle + sharding for training dataloaders:
     * `shuffle_key` = md5(seed ‖ key) gives a reproducible global order
     * (ORDER BY shuffle_key = one range shuffle, no global window);
-    * `shard` = the first hex nibble scaled into [0, nShards) assigns
-    * each row to a dataloader shard with the same content-addressed
-    * stability as [[hashSample]]. nShards ≤ 16 keeps the assignment a
-    * pure column expression portable to any md5-capable engine (shard
-    * counts beyond 16 would read more nibbles the same way). */
+    * `shard` = the first 8 hex nibbles of the key parsed as a 32-bit
+    * int, mod nShards — content-addressed like [[hashSample]], and
+    * balanced for ANY shard count (the mod bias is nShards/2^32,
+    * immeasurable for any sane dataloader fleet; a single-nibble bucket
+    * would skew ~12% whenever nShards doesn't divide 16). */
   def shuffleShard(df: DataFrame, keyCol: Column, seed: String,
       nShards: Int): DataFrame = {
-    require(nShards >= 1 && nShards <= 16, "nShards is in [1, 16]")
+    require(nShards >= 1 && nShards <= 65536, "nShards is in [1, 65536]")
     val key = md5(concat(lit(seed), lit(":"), keyCol.cast("string")))
     df.withColumn("shuffle_key", key)
       .withColumn("shard",
-        floor(digestBucket(col("shuffle_key")) * nShards / 16).cast("int"))
+        pmod(digestInt(col("shuffle_key"), 8), lit(nShards)).cast("int"))
   }
 }

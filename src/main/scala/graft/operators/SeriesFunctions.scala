@@ -140,7 +140,14 @@ object SeriesFunctions {
     * at the aggregate's cardinality, not the points'. */
   def groupByNode(df: DataFrame, node: Int, fn: String): DataFrame = {
     val parts = split(col("name"), "\\.")
-    val key = if (node >= 0) parts.getItem(node) else element_at(parts, node)
+    // graphite raises on an out-of-range node; a silent null key would
+    // collapse every short name into one null-named group instead
+    val within =
+      if (node >= 0) size(parts) > node else size(parts) >= -node
+    val picked =
+      if (node >= 0) parts.getItem(node) else element_at(parts, node)
+    val key = when(within, picked).otherwise(raise_error(concat(
+      lit(s"groupByNode: node $node out of range for series "), col("name"))))
     val agg: Column = fn match {
       case "sum" => sum("value")
       case "avg" => avg("value")
@@ -192,6 +199,96 @@ object SeriesFunctions {
     // greatest/least skip nulls (so None would clamp to the bound);
     // graphite propagates None through pointwise transforms
     df.withColumn("value", when(col("value").isNotNull, both))
+  }
+
+  /** `alias`: rename every series to one fixed display name
+    * (functions.py alias — a pure relabel, usually after a combine). */
+  def aliasSeries(df: DataFrame, newName: String): DataFrame =
+    df.withColumn("name", lit(newName))
+
+  /** `sortByMaxima` / `sortByMinima` / `sortByTotal` / `sortByName`:
+    * graphite's legend-order family. A set-based engine has no implicit
+    * row order, so the order is MATERIALIZED as a 1-based `series_order`
+    * column (ties break on the lexically smaller name) and the rows come
+    * back sorted by it. The ranking window runs over the per-series
+    * aggregate — metric-count rows, never the points — so the single
+    * unpartitioned window is display-sized by construction. */
+  def sortSeries(df: DataFrame, by: String = "maxima"): DataFrame = {
+    val ranked = by match {
+      case "name" =>
+        df.select("name").distinct()
+          .withColumn("series_order",
+            row_number().over(Window.orderBy(col("name").asc)))
+      case _ =>
+        val (stat, desc) = by match {
+          case "maxima" => (max("value"), true)
+          case "minima" => (min("value"), false)
+          case "total" => (sum("value"), true)
+          case "average" => (avg("value"), true)
+          case other => throw new IllegalArgumentException(
+            s"sortSeries: unknown key '$other'")
+        }
+        val ord =
+          if (desc) col("__stat").desc_nulls_last else col("__stat").asc_nulls_last
+        df.groupBy("name").agg(stat.as("__stat"))
+          .withColumn("series_order",
+            row_number().over(Window.orderBy(ord, col("name").asc)))
+          .drop("__stat")
+    }
+    df.join(broadcast(ranked), Seq("name"), "left")
+      .orderBy(col("series_order"), col("ts"))
+  }
+
+  /** `movingMedian`: exact median over a trailing window of `points`
+    * slots, None-skipping (graphite's safeMedian; even windows average
+    * the two middle values). */
+  def movingMedian(df: DataFrame, points: Int): DataFrame = {
+    require(points > 0)
+    df.withColumn("value",
+      median(col("value")).over(perSeries.rowsBetween(-(points - 1), 0)))
+  }
+
+  /** `stdev`: moving POPULATION standard deviation over a trailing
+    * window of `points` slots (graphite's stdev divides by the count of
+    * present points, not n−1), None-skipping. */
+  def stdev(df: DataFrame, points: Int): DataFrame = {
+    require(points > 0)
+    df.withColumn("value",
+      stddev_pop(col("value")).over(perSeries.rowsBetween(-(points - 1), 0)))
+  }
+
+  /** `exclude` / `grep`: drop or keep series whose name matches a regex
+    * (search semantics like Python's re.search — unanchored unless the
+    * pattern anchors itself). Pure pushdown-able filters. */
+  def exclude(df: DataFrame, pattern: String): DataFrame =
+    df.filter(!col("name").rlike(pattern))
+
+  def grep(df: DataFrame, pattern: String): DataFrame =
+    df.filter(col("name").rlike(pattern))
+
+  /** `currentAbove` / `currentBelow`: keep series whose LAST reported
+    * (non-None) value clears the threshold. Same tiny-aggregate +
+    * broadcast-semi-join shape as [[averageAbove]]. */
+  def currentAbove(df: DataFrame, threshold: Double,
+      above: Boolean = true): DataFrame = {
+    val cur = max_by(col("value"), when(col("value").isNotNull, col("ts")))
+    val stats = df.groupBy("name").agg(cur.as("__cur"))
+    val kept = (if (above) stats.filter(col("__cur") >= threshold)
+                else stats.filter(col("__cur") <= threshold)).select("name")
+    df.join(broadcast(kept), Seq("name"), "left_semi")
+  }
+
+  /** `integralByInterval`: running sum per series that RESETS at each
+    * `intervalS` boundary (graphite's per-day/per-hour cumulative
+    * counter). One window shuffle on (name, bucket); None inputs stay
+    * None without resetting the accumulator, as in [[integral]]. */
+  def integralByInterval(df: DataFrame, intervalS: Long): DataFrame = {
+    require(intervalS > 0)
+    val bucket = (floor(col("ts") / intervalS) * intervalS).cast("long")
+    val w = Window.partitionBy(col("name"), bucket).orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("value",
+      when(col("value").isNotNull, sum("value").over(w)))
   }
 
   /** `highestMax` / `highestCurrent` / `highestAverage`: keep the `n`

@@ -152,9 +152,13 @@ object TextAnalysis {
     * under `model` (from [[unigramModel]]): low = fluent/common text,
     * high = gibberish or vocabulary the reference corpus has never seen.
     * Out-of-vocabulary tokens take an add-one-smoothed floor of
-    * 1/(total+1). The model is vocabulary-sized → broadcast join against
-    * the exploded tokens, then one per-doc aggregation: map-side work
-    * plus a single shuffle on the doc id at any corpus size. */
+    * 1/(total+1). The model join strategy is left to AQE: at test scale
+    * the vocabulary broadcasts; a web-scale reference vocabulary exceeds
+    * broadcast/driver limits, and AQE then falls back to a shuffle join
+    * keyed on the token — still one shuffle of the (doc, token) relation
+    * plus the per-doc aggregation. Callers with a huge model who want the
+    * broadcast back should prune it by a frequency threshold first
+    * (rare tokens score at the floor anyway). */
   def unigramLogLoss(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
     val scored = model.select(col("tok"),
@@ -163,7 +167,7 @@ object TextAnalysis {
       log(lit(1.0) / (max(col("total")) + 1)).as("__floor"))
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     toks
-      .join(broadcast(scored), Seq("tok"), "left")
+      .join(scored, Seq("tok"), "left")
       .crossJoin(broadcast(floor))
       .withColumn("__nll", -coalesce(col("__logp"), col("__floor")))
       .groupBy(col(idCol))
