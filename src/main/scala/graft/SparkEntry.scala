@@ -129,13 +129,13 @@ object SparkEntry {
         col("ts") * 10000000L + col("event_id"))
       .select(col("metric_id"), col("ts"), col("value"),
         lit(1.0).as("count"), lit(0).as("replica"))
-    PointsStore.write(stage0, store, ret.stage0)
+    PointsStore.write(stage0, store, ret.stage0, writeSalt = 1)
     val st1 = ret.stages(1)
     PointsStore.write(
       Downsample.rollupStage(pts, st1.precisionS)
         .select(col("metric_id"), col("ts"), col("value"), col("count"),
           lit(0).as("replica")),
-      store, st1)
+      store, st1, writeSalt = 1)
     val catalog = MetricCatalog.withDerivedColumns(
       pts.select("name").distinct())
       .withColumn("id", col("name"))
@@ -271,19 +271,12 @@ object SparkEntry {
     // pairing, relative gap, dissymmetry percentiles
     // (cli/clusters_diff.py:148-247)
     "a11_clusters_diff" -> { (s, dir) =>
+      import graft.operators.ClustersDiff
       val base = points(s, dir)
       def cluster(r: Int) = base.filter(col("replica") === r)
         .groupBy(col("name"), stepTs(3600).as("ts"))
-        .agg(sum("value").as(s"v$r"))
-      val joined = cluster(0).join(cluster(1), Seq("name", "ts"), "full_outer")
-        .withColumn("gap",
-          when(col("v0").isNull || col("v1").isNull, lit(1.0))
-            .otherwise(abs(col("v0") - col("v1")) / greatest(col("v0"), col("v1"))))
-      joined.groupBy("name").agg(avg("gap").as("g"))
-        .agg(round(percentile(col("g"), lit(0.5)), 6).as("p50"),
-          round(percentile(col("g"), lit(0.9)), 6).as("p90"),
-          round(percentile(col("g"), lit(0.99)), 6).as("p99"),
-          count(lit(1)).as("n"))
+        .agg(sum("value").as("value"))
+      ClustersDiff.diffReport(cluster(0), cluster(1))
     },
 
     // F3: glob → anchored regex as the authoritative filter
@@ -486,12 +479,12 @@ object SparkEntry {
           col("ts") * 10000000L + col("event_id"))
         .select(col("metric_id"), col("ts"), col("value"),
           lit(1.0).as("count"), lit(0).as("replica"))
-      PointsStore.write(stage0, store, ret.stage0)
+      PointsStore.write(stage0, store, ret.stage0, writeSalt = 1)
       val st1 = ret.stages(1)
       val stage1 = Downsample.rollupStage(pts, st1.precisionS)
         .select(col("metric_id"), col("ts"), col("value"), col("count"),
           lit(0).as("replica"))
-      PointsStore.write(stage1, store, st1)
+      PointsStore.write(stage1, store, st1, writeSalt = 1)
       // catalog: id = name keeps the store join oracle-checkable
       val catalog = MetricCatalog.withDerivedColumns(
         pts.select("name").distinct())
@@ -527,7 +520,7 @@ object SparkEntry {
         Downsample.rollupStage(pts, st1.precisionS)
           .select(col("metric_id"), col("ts"), col("value"), col("count"),
             lit(0).as("replica")),
-        store, st1)
+        store, st1, writeSalt = 1)
       val catalog = MetricCatalog.withDerivedColumns(
         pts.select("name").distinct())
         .withColumn("id", col("name"))
@@ -561,7 +554,7 @@ object SparkEntry {
         Downsample.rollupStage(pts, st1.precisionS)
           .select(col("metric_id"), col("ts"), col("value"), col("count"),
             lit(0).as("replica")),
-        store, st1)
+        store, st1, writeSalt = 1)
       val catalog = MetricCatalog.withDerivedColumns(
         pts.select("name").distinct())
         .withColumn("id", col("name"))
@@ -599,12 +592,12 @@ object SparkEntry {
         Downsample.rollupStage(pts.filter(isA), retA.stages(1).precisionS)
           .select(col("metric_id"), col("ts"), col("value"), col("count"),
             lit(0).as("replica")),
-        store, retA.stages(1))
+        store, retA.stages(1), writeSalt = 1)
       PointsStore.write(
         Downsample.rollupStage(pts.filter(!isA), retB.stages(1).precisionS)
           .select(col("metric_id"), col("ts"), col("value"), col("count"),
             lit(0).as("replica")),
-        store, retB.stages(1))
+        store, retB.stages(1), writeSalt = 1)
       val catalog = MetricCatalog.withDerivedColumns(
         pts.select("name").distinct())
         .withColumn("id", col("name"))
@@ -1080,6 +1073,43 @@ object SparkEntry {
         .select(col("name"), col("ts"), round(col("value"), 4).as("clamped"))
       pct.join(lg, Seq("name", "ts")).join(cl, Seq("name", "ts"))
         .orderBy("name", "ts")
+    },
+
+    // G7: round-4 render breadth — exclude (regex filter), currentAbove
+    // (last-value filter), movingMedian, moving stdev, integralByInterval
+    // (resetting running sum), sortSeries (materialized legend order)
+    "g7_render_breadth" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val kept = SeriesFunctions.currentAbove(
+        SeriesFunctions.exclude(base, "\\.0$"), 0.5)
+      // median of an even window of 4-decimal inputs lands exactly on a
+      // 5th-decimal midpoint, where HALF_UP (Spark) and HALF_EVEN
+      // rounding diverge — round at 5 decimals (identity on those
+      // values) so the oracle compare is rounding-mode-independent
+      val med = SeriesFunctions.movingMedian(kept, 4)
+        .select(col("name"), col("ts"), round(col("value"), 5).as("med4"))
+      // degenerate windows (2 present points, or 2+2 equal pairs) give
+      // sd = |a−b|/2 — exactly 5 decimals for 4-decimal inputs, i.e. a
+      // rounding midpoint at 4 dp; round at 5 (identity there) like med4
+      val sd = SeriesFunctions.stdev(kept, 4)
+        .select(col("name"), col("ts"), round(col("value"), 5).as("sd4"))
+      val ib = SeriesFunctions.integralByInterval(kept, 6 * 3600)
+        .select(col("name"), col("ts"), round(col("value"), 4).as("integ"))
+      val ord = SeriesFunctions.sortSeries(kept, by = "maxima")
+        .select(col("name"), col("ts"), col("series_order"))
+      med.join(sd, Seq("name", "ts")).join(ib, Seq("name", "ts"))
+        .join(ord, Seq("name", "ts"))
+        .orderBy("name", "ts")
+    },
+
+    // G8: grep + cross-series average + alias — the "one fleet line with
+    // a readable legend" chain every dashboard uses
+    "g8_grep_alias" -> { (s, dir) =>
+      val clicks = SeriesFunctions.grep(hourlySeries(s, dir), "^ev\\.click\\.")
+      SeriesFunctions.aliasSeries(
+        SeriesFunctions.combineSeries(clicks, "sum", "tmp"), "fleet.click.sum")
+        .select(col("name"), col("ts"), round(col("value"), 4).as("value"))
+        .orderBy("ts")
     })
 
   // ---- oracle SQL -----------------------------------------------------
@@ -1863,6 +1893,37 @@ object SparkEntry {
          |       THEN round(least(greatest(value, 0.0), 5.0), 4) END AS clamped
          |FROM b ORDER BY name, ts""".stripMargin,
 
+    "g7_render_breadth" ->
+      s"""WITH $SeriesCte,
+         |excl AS (SELECT * FROM base WHERE NOT regexp_matches(name, '\\.0$$')),
+         |keptn AS (
+         |  SELECT name FROM excl GROUP BY name
+         |  HAVING arg_max(value, ts) FILTER (WHERE value IS NOT NULL) >= 0.5),
+         |k AS (SELECT excl.* FROM excl JOIN keptn USING (name)),
+         |ord AS (
+         |  SELECT name, CAST(row_number() OVER (
+         |    ORDER BY m DESC NULLS LAST, name ASC) AS INT) AS series_order
+         |  FROM (SELECT name, max(value) AS m FROM k GROUP BY name))
+         |SELECT k.name, k.ts,
+         |  round(median(k.value) OVER (
+         |    PARTITION BY k.name ORDER BY k.ts
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 5) AS med4,
+         |  round(stddev_pop(k.value) OVER (
+         |    PARTITION BY k.name ORDER BY k.ts
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 5) AS sd4,
+         |  CASE WHEN k.value IS NOT NULL THEN round(sum(k.value) OVER (
+         |    PARTITION BY k.name, (k.ts // 21600) * 21600 ORDER BY k.ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) END AS integ,
+         |  o.series_order
+         |FROM k JOIN ord o ON o.name = k.name
+         |ORDER BY k.name, k.ts""".stripMargin,
+
+    "g8_grep_alias" ->
+      s"""WITH $SeriesCte
+         |SELECT 'fleet.click.sum' AS name, ts, round(sum(value), 4) AS value
+         |FROM base WHERE regexp_matches(name, '^ev\\.click\\.')
+         |GROUP BY ts ORDER BY ts""".stripMargin,
+
     "mm2_frame_sample" ->
       """WITH media AS (
         |  SELECT doc_id, text,
@@ -1999,15 +2060,28 @@ object SparkEntry {
          |  FROM points WHERE replica = 1 GROUP BY 1, 2),
          |j AS (
          |  SELECT coalesce(c0.name, c1.name) AS name,
-         |    CASE WHEN v0 IS NULL OR v1 IS NULL THEN 1.0
-         |         ELSE abs(v0 - v1) / greatest(v0, v1) END AS gap
+         |    CASE WHEN v0 IS NOT DISTINCT FROM v1 THEN 0.0
+         |         WHEN v0 IS NULL OR v1 IS NULL THEN 1.0
+         |         ELSE abs(v0 - v1) / (abs(v0) + abs(v1)) END AS gap
          |  FROM c0 FULL OUTER JOIN c1 ON c0.name = c1.name AND c0.ts = c1.ts),
-         |per_name AS (SELECT name, avg(gap) AS g FROM j GROUP BY name)
-         |SELECT round(quantile_cont(g, 0.5), 6) AS p50,
-         |  round(quantile_cont(g, 0.9), 6) AS p90,
-         |  round(quantile_cont(g, 0.99), 6) AS p99,
-         |  count(*) AS n
-         |FROM per_name""".stripMargin,
+         |per_name AS (SELECT name, avg(gap) AS g FROM j GROUP BY name),
+         |ranked AS (
+         |  SELECT g, row_number() OVER (ORDER BY g) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM per_name)
+         |SELECT
+         |  round(max(CASE WHEN rn = CAST(floor(0.5 * n) AS BIGINT) + 1
+         |            THEN g END), 6) AS p50,
+         |  round(max(CASE WHEN rn = CAST(floor(0.75 * n) AS BIGINT) + 1
+         |            THEN g END), 6) AS p75,
+         |  round(max(CASE WHEN rn = CAST(floor(0.9 * n) AS BIGINT) + 1
+         |            THEN g END), 6) AS p90,
+         |  round(max(CASE WHEN rn = CAST(floor(0.99 * n) AS BIGINT) + 1
+         |            THEN g END), 6) AS p99,
+         |  round(max(CASE WHEN rn = CAST(floor(0.999 * n) AS BIGINT) + 1
+         |            THEN g END), 6) AS p999,
+         |  max(n) AS n
+         |FROM ranked""".stripMargin,
 
     "f3_glob_regex" ->
       s"""WITH $PointsCte

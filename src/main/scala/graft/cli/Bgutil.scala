@@ -32,13 +32,30 @@ object Bgutil {
         s"$dir/catalog_v${Files.readString(currentFile).trim}"
       else s"$dir/catalog" // pre-versioning layout
     def pointsPath = s"$dir/points"
-    def catalog: DataFrame = spark.read.parquet(catalogPath)
+    /** `spark.graft.catalog.v2=true` reads the catalog through the
+      * [[graft.sources.GraftCatalogSource]] DSv2 reader (explicit
+      * row-group stats pruning on the glob columns) instead of the
+      * generic parquet source. Same rows either way. */
+    def catalog: DataFrame =
+      if (spark.conf.getOption("spark.graft.catalog.v2").contains("true"))
+        spark.read.format(graft.sources.GraftCatalogSource.ShortName)
+          .load(catalogPath)
+      else spark.read.parquet(catalogPath)
     def points: DataFrame = spark.read.parquet(pointsPath)
     def hasCatalog: Boolean = new java.io.File(catalogPath).exists()
 
     /** Commit a new catalog version atomically. */
     def commitCatalog(df: DataFrame): Unit =
       commitVersioned(df, currentFile, "catalog")
+
+    /** This db's catalog as a [[MetricCatalog.CatalogStore]] — the
+      * handle [[graft.streaming.StreamingIngest.startIngestJob]] uses
+      * for mid-stream metric auto-create. */
+    def catalogStore: MetricCatalog.CatalogStore = new MetricCatalog.CatalogStore {
+      override def current(s: SparkSession): Option[DataFrame] =
+        if (hasCatalog) Some(catalog) else None
+      override def commit(df: DataFrame): Unit = commitCatalog(df)
+    }
 
     // ---- directories table (drivers/cassandra.py:698-713,1783-1804) --
     // Maintained alongside the catalog; the reference tolerates drift
@@ -139,7 +156,44 @@ object Bgutil {
     case "copy" => copy(db, rest(0), rest(1))
     case "delete" => delete(db, rest(0))
     case "info" => info(db)
+    case "clustersdiff" => clustersDiff(db, Db(db.spark, rest(0)),
+      rest(1).toLong, rest(2).toLong, rest.drop(3).toSeq)
     case other => System.err.println(s"unknown command: $other"); sys.exit(2)
+  }
+
+  /** `bg-clusters-diff` (cli/clusters_diff.py): fetch the same glob
+    * queries from two databases, report per-target value-dissymmetry
+    * percentiles AND per-query fetch-timing percentiles for each host —
+    * both in the reference's interpolation-free percentile convention
+    * (clusters_diff.py:231-246,513-529). Timings are wall-clock per
+    * query, one measurement per (host, glob), like the reference's
+    * HostResult.query_to_time_s. */
+  def clustersDiff(db: Db, other: Db, startS: Long, endS: Long,
+      globs: Seq[String]): Unit = {
+    import graft.operators.ClustersDiff
+    require(globs.nonEmpty, "clustersdiff: at least one glob query")
+    def timedFetch(d: Db, g: String): (DataFrame, Double) = {
+      val t0 = System.nanoTime()
+      val df = read(d, g, startS, endS)
+      df.count() // force the fetch; the plan below reuses the cached read
+      (df, (System.nanoTime() - t0) / 1e9)
+    }
+    val fetched = globs.map { g =>
+      val (a, ta) = timedFetch(db, g)
+      val (b, tb) = timedFetch(other, g)
+      (a, b, ta, tb)
+    }
+    val dissy = fetched.map { case (a, b, _, _) =>
+      ClustersDiff.dissymmetries(a, b)
+    }.reduce(_ unionByName _)
+    println(s"value dissymmetry percentiles over ${globs.size} queries:")
+    ClustersDiff.referencePctls(dissy, col("dissymmetry"))
+      .show(truncate = false)
+    for ((name, times) <- Seq(
+        db.dir -> fetched.map(_._3), other.dir -> fetched.map(_._4)))
+      println(s"host $name fetch timing pctls: " +
+        ClustersDiff.timingPctls(times)
+          .map { case (l, t) => f"p$l%s=$t%.3fs" }.mkString(" "))
   }
 
   /** Create the table layout (drivers/cassandra.py:2289-2355 syncdb). */
@@ -180,7 +234,8 @@ object Bgutil {
       val stepTs = st.roundDown(ts)
       val pts = Seq((metric.id, stepTs, value, 1.0, 0))
         .toDF("metric_id", "ts", "value", "count", "replica")
-      PointsStore.write(pts, db.pointsPath, st)
+      // one point / a backfill spanning many buckets: no hot-bucket salt
+      PointsStore.write(pts, db.pointsPath, st, writeSalt = 1)
     }
     upsertDirectories(db, Seq(metric.name).toDF("name"))
   }
@@ -267,7 +322,7 @@ object Bgutil {
           Downsample.rollupStage(raw, st.precisionS)
             .select(col("metric_id"), col("ts"), col("value"), col("count"),
               lit(0).as("replica"))
-      PointsStore.write(staged, db.pointsPath, st)
+      PointsStore.write(staged, db.pointsPath, st, writeSalt = 1)
     }
   }
 
@@ -290,7 +345,11 @@ object Bgutil {
     * perSecond | derivative | nonNegativeDerivative | integral |
     * keepLastValue | movingAverage:N | timeShift:S | scale:F[:ADD] |
     * summarize:INTERVAL_S:FN | combine:FN:ALIAS | highest:N[:STAT] |
-    * aliasByNode:I[,J,…] */
+    * aliasByNode:I[,J,…] | alias:NAME | movingMedian:N | stdev:N |
+    * exclude:REGEX | grep:REGEX | currentAbove:T | currentBelow:T |
+    * integralByInterval:S | sortBy:KEY | groupByNode:I:FN |
+    * averageAbove:T | averageBelow:T | asPercent | absolute |
+    * logarithm[:BASE] | clamp:LO:HI */
   def render(db: Db, glob: String, startS: Long, endS: Long,
       fnSpecs: Seq[String], maxDataPoints: Int = 0): DataFrame = {
     import graft.operators.{SeriesFunctions => SF}
@@ -313,11 +372,32 @@ object Bgutil {
             if (parts.length > 2) parts(2) else "max")
           case "aliasByNode" =>
             SF.aliasByNode(df, parts(1).split(",").toSeq.map(_.toInt))
+          case "alias" => SF.aliasSeries(df, parts(1))
+          case "movingMedian" => SF.movingMedian(df, parts(1).toInt)
+          case "stdev" => SF.stdev(df, parts(1).toInt)
+          case "exclude" => SF.exclude(df, parts(1))
+          case "grep" => SF.grep(df, parts(1))
+          case "currentAbove" => SF.currentAbove(df, parts(1).toDouble)
+          case "currentBelow" =>
+            SF.currentAbove(df, parts(1).toDouble, above = false)
+          case "integralByInterval" => SF.integralByInterval(df, parts(1).toLong)
+          case "sortBy" => SF.sortSeries(df, parts(1))
+          case "groupByNode" => SF.groupByNode(df, parts(1).toInt, parts(2))
+          case "averageAbove" => SF.averageAbove(df, parts(1).toDouble)
+          case "averageBelow" =>
+            SF.averageAbove(df, parts(1).toDouble, above = false)
+          case "asPercent" => SF.asPercent(df)
+          case "absolute" => SF.absolute(df)
+          case "logarithm" => SF.logarithm(df,
+            if (parts.length > 1) parts(1).toDouble else 10.0)
+          case "clamp" => SF.clamp(df,
+            Some(parts(1).toDouble), Some(parts(2).toDouble))
           case other =>
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }
     }
-    out.orderBy("name", "ts")
+    if (out.columns.contains("series_order")) out.orderBy("series_order", "ts")
+    else out.orderBy("name", "ts")
   }
 
   /** Resolve a glob to names (cli/command_list.py:23-49). */

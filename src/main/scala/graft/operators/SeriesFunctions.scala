@@ -241,11 +241,21 @@ object SeriesFunctions {
 
   /** `movingMedian`: exact median over a trailing window of `points`
     * slots, None-skipping (graphite's safeMedian; even windows average
-    * the two middle values). */
+    * the two middle values). Spark disallows `median` with a window
+    * frame, so the window materializes its ≤`points` values as a sorted
+    * array (collect_list skips nulls) and picks the middle — constant
+    * work per row, bounded by the window width. */
   def movingMedian(df: DataFrame, points: Int): DataFrame = {
     require(points > 0)
-    df.withColumn("value",
-      median(col("value")).over(perSeries.rowsBetween(-(points - 1), 0)))
+    val arr = sort_array(
+      collect_list(col("value")).over(perSeries.rowsBetween(-(points - 1), 0)))
+    val n = size(arr)
+    val mid = ((n + 1) / 2).cast("int") // n small; / is double division
+    val med = when(n === 0, lit(null))
+      .when(n % 2 === 1, element_at(arr, mid))
+      .otherwise((element_at(arr, (n / 2).cast("int")) +
+        element_at(arr, (n / 2).cast("int") + 1)) / 2.0)
+    df.withColumn("value", med)
   }
 
   /** `stdev`: moving POPULATION standard deviation over a trailing

@@ -16,6 +16,17 @@ import graft.glob.{Glob, GlobPredicates}
   */
 object MetricCatalog {
 
+  /** Live catalog handle for streaming metric auto-create: read the
+    * current committed catalog (None before the first commit) and commit
+    * a replacement version atomically. [[graft.cli.Bgutil.Db]]'s
+    * versioned CURRENT pointer is the standard implementation; tests may
+    * back it with anything. Runs on the DRIVER inside foreachBatch —
+    * implementations need not be serializable. */
+  trait CatalogStore {
+    def current(spark: SparkSession): Option[DataFrame]
+    def commit(df: DataFrame): Unit
+  }
+
   /** Number of materialized component columns; the reference's
     * COMPONENTS_MAX_LEN=64 is env-tunable (drivers/cassandra_common.py:20-22).
     * 16 covers realistic Graphite namespaces; deeper names still work via

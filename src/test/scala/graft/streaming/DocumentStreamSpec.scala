@@ -5,12 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
 
+// top-level (not nested in the suite): an inner case class captures the
+// suite instance as `$outer`, which defeats Janino and drops the encoder
+// to interpreted mode, spamming codegen-fallback warnings in the test log
+final case class StreamedDoc(doc_id: Long, text: String, event_ts: Long)
+
 /** Streaming document curation: watermark-bounded exact dedup and the
   * stateless quality/PII gate. */
 class DocumentStreamSpec extends SparkSuite {
   import spark.implicits._
 
-  private final case class Doc(doc_id: Long, text: String, event_ts: Long)
+  private type Doc = StreamedDoc
+  private def Doc(id: Long, text: String, ts: Long) = StreamedDoc(id, text, ts)
 
   test("dedupExact drops in-horizon duplicates, re-admits after horizon") {
     spark.conf.set(

@@ -129,6 +129,56 @@ class IngestJobSpec extends graft.SparkSuite {
   }
 }
 
+class AutoCreateIngestSpec extends graft.SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.Trigger
+  import graft.streaming.StreamingIngest.RawPoint
+
+  test("unseen metrics are committed to the catalog mid-stream; " +
+      "a batch with no new metrics commits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dbDir = java.nio.file.Files.createTempDirectory("autocreate").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val db = graft.cli.Bgutil.Db(spark, dbDir)
+    graft.cli.Bgutil.syncdb(db)
+
+    val input = MemoryStream[RawPoint]
+    def drain(points: RawPoint*): Unit = {
+      input.addData(points: _*)
+      val q = StreamingIngest.startIngestJob(input.toDS(),
+        StreamingIngestSpec.lookupMeta, db.pointsPath, ckptDir,
+        autoCreate = Some(db.catalogStore))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drain(RawPoint("auto.m1", 0L, 1.0))
+    val cat1 = db.catalog.select("name", "aggregator", "retention")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(cat1.toSet === Set(("auto.m1", "total", "3*10s:3*100s")))
+
+    // mid-stream: a later batch brings one genuinely new metric
+    drain(RawPoint("auto.m1", 10L, 2.0), RawPoint("auto.m2", 10L, 3.0))
+    val cat2 = db.catalog.select("name").collect().map(_.getString(0))
+    assert(cat2.sorted.toSeq === Seq("auto.m1", "auto.m2"))
+    // derived columns and id are populated like a bgutil write would
+    val m2 = db.catalog.filter(org.apache.spark.sql.functions.col("name") === "auto.m2")
+      .select("id", "p0", "p1", "depth").collect().head
+    assert(m2.getString(0) === graft.model.MetricName.metricId("auto.m2"))
+    assert((m2.getString(1), m2.getString(2), m2.getInt(3)) === (("auto", "m2", 2)))
+
+    // replay-shaped batch (no unseen names): the catalog pointer must not
+    // move — idempotent auto-create, one row per metric forever
+    val pointer = java.nio.file.Paths.get(s"$dbDir/CURRENT")
+    val tokenBefore = java.nio.file.Files.readString(pointer)
+    drain(RawPoint("auto.m1", 20L, 4.0), RawPoint("auto.m2", 20L, 5.0))
+    assert(java.nio.file.Files.readString(pointer) === tokenBefore)
+    assert(db.catalog.groupBy("name").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
+  }
+}
+
 class WindowedRollupSpec extends graft.SparkSuite {
   import spark.implicits._
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
