@@ -18,8 +18,8 @@ object Bench {
     "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "k1_knn_brute", "t2_quality", "w2_topk_per_group",
     "e1_storage_read_path", "e4_render_pipeline",
-    "km1_kmeans", "d8_semdedup", "g2_window_functions",
-    "p1_sequence_packing")
+    "km1_kmeans", "d8_semdedup", "d8b_semdedup_sqrtn",
+    "g2_window_functions", "p1_sequence_packing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -374,6 +374,20 @@ object SparkEntry {
       MetricCatalog.emptyDirectories(existing, catalog).orderBy("name")
     },
 
+    // M1: Accessor.map's shardable full scan (accessor.py:395-410,
+    // drivers/cassandra.py token-range splits): a maintenance-worker
+    // fleet divides the catalog into content-addressed shards; the
+    // shard expression is the same md5-derived one as dataloader
+    // sharding, so any engine reproduces the identical split
+    "m1_sharded_scan" -> { (s, dir) =>
+      val catalog = MetricCatalog.withDerivedColumns(
+        points(s, dir).select("name").distinct())
+      Sampling.shuffleShard(catalog, col("name"), seed = "map", nShards = 4)
+        .filter(col("shard") === 0)
+        .select(col("name"), col("shard"))
+        .orderBy("name")
+    },
+
     // M2: clean expired metrics — last-seen before cutoff at
     // (type, user) grain (drivers/cassandra.py:3052-3141)
     "m2_clean_expired" -> { (s, dir) =>
@@ -762,6 +776,22 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
         k = 8, iters = 2)
+      Clustering.semanticDupPairs(emb, "vec_id", "embedding", cents,
+        threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // D8b: SemDeDup at the RECOMMENDED cell count k≈√N (Abbas et al.
+    // 2023) — Σcell² ≈ N²/k = N^1.5 candidate pairs, the scale shape
+    // that holds when the corpus grows. k derives from the corpus size
+    // at plan time (driver-side count of a metadata-scale relation);
+    // the oracle pins k=⌊√500⌋=22 for the sf0.01 gate.
+    "d8b_semdedup_sqrtn" -> { (s, dir) =>
+      import graft.operators.Clustering
+      val emb = table(s, dir, "embeddings")
+      val k = math.max(1, math.sqrt(emb.count().toDouble).toInt)
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
+        k = k, iters = 1)
       Clustering.semanticDupPairs(emb, "vec_id", "embedding", cents,
         threshold = 0.4)
         .orderBy("id_a", "id_b")
@@ -1550,6 +1580,15 @@ object SparkEntry {
          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "d8b_semdedup_sqrtn" ->
+      s"""WITH ${kmeansOracleCtes(k = 22, iters = 1)},
+         |sel AS (SELECT vec_id, embedding, cell_id FROM a2 WHERE rn = 1)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+         |FROM sel a JOIN sel b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "pr1_dataset_card" ->
       """WITH t AS (
         |  SELECT source, md5(text) AS fp,
@@ -2150,6 +2189,31 @@ object SparkEntry {
     "j5_empty_dirs" ->
       """SELECT * FROM (VALUES ('ev.stale'), ('zz.old')) AS t(name)
         |ORDER BY name""".stripMargin,
+
+    "m1_sharded_scan" ->
+      s"""WITH $PointsCte,
+         |names AS (SELECT DISTINCT name FROM points),
+         |k AS (SELECT name, md5('map:' || name) AS d FROM names)
+         |SELECT name,
+         |  CAST((  (strpos('0123456789abcdef', substr(d, 1, 1)) - 1) * 268435456
+         |        + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1) * 16777216
+         |        + (strpos('0123456789abcdef', substr(d, 3, 1)) - 1) * 1048576
+         |        + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1) * 65536
+         |        + (strpos('0123456789abcdef', substr(d, 5, 1)) - 1) * 4096
+         |        + (strpos('0123456789abcdef', substr(d, 6, 1)) - 1) * 256
+         |        + (strpos('0123456789abcdef', substr(d, 7, 1)) - 1) * 16
+         |        + (strpos('0123456789abcdef', substr(d, 8, 1)) - 1)) % 4 AS INT)
+         |    AS shard
+         |FROM k
+         |WHERE (  (strpos('0123456789abcdef', substr(d, 1, 1)) - 1) * 268435456
+         |       + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1) * 16777216
+         |       + (strpos('0123456789abcdef', substr(d, 3, 1)) - 1) * 1048576
+         |       + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1) * 65536
+         |       + (strpos('0123456789abcdef', substr(d, 5, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(d, 6, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(d, 7, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(d, 8, 1)) - 1)) % 4 = 0
+         |ORDER BY name""".stripMargin,
 
     "m2_clean_expired" ->
       s"""WITH metrics AS (
