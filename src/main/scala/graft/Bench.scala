@@ -122,10 +122,22 @@ object Bench {
         .withColumn("replica", lit(0)),
       storeDir, retention.stages(1))
 
+    // stored-catalog variant for the DSv2 source: same 10k names on disk,
+    // read back through graft-catalog so the glob predicates drive
+    // parquet row-group stats pruning (untimed setup)
+    val catalogDir = java.nio.file.Files.createTempDirectory("bgcat").toString
+    catalog.write.mode("overwrite").parquet(catalogDir)
+
     // ---- timed ---------------------------------------------------------
     Seq(
       "bg_glob_3wild" -> timed {
         MetricCatalog.globMetrics(catalog,
+          "toto.tutu.*.tata.*.titi.*.chipiron").count()
+      },
+      "bg_glob_3wild_v2store" -> timed {
+        val stored = spark.read
+          .format(graft.sources.GraftCatalogSource.ShortName).load(catalogDir)
+        MetricCatalog.globMetrics(stored,
           "toto.tutu.*.tata.*.titi.*.chipiron").count()
       },
       "bg_read_3600_stage0" -> timed {

@@ -346,10 +346,12 @@ object Bgutil {
     * keepLastValue | movingAverage:N | timeShift:S | scale:F[:ADD] |
     * summarize:INTERVAL_S:FN | combine:FN:ALIAS | highest:N[:STAT] |
     * aliasByNode:I[,J,…] | alias:NAME | movingMedian:N | stdev:N |
-    * exclude:REGEX | grep:REGEX | currentAbove:T | currentBelow:T |
+    * movingMin:N | movingMax:N | movingSum:N | exclude:REGEX |
+    * grep:REGEX | currentAbove:T | currentBelow:T |
     * integralByInterval:S | sortBy:KEY | groupByNode:I:FN |
     * averageAbove:T | averageBelow:T | asPercent | absolute |
-    * logarithm[:BASE] | clamp:LO:HI */
+    * logarithm[:BASE] | clamp:LO:HI | removeAboveValue:T |
+    * removeBelowValue:T | offsetToZero | invert | pow:E | squareRoot */
   def render(db: Db, glob: String, startS: Long, endS: Long,
       fnSpecs: Seq[String], maxDataPoints: Int = 0): DataFrame = {
     import graft.operators.{SeriesFunctions => SF}
@@ -374,6 +376,15 @@ object Bgutil {
             SF.aliasByNode(df, parts(1).split(",").toSeq.map(_.toInt))
           case "alias" => SF.aliasSeries(df, parts(1))
           case "movingMedian" => SF.movingMedian(df, parts(1).toInt)
+          case "movingMin" => SF.movingMin(df, parts(1).toInt)
+          case "movingMax" => SF.movingMax(df, parts(1).toInt)
+          case "movingSum" => SF.movingSum(df, parts(1).toInt)
+          case "removeAboveValue" => SF.removeAboveValue(df, parts(1).toDouble)
+          case "removeBelowValue" => SF.removeBelowValue(df, parts(1).toDouble)
+          case "offsetToZero" => SF.offsetToZero(df)
+          case "invert" => SF.invert(df)
+          case "pow" => SF.powSeries(df, parts(1).toDouble)
+          case "squareRoot" => SF.squareRoot(df)
           case "stdev" => SF.stdev(df, parts(1).toInt)
           case "exclude" => SF.exclude(df, parts(1))
           case "grep" => SF.grep(df, parts(1))

@@ -267,6 +267,50 @@ object SeriesFunctions {
       stddev_pop(col("value")).over(perSeries.rowsBetween(-(points - 1), 0)))
   }
 
+  /** `movingMin` / `movingMax` / `movingSum`: the remaining trailing-
+    * window family, same None-skipping frame as [[movingAverage]]. */
+  def movingMin(df: DataFrame, points: Int): DataFrame = {
+    require(points > 0)
+    df.withColumn("value",
+      min("value").over(perSeries.rowsBetween(-(points - 1), 0)))
+  }
+
+  def movingMax(df: DataFrame, points: Int): DataFrame = {
+    require(points > 0)
+    df.withColumn("value",
+      max("value").over(perSeries.rowsBetween(-(points - 1), 0)))
+  }
+
+  def movingSum(df: DataFrame, points: Int): DataFrame = {
+    require(points > 0)
+    df.withColumn("value",
+      sum("value").over(perSeries.rowsBetween(-(points - 1), 0)))
+  }
+
+  /** `removeAboveValue` / `removeBelowValue`: out-of-band points become
+    * None (graphite keeps the slot, nulls the value). */
+  def removeAboveValue(df: DataFrame, limit: Double): DataFrame =
+    df.withColumn("value", when(col("value") <= limit, col("value")))
+
+  def removeBelowValue(df: DataFrame, limit: Double): DataFrame =
+    df.withColumn("value", when(col("value") >= limit, col("value")))
+
+  /** `offsetToZero`: shift each series down by its own (None-skipping)
+    * minimum — graphite's baseline-normalizer. One per-series window. */
+  def offsetToZero(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      col("value") - min("value").over(Window.partitionBy("name")))
+
+  /** `invert` (1/x; None for 0), `pow`, `squareRoot` — pointwise. */
+  def invert(df: DataFrame): DataFrame =
+    df.withColumn("value", when(col("value") =!= 0, lit(1.0) / col("value")))
+
+  def powSeries(df: DataFrame, exponent: Double): DataFrame =
+    df.withColumn("value", pow(col("value"), lit(exponent)))
+
+  def squareRoot(df: DataFrame): DataFrame =
+    df.withColumn("value", when(col("value") >= 0, sqrt(col("value"))))
+
   /** `exclude` / `grep`: drop or keep series whose name matches a regex
     * (search semantics like Python's re.search — unanchored unless the
     * pattern anchors itself). Pure pushdown-able filters. */

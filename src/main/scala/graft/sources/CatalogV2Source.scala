@@ -82,8 +82,7 @@ object GraftCatalogSource {
 
   /** Spark source filters → a parquet stats predicate over the columns we
     * index (string/int/long equality, IN, and ranges). Filters that don't
-    // translate simply contribute no pruning (they still run post-scan).
-    */
+    * translate simply contribute no pruning (they still run post-scan). */
   private[sources] def toParquetPredicate(schema: StructType,
       filters: Seq[Filter]): Option[FilterPredicate] = {
     def typeOf(col: String): Option[DataType] =

@@ -151,6 +151,79 @@ class SeriesFunctionsSpec extends SparkSuite {
       === Seq(Some(-8.0), Some(5.0), None))
   }
 
+  test("movingMedian: even windows average the two middle, None skipped") {
+    val d = SeriesFunctions.movingMedian(series, 3)
+    // a: [1]→1, [1,None]→1, [1,None,4]→2.5, [None,4,2]→3
+    assert(vals(d, "a") === Seq(Some(1.0), Some(1.0), Some(2.5), Some(3.0)))
+    // b: [10]→10, [10,20]→15, [10,20,None]→15, [20,None,None]→20
+    assert(vals(d, "b") === Seq(Some(10.0), Some(15.0), Some(15.0), Some(20.0)))
+  }
+
+  test("stdev is the population deviation over present points") {
+    val d = SeriesFunctions.stdev(series, 2)
+    // b window [10,20]: mean 15, pop var 25 → sd 5
+    assert(vals(d, "b")(1) === Some(5.0))
+    // a window [1,None]: single present point → sd 0
+    assert(vals(d, "a")(1) === Some(0.0))
+  }
+
+  test("moving min/max/sum share the trailing frame") {
+    assert(vals(SeriesFunctions.movingMin(series, 2), "b")
+      === Seq(Some(10.0), Some(10.0), Some(20.0), None))
+    assert(vals(SeriesFunctions.movingMax(series, 2), "b")
+      === Seq(Some(10.0), Some(20.0), Some(20.0), None))
+    assert(vals(SeriesFunctions.movingSum(series, 2), "a")
+      === Seq(Some(1.0), Some(1.0), Some(4.0), Some(6.0)))
+  }
+
+  test("exclude/grep filter series by unanchored regex") {
+    assert(SeriesFunctions.exclude(series, "^a$")
+      .select("name").distinct().collect().map(_.getString(0)).toSeq === Seq("b"))
+    assert(SeriesFunctions.grep(series, "a")
+      .select("name").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  test("currentAbove/Below use the last non-None value") {
+    // a last = 2.0, b last = 20.0 (trailing Nones skipped)
+    assert(SeriesFunctions.currentAbove(series, 10.0)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq === Seq("b"))
+    assert(SeriesFunctions.currentAbove(series, 10.0, above = false)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  test("integralByInterval resets the running sum at bucket boundaries") {
+    val d = SeriesFunctions.integralByInterval(series, 120)
+    // a buckets [0,120): 1, None → 1, _; [120,240): 4, 6
+    assert(vals(d, "a") === Seq(Some(1.0), None, Some(4.0), Some(6.0)))
+  }
+
+  test("sortSeries materializes legend order as series_order") {
+    val d = SeriesFunctions.sortSeries(series, by = "maxima")
+    val order = d.select("name", "series_order").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(order === Map("b" -> 1, "a" -> 2)) // max 20 beats max 4
+    val byName = SeriesFunctions.sortSeries(series, by = "name")
+      .select("name", "series_order").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(byName === Map("a" -> 1, "b" -> 2))
+  }
+
+  test("pointwise extras: removeAbove/Below, offsetToZero, invert, sqrt") {
+    assert(vals(SeriesFunctions.removeAboveValue(series, 3.0), "a")
+      === Seq(Some(1.0), None, None, Some(2.0)))
+    assert(vals(SeriesFunctions.removeBelowValue(series, 3.0), "a")
+      === Seq(None, None, Some(4.0), None))
+    assert(vals(SeriesFunctions.offsetToZero(series), "a")
+      === Seq(Some(0.0), None, Some(3.0), Some(1.0)))
+    val one = Seq(("m", 0L, Some(2.0)), ("m", 60L, Some(0.0)),
+      ("m", 120L, Some(-4.0))).toDF("name", "ts", "value")
+    assert(vals(SeriesFunctions.invert(one), "m")
+      === Seq(Some(0.5), None, Some(-0.25)))
+    assert(vals(SeriesFunctions.squareRoot(one), "m")
+      === Seq(Some(math.sqrt(2.0)), Some(0.0), None))
+    assert(vals(SeriesFunctions.aliasSeries(one, "x"), "x").length === 3)
+  }
+
   test("highest keeps the top-n series with name tie-break") {
     val many = Seq(
       ("m1", 0L, Some(5.0)), ("m2", 0L, Some(9.0)), ("m3", 0L, Some(9.0)),
