@@ -103,17 +103,19 @@ object Decontamination {
     * the driver. */
   def contaminationJoined(corpus: DataFrame, idCol: String, textCol: String,
       evalTable: DataFrame, n: Int = 3, maxChars: Int = 4096): DataFrame = {
-    val docs = docShingles(corpus, idCol, textCol, n, maxChars)
-    val hits = docs
-      .select(col(idCol), explode(col("__ss")).as("eval_ngram"))
-      .join(evalTable, Seq("eval_ngram"), "left_semi")
+    // ONE corpus pass: carry the per-doc n-gram count through the
+    // explode (a long per row, free next to the n-gram itself), LEFT
+    // join the vocabulary, and count hits in the same per-doc
+    // aggregation — a second shingle scan + join-back for zero-hit
+    // docs would double the dominant cost at corpus scale
+    val marked = evalTable.select(col("eval_ngram"), lit(1L).as("__hit"))
+    docShingles(corpus, idCol, textCol, n, maxChars)
+      .select(col(idCol), size(col("__ss")).cast("long").as("n_ngrams"),
+        explode(col("__ss")).as("eval_ngram"))
+      .join(marked, Seq("eval_ngram"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__hits"))
-    docs
-      .select(col(idCol), size(col("__ss")).cast("long").as("n_ngrams"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_shared", coalesce(col("__hits"), lit(0L)))
-      .drop("__hits")
+      .agg(first(col("n_ngrams")).as("n_ngrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
       .withColumn("overlap",
         round(col("n_shared") / col("n_ngrams"), 6))
   }

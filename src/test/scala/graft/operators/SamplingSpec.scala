@@ -57,6 +57,25 @@ class SamplingSpec extends SparkSuite {
     assert(k1 !== other) // different seed, different order
   }
 
+  test("shuffleShard is balanced for shard counts that don't divide 16") {
+    val many = (0L until 3000L).map(i => (i, "x")).toDF("doc_id", "source")
+    for (nShards <- Seq(3, 7, 20)) {
+      val counts = Sampling.shuffleShard(many, col("doc_id"), "bal", nShards)
+        .groupBy("shard").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(counts.keySet === (0 until nShards).toSet)
+      val expect = 3000.0 / nShards
+      // 8 digest nibbles mod nShards: deviation is binomial noise
+      // (tolerate 4σ per shard), not the ~12% STRUCTURAL skew a
+      // single-nibble bucket had whenever nShards didn't divide 16
+      val sigma = math.sqrt(3000.0 * (1.0 / nShards) * (1 - 1.0 / nShards))
+      counts.values.foreach { c =>
+        assert(math.abs(c - expect) < 4 * sigma,
+          s"nShards=$nShards counts=$counts")
+      }
+    }
+  }
+
   test("shuffleShard order is a global sort on shuffle_key (range shuffle)") {
     val plan = Sampling.shuffleShard(docs, col("doc_id"), "epoch0", 8)
       .orderBy("shuffle_key")
