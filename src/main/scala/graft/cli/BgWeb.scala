@@ -1,0 +1,123 @@
+package graft.cli
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.functions._
+
+/** `bgutil web` — the reference's "bgutil as a service" face
+  * (cli/command_web.py + cli/web/namespaces/bgutil.py: POST a command
+  * name + arguments, get the captured output back; plus
+  * cli/web/namespaces/biggraphite.py's metric-metadata endpoint).
+  * Zero-dependency JDK HttpServer; one Spark session serves every
+  * request, so successive API calls reuse warm executors exactly like
+  * [[Bgutil.shell]].
+  *
+  * Endpoints:
+  *  - `GET /health` → `{"status":"ok"}`
+  *  - `GET /api/biggraphite/metric/<name>` → metadata JSON or 404
+  *  - `GET|POST /api/bgutil/<command>?arg=<a>&arg=<b>…` → runs the
+  *    CLI command against the served db, returns captured console
+  *    output as `{"output": "..."}`. Command allow-list = every
+  *    non-interactive subcommand; unknown → 400. (The reference
+  *    passes arguments as a JSON body; query params carry the same
+  *    list without a JSON parser dependency.)
+  */
+object BgWeb {
+
+  /** Subcommands servable over HTTP (no nested shell/web). */
+  val Servable: Set[String] = Set("syncdb", "write", "read", "render",
+    "list", "dirs", "du", "stats", "clean", "repair", "copy", "delete",
+    "info", "clustersdiff")
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def queryArgs(ex: HttpExchange): Array[String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.startsWith("arg=")).map(kv =>
+      java.net.URLDecoder.decode(kv.stripPrefix("arg="), "UTF-8"))
+  }
+
+  /** Build (not start) the server — tests bind port 0 and start/stop. */
+  def build(db: Bgutil.Db, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    server.createContext("/health", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, 200, """{"status":"ok"}""")
+    })
+
+    server.createContext("/api/biggraphite/metric/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val name = ex.getRequestURI.getPath
+          .stripPrefix("/api/biggraphite/metric/")
+        val rows = db.catalog.filter(col("name") === name)
+          .select("name", "id", "aggregator", "retention", "updated_on")
+          .collect()
+        if (rows.isEmpty)
+          respond(ex, 404, s"""{"error":"unknown metric: ${jsonEscape(name)}"}""")
+        else {
+          val r = rows.head
+          respond(ex, 200,
+            s"""{"name":"${jsonEscape(r.getString(0))}",""" +
+            s""""id":"${jsonEscape(r.getString(1))}",""" +
+            s""""metadata":{"aggregator":"${jsonEscape(r.getString(2))}",""" +
+            s""""retention":"${jsonEscape(r.getString(3))}"},""" +
+            s""""updated_on":${r.getLong(4)}}""")
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+      }
+    })
+
+    server.createContext("/api/bgutil/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val cmd = ex.getRequestURI.getPath.stripPrefix("/api/bgutil/")
+        if (!Servable(cmd))
+          respond(ex, 400, s"""{"error":"unknown command: ${jsonEscape(cmd)}"}""")
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+            Bgutil.run(db, cmd, queryArgs(ex))
+          }
+          respond(ex, 200,
+            s"""{"output":"${jsonEscape(out.toString("UTF-8"))}"}""")
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 400, s"""{"error":"${jsonEscape(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}""")
+      }
+    })
+
+    server
+  }
+
+  /** Start and block forever (the CLI entry point). */
+  def serve(db: Bgutil.Db, port: Int): Unit = {
+    val server = build(db, port)
+    server.start()
+    println(s"bgutil web serving on port " +
+      s"${server.getAddress.getPort} (health: /health)")
+    Thread.currentThread().join()
+  }
+}

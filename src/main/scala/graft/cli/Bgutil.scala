@@ -118,10 +118,13 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|info> [args...]\n" +
+        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|info|clustersdiff|shell|web> [args...]\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
         "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
-        "  dirs <glob>                                   directory glob (stored table or derived)")
+        "  dirs <glob>                                   directory glob (stored table or derived)\n" +
+        "  clustersdiff <otherDb> <t0> <t1> <glob...>    cross-cluster diff + timing pctls\n" +
+        "  shell                                         interactive loop, one warm session\n" +
+        "  web [port]                                    bgutil-as-a-service (default 8080)")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -133,6 +136,10 @@ object Bgutil {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(Db(spark, args(0)), args(1), args.drop(2))
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); spark.stop(); sys.exit(2)
+    }
     finally spark.stop()
   }
 
@@ -158,7 +165,29 @@ object Bgutil {
     case "info" => info(db)
     case "clustersdiff" => clustersDiff(db, Db(db.spark, rest(0)),
       rest(1).toLong, rest(2).toLong, rest.drop(3).toSeq)
-    case other => System.err.println(s"unknown command: $other"); sys.exit(2)
+    case "shell" => shell(db)
+    case "web" => BgWeb.serve(db,
+      if (rest.nonEmpty) rest(0).toInt else 8080)
+    case other => throw new IllegalArgumentException(s"unknown command: $other")
+  }
+
+  /** `bgutil shell` (cli/command_shell.py): an interactive loop over the
+    * SAME session and Db — successive commands skip the JVM/SparkSession
+    * startup the one-shot CLI pays per invocation. Each line is
+    * `<command> [args...]`; `exit`/`quit`/EOF ends. Errors print and the
+    * loop continues (the reference embeds IPython; a dependency-free
+    * line shell is the analog a Spark CLI can ship). */
+  def shell(db: Db, in: java.io.BufferedReader = Console.in): Unit = {
+    println("graft bgutil shell — <command> [args...]; exit to quit")
+    var line = in.readLine()
+    while (line != null && line.trim != "exit" && line.trim != "quit") {
+      val parts = line.trim.split("\\s+").filter(_.nonEmpty)
+      if (parts.nonEmpty) {
+        try run(db, parts(0), parts.drop(1))
+        catch { case e: Exception => println(s"error: ${e.getMessage}") }
+      }
+      line = in.readLine()
+    }
   }
 
   /** `bg-clusters-diff` (cli/clusters_diff.py): fetch the same glob

@@ -1,0 +1,86 @@
+package graft.cli
+
+import java.net.{HttpURLConnection, URI}
+
+import graft.SparkSuite
+import graft.cli.Bgutil.Db
+
+/** The shell and web faces: same dispatch as the one-shot CLI, one warm
+  * session, errors surfaced without killing the process. */
+class BgWebSpec extends SparkSuite {
+
+  private def freshDb(): Db = {
+    val dir = java.nio.file.Files.createTempDirectory("bgweb").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "sys.cpu.0.load", 120L, 1.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "sys.mem.0.used", 150L, 7.0, "120*30s:24*3600s", "total")
+    db
+  }
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(stream.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("web: health, metric metadata, command-as-a-service, bad command") {
+    val db = freshDb()
+    val server = BgWeb.build(db, 0)
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val (hc, hb) = get(s"http://localhost:$port/health")
+      assert(hc === 200 && hb.contains("\"ok\""))
+
+      // metric metadata endpoint (web/namespaces/biggraphite.py analog)
+      val (mc, mb) = get(
+        s"http://localhost:$port/api/biggraphite/metric/sys.cpu.0.load")
+      assert(mc === 200, mb)
+      assert(mb.contains("\"aggregator\":\"average\"") &&
+        mb.contains("\"retention\":\"60*60s:24*3600s\""), mb)
+      val (nc, _) = get(
+        s"http://localhost:$port/api/biggraphite/metric/no.such.metric")
+      assert(nc === 404)
+
+      // bgutil-as-a-service (web/namespaces/bgutil.py analog)
+      val (lc, lb) = get(
+        s"http://localhost:$port/api/bgutil/list?arg=sys.**")
+      assert(lc === 200, lb)
+      assert(lb.contains("sys.cpu.0.load") && lb.contains("sys.mem.0.used"), lb)
+
+      val (bc, bb) = get(s"http://localhost:$port/api/bgutil/nonsense")
+      assert(bc === 400 && bb.contains("unknown command"), bb)
+
+      // a command whose ARGS are bad returns an error body, server lives
+      val (ec, _) = get(s"http://localhost:$port/api/bgutil/read")
+      assert(ec === 400)
+      val (hc2, _) = get(s"http://localhost:$port/health")
+      assert(hc2 === 200)
+    } finally server.stop(0)
+  }
+
+  test("shell: dispatches lines against one session, survives errors") {
+    val db = freshDb()
+    val script = Seq(
+      "list sys.**",
+      "definitely-not-a-command",
+      "info",
+      "exit").mkString("\n")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Bgutil.shell(db, new java.io.BufferedReader(
+        new java.io.StringReader(script)))
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("sys.cpu.0.load"), printed)
+    assert(printed.contains("error: unknown command: definitely-not-a-command"),
+      printed)
+    assert(printed.contains("catalog: 2 metrics"), printed)
+  }
+}
