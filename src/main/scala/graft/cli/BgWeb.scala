@@ -89,6 +89,26 @@ object BgWeb {
       }
     })
 
+    // graphite-web's /metrics/find shape ({text, leaf} nodes), the API
+    // dashboards browse the tree with (plugins/graphite.py:405-412)
+    server.createContext("/metrics/find", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val glob = q.split("&").find(_.startsWith("query="))
+          .map(kv => java.net.URLDecoder.decode(kv.stripPrefix("query="), "UTF-8"))
+          .getOrElse(throw new IllegalArgumentException("missing ?query="))
+        val nodes = graft.operators.TimeSeriesReader
+          .findNodes(db.catalog, glob).collect()
+          .map(r => s"""{"text":"${jsonEscape(r.getString(0))}",""" +
+            s""""leaf":${r.getBoolean(1)}}""")
+        respond(ex, 200, nodes.mkString("[", ",", "]"))
+      } catch {
+        case e: Exception =>
+          respond(ex, 400, s"""{"error":"${jsonEscape(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}""")
+      }
+    })
+
     server.createContext("/api/bgutil/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
         val cmd = ex.getRequestURI.getPath.stripPrefix("/api/bgutil/")

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.model._
 
@@ -26,6 +27,31 @@ object StreamingIngest {
 
   /** One incoming raw point. */
   final case class RawPoint(metric: String, ts: Long, value: Double)
+
+  /** Parse carbon plaintext-protocol lines (`<name> <value> <timestamp>`,
+    * the format carbon daemons accept on :2003 and what a
+    * socket/text-file streaming source yields) into [[RawPoint]]s.
+    * Malformed lines are DROPPED, like carbon's per-line try/except;
+    * `nan` values parse (NaN is the protocol's missing marker,
+    * metric.py:32). Pure column expressions — the parse stays inside
+    * whole-stage codegen on the ingest hot path. */
+  def parseCarbonLines(lines: DataFrame, lineCol: String = "value"): Dataset[RawPoint] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val parts = split(trim(col(lineCol)), "\\s+")
+    lines
+      .select(parts.as("p"))
+      .filter(size(col("p")) === 3)
+      .select(
+        element_at(col("p"), 1).as("metric"),
+        try_element_at(col("p"), lit(3)).try_cast(LongType).as("ts"),
+        try_element_at(col("p"), lit(2)).try_cast(DoubleType).as("value"))
+      // try_cast yields null on garbage (non-numeric value/ts) → drop,
+      // but keeps NaN values; an empty metric name is not a metric
+      .filter(col("metric") =!= "" && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .as[RawPoint]
+  }
 
   /** One emitted downsampled row. */
   final case class OutPoint(metric: String, stage: String, ts: Long,

@@ -62,6 +62,15 @@ class BgWebSpec extends SparkSuite {
       assert(ec === 400)
       val (hc2, _) = get(s"http://localhost:$port/health")
       assert(hc2 === 200)
+
+      // graphite-web /metrics/find shape: branches + leaves
+      val (fc, fb) = get(s"http://localhost:$port/metrics/find?query=sys.*")
+      assert(fc === 200, fb)
+      assert(fb.contains("\"text\":\"sys.cpu\"") &&
+        fb.contains("\"leaf\":false"), fb)
+      val (flc, flb) = get(
+        s"http://localhost:$port/metrics/find?query=sys.cpu.0.load")
+      assert(flc === 200 && flb.contains("\"leaf\":true"), flb)
     } finally server.stop(0)
   }
 

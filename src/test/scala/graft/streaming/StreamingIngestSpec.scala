@@ -129,6 +129,30 @@ class IngestJobSpec extends graft.SparkSuite {
   }
 }
 
+class CarbonLineSpec extends graft.SparkSuite {
+  import spark.implicits._
+
+  test("plaintext protocol lines parse; malformed lines drop; NaN survives") {
+    val lines = Seq(
+      "sys.cpu.0.load 1.5 1704067200",
+      "  sys.mem.0.used   7   1704067260  ", // extra whitespace fine
+      "sys.bad.value abc 1704067200",        // non-numeric value → drop
+      "sys.bad.ts 1.0 notatime",             // non-numeric ts → drop
+      "toofew 1.0",                          // missing field → drop
+      "way too many fields 1 2",             // extra field → drop
+      "sys.gap.metric NaN 1704067320"        // NaN = missing marker, kept
+    ).toDF("value")
+    val pts = StreamingIngest.parseCarbonLines(lines).collect()
+    assert(pts.map(_.metric).sorted.toSeq ===
+      Seq("sys.cpu.0.load", "sys.gap.metric", "sys.mem.0.used"))
+    val byName = pts.map(p => p.metric -> p).toMap
+    assert(byName("sys.cpu.0.load") ===
+      StreamingIngest.RawPoint("sys.cpu.0.load", 1704067200L, 1.5))
+    assert(byName("sys.mem.0.used").value === 7.0)
+    assert(byName("sys.gap.metric").value.isNaN)
+  }
+}
+
 class AutoCreateIngestSpec extends graft.SparkSuite {
   import spark.implicits._
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
