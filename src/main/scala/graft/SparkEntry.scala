@@ -918,6 +918,15 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // T8: Gopher quality rules (Rae et al. 2021 A1.1) — the standard
+    // web-corpus pre-filter as one codegen'd map pass (minWords lowered
+    // to 20 so the short synthetic docs exercise both rule outcomes)
+    "t8_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(table(s, dir, "documents"), "doc_id", "text",
+        minWords = 20)
+        .orderBy("doc_id")
+    },
+
     // P1: greedy sequence packing into 256-token context windows,
     // sharded by doc_id % 8 (deterministic, oracle = recursive CTE)
     "p1_sequence_packing" -> { (s, dir) =>
@@ -1719,6 +1728,43 @@ object SparkEntry {
         |  floor(max(c) / CAST(sum(c) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS top_ratio,
         |  floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_ratio
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t8_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    floor((list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+        |      / len(toks)) * 1000000 + 0.5) / 1000000 AS mean_word_len,
+        |    floor((len(list_filter(toks, x -> contains(x, '#')
+        |        OR contains(x, '...') OR contains(x, chr(8230))))::DOUBLE
+        |      / len(toks)) * 1000000 + 0.5) / 1000000 AS symbol_ratio,
+        |    floor((len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |      / len(toks)) * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+        |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+        |  n_stopwords,
+        |  n_words >= 20 AND n_words <= 100000 AS rule_words,
+        |  mean_word_len >= 3 AND mean_word_len <= 10 AS rule_mean_len,
+        |  symbol_ratio <= 0.1 AS rule_symbols,
+        |  alpha_ratio >= 0.8 AS rule_alpha,
+        |  n_stopwords >= 2 AS rule_stopwords,
+        |  (n_words >= 20 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3 AND mean_word_len <= 10)
+        |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+        |    AND n_stopwords >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "p1_sequence_packing" ->
       """WITH RECURSIVE docs AS (

@@ -124,6 +124,53 @@ object TextAnalysis {
         round6(lit(1.0) - col("n_distinct") / col("n_grams")))
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, appendix A1.1 — the
+    * standard pre-filter every web-scale corpus runs): per-document
+    * boolean rules plus the combined `keep` flag. Thresholds are
+    * parameters with the paper's defaults where they translate to the
+    * whitespace-token world; every rule is a pure column expression, so
+    * the full rule set is one codegen'd map pass at any corpus size.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio (#, …, ellipsis) ≤ 0.1; ratio of
+    * words containing an alphabetic char ≥ 0.8; at least `minStopwords`
+    * distinct common stopwords present (the "stop word" rule that kills
+    * keyword-stuffing pages). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks)
+    val meanLen = round6(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        nWords.cast("double"))
+    val symbolWords = size(filter(toks, t =>
+      t.contains("#") || t.contains("...") || t.contains("…")))
+    val symbolRatio = round6(symbolWords.cast("double") / nWords.cast("double"))
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    val alphaRatio = round6(alphaWords.cast("double") / nWords.cast("double"))
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStops = stopwords.map(w =>
+      when(array_contains(toks, w), 1).otherwise(0)).reduce(_ + _)
+    df.select(col(idCol), col(textCol))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("n_stopwords", nStops.cast("long"))
+      .withColumn("rule_words",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("rule_mean_len",
+        col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
+      .withColumn("rule_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("rule_alpha", col("alpha_ratio") >= 0.8)
+      .withColumn("rule_stopwords", col("n_stopwords") >= minStopwords)
+      .withColumn("keep",
+        col("rule_words") && col("rule_mean_len") && col("rule_symbols") &&
+          col("rule_alpha") && col("rule_stopwords"))
+      .drop(textCol)
+  }
+
   /** Document fingerprint: min/max md5 prefix over word 4-grams — a
     * winnowing-style content signature that survives reordering-free edits
     * and is identical across engines. */
