@@ -135,9 +135,13 @@ object StreamingIngest {
         stages.foreach { stageStr =>
           val st = Stage.fromString(stageStr.stripSuffix("_0").stripSuffix("_aggr"),
             stage0 = stageStr.endsWith("_0"))
+          // points are keyed by the metric's UUIDv5 like the reference's
+          // tables (metric.py:157-178) and Bgutil.write — the same id
+          // auto-create commits to the catalog, so a planned read links
+          // catalog.id → points.metric_id with no name/ID mismatch
           val rows = batch.filter(col("stage") === stageStr)
-            .select(col("metric").as("metric_id"), col("ts"),
-              col("value"), col("count"))
+            .select(graft.functions.GraftFunctions.graft_uuid5(col("metric"))
+              .as("metric_id"), col("ts"), col("value"), col("count"))
             .withColumn("replica", lit(0))
             // batchId is monotonic across restarts (checkpoint-tracked):
             // readers resolve upserts by last-write-wins on batch_seq

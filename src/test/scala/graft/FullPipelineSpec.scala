@@ -61,6 +61,51 @@ class FullPipelineSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("carbon lines → streaming ingest + auto-create → bgutil read: " +
+      "the full daemon lifecycle") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.cli.Bgutil
+
+    val dbDir = java.nio.file.Files.createTempDirectory("carbon_e2e").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val db = Bgutil.Db(spark, dbDir)
+    Bgutil.syncdb(db)
+
+    // the text a carbon daemon would receive on :2003, garbage included
+    val input = MemoryStream[String]
+    val points = StreamingIngest.parseCarbonLines(input.toDF())
+    val meta = MetricMetadata(Aggregator.Average,
+      Retention.fromString("60*60s:24*3600s"))
+    input.addData(
+      "sys.cpu.0.load 1.0 60",
+      "sys.cpu.0.load 3.0 120",
+      "not a parsable line at all",
+      "sys.cpu.1.load 5.0 60")
+    val q = StreamingIngest.startIngestJob(points, _ => meta,
+      db.pointsPath, ckpt, autoCreate = Some(db.catalogStore))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // metrics exist (auto-created) and the planned read sees the points
+    assert(Bgutil.list(db, "sys.cpu.*.load").collect().map(_.getString(0)).toSeq
+      === Seq("sys.cpu.0.load", "sys.cpu.1.load"))
+    val series = Bgutil.read(db, "sys.cpu.*.load", 60L, 180L)
+      .filter(col("value").isNotNull)
+      .select("name", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(series === Set(
+      ("sys.cpu.0.load", 60L, 1.0), ("sys.cpu.0.load", 120L, 3.0),
+      ("sys.cpu.1.load", 60L, 5.0)))
+
+    // and the render chain runs off the same store
+    val rendered = Bgutil.render(db, "sys.cpu.*.load", 60L, 180L,
+      Seq("combine:sum:total.load")).collect()
+      .map(r => (r.getLong(1), Option(r.get(2)))).toMap
+    assert(rendered(60L) === Some(6.0))
+  }
+
   test("flagship entry returns a dense multi-metric day (driver smoke)") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq === Seq("name", "ts", "value"))
