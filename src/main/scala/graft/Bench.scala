@@ -144,6 +144,14 @@ object Bench {
         TimeSeriesReader.fetchSeries(spark, storeDir, metric,
           0L, 3600 * 60L, nowS = 3600 * 60L).count()
       },
+      // same single-series fetch through the DSv2 points reader: bucket
+      // dirs pruned at plan time + metric_id/ts row-group pruning in-file
+      "bg_read_3600_stage0_v2" -> timed {
+        spark.conf.set("spark.graft.points.v2", "true")
+        try TimeSeriesReader.fetchSeries(spark, storeDir, metric,
+          0L, 3600 * 60L, nowS = 3600 * 60L).count()
+        finally spark.conf.set("spark.graft.points.v2", "false")
+      },
       "bg_read_3600_stage1" -> timed {
         val rows = PointsStore.read(spark, storeDir, retention.stages(1),
           0L, 3600 * 60L, Seq(metric.id))

@@ -201,10 +201,13 @@ object Bgutil {
       globs: Seq[String]): Unit = {
     import graft.operators.ClustersDiff
     require(globs.nonEmpty, "clustersdiff: at least one glob query")
+    // persist each fetch so the timing count() and the dissymmetry join
+    // below share ONE read per (host, glob) — previously the diff plan
+    // re-fetched everything the timer had already read
     def timedFetch(d: Db, g: String): (DataFrame, Double) = {
       val t0 = System.nanoTime()
-      val df = read(d, g, startS, endS)
-      df.count() // force the fetch; the plan below reuses the cached read
+      val df = read(d, g, startS, endS).persist()
+      df.count() // force the fetch into the cache
       (df, (System.nanoTime() - t0) / 1e9)
     }
     val fetched = globs.map { g =>
@@ -212,17 +215,21 @@ object Bgutil {
       val (b, tb) = timedFetch(other, g)
       (a, b, ta, tb)
     }
-    val dissy = fetched.map { case (a, b, _, _) =>
-      ClustersDiff.dissymmetries(a, b)
-    }.reduce(_ unionByName _)
-    println(s"value dissymmetry percentiles over ${globs.size} queries:")
-    ClustersDiff.referencePctls(dissy, col("dissymmetry"))
-      .show(truncate = false)
-    for ((name, times) <- Seq(
-        db.dir -> fetched.map(_._3), other.dir -> fetched.map(_._4)))
-      println(s"host $name fetch timing pctls: " +
-        ClustersDiff.timingPctls(times)
-          .map { case (l, t) => f"p$l%s=$t%.3fs" }.mkString(" "))
+    try {
+      val dissy = fetched.map { case (a, b, _, _) =>
+        ClustersDiff.dissymmetries(a, b)
+      }.reduce(_ unionByName _)
+      println(s"value dissymmetry percentiles over ${globs.size} queries:")
+      ClustersDiff.referencePctls(dissy, col("dissymmetry"))
+        .show(truncate = false)
+      for ((name, times) <- Seq(
+          db.dir -> fetched.map(_._3), other.dir -> fetched.map(_._4)))
+        println(s"host $name fetch timing pctls: " +
+          ClustersDiff.timingPctls(times)
+            .map { case (l, t) => f"p$l%s=$t%.3fs" }.mkString(" "))
+    } finally fetched.foreach { case (a, b, _, _) =>
+      a.unpersist(); b.unpersist()
+    }
   }
 
   /** Create the table layout (drivers/cassandra.py:2289-2355 syncdb). */

@@ -47,6 +47,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: `spark.read.format("graft-catalog").load(dir)`, or
   * `Bgutil.Db.catalog` with `spark.graft.catalog.v2=true`.
+  *
+  * The same source also serves the POINTS store
+  * (`PointsStore.read` with `spark.graft.points.v2=true`): hive-style
+  * `stage=…/bucket=…` path segments surface as typed partition columns,
+  * pushed filters on them prune whole files at plan time, and pushed
+  * `metric_id` IN / `ts` range filters prune row groups inside the
+  * surviving files via stats + dictionary — so a few-metric fetch reads
+  * a handful of row groups out of a bucket holding millions of points
+  * (the intra-partition analog of the reference's clustering-key slice,
+  * drivers/cassandra.py:796-809).
   */
 object GraftCatalogSource {
   val ShortName = "graft-catalog"
@@ -69,15 +79,76 @@ object GraftCatalogSource {
           s"graft-catalog: unsupported parquet type $other for ${pt.getName}")
     }
 
-  private[sources] def listFiles(dir: String): Seq[String] = {
+  private[sources] def listFiles(dir: String): Seq[String] =
+    listFilesWithPartitions(dir).map(_.path)
+
+  /** One data file plus the hive-style partition values (`k=v` path
+    * segments, decoded from Spark's %XX escaping) accumulated on the way
+    * down — how the source understands the points store's
+    * `stage=…/bucket=…` layout without a metastore. */
+  final case class PartitionedFile(path: String, values: Seq[(String, String)])
+
+  private[sources] def listFilesWithPartitions(dir: String): Seq[PartitionedFile] = {
     val root = new java.io.File(dir)
-    val out = ArrayBuffer.empty[String]
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
-      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_")) out += f.getPath
-    walk(root)
+    val out = ArrayBuffer.empty[PartitionedFile]
+    def walk(f: java.io.File, values: Seq[(String, String)]): Unit =
+      if (f.isDirectory) {
+        val vs = f.getName.split("=", 2) match {
+          case Array(k, v) if f != root =>
+            values :+ (k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => values
+        }
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(walk(_, vs))
+      } else if (f.getName.endsWith(".parquet") && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")) out += PartitionedFile(f.getPath, values)
+    walk(root, Nil)
     out.toSeq
+  }
+
+  /** Partition columns in path order, typed Long when every observed value
+    * parses (bucket), String otherwise (stage). */
+  private[sources] def partitionSchema(files: Seq[PartitionedFile]): StructType = {
+    val names = files.flatMap(_.values.map(_._1)).distinct
+    StructType(names.map { n =>
+      val vals = files.flatMap(_.values.collect { case (`n`, v) => v })
+      val isLong = vals.forall(v => scala.util.Try(v.toLong).isSuccess)
+      StructField(n, if (isLong) LongType else StringType, nullable = true)
+    })
+  }
+
+  /** Can `file` possibly satisfy `f`? Exact on partition-column leaves,
+    * conservative `true` on anything else — pruning never loses a row
+    * because every pushed filter is re-applied post-scan anyway, but a
+    * pruned file must be DEFINITELY excluded. */
+  private[sources] def partitionKeeps(values: Map[String, String],
+      ptypes: Map[String, DataType], f: Filter): Boolean = {
+    def cmp(c: String, v: Any): Option[Int] = // sign of (fileValue - v)
+      values.get(c).flatMap { fv =>
+        ptypes.get(c) match {
+          case Some(LongType) =>
+            scala.util.Try(java.lang.Long.compare(fv.toLong, v.toString.toLong))
+              .toOption
+          case _ => Some(fv.compareTo(v.toString))
+        }
+      }
+    f match {
+      case EqualTo(c, v) if v != null && values.contains(c) =>
+        cmp(c, v).forall(_ == 0)
+      case Not(EqualTo(c, v)) if v != null && values.contains(c) =>
+        cmp(c, v).forall(_ != 0)
+      case In(c, vs) if values.contains(c) && vs.forall(_ != null) =>
+        vs.exists(v => cmp(c, v).forall(_ == 0))
+      case GreaterThan(c, v) if values.contains(c) => cmp(c, v).forall(_ > 0)
+      case GreaterThanOrEqual(c, v) if values.contains(c) =>
+        cmp(c, v).forall(_ >= 0)
+      case LessThan(c, v) if values.contains(c) => cmp(c, v).forall(_ < 0)
+      case LessThanOrEqual(c, v) if values.contains(c) => cmp(c, v).forall(_ <= 0)
+      case And(l, r) =>
+        partitionKeeps(values, ptypes, l) && partitionKeeps(values, ptypes, r)
+      case Or(l, r) =>
+        partitionKeeps(values, ptypes, l) || partitionKeeps(values, ptypes, r)
+      case _ => true
+    }
   }
 
   /** Spark source filters → a parquet stats predicate over the columns we
@@ -109,6 +180,14 @@ object GraftCatalogSource {
         Some(FilterApi.lt(FilterApi.intColumn(c), v))
       case LessThanOrEqual(c, v: Integer) if typeOf(c).contains(IntegerType) =>
         Some(FilterApi.ltEq(FilterApi.intColumn(c), v))
+      case GreaterThan(c, v: java.lang.Long) if typeOf(c).contains(LongType) =>
+        Some(FilterApi.gt(FilterApi.longColumn(c), v))
+      case GreaterThanOrEqual(c, v: java.lang.Long) if typeOf(c).contains(LongType) =>
+        Some(FilterApi.gtEq(FilterApi.longColumn(c), v))
+      case LessThan(c, v: java.lang.Long) if typeOf(c).contains(LongType) =>
+        Some(FilterApi.lt(FilterApi.longColumn(c), v))
+      case LessThanOrEqual(c, v: java.lang.Long) if typeOf(c).contains(LongType) =>
+        Some(FilterApi.ltEq(FilterApi.longColumn(c), v))
       case And(l, r) =>
         (convert(l), convert(r)) match {
           case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
@@ -141,16 +220,19 @@ class GraftCatalogSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = listFiles(path(options))
+    val files = listFilesWithPartitions(path(options))
     require(files.nonEmpty, s"graft-catalog: no parquet files under ${path(options)}")
-    val in = HadoopInputFile.fromPath(new Path(files.head), new Configuration())
+    val in = HadoopInputFile.fromPath(new Path(files.head.path), new Configuration())
     val reader = ParquetFileReader.open(in)
-    try {
+    val dataFields = try {
       val msg = reader.getFooter.getFileMetaData.getSchema
-      StructType(msg.getFields.asScala.toSeq.map { f =>
+      msg.getFields.asScala.toSeq.map { f =>
         StructField(f.getName, sparkType(f.asPrimitiveType()), nullable = true)
-      })
+      }
     } finally reader.close()
+    // hive-layout partition dirs (stage=/bucket=) surface as trailing
+    // columns, exactly like Spark's own partition discovery
+    StructType(dataFields ++ partitionSchema(files))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -202,17 +284,27 @@ class GraftCatalogScan(dir: String, fullSchema: StructType,
     s"GraftCatalogScan ${dir} PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    listFiles(dir).map(f =>
-      GraftCatalogPartition(f, required.json, fullSchema.json,
-        pushed): InputPartition).toArray
+  /** One InputPartition per surviving data file: pushed filters on
+    * partition columns (stage/bucket) are evaluated against each file's
+    * path values here, so a time-range point fetch plans ONLY the bucket
+    * directories in range — the v2 analog of the generic source's
+    * partition pruning, with row-group pruning still to come inside. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = listFilesWithPartitions(dir)
+    val ptypes = partitionSchema(files).fields.map(f => f.name -> f.dataType).toMap
+    files
+      .filter(f => pushed.forall(partitionKeeps(f.values.toMap, ptypes, _)))
+      .map(f => GraftCatalogPartition(f.path, required.json, fullSchema.json,
+        pushed, f.values): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCatalogReaderFactory
 }
 
 final case class GraftCatalogPartition(file: String, requiredJson: String,
-    fullJson: String, pushed: Array[Filter]) extends InputPartition
+    fullJson: String, pushed: Array[Filter],
+    partitionValues: Seq[(String, String)]) extends InputPartition
 
 class GraftCatalogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -233,7 +325,11 @@ class GraftCatalogPartitionReader(p: GraftCatalogPartition)
 
   private val inputFile =
     HadoopInputFile.fromPath(new Path(p.file), new Configuration())
-  private val predicate = toParquetPredicate(full, p.pushed.toSeq)
+  private val partValues: Map[String, String] = p.partitionValues.toMap
+  // the stats predicate may only mention columns that exist IN THE FILE —
+  // partition-column filters were already consumed by file pruning
+  private val predicate = toParquetPredicate(full,
+    p.pushed.toSeq.filter(_.references.forall(r => !partValues.contains(r))))
   private val options = {
     val b = ParquetReadOptions.builder()
     predicate.foreach(pr => b.withRecordFilter(FilterCompat.get(pr)))
@@ -297,6 +393,18 @@ class GraftCatalogPartitionReader(p: GraftCatalogPartition)
           case other =>
             throw new IllegalArgumentException(s"graft-catalog: $other")
         }
+      } else if (fi < 0) {
+        // not in the file: a partition column — constant for every row
+        vals(i) = partValues.get(required.fields(i).name).map { v =>
+          required.fields(i).dataType match {
+            case StringType => UTF8String.fromString(v)
+            case LongType => v.toLong
+            case IntegerType => v.toInt
+            case other =>
+              throw new IllegalArgumentException(
+                s"graft-catalog: partition column type $other")
+          }
+        }.orNull
       }
       i += 1
     }

@@ -80,7 +80,16 @@ object PointsStore {
     val span = bucketSpanS(stage.precisionS)
     val b0 = startS / span * span
     val b1 = endS / span * span
-    var df = spark.read.parquet(baseDir)
+    // spark.graft.points.v2=true reads through the GraftCatalogSource DSv2
+    // reader: stage/bucket dir pruning PLUS metric_id/ts row-group
+    // stats+dictionary pruning inside each file — a narrow point fetch
+    // then opens only the row groups whose stats can match, where the
+    // generic source stops at the directory level. Same rows either way.
+    val base =
+      if (spark.conf.getOption("spark.graft.points.v2").contains("true"))
+        spark.read.format(GraftCatalogSource.ShortName).load(baseDir)
+      else spark.read.parquet(baseDir)
+    var df = base
       .filter(col("stage") === stage.toString)
       .filter(col("bucket") >= b0 && col("bucket") <= b1)
       .filter(col("ts") >= startS && col("ts") < endS)

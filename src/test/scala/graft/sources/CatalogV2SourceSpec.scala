@@ -77,6 +77,54 @@ class CatalogV2SourceSpec extends SparkSuite {
     assert(gotV2.length === 500 && gotV2.toSeq === gotPq.toSeq)
   }
 
+  test("points store via v2: same rows as v1, bucket dirs pruned by range, " +
+      "row groups pruned by metric_id dictionary") {
+    import graft.model.Stage
+    val dir = java.nio.file.Files.createTempDirectory("ptsv2").toString
+    val stage = Stage(points = 24 * 60, precisionS = 60, stage0 = false)
+    val span = PointsStore.bucketSpanS(60) // 120000 s per bucket
+    // 40 metrics × 3 buckets; writeSalt=8 → several files per bucket, each
+    // holding a hash-slice of the metrics (dictionary pruning bait)
+    val pts = (0 until 40).flatMap { m =>
+      (0 until 30).map(i => (s"metric-$m", i * 12000L, m + i * 0.5, 1L, 0))
+    }.toDF("metric_id", "ts", "value", "count", "replica")
+    // tiny fixture: AQE would coalesce the salted shuffle to one task and
+    // one file per bucket — disable it so the salt actually fans files out
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try PointsStore.write(pts, dir, stage, writeSalt = 8)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    val start = span // second bucket only
+    val end = 2 * span
+    val ids = Seq("metric-7")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("metric_id"), col("ts"), col("value"),
+        col("stage"), col("bucket").cast("long").as("bucket"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+
+    spark.conf.set("spark.graft.points.v2", "true")
+    GraftCatalogSource.rowGroupsRead.set(0)
+    GraftCatalogSource.rowGroupsTotal.set(0)
+    val gotV2 =
+      try rows(PointsStore.read(spark, dir, stage, start, end, ids))
+      finally spark.conf.set("spark.graft.points.v2", "false")
+    val gotV1 = rows(PointsStore.read(spark, dir, stage, start, end, ids))
+    assert(gotV2.nonEmpty && gotV2.toSeq === gotV1.toSeq)
+
+    // partition pruning: only the in-range bucket's files were OPENED
+    // (rowGroupsTotal counts groups of opened files; every file has >=1)
+    val nFiles = GraftCatalogSource.listFiles(dir).size
+    val total = GraftCatalogSource.rowGroupsTotal.get()
+    assert(nFiles >= 6, s"expected salt fan-out beyond 3 bucket files, saw $nFiles")
+    assert(total < nFiles,
+      s"expected bucket pruning to skip files: opened-groups=$total files=$nFiles")
+    // row-group pruning: of the opened files, only the hash slice holding
+    // metric-7's dictionary entry was materialized
+    val read = GraftCatalogSource.rowGroupsRead.get()
+    assert(read < total,
+      s"expected metric_id dictionary pruning: read $read of $total groups")
+  }
+
   test("column pruning: a name-only projection requests only needed columns") {
     val dir = java.nio.file.Files.createTempDirectory("catv2c").toString
     writeCatalog(dir)
