@@ -1149,6 +1149,29 @@ object SparkEntry {
         SeriesFunctions.combineSeries(clicks, "sum", "tmp"), "fleet.click.sum")
         .select(col("name"), col("ts"), round(col("value"), 4).as("value"))
         .orderBy("ts")
+    },
+
+    // G9: second render wave — transformNull, changed, delay,
+    // graphite's non-interpolating nPercentile, and hitcount re-bucketed
+    // to 6 h, all on one hourly frame
+    "g9_render_breadth2" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val filled = SeriesFunctions.transformNull(base, 0.0)
+      val fv = filled.select(col("name"), col("ts"),
+        round(col("value"), 4).as("fv"))
+      val chg = SeriesFunctions.changed(filled).select(
+        col("name"), col("ts"), col("value").as("chg"))
+      val dlv = SeriesFunctions.delay(filled, 2).select(
+        col("name"), col("ts"), round(col("value"), 4).as("dlv"))
+      val p75 = SeriesFunctions.nPercentile(base, 75).select(
+        col("name"), col("ts"), round(col("value"), 4).as("p75"))
+      val hc = SeriesFunctions.hitcount(base, 6 * 3600).select(
+        col("name"), col("ts").as("__hts"), round(col("value"), 4).as("hc6"))
+      fv.join(chg, Seq("name", "ts")).join(dlv, Seq("name", "ts"))
+        .join(p75, Seq("name", "ts"))
+        .withColumn("__hts", (floor(col("ts") / (6 * 3600)) * (6 * 3600)).cast("long"))
+        .join(hc, Seq("name", "__hts"), "left").drop("__hts")
+        .orderBy("name", "ts")
     })
 
   // ---- oracle SQL -----------------------------------------------------
@@ -2008,6 +2031,34 @@ object SparkEntry {
          |SELECT 'fleet.click.sum' AS name, ts, round(sum(value), 4) AS value
          |FROM base WHERE regexp_matches(name, '^ev\\.click\\.')
          |GROUP BY ts ORDER BY ts""".stripMargin,
+
+    "g9_render_breadth2" ->
+      s"""WITH $SeriesCte,
+         |f AS (SELECT name, ts, coalesce(value, 0) AS fv, value FROM base),
+         |pct AS (
+         |  SELECT name,
+         |    list_sort(list(value) FILTER (WHERE value IS NOT NULL))[
+         |      LEAST(GREATEST(CAST(ceil(0.75 * (count(value) + 1)) AS BIGINT),
+         |        1), count(value))] AS p75
+         |  FROM base GROUP BY name),
+         |w AS (
+         |  SELECT name, ts, fv,
+         |    lag(fv) OVER (PARTITION BY name ORDER BY ts) AS prev,
+         |    lag(fv, 2) OVER (PARTITION BY name ORDER BY ts) AS dlv
+         |  FROM f),
+         |hc AS (
+         |  SELECT name, (ts // 21600) * 21600 AS hts,
+         |         sum(value * 3600) AS hc6
+         |  FROM base GROUP BY 1, 2)
+         |SELECT w.name, w.ts, round(w.fv, 4) AS fv,
+         |  CAST(CASE WHEN w.prev IS NOT NULL AND w.fv <> w.prev
+         |       THEN 1.0 ELSE 0.0 END AS DOUBLE) AS chg,
+         |  round(w.dlv, 4) AS dlv,
+         |  round(p.p75, 4) AS p75,
+         |  round(h.hc6, 4) AS hc6
+         |FROM w JOIN pct p USING (name)
+         |LEFT JOIN hc h ON h.name = w.name AND h.hts = (w.ts // 21600) * 21600
+         |ORDER BY w.name, w.ts""".stripMargin,
 
     "mm2_frame_sample" ->
       """WITH media AS (

@@ -387,7 +387,14 @@ object Bgutil {
     * integralByInterval:S | sortBy:KEY | groupByNode:I:FN |
     * averageAbove:T | averageBelow:T | asPercent | absolute |
     * logarithm[:BASE] | clamp:LO:HI | removeAboveValue:T |
-    * removeBelowValue:T | offsetToZero | invert | pow:E | squareRoot */
+    * removeBelowValue:T | offsetToZero | invert | pow:E | squareRoot |
+    * transformNull[:V] | nPercentile:N | removeAbovePercentile:N |
+    * removeBelowPercentile:N | maximumAbove:T | maximumBelow:T |
+    * minimumAbove:T | minimumBelow:T | divideSeries:GLOB |
+    * diffSeries:GLOB[:ALIAS] | hitcount:INTERVAL_S | changed |
+    * delay:N | timeSlice:T0:T1 | linearRegression
+    * (divideSeries/diffSeries fetch their second operand with the SAME
+    * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
       fnSpecs: Seq[String], maxDataPoints: Int = 0): DataFrame = {
     import graft.operators.{SeriesFunctions => SF}
@@ -439,6 +446,29 @@ object Bgutil {
             if (parts.length > 1) parts(1).toDouble else 10.0)
           case "clamp" => SF.clamp(df,
             Some(parts(1).toDouble), Some(parts(2).toDouble))
+          case "transformNull" => SF.transformNull(df,
+            if (parts.length > 1) parts(1).toDouble else 0.0)
+          case "nPercentile" => SF.nPercentile(df, parts(1).toDouble)
+          case "removeAbovePercentile" =>
+            SF.removeAbovePercentile(df, parts(1).toDouble)
+          case "removeBelowPercentile" =>
+            SF.removeBelowPercentile(df, parts(1).toDouble)
+          case "maximumAbove" => SF.maximumAbove(df, parts(1).toDouble)
+          case "maximumBelow" =>
+            SF.maximumAbove(df, parts(1).toDouble, above = false)
+          case "minimumAbove" => SF.minimumBelow(df, parts(1).toDouble,
+            below = false)
+          case "minimumBelow" => SF.minimumBelow(df, parts(1).toDouble)
+          case "divideSeries" =>
+            SF.divideSeries(df, read(db, parts(1), startS, endS))
+          case "diffSeries" => SF.diffSeries(df,
+            read(db, parts(1), startS, endS),
+            if (parts.length > 2) parts(2) else "diffSeries")
+          case "hitcount" => SF.hitcount(df, parts(1).toLong)
+          case "changed" => SF.changed(df)
+          case "delay" => SF.delay(df, parts(1).toInt)
+          case "timeSlice" => SF.timeSlice(df, parts(1).toLong, parts(2).toLong)
+          case "linearRegression" => SF.linearRegression(df)
           case other =>
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }

@@ -114,6 +114,8 @@ object SeriesFunctions {
       case "min" => min("value")
       case "max" => max("value")
       case "count" => count("value").cast("double")
+      case "range" => max("value") - min("value") // rangeOfSeries
+      case "median" => median(col("value")) // exact; slot-wise like graphite
       case other => throw new IllegalArgumentException(
         s"combineSeries: unknown function '$other'")
     }
@@ -343,6 +345,150 @@ object SeriesFunctions {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("value",
       when(col("value").isNotNull, sum("value").over(w)))
+  }
+
+  /** `transformNull`: replace None slots with a constant — the usual
+    * "treat missing as 0" step before sums/diffs (functions.py
+    * transformNull). */
+  def transformNull(df: DataFrame, default: Double = 0.0): DataFrame =
+    df.withColumn("value", coalesce(col("value"), lit(default)))
+
+  /** Graphite's non-interpolating percentile rank over one series' sorted
+    * non-None values: rank = ceil(n/100 · (count+1)) clamped to
+    * [1, count] — functions.py `_getPercentile` with interpolate=False.
+    * Returns metric-count rows (name, __pctl). */
+  private def seriesPercentile(df: DataFrame, n: Double): DataFrame = {
+    require(n > 0 && n <= 100, s"percentile out of range: $n")
+    val arr = sort_array(collect_list(col("value"))) // collect_list skips nulls
+    val cnt = size(arr)
+    val rank = least(greatest(
+      ceil(lit(n / 100.0) * (cnt + 1)).cast("int"), lit(1)), cnt)
+    df.groupBy("name").agg(
+      when(cnt > 0, element_at(arr, rank)).as("__pctl"))
+  }
+
+  /** `nPercentile`: flatten each series to its own nth percentile — every
+    * slot gets the constant, graphite's horizontal reference line. */
+  def nPercentile(df: DataFrame, n: Double): DataFrame =
+    df.join(broadcast(seriesPercentile(df, n)), Seq("name"), "left")
+      .withColumn("value", col("__pctl")).drop("__pctl")
+
+  /** `removeAbovePercentile` / `removeBelowPercentile`: slots beyond the
+    * series' own nth percentile become None (slot kept, value nulled,
+    * like the value-threshold pair). */
+  def removeAbovePercentile(df: DataFrame, n: Double): DataFrame =
+    df.join(broadcast(seriesPercentile(df, n)), Seq("name"), "left")
+      .withColumn("value", when(col("value") <= col("__pctl"), col("value")))
+      .drop("__pctl")
+
+  def removeBelowPercentile(df: DataFrame, n: Double): DataFrame =
+    df.join(broadcast(seriesPercentile(df, n)), Seq("name"), "left")
+      .withColumn("value", when(col("value") >= col("__pctl"), col("value")))
+      .drop("__pctl")
+
+  /** `maximumAbove`/`maximumBelow`/`minimumAbove`/`minimumBelow`: the
+    * remaining series-filter family — keep series whose per-series
+    * max/min clears the threshold. Same tiny-aggregate + broadcast
+    * semi-join shape as [[averageAbove]]. */
+  def maximumAbove(df: DataFrame, threshold: Double,
+      above: Boolean = true): DataFrame =
+    statFilter(df, max("value"), threshold, above)
+
+  def minimumBelow(df: DataFrame, threshold: Double,
+      below: Boolean = true): DataFrame =
+    statFilter(df, min("value"), threshold, above = !below)
+
+  private def statFilter(df: DataFrame, stat: Column, threshold: Double,
+      above: Boolean): DataFrame = {
+    val stats = df.groupBy("name").agg(stat.as("__stat"))
+    val kept = (if (above) stats.filter(col("__stat") >= threshold)
+                else stats.filter(col("__stat") <= threshold)).select("name")
+    df.join(broadcast(kept), Seq("name"), "left_semi")
+  }
+
+  /** `divideSeries`: each dividend slot divided by the single divisor
+    * series' value at the same ts; None or 0 divisor → None
+    * (functions.py divideSeries). The divisor must be ONE series —
+    * checked at plan time over the display-sized frame, as graphite
+    * raises. Renamed `divideSeries(dividend,divisor)` like graphite. */
+  def divideSeries(df: DataFrame, divisor: DataFrame): DataFrame = {
+    val names = divisor.select("name").distinct().limit(2).collect()
+    require(names.length == 1,
+      s"divideSeries: divisor must be exactly one series, got ${names.length}")
+    val divName = names(0).getString(0)
+    val d = divisor.select(col("ts"), col("value").as("__div"))
+    df.join(broadcast(d), Seq("ts"), "left")
+      .withColumn("value",
+        when(col("__div") =!= 0, col("value") / col("__div")))
+      .withColumn("name",
+        concat(lit("divideSeries("), col("name"), lit(s",$divName)")))
+      .drop("__div")
+  }
+
+  /** `diffSeries` for the two-input call: per slot, safeDiff of the
+    * dividend against the sum of the subtrahend's values — None counts
+    * as 0 unless EVERY input at the slot is None (graphite safeDiff).
+    * One broadcast of the (display-sized) subtrahend totals. */
+  def diffSeries(df: DataFrame, subtrahend: DataFrame,
+      alias: String = "diffSeries"): DataFrame = {
+    val sub = subtrahend.groupBy("ts").agg(sum("value").as("__sub"))
+    df.join(broadcast(sub), Seq("ts"), "left")
+      .withColumn("value",
+        when(col("value").isNull && col("__sub").isNull, lit(null))
+          .otherwise(coalesce(col("value"), lit(0.0)) -
+            coalesce(col("__sub"), lit(0.0))))
+      .withColumn("name", lit(alias))
+      .drop("__sub")
+  }
+
+  /** `hitcount`: re-bucket each series into `intervalS` windows as
+    * value·step sums — rate × duration = hit estimate, robust to
+    * consolidation (functions.py hitcount). The series' step is derived
+    * from its own minimum ts gap, so the function composes after any
+    * summarize/consolidation without a step argument. */
+  def hitcount(df: DataFrame, intervalS: Long): DataFrame = {
+    require(intervalS > 0)
+    val gap = col("ts") - lag("ts", 1).over(perSeries)
+    val step = min(when(gap > 0, gap)).over(Window.partitionBy("name"))
+    val bucket = (floor(col("ts") / intervalS) * intervalS).cast("long")
+    df.withColumn("__step", step)
+      .groupBy(col("name"), bucket.as("ts"))
+      .agg(sum(col("value") * col("__step")).as("value"))
+  }
+
+  /** `changed`: 1.0 where the value differs from the previous slot, else
+    * 0.0 — None on either side counts as unchanged (functions.py
+    * changed). */
+  def changed(df: DataFrame): DataFrame = {
+    val prev = lag("value", 1).over(perSeries)
+    df.withColumn("value",
+      when(col("value").isNotNull && prev.isNotNull && col("value") =!= prev,
+        lit(1.0)).otherwise(lit(0.0)))
+  }
+
+  /** `delay`: shift each series' VALUES `steps` slots forward (negative =
+    * backward) while keeping the time axis — graphite's lag-compare
+    * helper. */
+  def delay(df: DataFrame, steps: Int): DataFrame =
+    df.withColumn("value",
+      if (steps >= 0) lag("value", steps).over(perSeries)
+      else lead("value", -steps).over(perSeries))
+
+  /** `timeSlice`: None out every slot outside [startS, endS) — the
+    * render-window mask. */
+  def timeSlice(df: DataFrame, startS: Long, endS: Long): DataFrame =
+    df.withColumn("value",
+      when(col("ts") >= startS && col("ts") < endS, col("value")))
+
+  /** `linearRegression`: replace each series with its own least-squares
+    * fit over the (ts, value) pairs — two regression aggregates per
+    * series, fit evaluated per slot; null slots get a fitted value too
+    * (graphite draws the full line). */
+  def linearRegression(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("name")
+    val slope = regr_slope(col("value"), col("ts").cast("double")).over(w)
+    val icept = regr_intercept(col("value"), col("ts").cast("double")).over(w)
+    df.withColumn("value", slope * col("ts") + icept)
   }
 
   /** `highestMax` / `highestCurrent` / `highestAverage`: keep the `n`

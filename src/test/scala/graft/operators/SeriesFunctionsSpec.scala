@@ -224,6 +224,102 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(vals(SeriesFunctions.aliasSeries(one, "x"), "x").length === 3)
   }
 
+  test("transformNull fills None; timeSlice masks outside the window") {
+    assert(vals(SeriesFunctions.transformNull(series, -1.0), "a")
+      === Seq(Some(1.0), Some(-1.0), Some(4.0), Some(2.0)))
+    assert(vals(SeriesFunctions.timeSlice(series, 60L, 180L), "a")
+      === Seq(None, None, Some(4.0), None))
+  }
+
+  test("nPercentile matches graphite's non-interpolating rank") {
+    // a has values [1, 2, 4]: p50 → rank ceil(.5*4)=2 → 2.0;
+    // p90 → rank ceil(.9*4)=4 clamped to 3 → 4.0
+    assert(vals(SeriesFunctions.nPercentile(series, 50), "a")
+      === Seq.fill(4)(Some(2.0)))
+    assert(vals(SeriesFunctions.nPercentile(series, 90), "a")
+      === Seq.fill(4)(Some(4.0)))
+    assert(vals(SeriesFunctions.removeAbovePercentile(series, 50), "a")
+      === Seq(Some(1.0), None, None, Some(2.0)))
+    assert(vals(SeriesFunctions.removeBelowPercentile(series, 50), "a")
+      === Seq(None, None, Some(4.0), Some(2.0)))
+  }
+
+  test("maximumAbove / minimumBelow filter by series extremes") {
+    assert(SeriesFunctions.maximumAbove(series, 5.0)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq === Seq("b"))
+    assert(SeriesFunctions.minimumBelow(series, 5.0)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  test("divideSeries: slot-wise by the single divisor, 0/None → None") {
+    val divisor = Seq(("d", 0L, Some(2.0)), ("d", 60L, Some(0.0)),
+      ("d", 120L, None), ("d", 180L, Some(4.0))).toDF("name", "ts", "value")
+    val out = SeriesFunctions.divideSeries(
+      series.filter(col("name") === "a"), divisor)
+    assert(vals(out, "divideSeries(a,d)")
+      === Seq(Some(0.5), None, None, Some(0.5)))
+    val twoSeries = series // a and b
+    intercept[IllegalArgumentException] {
+      SeriesFunctions.divideSeries(series, twoSeries)
+    }
+  }
+
+  test("diffSeries: safeDiff — None counts 0 unless every input is None") {
+    val out = SeriesFunctions.diffSeries(
+      series.filter(col("name") === "a"),
+      series.filter(col("name") === "b"), alias = "d")
+    // a: 1,None,4,2  b: 10,20,None,None → 1-10, 0-20, 4-0, 2-0
+    assert(vals(out, "d")
+      === Seq(Some(-9.0), Some(-20.0), Some(4.0), Some(2.0)))
+    val bothNone = SeriesFunctions.diffSeries(
+      Seq(("x", 0L, None: Option[Double])).toDF("name", "ts", "value"),
+      Seq(("y", 0L, None: Option[Double])).toDF("name", "ts", "value"))
+    assert(vals(bothNone, "diffSeries") === Seq(None))
+  }
+
+  test("hitcount: value×step re-bucketed; step derived per series") {
+    val out = SeriesFunctions.hitcount(series, 120L)
+    // a: bucket0 = (1+0_None)·60 = 60; bucket120 = (4+2)·60 = 360
+    val a = out.filter(col("name") === "a").orderBy("ts")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(a === Seq((0L, 60.0), (120L, 360.0)))
+  }
+
+  test("changed flags value transitions, None-adjacent slots are 0") {
+    assert(vals(SeriesFunctions.changed(series), "a")
+      === Seq(Some(0.0), Some(0.0), Some(0.0), Some(1.0)))
+    assert(vals(SeriesFunctions.changed(series), "b")
+      === Seq(Some(0.0), Some(1.0), Some(0.0), Some(0.0)))
+  }
+
+  test("delay shifts values while keeping the axis") {
+    assert(vals(SeriesFunctions.delay(series, 1), "a")
+      === Seq(None, Some(1.0), None, Some(4.0)))
+    assert(vals(SeriesFunctions.delay(series, -1), "a")
+      === Seq(None, Some(4.0), Some(2.0), None))
+  }
+
+  test("linearRegression fits least squares per series") {
+    val lin = Seq(("m", 0L, Some(1.0)), ("m", 60L, Some(3.0)),
+      ("m", 120L, None), ("m", 180L, Some(7.0)))
+      .toDF("name", "ts", "value")
+    // points (0,1),(60,3),(180,7): exact line y = x/30 + 1
+    val got = vals(SeriesFunctions.linearRegression(lin), "m")
+    val want = Seq(1.0, 3.0, 5.0, 7.0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.isDefined && math.abs(g.get - w) < 1e-9)
+    }
+  }
+
+  test("combineSeries range and median") {
+    assert(SeriesFunctions.combineSeries(series, "range", "r")
+      .orderBy("ts").collect().map(r => r.getDouble(2)).toSeq
+      === Seq(9.0, 0.0, 0.0, 0.0))
+    assert(SeriesFunctions.combineSeries(series, "median", "m")
+      .orderBy("ts").collect().map(r => r.getDouble(2)).toSeq
+      === Seq(5.5, 20.0, 4.0, 2.0))
+  }
+
   test("highest keeps the top-n series with name tie-break") {
     val many = Seq(
       ("m1", 0L, Some(5.0)), ("m2", 0L, Some(9.0)), ("m3", 0L, Some(9.0)),
