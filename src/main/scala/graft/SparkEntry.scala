@@ -927,6 +927,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // T9: C4 line-level cleaning (Raffel et al. 2020 §2.2). The synthetic
+    // docs have no newlines/punctuation, so the fixture deterministically
+    // re-chunks tokens into 10-word "lines", appending '.' when the
+    // chunk index % 3 != 2 — every rule then fires both ways.
+    "t9_c4_rules" -> { (s, dir) =>
+      val toks = split(col("text"), "\\s+")
+      val nChunks = ceil(size(toks) / 10.0).cast("int")
+      val lined = concat_ws("\n",
+        transform(sequence(lit(0), nChunks - 1), i =>
+          concat(array_join(slice(toks, i * 10 + 1, lit(10)), " "),
+            when(i % 3 =!= 2, lit(".")).otherwise(lit("")))))
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), lined.as("lined_text"))
+      TextAnalysis.c4Rules(docs, "doc_id", "lined_text")
+        .orderBy("doc_id")
+    },
+
     // P1: greedy sequence packing into 256-token context windows,
     // sharded by doc_id % 8 (deterministic, oracle = recursive CTE)
     "p1_sequence_packing" -> { (s, dir) =>
@@ -1788,6 +1805,37 @@ object SparkEntry {
         |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
         |    AND n_stopwords >= 2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t9_c4_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    range(0, CAST(ceil(len(toks) / 10.0) AS INT)), i ->
+        |      array_to_string(toks[i*10+1 : i*10+10], ' ')
+        |        || CASE WHEN i % 3 != 2 THEN '.' ELSE '' END),
+        |    chr(10)) AS text
+        |  FROM tk),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    list_transform(string_split(text, chr(10)), x -> trim(x)) AS ls
+        |  FROM lined),
+        |k AS (
+        |  SELECT doc_id, text, ls,
+        |    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+        |      AND len(string_split_regex(x, '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  array_to_string(kept, chr(10)) AS clean_text,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{') AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "p1_sequence_packing" ->
       """WITH RECURSIVE docs AS (

@@ -171,6 +171,33 @@ object TextAnalysis {
       .drop(textCol)
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    * lines that end in terminal punctuation, have at least
+    * `minWordsPerLine` words, and don't mention "javascript"; drop whole
+    * pages containing "lorem ipsum" or a curly brace (code), or with
+    * fewer than `minLines` surviving lines. Emits both the verdict AND
+    * the cleaned text (surviving lines re-joined), since C4 rewrites
+    * pages rather than just filtering them. All rules are pure column
+    * expressions over the line array — one codegen'd map pass, no
+    * shuffle, at any corpus size. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol), col(textCol))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept_lines", size(keptLines).cast("long"))
+      .withColumn("clean_text", array_join(keptLines, "\n"))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("keep", col("n_kept_lines") >= minLines &&
+        !col("has_lorem") && !col("has_brace"))
+      .drop(textCol)
+  }
+
   /** Document fingerprint: min/max md5 prefix over word 4-grams — a
     * winnowing-style content signature that survives reordering-free edits
     * and is identical across engines. */

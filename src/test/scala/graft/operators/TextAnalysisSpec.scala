@@ -34,4 +34,37 @@ class TextAnalysisSpec extends SparkSuite {
     val expect = -(math.log(0.3) + 2 * math.log(0.2)) / 3
     assert(math.abs(scored(10L) - expect) < 1e-4)
   }
+
+  test("c4Rules: line filters, page kills, and text reconstruction") {
+    val good = "here is a good first sentence.\n" +
+      "and here is a second good one!\n" +
+      "short line.\n" + // < 5 words → dropped
+      "a third sentence closes the page?\n" +
+      "no terminal punctuation so dropped here"
+    val js = "click here to enable javascript on your page.\n" +
+      "a normal line that survives the filter.\n" +
+      "another normal line that also survives fine.\n" +
+      "and one more normal line to clear minimum!"
+    val lorem = "lorem ipsum dolor sit amet consectetur adipiscing.\n" +
+      "this page would otherwise have enough lines here.\n" +
+      "because all three of them end properly."
+    val code = "this page has function signatures like f() {\n" +
+      "so it gets dropped entirely as code even though.\n" +
+      "it would have enough proper lines otherwise ok."
+    val out = TextAnalysis.c4Rules(
+      Seq((1L, good), (2L, js), (3L, lorem), (4L, code))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(6))).toMap
+    // good: 5 lines, 3 survive (short + unpunctuated dropped) → keep
+    assert(out(1L)._1 === 5L && out(1L)._2 === 3L && out(1L)._4 === true)
+    assert(out(1L)._3 ===
+      "here is a good first sentence.\nand here is a second good one!\n" +
+        "a third sentence closes the page?")
+    // javascript line dropped → only 3 survive → still keeps (== minLines)
+    assert(out(2L)._2 === 3L && out(2L)._4 === true)
+    assert(!out(2L)._3.contains("javascript"))
+    // lorem ipsum and curly-brace pages die regardless of line count
+    assert(out(3L)._4 === false && out(4L)._4 === false)
+  }
 }
