@@ -944,6 +944,35 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // D10: corpus-level boilerplate line removal (CCNet/RefinedWeb) —
+    // same deterministic 5-word re-chunking as t9 so chunk repeats
+    // across the synthetic corpus become "boilerplate"
+    "d10_boilerplate" -> { (s, dir) =>
+      val toks = split(col("text"), "\\s+")
+      val nChunks = ceil(size(toks) / 5.0).cast("int")
+      val lined = concat_ws("\n",
+        transform(sequence(lit(0), nChunks - 1), i =>
+          array_join(slice(toks, i * 5 + 1, lit(5)), " ")))
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), lined.as("lined_text"))
+      Dedup.dropBoilerplateLines(docs, "doc_id", "lined_text",
+        maxOccurrences = 2, minChars = 1)
+        .orderBy("doc_id")
+    },
+
+    // P5: mixture sampling to a token budget (Pile/DoReMi-style domain
+    // weights): keep-rate = min(1, budget·frac / stratumTokens),
+    // content-addressed at 1/65536 granularity
+    "p5_mixture_sample" -> { (s, dir) =>
+      Sampling.mixtureSample(table(s, dir, "documents"),
+        col("doc_id"), col("source"), col("n_chars"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15, "src3" -> 0.05),
+        tokenBudget = 20000L)
+        .select(col("doc_id"), col("source"),
+          (floor(col("keep_rate") * 1000000L + 0.5) / 1000000L).as("keep_rate"))
+        .orderBy("doc_id")
+    },
+
     // P1: greedy sequence packing into 256-token context windows,
     // sharded by doc_id % 8 (deterministic, oracle = recursive CTE)
     "p1_sequence_packing" -> { (s, dir) =>
@@ -1805,6 +1834,55 @@ object SparkEntry {
         |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
         |    AND n_stopwords >= 2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "d10_boilerplate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(toks[i*5+1 : i*5+5], ' ') AS line
+        |  FROM tk, LATERAL unnest(
+        |    range(0, CAST(ceil(len(toks) / 5.0) AS INT))) t(i)),
+        |cnt AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+        |k AS (
+        |  SELECT l.doc_id, l.pos, l.line, c.n > 2 AS boiler
+        |  FROM lines l JOIN cnt c USING (line))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_boiler,
+        |  coalesce(array_to_string(
+        |    list(line ORDER BY pos) FILTER (WHERE NOT boiler), chr(10)), '')
+        |    AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p5_mixture_sample" ->
+      """WITH tot AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE d.source
+        |      WHEN 'src0' THEN least(1.0, CAST(20000 AS DOUBLE) * 0.5
+        |        / (SELECT t FROM tot WHERE source = 'src0'))
+        |      WHEN 'src1' THEN least(1.0, CAST(20000 AS DOUBLE) * 0.3
+        |        / (SELECT t FROM tot WHERE source = 'src1'))
+        |      WHEN 'src2' THEN least(1.0, CAST(20000 AS DOUBLE) * 0.15
+        |        / (SELECT t FROM tot WHERE source = 'src2'))
+        |      WHEN 'src3' THEN least(1.0, CAST(20000 AS DOUBLE) * 0.05
+        |        / (SELECT t FROM tot WHERE source = 'src3'))
+        |      ELSE 0.0 END AS kr,
+        |    md5(CAST(d.doc_id AS VARCHAR)) AS dg
+        |  FROM documents d)
+        |SELECT doc_id, source,
+        |  floor(kr * 1000000 + 0.5) / 1000000 AS keep_rate
+        |FROM r
+        |WHERE (  (strpos('0123456789abcdef', substr(dg, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(dg, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(dg, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(dg, 4, 1)) - 1)) / 65536.0
+        |      < kr
+        |ORDER BY doc_id""".stripMargin,
 
     "t9_c4_rules" ->
       """WITH tk AS (

@@ -379,6 +379,44 @@ object Dedup {
       .drop("__island")
   }
 
+  /** Corpus-level boilerplate removal (CCNet/RefinedWeb-style): drop
+    * every line whose total occurrence count across the corpus exceeds
+    * `maxOccurrences` — navigation chrome, cookie banners, repeated
+    * footers. Lines shorter than `minChars` never count as boilerplate
+    * (too little signal; kept verbatim).
+    *
+    * Scale shape: one shuffle at line-HASH cardinality with map-side
+    * partials for the counts; the `> maxOccurrences` survivors are a
+    * tiny relation (distinct boilerplate strings, not occurrences), so
+    * AQE broadcasts the mark join; the rebuild groupBy shuffles on
+    * doc id with per-doc sorts bounded by document length. Nothing is
+    * ever corpus-quadratic.
+    *
+    * Returns (idCol, n_lines, n_boiler, clean_text) — the cleaned text
+    * re-joins surviving lines in order, since boilerplate removal
+    * REWRITES pages rather than dropping them. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Int = 2, minChars: Int = 10): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "line")
+      .withColumn("__h", md5(col("line")))
+    val boiler = lines
+      .filter(length(col("line")) >= minChars)
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select(col("__h"), lit(true).as("__boiler"))
+    val marked = lines.join(boiler, Seq("__h"), "left")
+      .withColumn("__boiler", coalesce(col("__boiler"), lit(false)))
+    marked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_lines"),
+      count(when(col("__boiler"), 1)).as("n_boiler"),
+      array_join(transform(
+        array_sort(collect_list(when(!col("__boiler"),
+          struct(col("pos"), col("line"))))),
+        s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Embedding near-dup: cosine similarity over pairs blocked by a
     * `blockCol` (label, LSH bucket, …); quadratic only within blocks.
     * Norms are factored out per vector before the self-join so each

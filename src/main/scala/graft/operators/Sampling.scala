@@ -98,6 +98,39 @@ object Sampling {
         lit(1L << (4 * (nibbles - i)))
     }.reduce(_ + _)
 
+  /** Mixture planning: given target per-stratum token fractions
+    * (Pile/DoReMi-style domain weights) and a total token budget, derive
+    * each stratum's keep-rate min(1, budget·frac / stratumTokens) and
+    * apply it content-addressed. Strata absent from `targetFractions`
+    * get rate 0 — the mixture DEFINES the output corpus.
+    *
+    * The per-stratum totals are a stratum-count aggregate collected for
+    * planning (like k-means centroids: metadata-sized, never row data);
+    * the applied filter is a pure map pass with the rate inlined as a
+    * CASE over the stratum column, so it prunes at the scan like
+    * [[stratifiedSample]]. Rates are continuous in [0,1] — keyed on 4
+    * digest nibbles (1/65536 granularity), not sixteenths. Emits
+    * `keep_rate` alongside the surviving rows. */
+  def mixtureSample(df: DataFrame, keyCol: Column, strataCol: Column,
+      tokenCol: Column, targetFractions: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    require(targetFractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions are in [0, 1]")
+    require(tokenBudget > 0)
+    val totals = df.groupBy(strataCol.as("__s"))
+      .agg(sum(tokenCol).as("__tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate: Column = targetFractions.foldLeft(lit(0.0)) {
+      case (acc, (s, f)) =>
+        val tokens = math.max(totals.getOrElse(s, 0L), 1L)
+        when(strataCol === s,
+          lit(math.min(1.0, tokenBudget * f / tokens))).otherwise(acc)
+    }
+    val u = digestInt(md5(keyCol.cast("string")), 4).cast("double") / 65536.0
+    df.withColumn("keep_rate", rate)
+      .filter(u < col("keep_rate"))
+  }
+
   /** Deterministic corpus shuffle + sharding for training dataloaders:
     * `shuffle_key` = md5(seed ‖ key) gives a reproducible global order
     * (ORDER BY shuffle_key = one range shuffle, no global window);

@@ -160,4 +160,26 @@ class DedupSpec extends SparkSuite {
       .map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(spans === Seq((0L, 5L), (8L, 13L)))
   }
+
+  test("dropBoilerplateLines: corpus-frequent lines removed in order, " +
+      "short lines immune") {
+    val banner = "accept all cookies to continue reading"
+    val docs = Seq(
+      (1L, s"$banner\nunique first body line here\nok\nanother unique line one"),
+      (2L, s"$banner\nsecond doc unique content line"),
+      (3L, s"unique third doc line of text\n$banner"),
+      (4L, s"ok\nfourth doc says something unique"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "doc_id", "text",
+      maxOccurrences = 2, minChars = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // banner appears 3× > 2 → boilerplate; "ok" appears 2× but is under
+    // minChars so it is NEVER counted, stays verbatim
+    assert(out(1L) === ((4L, 1L,
+      "unique first body line here\nok\nanother unique line one")))
+    assert(out(2L) === ((2L, 1L, "second doc unique content line")))
+    assert(out(3L) === ((2L, 1L, "unique third doc line of text")))
+    assert(out(4L) === ((2L, 0L, "ok\nfourth doc says something unique")))
+  }
 }

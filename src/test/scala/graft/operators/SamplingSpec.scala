@@ -83,4 +83,30 @@ class SamplingSpec extends SparkSuite {
     assert(plan.contains("rangepartitioning"), plan)
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("mixtureSample: rates follow budget·frac/tokens, capped at 1, " +
+      "absent strata dropped") {
+    val withTok = docs.withColumn("n_tok", lit(10L)) // 50 docs/src → 500 tok
+    val out = Sampling.mixtureSample(withTok, col("doc_id"), col("source"),
+      col("n_tok"),
+      Map("src0" -> 0.8, "src1" -> 0.2), tokenBudget = 1000L)
+    val rates = out.select("source", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // src0: 1000·0.8/500 = 1.6 → capped 1; src1: 200/500 = 0.4
+    assert(rates("src0") === 1.0)
+    assert(math.abs(rates("src1") - 0.4) < 1e-12)
+    assert(!rates.contains("src2") && !rates.contains("src3"))
+    // capped stratum keeps every row; sampled stratum keeps a plausible
+    // binomial share of its 50
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 50L)
+    assert(bySrc("src1") > 5L && bySrc("src1") < 40L)
+    // deterministic under re-partitioning
+    val again = Sampling.mixtureSample(withTok.repartition(7),
+      col("doc_id"), col("source"), col("n_tok"),
+      Map("src0" -> 0.8, "src1" -> 0.2), tokenBudget = 1000L)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
