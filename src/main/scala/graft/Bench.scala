@@ -19,7 +19,9 @@ object Bench {
     "k1_knn_brute", "t2_quality", "w2_topk_per_group",
     "e1_storage_read_path", "e4_render_pipeline",
     "km1_kmeans", "d8_semdedup", "d8b_semdedup_sqrtn",
-    "g2_window_functions", "p1_sequence_packing")
+    "g2_window_functions", "p1_sequence_packing",
+    "t9_c4_rules", "d10_boilerplate", "p5_mixture_sample",
+    "g9_render_breadth2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -392,7 +392,10 @@ object Bgutil {
     * removeBelowPercentile:N | maximumAbove:T | maximumBelow:T |
     * minimumAbove:T | minimumBelow:T | divideSeries:GLOB |
     * diffSeries:GLOB[:ALIAS] | hitcount:INTERVAL_S | changed |
-    * delay:N | timeSlice:T0:T1 | linearRegression
+    * delay:N | timeSlice:T0:T1 | linearRegression |
+    * holtWintersForecast:STEP_S | holtWintersConfidenceBands:STEP_S |
+    * holtWintersAberration:STEP_S (fetch extra leading history and trim
+    * with timeSlice, as graphite warms the model with 7 days)
     * (divideSeries/diffSeries fetch their second operand with the SAME
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
@@ -469,6 +472,12 @@ object Bgutil {
           case "delay" => SF.delay(df, parts(1).toInt)
           case "timeSlice" => SF.timeSlice(df, parts(1).toLong, parts(2).toLong)
           case "linearRegression" => SF.linearRegression(df)
+          case "holtWintersForecast" =>
+            graft.operators.HoltWinters.forecast(df, parts(1).toLong)
+          case "holtWintersConfidenceBands" =>
+            graft.operators.HoltWinters.confidenceBands(df, parts(1).toLong)
+          case "holtWintersAberration" =>
+            graft.operators.HoltWinters.aberration(df, parts(1).toLong)
           case other =>
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }
