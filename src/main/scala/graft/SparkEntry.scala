@@ -1218,6 +1218,82 @@ object SparkEntry {
         .withColumn("__hts", (floor(col("ts") / (6 * 3600)) * (6 * 3600)).cast("long"))
         .join(hc, Seq("name", "__hts"), "left").drop("__hts")
         .orderBy("name", "ts")
+    },
+
+    // G10: fourth render wave — scaleToSeconds (step-derived rescale),
+    // isNonNull, interpolate (linear gap fill), exponentialMovingAverage
+    // (sequential per-series recurrence vs the oracle's closed form),
+    // smartSummarize (query-start-aligned buckets), and
+    // sumSeriesWithWildcards collapsed onto the first two components
+    "g10_render_breadth3" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val from = T0 - 1800 // off-grid start so smart buckets differ from summarize's
+      val sps = SeriesFunctions.scaleToSeconds(base, 60).select(
+        col("name"), col("ts"),
+        (floor(col("value") * 10000 + 0.5) / 10000).as("sps"))
+      val nn = SeriesFunctions.isNonNull(base).select(
+        col("name"), col("ts"), col("value").as("nn"))
+      // interpolated halves land exactly on 5-decimal midpoints where
+      // Spark's decimal-string HALF_UP and DuckDB's binary round diverge;
+      // floor(x·1e4+0.5)/1e4 is the same double op on both engines
+      val itp = SeriesFunctions.interpolate(base).select(
+        col("name"), col("ts"),
+        (floor(col("value") * 10000 + 0.5) / 10000).as("itp"))
+      val ema = SeriesFunctions.exponentialMovingAverage(
+        SeriesFunctions.transformNull(base, 0.0), 6).select(
+        col("name"), col("ts"), round(col("value"), 4).as("ema6"))
+      val ss = SeriesFunctions.smartSummarize(base, 7200, "sum", from).select(
+        col("name"), col("ts").as("__bts"), round(col("value"), 4).as("ss2h"))
+      val ws = SeriesFunctions.seriesWithWildcards(base, "sum", Seq(2)).select(
+        col("name").as("__wname"), col("ts"), round(col("value"), 4).as("wsum"))
+      sps.join(nn, Seq("name", "ts")).join(itp, Seq("name", "ts"))
+        .join(ema, Seq("name", "ts"))
+        .withColumn("__bts",
+          (floor((col("ts") - from) / 7200) * 7200 + from).cast("long"))
+        .join(ss, Seq("name", "__bts"), "left").drop("__bts")
+        .withColumn("__wname",
+          concat_ws(".", slice(split(col("name"), "\\."), 1, 2)))
+        .join(ws, Seq("__wname", "ts"), "left").drop("__wname")
+        .orderBy("name", "ts")
+    },
+
+    // G11: series-selection stats — mostDeviant (top-7 by population
+    // variance) and averageOutsidePercentile (means outside the [30, 70]
+    // band) as membership flags over the per-series aggregate frame
+    "g11_series_filters" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val md = SeriesFunctions.mostDeviant(base, 7)
+        .select("name").distinct().withColumn("md7", lit(1))
+      val aop = SeriesFunctions.averageOutsidePercentile(base, 70)
+        .select("name").distinct().withColumn("aop70", lit(1))
+      // no variance/mean VALUE columns: both sit on exact decimal
+      // midpoints for this fixture while the two engines' aggregates
+      // differ at ulp level — an unfixable rounding straddle. The flags
+      // (plus the exact point count) are the operator outputs anyway.
+      base.groupBy("name").agg(count(col("value")).as("cnt"))
+        .join(md, Seq("name"), "left").join(aop, Seq("name"), "left")
+        .withColumn("md7", coalesce(col("md7"), lit(0)))
+        .withColumn("aop70", coalesce(col("aop70"), lit(0)))
+        .orderBy("name")
+    },
+
+    // G12: cross-series combines — weightedAverage pairing click values
+    // with view weights by the instance node, multiplySeries over the
+    // click family (sorted fold), percentileOfSeries at 60 across all
+    // series per slot
+    "g12_weighted_combine" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val clicks = SeriesFunctions.grep(base, "^ev\\.click\\.")
+      val views = SeriesFunctions.grep(base, "^ev\\.view\\.")
+      val wa = SeriesFunctions.weightedAverage(clicks, views, Seq(2)).select(
+        col("name"), col("ts"), round(col("value"), 4).as("wa"))
+      val mul = SeriesFunctions.multiplySeries(clicks, "mul").select(
+        col("ts"), round(col("value"), 6).as("mul"))
+      val pos = SeriesFunctions.percentileOfSeries(base, 60, "pos").select(
+        col("ts"), round(col("value"), 4).as("pos60"))
+      wa.join(mul, Seq("ts"), "left").join(pos, Seq("ts"), "left")
+        .select("name", "ts", "wa", "mul", "pos60")
+        .orderBy("name", "ts")
     })
 
   // ---- oracle SQL -----------------------------------------------------
@@ -2184,6 +2260,130 @@ object SparkEntry {
          |  round(h.hc6, 4) AS hc6
          |FROM w JOIN pct p USING (name)
          |LEFT JOIN hc h ON h.name = w.name AND h.hts = (w.ts // 21600) * 21600
+         |ORDER BY w.name, w.ts""".stripMargin,
+
+    // EMA closed form: with r = 1−c, ema_k (1-based k, seed at k=6) =
+    // r^(k−6)·seed + r^k·Σ_{j=7..k} x_j·r^(−j); the cumulative sum is one
+    // window, the j≤6 prefix a per-name scalar. Numerically ~1e−12 of the
+    // sequential loop — round(4) closes the gap.
+    "g10_render_breadth3" ->
+      s"""WITH $SeriesCte,
+         |e AS (
+         |  SELECT name, ts, coalesce(value, 0) AS x,
+         |    CAST(row_number() OVER (PARTITION BY name ORDER BY ts) AS BIGINT) AS k
+         |  FROM base),
+         |sd AS (
+         |  SELECT name, avg(x) FILTER (WHERE k <= 6) AS seed,
+         |         sum(x * power(1 - 2.0/7, -k)) FILTER (WHERE k <= 6) AS s6
+         |  FROM e GROUP BY name),
+         |cum AS (
+         |  SELECT name, ts, k,
+         |    sum(x * power(1 - 2.0/7, -k)) OVER (
+         |      PARTITION BY name ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+         |  FROM e),
+         |ema AS (
+         |  SELECT c.name, c.ts,
+         |    CASE WHEN c.k >= 6 THEN power(1 - 2.0/7, c.k - 6) * s.seed
+         |      + (2.0/7) * power(1 - 2.0/7, c.k) * (c.ck - s.s6) END AS ema6
+         |  FROM cum c JOIN sd s USING (name)),
+         |itp AS (
+         |  SELECT name, ts, CASE WHEN value IS NOT NULL THEN value
+         |    ELSE lastv + (nextv - lastv) * (ts - lastt) / (nextt - lastt)
+         |    END AS itp
+         |  FROM (
+         |    SELECT name, ts, value,
+         |      last_value(value IGNORE NULLS) OVER w1 AS lastv,
+         |      last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+         |        OVER w1 AS lastt,
+         |      first_value(value IGNORE NULLS) OVER w2 AS nextv,
+         |      first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+         |        OVER w2 AS nextt
+         |    FROM base
+         |    WINDOW w1 AS (PARTITION BY name ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    w2 AS (PARTITION BY name ORDER BY ts
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
+         |ss AS (
+         |  SELECT name,
+         |    (ts - ($T0 - 1800)) // 7200 * 7200 + ($T0 - 1800) AS bts,
+         |    sum(value) AS ss2h
+         |  FROM base GROUP BY 1, 2),
+         |ws AS (
+         |  SELECT split_part(name, '.', 1) || '.' || split_part(name, '.', 2)
+         |    AS wname, ts, sum(value) AS wsum
+         |  FROM base GROUP BY 1, 2)
+         |SELECT b.name, b.ts,
+         |  round(b.value * 60 / 3600, 4) AS sps,
+         |  CAST(CASE WHEN b.value IS NOT NULL THEN 1.0 ELSE 0.0 END AS DOUBLE)
+         |    AS nn,
+         |  floor(i.itp * 10000 + 0.5) / 10000 AS itp,
+         |  round(m.ema6, 4) AS ema6,
+         |  round(s.ss2h, 4) AS ss2h,
+         |  round(w.wsum, 4) AS wsum
+         |FROM base b
+         |JOIN itp i ON i.name = b.name AND i.ts = b.ts
+         |JOIN ema m ON m.name = b.name AND m.ts = b.ts
+         |LEFT JOIN ss s ON s.name = b.name
+         |  AND s.bts = (b.ts - ($T0 - 1800)) // 7200 * 7200 + ($T0 - 1800)
+         |LEFT JOIN ws w ON w.ts = b.ts
+         |  AND w.wname = split_part(b.name, '.', 1) || '.' || split_part(b.name, '.', 2)
+         |ORDER BY b.name, b.ts""".stripMargin,
+
+    "g11_series_filters" ->
+      s"""WITH $SeriesCte,
+         |st AS (
+         |  SELECT name, var_pop(value) AS vr, avg(value) AS av,
+         |         count(value) AS cnt
+         |  FROM base GROUP BY name),
+         |rk AS (
+         |  SELECT name, vr, av, cnt,
+         |    row_number() OVER (ORDER BY vr DESC NULLS LAST, name) AS r
+         |  FROM st),
+         |b AS (
+         |  SELECT
+         |    list_sort(list(av))[LEAST(GREATEST(
+         |      CAST(ceil(0.30 * (count(av) + 1)) AS BIGINT), 1), count(av))]
+         |      AS lo,
+         |    list_sort(list(av))[LEAST(GREATEST(
+         |      CAST(ceil(0.70 * (count(av) + 1)) AS BIGINT), 1), count(av))]
+         |      AS hi
+         |  FROM st)
+         |SELECT name, cnt,
+         |  CAST(CASE WHEN r <= 7 THEN 1 ELSE 0 END AS INT) AS md7,
+         |  CAST(CASE WHEN NOT (av > b.lo AND av < b.hi) THEN 1 ELSE 0 END AS INT)
+         |    AS aop70
+         |FROM rk CROSS JOIN b ORDER BY name""".stripMargin,
+
+    "g12_weighted_combine" ->
+      s"""WITH $SeriesCte,
+         |ck AS (
+         |  SELECT split_part(name, '.', 3) AS name, ts, value FROM base
+         |  WHERE regexp_matches(name, '^ev\\.click\\.')),
+         |vw AS (
+         |  SELECT split_part(name, '.', 3) AS name, ts, value FROM base
+         |  WHERE regexp_matches(name, '^ev\\.view\\.')),
+         |wa AS (
+         |  SELECT c.name, c.ts,
+         |    CASE WHEN sum(CASE WHEN c.value IS NOT NULL THEN v.value END) <> 0
+         |      THEN sum(c.value * v.value)
+         |        / sum(CASE WHEN c.value IS NOT NULL THEN v.value END)
+         |    END AS wa
+         |  FROM ck c JOIN vw v ON v.name = c.name AND v.ts = c.ts
+         |  GROUP BY 1, 2),
+         |mul AS (
+         |  SELECT ts, CASE WHEN count(*) = count(value)
+         |    THEN product(value) END AS mul
+         |  FROM ck GROUP BY ts),
+         |pos AS (
+         |  SELECT ts, CASE WHEN count(value) > 0 THEN
+         |    list_sort(list(value) FILTER (WHERE value IS NOT NULL))[
+         |      LEAST(GREATEST(CAST(ceil(0.60 * (count(value) + 1)) AS BIGINT),
+         |        1), count(value))] END AS pos
+         |  FROM base GROUP BY ts)
+         |SELECT w.name, w.ts, round(w.wa, 4) AS wa, round(m.mul, 6) AS mul,
+         |  round(p.pos, 4) AS pos60
+         |FROM wa w LEFT JOIN mul m USING (ts) LEFT JOIN pos p USING (ts)
          |ORDER BY w.name, w.ts""".stripMargin,
 
     "mm2_frame_sample" ->

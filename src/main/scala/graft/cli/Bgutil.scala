@@ -395,7 +395,16 @@ object Bgutil {
     * delay:N | timeSlice:T0:T1 | linearRegression |
     * holtWintersForecast:STEP_S | holtWintersConfidenceBands:STEP_S |
     * holtWintersAberration:STEP_S (fetch extra leading history and trim
-    * with timeSlice, as graphite warms the model with 7 days)
+    * with timeSlice, as graphite warms the model with 7 days) |
+    * weightedAverage:GLOB:I[,J,…] | multiplySeries[:ALIAS] |
+    * percentileOfSeries:N | mostDeviant:N |
+    * averageOutsidePercentile:N | substr:START[:STOP] |
+    * aliasSub:SEARCH:REPLACE | scaleToSeconds:S |
+    * smartSummarize:INTERVAL_S:FN | interpolate | isNonNull |
+    * round[:P] | sigmoid | logit | exp | aggregateLine[:FN] |
+    * sumSeriesWithWildcards:I[,J,…] | averageSeriesWithWildcards:I[,J,…] |
+    * timeStack:SHIFT_S[:START[:END]] | fallbackSeries:GLOB |
+    * exponentialMovingAverage:N
     * (divideSeries/diffSeries fetch their second operand with the SAME
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
@@ -478,6 +487,41 @@ object Bgutil {
             graft.operators.HoltWinters.confidenceBands(df, parts(1).toLong)
           case "holtWintersAberration" =>
             graft.operators.HoltWinters.aberration(df, parts(1).toLong)
+          case "weightedAverage" =>
+            SF.weightedAverage(df, read(db, parts(1), startS, endS),
+              parts(2).split(",").toSeq.map(_.toInt))
+          case "multiplySeries" => SF.multiplySeries(df,
+            if (parts.length > 1) parts(1) else "multiplySeries")
+          case "percentileOfSeries" => SF.percentileOfSeries(df, parts(1).toDouble)
+          case "mostDeviant" => SF.mostDeviant(df, parts(1).toInt)
+          case "averageOutsidePercentile" =>
+            SF.averageOutsidePercentile(df, parts(1).toDouble)
+          case "substr" => SF.substrSeries(df, parts(1).toInt,
+            if (parts.length > 2) parts(2).toInt else 0)
+          case "aliasSub" => SF.aliasSub(df, parts(1), parts(2))
+          case "scaleToSeconds" => SF.scaleToSeconds(df, parts(1).toLong)
+          case "smartSummarize" =>
+            SF.smartSummarize(df, parts(1).toLong, parts(2), startS)
+          case "interpolate" => SF.interpolate(df)
+          case "isNonNull" => SF.isNonNull(df)
+          case "round" => SF.roundFunction(df,
+            if (parts.length > 1) parts(1).toInt else 0)
+          case "sigmoid" => SF.sigmoid(df)
+          case "logit" => SF.logit(df)
+          case "exp" => SF.expFunction(df)
+          case "aggregateLine" => SF.aggregateLine(df,
+            if (parts.length > 1) parts(1) else "avg")
+          case "sumSeriesWithWildcards" =>
+            SF.seriesWithWildcards(df, "sum", parts(1).split(",").toSeq.map(_.toInt))
+          case "averageSeriesWithWildcards" =>
+            SF.seriesWithWildcards(df, "avg", parts(1).split(",").toSeq.map(_.toInt))
+          case "timeStack" => SF.timeStack(df, parts(1).toLong,
+            if (parts.length > 2) parts(2).toInt else 0,
+            if (parts.length > 3) parts(3).toInt else 7)
+          case "fallbackSeries" =>
+            SF.fallbackSeries(df, read(db, parts(1), startS, endS))
+          case "exponentialMovingAverage" =>
+            SF.exponentialMovingAverage(df, parts(1).toInt)
           case other =>
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }

@@ -510,4 +510,290 @@ object SeriesFunctions {
       .select("name")
     df.join(broadcast(ranked), Seq("name"), "left_semi")
   }
+
+  // ---- wave 4 ---------------------------------------------------------
+
+  /** `weightedAverage(seriesListAvg, seriesListWeight, *nodes)`: pair
+    * each value series with its weight series by the selected name
+    * components, then per (key, ts) emit Σ(v·w)/Σ(w) — graphite's
+    * capacity-weighted fleet average (functions.py weightedAverage;
+    * safeDiv semantics: zero/None weight sum → None). Slots where either
+    * side is None contribute nothing, like safeMul. One shuffle on
+    * (key, ts); both inputs are render-sized. */
+  def weightedAverage(df: DataFrame, weights: DataFrame,
+      nodes: Seq[Int]): DataFrame = {
+    def keyed(in: DataFrame, as: String): DataFrame = {
+      val parts = split(col("name"), "\\.")
+      val picked = nodes.map(n =>
+        if (n >= 0) parts.getItem(n) else element_at(parts, n))
+      in.select(concat_ws(".", picked: _*).as("name"), col("ts"),
+        col("value").as(as))
+    }
+    keyed(df, "__v").join(keyed(weights, "__w"), Seq("name", "ts"))
+      .groupBy("name", "ts")
+      .agg((sum(col("__v") * col("__w")) / sum(when(col("__v").isNotNull,
+        col("__w")))).as("value"))
+  }
+
+  /** `multiplySeries`: slot-wise product of all input series. Graphite's
+    * safeMul returns None when ANY factor is None, so a slot missing one
+    * series is None (unlike the sum family). The per-slot factor list is
+    * series-count sized — display-bounded — folded with a higher-order
+    * `aggregate`, no UDF. */
+  def multiplySeries(df: DataFrame, alias: String = "multiplySeries"): DataFrame =
+    df.groupBy("ts")
+      .agg(when(count(lit(1)) === count(col("value")),
+        // fold in sorted order: FP multiplication is not associative, so
+        // a fixed order keeps the result deterministic across shuffles
+        aggregate(sort_array(collect_list(col("value"))), lit(1.0),
+          (acc, x) => acc * x))
+        .as("value"))
+      .select(lit(alias).as("name"), col("ts"), col("value"))
+
+  /** `percentileOfSeries`: collapse all series into one whose slot value
+    * is the nth percentile ACROSS series at that ts — graphite's
+    * non-interpolating `_getPercentile` rank (same formula as
+    * [[nPercentile]], applied per slot instead of per series). */
+  def percentileOfSeries(df: DataFrame, n: Double,
+      alias: String = "percentileOfSeries"): DataFrame = {
+    require(n > 0 && n <= 100, s"percentile out of range: $n")
+    val arr = sort_array(collect_list(col("value")))
+    val cnt = size(arr)
+    val rank = least(greatest(
+      ceil(lit(n / 100.0) * (cnt + 1)).cast("int"), lit(1)), cnt)
+    df.groupBy("ts")
+      .agg(when(cnt > 0, element_at(arr, rank)).as("value"))
+      .select(lit(alias).as("name"), col("ts"), col("value"))
+  }
+
+  /** `mostDeviant`: keep the `n` series with the largest population
+    * variance (graphite computes Σx²/n − mean² per series, skipping
+    * None). Same two-pass tiny-aggregate + broadcast-semi-join shape as
+    * [[highest]]. */
+  def mostDeviant(df: DataFrame, n: Int): DataFrame = {
+    val ranked = df.groupBy("name").agg(var_pop(col("value")).as("__var"))
+      .orderBy(col("__var").desc_nulls_last, col("name").asc)
+      .limit(n).select("name")
+    df.join(broadcast(ranked), Seq("name"), "left_semi")
+  }
+
+  /** `averageOutsidePercentile`: drop series whose per-series mean lies
+    * strictly INSIDE the [100−n, n] percentile band of all the means
+    * (n<50 flips to 100−n first, like functions.py). Both percentile
+    * bounds use the non-interpolating rank over the metric-count frame
+    * of averages, so everything after the one per-series aggregate is
+    * display-sized. */
+  def averageOutsidePercentile(df: DataFrame, n: Double): DataFrame = {
+    val p = if (n < 50) 100 - n else n
+    val stats = df.groupBy("name").agg(avg("value").as("__avg"))
+    val arr = sort_array(collect_list(col("__avg")))
+    def rank(pct: Double): Column = least(greatest(
+      ceil(lit(pct / 100.0) * (size(arr) + 1)).cast("int"), lit(1)), size(arr))
+    val bounds = stats.agg(
+      element_at(arr, rank(100 - p)).as("__lo"),
+      element_at(arr, rank(p)).as("__hi"))
+    val kept = stats.crossJoin(broadcast(bounds))
+      .filter(!(col("__avg") > col("__lo") && col("__avg") < col("__hi")))
+      .select("name")
+    df.join(broadcast(kept), Seq("name"), "left_semi")
+  }
+
+  /** `substr`: keep only name components [start, stop) (0-based;
+    * stop = 0 keeps through the end; negatives count from the end like
+    * Python slices) — graphite's legend trimmer. */
+  def substrSeries(df: DataFrame, start: Int, stop: Int = 0): DataFrame = {
+    val parts = split(col("name"), "\\.")
+    val n = size(parts)
+    def norm(i: Int): Column =
+      if (i >= 0) least(lit(i), n) else greatest(n + i, lit(0))
+    val from = norm(start)
+    val until = if (stop == 0) n else norm(stop)
+    // slice is 1-based; length < 0 is invalid so clamp at 0 (empty name)
+    df.withColumn("name", concat_ws(".",
+      slice(parts, from + 1, greatest(until - from, lit(0)))))
+  }
+
+  /** `aliasSub`: regex search/replace on every series name. Graphite
+    * uses Python `re.sub` with `\1`-style backreferences; Spark's
+    * regexp_replace wants `$1`, so translate the replacement string. */
+  def aliasSub(df: DataFrame, search: String, replace: String): DataFrame = {
+    val javaReplace = replace.replaceAll("""\\(\d)""", "\\$$1")
+    df.withColumn("name", regexp_replace(col("name"), search, javaReplace))
+  }
+
+  /** `scaleToSeconds`: value · seconds/step — rescale a per-step count
+    * to a per-N-seconds rate. Like [[hitcount]], the step is derived
+    * from each series' own minimum positive ts gap, so the call
+    * composes after any consolidation without a step argument. */
+  def scaleToSeconds(df: DataFrame, seconds: Long): DataFrame = {
+    require(seconds > 0)
+    val gap = col("ts") - lag("ts", 1).over(perSeries)
+    val step = min(when(gap > 0, gap)).over(Window.partitionBy("name"))
+    df.withColumn("value", col("value") * seconds / step)
+  }
+
+  /** `smartSummarize`: like [[summarize]] but buckets align to the
+    * query's start time instead of interval multiples — graphite's
+    * "today-relative" re-bucketing. */
+  def smartSummarize(df: DataFrame, intervalS: Long, fn: String,
+      fromS: Long): DataFrame = {
+    require(intervalS > 0)
+    val shifted = df.withColumn("ts", col("ts") - fromS)
+    summarize(shifted, intervalS, fn).withColumn("ts", col("ts") + fromS)
+  }
+
+  /** `interpolate`: fill interior None gaps linearly between the
+    * neighboring non-None points; leading/trailing Nones stay None
+    * (functions.py interpolate with the default unlimited gap). Four
+    * windows over the same per-series sort — one shuffle. */
+  def interpolate(df: DataFrame): DataFrame = {
+    val before = perSeries.rowsBetween(Window.unboundedPreceding, -1)
+    val after = perSeries.rowsBetween(1, Window.unboundedFollowing)
+    val presentTs = when(col("value").isNotNull, col("ts"))
+    val pv = last("value", ignoreNulls = true).over(before)
+    val pt = last(presentTs, ignoreNulls = true).over(before)
+    val nv = first("value", ignoreNulls = true).over(after)
+    val nt = first(presentTs, ignoreNulls = true).over(after)
+    df.withColumn("value",
+      when(col("value").isNotNull, col("value"))
+        .otherwise(pv + (nv - pv) * (col("ts") - pt) / (nt - pt)))
+  }
+
+  /** `isNonNull`: 1.0 where a value exists, else 0.0 — the gap
+    * detector alerts build on. */
+  def isNonNull(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      when(col("value").isNotNull, lit(1.0)).otherwise(lit(0.0)))
+
+  /** `roundFunction`: round to `precision` decimals. Python 3 rounds
+    * HALF_EVEN, so this uses Spark's `bround` (same mode) rather than
+    * `round` (HALF_UP) — midpoint values match graphite exactly. */
+  def roundFunction(df: DataFrame, precision: Int = 0): DataFrame =
+    df.withColumn("value", bround(col("value"), precision))
+
+  /** `sigmoid` / `logit` / `exp` — the pointwise link-function trio
+    * (graphite 1.1). logit is None outside (0, 1) where the transform
+    * is undefined, like graphite's safe wrapper. */
+  def sigmoid(df: DataFrame): DataFrame =
+    df.withColumn("value", lit(1.0) / (lit(1.0) + exp(-col("value"))))
+
+  def logit(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      when(col("value") > 0 && col("value") < 1,
+        log(col("value") / (lit(1.0) - col("value")))))
+
+  def expFunction(df: DataFrame): DataFrame =
+    df.withColumn("value", exp(col("value")))
+
+  /** `aggregateLine`: flatten each series to a constant horizontal line
+    * at its own aggregate (avg/min/max/last) — graphite's reference
+    * line. Same broadcast-back shape as [[nPercentile]]. */
+  def aggregateLine(df: DataFrame, fn: String = "avg"): DataFrame = {
+    val stat: Column = fn match {
+      case "avg" | "average" => avg("value")
+      case "min" => min("value")
+      case "max" => max("value")
+      case "last" => max_by(col("value"), when(col("value").isNotNull, col("ts")))
+      case other => throw new IllegalArgumentException(
+        s"aggregateLine: unknown function '$other'")
+    }
+    val lines = df.groupBy("name").agg(stat.as("__line"))
+    df.join(broadcast(lines), Seq("name"), "left")
+      .withColumn("value", col("__line")).drop("__line")
+  }
+
+  /** `sumSeriesWithWildcards` / `averageSeriesWithWildcards`: drop the
+    * given name components (0-based positions), then combine the series
+    * that collapse onto the same remaining name, slot by slot — the
+    * multi-node generalization of [[groupByNode]]. One shuffle on the
+    * collapsed (name, ts). */
+  def seriesWithWildcards(df: DataFrame, fn: String,
+      positions: Seq[Int]): DataFrame = {
+    require(positions.forall(_ >= 0),
+      "seriesWithWildcards: positions are 0-based non-negative indices")
+    val parts = split(col("name"), "\\.")
+    val posArr = array(positions.map(lit): _*)
+    val kept = filter(parts, (_, i) => !array_contains(posArr, i))
+    val agg: Column = fn match {
+      case "sum" => sum("value")
+      case "avg" => avg("value")
+      case "min" => min("value")
+      case "max" => max("value")
+      case other => throw new IllegalArgumentException(
+        s"seriesWithWildcards: unknown function '$other'")
+    }
+    df.groupBy(concat_ws(".", kept).as("name"), col("ts"))
+      .agg(agg.as("value"))
+  }
+
+  /** `timeStack`: overlay `start..end` copies of each series shifted by
+    * k·shiftS, labeled `timeShift(name,-kN)` like graphite — the
+    * week-over-week comparison view. One generator expression, no
+    * repeated scans of the input. */
+  def timeStack(df: DataFrame, shiftS: Long, start: Int = 0,
+      end: Int = 7): DataFrame = {
+    require(end >= start)
+    df.select(explode(sequence(lit(start), lit(end))).as("__k"),
+        col("name"), col("ts"), col("value"))
+      .select(
+        when(col("__k") === 0, col("name"))
+          .otherwise(concat(lit("timeShift("), col("name"), lit(",-"),
+            (col("__k") * shiftS).cast("string"), lit(")"))).as("name"),
+        (col("ts") + col("__k") * shiftS).as("ts"),
+        col("value"))
+  }
+
+  /** `fallbackSeries`: the input if it has any series, else the
+    * fallback. The emptiness probe is one `limit(1)` action over the
+    * display-sized frame — same plan-time-decision shape as
+    * [[divideSeries]]'s arity check. */
+  def fallbackSeries(df: DataFrame, fallback: DataFrame): DataFrame =
+    if (df.limit(1).isEmpty) fallback else df
+
+  /** `exponentialMovingAverage`: EMA with graphite's constant
+    * c = 2/(points+1), seeded with the simple average of the first
+    * `points` slots (emitted at the end of that window; earlier slots
+    * are None, functions.py exponentialMovingAverage). A None slot
+    * emits None and leaves the EMA state unchanged. The recurrence is
+    * sequential per series, so like [[HoltWinters]] this is a typed
+    * `groupByKey(name).flatMapGroups` scan — one shuffle on name, then
+    * a linear pass over render-sized points. */
+  def exponentialMovingAverage(df: DataFrame, points: Int): DataFrame = {
+    require(points > 0)
+    val c = 2.0 / (points + 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("name"), col("ts").cast("long"),
+        col("value").cast("double"))
+      .as[(String, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (name, it) =>
+        val pts = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val out = Array.ofDim[(String, Long, Option[Double])](pts.length)
+        var ema = 0.0
+        var seeded = false
+        var seedSum = 0.0; var seedCnt = 0
+        var i = 0
+        while (i < pts.length) {
+          val (ts, v) = pts(i)
+          if (!seeded) {
+            v.foreach { x => seedSum += x; seedCnt += 1 }
+            if (i == points - 1) {
+              ema = if (seedCnt > 0) seedSum / seedCnt else 0.0
+              seeded = true
+              out(i) = (name, ts, Some(ema))
+            } else out(i) = (name, ts, None)
+          } else v match {
+            case Some(x) =>
+              ema = c * x + (1 - c) * ema
+              out(i) = (name, ts, Some(ema))
+            case None =>
+              out(i) = (name, ts, None)
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("name", "ts", "value")
+  }
 }

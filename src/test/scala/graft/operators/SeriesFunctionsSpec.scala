@@ -332,4 +332,126 @@ class SeriesFunctionsSpec extends SparkSuite {
       .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
     assert(top3 === Seq("m1", "m2", "m3")) // all-None series ranks last
   }
+
+  // ---- wave 4 ---------------------------------------------------------
+
+  test("substr slices name components with Python slice semantics") {
+    val d = Seq(("sys.cpu.host1.load", 0L, Some(1.0)))
+      .toDF("name", "ts", "value")
+    def nameOf(df: DataFrame): String = df.collect()(0).getString(0)
+    assert(nameOf(SeriesFunctions.substrSeries(d, 1)) === "cpu.host1.load")
+    assert(nameOf(SeriesFunctions.substrSeries(d, 1, 3)) === "cpu.host1")
+    assert(nameOf(SeriesFunctions.substrSeries(d, -2)) === "host1.load")
+    assert(nameOf(SeriesFunctions.substrSeries(d, 0, -1)) === "sys.cpu.host1")
+    assert(nameOf(SeriesFunctions.substrSeries(d, 9)) === "") // past end
+  }
+
+  test("aliasSub rewrites names with backreferences") {
+    val d = Seq(("sys.cpu.host1.load", 0L, Some(1.0)))
+      .toDF("name", "ts", "value")
+    val out = SeriesFunctions.aliasSub(d, """\.host(\d+)\.""", """.h\1.""")
+      .collect()(0).getString(0)
+    assert(out === "sys.cpu.h1.load")
+  }
+
+  test("roundFunction uses HALF_EVEN like Python 3") {
+    val d = Seq(("a", 0L, Some(0.125)), ("a", 60L, Some(0.135)),
+      ("a", 120L, None))
+      .toDF("name", "ts", "value")
+    assert(vals(SeriesFunctions.roundFunction(d, 2), "a")
+      === Seq(Some(0.12), Some(0.14), None)) // both midpoints go to even
+  }
+
+  test("sigmoid / logit / exp with domain guards") {
+    val d = Seq(("a", 0L, Some(0.0)), ("a", 60L, Some(0.5)),
+      ("a", 120L, Some(2.0)), ("a", 180L, None))
+      .toDF("name", "ts", "value")
+    assert(vals(SeriesFunctions.sigmoid(d), "a")(0) === Some(0.5))
+    val lg = vals(SeriesFunctions.logit(d), "a")
+    assert(lg(1) === Some(0.0)) // logit(0.5) = 0
+    assert(lg(0) === None && lg(2) === None && lg(3) === None)
+    assert(vals(SeriesFunctions.expFunction(d), "a")(0) === Some(1.0))
+  }
+
+  test("aggregateLine flattens each series to its aggregate") {
+    val d = SeriesFunctions.aggregateLine(series, "max")
+    assert(vals(d, "a") === Seq.fill(4)(Some(4.0)))
+    assert(vals(d, "b") === Seq.fill(4)(Some(20.0)))
+    val lastLine = SeriesFunctions.aggregateLine(series, "last")
+    assert(vals(lastLine, "b") === Seq.fill(4)(Some(20.0))) // last non-None
+  }
+
+  test("multiplySeries: None in any factor nulls the slot") {
+    val m = SeriesFunctions.multiplySeries(series, "mul")
+    val by = m.orderBy("ts").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(by === Seq(Some(10.0), None, None, None))
+    assert(m.select("name").distinct().collect()(0).getString(0) === "mul")
+  }
+
+  test("timeStack overlays shifted labeled copies") {
+    val one = Seq(("a", 120L, Some(1.0))).toDF("name", "ts", "value")
+    val st = SeriesFunctions.timeStack(one, shiftS = 60, start = 0, end = 2)
+      .orderBy("ts").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(st === Seq(("a", 120L), ("timeShift(a,-60)", 180L),
+      ("timeShift(a,-120)", 240L)))
+  }
+
+  test("fallbackSeries returns the fallback only when empty") {
+    val empty = series.filter(col("name") === "zzz")
+    val fb = SeriesFunctions.fallbackSeries(empty, series)
+    assert(fb.count() === 8)
+    val keep = SeriesFunctions.fallbackSeries(series, empty)
+    assert(keep.count() === 8)
+  }
+
+  test("exponentialMovingAverage matches the hand recurrence") {
+    // points=2 → c = 2/3; seed = avg(first 2) at slot 2
+    val d = Seq(("a", 0L, Some(3.0)), ("a", 60L, Some(9.0)),
+      ("a", 120L, Some(6.0)), ("a", 180L, None), ("a", 240L, Some(12.0)))
+      .toDF("name", "ts", "value")
+    val e = vals(SeriesFunctions.exponentialMovingAverage(d, 2), "a")
+    val c = 2.0 / 3
+    val seed = 6.0 // avg(3, 9)
+    val e3 = c * 6.0 + (1 - c) * seed
+    assert(e(0) === None)
+    assert(e(1) === Some(seed))
+    assert(e(2) === Some(e3))
+    assert(e(3) === None) // None slot emits None, state unchanged
+    assert(e(4) === Some(c * 12.0 + (1 - c) * e3))
+  }
+
+  test("interpolate fills interior gaps linearly, leaves edges None") {
+    val d = Seq[(String, Long, Option[Double])](
+      ("a", 0L, None), ("a", 60L, Some(2.0)), ("a", 120L, None),
+      ("a", 180L, None), ("a", 240L, Some(8.0)), ("a", 300L, None))
+      .toDF("name", "ts", "value")
+    val out = vals(SeriesFunctions.interpolate(d), "a")
+    assert(out === Seq(None, Some(2.0), Some(4.0), Some(6.0), Some(8.0), None))
+  }
+
+  test("mostDeviant keeps the highest-variance series") {
+    val many = Seq(
+      ("flat", 0L, Some(5.0)), ("flat", 60L, Some(5.0)),
+      ("wild", 0L, Some(0.0)), ("wild", 60L, Some(100.0)),
+      ("mild", 0L, Some(4.0)), ("mild", 60L, Some(6.0)))
+      .toDF("name", "ts", "value")
+    val kept = SeriesFunctions.mostDeviant(many, 1)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(kept === Seq("wild"))
+  }
+
+  test("weightedAverage pairs by node and weights the slot") {
+    val v = Seq(("cpu.a.load", 0L, Some(10.0)), ("cpu.b.load", 0L, Some(20.0)))
+      .toDF("name", "ts", "value")
+    val w = Seq(("cpu.a.weight", 0L, Some(1.0)), ("cpu.b.weight", 0L, Some(3.0)))
+      .toDF("name", "ts", "value")
+    // nodes=Seq(1) → keys a, b; one pair each → value itself
+    val out = SeriesFunctions.weightedAverage(v, w, Seq(1))
+      .orderBy("name").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(out === Seq(("a", 10.0), ("b", 20.0)))
+    // nodes=Seq(2) → both collapse on component "load"/"weight"? no —
+    // value list keys "load", weight keys "weight": no join rows
+    assert(SeriesFunctions.weightedAverage(v, w, Seq(2)).count() === 0)
+  }
 }
