@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.glob.Glob
-import graft.operators.{Dedup, Downsample, Packing, Sampling, SeriesFunctions, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Downsample, Packing, Sampling, SeriesFunctions, Similarity, TextAnalysis, Urls}
 import graft.sources.MetricCatalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1294,6 +1294,38 @@ object SparkEntry {
       wa.join(mul, Seq("ts"), "left").join(pos, Seq("ts"), "left")
         .select("name", "ts", "wa", "mul", "pos60")
         .orderBy("name", "ts")
+    },
+
+    // D11: URL canonicalization + per-URL dedup — the crawl pipeline's
+    // first dedup stage. The corpus has no URL column, so the fixture
+    // synthesizes deterministic URLs exercising every rule (scheme/host
+    // case, www, default port, tracking + unordered params, fragment,
+    // trailing slash); ~40 path slots per source give each canonical
+    // key a handful of duplicates to resolve
+    "d11_url_dedup" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("http://")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), col("doc_id") % 40,
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+      Urls.dedupByUrl(docs.withColumn("url", url))
+        .select(col("doc_id"), col("canon_url"), col("kept"))
+        .orderBy("doc_id")
+    },
+
+    // P6: fixed-token-window chunking with stride (128-token windows
+    // stepping by 64 — overlapping pretraining context windows), one
+    // row per chunk with an md5 chunk key for chunk-level exact dedup
+    "p6_chunk_windows" -> { (s, dir) =>
+      Packing.chunkWindows(table(s, dir, "documents"),
+          "doc_id", "text", window = 128, stride = 64)
+        .orderBy("doc_id", "chunk_idx")
     })
 
   // ---- oracle SQL -----------------------------------------------------
@@ -2385,6 +2417,70 @@ object SparkEntry {
          |  round(p.pos, 4) AS pos60
          |FROM wa w LEFT JOIN mul m USING (ts) LEFT JOIN pos p USING (ts)
          |ORDER BY w.name, w.ts""".stripMargin,
+
+    "d11_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+        |    || source || '.Example.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || '/Docs/' || (doc_id % 40)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |        ELSE '?a=1&b=2' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(split_part(split_part(url, '#', 1), '://', 2)) AS restl,
+        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |  FROM u),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(regexp_replace(split_part(restl, '/', 1),
+        |      '^www\.', ''), ':(80|443)$', '') AS host,
+        |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |  FROM c),
+        |q AS (
+        |  SELECT doc_id, n_chars, host,
+        |    regexp_replace(split_part(pathq, '?', 1), '/$', '') AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(CASE WHEN strpos(pathq, '?') > 0
+        |        THEN split_part(pathq, '?', 2) ELSE '' END, '&'),
+        |      pp -> NOT regexp_matches(pp, '^(utm_[^=]*|fbclid|gclid|ref)=')
+        |        AND pp <> '')), '&') AS sq
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id,
+        |    host || path ||
+        |      (CASE WHEN length(sq) > 0 THEN '?' || sq ELSE '' END)
+        |      AS canon_url,
+        |    row_number() OVER (
+        |      PARTITION BY host || path ||
+        |        (CASE WHEN length(sq) > 0 THEN '?' || sq ELSE '' END)
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM q)
+        |SELECT doc_id, canon_url,
+        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "p6_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, greatest(len(toks), 1), 64)) AS tok_start
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(tok_start // 64 AS BIGINT) AS chunk_idx,
+        |  CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(len(toks[tok_start + 1 : least(tok_start + 128, n)]) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(array_to_string(toks[tok_start + 1 : least(tok_start + 128, n)],
+        |    ' ')) AS chunk_hash
+        |FROM s WHERE tok_start < n
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "mm2_frame_sample" ->
       """WITH media AS (

@@ -62,4 +62,35 @@ object Packing {
         sum("n_tokens").as("tokens"),
         round(sum("n_tokens") / ((max("pack_idx") + 1) * capacity.toDouble), 6)
           .as("utilisation"))
+
+  /** Fixed-token-window chunking with stride — split each document's
+    * whitespace tokens into `window`-token chunks whose starts step by
+    * `stride` (stride < window = overlapping context windows, the usual
+    * pretraining shape). Emits one row per chunk: (idCol, chunk_idx,
+    * tok_start, n_tokens, chunk_hash) with chunk_hash an md5 over the
+    * space-rejoined tokens (chunk-level exact dedup key).
+    *
+    * Pure generator expressions (split + sequence + explode + slice) —
+    * map-only, no shuffle, codegen'd; at 100 TB the explode widens rows
+    * by ~len/stride but never materializes cross-document state. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0)
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    docs
+      .select(col(idCol), toks.as("__toks"), n.as("__n"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+          lit(stride))).as("tok_start"))
+      .filter(col("tok_start") < col("__n")) // guards the n=0 degenerate
+      .select(
+        col(idCol),
+        (col("tok_start") / stride).cast("long").as("chunk_idx"),
+        col("tok_start").cast("long").as("tok_start"),
+        size(slice(col("__toks"), col("tok_start") + 1, lit(window)))
+          .cast("long").as("n_tokens"),
+        md5(array_join(slice(col("__toks"), col("tok_start") + 1,
+          lit(window)), " ")).as("chunk_hash"))
+  }
 }

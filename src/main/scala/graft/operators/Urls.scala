@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** URL canonicalization and per-URL deduplication — the first dedup
+  * stage of a web-crawl curation pipeline (CCNet/RefinedWeb keep one
+  * document per normalized URL before any content-based dedup).
+  *
+  * Everything here is a composition of codegen'd string expressions —
+  * no UDFs — so canonicalization runs map-side at full scan speed and
+  * the dedup is ONE shuffle on the canonical key. Nothing is ever
+  * collected; at 100 TB the canonical-URL groupBy partitions evenly
+  * (URL hashes have no hot keys once tracking params are stripped).
+  */
+object Urls {
+
+  /** Tracking query parameters stripped during canonicalization. */
+  val TrackingParamRegex = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** Canonical form of a schemeful URL:
+    *
+    *  1. fragment dropped;
+    *  2. scheme dropped entirely (http/https variants collapse);
+    *  3. host lowercased, leading `www.` and default ports 80/443
+    *     stripped;
+    *  4. tracking params (utm_*, fbclid, gclid, ref) removed, the
+    *     surviving query params sorted for order-independence;
+    *  5. trailing slash on the path stripped.
+    *
+    * Path case is preserved (paths are case-sensitive per RFC 3986;
+    * only scheme+host are case-insensitive). Assumes a `scheme://`
+    * URL — relative URLs pass through on the same rules minus host
+    * handling quirks. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val rest = substring_index(noFrag, "://", -1)
+    val hostPort = lower(substring_index(rest, "/", 1))
+    val pathQ = substring(rest, length(hostPort) + 1, lit(Int.MaxValue))
+    val host = regexp_replace(regexp_replace(hostPort, "^www\\.", ""),
+      ":(80|443)$", "")
+    val path = substring_index(pathQ, "?", 1)
+    val query = when(instr(pathQ, "?") > 0, substring_index(pathQ, "?", -1))
+      .otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => !p.rlike(TrackingParamRegex) && p =!= "")
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(host, regexp_replace(path, "/$", ""),
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** Mark one keeper per canonical URL: the longest document
+    * (`lengthCol` desc), ties to the smallest id — deterministic at
+    * any parallelism. Adds `canon_url` and `kept` (1/0) columns; the
+    * caller filters `kept = 1` to materialize the deduped corpus or
+    * keeps the flag for audit. One window shuffle on the canonical
+    * key. */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", lengthCol: String = "n_chars"): DataFrame = {
+    val w = Window.partitionBy("canon_url")
+      .orderBy(col(lengthCol).desc, col(idCol).asc)
+    docs.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("kept",
+        when(row_number().over(w) === 1, lit(1)).otherwise(lit(0)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Golden tests for URL canonicalization/dedup and token-window
+  * chunking. */
+class UrlsAndChunkingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("url")
+      .select(Urls.canonicalizeUrl(col("url"))).collect()(0).getString(0)
+
+  test("canonicalizeUrl applies every normalization rule") {
+    // scheme case + www + default port + trailing slash + fragment
+    assert(canon("HTTPS://WWW.Ex.COM:443/A/b/#frag") === "ex.com/A/b")
+    assert(canon("http://ex.com:80/A/b") === "ex.com/A/b")
+    // scheme variants collapse
+    assert(canon("https://ex.com/x") === canon("http://ex.com/x"))
+    // tracking params dropped, survivors sorted
+    assert(canon("http://ex.com/p?utm_source=f&b=2&a=1&gclid=9")
+      === "ex.com/p?a=1&b=2")
+    assert(canon("http://ex.com/p?b=2&a=1")
+      === canon("http://ex.com/p?a=1&b=2"))
+    // all-tracking query disappears entirely
+    assert(canon("http://ex.com/p?utm_campaign=x") === "ex.com/p")
+    // path case preserved (RFC 3986: only scheme+host case-insensitive)
+    assert(canon("http://EX.com/CaseSensitive") === "ex.com/CaseSensitive")
+    // non-default port kept
+    assert(canon("http://ex.com:8080/p") === "ex.com:8080/p")
+    // bare host
+    assert(canon("http://ex.com") === "ex.com")
+  }
+
+  test("dedupByUrl keeps the longest doc per canonical URL") {
+    val docs = Seq(
+      (1L, "http://a.com/x", 100L),
+      (2L, "HTTPS://WWW.A.com/x/", 300L), // same canonical, longer → kept
+      (3L, "http://a.com/x?utm_source=f", 300L), // tie on 300 → id 2 wins
+      (4L, "http://b.com/y", 50L))
+      .toDF("doc_id", "url", "n_chars")
+    val out = Urls.dedupByUrl(docs)
+      .select("doc_id", "kept").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out === Seq((1L, 0), (2L, 1), (3L, 0), (4L, 1)))
+    val canonOf = Urls.dedupByUrl(docs).filter(col("doc_id") <= 3)
+      .select("canon_url").distinct().collect()
+    assert(canonOf.length === 1) // all three collapse onto a.com/x
+  }
+
+  test("chunkWindows: strided overlapping windows, short tail kept") {
+    val docs = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkWindows(docs, "doc_id", "text",
+        window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // starts 0,3,6,9: windows [t1..t4] [t4..t7] [t7..t10] [t10]
+    assert(out === Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    val hashes = Packing.chunkWindows(docs, "doc_id", "text", 4, 3)
+      .select("chunk_hash").collect().map(_.getString(0)).toSeq
+    assert(hashes.distinct.length === 4)
+  }
+
+  test("chunkWindows: doc shorter than one window is one chunk") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Packing.chunkWindows(docs, "doc_id", "text", 128, 64).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(3) === 3L)
+  }
+}
