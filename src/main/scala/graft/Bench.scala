@@ -21,7 +21,8 @@ object Bench {
     "km1_kmeans", "d8_semdedup", "d8b_semdedup_sqrtn",
     "g2_window_functions", "p1_sequence_packing",
     "t9_c4_rules", "d10_boilerplate", "p5_mixture_sample",
-    "g9_render_breadth2")
+    "g9_render_breadth2", "g10_render_breadth3", "d11_url_dedup",
+    "p6_chunk_windows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,13 +57,23 @@ object Bench {
           array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))))
         .count()
     }
+    // Macros: median of 3 when the query is fast enough that one GC
+    // pause would dominate the published number (sub-4 s). The expensive
+    // tail runs once — relative noise is small there and tripling it
+    // would triple the bench's wall time.
     val results = Headline.filter(queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      val n = try queries(name)(spark, sfDir).count() catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try queries(name)(spark, sfDir).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val first = once()
+      val t = if (first >= 4.0) first
+              else Seq(first, once(), once()).sorted.apply(1)
+      name -> t
     } ++ baselineMicroBench(spark)
     val qs = results.map { case (k, sec) => s""""$k":$sec""" }
       .mkString("{", ",", "}")
@@ -179,7 +190,13 @@ object Bench {
           .withColumn("count", lit(1.0)).withColumn("replica", lit(0))
           .persist()
         try {
-          PointsStore.write(deduped.drop("aggregator"), dir, retention.stage0)
+          // the whole 1M-point batch lands in ONE stage0 time bucket
+          // (span 120000 s > data span), so the flat salt of 8 caps the
+          // write at 8 tasks on 32 cores — size the salt to the batch
+          // (saltFor(1M) = 31 writers), exactly what a live carbon
+          // instance flushing batches this size should do
+          PointsStore.write(deduped.drop("aggregator"), dir, retention.stage0,
+            writeSalt = PointsStore.saltFor(1000000L))
           PointsStore.write(
             Downsample.rollupStage(deduped, 3600).withColumn("replica", lit(0)),
             dir, retention.stages(1))

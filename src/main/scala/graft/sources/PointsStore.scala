@@ -50,6 +50,15 @@ object PointsStore {
     * BACKFILL spanning many buckets already parallelizes across the
     * bucket dimension — pass writeSalt = 1 there to avoid paying
     * salt× small files per bucket for no extra parallelism. */
+  /** Salt sized to a micro-batch's row count: one writer per ~32k rows,
+    * capped at 64 files per (stage, bucket). Live ingest concentrates a
+    * batch into one or two time buckets, so the batch size — not the
+    * bucket count — decides how many parallel writers the hot bucket
+    * needs; callers that know their batch size should pass
+    * `writeSalt = saltFor(n)` instead of the flat default. */
+  def saltFor(rows: Long): Int =
+    math.max(1, math.min(64, (rows / 32768L + 1).toInt))
+
   def write(points: DataFrame, baseDir: String, stage: Stage,
       writeSalt: Int = 8): Unit = {
     val span = bucketSpanS(stage.precisionS)

@@ -60,4 +60,21 @@ class PlanShapeSpec extends SparkSuite {
       s"projection not inside whole-stage codegen:\n$p")
     assert(p.contains("graft_array_dot"), s"expression missing:\n$p")
   }
+
+  test("chunkWindows is map-only: zero exchanges") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 200).map(i => lit(s"t$i")): _*).as("text"))
+    val p = plan(graft.operators.Packing.chunkWindows(
+      docs, "doc_id", "text", 128, 64))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("dedupByUrl shuffles exactly once, on the canonical key") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("http://h"), col("id") % 7, lit(".com/p")).as("url"),
+      (col("id") * 31 % 997).as("n_chars"))
+    val p = plan(graft.operators.Urls.dedupByUrl(docs))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected one canonical-key shuffle:\n$p")
+  }
 }
