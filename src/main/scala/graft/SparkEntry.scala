@@ -1326,6 +1326,20 @@ object SparkEntry {
       Packing.chunkWindows(table(s, dir, "documents"),
           "doc_id", "text", window = 128, stride = 64)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // T10: character/token Shannon entropy — the cheap gibberish /
+    // compressibility signal before an LM perplexity pass, as ONE
+    // native codegen'd pass per document (no exploded doc×char
+    // relation); the oracle rebuilds both histograms relationally
+    "t10_entropy" -> { (s, dir) =>
+      import graft.functions.TextEntropy
+      table(s, dir, "documents").select(col("doc_id"),
+          round(TextEntropy.char_entropy(substring(col("text"), 1, 2048)), 4)
+            .as("char_h"),
+          round(TextEntropy.token_entropy(substring(col("text"), 1, 2048)), 4)
+            .as("token_h"))
+        .orderBy("doc_id")
     })
 
   // ---- oracle SQL -----------------------------------------------------
@@ -2481,6 +2495,36 @@ object SparkEntry {
         |    ' ')) AS chunk_hash
         |FROM s WHERE tok_start < n
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the "+ 0" turns a possible IEEE −0.0 (an exactly-zero −sum) into
+    // +0.0 so the string compare can't diverge on the sign of zero
+    "t10_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 2048) AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, substr(t, ci + 1, 1) AS c
+        |  FROM d, LATERAL unnest(range(0, length(t))) u(ci)),
+        |chh AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |che AS (
+        |  SELECT doc_id, -sum((k / n) * log2(k / n)) AS h
+        |  FROM (SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n
+        |        FROM chh)
+        |  GROUP BY doc_id),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> ''))
+        |      AS w
+        |  FROM d),
+        |tkh AS (SELECT doc_id, w, count(*) AS k FROM tk GROUP BY 1, 2),
+        |tke AS (
+        |  SELECT doc_id, -sum((k / n) * log2(k / n)) AS h
+        |  FROM (SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n
+        |        FROM tkh)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, round(coalesce(c.h, 0) + 0, 4) AS char_h,
+        |  round(coalesce(t2.h, 0) + 0, 4) AS token_h
+        |FROM d LEFT JOIN che c USING (doc_id) LEFT JOIN tke t2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "mm2_frame_sample" ->
       """WITH media AS (

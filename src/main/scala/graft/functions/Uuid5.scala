@@ -77,7 +77,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => ShingleSet(es(0),
         intArg(es(1), "graft_shingle_set", "n"))),
     ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    ("graft_char_entropy", classOf[TextEntropy],
+      (es: Seq[Expression]) => TextEntropy(es.head, token = false)),
+    ("graft_token_entropy", classOf[TextEntropy],
+      (es: Seq[Expression]) => TextEntropy(es.head, token = true)))
 
   private[functions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
