@@ -2452,7 +2452,7 @@ object SparkEntry {
         |p AS (
         |  SELECT doc_id, n_chars,
         |    regexp_replace(regexp_replace(split_part(restl, '/', 1),
-        |      '^www\.', ''), ':(80|443)$', '') AS host,
+        |      '^(www\.)+', ''), ':(80|443)$', '') AS host,
         |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
         |  FROM c),
         |q AS (

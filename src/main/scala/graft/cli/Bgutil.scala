@@ -404,7 +404,8 @@ object Bgutil {
     * round[:P] | sigmoid | logit | exp | aggregateLine[:FN] |
     * sumSeriesWithWildcards:I[,J,…] | averageSeriesWithWildcards:I[,J,…] |
     * timeStack:SHIFT_S[:START[:END]] | fallbackSeries:GLOB |
-    * exponentialMovingAverage:N
+    * exponentialMovingAverage:N | lowest:N[:STAT] |
+    * groupByNodes:FN:I[,J,…] | unique | limit:N | constantLine:V
     * (divideSeries/diffSeries fetch their second operand with the SAME
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
@@ -522,6 +523,14 @@ object Bgutil {
             SF.fallbackSeries(df, read(db, parts(1), startS, endS))
           case "exponentialMovingAverage" =>
             SF.exponentialMovingAverage(df, parts(1).toInt)
+          case "lowest" => SF.lowest(df, parts(1).toInt,
+            if (parts.length > 2) parts(2) else "max")
+          case "groupByNodes" => SF.groupByNodes(df, parts(1),
+            parts(2).split(",").toSeq.map(_.toInt))
+          case "unique" => SF.uniqueSeries(df)
+          case "limit" => SF.limitSeries(df, parts(1).toInt)
+          case "constantLine" => df.unionByName(
+            SF.constantLine(df.sparkSession, parts(1).toDouble, startS, endS))
           case other =>
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }

@@ -750,6 +750,77 @@ object SeriesFunctions {
   def fallbackSeries(df: DataFrame, fallback: DataFrame): DataFrame =
     if (df.limit(1).isEmpty) fallback else df
 
+  /** `lowestMax` / `lowestCurrent` / `lowestAverage`: mirror of
+    * [[highest]] — keep the `n` series ranking LOWEST by the statistic
+    * (graphite's "what's starving" view). Null statistics rank last on
+    * both sides so an all-None series never wins either direction. */
+  def lowest(df: DataFrame, n: Int, by: String = "max"): DataFrame = {
+    val stat: Column = by match {
+      case "max" => max("value")
+      case "average" => avg("value")
+      case "current" => max_by(col("value"), when(col("value").isNotNull, col("ts")))
+      case other => throw new IllegalArgumentException(
+        s"lowest: unknown statistic '$other'")
+    }
+    val ranked = df.groupBy("name").agg(stat.as("__stat"))
+      .orderBy(col("__stat").asc_nulls_last, col("name").asc)
+      .limit(n)
+      .select("name")
+    df.join(broadcast(ranked), Seq("name"), "left_semi")
+  }
+
+  /** `groupByNodes`: group series by SEVERAL name components at once and
+    * combine each group slot-by-slot — the multi-node [[groupByNode]]
+    * (complement of [[seriesWithWildcards]], which DROPS positions).
+    * Out-of-range nodes raise like groupByNode. */
+  def groupByNodes(df: DataFrame, fn: String, nodes: Seq[Int]): DataFrame = {
+    require(nodes.nonEmpty)
+    val parts = split(col("name"), "\\.")
+    val picked = nodes.map { node =>
+      val within =
+        if (node >= 0) size(parts) > node else size(parts) >= -node
+      val p = if (node >= 0) parts.getItem(node) else element_at(parts, node)
+      when(within, p).otherwise(raise_error(concat(
+        lit(s"groupByNodes: node $node out of range for series "), col("name"))))
+    }
+    val agg: Column = fn match {
+      case "sum" => sum("value")
+      case "avg" => avg("value")
+      case "min" => min("value")
+      case "max" => max("value")
+      case "count" => count("value").cast("double")
+      case other => throw new IllegalArgumentException(
+        s"groupByNodes: unknown function '$other'")
+    }
+    df.groupBy(concat_ws(".", picked: _*).as("name"), col("ts"))
+      .agg(agg.as("value"))
+  }
+
+  /** `unique`: drop duplicate (name, ts) rows — the set-engine analog of
+    * graphite's duplicate-series removal after a `group(...)` union. The
+    * first value wins per graphite; here winners resolve by max_by on
+    * non-null-ness then value for determinism without any row order. */
+  def uniqueSeries(df: DataFrame): DataFrame =
+    df.groupBy("name", "ts")
+      .agg(max_by(col("value"),
+        struct(col("value").isNotNull, col("value"))).as("value"))
+
+  /** `limit`: keep the first `n` series in NAME order (a set engine has
+    * no arrival order; name order is the deterministic analog). */
+  def limitSeries(df: DataFrame, n: Int): DataFrame = {
+    val kept = df.select("name").distinct().orderBy("name").limit(n)
+    df.join(broadcast(kept), Seq("name"), "left_semi")
+  }
+
+  /** `constantLine`: a fixed-value series spanning [startS, endS] with
+    * two endpoint slots, like graphite renders it. */
+  def constantLine(spark: org.apache.spark.sql.SparkSession, value: Double,
+      startS: Long, endS: Long): DataFrame = {
+    import spark.implicits._
+    Seq((value.toString, startS, value), (value.toString, endS, value))
+      .toDF("name", "ts", "value")
+  }
+
   /** `exponentialMovingAverage`: EMA with graphite's constant
     * c = 2/(points+1), seeded with the simple average of the first
     * `points` slots (emitted at the end of that window; earlier slots

@@ -38,7 +38,9 @@ object Urls {
     val rest = substring_index(noFrag, "://", -1)
     val hostPort = lower(substring_index(rest, "/", 1))
     val pathQ = substring(rest, length(hostPort) + 1, lit(Int.MaxValue))
-    val host = regexp_replace(regexp_replace(hostPort, "^www\\.", ""),
+    // "(www\.)+" not "www\.": a double-www host must canonicalize in one
+    // pass or canonicalization loses idempotence
+    val host = regexp_replace(regexp_replace(hostPort, "^(www\\.)+", ""),
       ":(80|443)$", "")
     val path = substring_index(pathQ, "?", 1)
     val query = when(instr(pathQ, "?") > 0, substring_index(pathQ, "?", -1))

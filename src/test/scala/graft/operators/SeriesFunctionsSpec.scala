@@ -441,6 +441,39 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(kept === Seq("wild"))
   }
 
+  test("lowest mirrors highest with nulls ranking last") {
+    val many = Seq(
+      ("m1", 0L, Some(5.0)), ("m2", 0L, Some(9.0)), ("m3", 0L, Some(2.0)),
+      ("m4", 0L, None))
+      .toDF("name", "ts", "value")
+    val bottom2 = SeriesFunctions.lowest(many, 2, "max")
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(bottom2 === Seq("m1", "m3")) // the all-None series never wins
+  }
+
+  test("groupByNodes groups on several components at once") {
+    val many = Seq(
+      ("dc1.web.h1.load", 0L, Some(1.0)), ("dc1.web.h2.load", 0L, Some(2.0)),
+      ("dc2.web.h1.load", 0L, Some(4.0)), ("dc1.db.h1.load", 0L, Some(8.0)))
+      .toDF("name", "ts", "value")
+    val out = SeriesFunctions.groupByNodes(many, "sum", Seq(0, 1))
+      .orderBy("name").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(out === Seq(("dc1.db", 8.0), ("dc1.web", 3.0), ("dc2.web", 4.0)))
+  }
+
+  test("unique collapses duplicate (name, ts) rows; limit keeps first n names") {
+    val dup = Seq(
+      ("a", 0L, Some(1.0)), ("a", 0L, None), ("b", 0L, Some(2.0)),
+      ("c", 0L, Some(3.0)))
+      .toDF("name", "ts", "value")
+    val uniq = SeriesFunctions.uniqueSeries(dup)
+    assert(uniq.count() === 3)
+    assert(vals(uniq, "a") === Seq(Some(1.0))) // non-null wins the dup
+    val lim = SeriesFunctions.limitSeries(dup, 2)
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(lim === Seq("a", "b"))
+  }
+
   test("weightedAverage pairs by node and weights the slot") {
     val v = Seq(("cpu.a.load", 0L, Some(10.0)), ("cpu.b.load", 0L, Some(20.0)))
       .toDF("name", "ts", "value")

@@ -70,4 +70,53 @@ class UrlsAndChunkingSpec extends SparkSuite {
     assert(out.length === 1)
     assert(out(0).getLong(3) === 3L)
   }
+
+  test("property: canonicalizeUrl is idempotent and variant-invariant") {
+    // cross product of URL shape variants — every combination must
+    // collapse onto one canonical form, and re-canonicalizing the
+    // canonical form must be a fixed point
+    val variants = for {
+      scheme <- Seq("http://", "HTTPS://", "https://WWW.")
+      host <- Seq("Ex.COM", "ex.com:443", "www.ex.com:80")
+      path <- Seq("/A/b", "/A/b/")
+      q <- Seq("", "?b=2&a=1", "?a=1&utm_x=9&b=2", "?utm_only=1")
+      frag <- Seq("", "#sec")
+    } yield scheme + host + path + q + frag
+    val df = variants.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val once = df.select(col("id"), Urls.canonicalizeUrl(col("url")).as("c1"))
+    val twice = once.select(col("id"),
+      col("c1"), Urls.canonicalizeUrl(col("c1")).as("c2"))
+    assert(twice.filter(col("c1") =!= col("c2")).count() === 0,
+      "canonicalization must be idempotent")
+    // variants differ only in tracked noise + query presence → exactly
+    // two canonical forms per path shape: with and without ?a=1&b=2
+    val canon = once.select("c1").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(canon === Seq("ex.com/A/b", "ex.com/A/b?a=1&b=2"))
+  }
+
+  test("property: chunk starts step by stride and cover every token") {
+    val docs = (1L to 50L).map(i =>
+      (i, (0 until (i * 7 % 301).toInt.max(1)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val window = 32; val stride = 16
+    val chunks = Packing.chunkWindows(docs, "doc_id", "text", window, stride)
+    val byDoc = chunks.groupBy("doc_id").agg(
+      min("tok_start").as("lo"),
+      max(col("tok_start") + col("n_tokens")).as("covered"),
+      count(lit(1)).as("n_chunks"),
+      max("tok_start").as("last_start"))
+    val toks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val joined = byDoc.join(toks, "doc_id")
+    // first chunk starts at 0; the last chunk reaches the final token;
+    // starts are on the stride grid so nothing is skipped
+    assert(joined.filter(col("lo") =!= 0).count() === 0)
+    assert(joined.filter(col("covered") =!= col("n")).count() === 0)
+    assert(joined.filter(col("last_start") % stride =!= 0).count() === 0)
+    assert(joined.filter(
+      col("n_chunks") =!= (greatest(col("n") - 1, lit(0L)) / stride + 1)
+        .cast("long")).count() === 0)
+  }
 }
