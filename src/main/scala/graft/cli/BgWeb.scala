@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *
   * Endpoints:
   *  - `GET /health` → `{"status":"ok"}`
+  *  - `GET /render?target=<expr>&from=<s>&until=<s>` → graphite-web's
+  *    JSON render API (nested function-call targets via
+  *    [[RenderTarget]]; grafana's graphite datasource shape)
   *  - `GET /api/biggraphite/metric/<name>` → metadata JSON or 404
   *  - `GET|POST /api/bgutil/<command>?arg=<a>&arg=<b>…` → runs the
   *    CLI command against the served db, returns captured console
@@ -102,6 +105,48 @@ object BgWeb {
           .map(r => s"""{"text":"${jsonEscape(r.getString(0))}",""" +
             s""""leaf":${r.getBoolean(1)}}""")
         respond(ex, 200, nodes.mkString("[", ",", "]"))
+      } catch {
+        case e: Exception =>
+          respond(ex, 400, s"""{"error":"${jsonEscape(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}""")
+      }
+    })
+
+    // graphite-web's /render JSON API: one or more
+    // target=<expression> params (nested function calls parsed by
+    // RenderTarget), from/until epoch seconds, response
+    // [{"target": name, "datapoints": [[value|null, ts], ...]}, ...] —
+    // exactly what grafana's graphite datasource consumes
+    server.createContext("/render", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"bad query param: $kv")
+          (kv.substring(0, i),
+            java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
+        }
+        val targets = params.collect { case ("target", t) => t }
+        require(targets.nonEmpty, "missing ?target=")
+        def num(name: String): Long = params.collectFirst {
+          case (`name`, v) => v.toLong
+        }.getOrElse(throw new IllegalArgumentException(s"missing ?$name="))
+        val (startS, endS) = (num("from"), num("until"))
+        val series = targets.flatMap { t =>
+          RenderTarget.render(db, t, startS, endS)
+            .select("name", "ts", "value").orderBy("name", "ts")
+            .collect()
+            .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+            .map { case (name, rows) =>
+              val pts = rows.sortBy(_.getLong(1)).map { r =>
+                val v = if (r.isNullAt(2)) "null" else r.getDouble(2).toString
+                s"[$v,${r.getLong(1)}]"
+              }
+              s"""{"target":"${jsonEscape(name)}",""" +
+                s""""datapoints":${pts.mkString("[", ",", "]")}}"""
+            }
+        }
+        respond(ex, 200, series.mkString("[", ",", "]"))
       } catch {
         case e: Exception =>
           respond(ex, 400, s"""{"error":"${jsonEscape(

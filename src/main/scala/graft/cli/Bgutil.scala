@@ -410,11 +410,28 @@ object Bgutil {
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
       fnSpecs: Seq[String], maxDataPoints: Int = 0): DataFrame = {
-    import graft.operators.{SeriesFunctions => SF}
     val out = fnSpecs.foldLeft(read(db, glob, startS, endS, maxDataPoints)) {
       (df, spec) =>
         val parts = spec.split(":")
-        parts(0) match {
+        applyRenderFn(db, df, parts(0), parts.drop(1).toIndexedSeq,
+          startS, endS)
+    }
+    if (out.columns.contains("series_order")) out.orderBy("series_order", "ts")
+    else out.orderBy("name", "ts")
+  }
+
+  /** One render function application — shared by the colon-spec chain
+    * above and the graphite target-expression parser
+    * ([[RenderTarget]]), which hands it the parsed call arguments. */
+  private[cli] def applyRenderFn(db: Db, df: DataFrame, name: String,
+      args: IndexedSeq[String], startS: Long, endS: Long): DataFrame = {
+    import graft.operators.{SeriesFunctions => SF}
+    // shims keeping the big match textually identical to the original
+    // colon-spec form: parts(0) was the name, parts(i) the (i−1)th arg
+    def parts(i: Int): String = if (i == 0) name else args(i - 1)
+    val partsLen = args.length + 1
+    locally {
+        name match {
           case "perSecond" => SF.perSecond(df)
           case "derivative" => SF.derivative(df)
           case "nonNegativeDerivative" => SF.nonNegativeDerivative(df)
@@ -423,11 +440,11 @@ object Bgutil {
           case "movingAverage" => SF.movingAverage(df, parts(1).toInt)
           case "timeShift" => SF.timeShift(df, parts(1).toLong)
           case "scale" => SF.scaleOffset(df, parts(1).toDouble,
-            if (parts.length > 2) parts(2).toDouble else 0.0)
+            if (partsLen > 2) parts(2).toDouble else 0.0)
           case "summarize" => SF.summarize(df, parts(1).toLong, parts(2))
           case "combine" => SF.combineSeries(df, parts(1), parts(2))
           case "highest" => SF.highest(df, parts(1).toInt,
-            if (parts.length > 2) parts(2) else "max")
+            if (partsLen > 2) parts(2) else "max")
           case "aliasByNode" =>
             SF.aliasByNode(df, parts(1).split(",").toSeq.map(_.toInt))
           case "alias" => SF.aliasSeries(df, parts(1))
@@ -456,11 +473,11 @@ object Bgutil {
           case "asPercent" => SF.asPercent(df)
           case "absolute" => SF.absolute(df)
           case "logarithm" => SF.logarithm(df,
-            if (parts.length > 1) parts(1).toDouble else 10.0)
+            if (partsLen > 1) parts(1).toDouble else 10.0)
           case "clamp" => SF.clamp(df,
             Some(parts(1).toDouble), Some(parts(2).toDouble))
           case "transformNull" => SF.transformNull(df,
-            if (parts.length > 1) parts(1).toDouble else 0.0)
+            if (partsLen > 1) parts(1).toDouble else 0.0)
           case "nPercentile" => SF.nPercentile(df, parts(1).toDouble)
           case "removeAbovePercentile" =>
             SF.removeAbovePercentile(df, parts(1).toDouble)
@@ -476,7 +493,7 @@ object Bgutil {
             SF.divideSeries(df, read(db, parts(1), startS, endS))
           case "diffSeries" => SF.diffSeries(df,
             read(db, parts(1), startS, endS),
-            if (parts.length > 2) parts(2) else "diffSeries")
+            if (partsLen > 2) parts(2) else "diffSeries")
           case "hitcount" => SF.hitcount(df, parts(1).toLong)
           case "changed" => SF.changed(df)
           case "delay" => SF.delay(df, parts(1).toInt)
@@ -492,13 +509,13 @@ object Bgutil {
             SF.weightedAverage(df, read(db, parts(1), startS, endS),
               parts(2).split(",").toSeq.map(_.toInt))
           case "multiplySeries" => SF.multiplySeries(df,
-            if (parts.length > 1) parts(1) else "multiplySeries")
+            if (partsLen > 1) parts(1) else "multiplySeries")
           case "percentileOfSeries" => SF.percentileOfSeries(df, parts(1).toDouble)
           case "mostDeviant" => SF.mostDeviant(df, parts(1).toInt)
           case "averageOutsidePercentile" =>
             SF.averageOutsidePercentile(df, parts(1).toDouble)
           case "substr" => SF.substrSeries(df, parts(1).toInt,
-            if (parts.length > 2) parts(2).toInt else 0)
+            if (partsLen > 2) parts(2).toInt else 0)
           case "aliasSub" => SF.aliasSub(df, parts(1), parts(2))
           case "scaleToSeconds" => SF.scaleToSeconds(df, parts(1).toLong)
           case "smartSummarize" =>
@@ -506,25 +523,25 @@ object Bgutil {
           case "interpolate" => SF.interpolate(df)
           case "isNonNull" => SF.isNonNull(df)
           case "round" => SF.roundFunction(df,
-            if (parts.length > 1) parts(1).toInt else 0)
+            if (partsLen > 1) parts(1).toInt else 0)
           case "sigmoid" => SF.sigmoid(df)
           case "logit" => SF.logit(df)
           case "exp" => SF.expFunction(df)
           case "aggregateLine" => SF.aggregateLine(df,
-            if (parts.length > 1) parts(1) else "avg")
+            if (partsLen > 1) parts(1) else "avg")
           case "sumSeriesWithWildcards" =>
             SF.seriesWithWildcards(df, "sum", parts(1).split(",").toSeq.map(_.toInt))
           case "averageSeriesWithWildcards" =>
             SF.seriesWithWildcards(df, "avg", parts(1).split(",").toSeq.map(_.toInt))
           case "timeStack" => SF.timeStack(df, parts(1).toLong,
-            if (parts.length > 2) parts(2).toInt else 0,
-            if (parts.length > 3) parts(3).toInt else 7)
+            if (partsLen > 2) parts(2).toInt else 0,
+            if (partsLen > 3) parts(3).toInt else 7)
           case "fallbackSeries" =>
             SF.fallbackSeries(df, read(db, parts(1), startS, endS))
           case "exponentialMovingAverage" =>
             SF.exponentialMovingAverage(df, parts(1).toInt)
           case "lowest" => SF.lowest(df, parts(1).toInt,
-            if (parts.length > 2) parts(2) else "max")
+            if (partsLen > 2) parts(2) else "max")
           case "groupByNodes" => SF.groupByNodes(df, parts(1),
             parts(2).split(",").toSeq.map(_.toInt))
           case "unique" => SF.uniqueSeries(df)
@@ -535,8 +552,6 @@ object Bgutil {
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }
     }
-    if (out.columns.contains("series_order")) out.orderBy("series_order", "ts")
-    else out.orderBy("name", "ts")
   }
 
   /** Resolve a glob to names (cli/command_list.py:23-49). */

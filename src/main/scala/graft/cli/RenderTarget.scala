@@ -1,0 +1,159 @@
+package graft.cli
+
+import org.apache.spark.sql.DataFrame
+
+/** Parser + evaluator for graphite-web render TARGET expressions —
+  * `target=sumSeries(movingAverage(sys.cpu.*.load,10))` — the request
+  * shape every graphite dashboard emits (the reference hands these to
+  * graphite-web verbatim; here they compile onto the same
+  * [[Bgutil.applyRenderFn]] dispatch the CLI chain uses, so one plan
+  * serves the whole nested expression).
+  *
+  * Grammar (recursive descent, no dependencies):
+  * {{{
+  *   expr    := call | path
+  *   call    := ident '(' expr (',' arg)* ')'
+  *   arg     := expr | number | 'string' | "string"
+  *   path    := metric glob chars ([\w.*?{}\[\],-] — commas only inside
+  *              braces)
+  * }}}
+  *
+  * Graphite canonical names map onto the library's forms (sumSeries →
+  * slot-wise combine with the raw call text as the alias, highestMax →
+  * highest:max, offset → scale-with-add, …). Functions whose SECOND
+  * series argument is itself a nested call are supported when that
+  * argument is a plain path/glob (divideSeries(a.*, b.total) — the
+  * dashboard-typical shape); a nested call there raises a clear error
+  * rather than silently mis-parsing. */
+object RenderTarget {
+
+  // ---- tokenizer/parser ------------------------------------------------
+
+  sealed trait Node
+  final case class PathNode(glob: String) extends Node
+  final case class CallNode(fn: String, series: Node, args: List[String],
+    raw: String) extends Node
+
+  def parse(target: String): Node = {
+    val p = new Parser(target.trim)
+    val n = p.parseExpr()
+    p.skipWs()
+    require(p.eof, s"trailing input at ${p.pos}: '${p.rest}'")
+    n
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def rest: String = s.substring(pos)
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+
+    private def isPathChar(c: Char, braceDepth: Int): Boolean =
+      c.isLetterOrDigit || "._-*?{}[]".indexOf(c) >= 0 ||
+        (c == ',' && braceDepth > 0)
+
+    def parseExpr(): Node = {
+      skipWs()
+      val start = pos
+      // read an identifier/path run first, then decide call vs path
+      var depth = 0
+      while (!eof && isPathChar(s.charAt(pos), depth)) {
+        if (s.charAt(pos) == '{') depth += 1
+        if (s.charAt(pos) == '}') depth -= 1
+        pos += 1
+      }
+      val word = s.substring(start, pos)
+      require(word.nonEmpty, s"expected expression at $start in '$s'")
+      skipWs()
+      if (!eof && s.charAt(pos) == '(') {
+        pos += 1 // '('
+        val series = parseExpr()
+        val args = scala.collection.mutable.ListBuffer.empty[String]
+        skipWs()
+        while (!eof && s.charAt(pos) == ',') {
+          pos += 1
+          args += parseArg()
+          skipWs()
+        }
+        require(!eof && s.charAt(pos) == ')', s"expected ')' at $pos in '$s'")
+        pos += 1
+        CallNode(word, series, args.toList, s.substring(start, pos))
+      } else PathNode(word)
+    }
+
+    /** A scalar argument: quoted string, or a bare run up to the next
+      * top-level ',' or ')' (numbers, stat names, regexes). A nested
+      * call in scalar position is kept as raw text — applyRenderFn
+      * treats series-valued args as globs, and [[eval]] rejects
+      * parenthesized text there with a clear error. */
+    def parseArg(): String = {
+      skipWs()
+      if (!eof && (s.charAt(pos) == '\'' || s.charAt(pos) == '"')) {
+        val quote = s.charAt(pos)
+        pos += 1
+        val start = pos
+        while (!eof && s.charAt(pos) != quote) pos += 1
+        require(!eof, s"unterminated string at $start in '$s'")
+        val v = s.substring(start, pos)
+        pos += 1
+        v
+      } else {
+        val start = pos
+        var depth = 0
+        while (!eof && (depth > 0 || (s.charAt(pos) != ',' && s.charAt(pos) != ')'))) {
+          if (s.charAt(pos) == '(') depth += 1
+          if (s.charAt(pos) == ')') depth -= 1
+          pos += 1
+        }
+        s.substring(start, pos).trim
+      }
+    }
+  }
+
+  // ---- evaluation ------------------------------------------------------
+
+  /** Graphite canonical name → (library fn, leading literal args).
+    * Names already matching the CLI dispatch pass through untouched. */
+  private def mapped(fn: String, raw: String, args: List[String])
+      : (String, List[String]) = fn match {
+    case "sumSeries" => ("combine", List("sum", raw))
+    case "averageSeries" | "avg" => ("combine", List("avg", raw))
+    case "minSeries" => ("combine", List("min", raw))
+    case "maxSeries" => ("combine", List("max", raw))
+    case "countSeries" => ("combine", List("count", raw))
+    case "rangeOfSeries" => ("combine", List("range", raw))
+    case "highestMax" => ("highest", args :+ "max")
+    case "highestAverage" => ("highest", args :+ "average")
+    case "highestCurrent" => ("highest", args :+ "current")
+    case "lowestAverage" => ("lowest", args :+ "average")
+    case "lowestCurrent" => ("lowest", args :+ "current")
+    case "sortByMaxima" => ("sortBy", List("maxima"))
+    case "sortByMinima" => ("sortBy", List("minima"))
+    case "sortByTotal" => ("sortBy", List("total"))
+    case "sortByName" => ("sortBy", List("name"))
+    case "offset" => ("scale", "1.0" :: args)
+    case "log" => ("logarithm", args)
+    case other => (other, args)
+  }
+
+  /** Evaluate a parsed target against a db and time window. */
+  def eval(db: Bgutil.Db, node: Node, startS: Long, endS: Long): DataFrame =
+    node match {
+      case PathNode(glob) => Bgutil.read(db, glob, startS, endS)
+      case CallNode(fn, series, args, raw) =>
+        args.find(a => a.contains("(")).foreach { a =>
+          throw new IllegalArgumentException(
+            s"$fn: nested call in scalar/second-series position " +
+              s"('$a') is not supported — use a plain path/glob there")
+        }
+        val df = eval(db, series, startS, endS)
+        val (name, finalArgs) = mapped(fn, raw, args)
+        Bgutil.applyRenderFn(db, df, name, finalArgs.toIndexedSeq,
+          startS, endS)
+    }
+
+  /** Parse + evaluate in one step (the /render endpoint's entry). */
+  def render(db: Bgutil.Db, target: String, startS: Long,
+      endS: Long): DataFrame =
+    eval(db, parse(target), startS, endS)
+}

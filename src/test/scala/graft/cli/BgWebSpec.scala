@@ -71,6 +71,23 @@ class BgWebSpec extends SparkSuite {
       val (flc, flb) = get(
         s"http://localhost:$port/metrics/find?query=sys.cpu.0.load")
       assert(flc === 200 && flb.contains("\"leaf\":true"), flb)
+
+      // graphite-web /render JSON API with a nested function target
+      val target = java.net.URLEncoder.encode(
+        "scale(sumSeries(sys.*.0.*),2.0)", "UTF-8")
+      val (rc, rb) = get(s"http://localhost:$port/render" +
+        s"?target=$target&from=120&until=180")
+      assert(rc === 200, rb)
+      // combine names the series after the raw sumSeries call text;
+      // pointwise scale keeps the name (same as the CLI chain)
+      assert(rb.contains("\"target\":\"sumSeries(sys.*.0.*)\""), rb)
+      // slot 120: cpu 1.0, mem None (its point sits at 150) → 1.0×2
+      assert(rb.contains("[2.0,120]"), rb)
+      // slot 150: mem 7.0 alone → 14.0
+      assert(rb.contains("[14.0,150]"), rb)
+
+      val (bc2, bb2) = get(s"http://localhost:$port/render?from=0&until=1")
+      assert(bc2 === 400 && bb2.contains("missing ?target="), bb2)
     } finally server.stop(0)
   }
 

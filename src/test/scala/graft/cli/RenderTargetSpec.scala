@@ -1,0 +1,63 @@
+package graft.cli
+
+import graft.SparkSuite
+import graft.cli.Bgutil.Db
+import graft.cli.RenderTarget.{CallNode, PathNode}
+
+/** The graphite target-expression parser and its evaluation against a
+  * real store. */
+class RenderTargetSpec extends SparkSuite {
+
+  test("parses nested calls, quoted and numeric args, glob paths") {
+    val n = RenderTarget.parse(
+      "aliasSub(movingAverage(sys.cpu.{0,1}.load,10),'cpu','core')")
+    val outer = n.asInstanceOf[CallNode]
+    assert(outer.fn === "aliasSub")
+    assert(outer.args === List("cpu", "core"))
+    val inner = outer.series.asInstanceOf[CallNode]
+    assert(inner.fn === "movingAverage")
+    assert(inner.args === List("10"))
+    assert(inner.series === PathNode("sys.cpu.{0,1}.load"))
+    // a bare path is a PathNode, brace commas don't split args
+    assert(RenderTarget.parse("a.b.{x,y}.*") === PathNode("a.b.{x,y}.*"))
+  }
+
+  test("rejects trailing junk, unterminated strings, bad parens") {
+    intercept[IllegalArgumentException](RenderTarget.parse("foo(a.b))"))
+    intercept[IllegalArgumentException](RenderTarget.parse("foo(a.b,'x))"))
+    intercept[IllegalArgumentException](RenderTarget.parse("foo(a.b"))
+  }
+
+  test("evaluates a nested chain with graphite canonical names") {
+    val dir = java.nio.file.Files.createTempDirectory("rt").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "sys.cpu.0.load", 120L, 2.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "sys.cpu.1.load", 120L, 4.0, "60*60s:24*3600s", "average")
+
+    val out = RenderTarget.render(db,
+      "scale(sumSeries(sys.cpu.*.load),10)", 120L, 180L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.exists { case (n2, ts, v) =>
+      n2 == "sumSeries(sys.cpu.*.load)" && ts == 120L && v.contains(60.0)
+    }, out.mkString(", "))
+
+    // highestMax maps onto highest:n:max
+    val hm = RenderTarget.render(db,
+      "highestMax(sys.cpu.*.load,1)", 120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(hm === Seq("sys.cpu.1.load"))
+  }
+
+  test("nested call in second-series position raises a clear error") {
+    val dir = java.nio.file.Files.createTempDirectory("rt2").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "a.b", 120L, 1.0, "60*60s:24*3600s", "average")
+    val e = intercept[IllegalArgumentException] {
+      RenderTarget.render(db, "divideSeries(a.b,sumSeries(a.b))", 0L, 300L)
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+}
