@@ -128,12 +128,17 @@ object BgWeb {
         }
         val targets = params.collect { case ("target", t) => t }
         require(targets.nonEmpty, "missing ?target=")
-        def num(name: String): Long = params.collectFirst {
-          case (`name`, v) => v.toLong
-        }.getOrElse(throw new IllegalArgumentException(s"missing ?$name="))
-        val (startS, endS) = (num("from"), num("until"))
+        def opt(name: String): Option[String] =
+          params.collectFirst { case (`name`, v) => v }
+        // graphite time syntax: epoch, now, -6h …; ?now= pins the
+        // reference instant (tests, reproducible dashboards)
+        val nowS = opt("now").map(_.toLong)
+          .getOrElse(System.currentTimeMillis() / 1000)
+        val startS = RenderTarget.parseTime(opt("from").getOrElse("-1d"), nowS)
+        val endS = RenderTarget.parseTime(opt("until").getOrElse("now"), nowS)
+        val mdp = opt("maxDataPoints").map(_.toInt).getOrElse(0)
         val series = targets.flatMap { t =>
-          RenderTarget.render(db, t, startS, endS)
+          RenderTarget.render(db, t, startS, endS, mdp)
             .select("name", "ts", "value").orderBy("name", "ts")
             .collect()
             .groupBy(_.getString(0)).toSeq.sortBy(_._1)

@@ -123,6 +123,7 @@ object Bgutil {
         "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
         "  dirs <glob>                                   directory glob (stored table or derived)\n" +
         "  clustersdiff <otherDb> <t0> <t1> <glob...>    cross-cluster diff + timing pctls\n" +
+        "  carbon <port> [retention] [aggregator]        carbon plaintext daemon -> streaming ingest\n" +
         "  shell                                         interactive loop, one warm session\n" +
         "  web [port]                                    bgutil-as-a-service (default 8080)")
       sys.exit(2)
@@ -165,6 +166,9 @@ object Bgutil {
     case "info" => info(db)
     case "clustersdiff" => clustersDiff(db, Db(db.spark, rest(0)),
       rest(1).toLong, rest(2).toLong, rest.drop(3).toSeq)
+    case "carbon" => carbonDaemon(db, rest(0).toInt,
+      if (rest.length > 1) rest(1) else Retention.default.toString,
+      if (rest.length > 2) rest(2) else "average")
     case "shell" => shell(db)
     case "web" => BgWeb.serve(db,
       if (rest.nonEmpty) rest(0).toInt else 8080)
@@ -177,6 +181,30 @@ object Bgutil {
     * `<command> [args...]`; `exit`/`quit`/EOF ends. Errors print and the
     * loop continues (the reference embeds IPython; a dependency-free
     * line shell is the analog a Spark CLI can ship). */
+  /** `bgutil carbon <port> [retention] [aggregator]` — the full daemon:
+    * a carbon plaintext listener on `port` spooling into
+    * `<db>/carbon_spool`, a checkpointed Structured Streaming ingest
+    * job (stateful downsampling + metric auto-create into this db's
+    * versioned catalog), running until killed. The streaming analog of
+    * the reference's carbon plugin process (plugins/carbon.py). */
+  def carbonDaemon(db: Db, port: Int, retention: String,
+      aggregator: String): Unit = {
+    import graft.streaming.CarbonListener
+    val meta = MetricMetadata(Aggregator.fromName(aggregator),
+      Retention.fromString(retention))
+    val listener = new CarbonListener.Listener(
+      port, s"${db.dir}/carbon_spool").start()
+    println(s"carbon listening on port ${listener.localPort}; " +
+      s"default schema $retention/$aggregator")
+    val q = CarbonListener.ingestFromSpool(db.spark,
+        s"${db.dir}/carbon_spool", db.pointsPath,
+        s"${db.dir}/carbon_checkpoint", _ => meta,
+        autoCreate = Some(db.catalogStore))
+      .start()
+    try q.awaitTermination()
+    finally listener.stop()
+  }
+
   def shell(db: Db, in: java.io.BufferedReader = Console.in): Unit = {
     println("graft bgutil shell — <command> [args...]; exit to quit")
     var line = in.readLine()

@@ -136,17 +136,21 @@ object RenderTarget {
     case other => (other, args)
   }
 
-  /** Evaluate a parsed target against a db and time window. */
-  def eval(db: Bgutil.Db, node: Node, startS: Long, endS: Long): DataFrame =
+  /** Evaluate a parsed target against a db and time window.
+    * `maxDataPoints` consolidates the leaf reads like graphite's render
+    * parameter of the same name (0 = no consolidation). */
+  def eval(db: Bgutil.Db, node: Node, startS: Long, endS: Long,
+      maxDataPoints: Int = 0): DataFrame =
     node match {
-      case PathNode(glob) => Bgutil.read(db, glob, startS, endS)
+      case PathNode(glob) =>
+        Bgutil.read(db, glob, startS, endS, maxDataPoints)
       case CallNode(fn, series, args, raw) =>
         args.find(a => a.contains("(")).foreach { a =>
           throw new IllegalArgumentException(
             s"$fn: nested call in scalar/second-series position " +
               s"('$a') is not supported — use a plain path/glob there")
         }
-        val df = eval(db, series, startS, endS)
+        val df = eval(db, series, startS, endS, maxDataPoints)
         val (name, finalArgs) = mapped(fn, raw, args)
         Bgutil.applyRenderFn(db, df, name, finalArgs.toIndexedSeq,
           startS, endS)
@@ -154,6 +158,35 @@ object RenderTarget {
 
   /** Parse + evaluate in one step (the /render endpoint's entry). */
   def render(db: Bgutil.Db, target: String, startS: Long,
-      endS: Long): DataFrame =
-    eval(db, parse(target), startS, endS)
+      endS: Long, maxDataPoints: Int = 0): DataFrame =
+    eval(db, parse(target), startS, endS, maxDataPoints)
+
+  /** Graphite render-API time syntax → epoch seconds: absolute epoch,
+    * `now`, or `-N<unit>` relative to `nowS` (graphite's
+    * attime.parseTimeOffset units: s, min, h, d, w, mon, y). Dashboards
+    * send `from=-6h&until=now` on every refresh, so the web face must
+    * speak this. */
+  def parseTime(spec: String, nowS: Long): Long = {
+    val s = spec.trim
+    if (s == "now" || s.isEmpty) nowS
+    else if (s.forall(_.isDigit)) s.toLong
+    else if (s.startsWith("-") || s.startsWith("+")) {
+      val sign = if (s.startsWith("-")) -1L else 1L
+      val body = s.drop(1)
+      val (numStr, unit) = body.span(_.isDigit)
+      require(numStr.nonEmpty, s"bad time offset: $spec")
+      val mult = unit match {
+        case "s" | "sec" | "seconds" | "second" => 1L
+        case "min" | "minutes" | "minute" => 60L
+        case "h" | "hours" | "hour" => 3600L
+        case "d" | "days" | "day" => 86400L
+        case "w" | "weeks" | "week" => 7L * 86400
+        case "mon" | "months" | "month" => 30L * 86400
+        case "y" | "years" | "year" => 365L * 86400
+        case other => throw new IllegalArgumentException(
+          s"bad time unit '$other' in: $spec")
+      }
+      nowS + sign * numStr.toLong * mult
+    } else throw new IllegalArgumentException(s"bad time spec: $spec")
+  }
 }

@@ -50,6 +50,18 @@ class RenderTargetSpec extends SparkSuite {
     assert(hm === Seq("sys.cpu.1.load"))
   }
 
+  test("parseTime speaks graphite's render time syntax") {
+    val now = 1_700_000_000L
+    assert(RenderTarget.parseTime("now", now) === now)
+    assert(RenderTarget.parseTime("1700000123", now) === 1_700_000_123L)
+    assert(RenderTarget.parseTime("-6h", now) === now - 6 * 3600)
+    assert(RenderTarget.parseTime("-90min", now) === now - 90 * 60)
+    assert(RenderTarget.parseTime("-2w", now) === now - 14 * 86400)
+    assert(RenderTarget.parseTime("+30s", now) === now + 30)
+    intercept[IllegalArgumentException](RenderTarget.parseTime("-6q", now))
+    intercept[IllegalArgumentException](RenderTarget.parseTime("yesterday", now))
+  }
+
   test("nested call in second-series position raises a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("rt2").toString
     val db = Db(spark, dir)
