@@ -67,7 +67,21 @@ object PointsStore {
       .withColumn("bucket", (col("ts") / span).cast("long") * span)
       .repartition(col("stage"), col("bucket"),
         pmod(hash(col("metric_id")), lit(writeSalt)))
+      // local sort inside each writer: row groups become metric-id
+      // clustered, so min/max stats actually prune a single-series
+      // fetch (unsorted uuid ids span every row group's stats range);
+      // the bloom filter catches the IN-list probes stats can't.
+      // Leading with (stage, bucket) satisfies the file writer's
+      // required ordering — otherwise it inserts its own partition-col
+      // sort and the metric clustering is lost
+      .sortWithinPartitions("stage", "bucket", "metric_id", "ts")
       .write.mode("append")
+      // ndv sized to ONE FILE's content (saltFor targets ~32k rows per
+      // writer), not the corpus: a 1M-ndv bloom is a ~1.2 MB bitmap per
+      // file — measurable pure overhead on small writes — while 32k ndv
+      // is ~40 KB and still right-sized for what a file can hold
+      .option("parquet.bloom.filter.enabled#metric_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#metric_id", "32768")
       .partitionBy("stage", "bucket")
       .parquet(baseDir)
   }
