@@ -433,7 +433,8 @@ object Bgutil {
     * sumSeriesWithWildcards:I[,J,…] | averageSeriesWithWildcards:I[,J,…] |
     * timeStack:SHIFT_S[:START[:END]] | fallbackSeries:GLOB |
     * exponentialMovingAverage:N | lowest:N[:STAT] |
-    * groupByNodes:FN:I[,J,…] | unique | limit:N | constantLine:V
+    * groupByNodes:FN:I[,J,…] | unique | limit:N | constantLine:V |
+    * consolidateBy:FN:MAX_POINTS
     * (divideSeries/diffSeries fetch their second operand with the SAME
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
@@ -576,6 +577,8 @@ object Bgutil {
           case "limit" => SF.limitSeries(df, parts(1).toInt)
           case "constantLine" => df.unionByName(
             SF.constantLine(df.sparkSession, parts(1).toDouble, startS, endS))
+          case "consolidateBy" =>
+            SF.consolidateBy(df, parts(1), parts(2).toInt)
           case other =>
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }

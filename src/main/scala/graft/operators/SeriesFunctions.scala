@@ -821,6 +821,41 @@ object SeriesFunctions {
       .toDF("name", "ts", "value")
   }
 
+  /** `consolidateBy`: re-consolidate each fetched series down to at
+    * most `maxDataPoints` slots using the CHOSEN function — graphite's
+    * per-target override of the display consolidation (graphite-web
+    * consolidates client-side after fetching; this is that step, so it
+    * composes after any chain). Each series derives its own step and
+    * factor from its own slots, like graphite does per series. A series
+    * already inside the budget passes through unchanged (factor 1
+    * buckets are the original slots). */
+  def consolidateBy(df: DataFrame, fn: String,
+      maxDataPoints: Int): DataFrame = {
+    require(maxDataPoints > 0)
+    val w = Window.partitionBy("name")
+    val gap = col("ts") - lag("ts", 1).over(perSeries)
+    val step = min(when(gap > 0, gap)).over(w)
+    val slots = ((max("ts").over(w) - min("ts").over(w)) / step + 1)
+      .cast("long")
+    val factor = ceil(slots.cast("double") / maxDataPoints).cast("long")
+    val interval = step * factor
+    val anchor = min("ts").over(w)
+    val bucket =
+      (floor((col("ts") - anchor) / interval) * interval + anchor).cast("long")
+    val agg: Column = fn match {
+      case "sum" => sum("value")
+      case "avg" | "average" => avg("value")
+      case "max" => max("value")
+      case "min" => min("value")
+      case "last" => max_by(col("value"), when(col("value").isNotNull, col("ts")))
+      case other => throw new IllegalArgumentException(
+        s"consolidateBy: unknown function '$other'")
+    }
+    df.withColumn("__b", coalesce(bucket, col("ts")))
+      .groupBy(col("name"), col("__b").as("ts"))
+      .agg(agg.as("value"))
+  }
+
   /** `exponentialMovingAverage`: EMA with graphite's constant
     * c = 2/(points+1), seeded with the simple average of the first
     * `points` slots (emitted at the end of that window; earlier slots

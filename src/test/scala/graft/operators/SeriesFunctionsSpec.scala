@@ -474,6 +474,23 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(lim === Seq("a", "b"))
   }
 
+  test("consolidateBy re-buckets each series to the point budget") {
+    // 8 slots at step 60 → budget 3 → factor 3 → buckets of 3 slots
+    val d = (0 until 8).map(i => ("a", i * 60L, Some(i.toDouble)))
+      .toDF("name", "ts", "value")
+    val out = SeriesFunctions.consolidateBy(d, "max", 3)
+      .orderBy("ts").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq((0L, 2.0), (180L, 5.0), (360L, 7.0)))
+    // already inside the budget → unchanged slots
+    val same = SeriesFunctions.consolidateBy(d, "max", 10)
+      .orderBy("ts").collect().map(_.getLong(1)).toSeq
+    assert(same === (0 until 8).map(_ * 60L))
+    // single-point series has no derivable step → passes through
+    val one = Seq(("b", 120L, Some(9.0))).toDF("name", "ts", "value")
+    assert(SeriesFunctions.consolidateBy(one, "avg", 5)
+      .collect()(0).getLong(1) === 120L)
+  }
+
   test("weightedAverage pairs by node and weights the slot") {
     val v = Seq(("cpu.a.load", 0L, Some(10.0)), ("cpu.b.load", 0L, Some(20.0)))
       .toDF("name", "ts", "value")
