@@ -61,31 +61,23 @@ object Bench {
     // pause would dominate the published number (sub-4 s). The expensive
     // tail runs once — relative noise is small there and tripling it
     // would triple the bench's wall time.
-    val results = Headline.filter(queries.contains).map { name =>
+    def timedMedian(label: String)(run: => Unit): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        try queries(name)(spark, sfDir).count() catch {
+        try run catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val first = once()
-      val t = if (first >= 4.0) first
-              else Seq(first, once(), once()).sorted.apply(1)
-      name -> t
-    } ++ Seq("x1_curation_pipeline" -> {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try curationPipeline(spark, sfDir) catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] x1 failed: ${e.getMessage}")
+            System.err.println(s"[bench] $label failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
       if (first >= 4.0) first else Seq(first, once(), once()).sorted.apply(1)
-    }) ++ baselineMicroBench(spark)
+    }
+    val results = Headline.filter(queries.contains).map { name =>
+      name -> timedMedian(name)(queries(name)(spark, sfDir).count())
+    } ++ Seq("x1_curation_pipeline" ->
+      timedMedian("x1")(curationPipeline(spark, sfDir))
+    ) ++ baselineMicroBench(spark)
     val qs = results.map { case (k, sec) => s""""$k":$sec""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -1285,15 +1285,17 @@ object SparkEntry {
       val base = hourlySeries(s, dir)
       val clicks = SeriesFunctions.grep(base, "^ev\\.click\\.")
       val views = SeriesFunctions.grep(base, "^ev\\.view\\.")
+      // ONE weighted-average series across all instance pairs
+      // (graphite semantics: Σ(v·w)/Σ(w) per slot)
       val wa = SeriesFunctions.weightedAverage(clicks, views, Seq(2)).select(
-        col("name"), col("ts"), round(col("value"), 4).as("wa"))
+        col("ts"), round(col("value"), 4).as("wa"))
       val mul = SeriesFunctions.multiplySeries(clicks, "mul").select(
         col("ts"), round(col("value"), 6).as("mul"))
       val pos = SeriesFunctions.percentileOfSeries(base, 60, "pos").select(
         col("ts"), round(col("value"), 4).as("pos60"))
       wa.join(mul, Seq("ts"), "left").join(pos, Seq("ts"), "left")
-        .select("name", "ts", "wa", "mul", "pos60")
-        .orderBy("name", "ts")
+        .select("ts", "wa", "mul", "pos60")
+        .orderBy("ts")
     },
 
     // D11: URL canonicalization + per-URL dedup — the crawl pipeline's
@@ -2410,13 +2412,12 @@ object SparkEntry {
          |  SELECT split_part(name, '.', 3) AS name, ts, value FROM base
          |  WHERE regexp_matches(name, '^ev\\.view\\.')),
          |wa AS (
-         |  SELECT c.name, c.ts,
-         |    CASE WHEN sum(CASE WHEN c.value IS NOT NULL THEN v.value END) <> 0
-         |      THEN sum(c.value * v.value)
-         |        / sum(CASE WHEN c.value IS NOT NULL THEN v.value END)
+         |  SELECT c.ts,
+         |    CASE WHEN sum(v.value) <> 0
+         |      THEN sum(c.value * v.value) / sum(v.value)
          |    END AS wa
          |  FROM ck c JOIN vw v ON v.name = c.name AND v.ts = c.ts
-         |  GROUP BY 1, 2),
+         |  GROUP BY 1),
          |mul AS (
          |  SELECT ts, CASE WHEN count(*) = count(value)
          |    THEN product(value) END AS mul
@@ -2427,10 +2428,10 @@ object SparkEntry {
          |      LEAST(GREATEST(CAST(ceil(0.60 * (count(value) + 1)) AS BIGINT),
          |        1), count(value))] END AS pos
          |  FROM base GROUP BY ts)
-         |SELECT w.name, w.ts, round(w.wa, 4) AS wa, round(m.mul, 6) AS mul,
+         |SELECT w.ts, round(w.wa, 4) AS wa, round(m.mul, 6) AS mul,
          |  round(p.pos, 4) AS pos60
          |FROM wa w LEFT JOIN mul m USING (ts) LEFT JOIN pos p USING (ts)
-         |ORDER BY w.name, w.ts""".stripMargin,
+         |ORDER BY w.ts""".stripMargin,
 
     "d11_url_dedup" ->
       """WITH u AS (
@@ -2445,9 +2446,13 @@ object SparkEntry {
         |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
         |  FROM documents),
         |c AS (
+        |  -- substr past the FIRST '://' (split_part would stop at a
+        |  -- second '://' embedded in the query string)
         |  SELECT doc_id, n_chars,
-        |    lower(split_part(split_part(url, '#', 1), '://', 2)) AS restl,
-        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |    lower(substr(split_part(url, '#', 1),
+        |      strpos(split_part(url, '#', 1), '://') + 3)) AS restl,
+        |    substr(split_part(url, '#', 1),
+        |      strpos(split_part(url, '#', 1), '://') + 3) AS rest
         |  FROM u),
         |p AS (
         |  SELECT doc_id, n_chars,
@@ -2483,7 +2488,9 @@ object SparkEntry {
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id, toks, len(toks) AS n,
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(array_to_string(toks, '')) = 0 THEN 0
+        |         ELSE len(toks) END AS n,
         |    unnest(range(0, greatest(len(toks), 1), 64)) AS tok_start
         |  FROM t)
         |SELECT doc_id,

@@ -144,7 +144,12 @@ object BgWeb {
             .groupBy(_.getString(0)).toSeq.sortBy(_._1)
             .map { case (name, rows) =>
               val pts = rows.sortBy(_.getLong(1)).map { r =>
-                val v = if (r.isNullAt(2)) "null" else r.getDouble(2).toString
+                // NaN/Infinity are not JSON — graphite serializes those
+                // slots as null and so do we
+                val v =
+                  if (r.isNullAt(2) || !java.lang.Double.isFinite(r.getDouble(2)))
+                    "null"
+                  else r.getDouble(2).toString
                 s"[$v,${r.getLong(1)}]"
               }
               s"""{"target":"${jsonEscape(name)}",""" +

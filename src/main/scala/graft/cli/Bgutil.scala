@@ -443,7 +443,7 @@ object Bgutil {
       (df, spec) =>
         val parts = spec.split(":")
         applyRenderFn(db, df, parts(0), parts.drop(1).toIndexedSeq,
-          startS, endS)
+          startS, endS, maxDataPoints)
     }
     if (out.columns.contains("series_order")) out.orderBy("series_order", "ts")
     else out.orderBy("name", "ts")
@@ -451,49 +451,75 @@ object Bgutil {
 
   /** One render function application — shared by the colon-spec chain
     * above and the graphite target-expression parser
-    * ([[RenderTarget]]), which hands it the parsed call arguments. */
+    * ([[RenderTarget]]), which hands it the parsed call arguments.
+    * `maxDataPoints` carries the request's consolidation budget into
+    * the SECOND-operand reads (divideSeries/diffSeries/fallbackSeries/
+    * weightedAverage) — without it a consolidated main series would
+    * ts-join an unconsolidated operand and miss every coarse slot. */
   private[cli] def applyRenderFn(db: Db, df: DataFrame, name: String,
-      args: IndexedSeq[String], startS: Long, endS: Long): DataFrame = {
+      args: IndexedSeq[String], startS: Long, endS: Long,
+      maxDataPoints: Int = 0): DataFrame = {
     import graft.operators.{SeriesFunctions => SF}
     // shims keeping the big match textually identical to the original
-    // colon-spec form: parts(0) was the name, parts(i) the (i−1)th arg
-    def parts(i: Int): String = if (i == 0) name else args(i - 1)
+    // colon-spec form: parts(0) was the name, parts(i) the (i−1)th arg.
+    // Accesses are TRACKED: an argument the dispatch never reads is a
+    // user error (wrong arity, a varargs shape the chain doesn't take)
+    // and must fail loudly, not silently drop the argument.
+    var maxUsed = 0
+    def parts(i: Int): String = {
+      if (i > maxUsed) maxUsed = i
+      if (i == 0) name else args(i - 1)
+    }
+    // graphite interval arguments may be quoted time strings ('1hour',
+    // '30min') — accept both raw seconds and unit syntax
+    def intervalArg(i: Int): Long = RenderTarget.parseInterval(parts(i))
+    // moving-window sizes must be point counts: a '5min'-style window
+    // needs the series step, which a set engine derives per series —
+    // reject the time-string form with a usable message
+    def pointsArg(i: Int): Int = {
+      val v = parts(i)
+      try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$name: window must be a POINT COUNT, got '$v' (time-string " +
+            "windows are not supported; divide by the series step)")
+      }
+    }
     val partsLen = args.length + 1
-    locally {
+    val out = {
         name match {
           case "perSecond" => SF.perSecond(df)
           case "derivative" => SF.derivative(df)
           case "nonNegativeDerivative" => SF.nonNegativeDerivative(df)
           case "integral" => SF.integral(df)
           case "keepLastValue" => SF.keepLastValue(df)
-          case "movingAverage" => SF.movingAverage(df, parts(1).toInt)
-          case "timeShift" => SF.timeShift(df, parts(1).toLong)
+          case "movingAverage" => SF.movingAverage(df, pointsArg(1))
+          case "timeShift" => SF.timeShift(df, intervalArg(1))
           case "scale" => SF.scaleOffset(df, parts(1).toDouble,
             if (partsLen > 2) parts(2).toDouble else 0.0)
-          case "summarize" => SF.summarize(df, parts(1).toLong, parts(2))
+          case "summarize" => SF.summarize(df, intervalArg(1), parts(2))
           case "combine" => SF.combineSeries(df, parts(1), parts(2))
           case "highest" => SF.highest(df, parts(1).toInt,
             if (partsLen > 2) parts(2) else "max")
           case "aliasByNode" =>
             SF.aliasByNode(df, parts(1).split(",").toSeq.map(_.toInt))
           case "alias" => SF.aliasSeries(df, parts(1))
-          case "movingMedian" => SF.movingMedian(df, parts(1).toInt)
-          case "movingMin" => SF.movingMin(df, parts(1).toInt)
-          case "movingMax" => SF.movingMax(df, parts(1).toInt)
-          case "movingSum" => SF.movingSum(df, parts(1).toInt)
+          case "movingMedian" => SF.movingMedian(df, pointsArg(1))
+          case "movingMin" => SF.movingMin(df, pointsArg(1))
+          case "movingMax" => SF.movingMax(df, pointsArg(1))
+          case "movingSum" => SF.movingSum(df, pointsArg(1))
           case "removeAboveValue" => SF.removeAboveValue(df, parts(1).toDouble)
           case "removeBelowValue" => SF.removeBelowValue(df, parts(1).toDouble)
           case "offsetToZero" => SF.offsetToZero(df)
           case "invert" => SF.invert(df)
           case "pow" => SF.powSeries(df, parts(1).toDouble)
           case "squareRoot" => SF.squareRoot(df)
-          case "stdev" => SF.stdev(df, parts(1).toInt)
+          case "stdev" => SF.stdev(df, pointsArg(1))
           case "exclude" => SF.exclude(df, parts(1))
           case "grep" => SF.grep(df, parts(1))
           case "currentAbove" => SF.currentAbove(df, parts(1).toDouble)
           case "currentBelow" =>
             SF.currentAbove(df, parts(1).toDouble, above = false)
-          case "integralByInterval" => SF.integralByInterval(df, parts(1).toLong)
+          case "integralByInterval" => SF.integralByInterval(df, intervalArg(1))
           case "sortBy" => SF.sortSeries(df, parts(1))
           case "groupByNode" => SF.groupByNode(df, parts(1).toInt, parts(2))
           case "averageAbove" => SF.averageAbove(df, parts(1).toDouble)
@@ -519,13 +545,13 @@ object Bgutil {
             below = false)
           case "minimumBelow" => SF.minimumBelow(df, parts(1).toDouble)
           case "divideSeries" =>
-            SF.divideSeries(df, read(db, parts(1), startS, endS))
+            SF.divideSeries(df, read(db, parts(1), startS, endS, maxDataPoints))
           case "diffSeries" => SF.diffSeries(df,
-            read(db, parts(1), startS, endS),
+            read(db, parts(1), startS, endS, maxDataPoints),
             if (partsLen > 2) parts(2) else "diffSeries")
-          case "hitcount" => SF.hitcount(df, parts(1).toLong)
+          case "hitcount" => SF.hitcount(df, intervalArg(1))
           case "changed" => SF.changed(df)
-          case "delay" => SF.delay(df, parts(1).toInt)
+          case "delay" => SF.delay(df, pointsArg(1))
           case "timeSlice" => SF.timeSlice(df, parts(1).toLong, parts(2).toLong)
           case "linearRegression" => SF.linearRegression(df)
           case "holtWintersForecast" =>
@@ -535,7 +561,7 @@ object Bgutil {
           case "holtWintersAberration" =>
             graft.operators.HoltWinters.aberration(df, parts(1).toLong)
           case "weightedAverage" =>
-            SF.weightedAverage(df, read(db, parts(1), startS, endS),
+            SF.weightedAverage(df, read(db, parts(1), startS, endS, maxDataPoints),
               parts(2).split(",").toSeq.map(_.toInt))
           case "multiplySeries" => SF.multiplySeries(df,
             if (partsLen > 1) parts(1) else "multiplySeries")
@@ -546,9 +572,9 @@ object Bgutil {
           case "substr" => SF.substrSeries(df, parts(1).toInt,
             if (partsLen > 2) parts(2).toInt else 0)
           case "aliasSub" => SF.aliasSub(df, parts(1), parts(2))
-          case "scaleToSeconds" => SF.scaleToSeconds(df, parts(1).toLong)
+          case "scaleToSeconds" => SF.scaleToSeconds(df, intervalArg(1))
           case "smartSummarize" =>
-            SF.smartSummarize(df, parts(1).toLong, parts(2), startS)
+            SF.smartSummarize(df, intervalArg(1), parts(2), startS)
           case "interpolate" => SF.interpolate(df)
           case "isNonNull" => SF.isNonNull(df)
           case "round" => SF.roundFunction(df,
@@ -562,11 +588,11 @@ object Bgutil {
             SF.seriesWithWildcards(df, "sum", parts(1).split(",").toSeq.map(_.toInt))
           case "averageSeriesWithWildcards" =>
             SF.seriesWithWildcards(df, "avg", parts(1).split(",").toSeq.map(_.toInt))
-          case "timeStack" => SF.timeStack(df, parts(1).toLong,
+          case "timeStack" => SF.timeStack(df, intervalArg(1),
             if (partsLen > 2) parts(2).toInt else 0,
             if (partsLen > 3) parts(3).toInt else 7)
           case "fallbackSeries" =>
-            SF.fallbackSeries(df, read(db, parts(1), startS, endS))
+            SF.fallbackSeries(df, read(db, parts(1), startS, endS, maxDataPoints))
           case "exponentialMovingAverage" =>
             SF.exponentialMovingAverage(df, parts(1).toInt)
           case "lowest" => SF.lowest(df, parts(1).toInt,
@@ -583,6 +609,12 @@ object Bgutil {
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }
     }
+    if (maxUsed < args.length)
+      throw new IllegalArgumentException(
+        s"$name: ${args.length - maxUsed} unused argument(s) " +
+          s"(${args.drop(maxUsed).mkString(", ")}) — wrong arity or an " +
+          "unsupported varargs shape")
+    out
   }
 
   /** Resolve a glob to names (cli/command_list.py:23-49). */

@@ -136,6 +136,17 @@ object RenderTarget {
     case other => (other, args)
   }
 
+  /** The combine family takes VARARG series lists in graphite —
+    * `sumSeries(a.*, b.*)` — evaluated here by unioning every operand
+    * before the slot-wise combine. */
+  private val CombineFns = Set("sumSeries", "averageSeries", "minSeries",
+    "maxSeries", "countSeries", "rangeOfSeries")
+
+  /** Functions whose trailing arguments are an integer vararg list the
+    * dispatch takes as ONE comma-joined argument. */
+  private val IntVarargFns = Set("aliasByNode", "sumSeriesWithWildcards",
+    "averageSeriesWithWildcards")
+
   /** Evaluate a parsed target against a db and time window.
     * `maxDataPoints` consolidates the leaf reads like graphite's render
     * parameter of the same name (0 = no consolidation). */
@@ -144,6 +155,24 @@ object RenderTarget {
     node match {
       case PathNode(glob) =>
         Bgutil.read(db, glob, startS, endS, maxDataPoints)
+      // constantLine is a SOURCE, not a transform: its one argument is
+      // the value, which the grammar necessarily parsed as the series
+      case CallNode("constantLine", PathNode(v), Nil, _) =>
+        graft.operators.SeriesFunctions.constantLine(
+          db.spark, v.toDouble, startS, endS)
+      // varargs series: union all operands, then combine slot-wise
+      case CallNode(fn, series, args, raw)
+          if CombineFns(fn) && args.nonEmpty =>
+        val operands = (series :: args.map { a =>
+          require(!a.contains("("),
+            s"$fn: nested call operands are not supported — " +
+              "use plain paths/globs")
+          PathNode(a)
+        }).map(eval(db, _, startS, endS, maxDataPoints))
+        val unioned = operands.reduce(_ unionByName _)
+        val (name, finalArgs) = mapped(fn, raw, Nil)
+        Bgutil.applyRenderFn(db, unioned, name, finalArgs.toIndexedSeq,
+          startS, endS, maxDataPoints)
       case CallNode(fn, series, args, raw) =>
         args.find(a => a.contains("(")).foreach { a =>
           throw new IllegalArgumentException(
@@ -151,9 +180,19 @@ object RenderTarget {
               s"('$a') is not supported — use a plain path/glob there")
         }
         val df = eval(db, series, startS, endS, maxDataPoints)
-        val (name, finalArgs) = mapped(fn, raw, args)
+        // integer varargs collapse to the dispatch's comma-joined form:
+        // aliasByNode(s,1,3) → aliasByNode:1,3 ; groupByNodes keeps its
+        // function first, nodes joined
+        val joined = fn match {
+          case f if IntVarargFns(f) && args.length > 1 =>
+            List(args.mkString(","))
+          case "groupByNodes" if args.length > 2 =>
+            List(args.head, args.tail.mkString(","))
+          case _ => args
+        }
+        val (name, finalArgs) = mapped(fn, raw, joined)
         Bgutil.applyRenderFn(db, df, name, finalArgs.toIndexedSeq,
-          startS, endS)
+          startS, endS, maxDataPoints)
     }
 
   /** Parse + evaluate in one step (the /render endpoint's entry). */
@@ -188,5 +227,19 @@ object RenderTarget {
       }
       nowS + sign * numStr.toLong * mult
     } else throw new IllegalArgumentException(s"bad time spec: $spec")
+  }
+
+  /** Graphite interval syntax → seconds: raw (possibly negative)
+    * seconds, or `N<unit>` strings like '1hour'/'30min'/'-1d' — the
+    * form render functions receive as quoted arguments
+    * (summarize(s,'1hour','sum')). */
+  def parseInterval(spec: String): Long = {
+    val s = spec.trim
+    val (signStr, body) =
+      if (s.startsWith("-") || s.startsWith("+")) (s.take(1), s.drop(1))
+      else ("", s)
+    val sign = if (signStr == "-") -1L else 1L
+    if (body.forall(_.isDigit) && body.nonEmpty) sign * body.toLong
+    else sign * math.abs(parseTime(s"-$body", 0L))
   }
 }

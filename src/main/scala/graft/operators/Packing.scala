@@ -77,13 +77,18 @@ object Packing {
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0)
     val toks = split(trim(col(textCol)), "\\s+")
-    val n = size(toks)
+    // split(trim('')) is [''] (size 1), not [] — count an empty or
+    // whitespace-only doc as ZERO tokens or every such doc emits a
+    // phantom 1-token chunk sharing md5(''), a giant bogus duplicate
+    // class in chunk-level dedup
+    val n = when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(toks))
     docs
       .select(col(idCol), toks.as("__toks"), n.as("__n"))
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
           lit(stride))).as("tok_start"))
-      .filter(col("tok_start") < col("__n")) // guards the n=0 degenerate
+      .filter(col("tok_start") < col("__n")) // drops the n=0 degenerate
       .select(
         col(idCol),
         (col("tok_start") / stride).cast("long").as("chunk_idx"),

@@ -515,13 +515,17 @@ object SeriesFunctions {
 
   /** `weightedAverage(seriesListAvg, seriesListWeight, *nodes)`: pair
     * each value series with its weight series by the selected name
-    * components, then per (key, ts) emit Σ(v·w)/Σ(w) — graphite's
-    * capacity-weighted fleet average (functions.py weightedAverage;
-    * safeDiv semantics: zero/None weight sum → None). Slots where either
-    * side is None contribute nothing, like safeMul. One shuffle on
-    * (key, ts); both inputs are render-sized. */
-  def weightedAverage(df: DataFrame, weights: DataFrame,
-      nodes: Seq[Int]): DataFrame = {
+    * components, then collapse ALL pairs into ONE series — per slot,
+    * Σ(v·w) over the matched pairs divided by Σ(w) — graphite's
+    * capacity-weighted fleet average (functions.py weightedAverage:
+    * product series summed, weight series summed, safeDiv). A pair
+    * whose value OR weight is None contributes nothing to the
+    * numerator (safeMul); the weight still counts in the denominator
+    * when present; zero/None weight sum → None. Keys present on only
+    * one side are dropped (unmatched series pair with nothing). One
+    * shuffle on (key, ts); both inputs are render-sized. */
+  def weightedAverage(df: DataFrame, weights: DataFrame, nodes: Seq[Int],
+      alias: String = "weightedAverage"): DataFrame = {
     def keyed(in: DataFrame, as: String): DataFrame = {
       val parts = split(col("name"), "\\.")
       val picked = nodes.map(n =>
@@ -530,9 +534,10 @@ object SeriesFunctions {
         col("value").as(as))
     }
     keyed(df, "__v").join(keyed(weights, "__w"), Seq("name", "ts"))
-      .groupBy("name", "ts")
-      .agg((sum(col("__v") * col("__w")) / sum(when(col("__v").isNotNull,
-        col("__w")))).as("value"))
+      .groupBy("ts")
+      .agg(sum(col("__v") * col("__w")).as("__n"), sum(col("__w")).as("__d"))
+      .select(lit(alias).as("name"), col("ts"),
+        when(col("__d") =!= 0, col("__n") / col("__d")).as("value"))
   }
 
   /** `multiplySeries`: slot-wise product of all input series. Graphite's
@@ -629,7 +634,11 @@ object SeriesFunctions {
     require(seconds > 0)
     val gap = col("ts") - lag("ts", 1).over(perSeries)
     val step = min(when(gap > 0, gap)).over(Window.partitionBy("name"))
-    df.withColumn("value", col("value") * seconds / step)
+    // a one-point series has no derivable step; pass its value through
+    // unchanged rather than nulling the whole series
+    df.withColumn("value",
+      when(step.isNull, col("value"))
+        .otherwise(col("value") * seconds / step))
   }
 
   /** `smartSummarize`: like [[summarize]] but buckets align to the

@@ -35,7 +35,13 @@ object Urls {
     * handling quirks. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
-    val rest = substring_index(noFrag, "://", -1)
+    // split on the FIRST "://" — substring_index(…, -1) would take the
+    // text after the LAST one, so a URL embedding another URL in its
+    // query ('?next=https://b.com') would canonicalize to the embedded
+    // host and collide with an unrelated document
+    val schemeEnd = instr(noFrag, "://")
+    val rest = when(schemeEnd > 0,
+      substring(noFrag, schemeEnd + 3, lit(Int.MaxValue))).otherwise(noFrag)
     val hostPort = lower(substring_index(rest, "/", 1))
     val pathQ = substring(rest, length(hostPort) + 1, lit(Int.MaxValue))
     // "(www\.)+" not "www\.": a double-www host must canonicalize in one

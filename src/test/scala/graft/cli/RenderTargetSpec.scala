@@ -62,6 +62,56 @@ class RenderTargetSpec extends SparkSuite {
     intercept[IllegalArgumentException](RenderTarget.parseTime("yesterday", now))
   }
 
+  test("varargs targets: sumSeries unions operands, aliasByNode joins nodes") {
+    val dir = java.nio.file.Files.createTempDirectory("rt3").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "a.one.x", 120L, 1.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "b.two.y", 120L, 2.0, "60*60s:24*3600s", "average")
+
+    // sumSeries(a.*,b.*) must cover BOTH serieslists
+    val sum2 = RenderTarget.render(db, "sumSeries(a.*.x,b.*.y)", 120L, 180L)
+      .collect().collectFirst {
+        case r if !r.isNullAt(2) => r.getDouble(2)
+      }
+    assert(sum2 === Some(3.0))
+
+    // aliasByNode(s,0,2) applies every node, not just the first
+    val ab = RenderTarget.render(db, "aliasByNode(a.one.x,0,2)", 120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(ab === Seq("a.x"))
+
+    // quoted graphite interval strings in function args
+    val sm = RenderTarget.render(db,
+      "summarize(a.one.x,'2min','sum')", 60L, 240L)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(sm.forall(_ % 120 == 0), sm.mkString(","))
+
+    // constantLine as a source target
+    val cl = RenderTarget.render(db, "constantLine(4.5)", 100L, 200L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(cl === Seq((100L, 4.5), (200L, 4.5)))
+
+    // unused arguments fail loudly instead of silently dropping
+    val e = intercept[IllegalArgumentException] {
+      RenderTarget.render(db, "unique(a.one.x,5)", 60L, 240L)
+    }
+    assert(e.getMessage.contains("unused argument"), e.getMessage)
+    // a time-string moving window explains itself
+    val e2 = intercept[IllegalArgumentException] {
+      RenderTarget.render(db, "movingAverage(a.one.x,'5min')", 60L, 240L)
+    }
+    assert(e2.getMessage.contains("POINT COUNT"), e2.getMessage)
+  }
+
+  test("parseInterval speaks graphite interval strings") {
+    assert(RenderTarget.parseInterval("3600") === 3600L)
+    assert(RenderTarget.parseInterval("1hour") === 3600L)
+    assert(RenderTarget.parseInterval("30min") === 1800L)
+    assert(RenderTarget.parseInterval("-1d") === -86400L)
+    intercept[IllegalArgumentException](RenderTarget.parseInterval("soon"))
+  }
+
   test("nested call in second-series position raises a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("rt2").toString
     val db = Db(spark, dir)

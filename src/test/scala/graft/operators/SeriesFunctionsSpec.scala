@@ -491,17 +491,22 @@ class SeriesFunctionsSpec extends SparkSuite {
       .collect()(0).getLong(1) === 120L)
   }
 
-  test("weightedAverage pairs by node and weights the slot") {
+  test("weightedAverage collapses all pairs into one weighted series") {
     val v = Seq(("cpu.a.load", 0L, Some(10.0)), ("cpu.b.load", 0L, Some(20.0)))
       .toDF("name", "ts", "value")
     val w = Seq(("cpu.a.weight", 0L, Some(1.0)), ("cpu.b.weight", 0L, Some(3.0)))
       .toDF("name", "ts", "value")
-    // nodes=Seq(1) → keys a, b; one pair each → value itself
+    // graphite semantics: (10·1 + 20·3) / (1 + 3) = 17.5, ONE series
     val out = SeriesFunctions.weightedAverage(v, w, Seq(1))
-      .orderBy("name").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
-    assert(out === Seq(("a", 10.0), ("b", 20.0)))
-    // nodes=Seq(2) → both collapse on component "load"/"weight"? no —
-    // value list keys "load", weight keys "weight": no join rows
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(out === Seq(("weightedAverage", 17.5)))
+    // nodes=Seq(2) → keys "load" vs "weight" never match → no rows
     assert(SeriesFunctions.weightedAverage(v, w, Seq(2)).count() === 0)
+    // a None value drops its product but its weight still counts
+    val v2 = Seq(("cpu.a.load", 0L, Some(10.0)),
+      ("cpu.b.load", 0L, Option.empty[Double])).toDF("name", "ts", "value")
+    val out2 = SeriesFunctions.weightedAverage(v2, w, Seq(1))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(out2 === Seq(10.0 / 4.0 * 1.0)) // 10·1 / (1+3)
   }
 }

@@ -32,6 +32,9 @@ class UrlsAndChunkingSpec extends SparkSuite {
     assert(canon("http://ex.com:8080/p") === "ex.com:8080/p")
     // bare host
     assert(canon("http://ex.com") === "ex.com")
+    // an embedded URL in the query must NOT hijack the host split
+    assert(canon("http://a.com/login?next=https://b.com/home")
+      === "a.com/login?next=https://b.com/home")
   }
 
   test("dedupByUrl keeps the longest doc per canonical URL") {
@@ -69,6 +72,14 @@ class UrlsAndChunkingSpec extends SparkSuite {
     val out = Packing.chunkWindows(docs, "doc_id", "text", 128, 64).collect()
     assert(out.length === 1)
     assert(out(0).getLong(3) === 3L)
+  }
+
+  test("chunkWindows: empty/whitespace docs emit zero chunks") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkWindows(docs, "doc_id", "text", 128, 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(3L)) // no phantom md5('') chunk for 1 and 2
   }
 
   test("property: canonicalizeUrl is idempotent and variant-invariant") {
