@@ -1089,6 +1089,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // T11: interpolated bigram LM log-loss — the CCNet-style perplexity
+    // bucket signal one step up from t7 (½ bigram MLE + ½ unigram with
+    // OOV floor); model trained on every non-src0 source
+    "t11_bigram_logloss" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      TextAnalysis.bigramLogLoss(docs, "doc_id", "text",
+          docs.filter(col("source") =!= "src0"))
+        .orderBy("doc_id")
+    },
+
     // DC1: benchmark decontamination — per training doc, how many of its
     // distinct 3-grams appear in the eval set (source = src0). The eval
     // vocabulary is collapsed to ONE sorted-array row and broadcast; each
@@ -2161,6 +2171,37 @@ object SparkEntry {
         |    -ln(coalesce(m.c / (tot.total + 1), 1.0 / (tot.total + 1))) AS v
         |  FROM toks t CROSS JOIN tot LEFT JOIN model m ON m.tok = t.tok)
         |SELECT doc_id, count(*) AS n_tokens, round(avg(v), 4) AS avg_nll
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t11_bigram_logloss" ->
+      """WITH reft AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents WHERE source <> 'src0'),
+        |refpairs AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM reft, LATERAL unnest(range(1, len(t))) u(i)),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM refpairs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cb) AS c1 FROM bi GROUP BY 1),
+        |uni AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE source <> 'src0') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+        |dp AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |        FROM documents) d,
+        |  LATERAL unnest(range(1, len(t))) u(i)),
+        |nll AS (
+        |  SELECT dp.doc_id,
+        |    -ln(0.5 * coalesce(bi.cb / ctx.c1, 0)
+        |      + 0.5 * coalesce(uni.c / (tot.total + 1),
+        |          1.0 / (tot.total + 1))) AS v
+        |  FROM dp CROSS JOIN tot
+        |  LEFT JOIN bi ON bi.w1 = dp.w1 AND bi.w2 = dp.w2
+        |  LEFT JOIN ctx ON ctx.w1 = dp.w1
+        |  LEFT JOIN uni ON uni.tok = dp.w2)
+        |SELECT doc_id, count(*) AS n_pairs, round(avg(v), 4) AS avg_nll
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dc1_decontaminate" ->

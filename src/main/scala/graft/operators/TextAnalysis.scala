@@ -248,4 +248,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg("__nll"), 4).as("avg_nll"))
   }
+
+  /** Adjacent token pairs of each document, extracted map-side (the
+    * token array zipped with itself shifted by one — no window, no
+    * shuffle): (idCol, w1, w2), one row per bigram occurrence. */
+  private def tokenPairs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val pairs = arrays_zip(
+      slice(t, lit(1), greatest(n - 1, lit(0))).as("w1"),
+      slice(t, lit(2), greatest(n - 1, lit(0))).as("w2"))
+    df.select(col(idCol), explode(pairs).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+  }
+
+  /** Interpolated bigram LM log-loss — the step up from
+    * [[unigramLogLoss]] on the perplexity-quality axis (CCNet buckets
+    * documents by LM score; a bigram model with unigram backoff is the
+    * classic cheap approximation). Per adjacent pair (w1, w2):
+    * p = ½·c(w1,w2)/c(w1·) + ½·c(w2)/(T+1), the second term flooring
+    * at 1/(T+1) for OOV; score = mean −ln p over the doc's pairs.
+    * Documents with fewer than two tokens emit no row (no pairs).
+    *
+    * Scale shape: pair extraction is map-only; the model is two grouped
+    * counts over the reference corpus; scoring joins the (doc, pair)
+    * relation against the model on the pair key — AQE broadcasts while
+    * the model fits, falls back to a key-partitioned shuffle join
+    * beyond, never anything driver-sized. */
+  def bigramLogLoss(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame): DataFrame = {
+    val refPairs = tokenPairs(reference.select(lit(0L).as("__rid"),
+      col(textCol)), "__rid", textCol)
+    val bi = refPairs.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val ctx = bi.groupBy("w1").agg(sum("__cb").as("__c1"))
+    val uni = unigramModel(reference, textCol)
+    val total = uni.agg(max(col("total")).as("__total"))
+    val docPairs = tokenPairs(df, idCol, textCol)
+    docPairs
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("c").as("__cu")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__p",
+        lit(0.5) * coalesce(col("__cb") / col("__c1"), lit(0.0)) +
+          lit(0.5) * coalesce(col("__cu") / (col("__total") + 1),
+            lit(1.0) / (col("__total") + 1)))
+      .withColumn("__nll", -log(col("__p")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("__nll"), 4).as("avg_nll"))
+  }
 }

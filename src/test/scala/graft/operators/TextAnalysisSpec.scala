@@ -67,4 +67,18 @@ class TextAnalysisSpec extends SparkSuite {
     // lorem ipsum and curly-brace pages die regardless of line count
     assert(out(3L)._4 === false && out(4L)._4 === false)
   }
+
+  test("bigramLogLoss: hand-computed interpolated probabilities") {
+    import spark.implicits._
+    // ref "a b a b": bigrams (a,b)=2 (b,a)=1; contexts a=2 b=1;
+    // unigrams a=2 b=2, total=4
+    val ref = Seq((9L, "a b a b")).toDF("doc_id", "text")
+    val doc = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogLoss(doc, "doc_id", "text", ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // (a,b): ½·(2/2) + ½·(2/5) = 0.7 ; (b,c): ½·0 + ½·(1/5) = 0.1
+    val want = BigDecimal((-math.log(0.7) - math.log(0.1)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq((1L, 2L, want))) // one-token doc 2 emits no row
+  }
 }
