@@ -160,6 +160,25 @@ object RenderTarget {
       case CallNode("constantLine", PathNode(v), Nil, _) =>
         graft.operators.SeriesFunctions.constantLine(
           db.spark, v.toDouble, startS, endS)
+      // applyByNode(series, nodeNum, 'template'): evaluate the quoted
+      // template once per distinct node prefix with % replaced — the
+      // per-host derived-metric pattern
+      // (applyByNode(h.*.disk.*, 1, 'sumSeries(%.disk.*.used)')).
+      // Graphite resolves the prefix list driver-side and so do we:
+      // the list is display-sized (glob-capped), never points-sized.
+      case CallNode("applyByNode", series, List(nodeArg, template), _) =>
+        val nodeNum = nodeArg.toInt
+        require(template.contains("%"),
+          "applyByNode: template must contain a % placeholder")
+        val prefixes = eval(db, series, startS, endS, maxDataPoints)
+          .select("name").distinct().collect()
+          .map(_.getString(0).split("\\.").take(nodeNum + 1).mkString("."))
+          .distinct.sorted
+        require(prefixes.nonEmpty, "applyByNode: no series matched")
+        prefixes.map { p =>
+          eval(db, parse(template.replace("%", p)), startS, endS,
+            maxDataPoints)
+        }.reduce(_ unionByName _)
       // varargs series: union all operands, then combine slot-wise
       case CallNode(fn, series, args, raw)
           if CombineFns(fn) && args.nonEmpty =>

@@ -104,6 +104,24 @@ class RenderTargetSpec extends SparkSuite {
     assert(e2.getMessage.contains("POINT COUNT"), e2.getMessage)
   }
 
+  test("applyByNode evaluates the template per node prefix") {
+    val dir = java.nio.file.Files.createTempDirectory("rt4").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "h1.disk.a.used", 120L, 1.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "h1.disk.b.used", 120L, 2.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "h2.disk.a.used", 120L, 8.0, "60*60s:24*3600s", "average")
+
+    val out = RenderTarget.render(db,
+      "applyByNode(*.disk.*.used,0,'sumSeries(%.disk.*.used)')", 120L, 180L)
+      .collect().collect {
+        case r if !r.isNullAt(2) => (r.getString(0), r.getDouble(2))
+      }.toSet
+    assert(out === Set(
+      ("sumSeries(h1.disk.*.used)", 3.0),
+      ("sumSeries(h2.disk.*.used)", 8.0)))
+  }
+
   test("parseInterval speaks graphite interval strings") {
     assert(RenderTarget.parseInterval("3600") === 3600L)
     assert(RenderTarget.parseInterval("1hour") === 3600L)
