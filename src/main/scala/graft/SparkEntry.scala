@@ -1099,6 +1099,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // T12: NFC normalization (native graft_nfc expression vs DuckDB's
+    // nfc_normalize) — the ASCII corpus gets a synthetic composed /
+    // decomposed 'café' suffix by doc parity, so the oracle proves the
+    // two forms converge to one hash and the decomposed length shrinks
+    "t12_nfc_normalize" -> { (s, dir) =>
+      import graft.functions.NfcNormalize
+      val raw = concat(substring(col("text"), 1, 64),
+        when(col("doc_id") % 2 === 0, lit(" cafe\u0301"))
+          .otherwise(lit(" caf\u00e9")))
+      table(s, dir, "documents").select(col("doc_id"),
+          length(raw).cast("long").as("len_raw"),
+          length(NfcNormalize.nfc(raw)).cast("long").as("len_nfc"),
+          md5(NfcNormalize.nfc(raw)).as("h"))
+        .orderBy("doc_id")
+    },
+
     // DC1: benchmark decontamination — per training doc, how many of its
     // distinct 3-grams appear in the eval set (source = src0). The eval
     // vocabulary is collapsed to ONE sorted-array row and broadcast; each
@@ -2203,6 +2219,18 @@ object SparkEntry {
         |  LEFT JOIN uni ON uni.tok = dp.w2)
         |SELECT doc_id, count(*) AS n_pairs, round(avg(v), 4) AS avg_nll
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t12_nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 64) ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769)
+        |            ELSE ' caf' || chr(233) END) AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS len_raw,
+        |  length(nfc_normalize(raw)) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS h
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "dc1_decontaminate" ->
       s"""WITH $ShinglesCte,

@@ -81,7 +81,9 @@ object GraftFunctions {
     ("graft_char_entropy", classOf[TextEntropy],
       (es: Seq[Expression]) => TextEntropy(es.head, token = false)),
     ("graft_token_entropy", classOf[TextEntropy],
-      (es: Seq[Expression]) => TextEntropy(es.head, token = true)))
+      (es: Seq[Expression]) => TextEntropy(es.head, token = true)),
+    ("graft_nfc", classOf[NfcNormalize],
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
 
   private[functions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
