@@ -2514,15 +2514,27 @@ object SparkEntry {
         |        ELSE '?a=1&b=2' END)
         |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
         |  FROM documents),
+        |nf AS (SELECT doc_id, n_chars, split_part(url, '#', 1) AS nofrag
+        |       FROM u),
         |c AS (
-        |  -- substr past the FIRST '://' (split_part would stop at a
-        |  -- second '://' embedded in the query string)
+        |  -- strip the scheme only when '://' precedes the first '/'
+        |  -- and '?' (scheme position), mirroring canonicalizeUrl
         |  SELECT doc_id, n_chars,
-        |    lower(substr(split_part(url, '#', 1),
-        |      strpos(split_part(url, '#', 1), '://') + 3)) AS restl,
-        |    substr(split_part(url, '#', 1),
-        |      strpos(split_part(url, '#', 1), '://') + 3) AS rest
-        |  FROM u),
+        |    lower(CASE WHEN strpos(nofrag, '://') > 0
+        |      AND (strpos(nofrag, '/') = 0
+        |           OR strpos(nofrag, '://') < strpos(nofrag, '/'))
+        |      AND (strpos(nofrag, '?') = 0
+        |           OR strpos(nofrag, '://') < strpos(nofrag, '?'))
+        |      THEN substr(nofrag, strpos(nofrag, '://') + 3)
+        |      ELSE nofrag END) AS restl,
+        |    CASE WHEN strpos(nofrag, '://') > 0
+        |      AND (strpos(nofrag, '/') = 0
+        |           OR strpos(nofrag, '://') < strpos(nofrag, '/'))
+        |      AND (strpos(nofrag, '?') = 0
+        |           OR strpos(nofrag, '://') < strpos(nofrag, '?'))
+        |      THEN substr(nofrag, strpos(nofrag, '://') + 3)
+        |      ELSE nofrag END AS rest
+        |  FROM nf),
         |p AS (
         |  SELECT doc_id, n_chars,
         |    regexp_replace(regexp_replace(split_part(restl, '/', 1),

@@ -99,10 +99,13 @@ object RenderTarget {
         v
       } else {
         val start = pos
+        // track BOTH paren and brace depth: series-valued args can be
+        // brace globs ({b,c}.y) whose inner commas must not split
         var depth = 0
         while (!eof && (depth > 0 || (s.charAt(pos) != ',' && s.charAt(pos) != ')'))) {
-          if (s.charAt(pos) == '(') depth += 1
-          if (s.charAt(pos) == ')') depth -= 1
+          val c = s.charAt(pos)
+          if (c == '(' || c == '{') depth += 1
+          if (c == ')' || c == '}') depth -= 1
           pos += 1
         }
         s.substring(start, pos).trim
@@ -138,9 +141,14 @@ object RenderTarget {
 
   /** The combine family takes VARARG series lists in graphite —
     * `sumSeries(a.*, b.*)` — evaluated here by unioning every operand
-    * before the slot-wise combine. */
-  private val CombineFns = Set("sumSeries", "averageSeries", "minSeries",
-    "maxSeries", "countSeries", "rangeOfSeries")
+    * before the slot-wise combine. `avg` is graphite's registered alias
+    * for averageSeries; `multiplySeries` is the same shape with its own
+    * dispatch name (its optional scalar is an alias, so without the
+    * union path a second SERIES operand would be consumed as the alias
+    * and silently dropped). */
+  private val CombineFns = Set("sumSeries", "averageSeries", "avg",
+    "minSeries", "maxSeries", "countSeries", "rangeOfSeries",
+    "multiplySeries")
 
   /** Functions whose trailing arguments are an integer vararg list the
     * dispatch takes as ONE comma-joined argument. */
@@ -170,9 +178,19 @@ object RenderTarget {
         val nodeNum = nodeArg.toInt
         require(template.contains("%"),
           "applyByNode: template must contain a % placeholder")
-        val prefixes = eval(db, series, startS, endS, maxDataPoints)
-          .select("name").distinct().collect()
-          .map(_.getString(0).split("\\.").take(nodeNum + 1).mkString("."))
+        // the name list comes from the CATALOG — evaluating the series
+        // here would scan the points store for the whole window only to
+        // throw the data away (each prefix template re-reads anyway)
+        val names = series match {
+          case PathNode(glob) =>
+            graft.sources.MetricCatalog.globMetrics(db.catalog, glob)
+              .select("name").collect().map(_.getString(0))
+          case other =>
+            eval(db, other, startS, endS, maxDataPoints)
+              .select("name").distinct().collect().map(_.getString(0))
+        }
+        val prefixes = names
+          .map(_.split("\\.").take(nodeNum + 1).mkString("."))
           .distinct.sorted
         require(prefixes.nonEmpty, "applyByNode: no series matched")
         prefixes.map { p =>
@@ -189,9 +207,25 @@ object RenderTarget {
           PathNode(a)
         }).map(eval(db, _, startS, endS, maxDataPoints))
         val unioned = operands.reduce(_ unionByName _)
-        val (name, finalArgs) = mapped(fn, raw, Nil)
+        val (name, finalArgs) =
+          if (fn == "multiplySeries") ("multiplySeries", List(raw))
+          else mapped(fn, raw, Nil)
         Bgutil.applyRenderFn(db, unioned, name, finalArgs.toIndexedSeq,
           startS, endS, maxDataPoints)
+      // graphite's timeShift('1d') means "draw data from 1d AGO": the
+      // FETCH window shifts into the past and the timestamps shift
+      // forward onto the requested window (an unsigned offset implies
+      // minus, functions.py prepends '-'). A post-fetch relabel alone
+      // would push every point outside [startS, endS) and render empty.
+      case CallNode("timeShift", series, List(offset), _) =>
+        val raw = parseInterval(offset)
+        val back = math.abs(raw) // '1d' and '-1d' both mean the past
+        val fwd = offset.trim.startsWith("+")
+        val (s0, s1, delta) =
+          if (fwd) (startS + back, endS + back, -back)
+          else (startS - back, endS - back, back)
+        graft.operators.SeriesFunctions.timeShift(
+          eval(db, series, s0, s1, maxDataPoints), delta)
       case CallNode(fn, series, args, raw) =>
         args.find(a => a.contains("(")).foreach { a =>
           throw new IllegalArgumentException(

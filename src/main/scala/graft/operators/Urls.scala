@@ -35,12 +35,20 @@ object Urls {
     * handling quirks. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
-    // split on the FIRST "://" — substring_index(…, -1) would take the
-    // text after the LAST one, so a URL embedding another URL in its
-    // query ('?next=https://b.com') would canonicalize to the embedded
-    // host and collide with an unrelated document
+    // strip the scheme only when "://" is actually in SCHEME POSITION —
+    // before the first '/' and '?'. Any other occurrence is an embedded
+    // absolute URL inside the path/query ('?next=https://b.com'):
+    // stripping there would canonicalize to the embedded host, collide
+    // with an unrelated document, and break idempotence (the canonical
+    // form is schemeless, so a second pass would re-split on the
+    // embedded URL)
     val schemeEnd = instr(noFrag, "://")
-    val rest = when(schemeEnd > 0,
+    val slashPos = instr(noFrag, "/")
+    val qPos = instr(noFrag, "?")
+    val inSchemePos = schemeEnd > 0 &&
+      (slashPos === 0 || schemeEnd < slashPos) &&
+      (qPos === 0 || schemeEnd < qPos)
+    val rest = when(inSchemePos,
       substring(noFrag, schemeEnd + 3, lit(Int.MaxValue))).otherwise(noFrag)
     val hostPort = lower(substring_index(rest, "/", 1))
     val pathQ = substring(rest, length(hostPort) + 1, lit(Int.MaxValue))

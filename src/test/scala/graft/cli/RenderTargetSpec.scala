@@ -104,6 +104,33 @@ class RenderTargetSpec extends SparkSuite {
     assert(e2.getMessage.contains("POINT COUNT"), e2.getMessage)
   }
 
+  test("multiplySeries/avg varargs, brace-glob args, timeShift window") {
+    val dir = java.nio.file.Files.createTempDirectory("rt5").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "a.x", 120L, 2.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "b.y", 120L, 3.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "c.y", 120L, 5.0, "60*60s:24*3600s", "average")
+
+    def firstVal(target: String, t0: Long = 120L, t1: Long = 180L) =
+      RenderTarget.render(db, target, t0, t1).collect()
+        .collectFirst { case r if !r.isNullAt(2) => r.getDouble(2) }
+
+    // multiplySeries(a,b) must multiply BOTH, not rename a by b
+    assert(firstVal("multiplySeries(a.x,b.y)") === Some(6.0))
+    // avg alias takes the union path like averageSeries
+    assert(firstVal("avg(a.x,b.y)") === Some(2.5))
+    // brace glob as a series argument survives its inner comma
+    assert(firstVal("sumSeries(a.x,{b,c}.y)") === Some(10.0))
+    // graphite timeShift('1m') fetches 1 min AGO and shifts onto the
+    // window: the 120 s point appears at 180 s in window [180, 240)
+    val ts = RenderTarget.render(db, "timeShift(a.x,'1min')", 180L, 240L)
+      .collect().collectFirst {
+        case r if !r.isNullAt(2) => (r.getLong(1), r.getDouble(2))
+      }
+    assert(ts === Some((180L, 2.0)))
+  }
+
   test("applyByNode evaluates the template per node prefix") {
     val dir = java.nio.file.Files.createTempDirectory("rt4").toString
     val db = Db(spark, dir)

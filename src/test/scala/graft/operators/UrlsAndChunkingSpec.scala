@@ -35,6 +35,11 @@ class UrlsAndChunkingSpec extends SparkSuite {
     // an embedded URL in the query must NOT hijack the host split
     assert(canon("http://a.com/login?next=https://b.com/home")
       === "a.com/login?next=https://b.com/home")
+    // ... and the canonical (schemeless) form must be a FIXED POINT —
+    // the embedded '://' is not in scheme position, so no re-split
+    assert(canon("a.com/login?next=https://b.com/home")
+      === "a.com/login?next=https://b.com/home")
+    assert(canon("a.com/p?u=https://b.com/x") === "a.com/p?u=https://b.com/x")
   }
 
   test("dedupByUrl keeps the longest doc per canonical URL") {
