@@ -57,21 +57,29 @@ object Bench {
           array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))))
         .count()
     }
-    // Macros: median of 3 when the query is fast enough that one GC
-    // pause would dominate the published number (sub-4 s). The expensive
-    // tail runs once — relative noise is small there and tripling it
-    // would triple the bench's wall time.
+    // Macros: median of 3, INCLUDING the expensive tail — those are
+    // exactly the queries where one GC pause is seconds, and a single-shot
+    // number there has twice misled the official record (BENCH_r03 ingest,
+    // BENCH_r04 d8). 3× the tail costs ~30 s of bench wall time; a wrong
+    // headline number costs a round.
+    // A failing query publishes -1 (the old row-count sentinel), never its
+    // wall time — a crash must not masquerade as a fast success.
     def timedMedian(label: String)(run: => Unit): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        try run catch {
+        try { run; (System.nanoTime() - t0) / 1e9 } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $label failed: ${e.getMessage}")
+            Double.NaN
         }
-        (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      if (first >= 4.0) first else Seq(first, once(), once()).sorted.apply(1)
+      if (first.isNaN) -1.0
+      else {
+        val rest = Seq(once(), once())
+        if (rest.exists(_.isNaN)) -1.0
+        else (first +: rest).sorted.apply(1)
+      }
     }
     val results = Headline.filter(queries.contains).map { name =>
       name -> timedMedian(name)(queries(name)(spark, sfDir).count())

@@ -1013,16 +1013,15 @@ object SparkEntry {
 
     // G2: graphite window functions — trailing movingAverage(4),
     // running integral (None slots stay None but don't reset the
-    // accumulator), keepLastValue forward-fill
+    // accumulator), keepLastValue forward-fill. All three share the
+    // per-series window spec, so they run as window columns over ONE
+    // base scan (a single Window node) — not three scans glued by joins.
     "g2_window_functions" -> { (s, dir) =>
-      val base = hourlySeries(s, dir)
-      val ma = SeriesFunctions.movingAverage(base, points = 4)
-        .select(col("name"), col("ts"), round(col("value"), 4).as("mavg"))
-      val integ = SeriesFunctions.integral(base)
-        .select(col("name"), col("ts"), round(col("value"), 4).as("integ"))
-      val klv = SeriesFunctions.keepLastValue(base)
-        .select(col("name"), col("ts"), round(col("value"), 4).as("filled"))
-      ma.join(integ, Seq("name", "ts")).join(klv, Seq("name", "ts"))
+      hourlySeries(s, dir).select(
+        col("name"), col("ts"),
+        round(SeriesFunctions.movingAverageCol(points = 4), 4).as("mavg"),
+        round(SeriesFunctions.integralCol, 4).as("integ"),
+        round(SeriesFunctions.keepLastValueCol, 4).as("filled"))
         .orderBy("name", "ts")
     },
 
@@ -1337,8 +1336,12 @@ object SparkEntry {
           .otherwise(lit("http://")),
         col("source"), lit(".Example.COM"),
         when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
-        lit("/Docs/"), col("doc_id") % 40,
-        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        // %11: authority-only URL — the query attaches straight to the
+        // host with no '/' (the shape that used to fold the query into
+        // the host); otherwise the usual /Docs/<slot> path
+        when(col("doc_id") % 11 === 0, lit(""))
+          .otherwise(concat(lit("/Docs/"), col("doc_id") % 40,
+            when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")))),
         when(col("doc_id") % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
           .otherwise(lit("?a=1&b=2")),
         when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
@@ -2508,8 +2511,9 @@ object SparkEntry {
         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
         |    || source || '.Example.COM'
         |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
-        |    || '/Docs/' || (doc_id % 40)
-        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ''
+        |        ELSE '/Docs/' || (doc_id % 40)
+        |          || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) END)
         |    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
         |        ELSE '?a=1&b=2' END)
         |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
@@ -2536,10 +2540,25 @@ object SparkEntry {
         |      ELSE nofrag END AS rest
         |  FROM nf),
         |p AS (
+        |  -- the authority ends at the EARLIEST of '/' and '?'
+        |  -- (authority-only URLs put the query right after the host),
+        |  -- mirroring canonicalizeUrl
         |  SELECT doc_id, n_chars,
-        |    regexp_replace(regexp_replace(split_part(restl, '/', 1),
+        |    regexp_replace(regexp_replace(
+        |      CASE WHEN strpos(restl, '?') > 0
+        |             AND (strpos(restl, '/') = 0
+        |                  OR strpos(restl, '?') < strpos(restl, '/'))
+        |        THEN substr(restl, 1, strpos(restl, '?') - 1)
+        |      WHEN strpos(restl, '/') > 0
+        |        THEN substr(restl, 1, strpos(restl, '/') - 1)
+        |      ELSE restl END,
         |      '^(www\.)+', ''), ':(80|443)$', '') AS host,
-        |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |    CASE WHEN strpos(rest, '?') > 0
+        |           AND (strpos(rest, '/') = 0
+        |                OR strpos(rest, '?') < strpos(rest, '/'))
+        |      THEN substr(rest, strpos(rest, '?'))
+        |    WHEN strpos(rest, '/') > 0 THEN substr(rest, strpos(rest, '/'))
+        |    ELSE '' END AS pathq
         |  FROM c),
         |q AS (
         |  SELECT doc_id, n_chars, host,

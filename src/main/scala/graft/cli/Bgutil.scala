@@ -468,7 +468,11 @@ object Bgutil {
     var maxUsed = 0
     def parts(i: Int): String = {
       if (i > maxUsed) maxUsed = i
-      if (i == 0) name else args(i - 1)
+      if (i == 0) name
+      else if (i - 1 >= args.length) throw new IllegalArgumentException(
+        s"$name: missing argument ${i} (got ${args.length}: " +
+          s"${args.mkString(", ")})")
+      else args(i - 1)
     }
     // graphite interval arguments may be quoted time strings ('1hour',
     // '30min') — accept both raw seconds and unit syntax
@@ -603,8 +607,15 @@ object Bgutil {
           case "limit" => SF.limitSeries(df, parts(1).toInt)
           case "constantLine" => df.unionByName(
             SF.constantLine(df.sparkSession, parts(1).toDouble, startS, endS))
+          // graphite's consolidateBy(series, 'fn') takes the point budget
+          // from the request's maxDataPoints; the explicit second arg is
+          // this chain's extension for a fixed budget
           case "consolidateBy" =>
-            SF.consolidateBy(df, parts(1), parts(2).toInt)
+            val budget = if (partsLen > 2) parts(2).toInt else maxDataPoints
+            require(budget > 0,
+              "consolidateBy: no point budget — pass one explicitly or " +
+                "set the request's maxDataPoints")
+            SF.consolidateBy(df, parts(1), budget)
           case other =>
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }

@@ -226,6 +226,21 @@ object RenderTarget {
           else (startS - back, endS - back, back)
         graft.operators.SeriesFunctions.timeShift(
           eval(db, series, s0, s1, maxDataPoints), delta)
+      // timeStack likewise overlays PAST data onto the requested window:
+      // copy k draws from [startS-k·Δ, endS-k·Δ]. Fetch once over the
+      // union of those windows ([startS-endK·Δ, endS]), shift, and clip —
+      // a post-fetch shift of the unwidened window would land every
+      // non-zero-k copy entirely outside [startS, endS).
+      case CallNode("timeStack", series, args, _) if args.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        val shiftS = math.abs(parseInterval(args.head))
+        val startK = if (args.length > 1) args(1).trim.toInt else 0
+        val endK = if (args.length > 2) args(2).trim.toInt else 7
+        val widened =
+          eval(db, series, startS - endK * shiftS, endS, maxDataPoints)
+        graft.operators.SeriesFunctions
+          .timeStack(widened, shiftS, startK, endK)
+          .filter(col("ts") >= startS && col("ts") < endS)
       case CallNode(fn, series, args, raw) =>
         args.find(a => a.contains("(")).foreach { a =>
           throw new IllegalArgumentException(

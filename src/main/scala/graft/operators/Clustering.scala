@@ -88,9 +88,15 @@ object Clustering {
   def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double): DataFrame = {
     // norms once per vector BEFORE the within-cell self-join: each of the
-    // Σ cell² candidate pairs then costs one interpreted array pass
+    // Σ cell² candidate pairs then costs one interpreted array pass.
+    // Materialize the assignment (N rows) before aliasing it as both join
+    // sides — without this, Catalyst sees two copies of the corpus×k
+    // crossJoin+argmax plan and only exchange reuse *sometimes* dedups
+    // them; when it doesn't, the assignment runs twice (a full extra
+    // corpus×k pass at scale). Same technique kmeansFit uses per round.
     val cells = assignCells(corpus, idCol, vecCol, centroids)
       .withColumn("__n", Similarity.l2norm(col(vecCol)))
+      .localCheckpoint(true)
     val a = cells.select(col("cell_id"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("__n").as("na"))
     val b = cells.select(col("cell_id"), col(idCol).as("id_b"),

@@ -52,11 +52,15 @@ object SeriesFunctions {
 
   /** `integral`: running sum per series; None inputs stay None in the
     * output but do not reset the accumulator (graphite's behavior). */
-  def integral(df: DataFrame): DataFrame = {
-    val running = sum("value")
-      .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("value", when(col("value").isNotNull, running))
-  }
+  def integral(df: DataFrame): DataFrame =
+    df.withColumn("value", integralCol)
+
+  /** Column form of [[integral]] — lets a caller compute several window
+    * transforms over ONE scan (they all share the per-series spec, so
+    * Catalyst plans a single Window node instead of per-function joins). */
+  def integralCol: Column =
+    when(col("value").isNotNull, sum("value")
+      .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
   /** `timeShift`: relabel each point `offsetS` later (negative = earlier).
     * Pure column arithmetic — composes with any downstream join/compare. */
@@ -70,19 +74,25 @@ object SeriesFunctions {
   /** `movingAverage` over a trailing window of `points` slots (current
     * slot included), None slots skipped — graphite's safeAvg over the
     * window. The first slots average whatever prefix exists. */
-  def movingAverage(df: DataFrame, points: Int): DataFrame = {
+  def movingAverage(df: DataFrame, points: Int): DataFrame =
+    df.withColumn("value", movingAverageCol(points))
+
+  /** Column form of [[movingAverage]] (see [[integralCol]]). */
+  def movingAverageCol(points: Int): Column = {
     require(points > 0)
-    df.withColumn("value",
-      avg("value").over(perSeries.rowsBetween(-(points - 1), 0)))
+    avg("value").over(perSeries.rowsBetween(-(points - 1), 0))
   }
 
   /** `keepLastValue`: forward-fill None slots with the most recent
     * non-None value (no gap limit — document the difference vs graphite's
     * optional `limit`; an unlimited fill is the common call). */
   def keepLastValue(df: DataFrame): DataFrame =
-    df.withColumn("value",
-      last("value", ignoreNulls = true)
-        .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    df.withColumn("value", keepLastValueCol)
+
+  /** Column form of [[keepLastValue]] (see [[integralCol]]). */
+  def keepLastValueCol: Column =
+    last("value", ignoreNulls = true)
+      .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
   /** `summarize`: re-bucket each series into `intervalS` windows with one
     * of graphite's summary functions ("sum", "avg", "max", "min", "last").

@@ -50,8 +50,17 @@ object Urls {
       (qPos === 0 || schemeEnd < qPos)
     val rest = when(inSchemePos,
       substring(noFrag, schemeEnd + 3, lit(Int.MaxValue))).otherwise(noFrag)
-    val hostPort = lower(substring_index(rest, "/", 1))
-    val pathQ = substring(rest, length(hostPort) + 1, lit(Int.MaxValue))
+    // the authority ends at the EARLIEST of the first '/' and first '?':
+    // an authority-only URL with a query ("ex.com?utm_x=1") has no '/',
+    // and folding its query into the host would lowercase it, keep its
+    // tracking params, and split it from its "/"-path twin
+    val rSlash = instr(rest, "/")
+    val rQ = instr(rest, "?")
+    val hostEnd = when(rQ > 0 && (rSlash === 0 || rQ < rSlash), rQ - 1)
+      .when(rSlash > 0, rSlash - 1)
+      .otherwise(length(rest))
+    val hostPort = lower(substring(rest, lit(1), hostEnd))
+    val pathQ = substring(rest, hostEnd + 1, lit(Int.MaxValue))
     // "(www\.)+" not "www\.": a double-www host must canonicalize in one
     // pass or canonicalization loses idempotence
     val host = regexp_replace(regexp_replace(hostPort, "^(www\\.)+", ""),

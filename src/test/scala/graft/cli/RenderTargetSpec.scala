@@ -50,6 +50,26 @@ class RenderTargetSpec extends SparkSuite {
     assert(hm === Seq("sys.cpu.1.load"))
   }
 
+  test("timeStack fetches the widened past window and overlays it") {
+    val dir = java.nio.file.Files.createTempDirectory("rtts").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    // one point in the requested window (ts=120) and one a minute in the
+    // PAST (ts=60) — the k=1 copy must surface the past point AT ts=120
+    Bgutil.write(db, "sys.req.count", 60L, 7.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "sys.req.count", 120L, 9.0, "60*60s:24*3600s", "average")
+
+    val out = RenderTarget.render(db,
+      "timeStack(sys.req.count,'60s',0,1)", 120L, 180L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    // every emitted point sits INSIDE [120, 180) — the pre-fix behavior
+    // pushed all non-zero-k copies outside the window
+    assert(out.forall { case (_, ts, _) => ts >= 120L && ts < 180L }, out)
+    assert(out.contains(("sys.req.count", 120L, Some(9.0))))
+    assert(out.contains(("timeShift(sys.req.count,-60)", 120L, Some(7.0))))
+  }
+
   test("parseTime speaks graphite's render time syntax") {
     val now = 1_700_000_000L
     assert(RenderTarget.parseTime("now", now) === now)

@@ -40,6 +40,15 @@ class UrlsAndChunkingSpec extends SparkSuite {
     assert(canon("a.com/login?next=https://b.com/home")
       === "a.com/login?next=https://b.com/home")
     assert(canon("a.com/p?u=https://b.com/x") === "a.com/p?u=https://b.com/x")
+    // authority-only URL with a query and NO path: the host must end at
+    // the '?', so tracking params die, survivors sort, default port and
+    // www strip — and it collapses onto its '/'-path twin
+    assert(canon("http://Ex.COM?utm_x=1&b=2&a=1") === "ex.com?a=1&b=2")
+    assert(canon("HTTPS://WWW.ex.com:443?b=2&a=1") === "ex.com?a=1&b=2")
+    assert(canon("http://ex.com/?b=2&a=1") === "ex.com?a=1&b=2")
+    assert(canon("http://ex.com?utm_only=1") === "ex.com")
+    // idempotence for the schemeless authority-only form too
+    assert(canon("ex.com?a=1&b=2") === "ex.com?a=1&b=2")
   }
 
   test("dedupByUrl keeps the longest doc per canonical URL") {
