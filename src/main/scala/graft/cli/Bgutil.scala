@@ -118,7 +118,9 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|info|clustersdiff|shell|web> [args...]\n" +
+        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|info|clustersdiff|shell|web> [args...]\n" +
+        "  compact [sinceS] [bucketsPerSlice]            fold streaming re-emissions (all stages)\n" +
+        "  expire <nowS>                                 drop whole bucket dirs past retention\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
         "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
         "  dirs <glob>                                   directory glob (stored table or derived)\n" +
@@ -163,6 +165,10 @@ object Bgutil {
     case "dirs" => listDirs(db, rest(0)).show(200, truncate = false)
     case "copy" => copy(db, rest(0), rest(1))
     case "delete" => delete(db, rest(0))
+    case "compact" => compact(db,
+      sinceS = if (rest.length > 0) rest(0).toLong else Long.MinValue,
+      bucketsPerSlice = if (rest.length > 1) rest(1).toInt else 8)
+    case "expire" => expire(db, rest(0).toLong)
     case "info" => info(db)
     case "clustersdiff" => clustersDiff(db, Db(db.spark, rest(0)),
       rest(1).toLong, rest(2).toLong, rest.drop(3).toSeq)
@@ -664,6 +670,30 @@ object Bgutil {
     PointsStore.dropExpiredBuckets(db.pointsPath, nowS)
   }
 
+  /** `bgutil compact [sinceS] [bucketsPerSlice]` — the maintenance
+    * operator a deployment crons: fold streaming batch_seq re-emissions
+    * to their final values, every stage present in the store, a few
+    * buckets at a time (the TWCS analog the reference tunes in DDL,
+    * drivers/cassandra.py:943-1019). `sinceS` bounds steady-state runs
+    * to watermark-recent buckets so nightly compaction touches a
+    * constant number of partitions, not the table's age. */
+  def compact(db: Db, sinceS: Long = Long.MinValue,
+      bucketsPerSlice: Int = 8): Unit =
+    PointsStore.listStages(db.pointsPath).foreach { st =>
+      val done = PointsStore.compactStageSlices(db.spark, db.pointsPath, st,
+        bucketsPerSlice, sinceS)
+      println(s"compacted stage $st: ${done.length} bucket(s)")
+    }
+
+  /** `bgutil expire <nowS>` — TTL enforcement as a metadata operation:
+    * delete whole bucket partitions older than their stage's retention
+    * (clean's points half, exposed standalone for cron). */
+  def expire(db: Db, nowS: Long): Unit = {
+    val deleted = PointsStore.dropExpiredBuckets(db.pointsPath, nowS)
+    deleted.foreach(p => println(s"expired $p"))
+    println(s"expired ${deleted.length} bucket partition(s)")
+  }
+
   /** Orphan points without a catalog row (drivers/cassandra.py:2734-2842). */
   def repair(db: Db): DataFrame =
     MetricCatalog.orphanPoints(db.points, db.catalog)
@@ -688,9 +718,14 @@ object Bgutil {
 
   def info(db: Db): Unit = {
     println(s"catalog: ${db.catalog.count()} metrics")
-    if (new java.io.File(db.pointsPath).exists())
+    // a fully-expired store keeps its (empty) stage dirs — parquet schema
+    // inference would fail there, so probe the partition layout first
+    val stages = PointsStore.listStages(db.pointsPath)
+    val withData = stages.filter(st =>
+      PointsStore.listBuckets(db.pointsPath, st).nonEmpty)
+    if (withData.nonEmpty)
       println(s"points: ${db.points.count()} rows, stages: " +
-        db.points.select("stage").distinct().collect().map(_.getString(0))
-          .sorted.mkString(", "))
+        withData.map(_.toString).sorted.mkString(", "))
+    else println("points: empty")
   }
 }

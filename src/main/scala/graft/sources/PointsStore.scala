@@ -184,6 +184,17 @@ object PointsStore {
       .sorted
   }
 
+  /** Driver-side listing of the stage partition values present in a
+    * store — directory metadata only, one entry per stage dir. */
+  def listStages(baseDir: String): Seq[Stage] = {
+    val root = new java.io.File(baseDir)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("stage="))
+      .map(d => Stage.fromString(java.net.URLDecoder.decode(
+        d.getName.stripPrefix("stage="), "UTF-8")))
+      .sortBy(_.toString)
+  }
+
   /** Rolling per-slice compaction: collapse streaming re-emissions a few
     * buckets at a time instead of materializing the whole stage at once —
     * the whole-stage [[compactStage]] localCheckpoint is fine for a test

@@ -175,4 +175,64 @@ class BgutilSpec extends SparkSuite {
     // 12 metrics × 2 slots at 60 s + 2 metrics × 4 slots at 30 s
     assert(q2.count() === 12 * 2 + 2 * 4)
   }
+
+  test("compact + expire: stream-append → CLI compact → identical read") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.model.{Aggregator, MetricMetadata, Retention}
+    import graft.sources.PointsStore
+    import graft.streaming.CarbonListener
+
+    val dbDir = java.nio.file.Files.createTempDirectory("bgcompact").toString
+    val db = Db(spark, dbDir)
+    Bgutil.syncdb(db)
+    val spool = new java.io.File(s"$dbDir/carbon_spool"); spool.mkdirs()
+    val ckpt = s"$dbDir/ckpt"
+    val meta = MetricMetadata(Aggregator.Average,
+      Retention.fromString("60*60s:24*3600s"))
+    def drain(batchFile: String, lines: Seq[String]): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(spool.getPath, batchFile),
+        lines.mkString("", "\n", "\n"))
+      val q = CarbonListener.ingestFromSpool(spark, spool.getPath,
+          db.pointsPath, ckpt, _ => meta,
+          autoCreate = Some(db.catalogStore))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 0, then batch 1 re-emitting the SAME steps with new values —
+    // the store now holds superseded batch_seq rows for both stages
+    drain("batch-0.txt", Seq(
+      "sys.cpu.0.load 1.0 60", "sys.cpu.0.load 3.0 120",
+      "sys.cpu.1.load 5.0 60"))
+    drain("batch-1.txt", Seq(
+      "sys.cpu.0.load 9.0 60", "sys.cpu.1.load 7.0 120"))
+
+    def snapshot() = Bgutil.read(db, "sys.cpu.*.load", 60L, 180L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val before = snapshot()
+    // the re-emitted step resolves to the LATEST batch before compaction
+    assert(before.contains(("sys.cpu.0.load", 60L, Some(9.0))))
+    val physBefore = spark.read.parquet(db.pointsPath).count()
+
+    Bgutil.run(db, "compact", Array.empty)
+
+    // identical logical contents, strictly fewer physical rows (the
+    // superseded re-emissions are gone), batch_seq kept (non-terminal)
+    assert(snapshot() === before)
+    val physAfter = spark.read.parquet(db.pointsPath).count()
+    assert(physAfter < physBefore, s"$physAfter !< $physBefore")
+    assert(spark.read.parquet(db.pointsPath).columns.contains("batch_seq"))
+    // ...and a fresh streaming append AFTER compaction still supersedes
+    drain("batch-2.txt", Seq("sys.cpu.0.load 11.0 60"))
+    assert(snapshot().contains(("sys.cpu.0.load", 60L, Some(11.0))))
+
+    // expire far past every stage's retention: all bucket dirs drop
+    Bgutil.run(db, "expire", Array((60L + 100L * 86400L).toString))
+    PointsStore.listStages(db.pointsPath).foreach { st =>
+      assert(PointsStore.listBuckets(db.pointsPath, st).isEmpty,
+        s"stage $st still has buckets")
+    }
+  }
 }
