@@ -1323,6 +1323,32 @@ object SparkEntry {
         .orderBy("ts")
     },
 
+    // G13: render breadth wave 5 — stacked (draw-stacking as data),
+    // minMax normalization, asPercent against an EXPLICIT total series,
+    // aggregateWithWildcards(range) collapsing the instance node. All
+    // four are window/grouped passes over one hourly base; division
+    // outputs use the floor(x·1e4+0.5)/1e4 midpoint-proof rounding
+    "g13_render_breadth4" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val stk = SeriesFunctions.stacked(base).select(
+        col("name"), col("ts"), round(col("value"), 4).as("stk"))
+      val mm = SeriesFunctions.minMax(base).select(
+        col("name"), col("ts"),
+        (floor(col("value") * 10000 + 0.5) / 10000).as("mm"))
+      val ap = SeriesFunctions.asPercentOf(base,
+          base.filter(col("name") === "ev.click.0")).select(
+        col("name"), col("ts"),
+        (floor(col("value") * 10000 + 0.5) / 10000).as("ap"))
+      val wr = SeriesFunctions.seriesWithWildcards(base, "range", Seq(2))
+        .select(col("name").as("__wname"), col("ts"),
+          round(col("value"), 4).as("wrange"))
+      stk.join(mm, Seq("name", "ts")).join(ap, Seq("name", "ts"))
+        .withColumn("__wname",
+          concat_ws(".", slice(split(col("name"), "\\."), 1, 2)))
+        .join(wr, Seq("__wname", "ts"), "left").drop("__wname")
+        .orderBy("name", "ts")
+    },
+
     // D11: URL canonicalization + per-URL dedup — the crawl pipeline's
     // first dedup stage. The corpus has no URL column, so the fixture
     // synthesizes deterministic URLs exercising every rule (scheme/host
@@ -2504,6 +2530,47 @@ object SparkEntry {
          |  round(p.pos, 4) AS pos60
          |FROM wa w LEFT JOIN mul m USING (ts) LEFT JOIN pos p USING (ts)
          |ORDER BY w.ts""".stripMargin,
+
+    "g13_render_breadth4" ->
+      s"""WITH $SeriesCte,
+         |stk AS (
+         |  SELECT name, ts,
+         |    CASE WHEN value IS NOT NULL THEN
+         |      sum(value) OVER (PARTITION BY ts ORDER BY name
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    END AS stk
+         |  FROM base),
+         |mmx AS (
+         |  SELECT name, ts, value,
+         |    min(value) OVER (PARTITION BY name) AS mn,
+         |    max(value) OVER (PARTITION BY name) AS mx
+         |  FROM base),
+         |mm AS (
+         |  SELECT name, ts,
+         |    CASE WHEN value IS NULL THEN NULL
+         |      WHEN mx = mn THEN 0.0
+         |      ELSE floor((value - mn) / (mx - mn) * 10000 + 0.5) / 10000
+         |    END AS mm
+         |  FROM mmx),
+         |tot AS (SELECT ts, value AS t FROM base WHERE name = 'ev.click.0'),
+         |ap AS (
+         |  SELECT b.name, b.ts,
+         |    CASE WHEN t.t IS NOT NULL AND t.t <> 0
+         |      THEN floor(b.value / t.t * 100 * 10000 + 0.5) / 10000
+         |    END AS ap
+         |  FROM base b LEFT JOIN tot t ON t.ts = b.ts),
+         |wr AS (
+         |  SELECT split_part(name, '.', 1) || '.' || split_part(name, '.', 2)
+         |    AS wname, ts, round(max(value) - min(value), 4) AS wrange
+         |  FROM base GROUP BY 1, 2)
+         |SELECT b.name, b.ts, round(s.stk, 4) AS stk, m.mm, a.ap, w.wrange
+         |FROM base b
+         |JOIN stk s ON s.name = b.name AND s.ts = b.ts
+         |JOIN mm m ON m.name = b.name AND m.ts = b.ts
+         |JOIN ap a ON a.name = b.name AND a.ts = b.ts
+         |LEFT JOIN wr w ON w.ts = b.ts AND w.wname =
+         |  split_part(b.name, '.', 1) || '.' || split_part(b.name, '.', 2)
+         |ORDER BY b.name, b.ts""".stripMargin,
 
     "d11_url_dedup" ->
       """WITH u AS (

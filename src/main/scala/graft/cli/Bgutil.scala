@@ -440,7 +440,9 @@ object Bgutil {
     * timeStack:SHIFT_S[:START[:END]] | fallbackSeries:GLOB |
     * exponentialMovingAverage:N | lowest:N[:STAT] |
     * groupByNodes:FN:I[,J,…] | unique | limit:N | constantLine:V |
-    * consolidateBy:FN:MAX_POINTS
+    * consolidateBy:FN[:MAX_POINTS] | perSecond[:MAX] (counter wrap) |
+    * asPercent[:TOTAL_GLOB] | stacked | areaBetween | cactiStyle |
+    * minMax | aggregateWithWildcards:FN:I[,J,…]
     * (divideSeries/diffSeries fetch their second operand with the SAME
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
@@ -497,7 +499,8 @@ object Bgutil {
     val partsLen = args.length + 1
     val out = {
         name match {
-          case "perSecond" => SF.perSecond(df)
+          case "perSecond" => SF.perSecond(df,
+            if (partsLen > 1) Some(parts(1).toDouble) else None)
           case "derivative" => SF.derivative(df)
           case "nonNegativeDerivative" => SF.nonNegativeDerivative(df)
           case "integral" => SF.integral(df)
@@ -535,7 +538,17 @@ object Bgutil {
           case "averageAbove" => SF.averageAbove(df, parts(1).toDouble)
           case "averageBelow" =>
             SF.averageAbove(df, parts(1).toDouble, above = false)
+          // second form: an explicit totalSeries glob, read like
+          // divideSeries' divisor (consolidation budget carried through)
+          case "asPercent" if partsLen > 1 => SF.asPercentOf(df,
+            read(db, parts(1), startS, endS, maxDataPoints))
           case "asPercent" => SF.asPercent(df)
+          case "stacked" => SF.stacked(df)
+          case "areaBetween" => SF.areaBetween(df)
+          case "cactiStyle" => SF.cactiStyle(df)
+          case "minMax" => SF.minMax(df)
+          case "aggregateWithWildcards" => SF.seriesWithWildcards(df,
+            parts(1), parts(2).split(",").toSeq.map(_.toInt))
           case "absolute" => SF.absolute(df)
           case "logarithm" => SF.logarithm(df,
             if (partsLen > 1) parts(1).toDouble else 10.0)

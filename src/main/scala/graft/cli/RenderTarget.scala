@@ -54,6 +54,19 @@ object RenderTarget {
 
     def parseExpr(): Node = {
       skipWs()
+      // a quoted string in series position: source functions take their
+      // NAME there (timeFunction("x"), constantLine('1.5')) — parse it
+      // as a PathNode carrying the unquoted text; a call can't follow
+      if (!eof && (s.charAt(pos) == '\'' || s.charAt(pos) == '"')) {
+        val quote = s.charAt(pos)
+        pos += 1
+        val start = pos
+        while (!eof && s.charAt(pos) != quote) pos += 1
+        require(!eof, s"unterminated string at $start in '$s'")
+        val v = s.substring(start, pos)
+        pos += 1
+        return PathNode(v)
+      }
       val start = pos
       // read an identifier/path run first, then decide call vs path
       var depth = 0
@@ -136,6 +149,17 @@ object RenderTarget {
     case "sortByName" => ("sortBy", List("name"))
     case "offset" => ("scale", "1.0" :: args)
     case "log" => ("logarithm", args)
+    // the modern general combine: aggregate(seriesList, 'fn') — fn
+    // aliases normalized to the dispatch's combine names
+    case "aggregate" =>
+      val f = args.headOption.getOrElse(throw new IllegalArgumentException(
+        "aggregate: missing function argument")) match {
+        case "average" => "avg"
+        case "total" => "sum"
+        case "rangeOf" => "range"
+        case g => g
+      }
+      ("combine", List(f, raw))
     case other => (other, args)
   }
 
@@ -168,6 +192,22 @@ object RenderTarget {
       case CallNode("constantLine", PathNode(v), Nil, _) =>
         graft.operators.SeriesFunctions.constantLine(
           db.spark, v.toDouble, startS, endS)
+      // timeFunction("name"[, stepS]) is likewise a SOURCE: a synthetic
+      // series whose value is the timestamp, on the step grid
+      case CallNode("timeFunction" | "time", PathNode(name), args, _) =>
+        val step = if (args.nonEmpty) args.head.trim.toLong else 60L
+        graft.operators.SeriesFunctions.timeFunction(
+          db.spark, name, startS, endS, step)
+      // group(series, series, ...): union the operands verbatim — the
+      // combine family's fetch shape without a slot-wise combine
+      case CallNode("group", series, args, _) =>
+        (series :: args.map { a =>
+          require(!a.contains("("),
+            "group: nested call operands are not supported — " +
+              "use plain paths/globs")
+          PathNode(a)
+        }).map(eval(db, _, startS, endS, maxDataPoints))
+          .reduce(_ unionByName _)
       // applyByNode(series, nodeNum, 'template'): evaluate the quoted
       // template once per distinct node prefix with % replaced — the
       // per-host derived-metric pattern
@@ -254,7 +294,8 @@ object RenderTarget {
         val joined = fn match {
           case f if IntVarargFns(f) && args.length > 1 =>
             List(args.mkString(","))
-          case "groupByNodes" if args.length > 2 =>
+          case "groupByNodes" | "aggregateWithWildcards"
+              if args.length > 2 =>
             List(args.head, args.tail.mkString(","))
           case _ => args
         }

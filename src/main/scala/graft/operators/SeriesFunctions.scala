@@ -43,11 +43,22 @@ object SeriesFunctions {
   }
 
   /** `perSecond`: non-negative delta divided by the actual time gap to the
-    * previous point — rate that stays correct across missing slots. */
-  def perSecond(df: DataFrame): DataFrame = {
-    val delta = col("value") - lag("value", 1).over(perSeries)
+    * previous point — rate that stays correct across missing slots.
+    * `maxValue` (graphite's optional cap) recovers the rate across a
+    * counter WRAP: a negative delta on a counter that rolls over at
+    * maxValue really advanced `maxValue − prev + value + 1`. Without the
+    * cap, negative deltas stay None (a reset, not a wrap). */
+  def perSecond(df: DataFrame, maxValue: Option[Double] = None): DataFrame = {
+    val prev = lag("value", 1).over(perSeries)
+    val delta = col("value") - prev
     val dt = col("ts") - lag("ts", 1).over(perSeries)
-    df.withColumn("value", when(delta >= 0, delta / dt))
+    val wrapped = maxValue match {
+      case Some(m) => when(delta < 0 && prev <= m && col("value") <= m,
+        (lit(m) - prev + col("value") + 1) / dt)
+      case None => lit(null).cast("double")
+    }
+    df.withColumn("value",
+      when(delta >= 0, delta / dt).otherwise(wrapped))
   }
 
   /** `integral`: running sum per series; None inputs stay None in the
@@ -181,6 +192,85 @@ object SeriesFunctions {
     val total = sum("value").over(Window.partitionBy("ts"))
     df.withColumn("value",
       when(total =!= 0, col("value") / total * 100))
+  }
+
+  /** `asPercent(series, totalSeries)`: each series as a percentage of an
+    * EXPLICIT total series (summed across its members per slot) instead
+    * of the input's own slot total — `asPercent(app.*.hits,
+    * app.total.hits)`. Zero/None totals yield None like [[asPercent]].
+    * One shuffle on ts for the total + one ts join. */
+  def asPercentOf(df: DataFrame, total: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val t = total.groupBy("ts").agg(sum("value").as("__total"))
+    df.join(t, Seq("ts"), "left")
+      .withColumn("value",
+        when(col("__total") =!= 0, col("value") / col("__total") * 100))
+      .select(cols.map(col): _*)
+  }
+
+  /** `stacked`: draw-stacking as data — each series' value becomes the
+    * cumulative sum of itself and every series BEFORE it (name order) at
+    * the same slot, the y-coordinates a stacked-area chart plots. None
+    * slots stay None and contribute nothing to series above them. */
+  def stacked(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("ts").orderBy("name")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("value",
+      when(col("value").isNotNull, sum("value").over(w)))
+  }
+
+  /** `areaBetween`: graphite draws the band between EXACTLY two series —
+    * the data is unchanged (the band is a draw option); this validates
+    * the arity so a mis-globbed target fails loudly instead of silently
+    * drawing garbage. The distinct count is series-metadata-sized. */
+  def areaBetween(df: DataFrame): DataFrame = {
+    val n = df.select("name").distinct().count()
+    require(n == 2, s"areaBetween: exactly 2 series required, got $n")
+    df
+  }
+
+  /** `cactiStyle`: append Current/Max/Min legend stats to each series
+    * name (graphite right-aligns them in the legend; a set engine
+    * carries them in the name column). Values %.2f, all-None → nan. */
+  def cactiStyle(df: DataFrame): DataFrame = {
+    // format_string feeds a NULL through java.util.Formatter, which
+    // renders the string "null" precision-truncated to "nu" — guard
+    // the null explicitly instead
+    def fmt(c: Column): Column =
+      when(c.isNull, lit("nan")).otherwise(format_string("%.2f", c))
+    val whole = Window.partitionBy("name")
+    val cur = last("value", ignoreNulls = true)
+      .over(Window.partitionBy("name").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    df.withColumn("name", concat(col("name"),
+      lit(" Current:"), fmt(cur),
+      lit(" Max:"), fmt(max("value").over(whole)),
+      lit(" Min:"), fmt(min("value").over(whole))))
+  }
+
+  /** `minMax`: per-series min-max normalization onto [0, 1]; a flat
+    * series maps to 0 (graphite's convention for max == min). */
+  def minMax(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("name")
+    val mn = min("value").over(w)
+    val mx = max("value").over(w)
+    df.withColumn("value",
+      when(col("value").isNull, lit(null).cast("double"))
+        .when(mx === mn, lit(0.0))
+        .otherwise((col("value") - mn) / (mx - mn)))
+  }
+
+  /** `timeFunction` (alias `time`): a SOURCE series whose value at each
+    * step IS the timestamp — graphite's building block for synthetic
+    * targets (`scale(timeFunction("x"), 0.001)` etc). Generated
+    * distributed via `spark.range`, never a driver-side loop. */
+  def timeFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      startS: Long, endS: Long, stepS: Long = 60): DataFrame = {
+    require(stepS > 0, s"timeFunction: step must be positive, got $stepS")
+    spark.range(math.max(0L, (endS - startS + stepS - 1) / stepS))
+      .select(lit(name).as("name"),
+        (lit(startS) + col("id") * stepS).as("ts"),
+        (lit(startS) + col("id") * stepS).cast("double").as("value"))
   }
 
   /** `averageAbove` / `averageBelow`: keep only series whose per-series
@@ -733,11 +823,17 @@ object SeriesFunctions {
     val parts = split(col("name"), "\\.")
     val posArr = array(positions.map(lit): _*)
     val kept = filter(parts, (_, i) => !array_contains(posArr, i))
+    // the full aggregate set so `aggregateWithWildcards(s,'fn',pos...)`
+    // speaks every fn combineSeries does (average/total are graphite's
+    // registered aliases)
     val agg: Column = fn match {
-      case "sum" => sum("value")
-      case "avg" => avg("value")
+      case "sum" | "total" => sum("value")
+      case "avg" | "average" => avg("value")
       case "min" => min("value")
       case "max" => max("value")
+      case "count" => count("value").cast("double")
+      case "median" => median(col("value"))
+      case "range" | "rangeOf" => max("value") - min("value")
       case other => throw new IllegalArgumentException(
         s"seriesWithWildcards: unknown function '$other'")
     }

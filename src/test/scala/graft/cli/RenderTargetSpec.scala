@@ -50,6 +50,46 @@ class RenderTargetSpec extends SparkSuite {
     assert(hm === Seq("sys.cpu.1.load"))
   }
 
+  test("wave-5 targets: group, aggregate, timeFunction, asPercent total") {
+    val dir = java.nio.file.Files.createTempDirectory("rtw5").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "a.one.x", 120L, 1.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "b.two.y", 120L, 3.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "tot.all", 120L, 8.0, "60*60s:24*3600s", "average")
+
+    // group unions its operands verbatim — both series come back
+    val g = RenderTarget.render(db, "group(a.one.x,b.two.y)", 120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(g === Set("a.one.x", "b.two.y"))
+
+    // aggregate(series,'fn') is the modern general combine
+    val agg = RenderTarget.render(db,
+      "aggregate(group(a.one.x,b.two.y),'total')", 120L, 180L)
+      .collect().collectFirst { case r if !r.isNullAt(2) => r.getDouble(2) }
+    assert(agg === Some(4.0))
+
+    // timeFunction is a source: quoted name, value = ts on the grid
+    val tf = RenderTarget.render(db, "scale(timeFunction('t',60),2)",
+        120L, 240L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(tf === Set((120L, 240.0), (180L, 360.0)))
+
+    // asPercent against an explicit total series
+    val ap = RenderTarget.render(db, "asPercent(a.one.x,tot.all)", 120L, 180L)
+      .collect().collectFirst { case r if !r.isNullAt(2) => r.getDouble(2) }
+    assert(ap === Some(1.0 / 8.0 * 100))
+
+    // aggregateWithWildcards joins its int varargs for the dispatch
+    val aw = RenderTarget.parse("aggregateWithWildcards(a.*.x,'sum',1,2)")
+      .asInstanceOf[CallNode]
+    assert(aw.args === List("sum", "1", "2"))
+    val awOut = RenderTarget.render(db,
+      "aggregateWithWildcards(a.one.x,'sum',1)", 120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(awOut === Seq("a.x"))
+  }
+
   test("timeStack fetches the widened past window and overlays it") {
     val dir = java.nio.file.Files.createTempDirectory("rtts").toString
     val db = Db(spark, dir)

@@ -509,4 +509,82 @@ class SeriesFunctionsSpec extends SparkSuite {
       .collect().map(_.getDouble(2)).toSeq
     assert(out2 === Seq(10.0 / 4.0 * 1.0)) // 10·1 / (1+3)
   }
+
+  test("perSecond maxValue recovers the rate across a counter wrap") {
+    val wrap = Seq(("c", 0L, Some(250.0)), ("c", 60L, Some(5.0)))
+      .toDF("name", "ts", "value")
+    // without the cap a negative delta is a reset → None
+    assert(vals(SeriesFunctions.perSecond(wrap), "c") === Seq(None, None))
+    // with maxValue=255: (255 − 250 + 5 + 1) / 60
+    assert(vals(SeriesFunctions.perSecond(wrap, Some(255.0)), "c")
+      === Seq(None, Some(11.0 / 60)))
+    // values ABOVE the claimed cap stay None (not a genuine wrap)
+    assert(vals(SeriesFunctions.perSecond(wrap, Some(100.0)), "c")
+      === Seq(None, None))
+  }
+
+  test("asPercentOf divides by the explicit total series per slot") {
+    val total = Seq(("t", 0L, Some(20.0)), ("t", 60L, Some(0.0)),
+      ("t", 120L, Some(8.0))).toDF("name", "ts", "value")
+    val out = SeriesFunctions.asPercentOf(series, total)
+    assert(vals(out, "a") === Seq(Some(5.0), None, Some(50.0), None))
+    // zero total at 60 → None even though b has a value there
+    assert(vals(out, "b") === Seq(Some(50.0), None, None, None))
+  }
+
+  test("stacked accumulates across series in name order per slot") {
+    val st = SeriesFunctions.stacked(series)
+    assert(vals(st, "a") === Seq(Some(1.0), None, Some(4.0), Some(2.0)))
+    // b stacks ON a where a has a value; None contributes nothing
+    assert(vals(st, "b") === Seq(Some(11.0), Some(20.0), None, None))
+  }
+
+  test("areaBetween validates the two-series arity") {
+    SeriesFunctions.areaBetween(series) // 2 series: passes through
+    intercept[IllegalArgumentException] {
+      SeriesFunctions.areaBetween(series.filter(col("name") === "a"))
+    }
+  }
+
+  test("cactiStyle appends Current/Max/Min to the legend name") {
+    val names = SeriesFunctions.cactiStyle(series)
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(names === Seq(
+      "a Current:2.00 Max:4.00 Min:1.00",
+      "b Current:20.00 Max:20.00 Min:10.00"))
+    // an all-None series formats as nan
+    val empty = Seq(("e", 0L, Option.empty[Double])).toDF("name", "ts", "value")
+    assert(SeriesFunctions.cactiStyle(empty).collect()(0).getString(0)
+      === "e Current:nan Max:nan Min:nan")
+  }
+
+  test("minMax normalizes each series onto [0,1]; flat series to 0") {
+    val mm = SeriesFunctions.minMax(series)
+    assert(vals(mm, "a") === Seq(Some(0.0), None, Some(1.0), Some(1.0 / 3)))
+    val flat = Seq(("f", 0L, Some(5.0)), ("f", 60L, Some(5.0)))
+      .toDF("name", "ts", "value")
+    assert(vals(SeriesFunctions.minMax(flat), "f") === Seq(Some(0.0), Some(0.0)))
+  }
+
+  test("timeFunction emits the timestamp as value on the step grid") {
+    val tf = SeriesFunctions.timeFunction(spark, "x", 100L, 300L, 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._2)
+    assert(tf === Seq(("x", 100L, 100.0), ("x", 160L, 160.0),
+      ("x", 220L, 220.0), ("x", 280L, 280.0)))
+    assert(SeriesFunctions.timeFunction(spark, "x", 100L, 100L).count() === 0)
+  }
+
+  test("aggregateWithWildcards speaks the extended fn set") {
+    val v = Seq(("app.h1.hits", 0L, Some(3.0)), ("app.h2.hits", 0L, Some(5.0)))
+      .toDF("name", "ts", "value")
+    def one(fn: String): Double =
+      SeriesFunctions.seriesWithWildcards(v, fn, Seq(1))
+        .collect()(0).getDouble(2)
+    assert(one("count") === 2.0)
+    assert(one("median") === 4.0)
+    assert(one("range") === 2.0)
+    assert(one("total") === 8.0)
+    assert(one("average") === 4.0)
+  }
 }
