@@ -389,13 +389,22 @@ object SparkEntry {
     },
 
     // M2: clean expired metrics — last-seen before cutoff at
-    // (type, user) grain (drivers/cassandra.py:3052-3141)
+    // (type, user) grain (drivers/cassandra.py:3052-3141), run against
+    // the DATED catalog layout (30-day updated_on partitions, the ES
+    // dated-index analog): the expired scan's month predicate prunes
+    // whole partition dirs at plan time (PlanShapeSpec pins this)
     "m2_clean_expired" -> { (s, dir) =>
       val ev = table(s, dir, "events")
-      ev.select(concat(lit("ev."), col("event_type"), lit("."), col("user_id")).as("name"),
+      val cat = ev.select(
+          concat(lit("ev."), col("event_type"), lit("."), col("user_id")).as("name"),
           tsSeconds(ev).as("ts"))
         .groupBy("name").agg(max("ts").as("updated_on"))
-        .filter(col("updated_on") < T0 + 23 * 86400)
+      val tmp = java.nio.file.Files.createTempDirectory("m2cat").toString
+      MetricCatalog.writeDated(cat, tmp)
+      // nowS − maxAgeS = T0 + 23 d − 1 ⟺ updated_on < T0 + 23 d
+      MetricCatalog.expiredMetrics(s.read.parquet(tmp),
+          nowS = T0 + 24 * 86400, maxAgeS = 86400 + 1)
+        .select(col("name"), col("updated_on"))
         .orderBy("name")
     },
 

@@ -94,7 +94,17 @@ object Bgutil {
       val prevVersion = prevToken.map(_.takeWhile(_.isDigit).toLong).getOrElse(0L)
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       val nextToken = s"${prevVersion + 1}-$nonce"
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/${label}_v$nextToken")
+      // catalog versions use the DATED layout (partitioned by 30-day
+      // updated_on month, the ES dated-index analog) so time-scoped
+      // maintenance scans prune whole month dirs; tables without
+      // updated_on (directories) stay flat. An EMPTY commit (syncdb's
+      // bootstrap) writes flat too — a partitioned write of zero rows
+      // produces no files at all, leaving nothing to infer schema from
+      if (df.columns.contains("updated_on") && !df.isEmpty)
+        graft.sources.MetricCatalog.withUpdatedMonth(df)
+          .write.mode(SaveMode.Overwrite).partitionBy("updated_month")
+          .parquet(s"$dir/${label}_v$nextToken")
+      else df.write.mode(SaveMode.Overwrite).parquet(s"$dir/${label}_v$nextToken")
       if (token != prevToken) {
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$dir/${label}_v$nextToken"))

@@ -129,12 +129,42 @@ object MetricCatalog {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** 30-day span of the dated catalog layout — the ES driver's dated
+    * metadata indices (drivers/elasticsearch.py:461-533 writes
+    * `index-YYYY-MM-DD` and scans only the recent ones) mapped onto a
+    * parquet partition column. */
+  val MonthSpanS: Long = 30L * 86400
+
+  /** Derive the `updated_month` partition column (floor of updated_on to
+    * the 30-day grid). Idempotent — re-deriving overwrites in place. */
+  def withUpdatedMonth(catalog: DataFrame): DataFrame =
+    catalog.withColumn("updated_month",
+      (col("updated_on") / MonthSpanS).cast("long") * MonthSpanS)
+
+  /** Write a catalog partitioned by `updated_month` — the dated-index
+    * layout: maintenance scans over "metrics updated before/after T"
+    * then prune whole month directories instead of reading the full
+    * catalog (see [[expiredMetrics]]). */
+  def writeDated(catalog: DataFrame, dir: String): Unit =
+    withUpdatedMonth(catalog).write.mode("overwrite")
+      .partitionBy("updated_month").parquet(dir)
+
   /** Metrics whose catalog entry went stale (bgutil clean,
     * drivers/cassandra.py:3052-3141): updated_on older than maxAgeS. */
-  def expiredMetrics(catalog: DataFrame, nowS: Long, maxAgeS: Long): DataFrame =
+  def expiredMetrics(catalog: DataFrame, nowS: Long, maxAgeS: Long): DataFrame = {
+    val cutoff = nowS - maxAgeS
+    // on a dated layout, the month floor never exceeds updated_on, so
+    // `updated_month <= cutoff` is a lossless partition-pruning
+    // pre-filter for `updated_on <= cutoff` — whole new-month dirs are
+    // skipped at plan time
+    val pruned =
+      if (catalog.columns.contains("updated_month"))
+        catalog.filter(col("updated_month") <= lit(cutoff))
+      else catalog
     // updated_on is epoch seconds (long) everywhere in this catalog —
     // compare longs directly, consistent with Bgutil.clean
-    catalog.filter(col("updated_on") <= lit(nowS - maxAgeS))
+    pruned.filter(col("updated_on") <= lit(cutoff))
+  }
 
   /** Orphan points: points whose metric has no catalog row (bgutil repair,
     * drivers/cassandra.py:2734-2842) — a left-anti join. */

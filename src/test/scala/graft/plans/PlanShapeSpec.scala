@@ -77,4 +77,29 @@ class PlanShapeSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges === 1, s"expected one canonical-key shuffle:\n$p")
   }
+
+  test("dated catalog: time-scoped scan reads fewer files than full scan") {
+    import graft.sources.MetricCatalog
+    val dir = java.nio.file.Files.createTempDirectory("datedcat").toString
+    val span = MetricCatalog.MonthSpanS
+    // 90 days of updated_on → 3 month partitions on disk
+    val cat = (0 until 90).map(i => (s"m.$i", i.toLong * 86400))
+      .toDF("name", "updated_on")
+    MetricCatalog.writeDated(cat, dir)
+    val stored = spark.read.parquet(dir)
+
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    val full = filesRead(stored)
+    // cutoff inside month 0 → months 1-2 pruned at PLAN time
+    val expired = MetricCatalog.expiredMetrics(stored, nowS = span, maxAgeS = 1)
+    val pruned = filesRead(expired)
+    assert(pruned < full, s"expected partition pruning: $pruned !< $full")
+    // pruning is lossless: exactly the days-0..29 rows survive
+    assert(expired.count() === 30)
+  }
 }
