@@ -22,6 +22,36 @@ class ClustersDiffSpec extends SparkSuite {
     assert(d.head.getDouble(1) === 0.5)
   }
 
+  test("diff plan reuses the persisted fetch: one store scan per host") {
+    import graft.cli.Bgutil
+    import graft.cli.Bgutil.Db
+    def mkDb(v: Double): Db = {
+      val db = Db(spark,
+        java.nio.file.Files.createTempDirectory("cdiff").toString)
+      Bgutil.syncdb(db)
+      Bgutil.write(db, "sys.cpu.load", 120L, v, "60*60s:24*3600s", "average")
+      db
+    }
+    val (dbA, dbB) = (mkDb(1.0), mkDb(3.0))
+    // exactly what clustersDiff's timedFetch does: persist + count so
+    // the timing measurement IS the one store read
+    val a = Bgutil.read(dbA, "sys.*.load", 120L, 240L).persist()
+    val b = Bgutil.read(dbB, "sys.*.load", 120L, 240L).persist()
+    try {
+      a.count(); b.count()
+      val diff = ClustersDiff.dissymmetries(a, b)
+      // the dissymmetry plan must run from the cached fetches — EVERY
+      // leaf is the in-memory relation, no second scan of either store
+      // (plan-node check, not string: the cached relation's printout
+      // embeds its original scan, which never re-executes)
+      val leaves = diff.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        s"non-cached leaf in:\n${diff.queryExecution.optimizedPlan}")
+      assert(diff.collect().length === 1)
+    } finally { a.unpersist(); b.unpersist() }
+  }
+
   test("reference percentiles: sorted[int(i/100·n)], no interpolation") {
     val vals = (1 to 100).map(_.toDouble)
     val df = vals.toDF("v")
