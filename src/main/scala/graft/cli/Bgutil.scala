@@ -1,6 +1,7 @@
 package graft.cli
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -412,9 +413,52 @@ object Bgutil {
     * `maxDataPoints > 0` consolidates server-side (graphite-web's
     * maxDataPoints), applying xFilesFactor when the catalog carries it. */
   def read(db: Db, glob: String, startS: Long, endS: Long,
-      maxDataPoints: Int = 0): DataFrame =
-    TimeSeriesReader.findAndFetchPlanned(db.spark, db.catalog, db.pointsPath,
-      glob, startS, endS, nowS = endS, maxDataPoints = maxDataPoints)
+      maxDataPoints: Int = 0): DataFrame = {
+    val cold = TimeSeriesReader.findAndFetchPlanned(db.spark, db.catalog,
+      db.pointsPath, glob, startS, endS, nowS = endS,
+      maxDataPoints = maxDataPoints)
+    hotOverlay(db, cold, glob, startS, endS)
+  }
+
+  /** Carbonlink parity (plugins/graphite.py:196-205): the read face
+    * overlays the carbon daemon's UNFLUSHED points — here the spool
+    * backlog the streaming job hasn't drained yet (the drain deletes
+    * consumed files, so the spool IS the in-flight set) — onto the
+    * fetched series. Backlog lines are LWW-resolved per (metric,
+    * stage0 step) and PATCH matching spine slots; daemon data wins,
+    * exactly graphite's merge. Slots the backlog can't hit (coarser
+    * consolidated spines) keep the durable value, same as carbonlink's
+    * grain mismatch. A db with no spool (no daemon) pays one
+    * file-exists check. */
+  private def hotOverlay(db: Db, cold: DataFrame, glob: String,
+      startS: Long, endS: Long): DataFrame = {
+    val spoolDir = new java.io.File(s"${db.dir}/carbon_spool")
+    val files = Option(spoolDir.listFiles(
+        (_: java.io.File, n: String) => n.startsWith("batch-")))
+      .getOrElse(Array.empty[java.io.File])
+    if (files.isEmpty) return cold
+    val raw = graft.streaming.StreamingIngest.parseCarbonLines(
+      db.spark.read.text(files.map(_.getPath): _*))
+    val metrics = MetricCatalog.globMetrics(db.catalog, glob)
+      .select(col("name"), col("retention"))
+    val hot = raw.toDF().withColumnRenamed("metric", "name")
+      .join(broadcast(metrics), Seq("name"))
+      // backlog points are by nature stage0-recent: snap to the
+      // metric's own stage0 precision (first stage of its retention)
+      .withColumn("__prec",
+        regexp_extract(col("retention"), "^\\d+\\*(\\d+)s", 1).cast("long"))
+      .withColumn("__step",
+        (col("ts") / col("__prec")).cast("long") * col("__prec"))
+      .filter(col("__step") >= startS && col("__step") < endS)
+    val w = Window.partitionBy("name", "__step").orderBy(col("ts").desc)
+    val lww = hot.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("name"), col("__step").as("ts"), col("value").as("__hot"))
+    val cols = cold.columns.toSeq
+    cold.join(lww, Seq("name", "ts"), "left")
+      .withColumn("value", coalesce(col("__hot"), col("value")))
+      .select(cols.map(col): _*)
+  }
 
   /** The render API surface over the planned read: apply a graphite-style
     * function chain to every series a glob matches — what a graphite-web

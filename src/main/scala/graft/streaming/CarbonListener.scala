@@ -85,7 +85,12 @@ object CarbonListener {
       metadataFor: String => MetricMetadata,
       autoCreate: Option[graft.sources.MetricCatalog.CatalogStore] = None)
       : DataStreamWriter[_] = {
-    val lines = spark.readStream.format("text").load(spoolDir)
+    // consumed spool files are DELETED after their batch commits, so the
+    // spool directory always holds exactly the un-ingested backlog — the
+    // read face's carbonlink overlay (Bgutil.hotOverlay) relies on this
+    val lines = spark.readStream.format("text")
+      .option("cleanSource", "delete")
+      .load(spoolDir)
     val points = StreamingIngest.parseCarbonLines(lines)
     StreamingIngest.startIngestJob(points, metadataFor, storeDir,
       checkpointDir, autoCreate = autoCreate)

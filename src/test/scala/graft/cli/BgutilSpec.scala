@@ -235,4 +235,44 @@ class BgutilSpec extends SparkSuite {
         s"stage $st still has buckets")
     }
   }
+
+  test("carbonlink hot read: spool backlog visible before the drain") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.model.{Aggregator, MetricMetadata, Retention}
+    import graft.streaming.CarbonListener
+
+    val dbDir = java.nio.file.Files.createTempDirectory("bghot").toString
+    val db = Db(spark, dbDir)
+    Bgutil.syncdb(db)
+    // metric exists with a durable point at 60; the 120 slot is empty
+    Bgutil.write(db, "sys.hot.m", 60L, 1.0, "60*60s:24*3600s", "average")
+    def slot(ts: Long): Option[Double] =
+      Bgutil.read(db, "sys.hot.m", 60L, 240L).filter(col("ts") === ts)
+        .collect().headOption.flatMap(r =>
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(slot(120L) === None)
+
+    // a point lands in the spool (daemon received it, job hasn't drained)
+    val spool = new java.io.File(s"$dbDir/carbon_spool"); spool.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(spool.getPath, "batch-0.txt"),
+      "sys.hot.m 5.0 121\nsys.hot.m 7.0 122\n")
+    // the read face overlays the backlog: LWW in the 60s step → 7.0,
+    // and the durable slot stays untouched
+    assert(slot(120L) === Some(7.0))
+    assert(slot(60L) === Some(1.0))
+
+    // drain; cleanSource=delete empties the spool, the point is durable
+    val meta = MetricMetadata(Aggregator.Average,
+      Retention.fromString("60*60s:24*3600s"))
+    val q = CarbonListener.ingestFromSpool(spark, spool.getPath,
+        db.pointsPath, s"$dbDir/ckpt", _ => meta,
+        autoCreate = Some(db.catalogStore))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // same answer whether the point is hot or durable
+    assert(slot(120L) === Some(7.0))
+    assert(slot(60L) === Some(1.0))
+  }
 }
