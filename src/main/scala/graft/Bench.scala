@@ -110,7 +110,7 @@ object Bench {
     * composed pipeline's wall time at the bench scale factor. (C4 line
     * cleaning is omitted only because the synthetic corpus has no
     * newlines — every page would die on the terminal-punctuation rule.) */
-  private def curationPipeline(spark: SparkSession, sfDir: String): Long = {
+  private[graft] def curationPipeline(spark: SparkSession, sfDir: String): Long = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextAnalysis, Urls}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-robustness soak: inflate the documents/events tables by
+  * `factor` locally (union-of-salted-copies semantics, built as one
+  * generator expression), run the heavyweight pipelines once at 1× and
+  * once at `factor`×, and report each query's scaling exponent
+  * log(t_big/t_small)/log(factor). An exponent near 1 is linear; ≥2 is
+  * the quadratic blowup this harness exists to catch BEFORE it ships.
+  *
+  * Inflation semantics — a bigger corpus, not denser duplicates:
+  *  - documents: copy k prefixes every token with `q<k>` so the copies'
+  *    shingle/minhash universes are DISJOINT — each copy reproduces the
+  *    source's internal near-duplicate structure instead of forming
+  *    10×-sized cross-copy duplicate clusters (which would measure a
+  *    data-shape change, not the engine's scaling);
+  *  - events: copy k keeps (name, ts) and re-keys event_id — series
+  *    count stays fixed while every time slot gets `factor`× the points,
+  *    the dense-volume axis a metrics store actually grows along.
+  *
+  * Usage: `runMain graft.Soak [srcDir] [outDir] [factor]`.
+  */
+object Soak {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_soak"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    inflate(spark, src, out, factor)
+
+    val queries = Seq("e1_storage_read_path", "e2_consolidated_read",
+      "e3_multi_retention_read", "e4_render_pipeline",
+      "d2_minhash_lsh", "p1_sequence_packing", "t9_c4_rules")
+    def timed(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    val rows = (queries.map { q =>
+      val small = timed(SparkEntry.queries(q)(spark, src).count())
+      val big = timed(SparkEntry.queries(q)(spark, out).count())
+      (q, small, big)
+    } :+ {
+      val small = timed(Bench.curationPipeline(spark, src))
+      val big = timed(Bench.curationPipeline(spark, out))
+      ("x1_curation_pipeline", small, big)
+    }).map { case (q, small, big) =>
+      val exp = math.log(big / small) / math.log(factor.toDouble)
+      f"""{"query":"$q","t1":$small%.2f,"t$factor":$big%.2f,"exponent":$exp%.2f}"""
+    }
+    rows.foreach(println)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      rows.mkString("", "\n", "\n"))
+    catch { case e: Throwable =>
+      System.err.println(s"[soak] could not write $outFile: ${e.getMessage}") }
+    spark.stop()
+  }
+
+  /** Write `factor`-times-inflated copies of documents + events. */
+  def inflate(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val ks = explode(sequence(lit(0), lit(factor - 1))).as("k")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.select(col("*"), ks)
+      .select(
+        (col("doc_id") * factor + col("k")).as("doc_id"),
+        // token-disjoint copies: q<k> prefix on every token (k=0 stays
+        // verbatim so the source corpus is a subset)
+        when(col("k") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("q"), col("k"), lit("$1")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.select(col("*"), ks)
+      .select((col("event_id") * factor + col("k")).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+}

@@ -75,6 +75,59 @@ object Urls {
       when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
 
+  /** [[canonicalizeUrl]] evaluated in STAGES: each intermediate is a
+    * real projected column, so the heavy substring/search subtrees are
+    * computed once per row. The single-Column form necessarily inlines
+    * `rest` into every consumer (~10 copies of the scheme-strip
+    * substring per row — Catalyst's CollapseProject keeps multi-use
+    * non-cheap aliases in separate projections, but a lone Column
+    * expression has no aliases to keep); on the curation pipeline that
+    * inlining tripled the URL-dedup stage's cost. Same result,
+    * column-for-column. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String = "url",
+      outCol: String = "canon_url"): DataFrame = {
+    val noFrag = col("__nofrag")
+    val rest = col("__rest")
+    df.withColumn("__nofrag", substring_index(col(urlCol), "#", 1))
+      .withColumn("__rest", {
+        val schemeEnd = instr(noFrag, "://")
+        val slashPos = instr(noFrag, "/")
+        val qPos = instr(noFrag, "?")
+        val inSchemePos = schemeEnd > 0 &&
+          (slashPos === 0 || schemeEnd < slashPos) &&
+          (qPos === 0 || schemeEnd < qPos)
+        when(inSchemePos,
+          substring(noFrag, schemeEnd + 3, lit(Int.MaxValue))).otherwise(noFrag)
+      })
+      .withColumn("__hostEnd", {
+        val rSlash = instr(rest, "/")
+        val rQ = instr(rest, "?")
+        when(rQ > 0 && (rSlash === 0 || rQ < rSlash), rQ - 1)
+          .when(rSlash > 0, rSlash - 1)
+          .otherwise(length(rest))
+      })
+      .withColumn("__hostPort",
+        lower(substring(rest, lit(1), col("__hostEnd"))))
+      .withColumn("__pathQ",
+        substring(rest, col("__hostEnd") + 1, lit(Int.MaxValue)))
+      .withColumn("__host",
+        regexp_replace(regexp_replace(col("__hostPort"), "^(www\\.)+", ""),
+          ":(80|443)$", ""))
+      .withColumn("__path", substring_index(col("__pathQ"), "?", 1))
+      .withColumn("__query",
+        when(instr(col("__pathQ"), "?") > 0,
+          substring_index(col("__pathQ"), "?", -1)).otherwise(lit("")))
+      .withColumn("__sq", array_join(array_sort(
+        filter(split(col("__query"), "&"),
+          p => !p.rlike(TrackingParamRegex) && p =!= "")), "&"))
+      .withColumn(outCol, concat(col("__host"),
+        regexp_replace(col("__path"), "/$", ""),
+        when(length(col("__sq")) > 0, concat(lit("?"), col("__sq")))
+          .otherwise(lit(""))))
+      .drop("__nofrag", "__rest", "__hostEnd", "__hostPort", "__pathQ",
+        "__host", "__path", "__query", "__sq")
+  }
+
   /** Mark one keeper per canonical URL: the longest document
     * (`lengthCol` desc), ties to the smallest id — deterministic at
     * any parallelism. Adds `canon_url` and `kept` (1/0) columns; the
@@ -85,7 +138,7 @@ object Urls {
       idCol: String = "doc_id", lengthCol: String = "n_chars"): DataFrame = {
     val w = Window.partitionBy("canon_url")
       .orderBy(col(lengthCol).desc, col(idCol).asc)
-    docs.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+    withCanonicalUrl(docs, urlCol, "canon_url")
       .withColumn("kept",
         when(row_number().over(w) === 1, lit(1)).otherwise(lit(0)))
   }

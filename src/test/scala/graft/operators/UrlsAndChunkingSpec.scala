@@ -114,6 +114,12 @@ class UrlsAndChunkingSpec extends SparkSuite {
       col("c1"), Urls.canonicalizeUrl(col("c1")).as("c2"))
     assert(twice.filter(col("c1") =!= col("c2")).count() === 0,
       "canonicalization must be idempotent")
+    // the staged (projected-intermediate) form must agree with the
+    // single-Column form on every variant
+    val staged = Urls.withCanonicalUrl(df, "url", "cs")
+    assert(staged.join(once, "id")
+      .filter(col("cs") =!= col("c1")).count() === 0,
+      "withCanonicalUrl must equal canonicalizeUrl")
     // variants differ only in tracked noise + query presence → exactly
     // two canonical forms per path shape: with and without ?a=1&b=2
     val canon = once.select("c1").distinct()
