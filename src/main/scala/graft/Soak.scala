@@ -77,11 +77,13 @@ object Soak {
     docs.select(col("*"), ks)
       .select(
         (col("doc_id") * factor + col("k")).as("doc_id"),
-        // token-disjoint copies: q<k> prefix on every token (k=0 stays
-        // verbatim so the source corpus is a subset)
+        // token-disjoint copies: q<k>_ prefix on every token (k=0 stays
+        // verbatim so the source corpus is a subset). The underscore
+        // separator keeps copies disjoint at any factor — without it,
+        // q1 + digit-leading token collides with q10+ token
         when(col("k") === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("q"), col("k"), lit("$1")))).as("text"),
+            concat(lit("q"), col("k"), lit("_$1")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 

@@ -421,15 +421,19 @@ object Bgutil {
   }
 
   /** Carbonlink parity (plugins/graphite.py:196-205): the read face
-    * overlays the carbon daemon's UNFLUSHED points — here the spool
-    * backlog the streaming job hasn't drained yet (the drain deletes
-    * consumed files, so the spool IS the in-flight set) — onto the
-    * fetched series. Backlog lines are LWW-resolved per (metric,
-    * stage0 step) and PATCH matching spine slots; daemon data wins,
-    * exactly graphite's merge. Slots the backlog can't hit (coarser
-    * consolidated spines) keep the durable value, same as carbonlink's
-    * grain mismatch. A db with no spool (no daemon) pays one
-    * file-exists check. */
+    * FILLS empty spine slots from the carbon daemon's unflushed points —
+    * here the spool backlog the streaming job hasn't drained yet (the
+    * drain deletes consumed files, so the spool is the in-flight set).
+    * Backlog lines are LWW-resolved per (metric, stage0 step) by
+    * LATEST RAW TS (arrival order only breaks exact-duplicate-ts
+    * ties), the same rule the ingest's in-batch LWW and the batch
+    * downsampler apply, so a slot answers the same whether its point
+    * is still hot or already durable. Durable data WINS over the backlog: the spool cleaner is
+    * asynchronous, and a lingering already-drained file must never
+    * shadow a newer durable value. Slots the backlog can't hit
+    * (coarser consolidated spines) keep the durable value, same as
+    * carbonlink's grain mismatch. A db with no spool (no daemon) pays
+    * one file-exists check. */
   private def hotOverlay(db: Db, cold: DataFrame, glob: String,
       startS: Long, endS: Long): DataFrame = {
     val spoolDir = new java.io.File(s"${db.dir}/carbon_spool")
@@ -437,11 +441,19 @@ object Bgutil {
         (_: java.io.File, n: String) => n.startsWith("batch-")))
       .getOrElse(Array.empty[java.io.File])
     if (files.isEmpty) return cold
+    // the drain deletes consumed files CONCURRENTLY with this lazy
+    // scan — a listed file may be gone by execution time, which is the
+    // normal operating state, not an error
     val raw = graft.streaming.StreamingIngest.parseCarbonLines(
-      db.spark.read.text(files.map(_.getPath): _*))
+      db.spark.read.option("ignoreMissingFiles", "true")
+        .text(files.map(_.getPath): _*))
     val metrics = MetricCatalog.globMetrics(db.catalog, glob)
       .select(col("name"), col("retention"))
-    val hot = raw.toDF().withColumnRenamed("metric", "name")
+    val hot = raw.toDF()
+      // scan order = file listing order then line order, the same order
+      // the streaming drain feeds its in-batch LWW
+      .withColumn("__seq", monotonically_increasing_id())
+      .withColumnRenamed("metric", "name")
       .join(broadcast(metrics), Seq("name"))
       // backlog points are by nature stage0-recent: snap to the
       // metric's own stage0 precision (first stage of its retention)
@@ -450,13 +462,14 @@ object Bgutil {
       .withColumn("__step",
         (col("ts") / col("__prec")).cast("long") * col("__prec"))
       .filter(col("__step") >= startS && col("__step") < endS)
-    val w = Window.partitionBy("name", "__step").orderBy(col("ts").desc)
+    val w = Window.partitionBy("name", "__step")
+      .orderBy(col("ts").desc, col("__seq").desc)
     val lww = hot.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("name"), col("__step").as("ts"), col("value").as("__hot"))
     val cols = cold.columns.toSeq
     cold.join(lww, Seq("name", "ts"), "left")
-      .withColumn("value", coalesce(col("__hot"), col("value")))
+      .withColumn("value", coalesce(col("value"), col("__hot")))
       .select(cols.map(col): _*)
   }
 
@@ -501,11 +514,29 @@ object Bgutil {
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
       fnSpecs: Seq[String], maxDataPoints: Int = 0): DataFrame = {
-    val out = fnSpecs.foldLeft(read(db, glob, startS, endS, maxDataPoints)) {
-      (df, spec) =>
-        val parts = spec.split(":")
-        applyRenderFn(db, df, parts(0), parts.drop(1).toIndexedSeq,
-          startS, endS, maxDataPoints)
+    // timeStack overlays PAST data: widen the leaf fetch by its max
+    // shift, apply the chain below it on the widened window, and clip
+    // back to [startS, endS) right after the stack — the same shape
+    // RenderTarget.eval gives nested targets. Consolidation is skipped
+    // on a widened fetch (a budget spread over the 8×-wider window
+    // would coarsen and re-anchor the spine the caller asked for).
+    val stackIdx = fnSpecs.indexWhere(s =>
+      s == "timeStack" || s.startsWith("timeStack:"))
+    val (fetchStart, mdp) =
+      if (stackIdx < 0) (startS, maxDataPoints)
+      else {
+        val p = fnSpecs(stackIdx).split(":")
+        require(p.length >= 2, "timeStack: missing shift argument")
+        val endK = if (p.length > 3) p(3).toInt else 7
+        (startS - endK * math.abs(RenderTarget.parseInterval(p(1))), 0)
+      }
+    var out = read(db, glob, fetchStart, endS, mdp)
+    for ((spec, i) <- fnSpecs.zipWithIndex) {
+      val parts = spec.split(":")
+      out = applyRenderFn(db, out, parts(0), parts.drop(1).toIndexedSeq,
+        fetchStart, endS, mdp)
+      if (i == stackIdx)
+        out = out.filter(col("ts") >= startS && col("ts") < endS)
     }
     if (out.columns.contains("series_order")) out.orderBy("series_order", "ts")
     else out.orderBy("name", "ts")
@@ -592,10 +623,17 @@ object Bgutil {
           case "averageAbove" => SF.averageAbove(df, parts(1).toDouble)
           case "averageBelow" =>
             SF.averageAbove(df, parts(1).toDouble, above = false)
-          // second form: an explicit totalSeries glob, read like
-          // divideSeries' divisor (consolidation budget carried through)
-          case "asPercent" if partsLen > 1 => SF.asPercentOf(df,
-            read(db, parts(1), startS, endS, maxDataPoints))
+          // second form: an explicit total — graphite accepts either a
+          // totalSeries glob (read like divideSeries' divisor, with the
+          // consolidation budget carried through) or a constant number
+          case "asPercent" if partsLen > 1 =>
+            parts(1).toDoubleOption match {
+              case Some(n) =>
+                require(n != 0, "asPercent: constant total must be non-zero")
+                SF.scaleOffset(df, 100.0 / n)
+              case None => SF.asPercentOf(df,
+                read(db, parts(1), startS, endS, maxDataPoints))
+            }
           case "asPercent" => SF.asPercent(df)
           case "stacked" => SF.stacked(df)
           case "areaBetween" => SF.areaBetween(df)

@@ -150,7 +150,10 @@ object RenderTarget {
     case "offset" => ("scale", "1.0" :: args)
     case "log" => ("logarithm", args)
     // the modern general combine: aggregate(seriesList, 'fn') — fn
-    // aliases normalized to the dispatch's combine names
+    // aliases normalized to the dispatch's combine names. Trailing
+    // arguments (graphite's xFilesFactor) must fail loudly, not drop:
+    // the mapping would otherwise swallow them before the dispatch's
+    // tracked-args guard could see them
     case "aggregate" =>
       val f = args.headOption.getOrElse(throw new IllegalArgumentException(
         "aggregate: missing function argument")) match {
@@ -159,6 +162,9 @@ object RenderTarget {
         case "rangeOf" => "range"
         case g => g
       }
+      if (args.length > 1) throw new IllegalArgumentException(
+        s"aggregate: unsupported trailing argument(s) " +
+          s"${args.tail.mkString(", ")} (xFilesFactor is not implemented)")
       ("combine", List(f, raw))
     case other => (other, args)
   }
@@ -276,8 +282,12 @@ object RenderTarget {
         val shiftS = math.abs(parseInterval(args.head))
         val startK = if (args.length > 1) args(1).trim.toInt else 0
         val endK = if (args.length > 2) args(2).trim.toInt else 7
+        // consolidation OFF for the widened fetch: a maxDataPoints
+        // budget spread over the endK×-wider window would coarsen the
+        // spine and shift its anchor, so shifted copies would miss the
+        // requested window's slots
         val widened =
-          eval(db, series, startS - endK * shiftS, endS, maxDataPoints)
+          eval(db, series, startS - endK * shiftS, endS, 0)
         graft.operators.SeriesFunctions
           .timeStack(widened, shiftS, startK, endK)
           .filter(col("ts") >= startS && col("ts") < endS)

@@ -146,11 +146,13 @@ object StreamingIngest {
             // batchId is monotonic across restarts (checkpoint-tracked):
             // readers resolve upserts by last-write-wins on batch_seq
             .withColumn("batch_seq", lit(batchId))
-          // in-batch last-write-wins per (metric, ts): later emissions of
-          // the same running aggregate supersede earlier ones
+          // in-batch last-write-wins per (metric, step): the LATEST RAW
+          // TS wins (matching batchDownsample's rule and the hot-read
+          // overlay, so a slot answers identically on every path);
+          // arrival order only breaks exact-duplicate-ts ties
           val deduped = Downsample.lastWriteWins(
             rows.withColumn("__seq", monotonically_increasing_id()),
-            st.precisionS, col("__seq")).drop("__seq")
+            st.precisionS, struct(col("ts"), col("__seq"))).drop("__seq")
           PointsStore.write(deduped, storeDir, st)
         }
         ()

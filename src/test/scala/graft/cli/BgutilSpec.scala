@@ -245,34 +245,49 @@ class BgutilSpec extends SparkSuite {
     val dbDir = java.nio.file.Files.createTempDirectory("bghot").toString
     val db = Db(spark, dbDir)
     Bgutil.syncdb(db)
-    // metric exists with a durable point at 60; the 120 slot is empty
-    Bgutil.write(db, "sys.hot.m", 60L, 1.0, "60*60s:24*3600s", "average")
+    val spool = new java.io.File(s"$dbDir/carbon_spool"); spool.mkdirs()
+    val meta = MetricMetadata(Aggregator.Average,
+      Retention.fromString("60*60s:24*3600s"))
+    def drain(): Unit = {
+      val q = CarbonListener.ingestFromSpool(spark, spool.getPath,
+          db.pointsPath, s"$dbDir/ckpt", _ => meta,
+          autoCreate = Some(db.catalogStore))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def spoolWrite(file: String, lines: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(spool.getPath, file), lines)
     def slot(ts: Long): Option[Double] =
       Bgutil.read(db, "sys.hot.m", 60L, 240L).filter(col("ts") === ts)
         .collect().headOption.flatMap(r =>
           if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+
+    // a durable point at slot 60 via a DRAINED batch (uniform
+    // batch_seq schema); the 120 slot stays empty
+    spoolWrite("batch-0.txt", "sys.hot.m 1.0 60\n")
+    drain()
+    assert(slot(60L) === Some(1.0))
     assert(slot(120L) === None)
 
-    // a point lands in the spool (daemon received it, job hasn't drained)
-    val spool = new java.io.File(s"$dbDir/carbon_spool"); spool.mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(spool.getPath, "batch-0.txt"),
-      "sys.hot.m 5.0 121\nsys.hot.m 7.0 122\n")
-    // the read face overlays the backlog: LWW in the 60s step → 7.0,
-    // and the durable slot stays untouched
-    assert(slot(120L) === Some(7.0))
+    // points land in the spool (daemon received them, job hasn't
+    // drained) — OUT OF ORDER, plus a line for the already-durable slot
+    spoolWrite("batch-1.txt",
+      "sys.hot.m 9.0 122\nsys.hot.m 7.0 121\nsys.hot.m 4.0 61\n")
+    // the read face fills the EMPTY slot from the backlog, resolving
+    // the in-step race by LATEST RAW TS (the same rule the ingest's
+    // in-batch LWW applies, so hot and durable answers match); the
+    // durable slot is NOT shadowed by the backlog
+    assert(slot(120L) === Some(9.0))
     assert(slot(60L) === Some(1.0))
 
-    // drain; cleanSource=delete empties the spool, the point is durable
-    val meta = MetricMetadata(Aggregator.Average,
-      Retention.fromString("60*60s:24*3600s"))
-    val q = CarbonListener.ingestFromSpool(spark, spool.getPath,
-        db.pointsPath, s"$dbDir/ckpt", _ => meta,
-        autoCreate = Some(db.catalogStore))
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // same answer whether the point is hot or durable
-    assert(slot(120L) === Some(7.0))
-    assert(slot(60L) === Some(1.0))
+    // drain; cleanSource=delete empties the spool, points are durable
+    drain()
+    // the gap-filled slot answers the same now that it is durable
+    assert(slot(120L) === Some(9.0))
+    // the already-durable slot: the drained 4.0@61 point legitimately
+    // supersedes batch-0's 1.0 via batch_seq LWW — before the drain
+    // the overlay correctly did NOT let the backlog shadow durable data
+    assert(slot(60L) === Some(4.0))
   }
 }

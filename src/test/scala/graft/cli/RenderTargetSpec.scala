@@ -108,6 +108,26 @@ class RenderTargetSpec extends SparkSuite {
     assert(out.forall { case (_, ts, _) => ts >= 120L && ts < 180L }, out)
     assert(out.contains(("sys.req.count", 120L, Some(9.0))))
     assert(out.contains(("timeShift(sys.req.count,-60)", 120L, Some(7.0))))
+
+    // the colon-spec chain widens and clips the same way
+    val chain = Bgutil.render(db, "sys.req.count", 120L, 180L,
+        Seq("timeStack:60:0:1"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(chain.forall { case (_, ts, _) => ts >= 120L && ts < 180L }, chain)
+    assert(chain.contains(("timeShift(sys.req.count,-60)", 120L, Some(7.0))))
+
+    // asPercent with a CONSTANT total is a scale, not a glob read
+    val ap = Bgutil.render(db, "sys.req.count", 120L, 180L,
+        Seq("asPercent:50"))
+      .collect().collectFirst { case r if !r.isNullAt(2) => r.getDouble(2) }
+    assert(ap === Some(9.0 / 50 * 100))
+
+    // aggregate's unsupported trailing xFilesFactor fails loudly
+    intercept[IllegalArgumentException] {
+      RenderTarget.render(db, "aggregate(sys.req.count,'sum',0.5)",
+        120L, 180L)
+    }
   }
 
   test("parseTime speaks graphite's render time syntax") {
