@@ -508,8 +508,12 @@ object Bgutil {
     * exponentialMovingAverage:N | lowest:N[:STAT] |
     * groupByNodes:FN:I[,J,…] | unique | limit:N | constantLine:V |
     * consolidateBy:FN[:MAX_POINTS] | perSecond[:MAX] (counter wrap) |
-    * asPercent[:TOTAL_GLOB] | stacked | areaBetween | cactiStyle |
-    * minMax | aggregateWithWildcards:FN:I[,J,…]
+    * asPercent[:TOTAL_GLOB|:N] | stacked | areaBetween | cactiStyle |
+    * minMax | aggregateWithWildcards:FN:I[,J,…] |
+    * keepLastValue:LIMIT | nonNegativeDerivative[:MAX] |
+    * filterSeries:FN:OP:N | legendValue:STAT[:STAT…] | aliasByMetric |
+    * secondYAxis | drawAsInfinite | color:C | alpha:A | lineWidth:W |
+    * dashed[:LEN] (draw-option pass-throughs)
     * (divideSeries/diffSeries fetch their second operand with the SAME
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
@@ -587,9 +591,23 @@ object Bgutil {
           case "perSecond" => SF.perSecond(df,
             if (partsLen > 1) Some(parts(1).toDouble) else None)
           case "derivative" => SF.derivative(df)
-          case "nonNegativeDerivative" => SF.nonNegativeDerivative(df)
+          case "nonNegativeDerivative" => SF.nonNegativeDerivative(df,
+            if (partsLen > 1) Some(parts(1).toDouble) else None)
           case "integral" => SF.integral(df)
+          case "keepLastValue" if partsLen > 1 =>
+            SF.keepLastValueLimited(df, parts(1).toInt)
           case "keepLastValue" => SF.keepLastValue(df)
+          case "filterSeries" =>
+            SF.filterSeries(df, parts(1), parts(2), parts(3).toDouble)
+          case "legendValue" =>
+            SF.legendValue(df, (1 until partsLen).map(parts))
+          case "aliasByMetric" => SF.aliasByNode(df, Seq(-1))
+          // draw-option functions: graphite attaches render attributes
+          // the data layer doesn't carry — pass through, CONSUMING the
+          // args so the unused-argument guard stays meaningful
+          case "secondYAxis" | "drawAsInfinite" => df
+          case "color" | "alpha" | "lineWidth" => parts(1); df
+          case "dashed" => if (partsLen > 1) parts(1); df
           case "movingAverage" => SF.movingAverage(df, pointsArg(1))
           case "timeShift" => SF.timeShift(df, intervalArg(1))
           case "scale" => SF.scaleOffset(df, parts(1).toDouble,

@@ -200,10 +200,34 @@ object RenderTarget {
           db.spark, v.toDouble, startS, endS)
       // timeFunction("name"[, stepS]) is likewise a SOURCE: a synthetic
       // series whose value is the timestamp, on the step grid
-      case CallNode("timeFunction" | "time", PathNode(name), args, _) =>
+      // (identity('name') is its registered alias)
+      case CallNode("timeFunction" | "time" | "identity",
+          PathNode(name), args, _) =>
         val step = if (args.nonEmpty) args.head.trim.toLong else 60L
         graft.operators.SeriesFunctions.timeFunction(
           db.spark, name, startS, endS, step)
+      // threshold(value[, 'label'[, 'color']]): a labeled constantLine
+      // (the color is a draw attribute the data layer doesn't carry)
+      case CallNode("threshold", PathNode(v), args, _) =>
+        import org.apache.spark.sql.functions.lit
+        graft.operators.SeriesFunctions
+          .constantLine(db.spark, v.toDouble, startS, endS)
+          .withColumn("name", lit(args.headOption.getOrElse(v)))
+      case CallNode("sinFunction" | "sin", PathNode(name), args, _) =>
+        val amp = if (args.nonEmpty) args.head.trim.toDouble else 1.0
+        val step = if (args.length > 1) args(1).trim.toLong else 60L
+        graft.operators.SeriesFunctions.sinFunction(
+          db.spark, name, amp, startS, endS, step)
+      case CallNode("randomWalkFunction" | "randomWalk",
+          PathNode(name), args, _) =>
+        val step = if (args.nonEmpty) args.head.trim.toLong else 60L
+        graft.operators.SeriesFunctions.randomWalk(
+          db.spark, name, startS, endS, step)
+      // verticalLine('ts'[, 'label']): the instant parses in graphite's
+      // render time syntax, relative to the window end
+      case CallNode("verticalLine", PathNode(ts), args, _) =>
+        graft.operators.SeriesFunctions.verticalLine(
+          db.spark, parseTime(ts, endS), args.headOption.getOrElse(ts))
       // group(series, series, ...): union the operands verbatim — the
       // combine family's fetch shape without a slot-wise combine
       case CallNode("group", series, args, _) =>

@@ -36,10 +36,19 @@ object SeriesFunctions {
     df.withColumn("value", col("value") - lag("value", 1).over(perSeries))
 
   /** `nonNegativeDerivative`: like derivative but counter resets (negative
-    * deltas) become None instead of misleading negatives. */
-  def nonNegativeDerivative(df: DataFrame): DataFrame = {
-    val delta = col("value") - lag("value", 1).over(perSeries)
-    df.withColumn("value", when(delta >= 0, delta))
+    * deltas) become None instead of misleading negatives. `maxValue`
+    * recovers the true delta across a counter WRAP, same convention as
+    * [[perSecond]]. */
+  def nonNegativeDerivative(df: DataFrame,
+      maxValue: Option[Double] = None): DataFrame = {
+    val prev = lag("value", 1).over(perSeries)
+    val delta = col("value") - prev
+    val wrapped = maxValue match {
+      case Some(m) => when(delta < 0 && prev <= m && col("value") <= m,
+        lit(m) - prev + col("value") + 1)
+      case None => lit(null).cast("double")
+    }
+    df.withColumn("value", when(delta >= 0, delta).otherwise(wrapped))
   }
 
   /** `perSecond`: non-negative delta divided by the actual time gap to the
@@ -95,8 +104,8 @@ object SeriesFunctions {
   }
 
   /** `keepLastValue`: forward-fill None slots with the most recent
-    * non-None value (no gap limit — document the difference vs graphite's
-    * optional `limit`; an unlimited fill is the common call). */
+    * non-None value, without a gap limit (the common call;
+    * [[keepLastValueLimited]] is graphite's bounded form). */
   def keepLastValue(df: DataFrame): DataFrame =
     df.withColumn("value", keepLastValueCol)
 
@@ -104,6 +113,83 @@ object SeriesFunctions {
   def keepLastValueCol: Column =
     last("value", ignoreNulls = true)
       .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** `keepLastValue(limit)`: forward-fill, but only across gaps of at
+    * most `limit` consecutive None slots (graphite's optional arg — a
+    * dead series must eventually read as dead, not flatline forever).
+    * Gap length is measured in SLOTS via row numbers, so it is correct
+    * on any spine density. */
+  def keepLastValueLimited(df: DataFrame, limit: Int): DataFrame = {
+    require(limit > 0)
+    val upToNow =
+      perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rn = row_number().over(perSeries)
+    val lastSeenRn =
+      last(when(col("value").isNotNull, rn), ignoreNulls = true).over(upToNow)
+    df.withColumn("value",
+      when(col("value").isNotNull, col("value"))
+        .when(rn - lastSeenRn <= limit, keepLastValueCol))
+  }
+
+  /** `filterSeries(series, 'fn', 'op', n)` — the modern general series
+    * filter that the Above/Below function family special-cases: keep
+    * series whose per-series statistic satisfies `op n`. Two-pass shape
+    * like [[highest]]: tiny per-series aggregate, broadcast semi-join. */
+  def filterSeries(df: DataFrame, fn: String, op: String,
+      n: Double): DataFrame = {
+    val stat: Column = fn match {
+      case "max" => max("value")
+      case "min" => min("value")
+      case "avg" | "average" => avg("value")
+      case "sum" | "total" => sum("value")
+      // max_by skips null ordering keys → the latest NON-NULL value,
+      // deterministic under partial aggregation (a bare `last` is not)
+      case "last" | "current" =>
+        max_by(col("value"), when(col("value").isNotNull, col("ts")))
+      case other => throw new IllegalArgumentException(
+        s"filterSeries: unknown function '$other'")
+    }
+    val keep: Column = op match {
+      case "=" | "eq" => col("__stat") === n
+      case "!=" | "ne" => col("__stat") =!= n
+      case ">" | "gt" => col("__stat") > n
+      case ">=" | "ge" => col("__stat") >= n
+      case "<" | "lt" => col("__stat") < n
+      case "<=" | "le" => col("__stat") <= n
+      case other => throw new IllegalArgumentException(
+        s"filterSeries: unknown operator '$other'")
+    }
+    val names = df.groupBy("name").agg(stat.as("__stat"))
+      .filter(keep).select("name")
+    df.join(broadcast(names), Seq("name"), "left_semi")
+  }
+
+  /** `legendValue(series, 'stat'...)`: append one or more per-series
+    * statistics to the legend name — `name (last: 4.00) (max: 9.00)`.
+    * Same shape as [[cactiStyle]] with graphite's legendValue
+    * formatting. */
+  def legendValue(df: DataFrame, stats: Seq[String]): DataFrame = {
+    require(stats.nonEmpty)
+    val whole = Window.partitionBy("name")
+    val ordered = Window.partitionBy("name").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def statCol(s: String): Column = s match {
+      case "last" | "current" => last("value", ignoreNulls = true).over(ordered)
+      case "avg" | "average" => avg("value").over(whole)
+      case "total" | "sum" => sum("value").over(whole)
+      case "min" => min("value").over(whole)
+      case "max" => max("value").over(whole)
+      case other => throw new IllegalArgumentException(
+        s"legendValue: unknown stat '$other'")
+    }
+    val annotated = stats.map { s =>
+      val c = statCol(s)
+      concat(lit(s" ($s: "),
+        when(c.isNull, lit("nan")).otherwise(format_string("%.2f", c)),
+        lit(")"))
+    }
+    df.withColumn("name", concat(col("name") +: annotated: _*))
+  }
 
   /** `summarize`: re-bucket each series into `intervalS` windows with one
     * of graphite's summary functions ("sum", "avg", "max", "min", "last").
@@ -934,6 +1020,40 @@ object SeriesFunctions {
     import spark.implicits._
     Seq((value.toString, startS, value), (value.toString, endS, value))
       .toDF("name", "ts", "value")
+  }
+
+  /** `sinFunction('name'[, amplitude[, stepS]])`: amplitude·sin(ts) on
+    * the step grid — graphite's synthetic test source, deterministic by
+    * construction. */
+  def sinFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      amplitude: Double, startS: Long, endS: Long,
+      stepS: Long = 60): DataFrame =
+    timeFunction(spark, name, startS, endS, stepS)
+      .withColumn("value", sin(col("ts").cast("double")) * amplitude)
+
+  /** `randomWalkFunction('name'[, stepS])` — graphite seeds a true RNG;
+    * a distributed engine needs replayable results, so the per-step
+    * increments are HASH-derived from (name, ts): uniform-ish in
+    * [−0.5, 0.5), identical on every run/partitioning, and the walk is
+    * their running sum (one window pass). */
+  def randomWalk(spark: org.apache.spark.sql.SparkSession, name: String,
+      startS: Long, endS: Long, stepS: Long = 60): DataFrame = {
+    val increment =
+      (pmod(hash(col("name"), col("ts")).cast("long"), lit(1000L))
+        .cast("double") / 1000.0) - 0.5
+    timeFunction(spark, name, startS, endS, stepS)
+      .withColumn("value", sum(increment)
+        .over(Window.partitionBy("name").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** `verticalLine('ts'[, 'label'])`: a time-marker series — one point
+    * at the given instant (the draw layer extends it vertically;
+    * data-wise the instant is the content). */
+  def verticalLine(spark: org.apache.spark.sql.SparkSession, tsS: Long,
+      label: String): DataFrame = {
+    import spark.implicits._
+    Seq((label, tsS, 1.0)).toDF("name", "ts", "value")
   }
 
   /** `consolidateBy`: re-consolidate each fetched series down to at

@@ -130,6 +130,53 @@ class RenderTargetSpec extends SparkSuite {
     }
   }
 
+  test("wave-5b: sources, draw pass-throughs, filterSeries") {
+    val dir = java.nio.file.Files.createTempDirectory("rtw5b").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "a.one.x", 120L, 1.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "b.two.y", 120L, 3.0, "60*60s:24*3600s", "average")
+
+    // threshold is a labeled constant line; color() passes data through
+    val th = RenderTarget.render(db,
+      "color(threshold(5,'limit','red'),'red')", 120L, 180L)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(th === Set(("limit", 5.0)))
+
+    // sinFunction on the grid; verticalLine in graphite time syntax
+    val sf = RenderTarget.render(db, "sinFunction('s',3,60)", 120L, 240L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(sf(180L) - 3.0 * math.sin(180.0)) < 1e-12)
+    val vl = RenderTarget.render(db, "verticalLine('150','deploy')",
+        120L, 240L).collect()
+    assert(vl.length === 1 && vl(0).getString(0) === "deploy"
+      && vl(0).getLong(1) === 150L)
+
+    // filterSeries and legendValue through the target grammar
+    val fs = RenderTarget.render(db,
+      "filterSeries({a,b}.*.*,'max','gt',2)", 120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(fs === Seq("b.two.y"))
+    val lv = RenderTarget.render(db, "legendValue(a.one.x,'last')",
+        120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(lv === Seq("a.one.x (last: 1.00)"))
+
+    // keepLastValue with graphite's limit arg parses and runs
+    val klv = RenderTarget.render(db, "keepLastValue(a.one.x,1)",
+        120L, 240L)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(klv(180L) === Some(1.0)) // 1-slot gap filled
+
+    // randomWalkFunction is deterministic across evaluations
+    val rw1 = RenderTarget.render(db, "randomWalkFunction('rw',60)",
+      120L, 300L).collect().map(_.getDouble(2)).toSeq
+    val rw2 = RenderTarget.render(db, "randomWalkFunction('rw',60)",
+      120L, 300L).collect().map(_.getDouble(2)).toSeq
+    assert(rw1 === rw2 && rw1.nonEmpty)
+  }
+
   test("parseTime speaks graphite's render time syntax") {
     val now = 1_700_000_000L
     assert(RenderTarget.parseTime("now", now) === now)

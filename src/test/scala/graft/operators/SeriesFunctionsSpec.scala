@@ -575,6 +575,64 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(SeriesFunctions.timeFunction(spark, "x", 100L, 100L).count() === 0)
   }
 
+  test("keepLastValue(limit) fills only gaps up to the limit") {
+    val gappy = Seq(("g", 0L, Some(1.0)), ("g", 60L, None),
+      ("g", 120L, None), ("g", 180L, None), ("g", 240L, Some(5.0)),
+      ("g", 300L, None)).toDF("name", "ts", "value")
+    // limit 2: the 3-slot gap stays open past 2 slots; the tail fills
+    assert(vals(SeriesFunctions.keepLastValueLimited(gappy, 2), "g")
+      === Seq(Some(1.0), Some(1.0), Some(1.0), None, Some(5.0), Some(5.0)))
+    assert(vals(SeriesFunctions.keepLastValueLimited(gappy, 3), "g")
+      === Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(5.0), Some(5.0)))
+  }
+
+  test("nonNegativeDerivative maxValue recovers counter wraps") {
+    val wrap = Seq(("c", 0L, Some(250.0)), ("c", 60L, Some(5.0)))
+      .toDF("name", "ts", "value")
+    assert(vals(SeriesFunctions.nonNegativeDerivative(wrap), "c")
+      === Seq(None, None))
+    assert(vals(SeriesFunctions.nonNegativeDerivative(wrap, Some(255.0)), "c")
+      === Seq(None, Some(11.0)))
+  }
+
+  test("filterSeries keeps series whose statistic satisfies the op") {
+    def names(fn: String, op: String, n: Double): Seq[String] =
+      SeriesFunctions.filterSeries(series, fn, op, n)
+        .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(names("max", "gt", 5.0) === Seq("b"))   // max a=4, b=20
+    assert(names("max", "le", 5.0) === Seq("a"))
+    assert(names("last", "eq", 2.0) === Seq("a"))  // last non-null a=2, b=20
+    assert(names("average", "lt", 3.0) === Seq("a"))
+    intercept[IllegalArgumentException](
+      SeriesFunctions.filterSeries(series, "nope", "gt", 0))
+    intercept[IllegalArgumentException](
+      SeriesFunctions.filterSeries(series, "max", "nope", 0))
+  }
+
+  test("legendValue appends the requested stats to the name") {
+    val out = SeriesFunctions.legendValue(series, Seq("last", "max"))
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(out === Seq(
+      "a (last: 2.00) (max: 4.00)", "b (last: 20.00) (max: 20.00)"))
+  }
+
+  test("synthetic sources: sinFunction, randomWalk, verticalLine") {
+    val sf = SeriesFunctions.sinFunction(spark, "s", 2.0, 0L, 120L, 60L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(sf(0L) === 0.0)
+    assert(math.abs(sf(60L) - 2.0 * math.sin(60.0)) < 1e-12)
+    // the walk is deterministic and cumulative
+    val w1 = SeriesFunctions.randomWalk(spark, "w", 0L, 300L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    val w2 = SeriesFunctions.randomWalk(spark, "w", 0L, 300L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(w1 === w2)
+    assert(w1.map(_._2).forall(v => !v.isNaN))
+    val vl = SeriesFunctions.verticalLine(spark, 120L, "deploy").collect()
+    assert(vl.length === 1 && vl(0).getString(0) === "deploy"
+      && vl(0).getLong(1) === 120L)
+  }
+
   test("aggregateWithWildcards speaks the extended fn set") {
     val v = Seq(("app.h1.hits", 0L, Some(3.0)), ("app.h2.hits", 0L, Some(5.0)))
       .toDF("name", "ts", "value")
