@@ -22,7 +22,7 @@ object Bench {
     "g2_window_functions", "p1_sequence_packing",
     "t9_c4_rules", "d10_boilerplate", "p5_mixture_sample",
     "g9_render_breadth2", "g10_render_breadth3", "g13_render_breadth4",
-    "d11_url_dedup",
+    "g14_render_breadth5", "d11_url_dedup",
     "p6_chunk_windows", "t11_bigram_logloss")
 
   def main(args: Array[String]): Unit = {

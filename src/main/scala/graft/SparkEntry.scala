@@ -1358,6 +1358,46 @@ object SparkEntry {
         .orderBy("name", "ts")
     },
 
+    // G14: render breadth wave 6 — movingWindow (general trailing
+    // window), removeBetweenPercentile / removeEmptySeries membership
+    // flags, reduceSeries (per-instance click/view ratio keyed by the
+    // name minus the reduce node), diffSeriesLists (rank-paired
+    // pointwise diff), and aggregate's xFilesFactor. Division output
+    // uses the floor(x·1e4+0.5)/1e4 midpoint-proof rounding; sums and
+    // diffs of 4-decimal inputs are 4-decimal exact
+    "g14_render_breadth5" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val clicks = SeriesFunctions.grep(base, "^ev\\.click\\.")
+      val views = SeriesFunctions.grep(base, "^ev\\.view\\.")
+      val mw = SeriesFunctions.movingWindow(base, 4, "sum").select(
+        col("name"), col("ts"), round(col("value"), 4).as("mw4"))
+      val rb = SeriesFunctions.removeBetweenPercentile(base, 80)
+        .select("name").distinct().withColumn("rb80", lit(1))
+      val re = SeriesFunctions.removeEmptySeries(base, 0.3)
+        .select("name").distinct().withColumn("re30", lit(1))
+      val rs = SeriesFunctions.reduceSeries(base, "divideSeries", 1,
+          Seq("click", "view"))
+        .select(col("name").as("__key"), col("ts"),
+          (floor(col("value") * 10000 + 0.5) / 10000).as("rsv"))
+      val ds = SeriesFunctions.pairwiseSeriesLists(clicks, views, "diff")
+        .select(regexp_extract(col("name"), "^diffSeries\\(([^,]+),", 1)
+          .as("name"), col("ts"), round(col("value"), 4).as("dsv"))
+      val xc = SeriesFunctions.combineSeriesXff(clicks, "sum", "x", 0.2)
+        .select(col("ts"), round(col("value"), 4).as("xcv"))
+      base.select(col("name"), col("ts"))
+        .join(mw, Seq("name", "ts"))
+        .join(rb, Seq("name"), "left").join(re, Seq("name"), "left")
+        .withColumn("rb80", coalesce(col("rb80"), lit(0)))
+        .withColumn("re30", coalesce(col("re30"), lit(0)))
+        .withColumn("__key", concat_ws(".",
+          split(col("name"), "\\.").getItem(0),
+          split(col("name"), "\\.").getItem(2)))
+        .join(rs, Seq("__key", "ts"), "left").drop("__key")
+        .join(ds, Seq("name", "ts"), "left")
+        .join(xc, Seq("ts"), "left")
+        .orderBy("name", "ts")
+    },
+
     // D11: URL canonicalization + per-URL dedup — the crawl pipeline's
     // first dedup stage. The corpus has no URL column, so the fixture
     // synthesizes deterministic URLs exercising every rule (scheme/host
@@ -2579,6 +2619,76 @@ object SparkEntry {
          |JOIN ap a ON a.name = b.name AND a.ts = b.ts
          |LEFT JOIN wr w ON w.ts = b.ts AND w.wname =
          |  split_part(b.name, '.', 1) || '.' || split_part(b.name, '.', 2)
+         |ORDER BY b.name, b.ts""".stripMargin,
+
+    "g14_render_breadth5" ->
+      s"""WITH $SeriesCte,
+         |mw AS (
+         |  SELECT name, ts, round(sum(value) OVER (PARTITION BY name
+         |    ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+         |    AS mw4
+         |  FROM base),
+         |bnd AS (
+         |  SELECT ts,
+         |    list_sort(list(value) FILTER (WHERE value IS NOT NULL))[
+         |      LEAST(GREATEST(CAST(ceil(0.20 * (count(value) + 1)) AS BIGINT),
+         |        1), count(value))] AS lo,
+         |    list_sort(list(value) FILTER (WHERE value IS NOT NULL))[
+         |      LEAST(GREATEST(CAST(ceil(0.80 * (count(value) + 1)) AS BIGINT),
+         |        1), count(value))] AS hi
+         |  FROM base GROUP BY ts),
+         |rbn AS (
+         |  SELECT DISTINCT b.name FROM base b JOIN bnd ON bnd.ts = b.ts
+         |  WHERE b.value IS NOT NULL
+         |    AND NOT (b.value > bnd.lo AND b.value < bnd.hi)),
+         |ren AS (
+         |  SELECT name FROM base GROUP BY name
+         |  HAVING count(value) > 0 AND count(value) >= count(*) * 0.3),
+         |rs AS (
+         |  SELECT split_part(name,'.',1) || '.' || split_part(name,'.',3)
+         |      AS key, ts,
+         |    max(CASE WHEN split_part(name,'.',2) = 'click' THEN value END)
+         |      AS a,
+         |    max(CASE WHEN split_part(name,'.',2) = 'view' THEN value END)
+         |      AS b
+         |  FROM base WHERE split_part(name,'.',2) IN ('click','view')
+         |  GROUP BY 1, 2),
+         |rsv AS (
+         |  SELECT key, ts, CASE WHEN b <> 0
+         |    THEN floor(a / b * 10000 + 0.5) / 10000 END AS rsv
+         |  FROM rs),
+         |ckr AS (SELECT name, row_number() OVER (ORDER BY name) AS r
+         |        FROM (SELECT DISTINCT name FROM base
+         |              WHERE name LIKE 'ev.click.%')),
+         |vwr AS (SELECT name, row_number() OVER (ORDER BY name) AS r
+         |        FROM (SELECT DISTINCT name FROM base
+         |              WHERE name LIKE 'ev.view.%')),
+         |ds AS (
+         |  SELECT ck.name AS name, a.ts,
+         |    CASE WHEN a.value IS NOT NULL OR b.value IS NOT NULL
+         |      THEN round(coalesce(a.value, 0) - coalesce(b.value, 0), 4)
+         |    END AS dsv
+         |  FROM base a JOIN ckr ck ON ck.name = a.name
+         |  JOIN vwr vw ON vw.r = ck.r
+         |  JOIN base b ON b.name = vw.name AND b.ts = a.ts),
+         |xc AS (
+         |  SELECT ts, CASE WHEN count(value) >= 10 * 0.2
+         |    THEN round(sum(value), 4) END AS xcv
+         |  FROM base WHERE name LIKE 'ev.click.%' GROUP BY ts)
+         |SELECT b.name, b.ts, m.mw4,
+         |  CAST(CASE WHEN rbn.name IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS rb80,
+         |  CAST(CASE WHEN ren.name IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS re30,
+         |  r.rsv, d.dsv, x.xcv
+         |FROM base b
+         |JOIN mw m ON m.name = b.name AND m.ts = b.ts
+         |LEFT JOIN rbn ON rbn.name = b.name
+         |LEFT JOIN ren ON ren.name = b.name
+         |LEFT JOIN rsv r ON r.ts = b.ts AND r.key =
+         |  split_part(b.name,'.',1) || '.' || split_part(b.name,'.',3)
+         |LEFT JOIN ds d ON d.name = b.name AND d.ts = b.ts
+         |LEFT JOIN xc x ON x.ts = b.ts
          |ORDER BY b.name, b.ts""".stripMargin,
 
     "d11_url_dedup" ->

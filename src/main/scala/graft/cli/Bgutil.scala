@@ -518,6 +518,15 @@ object Bgutil {
     * time window as the main glob — graphite's target arguments). */
   def render(db: Db, glob: String, startS: Long, endS: Long,
       fnSpecs: Seq[String], maxDataPoints: Int = 0): DataFrame = {
+    // a parenthesized first argument is a graphite TARGET EXPRESSION —
+    // evaluate it like the /render HTTP face. Treating it as a glob
+    // would silently return whatever the comma-alternation happens to
+    // match (a wrong answer, not an error).
+    if (glob.contains("(")) {
+      require(fnSpecs.isEmpty,
+        "render: a target expression cannot be combined with a colon chain")
+      return RenderTarget.render(db, glob, startS, endS, maxDataPoints)
+    }
     // timeStack overlays PAST data: widen the leaf fetch by its max
     // shift, apply the chain below it on the widened window, and clip
     // back to [startS, endS) right after the stack — the same shape
@@ -613,6 +622,9 @@ object Bgutil {
           case "scale" => SF.scaleOffset(df, parts(1).toDouble,
             if (partsLen > 2) parts(2).toDouble else 0.0)
           case "summarize" => SF.summarize(df, intervalArg(1), parts(2))
+          // third argument = graphite aggregate's xFilesFactor
+          case "combine" if partsLen > 3 =>
+            SF.combineSeriesXff(df, parts(1), parts(2), parts(3).toDouble)
           case "combine" => SF.combineSeries(df, parts(1), parts(2))
           case "highest" => SF.highest(df, parts(1).toInt,
             if (partsLen > 2) parts(2) else "max")
@@ -745,6 +757,46 @@ object Bgutil {
               "consolidateBy: no point budget — pass one explicitly or " +
                 "set the request's maxDataPoints")
             SF.consolidateBy(df, parts(1), budget)
+          case "movingWindow" => SF.movingWindow(df, pointsArg(1),
+            if (partsLen > 2) parts(2) else "average")
+          case "removeEmptySeries" => SF.removeEmptySeries(df,
+            if (partsLen > 1) parts(1).toDouble else 0.0)
+          case "removeBetweenPercentile" =>
+            SF.removeBetweenPercentile(df, parts(1).toDouble)
+          case "powSeries" => SF.powSeriesList(df,
+            if (partsLen > 1) parts(1) else "powSeries")
+          // the confidence AREA is the bands with an area draw mode —
+          // the data layer carries the same two series
+          case "holtWintersConfidenceArea" =>
+            graft.operators.HoltWinters.confidenceBands(df, parts(1).toLong)
+          // cumulative = consolidateBy(series, 'sum'): only meaningful
+          // when the request carries a consolidation budget
+          case "cumulative" =>
+            if (maxDataPoints > 0) SF.consolidateBy(df, "sum", maxDataPoints)
+            else df
+          case "multiplySeriesWithWildcards" => SF.seriesWithWildcards(df,
+            "multiply", parts(1).split(",").toSeq.map(_.toInt))
+          // mapSeries' grouping is implicit in reduceSeries' key (the
+          // name minus the reduce node) — consume the map nodes so the
+          // unused-argument guard holds
+          case "mapSeries" => (1 until partsLen).foreach(parts); df
+          case "reduceSeries" => SF.reduceSeries(df, parts(1),
+            parts(2).toInt, (3 until partsLen).map(parts))
+          case "useSeriesAbove" => useSeriesAbove(db, df, parts(1).toDouble,
+            parts(2), parts(3), startS, endS, maxDataPoints)
+          case "sumSeriesLists" => SF.pairwiseSeriesLists(df,
+            read(db, parts(1), startS, endS, maxDataPoints), "sum")
+          case "diffSeriesLists" => SF.pairwiseSeriesLists(df,
+            read(db, parts(1), startS, endS, maxDataPoints), "diff")
+          case "multiplySeriesLists" => SF.pairwiseSeriesLists(df,
+            read(db, parts(1), startS, endS, maxDataPoints), "multiply")
+          case "divideSeriesLists" => SF.pairwiseSeriesLists(df,
+            read(db, parts(1), startS, endS, maxDataPoints), "divide")
+          case "aggregateSeriesLists" => SF.pairwiseSeriesLists(df,
+            read(db, parts(1), startS, endS, maxDataPoints), parts(2) match {
+              case "total" => "sum"
+              case f => f
+            })
           case other =>
             throw new IllegalArgumentException(s"render: unknown function '$other'")
         }
@@ -755,6 +807,24 @@ object Bgutil {
           s"(${args.drop(maxUsed).mkString(", ")}) — wrong arity or an " +
           "unsupported varargs shape")
     out
+  }
+
+  /** `useSeriesAbove(seriesList, value, search, replace)`: for each
+    * input series whose max exceeds `value`, fetch the companion metric
+    * named by the regex substitution search→replace (functions.py
+    * useSeriesAbove — the "swap request rate for its latency twin"
+    * helper). The qualifying name list is display-sized (the input is a
+    * glob-capped fetch), resolved driver-side like applyByNode. */
+  def useSeriesAbove(db: Db, df: DataFrame, value: Double, search: String,
+      replace: String, startS: Long, endS: Long,
+      maxDataPoints: Int): DataFrame = {
+    val names = df.groupBy("name").agg(max("value").as("__m"))
+      .filter(col("__m") > value)
+      .select("name").collect().map(_.getString(0))
+    val derived = names.map(_.replaceAll(search, replace)).distinct.sorted
+    if (derived.isEmpty) df.limit(0)
+    else derived.map(n => read(db, n, startS, endS, maxDataPoints))
+      .reduce(_ unionByName _)
   }
 
   /** Resolve a glob to names (cli/command_list.py:23-49). */

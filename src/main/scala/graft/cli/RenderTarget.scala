@@ -147,13 +147,13 @@ object RenderTarget {
     case "sortByMinima" => ("sortBy", List("minima"))
     case "sortByTotal" => ("sortBy", List("total"))
     case "sortByName" => ("sortBy", List("name"))
-    case "offset" => ("scale", "1.0" :: args)
+    case "offset" | "add" => ("scale", "1.0" :: args)
     case "log" => ("logarithm", args)
-    // the modern general combine: aggregate(seriesList, 'fn') — fn
-    // aliases normalized to the dispatch's combine names. Trailing
-    // arguments (graphite's xFilesFactor) must fail loudly, not drop:
-    // the mapping would otherwise swallow them before the dispatch's
-    // tracked-args guard could see them
+    // the modern general combine: aggregate(seriesList, 'fn'
+    // [, xFilesFactor]) — fn aliases normalized to the dispatch's
+    // combine names; the optional third argument is graphite's
+    // xFilesFactor (slot kept only when enough series are present).
+    // Anything further must fail loudly, not drop.
     case "aggregate" =>
       val f = args.headOption.getOrElse(throw new IllegalArgumentException(
         "aggregate: missing function argument")) match {
@@ -162,10 +162,10 @@ object RenderTarget {
         case "rangeOf" => "range"
         case g => g
       }
-      if (args.length > 1) throw new IllegalArgumentException(
+      if (args.length > 2) throw new IllegalArgumentException(
         s"aggregate: unsupported trailing argument(s) " +
-          s"${args.tail.mkString(", ")} (xFilesFactor is not implemented)")
-      ("combine", List(f, raw))
+          s"${args.drop(2).mkString(", ")}")
+      ("combine", List(f, raw) ++ args.drop(1))
     case other => (other, args)
   }
 
@@ -178,7 +178,7 @@ object RenderTarget {
     * and silently dropped). */
   private val CombineFns = Set("sumSeries", "averageSeries", "avg",
     "minSeries", "maxSeries", "countSeries", "rangeOfSeries",
-    "multiplySeries")
+    "multiplySeries", "powSeries")
 
   /** Functions whose trailing arguments are an integer vararg list the
     * dispatch takes as ONE comma-joined argument. */
@@ -201,9 +201,11 @@ object RenderTarget {
       // timeFunction("name"[, stepS]) is likewise a SOURCE: a synthetic
       // series whose value is the timestamp, on the step grid
       // (identity('name') is its registered alias)
+      // step arguments accept both raw seconds and graphite's quoted
+      // interval strings ('30min'), like every other interval position
       case CallNode("timeFunction" | "time" | "identity",
           PathNode(name), args, _) =>
-        val step = if (args.nonEmpty) args.head.trim.toLong else 60L
+        val step = if (args.nonEmpty) parseInterval(args.head) else 60L
         graft.operators.SeriesFunctions.timeFunction(
           db.spark, name, startS, endS, step)
       // threshold(value[, 'label'[, 'color']]): a labeled constantLine
@@ -215,12 +217,12 @@ object RenderTarget {
           .withColumn("name", lit(args.headOption.getOrElse(v)))
       case CallNode("sinFunction" | "sin", PathNode(name), args, _) =>
         val amp = if (args.nonEmpty) args.head.trim.toDouble else 1.0
-        val step = if (args.length > 1) args(1).trim.toLong else 60L
+        val step = if (args.length > 1) parseInterval(args(1)) else 60L
         graft.operators.SeriesFunctions.sinFunction(
           db.spark, name, amp, startS, endS, step)
       case CallNode("randomWalkFunction" | "randomWalk",
           PathNode(name), args, _) =>
-        val step = if (args.nonEmpty) args.head.trim.toLong else 60L
+        val step = if (args.nonEmpty) parseInterval(args.head) else 60L
         graft.operators.SeriesFunctions.randomWalk(
           db.spark, name, startS, endS, step)
       // verticalLine('ts'[, 'label']): the instant parses in graphite's
@@ -278,7 +280,7 @@ object RenderTarget {
         }).map(eval(db, _, startS, endS, maxDataPoints))
         val unioned = operands.reduce(_ unionByName _)
         val (name, finalArgs) =
-          if (fn == "multiplySeries") ("multiplySeries", List(raw))
+          if (fn == "multiplySeries" || fn == "powSeries") (fn, List(raw))
           else mapped(fn, raw, Nil)
         Bgutil.applyRenderFn(db, unioned, name, finalArgs.toIndexedSeq,
           startS, endS, maxDataPoints)

@@ -214,20 +214,49 @@ object SeriesFunctions {
     * `alias`, slot by slot, skipping None (graphite safe* semantics: a
     * slot where every series is None stays None — aggregates over all-null
     * groups already return null). One shuffle on ts. */
-  def combineSeries(df: DataFrame, fn: String, alias: String): DataFrame = {
-    val agg: Column = fn match {
-      case "sum" => sum("value")
-      case "avg" => avg("value")
-      case "min" => min("value")
-      case "max" => max("value")
-      case "count" => count("value").cast("double")
-      case "range" => max("value") - min("value") // rangeOfSeries
-      case "median" => median(col("value")) // exact; slot-wise like graphite
-      case other => throw new IllegalArgumentException(
-        s"combineSeries: unknown function '$other'")
-    }
-    df.groupBy("ts").agg(agg.as("value"))
+  def combineSeries(df: DataFrame, fn: String, alias: String): DataFrame =
+    df.groupBy("ts").agg(combineAgg(fn).as("value"))
       .select(lit(alias).as("name"), col("ts"), col("value"))
+
+  /** The slot-wise aggregate shared by [[combineSeries]] and
+    * [[combineSeriesXff]] — graphite's full `aggregate` function set
+    * (functions.py aggFuncs). `last` and `diff` depend on the series
+    * LIST order, which for a glob fetch is the sorted name list. */
+  private def combineAgg(fn: String): Column = fn match {
+    case "sum" => sum("value")
+    case "avg" => avg("value")
+    case "min" => min("value")
+    case "max" => max("value")
+    case "count" => count("value").cast("double")
+    case "range" => max("value") - min("value") // rangeOfSeries
+    case "median" => median(col("value")) // exact; slot-wise like graphite
+    case "stddev" => stddev_pop(col("value")) // stddevSeries (population)
+    // safeLast: the last series (name order) with a present value
+    case "last" => max_by(col("value"), when(col("value").isNotNull, col("name")))
+    // safeDiff: first present value minus the sum of the rest
+    // = 2·first − Σall (None slots are skipped by both aggregates)
+    case "diff" =>
+      lit(2.0) * min_by(col("value"),
+        when(col("value").isNotNull, col("name"))) - sum("value")
+    case other => throw new IllegalArgumentException(
+      s"combineSeries: unknown function '$other'")
+  }
+
+  /** `aggregate(seriesList, fn, xFilesFactor)`: [[combineSeries]] with
+    * graphite's xFilesFactor — a combined slot is kept only when the
+    * fraction of input series with a present value reaches `xff`
+    * (functions.py xffValues). The input's series count rides the plan
+    * as a broadcast one-row aggregate, so nothing is resolved
+    * driver-side. */
+  def combineSeriesXff(df: DataFrame, fn: String, alias: String,
+      xff: Double): DataFrame = {
+    require(xff >= 0 && xff <= 1, s"xFilesFactor out of [0,1]: $xff")
+    val total = df.agg(countDistinct("name").as("__total"))
+    df.groupBy("ts")
+      .agg(count(col("value")).as("__nn"), combineAgg(fn).as("value"))
+      .crossJoin(broadcast(total))
+      .select(lit(alias).as("name"), col("ts"),
+        when(col("__nn") >= col("__total") * xff, col("value")).as("value"))
   }
 
   /** `aliasByNode`: rebuild the display name from selected dot-separated
@@ -920,6 +949,13 @@ object SeriesFunctions {
       case "count" => count("value").cast("double")
       case "median" => median(col("value"))
       case "range" | "rangeOf" => max("value") - min("value")
+      // multiplySeriesWithWildcards: safeMul poisons the group's slot
+      // when any member is None, folded in sorted order like
+      // [[multiplySeries]]
+      case "multiply" =>
+        when(count(lit(1)) === count(col("value")),
+          aggregate(sort_array(collect_list(col("value"))), lit(1.0),
+            (acc, x) => acc * x))
       case other => throw new IllegalArgumentException(
         s"seriesWithWildcards: unknown function '$other'")
     }
@@ -1136,5 +1172,163 @@ object SeriesFunctions {
         out.iterator
       }
       .toDF("name", "ts", "value")
+  }
+
+  /** `movingWindow`: graphite's general trailing-window form —
+    * `movingWindow(seriesList, windowSize, func)` — dispatching onto the
+    * specific moving* implementations ('average' is the registered
+    * default, functions.py movingWindow). */
+  def movingWindow(df: DataFrame, points: Int,
+      fn: String = "average"): DataFrame = fn match {
+    case "average" | "avg" => movingAverage(df, points)
+    case "median" => movingMedian(df, points)
+    case "sum" => movingSum(df, points)
+    case "min" => movingMin(df, points)
+    case "max" => movingMax(df, points)
+    case "stddev" => stdev(df, points)
+    case other => throw new IllegalArgumentException(
+      s"movingWindow: unknown function '$other'")
+  }
+
+  /** `removeEmptySeries`: drop series with no present values; with an
+    * xFilesFactor, also series whose present fraction is below it
+    * (functions.py removeEmptySeries). Same tiny-aggregate +
+    * broadcast-semi-join shape as [[mostDeviant]]. */
+  def removeEmptySeries(df: DataFrame, xff: Double = 0.0): DataFrame = {
+    require(xff >= 0 && xff <= 1, s"xFilesFactor out of [0,1]: $xff")
+    val kept = df.groupBy("name")
+      .agg(count(col("value")).as("__nn"), count(lit(1)).as("__n"))
+      .filter(col("__nn") > 0 && col("__nn") >= col("__n") * xff)
+      .select("name")
+    df.join(broadcast(kept), Seq("name"), "left_semi")
+  }
+
+  /** `removeBetweenPercentile`: keep only series that ESCAPE the
+    * per-slot percentile band — at each ts the (100−n)th/nth rank
+    * percentiles over all series' present values (graphite's
+    * non-interpolating `_getPercentile`, same rank as
+    * [[percentileOfSeries]]) form a band, and a series survives if any
+    * of its values lies on or outside it (functions.py counts
+    * `not lo < v < hi`; n<50 flips to 100−n first). The bound relation
+    * is slot-count-sized; one ts join + a broadcast semi-join. */
+  def removeBetweenPercentile(df: DataFrame, n: Double): DataFrame = {
+    require(n > 0 && n <= 100, s"percentile out of range: $n")
+    val p = if (n < 50) 100 - n else n
+    val arr = sort_array(collect_list(col("value")))
+    def rank(pct: Double): Column = least(greatest(
+      ceil(lit(pct / 100.0) * (size(arr) + 1)).cast("int"), lit(1)), size(arr))
+    val bounds = df.groupBy("ts").agg(
+      when(size(arr) > 0, element_at(arr, rank(100 - p))).as("__lo"),
+      when(size(arr) > 0, element_at(arr, rank(p))).as("__hi"))
+    val kept = df.join(broadcast(bounds), Seq("ts"))
+      .filter(col("value").isNotNull &&
+        !(col("value") > col("__lo") && col("value") < col("__hi")))
+      .select("name").distinct()
+    df.join(broadcast(kept), Seq("name"), "left_semi")
+  }
+
+  /** `powSeries`: slot-wise left fold of x^y across all input series in
+    * name order (functions.py safePow chain — graphite pairs by series
+    * list position, which for a glob fetch is the sorted name list).
+    * Any None factor poisons the slot, like [[multiplySeries]]. */
+  def powSeriesList(df: DataFrame, alias: String = "powSeries"): DataFrame =
+    df.groupBy("ts")
+      .agg(when(count(lit(1)) === count(col("value")),
+        aggregate(sort_array(collect_list(struct(col("name"), col("value")))),
+          lit(null).cast("double"),
+          (acc, s) => when(acc.isNull, s.getField("value"))
+            .otherwise(pow(acc, s.getField("value")))))
+        .as("value"))
+      .select(lit(alias).as("name"), col("ts"), col("value"))
+
+  /** `reduceSeries(mapSeries(...), fn, reduceNode, m1, m2)`: graphite's
+    * per-group derived metric — series are keyed by their name with the
+    * `reduceNode` component REMOVED, the removed component selects the
+    * operand (`m1` = numerator/minuend, `m2` = denominator/subtrahend),
+    * and each group emits one series named by its key (functions.py
+    * reduceSeries/mapSeries; mapSeries' grouping is implicit in the
+    * key). fn ∈ asPercent | divideSeries | diffSeries, each with the
+    * same null/zero rules as its two-series form. One shuffle on
+    * (key, ts). */
+  def reduceSeries(df: DataFrame, fn: String, node: Int,
+      matchers: Seq[String]): DataFrame = {
+    require(matchers.length == 2,
+      s"reduceSeries: $fn takes exactly 2 reduceMatchers, got " +
+        s"${matchers.length}")
+    require(node >= 0, "reduceSeries: reduceNode must be non-negative")
+    val parts = split(col("name"), "\\.")
+    val matcher = parts.getItem(node)
+    // 4096 >> any real metric-path depth; slice clamps to the array end
+    val key = concat_ws(".",
+      concat(slice(parts, 1, node), slice(parts, node + 2, 4096)))
+    val grouped = df.filter(matcher.isin(matchers: _*))
+      .groupBy(key.as("name"), col("ts"))
+      .agg(max(when(matcher === matchers.head, col("value"))).as("__a"),
+        max(when(matcher === matchers(1), col("value"))).as("__b"))
+    val value = fn match {
+      case "asPercent" => when(col("__b") =!= 0, col("__a") / col("__b") * 100)
+      case "divideSeries" => when(col("__b") =!= 0, col("__a") / col("__b"))
+      // safeDiff: None counts as 0 unless both operands are None
+      case "diffSeries" =>
+        when(col("__a").isNull && col("__b").isNull, lit(null))
+          .otherwise(coalesce(col("__a"), lit(0.0)) -
+            coalesce(col("__b"), lit(0.0)))
+      case other => throw new IllegalArgumentException(
+        s"reduceSeries: unsupported reduce function '$other'")
+    }
+    grouped.select(col("name"), col("ts"), value.as("value"))
+  }
+
+  /** `sumSeriesLists` / `diffSeriesLists` / `multiplySeriesLists` /
+    * `divideSeriesLists` / `aggregateSeriesLists`: pair the i-th series
+    * of two lists and combine each pair slot-wise. Graphite pairs by
+    * list position — a glob's resolution order, i.e. the sorted name
+    * list — so ranks come from the two display-sized distinct-name
+    * relations (broadcast joins; never a points-sized global sort).
+    * Graphite raises when the lists differ in length; so does this, via
+    * the same display-sized probe shape as `areaBetween`. Null rules
+    * per pair follow the binary forms: sum/diff treat None as 0 unless
+    * both are None; multiply poisons; divide needs a present non-zero
+    * denominator. Result series are named `fn(a,b)` like graphite. */
+  def pairwiseSeriesLists(df: DataFrame, other: DataFrame,
+      op: String): DataFrame = {
+    def ranked(in: DataFrame): DataFrame =
+      in.select("name").distinct()
+        .withColumn("__rank", row_number().over(Window.orderBy("name")))
+    val ra = ranked(df)
+    val rb = ranked(other)
+    val (na, nb) = (ra.count(), rb.count())
+    require(na == nb && na > 0,
+      s"${op}SeriesLists: lists must pair up 1:1, got $na vs $nb series")
+    val fnName = op match {
+      case "sum" => "sumSeries"
+      case "diff" => "diffSeries"
+      case "multiply" => "multiplySeries"
+      case "divide" => "divideSeries"
+      case other => throw new IllegalArgumentException(
+        s"aggregateSeriesLists: unsupported pairwise function '$other'")
+    }
+    val a = df.join(broadcast(ra), Seq("name"))
+      .select(col("__rank"), col("ts"), col("value").as("__av"))
+    val b = other.join(broadcast(rb), Seq("name"))
+      .select(col("__rank"), col("ts"), col("value").as("__bv"))
+    val names = ra.select(col("__rank"), col("name").as("__an"))
+      .join(rb.select(col("__rank"), col("name").as("__bn")), Seq("__rank"))
+    val value = op match {
+      case "sum" => when(col("__av").isNotNull || col("__bv").isNotNull,
+        coalesce(col("__av"), lit(0.0)) + coalesce(col("__bv"), lit(0.0)))
+      case "diff" => when(col("__av").isNotNull || col("__bv").isNotNull,
+        coalesce(col("__av"), lit(0.0)) - coalesce(col("__bv"), lit(0.0)))
+      case "multiply" => col("__av") * col("__bv")
+      case "divide" => when(col("__bv") =!= 0, col("__av") / col("__bv"))
+    }
+    // full outer on (rank, ts): a slot present on either side renders
+    // (graphite evaluates both operands over the same request window)
+    a.join(b, Seq("__rank", "ts"), "full_outer")
+      .join(broadcast(names), Seq("__rank"))
+      .select(
+        concat(lit(s"$fnName("), col("__an"), lit(","), col("__bn"),
+          lit(")")).as("name"),
+        col("ts"), value.as("value"))
   }
 }

@@ -123,9 +123,14 @@ class RenderTargetSpec extends SparkSuite {
       .collect().collectFirst { case r if !r.isNullAt(2) => r.getDouble(2) }
     assert(ap === Some(9.0 / 50 * 100))
 
-    // aggregate's unsupported trailing xFilesFactor fails loudly
+    // aggregate's xFilesFactor is supported (wave 6); anything past it
+    // still fails loudly
+    val ag = RenderTarget.render(db, "aggregate(sys.req.count,'sum',0.5)",
+        120L, 180L)
+      .collect().collectFirst { case r if !r.isNullAt(2) => r.getDouble(2) }
+    assert(ag === Some(9.0))
     intercept[IllegalArgumentException] {
-      RenderTarget.render(db, "aggregate(sys.req.count,'sum',0.5)",
+      RenderTarget.render(db, "aggregate(sys.req.count,'sum',0.5,'junk')",
         120L, 180L)
     }
   }
@@ -175,6 +180,101 @@ class RenderTargetSpec extends SparkSuite {
     val rw2 = RenderTarget.render(db, "randomWalkFunction('rw',60)",
       120L, 300L).collect().map(_.getDouble(2)).toSeq
     assert(rw1 === rw2 && rw1.nonEmpty)
+  }
+
+  test("wave-6 targets: list pairing, reduceSeries, xff, useSeriesAbove") {
+    val dir = java.nio.file.Files.createTempDirectory("rtw6").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    val ret = "60*60s:24*3600s"
+    Bgutil.write(db, "app.h1.ok", 120L, 3.0, ret, "average")
+    Bgutil.write(db, "app.h1.total", 120L, 6.0, ret, "average")
+    Bgutil.write(db, "app.h2.ok", 120L, 1.0, ret, "average")
+    Bgutil.write(db, "app.h2.total", 120L, 4.0, ret, "average")
+    Bgutil.write(db, "app.h1.ok", 180L, 5.0, ret, "average")
+
+    // *SeriesLists pair i-th with i-th in sorted-name order
+    val dl = RenderTarget.render(db,
+      "divideSeriesLists(app.*.ok,app.*.total)", 120L, 180L)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(dl === Set(
+      ("divideSeries(app.h1.ok,app.h1.total)", 0.5),
+      ("divideSeries(app.h2.ok,app.h2.total)", 0.25)))
+
+    // reduceSeries over mapSeries: per-host ok/total percentage named
+    // by the key (the name minus the reduce node)
+    val rs = RenderTarget.render(db,
+      "reduceSeries(mapSeries(app.*.*,1),'asPercent',2,'ok','total')",
+      120L, 180L)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(rs === Set(("app.h1", 50.0), ("app.h2", 25.0)))
+
+    // aggregate's xFilesFactor: at ts=180 only 1 of 2 ok-series is
+    // present → the 0.9-xff slot is None, the plain total is not
+    val xff = RenderTarget.render(db,
+      "aggregate(app.*.ok,'total',0.9)", 120L, 240L)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(xff(120L) === Some(4.0))
+    assert(xff(180L) === None)
+
+    // movingWindow dispatches; add() offsets; cumulative is identity
+    // without a consolidation budget
+    val mw = RenderTarget.render(db,
+      "movingWindow(app.h1.ok,2,'median')", 120L, 240L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(mw(180L) === 4.0) // median(3, 5)
+    val ad = RenderTarget.render(db, "add(app.h1.ok,10)", 120L, 180L)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(ad === Seq(13.0))
+    val cu = RenderTarget.render(db, "cumulative(app.h1.ok)", 120L, 240L)
+      .count()
+    assert(cu === RenderTarget.render(db, "app.h1.ok", 120L, 240L).count())
+
+    // useSeriesAbove: only h1's max exceeds 2 → fetch its 'total' twin
+    val us = RenderTarget.render(db,
+      "useSeriesAbove(app.*.ok,2,'ok','total')", 120L, 240L)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(us === Seq("app.h1.total"))
+
+    // powSeries folds in name order; a None factor poisons the slot
+    val pw = RenderTarget.render(db,
+      "powSeries(app.h1.ok,app.h2.ok)", 120L, 240L)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(pw(120L) === Some(3.0)) // 3^1
+    assert(pw(180L) === None)      // h2 absent at 180
+
+    // multiplySeriesWithWildcards collapses the host node
+    val msw = RenderTarget.render(db,
+      "multiplySeriesWithWildcards(app.*.ok,1)", 120L, 180L)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(msw === Set(("app.ok", 3.0)))
+
+    // removeEmptySeries keeps both (each has ≥1 present point);
+    // removeBetweenPercentile keeps the band-edge series
+    val re = RenderTarget.render(db, "removeEmptySeries(app.*.ok)",
+        120L, 240L)
+      .select("name").distinct().count()
+    assert(re === 2)
+
+    // quoted interval strings in source steps
+    val tf = RenderTarget.render(db, "timeFunction('t','1min')",
+        120L, 240L)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(tf === Seq(120L, 180L))
+
+    // the CLI render subcommand routes parenthesized targets to the
+    // expression parser (a glob read would silently mis-match), and
+    // refuses to mix the two forms
+    val cli = Bgutil.render(db,
+      "divideSeriesLists(app.*.ok,app.*.total)", 120L, 180L, Seq.empty)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(cli === dl)
+    intercept[IllegalArgumentException] {
+      Bgutil.render(db, "sumSeries(app.*.ok)", 120L, 180L,
+        Seq("absolute"))
+    }
   }
 
   test("parseTime speaks graphite's render time syntax") {

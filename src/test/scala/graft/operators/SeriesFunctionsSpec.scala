@@ -644,5 +644,127 @@ class SeriesFunctionsSpec extends SparkSuite {
     assert(one("range") === 2.0)
     assert(one("total") === 8.0)
     assert(one("average") === 4.0)
+    assert(one("multiply") === 15.0)
+  }
+
+  test("movingWindow dispatches on the function name") {
+    val med = SeriesFunctions.movingWindow(series, 2, "median")
+    val sum = SeriesFunctions.movingWindow(series, 2, "sum")
+    // a @180: window (4, 2) → median 3, sum 6
+    assert(vals(med, "a")(3) === Some(3.0))
+    assert(vals(sum, "a")(3) === Some(6.0))
+    intercept[IllegalArgumentException] {
+      SeriesFunctions.movingWindow(series, 2, "nope")
+    }
+  }
+
+  test("combineSeries stddev/last/diff follow the safe* rules") {
+    // stddev: population over present values per slot
+    val sd = SeriesFunctions.combineSeries(series, "stddev", "sd")
+      .orderBy("ts").collect()
+    assert(sd(0).getDouble(2) === 4.5) // {1,10}: pop stddev = 4.5
+    assert(sd(3).getDouble(2) === 0.0) // only a=2 present
+    // last: the LAST series in name order with a present value
+    val lst = SeriesFunctions.combineSeries(series, "last", "l")
+      .orderBy("ts").collect()
+    assert(lst(0).getDouble(2) === 10.0) // b present → b wins
+    assert(lst(3).getDouble(2) === 2.0)  // b None → falls back to a
+    // diff: first present minus the rest (None skipped)
+    val d = SeriesFunctions.combineSeries(series, "diff", "d")
+      .orderBy("ts").collect()
+    assert(d(0).getDouble(2) === -9.0)  // 1 - 10
+    assert(d(1).getDouble(2) === 20.0)  // a None → first present is b
+    assert(d(3).getDouble(2) === 2.0)   // only a
+  }
+
+  test("combineSeriesXff nulls slots below the series-presence factor") {
+    val x = SeriesFunctions.combineSeriesXff(series, "sum", "s", 1.0)
+      .orderBy("ts").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    // both series present only at ts=0
+    assert(x === Seq(Some(11.0), None, None, None))
+    val half = SeriesFunctions.combineSeriesXff(series, "sum", "s", 0.5)
+      .orderBy("ts").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(half === Seq(Some(11.0), Some(20.0), Some(4.0), Some(2.0)))
+  }
+
+  test("removeEmptySeries drops all-None and below-xff series") {
+    val withEmpty = series.union(
+      Seq(("c", 0L, None: Option[Double]), ("c", 60L, None))
+        .toDF("name", "ts", "value"))
+    val kept = SeriesFunctions.removeEmptySeries(withEmpty)
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(kept === Seq("a", "b"))
+    // b has 2/4 present → dropped at xff 0.75, kept at 0.5
+    val strict = SeriesFunctions.removeEmptySeries(withEmpty, 0.75)
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(strict === Seq("a"))
+  }
+
+  test("removeBetweenPercentile keeps series escaping the per-slot band") {
+    // three series: mid hugs the middle; lo/hi sit on the band edges
+    // (rank percentiles over 3 values pick the extremes, and edge
+    // values are NOT strictly inside the band → lo and hi survive)
+    val v = Seq(
+      ("lo", 0L, 1.0), ("lo", 60L, 1.0),
+      ("mid", 0L, 5.0), ("mid", 60L, 5.0),
+      ("hi", 0L, 9.0), ("hi", 60L, 9.0)).toDF("name", "ts", "value")
+    val kept = SeriesFunctions.removeBetweenPercentile(v, 90)
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(kept === Seq("hi", "lo"))
+    // n<50 flips to 100−n: same band, same survivors
+    val flipped = SeriesFunctions.removeBetweenPercentile(v, 10)
+      .select("name").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(flipped === kept)
+  }
+
+  test("powSeries folds x^y in name order and poisons on None") {
+    val p = SeriesFunctions.powSeriesList(series, "p").orderBy("ts").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    // ts0: 1^10 = 1; every other slot has a None factor → None
+    assert(p === Seq(Some(1.0), None, None, None))
+  }
+
+  test("reduceSeries derives one series per key from matcher components") {
+    val v = Seq(
+      ("app.h1.ok", 0L, Some(3.0)), ("app.h1.total", 0L, Some(6.0)),
+      ("app.h2.ok", 0L, Some(1.0)), ("app.h2.total", 0L, Some(4.0)),
+      ("app.h2.junk", 0L, Some(99.0))).toDF("name", "ts", "value")
+    val pct = SeriesFunctions.reduceSeries(v, "asPercent", 2,
+      Seq("ok", "total")).orderBy("name").collect()
+    assert(pct.map(_.getString(0)).toSeq === Seq("app.h1", "app.h2"))
+    assert(pct(0).getDouble(2) === 50.0)
+    assert(pct(1).getDouble(2) === 25.0)
+    val div = SeriesFunctions.reduceSeries(v, "divideSeries", 2,
+      Seq("ok", "total")).orderBy("name").collect()
+    assert(div(0).getDouble(2) === 0.5)
+    val diff = SeriesFunctions.reduceSeries(v, "diffSeries", 2,
+      Seq("total", "ok")).orderBy("name").collect()
+    assert(diff(0).getDouble(2) === 3.0)
+    intercept[IllegalArgumentException] {
+      SeriesFunctions.reduceSeries(v, "asPercent", 2, Seq("ok"))
+    }
+  }
+
+  test("pairwiseSeriesLists pairs by sorted-name rank") {
+    val a = Seq(("x.1", 0L, Some(4.0)), ("x.1", 60L, None),
+      ("x.2", 0L, Some(6.0))).toDF("name", "ts", "value")
+    val b = Seq(("y.1", 0L, Some(2.0)), ("y.1", 60L, Some(5.0)),
+      ("y.2", 0L, Some(3.0))).toDF("name", "ts", "value")
+    val div = SeriesFunctions.pairwiseSeriesLists(a, b, "divide")
+      .orderBy("name", "ts").collect()
+    assert(div.map(_.getString(0)).distinct.toSeq === Seq(
+      "divideSeries(x.1,y.1)", "divideSeries(x.2,y.2)"))
+    assert(div(0).getDouble(2) === 2.0)  // 4/2
+    assert(div(1).isNullAt(2))           // None numerator
+    val sum = SeriesFunctions.pairwiseSeriesLists(a, b, "sum")
+      .orderBy("name", "ts").collect()
+    assert(sum(1).getDouble(2) === 5.0)  // None + 5 → 5 (safe sum)
+    // length mismatch raises like graphite
+    intercept[IllegalArgumentException] {
+      SeriesFunctions.pairwiseSeriesLists(a,
+        b.filter(col("name") === "y.1"), "sum")
+    }
   }
 }
