@@ -2672,7 +2672,9 @@ object SparkEntry {
          |  JOIN vwr vw ON vw.r = ck.r
          |  JOIN base b ON b.name = vw.name AND b.ts = a.ts),
          |xc AS (
-         |  SELECT ts, CASE WHEN count(value) >= 10 * 0.2
+         |  SELECT ts, CASE WHEN count(value) >=
+         |      (SELECT count(DISTINCT name) FROM base
+         |       WHERE name LIKE 'ev.click.%') * 0.2
          |    THEN round(sum(value), 4) END AS xcv
          |  FROM base WHERE name LIKE 'ev.click.%' GROUP BY ts)
          |SELECT b.name, b.ts, m.mw4,

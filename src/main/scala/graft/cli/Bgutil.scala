@@ -525,7 +525,11 @@ object Bgutil {
     if (glob.contains("(")) {
       require(fnSpecs.isEmpty,
         "render: a target expression cannot be combined with a colon chain")
-      return RenderTarget.render(db, glob, startS, endS, maxDataPoints)
+      val out = RenderTarget.render(db, glob, startS, endS, maxDataPoints)
+      // same deterministic output order as the colon-chain path below
+      return if (out.columns.contains("series_order"))
+        out.orderBy("series_order", "ts")
+      else out.orderBy("name", "ts")
     }
     // timeStack overlays PAST data: widen the leaf fetch by its max
     // shift, apply the chain below it on the widened window, and clip

@@ -278,7 +278,19 @@ object RenderTarget {
               "use plain paths/globs")
           PathNode(a)
         }).map(eval(db, _, startS, endS, maxDataPoints))
-        val unioned = operands.reduce(_ unionByName _)
+        // powSeries folds in ARGUMENT order and pow is non-commutative:
+        // prefix each operand's names with its position so the fold's
+        // sorted-name order IS the argument order (within one glob the
+        // fetch order is already the sorted match list, like graphite).
+        // The prefix never leaks — the combine renames to `raw`.
+        val ordered =
+          if (fn == "powSeries")
+            operands.zipWithIndex.map { case (d, i) =>
+              import org.apache.spark.sql.functions.{col, concat, lit}
+              d.withColumn("name", concat(lit(f"$i%05d|"), col("name")))
+            }
+          else operands
+        val unioned = ordered.reduce(_ unionByName _)
         val (name, finalArgs) =
           if (fn == "multiplySeries" || fn == "powSeries") (fn, List(raw))
           else mapped(fn, raw, Nil)

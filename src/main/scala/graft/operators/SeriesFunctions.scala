@@ -35,39 +35,43 @@ object SeriesFunctions {
   def derivative(df: DataFrame): DataFrame =
     df.withColumn("value", col("value") - lag("value", 1).over(perSeries))
 
+  /** graphite's `_nonNegativeDelta` (functions.py), shared by
+    * [[nonNegativeDerivative]] and [[perSecond]]: None when the
+    * previous sample is missing or the delta is negative without a cap;
+    * with a cap, EITHER sample above `maxValue` is a bogus reading
+    * (beyond counter capacity) → None, and a negative delta under it is
+    * a wrap worth `maxValue − prev + value + 1`. */
+  private def nonNegativeDelta(prev: Column,
+      maxValue: Option[Double]): Column = {
+    val delta = col("value") - prev
+    maxValue match {
+      case Some(m) =>
+        when(col("value") > m || prev > m, lit(null).cast("double"))
+          .when(delta >= 0, delta)
+          .otherwise(lit(m) - prev + col("value") + 1)
+      case None => when(delta >= 0, delta)
+    }
+  }
+
   /** `nonNegativeDerivative`: like derivative but counter resets (negative
     * deltas) become None instead of misleading negatives. `maxValue`
-    * recovers the true delta across a counter WRAP, same convention as
-    * [[perSecond]]. */
+    * recovers the true delta across a counter WRAP (and rejects samples
+    * beyond the counter's capacity), graphite's `_nonNegativeDelta`. */
   def nonNegativeDerivative(df: DataFrame,
       maxValue: Option[Double] = None): DataFrame = {
     val prev = lag("value", 1).over(perSeries)
-    val delta = col("value") - prev
-    val wrapped = maxValue match {
-      case Some(m) => when(delta < 0 && prev <= m && col("value") <= m,
-        lit(m) - prev + col("value") + 1)
-      case None => lit(null).cast("double")
-    }
-    df.withColumn("value", when(delta >= 0, delta).otherwise(wrapped))
+    df.withColumn("value", nonNegativeDelta(prev, maxValue))
   }
 
   /** `perSecond`: non-negative delta divided by the actual time gap to the
     * previous point — rate that stays correct across missing slots.
-    * `maxValue` (graphite's optional cap) recovers the rate across a
-    * counter WRAP: a negative delta on a counter that rolls over at
-    * maxValue really advanced `maxValue − prev + value + 1`. Without the
-    * cap, negative deltas stay None (a reset, not a wrap). */
+    * `maxValue` applies graphite's `_nonNegativeDelta` rules: samples
+    * beyond the cap are bogus (None), negative deltas under it are a
+    * counter wrap worth `maxValue − prev + value + 1`. */
   def perSecond(df: DataFrame, maxValue: Option[Double] = None): DataFrame = {
     val prev = lag("value", 1).over(perSeries)
-    val delta = col("value") - prev
     val dt = col("ts") - lag("ts", 1).over(perSeries)
-    val wrapped = maxValue match {
-      case Some(m) => when(delta < 0 && prev <= m && col("value") <= m,
-        (lit(m) - prev + col("value") + 1) / dt)
-      case None => lit(null).cast("double")
-    }
-    df.withColumn("value",
-      when(delta >= 0, delta / dt).otherwise(wrapped))
+    df.withColumn("value", nonNegativeDelta(prev, maxValue) / dt)
   }
 
   /** `integral`: running sum per series; None inputs stay None in the
@@ -114,21 +118,30 @@ object SeriesFunctions {
     last("value", ignoreNulls = true)
       .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-  /** `keepLastValue(limit)`: forward-fill, but only across gaps of at
-    * most `limit` consecutive None slots (graphite's optional arg — a
-    * dead series must eventually read as dead, not flatline forever).
-    * Gap length is measured in SLOTS via row numbers, so it is correct
-    * on any spine density. */
+  /** `keepLastValue(limit)`: forward-fill, but only for gaps of at most
+    * `limit` consecutive None slots — graphite fills a None run ONLY
+    * when the WHOLE run fits the limit (`0 < consecutiveNones <= limit`
+    * in functions.py), so a longer outage stays entirely unfilled
+    * rather than flatlining for its first `limit` slots. A trailing run
+    * follows the same rule. Run length is measured in SLOTS via row
+    * numbers, so it is correct on any spine density. */
   def keepLastValueLimited(df: DataFrame, limit: Int): DataFrame = {
     require(limit > 0)
     val upToNow =
       perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromNow =
+      perSeries.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val rn = row_number().over(perSeries)
     val lastSeenRn =
       last(when(col("value").isNotNull, rn), ignoreNulls = true).over(upToNow)
+    val nextSeenRn =
+      first(when(col("value").isNotNull, rn), ignoreNulls = true).over(fromNow)
+    val lastRn = max(rn).over(Window.partitionBy("name"))
+    // the None run containing this row spans (lastSeenRn, gapEnd]
+    val gapEnd = coalesce(nextSeenRn - 1, lastRn)
     df.withColumn("value",
       when(col("value").isNotNull, col("value"))
-        .when(rn - lastSeenRn <= limit, keepLastValueCol))
+        .when(gapEnd - lastSeenRn <= limit, keepLastValueCol))
   }
 
   /** `filterSeries(series, 'fn', 'op', n)` — the modern general series
@@ -572,14 +585,19 @@ object SeriesFunctions {
     * non-None values: rank = ceil(n/100 · (count+1)) clamped to
     * [1, count] — functions.py `_getPercentile` with interpolate=False.
     * Returns metric-count rows (name, __pctl). */
+  /** graphite's non-interpolating `_getPercentile` rank over a sorted
+    * values array: ceil(pct/100 · (n+1)) clamped to [1, n]. ONE home for
+    * the formula — every percentile family member selects with it. */
+  private def percentileRank(arr: Column, pct: Double): Column =
+    least(greatest(
+      ceil(lit(pct / 100.0) * (size(arr) + 1)).cast("int"), lit(1)), size(arr))
+
   private def seriesPercentile(df: DataFrame, n: Double): DataFrame = {
     require(n > 0 && n <= 100, s"percentile out of range: $n")
     val arr = sort_array(collect_list(col("value"))) // collect_list skips nulls
-    val cnt = size(arr)
-    val rank = least(greatest(
-      ceil(lit(n / 100.0) * (cnt + 1)).cast("int"), lit(1)), cnt)
     df.groupBy("name").agg(
-      when(cnt > 0, element_at(arr, rank)).as("__pctl"))
+      when(size(arr) > 0, element_at(arr, percentileRank(arr, n)))
+        .as("__pctl"))
   }
 
   /** `nPercentile`: flatten each series to its own nth percentile — every
@@ -778,11 +796,9 @@ object SeriesFunctions {
       alias: String = "percentileOfSeries"): DataFrame = {
     require(n > 0 && n <= 100, s"percentile out of range: $n")
     val arr = sort_array(collect_list(col("value")))
-    val cnt = size(arr)
-    val rank = least(greatest(
-      ceil(lit(n / 100.0) * (cnt + 1)).cast("int"), lit(1)), cnt)
     df.groupBy("ts")
-      .agg(when(cnt > 0, element_at(arr, rank)).as("value"))
+      .agg(when(size(arr) > 0, element_at(arr, percentileRank(arr, n)))
+        .as("value"))
       .select(lit(alias).as("name"), col("ts"), col("value"))
   }
 
@@ -807,11 +823,9 @@ object SeriesFunctions {
     val p = if (n < 50) 100 - n else n
     val stats = df.groupBy("name").agg(avg("value").as("__avg"))
     val arr = sort_array(collect_list(col("__avg")))
-    def rank(pct: Double): Column = least(greatest(
-      ceil(lit(pct / 100.0) * (size(arr) + 1)).cast("int"), lit(1)), size(arr))
     val bounds = stats.agg(
-      element_at(arr, rank(100 - p)).as("__lo"),
-      element_at(arr, rank(p)).as("__hi"))
+      element_at(arr, percentileRank(arr, 100 - p)).as("__lo"),
+      element_at(arr, percentileRank(arr, p)).as("__hi"))
     val kept = stats.crossJoin(broadcast(bounds))
       .filter(!(col("__avg") > col("__lo") && col("__avg") < col("__hi")))
       .select("name")
@@ -1215,11 +1229,11 @@ object SeriesFunctions {
     require(n > 0 && n <= 100, s"percentile out of range: $n")
     val p = if (n < 50) 100 - n else n
     val arr = sort_array(collect_list(col("value")))
-    def rank(pct: Double): Column = least(greatest(
-      ceil(lit(pct / 100.0) * (size(arr) + 1)).cast("int"), lit(1)), size(arr))
     val bounds = df.groupBy("ts").agg(
-      when(size(arr) > 0, element_at(arr, rank(100 - p))).as("__lo"),
-      when(size(arr) > 0, element_at(arr, rank(p))).as("__hi"))
+      when(size(arr) > 0, element_at(arr, percentileRank(arr, 100 - p)))
+        .as("__lo"),
+      when(size(arr) > 0, element_at(arr, percentileRank(arr, p)))
+        .as("__hi"))
     val kept = df.join(broadcast(bounds), Seq("ts"))
       .filter(col("value").isNotNull &&
         !(col("value") > col("__lo") && col("value") < col("__hi")))

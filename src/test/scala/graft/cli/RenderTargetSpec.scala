@@ -244,6 +244,11 @@ class RenderTargetSpec extends SparkSuite {
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(pw(120L) === Some(3.0)) // 3^1
     assert(pw(180L) === None)      // h2 absent at 180
+    // ...in ARGUMENT order, not name order — pow is non-commutative
+    val pw2 = RenderTarget.render(db,
+      "powSeries(app.h2.total,app.h1.ok)", 120L, 180L)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(pw2 === Seq(64.0)) // 4^3, not 3^4
 
     // multiplySeriesWithWildcards collapses the host node
     val msw = RenderTarget.render(db,

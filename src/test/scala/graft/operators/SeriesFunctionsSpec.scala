@@ -579,9 +579,10 @@ class SeriesFunctionsSpec extends SparkSuite {
     val gappy = Seq(("g", 0L, Some(1.0)), ("g", 60L, None),
       ("g", 120L, None), ("g", 180L, None), ("g", 240L, Some(5.0)),
       ("g", 300L, None)).toDF("name", "ts", "value")
-    // limit 2: the 3-slot gap stays open past 2 slots; the tail fills
+    // limit 2: the WHOLE 3-slot gap stays open (graphite fills a run
+    // only when 0 < consecutiveNones <= limit); the 1-slot tail fills
     assert(vals(SeriesFunctions.keepLastValueLimited(gappy, 2), "g")
-      === Seq(Some(1.0), Some(1.0), Some(1.0), None, Some(5.0), Some(5.0)))
+      === Seq(Some(1.0), None, None, None, Some(5.0), Some(5.0)))
     assert(vals(SeriesFunctions.keepLastValueLimited(gappy, 3), "g")
       === Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(5.0), Some(5.0)))
   }
@@ -593,6 +594,12 @@ class SeriesFunctionsSpec extends SparkSuite {
       === Seq(None, None))
     assert(vals(SeriesFunctions.nonNegativeDerivative(wrap, Some(255.0)), "c")
       === Seq(None, Some(11.0)))
+    // a sample BEYOND the cap is a bogus reading even on a positive
+    // delta (graphite's _nonNegativeDelta rejects val > maxValue)
+    val over = Seq(("c", 0L, Some(250.0)), ("c", 60L, Some(260.0)),
+      ("c", 120L, Some(261.0))).toDF("name", "ts", "value")
+    assert(vals(SeriesFunctions.nonNegativeDerivative(over, Some(255.0)), "c")
+      === Seq(None, None, None))
   }
 
   test("filterSeries keeps series whose statistic satisfies the op") {
