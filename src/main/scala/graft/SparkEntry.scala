@@ -1366,7 +1366,10 @@ object SparkEntry {
     // uses the floor(x·1e4+0.5)/1e4 midpoint-proof rounding; sums and
     // diffs of 4-decimal inputs are 4-decimal exact
     "g14_render_breadth5" -> { (s, dir) =>
-      val base = hourlySeries(s, dir)
+      // eight branches + the pairwise rank probes all re-derive the
+      // hourly base; checkpoint the 2,400-row frame once (the same
+      // reused-relation pattern as SemDeDup's cell assignment)
+      val base = hourlySeries(s, dir).localCheckpoint(true)
       val clicks = SeriesFunctions.grep(base, "^ev\\.click\\.")
       val views = SeriesFunctions.grep(base, "^ev\\.view\\.")
       val mw = SeriesFunctions.movingWindow(base, 4, "sum").select(
