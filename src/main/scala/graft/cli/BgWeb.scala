@@ -30,10 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object BgWeb {
 
-  /** Subcommands servable over HTTP (no nested shell/web). */
+  /** Subcommands servable over HTTP (no nested shell/web/daemon). */
   val Servable: Set[String] = Set("syncdb", "write", "read", "render",
     "list", "dirs", "du", "stats", "clean", "repair", "copy", "delete",
-    "info", "clustersdiff")
+    "info", "clustersdiff", "compact", "expire")
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""

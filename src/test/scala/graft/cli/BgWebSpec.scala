@@ -57,6 +57,12 @@ class BgWebSpec extends SparkSuite {
       val (bc, bb) = get(s"http://localhost:$port/api/bgutil/nonsense")
       assert(bc === 400 && bb.contains("unknown command"), bb)
 
+      // maintenance over HTTP: compact is servable (cron hits the web
+      // face instead of spawning a JVM per run)
+      val (cc, cb) = get(s"http://localhost:$port/api/bgutil/compact")
+      assert(cc === 200, cb)
+      assert(cb.contains("compacted stage"), cb)
+
       // a command whose ARGS are bad returns an error body, server lives
       val (ec, _) = get(s"http://localhost:$port/api/bgutil/read")
       assert(ec === 400)
