@@ -78,6 +78,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges === 1, s"expected one canonical-key shuffle:\n$p")
   }
 
+  test("wave-6 series combinators broadcast their small relations") {
+    import graft.operators.SeriesFunctions
+    val a = (0L until 200L).map(i => (s"x.${i % 4}", i * 60, i.toDouble))
+      .toDF("name", "ts", "value")
+    val b = (0L until 200L).map(i => (s"y.${i % 4}", i * 60, i.toDouble + 1))
+      .toDF("name", "ts", "value")
+    // pairwise lists: both display-sized rank relations and the rank→
+    // name map ride broadcasts — the points sides join without a
+    // points-sized global sort
+    val pp = plan(SeriesFunctions.pairwiseSeriesLists(a, b, "sum"))
+    assert(pp.contains("Broadcast"), s"rank relations not broadcast:\n$pp")
+    // removeBetweenPercentile: the slot-sized bound relation broadcasts
+    // and the kept-name semi-join broadcasts
+    val rp = plan(SeriesFunctions.removeBetweenPercentile(a, 80))
+    assert("BroadcastHashJoin".r.findAllIn(rp).size >= 2,
+      s"bounds/kept-names not broadcast:\n$rp")
+  }
+
   test("dated catalog: time-scoped scan reads fewer files than full scan") {
     import graft.sources.MetricCatalog
     val dir = java.nio.file.Files.createTempDirectory("datedcat").toString
