@@ -62,6 +62,11 @@ object BgWeb {
   /** Build (not start) the server — tests bind port 0 and start/stop. */
   def build(db: Bgutil.Db, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // without an executor the JDK server dispatches every request on
+    // ONE thread — a cron-driven /api/bgutil/compact would stall every
+    // concurrent /render and /health behind the maintenance run. Spark
+    // schedules concurrent jobs from multiple threads fine.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
     server.createContext("/health", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =

@@ -525,11 +525,8 @@ object Bgutil {
     if (glob.contains("(")) {
       require(fnSpecs.isEmpty,
         "render: a target expression cannot be combined with a colon chain")
-      val out = RenderTarget.render(db, glob, startS, endS, maxDataPoints)
-      // same deterministic output order as the colon-chain path below
-      return if (out.columns.contains("series_order"))
-        out.orderBy("series_order", "ts")
-      else out.orderBy("name", "ts")
+      return deterministicOrder(
+        RenderTarget.render(db, glob, startS, endS, maxDataPoints))
     }
     // timeStack overlays PAST data: widen the leaf fetch by its max
     // shift, apply the chain below it on the widened window, and clip
@@ -555,9 +552,15 @@ object Bgutil {
       if (i == stackIdx)
         out = out.filter(col("ts") >= startS && col("ts") < endS)
     }
+    deterministicOrder(out)
+  }
+
+  /** Render output order: legend order when a sortBy materialized one,
+    * (name, ts) otherwise — shared by the colon-chain and
+    * target-expression paths. */
+  private def deterministicOrder(out: DataFrame): DataFrame =
     if (out.columns.contains("series_order")) out.orderBy("series_order", "ts")
     else out.orderBy("name", "ts")
-  }
 
   /** One render function application — shared by the colon-spec chain
     * above and the graphite target-expression parser

@@ -38,15 +38,18 @@ object SeriesFunctions {
   /** graphite's `_nonNegativeDelta` (functions.py), shared by
     * [[nonNegativeDerivative]] and [[perSecond]]: None when the
     * previous sample is missing or the delta is negative without a cap;
-    * with a cap, EITHER sample above `maxValue` is a bogus reading
-    * (beyond counter capacity) → None, and a negative delta under it is
-    * a wrap worth `maxValue − prev + value + 1`. */
+    * with a cap, a CURRENT sample above `maxValue` is a bogus reading
+    * (beyond counter capacity) → None, and a negative delta is a wrap
+    * worth `maxValue − prev + value + 1`. Exact transcription: graphite
+    * checks only `val > maxValue`, so a bogus PREVIOUS sample still
+    * feeds the wrap formula (and a misconfigured cap can even yield a
+    * negative "wrap") — parity means keeping that quirk. */
   private def nonNegativeDelta(prev: Column,
       maxValue: Option[Double]): Column = {
     val delta = col("value") - prev
     maxValue match {
       case Some(m) =>
-        when(col("value") > m || prev > m, lit(null).cast("double"))
+        when(col("value") > m, lit(null).cast("double"))
           .when(delta >= 0, delta)
           .otherwise(lit(m) - prev + col("value") + 1)
       case None => when(delta >= 0, delta)
@@ -581,10 +584,6 @@ object SeriesFunctions {
   def transformNull(df: DataFrame, default: Double = 0.0): DataFrame =
     df.withColumn("value", coalesce(col("value"), lit(default)))
 
-  /** Graphite's non-interpolating percentile rank over one series' sorted
-    * non-None values: rank = ceil(n/100 · (count+1)) clamped to
-    * [1, count] — functions.py `_getPercentile` with interpolate=False.
-    * Returns metric-count rows (name, __pctl). */
   /** graphite's non-interpolating `_getPercentile` rank over a sorted
     * values array: ceil(pct/100 · (n+1)) clamped to [1, n]. ONE home for
     * the formula — every percentile family member selects with it. */
@@ -592,6 +591,9 @@ object SeriesFunctions {
     least(greatest(
       ceil(lit(pct / 100.0) * (size(arr) + 1)).cast("int"), lit(1)), size(arr))
 
+  /** One series' nth percentile over its sorted non-None values
+    * ([[percentileRank]] selection). Returns metric-count rows
+    * (name, __pctl). */
   private def seriesPercentile(df: DataFrame, n: Double): DataFrame = {
     require(n > 0 && n <= 100, s"percentile out of range: $n")
     val arr = sort_array(collect_list(col("value"))) // collect_list skips nulls

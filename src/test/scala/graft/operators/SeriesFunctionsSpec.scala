@@ -518,9 +518,11 @@ class SeriesFunctionsSpec extends SparkSuite {
     // with maxValue=255: (255 − 250 + 5 + 1) / 60
     assert(vals(SeriesFunctions.perSecond(wrap, Some(255.0)), "c")
       === Seq(None, Some(11.0 / 60)))
-    // values ABOVE the claimed cap stay None (not a genuine wrap)
+    // graphite checks only the CURRENT sample against the cap: with a
+    // misconfigured cap below the previous sample, the wrap formula
+    // still applies (100 − 250 + 5 + 1 = −144) — parity keeps the quirk
     assert(vals(SeriesFunctions.perSecond(wrap, Some(100.0)), "c")
-      === Seq(None, None))
+      === Seq(None, Some(-144.0 / 60)))
   }
 
   test("asPercentOf divides by the explicit total series per slot") {
@@ -594,12 +596,18 @@ class SeriesFunctionsSpec extends SparkSuite {
       === Seq(None, None))
     assert(vals(SeriesFunctions.nonNegativeDerivative(wrap, Some(255.0)), "c")
       === Seq(None, Some(11.0)))
-    // a sample BEYOND the cap is a bogus reading even on a positive
-    // delta (graphite's _nonNegativeDelta rejects val > maxValue)
+    // a CURRENT sample beyond the cap is a bogus reading even on a
+    // positive delta (graphite's _nonNegativeDelta rejects val > max)
     val over = Seq(("c", 0L, Some(250.0)), ("c", 60L, Some(260.0)),
       ("c", 120L, Some(261.0))).toDF("name", "ts", "value")
     assert(vals(SeriesFunctions.nonNegativeDerivative(over, Some(255.0)), "c")
       === Seq(None, None, None))
+    // ...but a bogus PREVIOUS sample still feeds the wrap formula
+    // (255 − 260 + 250 + 1 = 246), exactly like functions.py
+    val prevOver = Seq(("c", 0L, Some(260.0)), ("c", 60L, Some(250.0)))
+      .toDF("name", "ts", "value")
+    assert(vals(SeriesFunctions.nonNegativeDerivative(prevOver, Some(255.0)), "c")
+      === Seq(None, Some(246.0)))
   }
 
   test("filterSeries keeps series whose statistic satisfies the op") {

@@ -38,17 +38,19 @@ class SeriesWindowPropertySpec extends SparkSuite {
     out.toVector
   }
 
-  /** graphite _nonNegativeDelta: None without a previous sample; with a
-    * cap, either sample above it is bogus; a negative delta under the
-    * cap is a wrap worth max − prev + val + 1; without a cap, negative
-    * deltas are resets (None). */
+  /** graphite _nonNegativeDelta, transcribed from functions.py: a
+    * CURRENT sample above the cap is bogus (None); None without a
+    * previous sample; a negative delta is a wrap worth
+    * max − prev + val + 1 when the cap is known (even off a bogus
+    * previous sample — graphite does not re-check prev), a reset (None)
+    * otherwise. */
   private def refNnd(vs: Vector[Option[Double]],
       maxValue: Option[Double]): Vector[Option[Double]] =
     vs.zipWithIndex.map { case (v, i) =>
       val prev = if (i == 0) None else vs(i - 1)
       (v, prev) match {
+        case (Some(x), _) if maxValue.exists(x > _) => None
         case (Some(x), Some(p)) => maxValue match {
-          case Some(m) if x > m || p > m => None
           case Some(m) if x < p => Some(m - p + x + 1)
           case None if x < p => None
           case _ => Some(x - p)
