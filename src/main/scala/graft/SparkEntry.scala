@@ -684,6 +684,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // D12: SimHash near-dup PAIRS — Manku-style block banding over the
+    // 16-bit fingerprints (k+1 = 3 blocks; any pair within hamming 2
+    // shares a block by pigeonhole) + exact popcount verification.
+    // Complete by construction — the oracle brute-forces the same set
+    "d12_simhash_pairs" -> { (s, dir) =>
+      val fp = Dedup.simhashNative(table(s, dir, "documents"),
+        "doc_id", "text", bits = 16)
+      Dedup.simhashNearDupPairs(fp, "doc_id", bits = 16, k = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // D4: exact n-gram Jaccard verification of the LSH candidates
     "d4_ngram_jaccard" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
@@ -1679,6 +1690,30 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 16 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d12_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(substr(text, 1, 4096)), '\s+')) AS tok
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN substr(md5(tok), b, 1) IN
+        |        ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+        |  FROM toks, LATERAL unnest(range(1, 17)) t(b)
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 16 - b) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS fingerprint
+        |  FROM votes GROUP BY doc_id)
+        |-- the oracle brute-forces ALL pairs: banding must find exactly
+        |-- the hamming<=2 set (completeness is the property under test)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT)
+        |    AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH $ShinglesCte,

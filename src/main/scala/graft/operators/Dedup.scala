@@ -176,6 +176,51 @@ object Dedup {
         .as("fingerprint"))
   }
 
+  /** SimHash near-duplicate pairs: block banding + exact hamming
+    * verification (Manku et al., WWW '07 §3 — two fingerprints within
+    * hamming distance k must agree EXACTLY on at least one of k+1 bit
+    * blocks, by pigeonhole), so a per-block bucket join finds EVERY
+    * such pair without an all-pairs scan — the same blocked shape as
+    * [[lshCandidatePairs]], exact and complete by construction.
+    * Verification is one popcount of the XOR per candidate. Input is
+    * [[simhashNative]]'s (id, fingerprint); output (id_a, id_b,
+    * hamming ≤ k).
+    *
+    * Scale note: block selectivity is 2^(bits/(k+1)) buckets per
+    * block — at corpus scale use the widest fingerprint available
+    * (31 bits under this nibble-vote construction; the paper's 64-bit
+    * fingerprints make the same shape web-scale). */
+  def simhashNearDupPairs(fingerprints: DataFrame, idCol: String,
+      bits: Int = 16, k: Int = 2): DataFrame = {
+    require(k >= 0 && k < bits && bits <= 31,
+      s"simhashNearDupPairs: need 0 <= k < bits <= 31, got k=$k bits=$bits")
+    val blocks = k + 1
+    val widths = (0 until blocks).map(b =>
+      bits / blocks + (if (b < bits % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val fp = col("fingerprint").cast("long")
+    val blockVals = (0 until blocks).map(b =>
+      shiftright(fp, offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)))
+    // banding materialized once on the block key (see lshCandidatePairs
+    // for why the explicit repartition precedes the self-join fan-out);
+    // the fingerprint rides along so verification needs no extra join
+    val banded = fingerprints
+      .select(col(idCol), col("fingerprint"),
+        posexplode(array(blockVals: _*)).as(Seq("block_idx", "block_val")))
+      .repartition(col("block_idx"), col("block_val"))
+    val left = banded.select(col("block_idx"), col("block_val"),
+      col(idCol).as("id_a"), col("fingerprint").as("__fa"))
+    val right = banded.select(col("block_idx"), col("block_val"),
+      col(idCol).as("id_b"), col("fingerprint").as("__fb"))
+    left.join(right, Seq("block_idx", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= k)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard for candidate pairs (|A∩B| / |A∪B| over distinct
     * shingles) — the verification stage after LSH blocking. `pairs` has
     * columns id_a, id_b. */

@@ -68,4 +68,21 @@ class DedupRecallSpec extends SparkSuite {
     assert(candSet.size < 19900 / 5,
       s"LSH emitted ${candSet.size} of 19,900 pairs — not selective")
   }
+
+  test("simhash block banding finds EXACTLY the pairs within hamming k") {
+    val rnd = new scala.util.Random(7)
+    val raw = (0L until 120L).map(i => (i, rnd.nextInt(1 << 16).toLong))
+    val fps = raw.toDF("doc_id", "fingerprint")
+    val got = Dedup.simhashNearDupPairs(fps, "doc_id", bits = 16, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: the pigeonhole argument promises COMPLETENESS, so
+    // the banded result must equal the all-pairs popcount scan
+    val brute = (for {
+      (a, fa) <- raw; (b, fb) <- raw if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 2
+    } yield (a, b, h)).toSet
+    assert(got === brute,
+      s"banding missed ${(brute -- got).size}, invented ${(got -- brute).size}")
+    assert(brute.nonEmpty) // 7,140 random 16-bit pairs → expect a few
+  }
 }
