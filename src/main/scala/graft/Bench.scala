@@ -15,7 +15,8 @@ object Bench {
     "a1_aggregators", "a3_downsample", "a3_downsample_2stage",
     "a5_pointgrouper", "a7_dense_spine", "a11_clusters_diff",
     "f5_glob_predicates", "j1_points_metadata",
-    "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
+    "d2_minhash_lsh", "d3_simhash", "d12_simhash_pairs",
+    "d4_ngram_jaccard",
     "k1_knn_brute", "t2_quality", "w2_topk_per_group",
     "e1_storage_read_path", "e4_render_pipeline",
     "km1_kmeans", "d8_semdedup", "d8b_semdedup_sqrtn",
