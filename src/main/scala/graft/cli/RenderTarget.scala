@@ -185,11 +185,36 @@ object RenderTarget {
   private val IntVarargFns = Set("aliasByNode", "sumSeriesWithWildcards",
     "averageSeriesWithWildcards")
 
+  /** Per-target evaluation state: `setXFilesFactor` sets the DEFAULT
+    * xFilesFactor that later-evaluated functions read, exactly like
+    * graphite's requestContext['xFilesFactor'] (functions.py
+    * setXFilesFactor) — arguments evaluate before their enclosing call,
+    * so an inner setXFilesFactor governs every function wrapping it.
+    * Scope is one target expression (graphite scopes it to the whole
+    * request; a request here is one render() call per target). */
+  private final class EvalCtx { var xff: Option[Double] = None }
+
+  /** Consumers of the context default: the combine family (graphite's
+    * aggregate reads requestContext when no explicit xff is passed) and
+    * removeEmptySeries (same rule). An EXPLICIT xff argument wins. */
+  private def withCtxXff(name: String, finalArgs: List[String],
+      ctx: EvalCtx): List[String] = ctx.xff match {
+    case Some(x) if name == "combine" && finalArgs.length == 2 =>
+      finalArgs :+ x.toString
+    case Some(x) if name == "removeEmptySeries" && finalArgs.isEmpty =>
+      List(x.toString)
+    case _ => finalArgs
+  }
+
   /** Evaluate a parsed target against a db and time window.
     * `maxDataPoints` consolidates the leaf reads like graphite's render
     * parameter of the same name (0 = no consolidation). */
   def eval(db: Bgutil.Db, node: Node, startS: Long, endS: Long,
       maxDataPoints: Int = 0): DataFrame =
+    evalC(db, node, startS, endS, maxDataPoints, new EvalCtx)
+
+  private def evalC(db: Bgutil.Db, node: Node, startS: Long, endS: Long,
+      maxDataPoints: Int, ctx: EvalCtx): DataFrame =
     node match {
       case PathNode(glob) =>
         Bgutil.read(db, glob, startS, endS, maxDataPoints)
@@ -238,8 +263,21 @@ object RenderTarget {
             "group: nested call operands are not supported — " +
               "use plain paths/globs")
           PathNode(a)
-        }).map(eval(db, _, startS, endS, maxDataPoints))
+        }).map(evalC(db, _, startS, endS, maxDataPoints, ctx))
           .reduce(_ unionByName _)
+      // setXFilesFactor(series, xff) — graphite's stateful context
+      // setter: the series passes through UNCHANGED and every function
+      // evaluated afterwards (i.e. every enclosing call) defaults its
+      // xFilesFactor to this value. Set AFTER evaluating the subtree so
+      // with nested setters the outermost one governs the enclosing
+      // functions, matching python's argument-then-call order.
+      case CallNode("setXFilesFactor" | "xFilesFactor", series,
+          List(x), _) =>
+        val out = evalC(db, series, startS, endS, maxDataPoints, ctx)
+        val v = x.trim.toDouble
+        require(v >= 0 && v <= 1, s"setXFilesFactor out of [0,1]: $v")
+        ctx.xff = Some(v)
+        out
       // applyByNode(series, nodeNum, 'template'): evaluate the quoted
       // template once per distinct node prefix with % replaced — the
       // per-host derived-metric pattern
@@ -258,7 +296,7 @@ object RenderTarget {
             graft.sources.MetricCatalog.globMetrics(db.catalog, glob)
               .select("name").collect().map(_.getString(0))
           case other =>
-            eval(db, other, startS, endS, maxDataPoints)
+            evalC(db, other, startS, endS, maxDataPoints, ctx)
               .select("name").distinct().collect().map(_.getString(0))
         }
         val prefixes = names
@@ -266,8 +304,8 @@ object RenderTarget {
           .distinct.sorted
         require(prefixes.nonEmpty, "applyByNode: no series matched")
         prefixes.map { p =>
-          eval(db, parse(template.replace("%", p)), startS, endS,
-            maxDataPoints)
+          evalC(db, parse(template.replace("%", p)), startS, endS,
+            maxDataPoints, ctx)
         }.reduce(_ unionByName _)
       // varargs series: union all operands, then combine slot-wise
       case CallNode(fn, series, args, raw)
@@ -277,7 +315,7 @@ object RenderTarget {
             s"$fn: nested call operands are not supported — " +
               "use plain paths/globs")
           PathNode(a)
-        }).map(eval(db, _, startS, endS, maxDataPoints))
+        }).map(evalC(db, _, startS, endS, maxDataPoints, ctx))
         // powSeries folds in ARGUMENT order and pow is non-commutative:
         // prefix each operand's names with its position so the fold's
         // sorted-name order IS the argument order (within one glob the
@@ -294,7 +332,8 @@ object RenderTarget {
         val (name, finalArgs) =
           if (fn == "multiplySeries" || fn == "powSeries") (fn, List(raw))
           else mapped(fn, raw, Nil)
-        Bgutil.applyRenderFn(db, unioned, name, finalArgs.toIndexedSeq,
+        Bgutil.applyRenderFn(db, unioned, name,
+          withCtxXff(name, finalArgs, ctx).toIndexedSeq,
           startS, endS, maxDataPoints)
       // graphite's timeShift('1d') means "draw data from 1d AGO": the
       // FETCH window shifts into the past and the timestamps shift
@@ -309,7 +348,7 @@ object RenderTarget {
           if (fwd) (startS + back, endS + back, -back)
           else (startS - back, endS - back, back)
         graft.operators.SeriesFunctions.timeShift(
-          eval(db, series, s0, s1, maxDataPoints), delta)
+          evalC(db, series, s0, s1, maxDataPoints, ctx), delta)
       // timeStack likewise overlays PAST data onto the requested window:
       // copy k draws from [startS-k·Δ, endS-k·Δ]. Fetch once over the
       // union of those windows ([startS-endK·Δ, endS]), shift, and clip —
@@ -325,7 +364,7 @@ object RenderTarget {
         // spine and shift its anchor, so shifted copies would miss the
         // requested window's slots
         val widened =
-          eval(db, series, startS - endK * shiftS, endS, 0)
+          evalC(db, series, startS - endK * shiftS, endS, 0, ctx)
         graft.operators.SeriesFunctions
           .timeStack(widened, shiftS, startK, endK)
           .filter(col("ts") >= startS && col("ts") < endS)
@@ -335,7 +374,7 @@ object RenderTarget {
             s"$fn: nested call in scalar/second-series position " +
               s"('$a') is not supported — use a plain path/glob there")
         }
-        val df = eval(db, series, startS, endS, maxDataPoints)
+        val df = evalC(db, series, startS, endS, maxDataPoints, ctx)
         // integer varargs collapse to the dispatch's comma-joined form:
         // aliasByNode(s,1,3) → aliasByNode:1,3 ; groupByNodes keeps its
         // function first, nodes joined
@@ -348,7 +387,8 @@ object RenderTarget {
           case _ => args
         }
         val (name, finalArgs) = mapped(fn, raw, joined)
-        Bgutil.applyRenderFn(db, df, name, finalArgs.toIndexedSeq,
+        Bgutil.applyRenderFn(db, df, name,
+          withCtxXff(name, finalArgs, ctx).toIndexedSeq,
           startS, endS, maxDataPoints)
     }
 

@@ -389,6 +389,43 @@ class RenderTargetSpec extends SparkSuite {
     intercept[IllegalArgumentException](RenderTarget.parseInterval("soon"))
   }
 
+  test("setXFilesFactor governs enclosing combines and removeEmptySeries") {
+    val dir = java.nio.file.Files.createTempDirectory("rtxff").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    // two slots in [120,240); each series present in exactly ONE
+    Bgutil.write(db, "xf.a", 120L, 2.0, "60*60s:24*3600s", "average")
+    Bgutil.write(db, "xf.b", 180L, 4.0, "60*60s:24*3600s", "average")
+
+    def vals(target: String): Seq[Option[Double]] =
+      RenderTarget.render(db, target, 120L, 240L).orderBy("ts")
+        .collect().toSeq.map(r =>
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+
+    // without the context: half-present slots are kept
+    assert(vals("aggregate(group(xf.a,xf.b),'sum')") ===
+      Seq(Some(2.0), Some(4.0)))
+    // inner setXFilesFactor(…, 1.0) → the ENCLOSING aggregate demands
+    // all series present per slot; both slots are half-present → null
+    assert(vals("aggregate(setXFilesFactor(group(xf.a,xf.b),1.0),'sum')") ===
+      Seq(None, None))
+    // canonical-name combine reads the context too (graphite's
+    // sumSeries delegates to aggregate, which reads requestContext)
+    assert(vals("sumSeries(setXFilesFactor(xf.a,1.0),xf.b)") ===
+      Seq(None, None))
+    // removeEmptySeries: each series fills 1 of its 2 slots → dropped
+    // at the context's xff=1.0, kept when an EXPLICIT 0 overrides it
+    assert(RenderTarget.render(db,
+      "removeEmptySeries(setXFilesFactor(group(xf.a,xf.b),1.0))",
+      120L, 240L).count() === 0L)
+    assert(RenderTarget.render(db,
+      "removeEmptySeries(setXFilesFactor(group(xf.a,xf.b),1.0),0)",
+      120L, 240L).count() === 4L)
+    intercept[IllegalArgumentException] {
+      RenderTarget.render(db, "setXFilesFactor(xf.a,1.5)", 120L, 240L)
+    }
+  }
+
   test("nested call in second-series position raises a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("rt2").toString
     val db = Db(spark, dir)
