@@ -403,9 +403,15 @@ object RenderTarget {
     * send `from=-6h&until=now` on every refresh, so the web face must
     * speak this. */
   def parseTime(spec: String, nowS: Long): Long = {
+    // toLong on a >19-digit run raises NumberFormatException; request
+    // text must only ever escape as the deliberate diagnostics
+    def num(digits: String): Long =
+      try digits.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"bad time spec: $spec") }
     val s = spec.trim
     if (s == "now" || s.isEmpty) nowS
-    else if (s.forall(_.isDigit)) s.toLong
+    else if (s.forall(_.isDigit)) num(s)
     else if (s.startsWith("-") || s.startsWith("+")) {
       val sign = if (s.startsWith("-")) -1L else 1L
       val body = s.drop(1)
@@ -422,7 +428,7 @@ object RenderTarget {
         case other => throw new IllegalArgumentException(
           s"bad time unit '$other' in: $spec")
       }
-      nowS + sign * numStr.toLong * mult
+      nowS + sign * num(numStr) * mult
     } else throw new IllegalArgumentException(s"bad time spec: $spec")
   }
 
@@ -436,7 +442,10 @@ object RenderTarget {
       if (s.startsWith("-") || s.startsWith("+")) (s.take(1), s.drop(1))
       else ("", s)
     val sign = if (signStr == "-") -1L else 1L
-    if (body.forall(_.isDigit) && body.nonEmpty) sign * body.toLong
+    if (body.forall(_.isDigit) && body.nonEmpty)
+      sign * (try body.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad interval: $spec") })
     else sign * math.abs(parseTime(s"-$body", 0L))
   }
 }
