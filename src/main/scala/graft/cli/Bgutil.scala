@@ -510,6 +510,7 @@ object Bgutil {
     * consolidateBy:FN[:MAX_POINTS] | perSecond[:MAX] (counter wrap) |
     * asPercent[:TOTAL_GLOB|:N] | stacked | areaBetween | cactiStyle |
     * minMax | aggregateWithWildcards:FN:I[,J,…] |
+    * toLowerCase | toUpperCase | pieAverage | pieMaximum | pieMinimum |
     * keepLastValue:LIMIT | nonNegativeDerivative[:MAX] |
     * filterSeries:FN:OP:N | legendValue:STAT[:STAT…] | aliasByMetric |
     * secondYAxis | drawAsInfinite | color:C | alpha:A | lineWidth:W |
@@ -558,9 +559,13 @@ object Bgutil {
   /** Render output order: legend order when a sortBy materialized one,
     * (name, ts) otherwise — shared by the colon-chain and
     * target-expression paths. */
-  private def deterministicOrder(out: DataFrame): DataFrame =
-    if (out.columns.contains("series_order")) out.orderBy("series_order", "ts")
-    else out.orderBy("name", "ts")
+  private def deterministicOrder(out: DataFrame): DataFrame = {
+    // terminal display shapes (the pie reducers) have no ts column
+    val keys =
+      if (out.columns.contains("series_order")) Seq("series_order", "ts")
+      else Seq("name", "ts")
+    out.orderBy(keys.filter(out.columns.contains).map(col): _*)
+  }
 
   /** One render function application — shared by the colon-spec chain
     * above and the graphite target-expression parser
@@ -751,6 +756,12 @@ object Bgutil {
             if (partsLen > 2) parts(2) else "max")
           case "groupByNodes" => SF.groupByNodes(df, parts(1),
             parts(2).split(",").toSeq.map(_.toInt))
+          case "toLowerCase" => SF.toLowerCaseSeries(df)
+          case "toUpperCase" => SF.toUpperCaseSeries(df)
+          // pie-mode reducers: terminal (name, value) shape
+          case "pieAverage" => SF.pieValue(df, "average")
+          case "pieMaximum" => SF.pieValue(df, "maximum")
+          case "pieMinimum" => SF.pieValue(df, "minimum")
           case "unique" => SF.uniqueSeries(df)
           case "limit" => SF.limitSeries(df, parts(1).toInt)
           case "constantLine" => df.unionByName(

@@ -138,6 +138,7 @@ object RenderTarget {
     case "maxSeries" => ("combine", List("max", raw))
     case "countSeries" => ("combine", List("count", raw))
     case "rangeOfSeries" => ("combine", List("range", raw))
+    case "stddevSeries" => ("combine", List("stddev", raw))
     case "highestMax" => ("highest", args :+ "max")
     case "highestAverage" => ("highest", args :+ "average")
     case "highestCurrent" => ("highest", args :+ "current")
@@ -178,7 +179,7 @@ object RenderTarget {
     * and silently dropped). */
   private val CombineFns = Set("sumSeries", "averageSeries", "avg",
     "minSeries", "maxSeries", "countSeries", "rangeOfSeries",
-    "multiplySeries", "powSeries")
+    "stddevSeries", "multiplySeries", "powSeries")
 
   /** Functions whose trailing arguments are an integer vararg list the
     * dispatch takes as ONE comma-joined argument. */

@@ -1058,6 +1058,30 @@ object SeriesFunctions {
       .agg(max_by(col("value"),
         struct(col("value").isNotNull, col("value"))).as("value"))
 
+  /** `toLowerCase` / `toUpperCase` (functions.py): case-transform the
+    * series name; points pass through untouched. */
+  def toLowerCaseSeries(df: DataFrame): DataFrame =
+    df.withColumn("name", lower(col("name")))
+
+  def toUpperCaseSeries(df: DataFrame): DataFrame =
+    df.withColumn("name", upper(col("name")))
+
+  /** Pie-mode reducers (functions.py pieAverage/pieMaximum/pieMinimum):
+    * `graphType=pie` collapses each series to ONE value, so the output
+    * is (name, value) — a terminal, display-shaped form. Nulls are
+    * skipped like graphite's safe* reducers; a series with no non-null
+    * point keeps a null slice value rather than disappearing. */
+  def pieValue(df: DataFrame, fn: String): DataFrame = {
+    val agg = fn match {
+      case "average" => avg(col("value"))
+      case "maximum" => max(col("value"))
+      case "minimum" => min(col("value"))
+      case other =>
+        throw new IllegalArgumentException(s"pie: unknown reducer $other")
+    }
+    df.groupBy("name").agg(agg.as("value"))
+  }
+
   /** `limit`: keep the first `n` series in NAME order (a set engine has
     * no arrival order; name order is the deterministic analog). */
   def limitSeries(df: DataFrame, n: Int): DataFrame = {

@@ -48,6 +48,18 @@ class RenderTargetSpec extends SparkSuite {
       "highestMax(sys.cpu.*.load,1)", 120L, 180L)
       .select("name").distinct().collect().map(_.getString(0)).toSeq
     assert(hm === Seq("sys.cpu.1.load"))
+
+    // stddevSeries maps onto combine:stddev (population, like graphite)
+    val sd = RenderTarget.render(db,
+      "stddevSeries(sys.cpu.*.load)", 120L, 180L)
+      .collect().collectFirst { case r if !r.isNullAt(2) => r.getDouble(2) }
+    assert(sd === Some(1.0)) // pop stddev of {2, 4}
+
+    // toUpperCase/toLowerCase transform the legend name
+    val up = RenderTarget.render(db,
+      "toUpperCase(sys.cpu.0.load)", 120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(up === Seq("SYS.CPU.0.LOAD"))
   }
 
   test("wave-5 targets: group, aggregate, timeFunction, asPercent total") {

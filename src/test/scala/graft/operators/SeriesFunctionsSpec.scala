@@ -762,6 +762,34 @@ class SeriesFunctionsSpec extends SparkSuite {
     }
   }
 
+  test("toLowerCase/toUpperCase transform names, points untouched") {
+    val v = Seq(("App.Host", 0L, Some(1.0))).toDF("name", "ts", "value")
+    assert(SeriesFunctions.toLowerCaseSeries(v).collect()(0).getString(0)
+      === "app.host")
+    assert(SeriesFunctions.toUpperCaseSeries(v).collect()(0).getString(0)
+      === "APP.HOST")
+    assert(SeriesFunctions.toUpperCaseSeries(v).collect()(0).getDouble(2)
+      === 1.0)
+  }
+
+  test("pieValue reduces each series to one slice, skipping Nones") {
+    val p = SeriesFunctions.pieValue(series, "average").orderBy("name")
+      .collect()
+    // a: (1+4+2)/3 over non-null slots; b: (10+20)/2
+    assert(p.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(p(0).getDouble(1) === 7.0 / 3)
+    assert(p(1).getDouble(1) === 15.0)
+    val mx = SeriesFunctions.pieValue(series, "maximum").orderBy("name")
+      .collect()
+    assert(mx.map(_.getDouble(1)).toSeq === Seq(4.0, 20.0))
+    val mn = SeriesFunctions.pieValue(series, "minimum").orderBy("name")
+      .collect()
+    assert(mn.map(_.getDouble(1)).toSeq === Seq(1.0, 10.0))
+    intercept[IllegalArgumentException] {
+      SeriesFunctions.pieValue(series, "median")
+    }
+  }
+
   test("pairwiseSeriesLists pairs by sorted-name rank") {
     val a = Seq(("x.1", 0L, Some(4.0)), ("x.1", 60L, None),
       ("x.2", 0L, Some(6.0))).toDF("name", "ts", "value")
