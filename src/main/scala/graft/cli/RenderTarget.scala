@@ -308,6 +308,30 @@ object RenderTarget {
           evalC(db, parse(template.replace("%", p)), startS, endS,
             maxDataPoints, ctx)
         }.reduce(_ unionByName _)
+      // aliasQuery(series, search, replace, newName): per series, run
+      // the query derived by regex-substituting the name, take the
+      // LAST value of the result, and format it into the legend
+      // (functions.py aliasQuery — raises when a query matches
+      // nothing). Series list and one scalar per series are
+      // display-sized; each query re-evaluates like applyByNode.
+      case CallNode("aliasQuery", series,
+          List(search, replace, newName), _) =>
+        import org.apache.spark.sql.functions.{col, lit, max_by, struct}
+        val base = evalC(db, series, startS, endS, maxDataPoints, ctx)
+        val names = base.select("name").distinct().collect()
+          .map(_.getString(0)).sorted
+        val javaReplace = replace.replaceAll("""\\(\d)""", "\\$$1")
+        names.map { n =>
+          val q = n.replaceAll(search, javaReplace)
+          val lastVal = evalC(db, parse(q), startS, endS, 0, ctx)
+            .filter(col("value").isNotNull)
+            .select(max_by(col("value"), col("ts"))).collect()
+            .headOption.filterNot(_.isNullAt(0)).map(_.getDouble(0))
+            .getOrElse(throw new IllegalArgumentException(
+              s"aliasQuery: no data for query: $q"))
+          base.filter(col("name") === n)
+            .withColumn("name", lit(pythonFormat(newName, lastVal)))
+        }.reduce(_ unionByName _)
       // varargs series: union all operands, then combine slot-wise
       case CallNode(fn, series, args, raw)
           if CombineFns(fn) && args.nonEmpty =>
@@ -397,6 +421,30 @@ object RenderTarget {
   def render(db: Bgutil.Db, target: String, startS: Long,
       endS: Long, maxDataPoints: Int = 0): DataFrame =
     eval(db, parse(target), startS, endS, maxDataPoints)
+
+  /** Python %-format for aliasQuery legends ('%d cores', '%.1f qps'):
+    * the numeric conversions graphite's newName takes. %d truncates
+    * like python's int conversion; %% is a literal percent. */
+  private[cli] def pythonFormat(fmt: String, value: Double): String = {
+    val m = java.util.regex.Pattern
+      .compile("%(%|\\.?\\d*[dfgse])").matcher(fmt)
+    val out = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      out.append(fmt.substring(last, m.start()))
+      val spec = m.group(1)
+      out.append(spec match {
+        case "%" => "%"
+        case s if s.endsWith("d") => value.toLong.toString
+        case s => String.format(s"%$s", Double.box(value))
+      })
+      last = m.end()
+    }
+    out.append(fmt.substring(last))
+    require(out.toString != fmt || fmt.contains("%"),
+      s"aliasQuery: newName has no % conversion: $fmt")
+    out.toString
+  }
 
   /** Graphite render-API time syntax → epoch seconds: absolute epoch,
     * `now`, or `-N<unit>` relative to `nowS` (graphite's

@@ -60,6 +60,28 @@ class RenderTargetSpec extends SparkSuite {
       "toUpperCase(sys.cpu.0.load)", 120L, 180L)
       .select("name").distinct().collect().map(_.getString(0)).toSeq
     assert(up === Seq("SYS.CPU.0.LOAD"))
+
+    // aliasQuery: per-series derived query, last value into the legend
+    val aq = RenderTarget.render(db,
+      "aliasQuery(sys.cpu.*.load,'sys.cpu.(\\d+).load','sys.cpu.$1.load','%d cores')",
+      120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(aq === Set("2 cores", "4 cores"))
+    intercept[IllegalArgumentException] {
+      RenderTarget.render(db,
+        "aliasQuery(sys.cpu.*.load,'load','nope','%d')", 120L, 180L)
+        .collect()
+    }
+  }
+
+  test("pythonFormat speaks the %d/%.1f/%g conversions") {
+    assert(RenderTarget.pythonFormat("%d cores", 3.7) === "3 cores")
+    assert(RenderTarget.pythonFormat("%.1f qps", 2.34) === "2.3 qps")
+    assert(RenderTarget.pythonFormat("%g", 5.0) === "5.00000")
+    assert(RenderTarget.pythonFormat("busy %d%%", 42.0) === "busy 42%")
+    intercept[IllegalArgumentException] {
+      RenderTarget.pythonFormat("no conversion", 1.0)
+    }
   }
 
   test("wave-5 targets: group, aggregate, timeFunction, asPercent total") {
