@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Endpoints:
   *  - `GET /health` → `{"status":"ok"}`
-  *  - `GET /render?target=<expr>&from=<s>&until=<s>` → graphite-web's
-  *    JSON render API (nested function-call targets via
-  *    [[RenderTarget]]; grafana's graphite datasource shape)
+  *  - `GET /render?target=<expr>&from=<s>&until=<s>[&format=json|csv|raw]`
+  *    → graphite-web's render API (nested function-call targets via
+  *    [[RenderTarget]]; grafana's graphite datasource JSON shape,
+  *    plus the csv and raw views)
+  *  - `GET /metrics/expand?query=<glob>[&leavesOnly=1]` → full paths
+  *    of matching nodes; `GET /metrics/index.json` → all leaf names
   *  - `GET /api/biggraphite/metric/<name>` → metadata JSON or 404
   *  - `GET|POST /api/bgutil/<command>?arg=<a>&arg=<b>…` → runs the
   *    CLI command against the served db, returns captured console
@@ -45,9 +48,10 @@ object BgWeb {
     case c => c.toString
   }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()
@@ -117,6 +121,50 @@ object BgWeb {
       }
     })
 
+    // graphite-web's /metrics/expand: expand a glob into the FULL
+    // PATHS of every matching node (leaves and branches), the shape
+    // scripted clients use ({"results": [...]})
+    server.createContext("/metrics/expand", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          (if (i > 0) kv.substring(0, i) else kv,
+            java.net.URLDecoder.decode(
+              if (i > 0) kv.substring(i + 1) else "", "UTF-8"))
+        }
+        val glob = params.collectFirst { case ("query", v) => v }
+          .getOrElse(throw new IllegalArgumentException("missing ?query="))
+        val leavesOnly =
+          params.collectFirst { case ("leavesOnly", v) => v }.contains("1")
+        val nodes = graft.operators.TimeSeriesReader
+          .findNodes(db.catalog, glob).collect()
+          .filter(r => !leavesOnly || r.getBoolean(1))
+          .map(r => s""""${jsonEscape(r.getString(0))}"""").distinct.sorted
+        respond(ex, 200, nodes.mkString("""{"results":[""", ",", "]}"))
+      } catch {
+        case e: Exception =>
+          respond(ex, 400, s"""{"error":"${jsonEscape(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}""")
+      }
+    })
+
+    // graphite-web's /metrics/index.json: every leaf metric name,
+    // sorted — the autocomplete index. Inherently a full catalog dump
+    // (graphite walks its whole tree for this too); the projection is
+    // one pruned column off the catalog parquet.
+    server.createContext("/metrics/index.json", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val names = db.catalog.select("name").orderBy("name").collect()
+          .map(r => s""""${jsonEscape(r.getString(0))}"""")
+        respond(ex, 200, names.mkString("[", ",", "]"))
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error":"${jsonEscape(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}""")
+      }
+    })
+
     // graphite-web's /render JSON API: one or more
     // target=<expression> params (nested function calls parsed by
     // RenderTarget), from/until epoch seconds, response
@@ -142,26 +190,66 @@ object BgWeb {
         val startS = RenderTarget.parseTime(opt("from").getOrElse("-1d"), nowS)
         val endS = RenderTarget.parseTime(opt("until").getOrElse("now"), nowS)
         val mdp = opt("maxDataPoints").map(_.toInt).getOrElse(0)
-        val series = targets.flatMap { t =>
-          RenderTarget.render(db, t, startS, endS, mdp)
-            .select("name", "ts", "value").orderBy("name", "ts")
-            .collect()
-            .groupBy(_.getString(0)).toSeq.sortBy(_._1)
-            .map { case (name, rows) =>
-              val pts = rows.sortBy(_.getLong(1)).map { r =>
-                // NaN/Infinity are not JSON — graphite serializes those
-                // slots as null and so do we
-                val v =
-                  if (r.isNullAt(2) || !java.lang.Double.isFinite(r.getDouble(2)))
-                    "null"
-                  else r.getDouble(2).toString
-                s"[$v,${r.getLong(1)}]"
+        // (name, [(ts, value-or-null)]) per series across all targets —
+        // one shape, three serializations (format=json|csv|raw, like
+        // graphite-web's render views)
+        val series: Seq[(String, Seq[(Long, Option[Double])])] =
+          targets.toSeq.flatMap { t =>
+            RenderTarget.render(db, t, startS, endS, mdp)
+              .select("name", "ts", "value").orderBy("name", "ts")
+              .collect()
+              .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+              .map { case (name, rows) =>
+                (name, rows.sortBy(_.getLong(1)).toSeq.map { r =>
+                  // NaN/Infinity are not JSON — graphite serializes
+                  // those slots as null and so do we
+                  val v =
+                    if (r.isNullAt(2) ||
+                        !java.lang.Double.isFinite(r.getDouble(2))) None
+                    else Some(r.getDouble(2))
+                  (r.getLong(1), v)
+                })
               }
-              s"""{"target":"${jsonEscape(name)}",""" +
-                s""""datapoints":${pts.mkString("[", ",", "]")}}"""
+          }
+        opt("format").getOrElse("json") match {
+          case "json" =>
+            val body = series.map { case (name, pts) =>
+              s"""{"target":"${jsonEscape(name)}","datapoints":""" +
+                pts.map { case (ts, v) =>
+                  s"[${v.map(_.toString).getOrElse("null")},$ts]"
+                }.mkString("[", ",", "]") + "}"
             }
+            respond(ex, 200, body.mkString("[", ",", "]"))
+          case "csv" =>
+            // graphite's csv view: name,datetime,value — empty value
+            // for None slots; timestamps in the session tz (UTC)
+            val fmtr = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss")
+              .withZone(java.time.ZoneOffset.UTC)
+            val body = series.flatMap { case (name, pts) =>
+              pts.map { case (ts, v) =>
+                s"$name,${fmtr.format(java.time.Instant.ofEpochSecond(ts))}," +
+                  v.map(_.toString).getOrElse("")
+              }
+            }.mkString("", "\n", "\n")
+            respond(ex, 200, body, "text/csv")
+          case "raw" =>
+            // graphite's rawData view: name,start,end,step|v1,v2,…
+            // (None for empty slots); step derives from the spine's
+            // smallest positive gap, end is exclusive like graphite
+            val body = series.map { case (name, pts) =>
+              val ts = pts.map(_._1)
+              val step =
+                if (ts.length < 2) 60L
+                else ts.sliding(2).map(w => w(1) - w(0)).filter(_ > 0).min
+              val vals = pts.map(_._2.map(_.toString).getOrElse("None"))
+              s"$name,${ts.head},${ts.last + step},$step|${vals.mkString(",")}"
+            }.mkString("", "\n", "\n")
+            respond(ex, 200, body, "text/plain")
+          case other =>
+            respond(ex, 400,
+              s"""{"error":"unknown format: ${jsonEscape(other)}"}""")
         }
-        respond(ex, 200, series.mkString("[", ",", "]"))
       } catch {
         case e: Exception =>
           respond(ex, 400, s"""{"error":"${jsonEscape(

@@ -94,6 +94,40 @@ class BgWebSpec extends SparkSuite {
 
       val (bc2, bb2) = get(s"http://localhost:$port/render?from=0&until=1")
       assert(bc2 === 400 && bb2.contains("missing ?target="), bb2)
+
+      // format=csv: name,datetime,value rows; None slots empty
+      val (cvc, cvb) = get(s"http://localhost:$port/render" +
+        s"?target=sys.cpu.0.load&from=120&until=180&format=csv")
+      assert(cvc === 200, cvb)
+      assert(cvb.contains("sys.cpu.0.load,1970-01-01 00:02:00,1.0"), cvb)
+
+      // format=raw: name,start,end,step|v1,v2,… with None gaps
+      val (rwc, rwb) = get(s"http://localhost:$port/render" +
+        s"?target=sys.mem.0.used&from=120&until=240&format=raw")
+      assert(rwc === 200, rwb)
+      // mem's stage0 step is 30 s: spine 120..210, point at 150
+      assert(rwb.startsWith("sys.mem.0.used,120,240,30|"), rwb)
+      assert(rwb.contains("None,7.0,None"), rwb)
+
+      val (ufc, ufb) = get(s"http://localhost:$port/render" +
+        s"?target=sys.cpu.0.load&from=120&until=180&format=svg")
+      assert(ufc === 400 && ufb.contains("unknown format"), ufb)
+
+      // /metrics/expand: full paths, branches included; leavesOnly=1
+      val (xc, xb) = get(
+        s"http://localhost:$port/metrics/expand?query=sys.*")
+      assert(xc === 200, xb)
+      assert(xb.contains("\"sys.cpu\"") && xb.contains("\"sys.mem\""), xb)
+      val (xlc, xlb) = get(s"http://localhost:$port/metrics/expand" +
+        s"?query=sys.*.0.*&leavesOnly=1")
+      assert(xlc === 200, xlb)
+      assert(xlb.contains("\"sys.cpu.0.load\"") &&
+        xlb.contains("\"sys.mem.0.used\"") && !xlb.contains("false"), xlb)
+
+      // /metrics/index.json: every leaf, sorted
+      val (ic, ib) = get(s"http://localhost:$port/metrics/index.json")
+      assert(ic === 200, ib)
+      assert(ib === "[\"sys.cpu.0.load\",\"sys.mem.0.used\"]", ib)
     } finally server.stop(0)
   }
 
