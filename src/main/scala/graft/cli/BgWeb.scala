@@ -57,11 +57,21 @@ object BgWeb {
     ex.close()
   }
 
-  private def queryArgs(ex: HttpExchange): Array[String] = {
+  /** One query-string parser for every handler (bare keys allowed,
+    * values URL-decoded once — handlers previously each had a slightly
+    * different copy). */
+  private def parseParams(ex: HttpExchange): Array[(String, String)] = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-    q.split("&").filter(_.startsWith("arg=")).map(kv =>
-      java.net.URLDecoder.decode(kv.stripPrefix("arg="), "UTF-8"))
+    q.split("&").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) (kv, "")
+      else (kv.substring(0, i),
+        java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
+    }
   }
+
+  private def queryArgs(ex: HttpExchange): Array[String] =
+    parseParams(ex).collect { case ("arg", v) => v }
 
   /** Build (not start) the server — tests bind port 0 and start/stop. */
   def build(db: Bgutil.Db, port: Int): HttpServer = {
@@ -105,9 +115,7 @@ object BgWeb {
     // dashboards browse the tree with (plugins/graphite.py:405-412)
     server.createContext("/metrics/find", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
-        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        val glob = q.split("&").find(_.startsWith("query="))
-          .map(kv => java.net.URLDecoder.decode(kv.stripPrefix("query="), "UTF-8"))
+        val glob = parseParams(ex).collectFirst { case ("query", v) => v }
           .getOrElse(throw new IllegalArgumentException("missing ?query="))
         val nodes = graft.operators.TimeSeriesReader
           .findNodes(db.catalog, glob).collect()
@@ -126,13 +134,7 @@ object BgWeb {
     // scripted clients use ({"results": [...]})
     server.createContext("/metrics/expand", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
-        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        val params = q.split("&").filter(_.nonEmpty).map { kv =>
-          val i = kv.indexOf('=')
-          (if (i > 0) kv.substring(0, i) else kv,
-            java.net.URLDecoder.decode(
-              if (i > 0) kv.substring(i + 1) else "", "UTF-8"))
-        }
+        val params = parseParams(ex)
         val glob = params.collectFirst { case ("query", v) => v }
           .getOrElse(throw new IllegalArgumentException("missing ?query="))
         val leavesOnly =
@@ -172,17 +174,16 @@ object BgWeb {
     // exactly what grafana's graphite datasource consumes
     server.createContext("/render", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
-        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        val params = q.split("&").filter(_.nonEmpty).map { kv =>
-          val i = kv.indexOf('=')
-          require(i > 0, s"bad query param: $kv")
-          (kv.substring(0, i),
-            java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
-        }
+        val params = parseParams(ex)
         val targets = params.collect { case ("target", t) => t }
         require(targets.nonEmpty, "missing ?target=")
         def opt(name: String): Option[String] =
           params.collectFirst { case (`name`, v) => v }
+        // reject an unknown format BEFORE evaluating any target — the
+        // evaluation is the expensive part
+        val format = opt("format").getOrElse("json")
+        require(Set("json", "csv", "raw")(format),
+          s"unknown format: $format")
         // graphite time syntax: epoch, now, -6h …; ?now= pins the
         // reference instant (tests, reproducible dashboards)
         val nowS = opt("now").map(_.toLong)
@@ -211,7 +212,7 @@ object BgWeb {
                 })
               }
           }
-        opt("format").getOrElse("json") match {
+        format match {
           case "json" =>
             val body = series.map { case (name, pts) =>
               s"""{"target":"${jsonEscape(name)}","datapoints":""" +
@@ -222,33 +223,42 @@ object BgWeb {
             respond(ex, 200, body.mkString("[", ",", "]"))
           case "csv" =>
             // graphite's csv view: name,datetime,value — empty value
-            // for None slots; timestamps in the session tz (UTC)
+            // for None slots; timestamps in the session tz (UTC).
+            // Combine-call legends contain commas ('sumSeries(a,b)'),
+            // so names quote per RFC 4180 like python's csv.writer
+            def csvField(s: String): String =
+              if (s.exists(c => c == ',' || c == '"' || c == '\n' ||
+                  c == '\r'))
+                "\"" + s.replace("\"", "\"\"") + "\""
+              else s
             val fmtr = java.time.format.DateTimeFormatter
               .ofPattern("yyyy-MM-dd HH:mm:ss")
               .withZone(java.time.ZoneOffset.UTC)
             val body = series.flatMap { case (name, pts) =>
               pts.map { case (ts, v) =>
-                s"$name,${fmtr.format(java.time.Instant.ofEpochSecond(ts))}," +
+                s"${csvField(name)}," +
+                  s"${fmtr.format(java.time.Instant.ofEpochSecond(ts))}," +
                   v.map(_.toString).getOrElse("")
               }
             }.mkString("", "\n", "\n")
             respond(ex, 200, body, "text/csv")
-          case "raw" =>
+          case _ => // raw
             // graphite's rawData view: name,start,end,step|v1,v2,…
             // (None for empty slots); step derives from the spine's
-            // smallest positive gap, end is exclusive like graphite
+            // smallest positive gap, end is exclusive like graphite.
+            // A single-slot spine starts at the window start, so the
+            // window remainder IS its step (a 30s metric fetched over
+            // [120,150) must say step 30, not a hardcoded 60).
             val body = series.map { case (name, pts) =>
               val ts = pts.map(_._1)
               val step =
-                if (ts.length < 2) 60L
-                else ts.sliding(2).map(w => w(1) - w(0)).filter(_ > 0).min
+                if (ts.length >= 2)
+                  ts.sliding(2).map(w => w(1) - w(0)).filter(_ > 0).min
+                else math.max(1L, endS - ts.head)
               val vals = pts.map(_._2.map(_.toString).getOrElse("None"))
               s"$name,${ts.head},${ts.last + step},$step|${vals.mkString(",")}"
             }.mkString("", "\n", "\n")
             respond(ex, 200, body, "text/plain")
-          case other =>
-            respond(ex, 400,
-              s"""{"error":"unknown format: ${jsonEscape(other)}"}""")
         }
       } catch {
         case e: Exception =>

@@ -316,15 +316,26 @@ object RenderTarget {
       // display-sized; each query re-evaluates like applyByNode.
       case CallNode("aliasQuery", series,
           List(search, replace, newName), _) =>
-        import org.apache.spark.sql.functions.{col, lit, max_by, struct}
+        import org.apache.spark.sql.functions.{col, lit, max_by}
         val base = evalC(db, series, startS, endS, maxDataPoints, ctx)
         val names = base.select("name").distinct().collect()
           .map(_.getString(0)).sorted
         val javaReplace = replace.replaceAll("""\\(\d)""", "\\$$1")
-        names.map { n =>
+        // an empty series list aliases to an empty result, like
+        // graphite's zero-iteration loop
+        if (names.isEmpty) base
+        else names.map { n =>
           val q = n.replaceAll(search, javaReplace)
-          val lastVal = evalC(db, parse(q), startS, endS, 0, ctx)
-            .filter(col("value").isNotNull)
+          val res = evalC(db, parse(q), startS, endS, 0, ctx)
+          // graphite takes the FIRST matched series (deterministic
+          // name order here) and its last value — not the freshest
+          // value across every match
+          val first = res.select("name").distinct().orderBy("name")
+            .limit(1).collect().headOption.map(_.getString(0))
+            .getOrElse(throw new IllegalArgumentException(
+              s"aliasQuery: no series for query: $q"))
+          val lastVal = res
+            .filter(col("name") === first && col("value").isNotNull)
             .select(max_by(col("value"), col("ts"))).collect()
             .headOption.filterNot(_.isNullAt(0)).map(_.getDouble(0))
             .getOrElse(throw new IllegalArgumentException(
@@ -424,26 +435,62 @@ object RenderTarget {
 
   /** Python %-format for aliasQuery legends ('%d cores', '%.1f qps'):
     * the numeric conversions graphite's newName takes. %d truncates
-    * like python's int conversion; %% is a literal percent. */
+    * like python's int conversion, %g strips trailing zeros like
+    * python's, %% is a literal percent. A newName that consumes no
+    * value, or uses a conversion python would reject, raises — python
+    * errors on both ('not all arguments converted' / ValueError). */
   private[cli] def pythonFormat(fmt: String, value: Double): String = {
-    val m = java.util.regex.Pattern
-      .compile("%(%|\\.?\\d*[dfgse])").matcher(fmt)
     val out = new StringBuilder
-    var last = 0
-    while (m.find()) {
-      out.append(fmt.substring(last, m.start()))
-      val spec = m.group(1)
-      out.append(spec match {
-        case "%" => "%"
-        case s if s.endsWith("d") => value.toLong.toString
-        case s => String.format(s"%$s", Double.box(value))
-      })
-      last = m.end()
+    var i = 0
+    var conversions = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%') { out.append(c); i += 1 }
+      else if (i + 1 < fmt.length && fmt.charAt(i + 1) == '%') {
+        out.append('%'); i += 2
+      } else {
+        var j = i + 1
+        while (j < fmt.length &&
+            (fmt.charAt(j).isDigit || fmt.charAt(j) == '.')) j += 1
+        if (j >= fmt.length) throw new IllegalArgumentException(
+          s"aliasQuery: incomplete % conversion in: $fmt")
+        val spec = fmt.substring(i + 1, j) // [width][.precision]
+        out.append(fmt.charAt(j) match {
+          case 'd' | 'i' =>
+            val width = spec.takeWhile(_ != '.')
+            if (width.isEmpty) value.toLong.toString
+            else String.format(s"%${width}d", Long.box(value.toLong))
+          case cv @ ('f' | 'F' | 'e' | 'E') =>
+            String.format(s"%$spec$cv", Double.box(value))
+          case 'g' | 'G' => pythonG(spec, value)
+          case 's' => value.toString
+          case other => throw new IllegalArgumentException(
+            s"aliasQuery: unsupported conversion %$other in: $fmt")
+        })
+        conversions += 1
+        i = j + 1
+      }
     }
-    out.append(fmt.substring(last))
-    require(out.toString != fmt || fmt.contains("%"),
+    require(conversions > 0,
       s"aliasQuery: newName has no % conversion: $fmt")
     out.toString
+  }
+
+  /** Python's %g: `precision` (default 6) significant digits with
+    * trailing zeros stripped — java's %g keeps them. */
+  private def pythonG(spec: String, value: Double): String = {
+    val prec = spec.dropWhile(_ != '.') match {
+      case "" => 6
+      case p => math.max(1, p.drop(1).toInt)
+    }
+    def strip(mant: String): String =
+      if (mant.contains('.'))
+        mant.replaceAll("0+$", "").replaceAll("\\.$", "")
+      else mant
+    val s = String.format(s"%.${prec}g", Double.box(value))
+    val idx = s.indexWhere(ch => ch == 'e' || ch == 'E')
+    if (idx < 0) strip(s)
+    else strip(s.substring(0, idx)) + s.substring(idx)
   }
 
   /** Graphite render-API time syntax → epoch seconds: absolute epoch,

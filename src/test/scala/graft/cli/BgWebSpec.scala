@@ -113,6 +113,22 @@ class BgWebSpec extends SparkSuite {
         s"?target=sys.cpu.0.load&from=120&until=180&format=svg")
       assert(ufc === 400 && ufb.contains("unknown format"), ufb)
 
+      // csv quotes names containing the delimiter (combine legends)
+      val t2 = java.net.URLEncoder.encode(
+        "sumSeries(sys.cpu.0.load,sys.mem.0.used)", "UTF-8")
+      val (qc, qb) = get(s"http://localhost:$port/render" +
+        s"?target=$t2&from=120&until=150&format=csv")
+      assert(qc === 200, qb)
+      assert(qb.contains(
+        "\"sumSeries(sys.cpu.0.load,sys.mem.0.used)\",1970-01-01"), qb)
+
+      // raw derives a single-slot spine's step from the window
+      // remainder (30s metric over [120,150) → step 30, not 60)
+      val (r1c, r1b) = get(s"http://localhost:$port/render" +
+        s"?target=sys.mem.0.used&from=120&until=150&format=raw")
+      assert(r1c === 200, r1b)
+      assert(r1b.startsWith("sys.mem.0.used,120,150,30|"), r1b)
+
       // /metrics/expand: full paths, branches included; leavesOnly=1
       val (xc, xb) = get(
         s"http://localhost:$port/metrics/expand?query=sys.*")

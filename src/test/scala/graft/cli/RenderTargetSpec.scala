@@ -72,15 +72,41 @@ class RenderTargetSpec extends SparkSuite {
         "aliasQuery(sys.cpu.*.load,'load','nope','%d')", 120L, 180L)
         .collect()
     }
+
+    // the derived query takes the FIRST matched series' last value
+    // (sys.cpu.*.load matches both; first by name is cpu.0 → 2)
+    val aqf = RenderTarget.render(db,
+      "aliasQuery(sys.cpu.1.load,'1','*','%d first')", 120L, 180L)
+      .select("name").distinct().collect().map(_.getString(0)).toSeq
+    assert(aqf === Seq("2 first"))
+
+    // an empty series list aliases to an empty result, not a crash
+    assert(RenderTarget.render(db,
+      "aliasQuery(no.such.metric,'a','b','%d')", 120L, 180L)
+      .collect().isEmpty)
   }
 
   test("pythonFormat speaks the %d/%.1f/%g conversions") {
     assert(RenderTarget.pythonFormat("%d cores", 3.7) === "3 cores")
     assert(RenderTarget.pythonFormat("%.1f qps", 2.34) === "2.3 qps")
-    assert(RenderTarget.pythonFormat("%g", 5.0) === "5.00000")
+    // %g strips trailing zeros like python (java's %g keeps them)
+    assert(RenderTarget.pythonFormat("%g", 5.0) === "5")
+    assert(RenderTarget.pythonFormat("%g", 0.000025) === "2.5e-05")
+    assert(RenderTarget.pythonFormat("%.3g", 1234.5) === "1.23e+03")
+    assert(RenderTarget.pythonFormat("%5d|", 3.0) === "    3|")
     assert(RenderTarget.pythonFormat("busy %d%%", 42.0) === "busy 42%")
+    // no value-consuming conversion, or a conversion python rejects
     intercept[IllegalArgumentException] {
       RenderTarget.pythonFormat("no conversion", 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      RenderTarget.pythonFormat("busy %%", 1.0) // only a literal escape
+    }
+    intercept[IllegalArgumentException] {
+      RenderTarget.pythonFormat("%x cores", 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      RenderTarget.pythonFormat("trailing %", 1.0)
     }
   }
 
