@@ -201,10 +201,19 @@ object Dedup {
     val fp = col("fingerprint").cast("long")
     val blockVals = (0 until blocks).map(b =>
       shiftright(fp, offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)))
-    // banding materialized once on the block key (see lshCandidatePairs
-    // for why the explicit repartition precedes the self-join fan-out);
-    // the fingerprint rides along so verification needs no extra join
-    val banded = fingerprints
+    // materialize the COMPACT (id, fingerprint) rows before aliasing
+    // as both join sides: the upstream fingerprint computation is a
+    // full text pass per document and exchange reuse only *sometimes*
+    // dedups the two copies (the semanticDupPairs lesson,
+    // Clustering.scala:92-99). The explode itself stays lazy — a
+    // checkpoint of the banded N×(k+1) rows measured SLOWER than
+    // recomputing the cheap explode from the checkpointed base.
+    val compact = fingerprints.select(col(idCol), col("fingerprint"))
+      .localCheckpoint(true)
+    // banding on the block key (see lshCandidatePairs for why the
+    // explicit repartition precedes the self-join fan-out); the
+    // fingerprint rides along so verification needs no extra join
+    val banded = compact
       .select(col(idCol), col("fingerprint"),
         posexplode(array(blockVals: _*)).as(Seq("block_idx", "block_val")))
       .repartition(col("block_idx"), col("block_val"))
