@@ -43,7 +43,8 @@ object Soak {
 
     val queries = Seq("e1_storage_read_path", "e2_consolidated_read",
       "e3_multi_retention_read", "e4_render_pipeline",
-      "d2_minhash_lsh", "p1_sequence_packing", "t9_c4_rules")
+      "d2_minhash_lsh", "d12_simhash_pairs", "p1_sequence_packing",
+      "t9_c4_rules")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

@@ -1163,6 +1163,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // DC3: bloom-prefilter decontamination — the 100 TB shape of dc2:
+    // a native BloomFilterAggregate sketch of the eval vocabulary kills
+    // definite non-matches map-side, and only the bloom-positive n-grams
+    // reach the exact-verify semi-join (false positives die there, so
+    // the report is exact). Contaminated docs only, by contract.
+    "dc3_decontaminate_bloom" -> { (s, dir) =>
+      import graft.operators.Decontamination
+      val docs = table(s, dir, "documents")
+      val evalTable = Decontamination.evalNgramTable(
+        docs.filter(col("source").isin("src0", "src1")), "text", n = 3)
+      Decontamination.contaminationBloom(
+        docs.filter(!col("source").isin("src0", "src1")), "doc_id", "text",
+        evalTable, n = 3)
+        .orderBy("doc_id")
+    },
+
     // P3: per-domain cap (RefinedWeb-style) — keep ≤ 10 docs per source,
     // chosen content-addressed (md5 rank) so reruns keep the same docs
     "p3_domain_cap" -> { (s, dir) =>
@@ -2387,6 +2403,27 @@ object SparkEntry {
          |FROM documents d
          |JOIN szs z ON z.doc_id = d.doc_id
          |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.source NOT IN ('src0', 'src1')
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dc3_decontaminate_bloom" ->
+      s"""WITH $ShinglesCte,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |esh AS (
+         |  SELECT DISTINCT s.shingle
+         |  FROM dsh s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE d.source IN ('src0', 'src1')),
+         |szs AS (SELECT doc_id, count(*) AS n_ngrams FROM dsh GROUP BY 1),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_shared
+         |  FROM dsh s JOIN esh e USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(z.n_ngrams AS BIGINT) AS n_ngrams,
+         |  CAST(h.n_shared AS BIGINT) AS n_shared,
+         |  round(h.n_shared / z.n_ngrams, 6) AS overlap
+         |FROM documents d
+         |JOIN szs z ON z.doc_id = d.doc_id
+         |JOIN hits h ON h.doc_id = d.doc_id
          |WHERE d.source NOT IN ('src0', 'src1')
          |ORDER BY d.doc_id""".stripMargin,
 

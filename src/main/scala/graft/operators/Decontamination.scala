@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, Literal => CatLit}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleSet, SortedIntersectCount}
@@ -118,6 +120,85 @@ object Decontamination {
         coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
       .withColumn("overlap",
         round(col("n_shared") / col("n_ngrams"), 6))
+  }
+
+  /** Serialized Bloom filter over the eval n-gram vocabulary, built with
+    * Spark's native distributed [[BloomFilterAggregate]] (map-side
+    * partial sketches OR-merged, one binary row back to the driver — the
+    * same machinery Spark's runtime row-level join filters use, so the
+    * build never funnels vocabulary rows anywhere). Sized like
+    * `BloomFilter.optimalNumOfBits`: at the 1%-fpp default this is
+    * ~1.2 bytes per expected item, i.e. ~12 MB for a 10M-n-gram eval
+    * suite — broadcast-literal scale, not corpus scale. */
+  def evalNgramBloom(evalTable: DataFrame, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): Array[Byte] = {
+    // BloomFilter.optimalNumOfBits(n, p) = -n ln p / (ln 2)^2
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumnBridge.expression(col("eval_ngram")))),
+      CatLit(expectedItems), CatLit(numBits)).toAggregateExpression()
+    evalTable.agg(GraftColumnBridge.column(agg).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(bloom, xxhash64(c))` as a codegen'd Column — the
+    * probe side of the sketch [[evalNgramBloom]] builds (same XxHash64
+    * keying on both sides). The bloom bytes ride the plan as a foldable
+    * literal, exactly how Spark's own injected runtime filters ship
+    * their sketch to the probe side. */
+  private def mightContain(bloom: Array[Byte], c: Column): Column =
+    GraftColumnBridge.column(BloomFilterMightContain(
+      CatLit(bloom), new XxHash64(Seq(GraftColumnBridge.expression(c)))))
+
+  /** Contamination report of the CONTAMINATED documents only
+    * (`n_shared >= minShared`), computed with a Bloom prefilter — the
+    * 100 TB-corpus shape of [[contaminationJoined]]. That path shuffles
+    * every exploded corpus n-gram through the vocabulary join once the
+    * eval side outgrows a broadcast; here the bloom probe (a codegen'd
+    * literal lookup) kills definite non-matches MAP-SIDE, so only the
+    * tiny bloom-positive fraction (true hits + ~fpp of the rest) ever
+    * reaches the exact-verify semi-join and the per-doc count shuffle.
+    * The verify join makes the output EXACT — bloom false positives are
+    * filtered there, so `fpp` trades shuffle volume, never correctness.
+    * Zero-hit documents are absent by contract (that is what pays for
+    * the single corpus scan: their `n_ngrams` never needs a join-back);
+    * [[decontaminateBloom]] anti-joins the flagged ids, where only
+    * contaminated docs are needed anyway. */
+  def contaminationBloom(corpus: DataFrame, idCol: String, textCol: String,
+      evalTable: DataFrame, n: Int = 3, minShared: Long = 1,
+      maxChars: Int = 4096, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    // the vocabulary feeds TWO consumers — the bloom-build aggregate
+    // (its own job) and the exact-verify semi-join — so materialize it
+    // once (the semanticDupPairs lesson: aliasing one uncached plan
+    // into two jobs re-runs the upstream shingle pass per consumer)
+    val vocab = evalTable.select(col("eval_ngram")).localCheckpoint(true)
+    val bloom = evalNgramBloom(vocab, expectedItems, fpp)
+    docShingles(corpus, idCol, textCol, n, maxChars)
+      .select(col(idCol), size(col("__ss")).cast("long").as("n_ngrams"),
+        explode(col("__ss")).as("eval_ngram"))
+      .filter(mightContain(bloom, col("eval_ngram")))
+      .join(vocab, Seq("eval_ngram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(first(col("n_ngrams")).as("n_ngrams"),
+        count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("overlap",
+        round(col("n_shared") / col("n_ngrams"), 6))
+  }
+
+  /** [[decontaminate]] at joined-vocabulary scale: drop every document
+    * the bloom-prefiltered exact verify flags. Same output as running
+    * [[contaminationJoined]] + filter + anti-join, with map-side bloom
+    * pruning instead of a full corpus-n-gram shuffle. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      evalTable: DataFrame, n: Int = 3, minShared: Long = 1,
+      maxChars: Int = 4096, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val flagged = contaminationBloom(corpus, idCol, textCol, evalTable,
+      n, minShared, maxChars, expectedItems, fpp).select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
   /** The decontaminated corpus: drop every document sharing at least

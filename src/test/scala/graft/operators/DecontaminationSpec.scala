@@ -54,6 +54,72 @@ class DecontaminationSpec extends SparkSuite {
     assert(kept === Set(2L, 4L))
   }
 
+  test("bloom path flags exactly the joined path's contaminated docs") {
+    val evalTable = Decontamination.evalNgramTable(evalDocs, "text", n = 3)
+    val bloomed = Decontamination.contaminationBloom(
+      corpus, "doc_id", "text", evalTable, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val joined = Decontamination.contaminationJoined(
+      corpus, "doc_id", "text", evalTable, n = 3)
+      .filter(col("n_shared") >= 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloomed === joined)
+    assert(bloomed.keySet === Set(1L, 3L)) // zero-hit docs absent by contract
+  }
+
+  test("bloom false positives never reach the output (exact verify)") {
+    // a sketch this small (16 items / 50% fpp over a disjoint 200-gram
+    // corpus) WILL fire false positives; the verify join must kill every
+    // one — the report is identical to the honest-sized sketch's
+    val evalTable = Decontamination.evalNgramTable(evalDocs, "text", n = 3)
+    val noise = (10L until 60L).map(i =>
+      (i, s"n${i}a n${i}b n${i}c n${i}d n${i}e n${i}f"))
+    val wide = corpus.union(noise.toDF("doc_id", "text"))
+    def run(items: Long, fpp: Double): Map[Long, (Long, Long)] =
+      Decontamination.contaminationBloom(wide, "doc_id", "text", evalTable,
+        n = 3, expectedItems = items, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tiny = run(16L, 0.5)
+    assert(tiny === run(1L << 20, 0.01))
+    assert(tiny.keySet === Set(1L, 3L))
+  }
+
+  test("decontaminateBloom keeps exactly the clean docs") {
+    val evalTable = Decontamination.evalNgramTable(evalDocs, "text", n = 3)
+    val kept = Decontamination.decontaminateBloom(
+      corpus, "doc_id", "text", evalTable, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+  }
+
+  test("empty eval vocabulary: bloom path reports nothing contaminated") {
+    // BloomFilterAggregate over zero rows yields a null sketch;
+    // might_contain(null, …) is null → the prefilter keeps nothing and
+    // the report is empty — same answer the joined path gives
+    val emptyEval = Decontamination.evalNgramTable(
+      evalDocs.filter(lit(false)), "text", n = 3)
+    val out = Decontamination.contaminationBloom(
+      corpus, "doc_id", "text", emptyEval, n = 3)
+    assert(out.count() === 0L)
+    val kept = Decontamination.decontaminateBloom(
+      corpus, "doc_id", "text", emptyEval, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("bloom probe is a map-side filter under the verify join") {
+    val evalTable = Decontamination.evalNgramTable(evalDocs, "text", n = 3)
+    val df = Decontamination.contaminationBloom(
+      corpus, "doc_id", "text", evalTable, n = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe must sit in a Filter (before any exchange the semi-join
+    // needs), not be rewritten into a join condition
+    assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
+    val filterLine = plan.linesIterator
+      .find(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(filterLine.nonEmpty, s"bloom probe not a Filter in:\n$plan")
+  }
+
   test("corpus side of the plan is exchange-free") {
     val df = Decontamination.contamination(corpus, "doc_id", "text",
       Decontamination.evalNgramSet(evalDocs, "text", n = 3), n = 3)
