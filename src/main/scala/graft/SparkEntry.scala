@@ -458,6 +458,74 @@ object SparkEntry {
         .orderBy("event_type", "rn")
     },
 
+    // AJ1: backward as-of join — purchase→last-click attribution per
+    // user (pandas merge_asof / DuckDB ASOF JOIN semantics). A naive
+    // SQL encoding is an inequality join Catalyst can only nested-loop;
+    // AsOfJoin resolves it as ONE window over a tagged union — zero
+    // join nodes in the plan (operators/AsOfJoin.scala)
+    "aj1_asof_attribution" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = table(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"),
+        tsSeconds(ev).as("ts"), col("value"), col("event_id"))
+      val purchases = base.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = base.filter(col("event_type") === "click").drop("event_type")
+      AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPrefix = "click_")
+        .withColumn("gap_s", col("ts") - col("click_ts"))
+        .orderBy("event_id")
+    },
+
+    // AJ2: forward as-of with tolerance — each error to the NEXT
+    // purchase by the same user within one hour, unmatched dropped
+    // (error-to-conversion latency)
+    "aj2_asof_next_purchase" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = table(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"),
+        tsSeconds(ev).as("ts"), col("value"), col("event_id"))
+      val errors = base.filter(col("event_type") === "error").drop("event_type")
+      val purchases = base.filter(col("event_type") === "purchase").drop("event_type")
+      AsOfJoin.asofForward(errors, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "purchase_", toleranceS = Some(3600L), inner = true)
+        .withColumn("latency_s", col("purchase_ts") - col("ts"))
+        .orderBy("event_id")
+    },
+
+    // AJ3: the bucketed as-of (the low-key-cardinality / deep-history
+    // 100 TB shape: partition by (key, day-bucket), carry-in routed via
+    // a metadata-scale cumulative window) — view→last-signup. Same
+    // semantics as aj1's plain form, so the same ASOF oracle applies
+    "aj3_asof_bucketed" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = table(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"),
+        tsSeconds(ev).as("ts"), col("value"), col("event_id"))
+      val views = base.filter(col("event_type") === "view").drop("event_type")
+      val signups = base.filter(col("event_type") === "signup").drop("event_type")
+      AsOfJoin.asofBackwardBucketed(views, signups, Seq("user_id"), "ts", "ts",
+        bucketSpanS = 86400L, rightPrefix = "signup_")
+        .withColumn("since_signup_s", col("ts") - col("signup_ts"))
+        .orderBy("event_id")
+    },
+
+    // RJ1: binned range join — views inside [click, click+1h) per user
+    // as an equi-join on (user, time-bin) + residual filter: a hash
+    // join where the naive BETWEEN join is a cartesian
+    "rj1_range_join_binned" -> { (s, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = table(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"),
+        tsSeconds(ev).as("ts"), col("value"), col("event_id"))
+      val intervals = base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts").as("lo"),
+          (col("ts") + 3600L).as("hi"))
+      val views = base.filter(col("event_type") === "view").drop("event_type")
+      AsOfJoin.rangeJoinBinned(intervals, "lo", "hi", views, "ts",
+        Seq("user_id"), binSpanS = 3600L, pointPrefix = "view_")
+        .orderBy("event_id", "view_event_id")
+    },
+
     // S2: metric auto-create on first write — incoming names minus the
     // existing catalog (left anti), with derived tree columns
     // (plugins/carbon.py:210-230,310-369). The name grain includes the
@@ -3184,6 +3252,63 @@ object SparkEntry {
         |  (SELECT count(*) FROM (SELECT * FROM click INTERSECT SELECT * FROM v)) AS n_both,
         |  (SELECT count(*) FROM (SELECT * FROM click UNION SELECT * FROM v)) AS n_either,
         |  (SELECT count(*) FROM (SELECT * FROM click EXCEPT SELECT * FROM v)) AS n_click_only""".stripMargin,
+
+    "aj1_asof_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         value, event_id
+        |  FROM events),
+        |p AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'click')
+        |SELECT p.user_id, p.ts, p.value, p.event_id,
+        |       c.ts AS click_ts, c.value AS click_value,
+        |       c.event_id AS click_event_id,
+        |       p.ts - c.ts AS gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "aj2_asof_next_purchase" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         value, event_id
+        |  FROM events),
+        |e AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'error'),
+        |p AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'purchase')
+        |SELECT e.user_id, e.ts, e.value, e.event_id,
+        |       p.ts AS purchase_ts, p.value AS purchase_value,
+        |       p.event_id AS purchase_event_id,
+        |       p.ts - e.ts AS latency_s
+        |FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+        |WHERE p.ts - e.ts <= 3600
+        |ORDER BY e.event_id""".stripMargin,
+
+    "aj3_asof_bucketed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         value, event_id
+        |  FROM events),
+        |v AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'view'),
+        |s AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'signup')
+        |SELECT v.user_id, v.ts, v.value, v.event_id,
+        |       s.ts AS signup_ts, s.value AS signup_value,
+        |       s.event_id AS signup_event_id,
+        |       v.ts - s.ts AS since_signup_s
+        |FROM v ASOF LEFT JOIN s ON v.user_id = s.user_id AND v.ts >= s.ts
+        |ORDER BY v.event_id""".stripMargin,
+
+    "rj1_range_join_binned" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         value, event_id
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'view')
+        |SELECT c.user_id, c.event_id, c.ts AS lo, c.ts + 3600 AS hi,
+        |       v.ts AS view_ts, v.value AS view_value,
+        |       v.event_id AS view_event_id
+        |FROM c JOIN v ON v.user_id = c.user_id
+        |  AND v.ts >= c.ts AND v.ts < c.ts + 3600
+        |ORDER BY c.event_id, v.event_id""".stripMargin,
 
     "w2_topk_per_group" ->
       """WITH totals AS (
