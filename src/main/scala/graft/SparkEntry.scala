@@ -1061,6 +1061,49 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // P7: weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    // exponential clock, u content-addressed from 8 md5 nibbles) —
+    // probability ∝ document length. One scan + TakeOrdered top-k; the
+    // same draw reproduces in any md5-capable engine
+    "p7_weighted_sample" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      Sampling.weightedSample(docs, col("doc_id"),
+        col("n_chars").cast("double") + 1.0, k = 100)
+        .withColumn("sample_score",
+          floor(col("sample_score") * 1000000L + 0.5) / 1000000L)
+        .orderBy("doc_id")
+    },
+
+    // P8: the per-stratum form — k docs per language, probability ∝
+    // length inside each stratum (balanced domain mixing); one ranking
+    // window per stratum
+    "p8_weighted_stratum" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Sampling.weightedSamplePerStratum(docs, col("doc_id"), col("lang"),
+        col("n_chars").cast("double") + 1.0, k = 20)
+        .withColumn("sample_score",
+          floor(col("sample_score") * 1000000L + 0.5) / 1000000L)
+        .orderBy("doc_id")
+    },
+
+    // SE1: gap sessionization of the event stream — per-user sessions
+    // split on >30 min silence, one window pass (lag → start flags →
+    // running sum), then per-session stats with one more shuffle
+    "se1_sessionize" -> { (s, dir) =>
+      import graft.operators.Sessionize
+      val ev = table(s, dir, "events")
+      val base = ev.select(col("user_id"), tsSeconds(ev).as("ts"),
+        col("event_id"), col("value"))
+      Sessionize.sessionStats(base, Seq("user_id"), "ts", gapS = 1800L,
+        tieBreak = Seq("event_id"),
+        extraAggs = Seq(
+          (floor(sum(col("value")) * 10000L + 0.5) / 10000L)
+            .as("total_value")))
+        .orderBy("user_id", "session_seq")
+    },
+
     // P1: greedy sequence packing into 256-token context windows,
     // sharded by doc_id % 8 (deterministic, oracle = recursive CTE)
     "p1_sequence_packing" -> { (s, dir) =>
@@ -2233,6 +2276,80 @@ object SparkEntry {
         |       + (strpos('0123456789abcdef', substr(dg, 4, 1)) - 1)) / 65536.0
         |      < kr
         |ORDER BY doc_id""".stripMargin,
+
+    "p7_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln((  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+        |         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |         + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |         + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+        |         + 1) / 4294967296.0)
+        |      / (n_chars + 1.0) AS score
+        |  FROM d)
+        |SELECT doc_id, n_chars,
+        |  floor(score * 1000000 + 0.5) / 1000000 AS sample_score
+        |FROM (SELECT * FROM s ORDER BY score, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "p8_weighted_stratum" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    -ln((  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+        |         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |         + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |         + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+        |         + 1) / 4294967296.0)
+        |      / (n_chars + 1.0) AS score
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn
+        |  FROM s)
+        |SELECT doc_id, lang, n_chars,
+        |  floor(score * 1000000 + 0.5) / 1000000 AS sample_score
+        |FROM r WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "se1_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         event_id, value
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS st,
+        |    event_id
+        |  FROM e),
+        |n AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  max(ts) - min(ts) AS duration_s,
+        |  floor(sum(value) * 10000 + 0.5) / 10000 AS total_value
+        |FROM n GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "t9_c4_rules" ->
       """WITH tk AS (

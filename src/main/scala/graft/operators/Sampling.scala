@@ -147,4 +147,48 @@ object Sampling {
       .withColumn("shard",
         pmod(digestInt(col("shuffle_key"), 8), lit(nShards)).cast("int"))
   }
+
+  /** Exponential-clock score for weighted sampling without replacement
+    * (Efraimidis & Spirakis 2006, the `-ln(u)/w` equivalent of ranking
+    * by `u^(1/w)`): `u` is drawn content-addressed from 8 md5 nibbles
+    * of the key (`(digest+1)/2^32` ∈ (0,1], never 0), so the sample is
+    * reproducible across reruns, resharding, and engines. Keeping the
+    * k SMALLEST scores samples k rows with probability proportional to
+    * weight. Weights must be positive. */
+  private def aesScore(keyCol: Column, weightCol: Column): Column = {
+    val u = (digestInt(md5(keyCol.cast("string")), 8) + 1)
+      .cast("double") / 4294967296.0
+    -log(u) / weightCol
+  }
+
+  /** Global weighted sample of `k` rows without replacement,
+    * probability ∝ `weightCol` (token-budget mixing, importance
+    * sampling). One pass + a top-k (per-partition heads merged by a
+    * TakeOrderedAndProject — never a full sort). Emits the score as
+    * `sample_score` (ordering is key-tiebroken, so the selection is
+    * deterministic). Samples NEST: the top-k' of a k-sample (k' < k)
+    * is exactly the k'-sample — shrinking a budget only drops rows. */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    df.withColumn("sample_score", aesScore(keyCol, weightCol))
+      .orderBy(col("sample_score").asc, keyCol.asc)
+      .limit(k)
+  }
+
+  /** Per-stratum weighted sample: `k` rows per stratum, probability ∝
+    * weight inside each stratum (balanced domain mixing when strata
+    * are sources/languages). One ranking window per stratum — a single
+    * shuffle on the stratum key. */
+  def weightedSamplePerStratum(df: DataFrame, keyCol: Column,
+      strataCol: Column, weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(col("sample_score").asc, keyCol.asc)
+    df.withColumn("sample_score", aesScore(keyCol, weightCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

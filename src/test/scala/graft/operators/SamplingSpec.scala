@@ -109,4 +109,64 @@ class SamplingSpec extends SparkSuite {
     assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  private def weighted: DataFrame =
+    (0L until 300L).map(i => (i, (i % 7) + 1.0)).toDF("doc_id", "w")
+
+  test("weightedSample: exactly k rows, deterministic under partitioning") {
+    def ids(df: DataFrame): Seq[Long] =
+      Sampling.weightedSample(df, col("doc_id"), col("w"), 40)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = ids(weighted)
+    assert(a.size === 40 && a.distinct.size === 40)
+    assert(a === ids(weighted.repartition(13)))
+  }
+
+  test("weightedSample: k' ⊂ k (nested samples — the Efraimidis-Spirakis " +
+      "top-k property: shrinking the budget only drops rows)") {
+    def ids(k: Int): Set[Long] =
+      Sampling.weightedSample(weighted, col("doc_id"), col("w"), k)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(10).subsetOf(ids(40)))
+    assert(ids(40).subsetOf(ids(120)))
+  }
+
+  test("weightedSample: an overwhelming weight is always selected") {
+    val spiked = weighted.withColumn("w",
+      when(col("doc_id") === 123L, lit(1e12)).otherwise(col("w")))
+    val got = Sampling.weightedSample(spiked, col("doc_id"), col("w"), 1)
+      .select("doc_id").as[Long].collect()
+    assert(got.toSeq === Seq(123L))
+  }
+
+  test("weightedSample: selection frequency tracks weight (w=7 strata " +
+      "beat w=1 strata in expectation)") {
+    val kept = Sampling.weightedSample(weighted, col("doc_id"), col("w"), 100)
+      .withColumn("w7", (col("doc_id") % 7 === 6).cast("int"))
+    val heavy = kept.filter(col("w7") === 1).count()
+    val light = kept.filter(col("doc_id") % 7 === 0).count()
+    // ~43 of each weight class exist; P(keep) ratio ≈ 7:1 — demand a
+    // loose but directional gap, stable because the draw is
+    // content-addressed (no flake)
+    assert(heavy > light + 5, s"heavy=$heavy light=$light")
+  }
+
+  test("weightedSamplePerStratum: k per stratum, deterministic, " +
+      "consistent with the global sampler's scoring") {
+    val strat = weighted.withColumn("src", concat(lit("s"), col("doc_id") % 3))
+    val kept = Sampling.weightedSamplePerStratum(strat, col("doc_id"),
+      col("src"), col("w"), 15)
+    val sizes = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ === 15L) && sizes.size === 3)
+    val again = Sampling.weightedSamplePerStratum(strat.repartition(11),
+      col("doc_id"), col("src"), col("w"), 15)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+    // one stratum alone === global sample restricted to that stratum
+    val only = strat.filter(col("src") === "s0")
+    val global = Sampling.weightedSample(only, col("doc_id"), col("w"), 15)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.filter(col("src") === "s0")
+      .select("doc_id").as[Long].collect().sorted.toSeq === global)
+  }
 }
