@@ -18,7 +18,7 @@ object Bench {
     "d2_minhash_lsh", "d3_simhash", "d12_simhash_pairs",
     "d4_ngram_jaccard",
     "dc2_decontaminate_joined", "dc3_decontaminate_bloom",
-    "aj1_asof_attribution", "rj1_range_join_binned",
+    "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
     "k1_knn_brute", "t2_quality", "w2_topk_per_group",
     "e1_storage_read_path", "e4_render_pipeline",
     "km1_kmeans", "d8_semdedup", "d8b_semdedup_sqrtn",
