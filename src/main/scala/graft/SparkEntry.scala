@@ -3376,7 +3376,9 @@ object SparkEntry {
         |         value, event_id
         |  FROM events),
         |p AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'click'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY value DESC, event_id DESC) = 1)
         |SELECT p.user_id, p.ts, p.value, p.event_id,
         |       c.ts AS click_ts, c.value AS click_value,
         |       c.event_id AS click_event_id,
@@ -3390,7 +3392,9 @@ object SparkEntry {
         |         value, event_id
         |  FROM events),
         |e AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'error'),
-        |p AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'purchase')
+        |p AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'purchase'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY value DESC, event_id DESC) = 1)
         |SELECT e.user_id, e.ts, e.value, e.event_id,
         |       p.ts AS purchase_ts, p.value AS purchase_value,
         |       p.event_id AS purchase_event_id,
@@ -3405,7 +3409,9 @@ object SparkEntry {
         |         value, event_id
         |  FROM events),
         |v AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'view'),
-        |s AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'signup')
+        |s AS (SELECT user_id, ts, value, event_id FROM ev WHERE event_type = 'signup'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY value DESC, event_id DESC) = 1)
         |SELECT v.user_id, v.ts, v.value, v.event_id,
         |       s.ts AS signup_ts, s.value AS signup_value,
         |       s.event_id AS signup_event_id,

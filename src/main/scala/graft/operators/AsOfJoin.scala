@@ -86,11 +86,17 @@ object AsOfJoin {
     require(left.columns.forall(!_.startsWith("__")) &&
       right.columns.forall(!_.startsWith("__")), "reserved __ column prefix")
 
+    // null timestamps never participate in a match: a null-ts right row
+    // is dropped (it would sort nulls-first and pose as an older-than-
+    // everything match), and a null-ts left row comes back unmatched
+    // (voided below) instead of grabbing an arbitrary neighbor
+    val rightNonNull = right.filter(col(rightTs).isNotNull)
+
     // one right row per (keys, ts): deterministic latest-wins payload.
     // ts leads the struct so the max is decided by the remaining columns
     // only among true (keys, ts) duplicates
     val others = payloadCols.filterNot(_ == rightTs)
-    val rd = right.groupBy((keys :+ rightTs).map(col): _*)
+    val rd = rightNonNull.groupBy((keys :+ rightTs).map(col): _*)
       .agg(max(struct((rightTs +: others).map(col): _*)).as("__r"))
       .select(keys.map(col) ++ Seq(col(rightTs).as("__ts"), col("__r")): _*)
     val rType = rd.schema("__r").dataType
@@ -149,6 +155,7 @@ object AsOfJoin {
 
     var m = tagged.withColumn("__m", pick.over(w))
       .filter(col("__side") === 1)
+      .withColumn("__m", when(col("__ts").isNotNull, col("__m")))
     toleranceS.foreach { tol =>
       val rts = col("__m").getField(rightTs)
       val ok = if (backward) rts >= col("__ts") - tol
@@ -183,6 +190,21 @@ object AsOfJoin {
     val collisions = ptCols.map(pointPrefix + _).toSet & intervals.columns.toSet
     require(collisions.isEmpty,
       s"prefixed point columns collide with intervals: ${collisions.mkString(",")}")
+    require(intervals.columns.forall(!_.startsWith("__")) &&
+      points.columns.forall(!_.startsWith("__")), "reserved __ column prefix")
+    // the bin arithmetic (floor((hi-1)/span) as the last overlapped bin)
+    // is only exact for integer-granularity bounds — fractional
+    // timestamps would silently drop pairs near bin edges
+    Seq(intervals.schema(loCol), intervals.schema(hiCol),
+        points.schema(ptTs)).foreach { f =>
+      import org.apache.spark.sql.types._
+      val ok = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"rangeJoinBinned needs integer-typed bounds; ${f.name} is ${f.dataType}")
+    }
     val binned = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("__bin", explode(sequence(

@@ -132,6 +132,8 @@ object Decontamination {
     * suite — broadcast-literal scale, not corpus scale. */
   def evalNgramBloom(evalTable: DataFrame, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1): $fpp")
     // BloomFilter.optimalNumOfBits(n, p) = -n ln p / (ln 2)^2
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong

@@ -171,7 +171,12 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
       k: Int): DataFrame = {
     require(k >= 1)
-    df.withColumn("sample_score", aesScore(keyCol, weightCol))
+    require(!df.columns.contains("sample_score"),
+      "input already has a sample_score column")
+    // rows with null/zero/negative weight are out of the draw (a null
+    // score would sort nulls-first and hijack top-k slots)
+    df.filter(weightCol > 0)
+      .withColumn("sample_score", aesScore(keyCol, weightCol))
       .orderBy(col("sample_score").asc, keyCol.asc)
       .limit(k)
   }
@@ -183,10 +188,14 @@ object Sampling {
   def weightedSamplePerStratum(df: DataFrame, keyCol: Column,
       strataCol: Column, weightCol: Column, k: Int): DataFrame = {
     require(k >= 1)
+    require(!df.columns.contains("sample_score") &&
+      !df.columns.contains("__rn"),
+      "input already has a sample_score/__rn column")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol)
       .orderBy(col("sample_score").asc, keyCol.asc)
-    df.withColumn("sample_score", aesScore(keyCol, weightCol))
+    df.filter(weightCol > 0)
+      .withColumn("sample_score", aesScore(keyCol, weightCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")

@@ -25,6 +25,9 @@ object Sessionize {
   def byGap(df: DataFrame, keys: Seq[String], tsCol: String, gapS: Long,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(gapS > 0, s"gapS must be positive: $gapS")
+    require(!df.columns.contains("session_seq") &&
+      !df.columns.contains("__start"),
+      "input already has a session_seq/__start column")
     val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)

@@ -147,4 +147,46 @@ class AsOfJoinSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("null timestamps never match: null-ts right rows are ignored, " +
+      "null-ts left rows come back unmatched in BOTH directions") {
+    val l = Seq[(Int, Option[Long], Double, Long)](
+      (1, Some(5L), 0.0, 1L), (1, None, 0.0, 2L))
+      .toDF("k", "ts", "value", "id")
+    val r = Seq[(Int, Option[Long], Double, Long)]((1, None, 9.9, 100L))
+      .toDF("k", "ts", "rv", "rid")
+    for (dir <- Seq("backward", "forward")) {
+      val got = (if (dir == "backward")
+        AsOfJoin.asofBackward(l, r, Seq("k"), "ts", "ts", "m_")
+      else AsOfJoin.asofForward(l, r, Seq("k"), "ts", "ts", "m_"))
+        .select("id", "m_rid").collect()
+        .map(row => row.getAs[Long]("id") ->
+          row.isNullAt(row.fieldIndex("m_rid"))).toMap
+      assert(got === Map(1L -> true, 2L -> true), s"direction=$dir")
+    }
+    // and a null-ts LEFT row stays unmatched even when real right rows
+    // exist that a nulls-first sort would otherwise hand it
+    val got2 = AsOfJoin.asofForward(l, rightDf.filter(col("k") === 1),
+      Seq("k"), "ts", "ts", "m_", inner = true)
+      .select("id").as[Long].collect().toSet
+    assert(!got2.contains(2L))
+  }
+
+  test("rangeJoinBinned rejects fractional-typed bounds") {
+    val dIvals = Seq((1, 9.5, 10.5, 1L)).toDF("k", "lo", "hi", "id")
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoin.rangeJoinBinned(dIvals, "lo", "hi", rightDf, "ts",
+        Seq("k"), binSpanS = 10L)
+    }
+    assert(err.getMessage.contains("integer-typed"))
+  }
+
+  test("rangeJoinBinned rejects reserved __ columns instead of " +
+      "silently clobbering them") {
+    val ivals = intervalsDf.withColumn("__bin", lit(1))
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.rangeJoinBinned(ivals, "lo", "hi", rightDf, "ts",
+        Seq("k"), binSpanS = 40L)
+    }
+  }
 }

@@ -129,4 +129,14 @@ class DecontaminationSpec extends SparkSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"corpus rows shuffled:\n$plan")
   }
+
+  test("evalNgramBloom rejects degenerate sizing up front") {
+    import spark.implicits._
+    val ev = Seq("a b c").toDF("text")
+      .select(explode(split(col("text"), " ")).as("eval_ngram"))
+    for ((items, fpp) <- Seq((0L, 0.01), (100L, 0.0), (100L, 1.0)))
+      assertThrows[IllegalArgumentException] {
+        Decontamination.evalNgramBloom(ev, items, fpp)
+      }
+  }
 }

@@ -169,4 +169,31 @@ class SamplingSpec extends SparkSuite {
     assert(kept.filter(col("src") === "s0")
       .select("doc_id").as[Long].collect().sorted.toSeq === global)
   }
+
+  test("weightedSample: null/zero/negative weights are out of the draw " +
+      "(a null score would sort nulls-first and hijack top-k slots)") {
+    val mixed = Seq[(Long, Option[Double])](
+      (1L, Some(1.0)), (2L, None), (3L, Some(0.0)), (4L, Some(-2.0)),
+      (5L, Some(1.0)), (6L, Some(1.0))).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(mixed, col("doc_id"), col("w"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 5L, 6L))
+  }
+
+  test("weightedSample/weightedSamplePerStratum/Sessionize reject " +
+      "inputs carrying their output/helper column names") {
+    assertThrows[IllegalArgumentException] {
+      Sampling.weightedSample(weighted.withColumn("sample_score", lit(1.0)),
+        col("doc_id"), col("w"), 5)
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.weightedSamplePerStratum(
+        weighted.withColumn("__rn", lit(1)),
+        col("doc_id"), col("w"), col("w"), 5)
+    }
+    assertThrows[IllegalArgumentException] {
+      Sessionize.byGap(weighted.withColumn("session_seq", lit(1L))
+        .withColumnRenamed("doc_id", "ts"), Seq("w"), "ts", 10L)
+    }
+  }
 }
