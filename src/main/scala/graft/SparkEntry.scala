@@ -925,6 +925,48 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // MM3: REAL container-header probing (not the codec stub): build
+    // byte-exact PNG and WAV files in-plan (unhex over header hex —
+    // signature, IHDR, RIFF/fmt/data at their true offsets), then
+    // parse them back with the native graft_media_probe expression.
+    // The oracle verifies the round trip against the closed form the
+    // headers were built from. Map-only, whole-stage codegen
+    "mm3_media_probe" -> { (s, dir) =>
+      import graft.operators.Multimodal
+      def beHex32(c: Column): Column = lpad(hex(c), 8, "0")
+      def leHex32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def leHex16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val w = col("n_chars") % 1024 + 16
+      val h = col("doc_id") % 768 + 16
+      val chans = col("doc_id") % 3 + 1
+      val rate = col("doc_id") % 8 * 1000 + 8000
+      val blockAlign = chans * 2 // 16-bit PCM
+      val byteRate = rate * blockAlign
+      val dataSize = col("n_chars") * 4
+      val pngHex = concat(lit("89504E470D0A1A0A"), lit("0000000D"),
+        lit("49484452"), beHex32(w), beHex32(h), lit("0806000000"),
+        lit("DEADBEEF"))
+      val wavHex = concat(lit("52494646"), leHex32(dataSize + 36),
+        lit("57415645"), lit("666D7420"), lit("10000000"), lit("0100"),
+        leHex16(chans), leHex32(rate), leHex32(byteRate),
+        leHex16(blockAlign), lit("1000"), lit("64617461"),
+        leHex32(dataSize))
+      val media = docs.select(col("doc_id"),
+        unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(wavHex))
+          .as("payload"))
+      Multimodal.probeMeta(media, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+
     // PR1: dataset-card corpus profile per source — volume, exact-dup
     // rate, token-length quantiles in ONE grouped pass (exact mode here
     // for the oracle; operators.Profile.datasetCard(exact=false) swaps
@@ -2059,6 +2101,25 @@ object SparkEntry {
          |FROM sel a JOIN sel b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "mm3_media_probe" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN CAST(n_chars % 1024 + 16 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN CAST(doc_id % 768 + 16 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(4 AS INTEGER)
+        |       ELSE CAST(doc_id % 3 + 1 AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 2 = 1
+        |       THEN CAST(doc_id % 8 * 1000 + 8000 AS INTEGER)
+        |       END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS INTEGER) END AS bit_depth,
+        |  CASE WHEN doc_id % 2 = 1
+        |       THEN CAST(n_chars AS BIGINT) * 4 * 1000
+        |            // ((doc_id % 8 * 1000 + 8000) * (doc_id % 3 + 1) * 2)
+        |       END AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pr1_dataset_card" ->
       """WITH t AS (

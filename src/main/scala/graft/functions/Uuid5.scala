@@ -83,7 +83,9 @@ object GraftFunctions {
     ("graft_token_entropy", classOf[TextEntropy],
       (es: Seq[Expression]) => TextEntropy(es.head, token = true)),
     ("graft_nfc", classOf[NfcNormalize],
-      (es: Seq[Expression]) => NfcNormalize(es.head)))
+      (es: Seq[Expression]) => NfcNormalize(es.head)),
+    ("graft_media_probe", classOf[MediaProbe],
+      (es: Seq[Expression]) => MediaProbe(es.head)))
 
   private[functions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

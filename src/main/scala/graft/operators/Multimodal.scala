@@ -61,4 +61,20 @@ object Multimodal {
     meta.select(col("id"), explode(
       sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride)))
       .as("frame_idx"))
+
+  /** REAL container-header metadata (no stub): sniff PNG/JPEG/GIF/BMP/WAV
+    * from the byte layout via the native codegen'd
+    * [[graft.functions.MediaProbe]] expression and flatten the struct —
+    * the decode-free filter step (resolution/duration/channel gates)
+    * that runs before any costly full decode. Map-only: no shuffle, no
+    * UDF, stays inside whole-stage codegen. */
+  def probeMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.MediaProbe.media_probe(col(binCol)).as("__m"))
+      .select(col(idCol), col("__m.format").as("format"),
+        col("__m.width").as("width"), col("__m.height").as("height"),
+        col("__m.channels").as("channels"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.bit_depth").as("bit_depth"),
+        col("__m.duration_ms").as("duration_ms"))
 }
