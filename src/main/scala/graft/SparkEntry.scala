@@ -908,6 +908,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K6: the PERSISTED index (train once / probe many): build a real
+    // on-disk IVF index — centroids + cell-partitioned postings with
+    // precomputed norms — then multi-probe it (nProbe=2). Only the
+    // probed cells' partition directories are read (partition pruning,
+    // SimilarityIndexSpec pins the file count); the oracle models the
+    // same two-cell probe from the same deterministic training
+    "k6_knn_ivf_index" -> { (s, dir) =>
+      val idx = java.nio.file.Files.createTempDirectory("k6ivf").toString
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+        k = 8, iters = 2)
+      Similarity.ivfIndexKnn(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        idx, "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -2147,6 +2164,23 @@ object SparkEntry {
          |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
          |  FROM cells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id
          |  WHERE q.vec_id >= 5 AND q.vec_id < 10),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "k6_knn_ivf_index" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |cells AS (SELECT vec_id, embedding, cell_id FROM a3 WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id, embedding, cell_id FROM a3
+         |  WHERE rn <= 2 AND vec_id >= 5 AND vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+         |  FROM qcells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id),
          |r AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

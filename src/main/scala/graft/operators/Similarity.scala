@@ -269,4 +269,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** PERSIST an IVF index — the train-once / probe-many shape of a
+    * production ANN deployment (FAISS's IndexIVF on Spark terms):
+    * k-means centroids to `dir/centroids` (driver-small), and the
+    * inverted file to `dir/postings` PARTITIONED BY CELL with the
+    * vector norm precomputed per posting. At probe time only the
+    * probed cells' partition directories are listed and read —
+    * partition pruning makes the scan fraction nProbe/k of the corpus
+    * without any bespoke index machinery. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, k: Int, iters: Int): Unit = {
+    import graft.operators.Clustering
+    val cents = Clustering.kmeansFit(corpus, idCol, vecCol, k, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    Clustering.assignCells(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id", "cv", cents)
+      .withColumn("cnorm", l2norm(col("cv")))
+      .select("neighbor_id", "cv", "cnorm", "cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Probe a [[buildIvfIndex]] index: rank each query's `nProbe`
+    * nearest cells against the (broadcast-small) centroid set, then
+    * scan ONLY those cells' postings partitions for the exact cosine
+    * top-k. `nProbe = 1` reproduces [[ivfKnnTrained]] on the same
+    * centroids; `nProbe = trained k` degrades gracefully to the exact
+    * brute-force answer. The probed-cell list is collected driver-side
+    * — bounded by min(nProbe × queries, k), metadata-scale — because a
+    * LITERAL IN-list is what prunes partitions at plan time. */
+  def ivfIndexKnn(queries: DataFrame, indexDir: String, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be positive: $nProbe")
+    val spark = queries.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids")
+      .withColumn("__cn", l2norm(col("centroid"))))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("__qn"))
+      .crossJoin(cents)
+      .withColumn("ccos", round(
+        dot(col("qv"), col("centroid")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "qv", "__qn", "cell_id")
+    val probed = q.select("cell_id").distinct().collect()
+      .map(_.get(0)).toSeq
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("cell_id").isin(probed: _*))
+    val scored = postings.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        dot(col("qv"), col("cv")) / (col("__qn") * col("cnorm")), 6))
+      // a neighbor lives in exactly one cell, so (query, neighbor)
+      // pairs are unique across probes — rank directly
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
 }

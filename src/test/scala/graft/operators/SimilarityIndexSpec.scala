@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Persisted IVF index: exactness at full probe, parity with the
+  * in-memory trained path at nProbe=1, and the partition pruning that
+  * makes the probe scan nProbe/k of the corpus on disk. */
+class SimilarityIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val vecs = Seq.tabulate(40) { i =>
+    (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+  }
+  private def corpus: DataFrame = vecs.toDF("id", "vec")
+  private def queries: DataFrame = corpus.filter(col("id") < 5)
+
+  private def buildIndex(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    dir
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("full probe (nProbe >= trained k) is EXACTLY brute force") {
+    val dir = buildIndex()
+    val idx = rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 5, nProbe = 10))
+    val brute = rows(Similarity.bruteForceKnn(queries, corpus, "id", "vec",
+      k = 5))
+    assert(idx === brute)
+  }
+
+  test("nProbe=1 matches ivfKnnTrained on the same persisted centroids") {
+    val dir = buildIndex()
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val idx = rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 3, nProbe = 1))
+    val mem = rows(Similarity.ivfKnnTrained(queries, corpus, "id", "vec",
+      k = 3, centroids = cents))
+    assert(idx === mem)
+  }
+
+  test("probing reads ONLY the probed cells' partitions from disk") {
+    val dir = buildIndex()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // AQE hides materialized stages behind QueryStageExec leaves —
+    // descend through them to reach every file scan
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case r: ReusedExchangeExec => allScans(r.child)
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(allScans)
+    }
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      allScans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val all = filesRead(spark.read.parquet(s"$dir/postings"))
+    val one = Similarity.ivfIndexKnn(queries.filter(col("id") === 0L),
+      dir, "id", "vec", k = 3, nProbe = 1)
+    // count only scans rooted in the postings dir (the centroid read
+    // and query side never touch it)
+    one.collect()
+    val postingsFiles = allScans(one.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+      .map(_.metrics("numFiles").value).sum
+    assert(postingsFiles > 0, "no postings scan found in the plan")
+    assert(postingsFiles < all,
+      s"expected partition pruning: $postingsFiles !< $all")
+  }
+}
