@@ -925,6 +925,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K7: product quantization (Jégou et al. 2011) — train 4 subspace
+    // codebooks (ksub=8, one Lloyd's round), encode the corpus to 4
+    // codes + a reconstruction norm, then ADC top-k from the per-query
+    // distance table. The corpus float vectors are never read at query
+    // time — the codes relation (~64× smaller) is the only scan
+    "k7_knn_pq" -> { (s, dir) =>
+      import graft.operators.ProductQuantization
+      val emb = table(s, dir, "embeddings")
+      val cb = ProductQuantization.pqTrain(emb, "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 1)
+      val enc = ProductQuantization.pqEncode(emb, "vec_id", "embedding", cb)
+      ProductQuantization.pqKnn(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        enc, cb, "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -2187,6 +2204,75 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors ProductQuantization: subvector explode, one L2 Lloyd's
+    // round seeded with the first-8 ids (d² rounded to 6, ties to the
+    // lowest code, means rounded to 6), ADC score = sum of per-subspace
+    // partial dots in subspace order, cos = score / (||q||·recon_norm)
+    "k7_knn_pq" ->
+      """WITH psub AS (
+        |  SELECT e.vec_id, u.s AS sub,
+        |    list_transform(e.embedding[u.s * 16 + 1 : u.s * 16 + 16],
+        |                   v -> v::DOUBLE) AS sv
+        |  FROM embeddings e, LATERAL unnest(range(0, 4)) u(s)),
+        |pc0 AS (
+        |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cent
+        |  FROM psub WHERE vec_id < 8),
+        |pa1 AS (
+        |  SELECT v.vec_id, v.sub, v.sv, c.code,
+        |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      round(list_inner_product(v.sv, v.sv)
+        |        - 2 * list_inner_product(v.sv, c.cent)
+        |        + list_inner_product(c.cent, c.cent), 6) ASC,
+        |      c.code ASC) AS rn
+        |  FROM psub v JOIN pc0 c ON v.sub = c.sub),
+        |pm1 AS (
+        |  SELECT sub, code, pos, round(avg(x), 6) AS mn
+        |  FROM (SELECT a.sub, a.code, u.i AS pos, a.sv[u.i + 1] AS x
+        |        FROM pa1 a, LATERAL unnest(range(0, len(a.sv))) u(i)
+        |        WHERE a.rn = 1)
+        |  GROUP BY sub, code, pos),
+        |pc1 AS (
+        |  SELECT sub, code, list(mn ORDER BY pos) AS cent
+        |  FROM pm1 GROUP BY sub, code),
+        |pa2 AS (
+        |  SELECT v.vec_id, v.sub, c.code,
+        |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      round(list_inner_product(v.sv, v.sv)
+        |        - 2 * list_inner_product(v.sv, c.cent)
+        |        + list_inner_product(c.cent, c.cent), 6) ASC,
+        |      c.code ASC) AS rn
+        |  FROM psub v JOIN pc1 c ON v.sub = c.sub),
+        |ncodes AS (SELECT vec_id, sub, code FROM pa2 WHERE rn = 1),
+        |cb2 AS (SELECT sub, code, cent,
+        |          list_inner_product(cent, cent) AS c2 FROM pc1),
+        |enc AS (
+        |  SELECT n.vec_id, sqrt(list_sum(list(cb.c2 ORDER BY n.sub))) AS rnorm
+        |  FROM ncodes n JOIN cb2 cb USING (sub, code) GROUP BY n.vec_id),
+        |qn AS (
+        |  SELECT vec_id, sqrt(list_inner_product(
+        |      list_transform(embedding, v -> v::DOUBLE),
+        |      list_transform(embedding, v -> v::DOUBLE))) AS qn
+        |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_sum(list(list_inner_product(q.sv, cb.cent) ORDER BY q.sub)) AS score
+        |  FROM psub q
+        |  JOIN ncodes n ON q.sub = n.sub
+        |  JOIN cb2 cb ON cb.sub = n.sub AND cb.code = n.code
+        |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND n.vec_id != q.vec_id
+        |  GROUP BY q.vec_id, n.vec_id),
+        |fin AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(s.score / (qn.qn * e.rnorm), 6) AS cos
+        |  FROM scored s JOIN qn ON qn.vec_id = s.query_id
+        |  JOIN enc e ON e.vec_id = s.neighbor_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM fin)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     "t1_langid" ->
       s"""WITH toks AS (

@@ -138,37 +138,48 @@ object MediaProbe {
   }
 
   /** BITMAPINFOHEADER (or later): signed LE dims at 18/22; a negative
-    * height encodes top-down row order, |height| is the real size. */
+    * height encodes top-down row order, |height| is the real size.
+    * Channels from the bit-count field at 28: palette depths (≤8) are
+    * one indexed channel, 16/24 are RGB, 32 is RGBA. */
   private def bmp(b: Array[Byte]): InternalRow = {
     if (b.length < 30) return Unknown
     val dib = le32(b, 14)
     if (dib < 40) return Unknown
     val w = le32(b, 18).toInt; val h = math.abs(le32(b, 22).toInt)
     if (w <= 0 || h <= 0) return Unknown
-    row("bmp", w, h, 3)
+    val channels = le16(b, 28) match {
+      case 1 | 4 | 8 => 1
+      case 16 | 24 => 3
+      case 32 => 4
+      case _ => return Unknown
+    }
+    row("bmp", w, h, channels)
   }
 
   /** Chunk walk: `fmt ` carries channels/rate/bits, `data`'s declared
-    * size over the byte rate is the duration. Chunks pad to even. */
+    * size over the byte rate is the duration. Chunks pad to even. The
+    * cursor is a Long: declared chunk sizes are unsigned 32-bit, so an
+    * int cursor wraps negative past 2 GiB and a crafted size could stall
+    * the walk — a Long cursor just runs past the buffer and stops. */
   private def wav(b: Array[Byte]): InternalRow = {
     var channels = -1; var rate = -1; var bits = -1
     var byteRate = -1L; var dataSize = -1L
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
-          b(i + 3) == ' ') {
-        if (i + 8 + 16 > b.length || size < 16) return Unknown
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12).toInt
-        byteRate = le32(b, i + 16)
-        bits = le16(b, i + 22)
-      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
-          b(i + 3) == 'a') {
+      val p = i.toInt
+      val size = le32(b, p + 4)
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
+          b(p + 3) == ' ') {
+        if (p + 8 + 16 > b.length || size < 16) return Unknown
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12).toInt
+        byteRate = le32(b, p + 16)
+        bits = le16(b, p + 22)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+          b(p + 3) == 'a') {
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0) return Unknown
+      i += 8L + size + (size & 1L)
     }
     if (channels <= 0 || rate <= 0 || byteRate <= 0) return Unknown
     val dur: java.lang.Long =

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the compressed-domain rung of the ANN
+  * scale ladder (beyond-reference scope, SURVEY.md §7.4): split each
+  * vector into `m` contiguous subvectors, k-means each subspace into
+  * `ksub` codes, and store each corpus vector as `m` small ints. At
+  * 100 TB this is the difference between scanning 64 floats per
+  * candidate and scanning 4 bytes: the codes table is ~64× smaller than
+  * the float corpus, and query scoring never touches the original
+  * vectors (asymmetric distance computation — ADC).
+  *
+  * Everything is declarative DataFrame ops, like [[Clustering]]:
+  *  - training: one plan per Lloyd's round over (sub, subvector) rows —
+  *    the m subspace k-means run TOGETHER, grouped by `sub`, not as m
+  *    separate jobs;
+  *  - encoding: corpus × broadcast(m·ksub codebook) + a min_by argmin —
+  *    map-side partials, one shuffle of (id, sub) rows;
+  *  - scoring: the classic ADC table — per query, the m·ksub partial
+  *    dots are computed ONCE against the broadcast codebook; each
+  *    candidate then costs m map lookups and a fold, not an array pass.
+  *
+  * Determinism: init = subvectors of the first `ksub` ids, squared-L2
+  * rounded to 6 before the argmin (ties to the lowest code), centroid
+  * means rounded to 6 — the training trajectory and codes are identical
+  * in any engine or partitioning. Scoring folds subspace terms in
+  * subspace order, so the approximate cosine is reproducible
+  * bit-for-bit.
+  */
+object ProductQuantization {
+  import Similarity.dot
+
+  /** Explode vectors into (id, sub, sv) subvector rows, cast to double.
+    * `sub` ∈ [0, m); each `sv` has `subDim` elements. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame = {
+    val subs = (0 until m).map { s =>
+      struct(lit(s).as("sub"),
+        slice(transform(col(vecCol), v => v.cast("double")),
+          s * subDim + 1, subDim).as("sv"))
+    }
+    df.select(col(idCol), explode(array(subs: _*)).as("__e"))
+      .select(col(idCol), col("__e.sub").as("sub"), col("__e.sv").as("sv"))
+  }
+
+  /** Squared-L2 argmin of each (id, sub) subvector against its
+    * subspace's codebook: ‖v−c‖² = v·v − 2·v·c + c·c, one native dot
+    * per (row, code) pair with v·v and c·c factored out. Returns
+    * (idCol, sub, sv, code). Rounded to 6 before the argmin; ties to
+    * the lowest code — the cross-engine-stable rule every trained
+    * operator here uses. */
+  private def assignCodes(sv: DataFrame, idCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val c = broadcast(codebooks
+      .withColumn("__c2", dot(col("cent"), col("cent"))))
+    sv.withColumn("__v2", dot(col("sv"), col("sv")))
+      .join(c, Seq("sub"))
+      .withColumn("__d2", round(
+        col("__v2") - lit(2) * dot(col("sv"), col("cent")) + col("__c2"), 6))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(struct(col("sv"), col("code")),
+        struct(col("__d2"), col("code"))).as("__w"))
+      .select(col(idCol), col("sub"),
+        col("__w.sv").as("sv"), col("__w.code").as("code"))
+  }
+
+  /** Probe the vector dimension (one driver-side row — metadata-scale,
+    * the same shape as the glob-cap and sampling-plan probes). */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Train the `m` subspace codebooks: `iters` rounds of Lloyd's over
+    * (sub, subvector) rows, seeded with the subvectors of the first
+    * `ksub` ids. Returns (sub, code, cent: array&lt;double&gt;) —
+    * m·ksub rows, always broadcast-small. A code that loses every
+    * member drops out, exactly like [[Clustering.kmeansFit]]. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m > 0 && ksub > 0 && iters >= 0,
+      s"pqTrain: need m>0, ksub>0, iters>=0 (got m=$m ksub=$ksub iters=$iters)")
+    val dim = probeDim(corpus, vecCol)
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val sv = subvectors(corpus, idCol, vecCol, m, dim / m)
+    var cents = sv.filter(col(idCol) < ksub)
+      .select(col("sub"), col(idCol).cast("int").as("code"),
+        col("sv").as("cent"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignCodes(sv, idCol, cents)
+      cents = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "code", "pos")
+        .agg(avg(col("v")).as("mn"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), x => round(x.getField("mn"), 6)).as("cent"))
+        // m·ksub rows — materialize so each round's broadcast plan stays
+        // flat (the kmeansFit technique)
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Encode the corpus against trained codebooks: each vector becomes
+    * (idCol, codes: array&lt;int&gt; of length m in subspace order,
+    * recon_norm: ‖reconstruction‖ = sqrt(Σ_sub c·c), summed in subspace
+    * order). This is the table a deployment PERSISTS — m ints + one
+    * double per vector instead of the float array. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val (m, _, subDim) = codebookShape(codebooks)
+    val sv = subvectors(corpus, idCol, vecCol, m, subDim)
+    val c2 = broadcast(codebooks.select(col("sub"), col("code"),
+      dot(col("cent"), col("cent")).as("__c2")))
+    assignCodes(sv, idCol, codebooks)
+      .join(c2, Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("code"), col("__c2")))).as("__sc"))
+      .select(col(idCol),
+        transform(col("__sc"), x => x.getField("code")).as("codes"),
+        sqrt(aggregate(col("__sc"), lit(0.0),
+          (a, x) => a + x.getField("__c2"))).as("recon_norm"))
+  }
+
+  /** Driver-side probe of the (m, ksub-stride, subDim) of a codebook
+    * relation — m·ksub rows, metadata-scale. The stride is max(code)+1
+    * so dropped codes keep slot arithmetic stable. */
+  private def codebookShape(codebooks: DataFrame): (Int, Int, Int) = {
+    val r = codebooks.agg(max(col("sub")), max(col("code")),
+      max(size(col("cent")))).head()
+    (r.getInt(0) + 1, r.getInt(1) + 1, r.getInt(2))
+  }
+
+  /** ADC top-k: approximate cosine between each query and every encoded
+    * corpus vector, ranked per query. The query side precomputes its
+    * distance TABLE — the m·ksub partial dots q_sub · c_(sub,code) —
+    * once against the broadcast codebook; scoring a candidate is then
+    * `m` map lookups folded in subspace order, divided by
+    * ‖q‖·recon_norm. The corpus float vectors are never read — only
+    * `encoded` (codes + recon_norm) is scanned, which is the entire
+    * point of PQ at scale. With ksub ≥ corpus size and iters=0 the
+    * codebook IS the corpus subvectors, reconstruction is exact, and
+    * ADC degrades gracefully to the brute-force answer (PqSpec pins
+    * it). Output: (query_id, rank, neighbor_id, cos). */
+  def pqKnn(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"pqKnn: k must be positive: $k")
+    val (m, stride, subDim) = codebookShape(codebooks)
+    val qsv = subvectors(
+      queries.select(col(idCol).as("query_id"), col(vecCol)),
+      "query_id", vecCol, m, subDim)
+    // dense-by-map distance table: slot = sub·stride + code → partial dot
+    val tbl = qsv.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__pdot", dot(col("sv"), col("cent")))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * stride + col("code")).as("slot"),
+        col("__pdot")))).as("__tbl"))
+    val qn = queries.select(col(idCol).as("query_id"),
+      Similarity.l2norm(transform(col(vecCol), v => v.cast("double")))
+        .as("__qn"))
+    val q = broadcast(tbl.join(qn, Seq("query_id")))
+    val scored = encoded
+      .select(col(idCol).as("neighbor_id"),
+        col("codes"), col("recon_norm"))
+      .crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__score", aggregate(
+        transform(col("codes"),
+          (c, i) => element_at(col("__tbl"), i * stride + c)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("cos", round(
+        col("__score") / (col("__qn") * col("recon_norm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

@@ -308,6 +308,9 @@ object Similarity {
       .withColumn("__cn", l2norm(col("centroid"))))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell_id").asc)
+    // materialized: the probe assignment feeds BOTH the driver-side
+    // probed-cell list and the broadcast join side — without this the
+    // queries × centroids ranking runs twice (the d8 lesson)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2norm(col(vecCol)).as("__qn"))
@@ -317,6 +320,7 @@ object Similarity {
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= nProbe)
       .select("query_id", "qv", "__qn", "cell_id")
+      .localCheckpoint(true)
     val probed = q.select("cell_id").distinct().collect()
       .map(_.get(0)).toSeq
     val postings = spark.read.parquet(s"$indexDir/postings")

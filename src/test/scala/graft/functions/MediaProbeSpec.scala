@@ -101,6 +101,37 @@ class MediaProbeSpec extends SparkSuite {
     assert(probe(bmpBytes(800, -600)) === Row("bmp", 800, 600, 3, null, null, null))
   }
 
+  test("bmp channels follow the bit-count field") {
+    def withBits(bits: Int): Array[Byte] = {
+      val b = bmpBytes(64, 64)
+      b(28) = (bits & 0xff).toByte; b(29) = ((bits >> 8) & 0xff).toByte
+      b
+    }
+    assert(probe(withBits(8)) === Row("bmp", 64, 64, 1, null, null, null))
+    assert(probe(withBits(32)) === Row("bmp", 64, 64, 4, null, null, null))
+    assert(probe(withBits(17)) === Row("unknown", null, null, null, null, null, null))
+  }
+
+  test("wav chunk walk survives an unsigned-overflow declared size") {
+    // declared chunk size 0xFFFFFFF0 (> Int.MaxValue): an int cursor
+    // would wrap negative and stall the walk; the Long cursor must just
+    // run past the buffer and terminate with the fields seen so far
+    val bb = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+    bb.putShort(1).putShort(2).putInt(16000).putInt(64000)
+    bb.putShort(4.toShort).putShort(16.toShort)
+    bb.put("junk".getBytes).putInt(0xfffffff0) // oversized chunk, walked
+    assert(probe(bb.array()) === Row("wav", null, null, 2, 16000, 16, null))
+    // same oversized size directly on the data chunk: format survives,
+    // duration reflects the (bogus) declared size — never a hang
+    val b2 = wavBytes(1, 8000, 8, 4000)
+    b2(b2.length - 4) = 0xf0.toByte; b2(b2.length - 3) = 0xff.toByte
+    b2(b2.length - 2) = 0xff.toByte; b2(b2.length - 1) = 0xff.toByte
+    val r = probe(b2)
+    assert(r.getString(0) == "wav" && r.getInt(4) == 8000)
+  }
+
   test("wav: fmt chunk fields + duration from declared data size") {
     // 16 kHz stereo 16-bit, 64000 data bytes / (16000*4) B/s = 1000 ms
     assert(probe(wavBytes(2, 16000, 16, 64000)) ===
