@@ -942,6 +942,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K8: IVF-PQ (FAISS IndexIVFPQ shape, non-residual) — the k6
+    // inverted file with k7's PQ codes as the postings: probe 2 cells,
+    // ADC-score only those cells' partitions, floats never on disk in
+    // the postings at all. Coarse quantizer matches k6 (k=8, 2 rounds);
+    // PQ matches k7 (m=4, ksub=8, 1 round)
+    "k8_knn_ivfpq" -> { (s, dir) =>
+      import graft.operators.ProductQuantization
+      val idx = java.nio.file.Files.createTempDirectory("k8ivfpq").toString
+      val emb = table(s, dir, "embeddings")
+      ProductQuantization.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
+        kCells = 8, coarseIters = 2, m = 4, ksub = 8, pqIters = 1)
+      ProductQuantization.ivfPqKnn(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        idx, "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -1735,6 +1752,60 @@ object SparkEntry {
     (Seq(init) ++ rounds ++ Seq(assign(iters + 1))).mkString(",\n")
   }
 
+  /** DuckDB CTE chain mirroring [[graft.operators.ProductQuantization]]
+    * at (m=4, ksub=8, subDim=16, one Lloyd's round): subvector explode
+    * (`psub`), seeded codebooks (`pc0`), rounded-L2 argmin (`pa1`),
+    * mean update (`pm1`/`pc1`), final codes (`ncodes`), per-code
+    * squared norms (`cb2`), reconstruction norms (`enc`), and query
+    * norms over vec_id 5..10 (`qn`). Shared by k7 (flat ADC) and k8
+    * (IVF-PQ — composes with [[kmeansOracleCtes]] for the coarse
+    * probe). */
+  private val PqCtes: String =
+    """psub AS (
+      |  SELECT e.vec_id, u.s AS sub,
+      |    list_transform(e.embedding[u.s * 16 + 1 : u.s * 16 + 16],
+      |                   v -> v::DOUBLE) AS sv
+      |  FROM embeddings e, LATERAL unnest(range(0, 4)) u(s)),
+      |pc0 AS (
+      |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cent
+      |  FROM psub WHERE vec_id < 8),
+      |pa1 AS (
+      |  SELECT v.vec_id, v.sub, v.sv, c.code,
+      |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+      |      round(list_inner_product(v.sv, v.sv)
+      |        - 2 * list_inner_product(v.sv, c.cent)
+      |        + list_inner_product(c.cent, c.cent), 6) ASC,
+      |      c.code ASC) AS rn
+      |  FROM psub v JOIN pc0 c ON v.sub = c.sub),
+      |pm1 AS (
+      |  SELECT sub, code, pos, round(avg(x), 6) AS mn
+      |  FROM (SELECT a.sub, a.code, u.i AS pos, a.sv[u.i + 1] AS x
+      |        FROM pa1 a, LATERAL unnest(range(0, len(a.sv))) u(i)
+      |        WHERE a.rn = 1)
+      |  GROUP BY sub, code, pos),
+      |pc1 AS (
+      |  SELECT sub, code, list(mn ORDER BY pos) AS cent
+      |  FROM pm1 GROUP BY sub, code),
+      |pa2 AS (
+      |  SELECT v.vec_id, v.sub, c.code,
+      |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+      |      round(list_inner_product(v.sv, v.sv)
+      |        - 2 * list_inner_product(v.sv, c.cent)
+      |        + list_inner_product(c.cent, c.cent), 6) ASC,
+      |      c.code ASC) AS rn
+      |  FROM psub v JOIN pc1 c ON v.sub = c.sub),
+      |ncodes AS (SELECT vec_id, sub, code FROM pa2 WHERE rn = 1),
+      |cb2 AS (SELECT sub, code, cent,
+      |          list_inner_product(cent, cent) AS c2 FROM pc1),
+      |enc AS (
+      |  SELECT n.vec_id, sqrt(list_sum(list(cb.c2 ORDER BY n.sub))) AS rnorm
+      |  FROM ncodes n JOIN cb2 cb USING (sub, code) GROUP BY n.vec_id),
+      |qn AS (
+      |  SELECT vec_id, sqrt(list_inner_product(
+      |      list_transform(embedding, v -> v::DOUBLE),
+      |      list_transform(embedding, v -> v::DOUBLE))) AS qn
+      |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s2_metric_autocreate" ->
       s"""WITH pts AS (
@@ -2210,50 +2281,7 @@ object SparkEntry {
     // lowest code, means rounded to 6), ADC score = sum of per-subspace
     // partial dots in subspace order, cos = score / (||q||·recon_norm)
     "k7_knn_pq" ->
-      """WITH psub AS (
-        |  SELECT e.vec_id, u.s AS sub,
-        |    list_transform(e.embedding[u.s * 16 + 1 : u.s * 16 + 16],
-        |                   v -> v::DOUBLE) AS sv
-        |  FROM embeddings e, LATERAL unnest(range(0, 4)) u(s)),
-        |pc0 AS (
-        |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cent
-        |  FROM psub WHERE vec_id < 8),
-        |pa1 AS (
-        |  SELECT v.vec_id, v.sub, v.sv, c.code,
-        |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
-        |      round(list_inner_product(v.sv, v.sv)
-        |        - 2 * list_inner_product(v.sv, c.cent)
-        |        + list_inner_product(c.cent, c.cent), 6) ASC,
-        |      c.code ASC) AS rn
-        |  FROM psub v JOIN pc0 c ON v.sub = c.sub),
-        |pm1 AS (
-        |  SELECT sub, code, pos, round(avg(x), 6) AS mn
-        |  FROM (SELECT a.sub, a.code, u.i AS pos, a.sv[u.i + 1] AS x
-        |        FROM pa1 a, LATERAL unnest(range(0, len(a.sv))) u(i)
-        |        WHERE a.rn = 1)
-        |  GROUP BY sub, code, pos),
-        |pc1 AS (
-        |  SELECT sub, code, list(mn ORDER BY pos) AS cent
-        |  FROM pm1 GROUP BY sub, code),
-        |pa2 AS (
-        |  SELECT v.vec_id, v.sub, c.code,
-        |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
-        |      round(list_inner_product(v.sv, v.sv)
-        |        - 2 * list_inner_product(v.sv, c.cent)
-        |        + list_inner_product(c.cent, c.cent), 6) ASC,
-        |      c.code ASC) AS rn
-        |  FROM psub v JOIN pc1 c ON v.sub = c.sub),
-        |ncodes AS (SELECT vec_id, sub, code FROM pa2 WHERE rn = 1),
-        |cb2 AS (SELECT sub, code, cent,
-        |          list_inner_product(cent, cent) AS c2 FROM pc1),
-        |enc AS (
-        |  SELECT n.vec_id, sqrt(list_sum(list(cb.c2 ORDER BY n.sub))) AS rnorm
-        |  FROM ncodes n JOIN cb2 cb USING (sub, code) GROUP BY n.vec_id),
-        |qn AS (
-        |  SELECT vec_id, sqrt(list_inner_product(
-        |      list_transform(embedding, v -> v::DOUBLE),
-        |      list_transform(embedding, v -> v::DOUBLE))) AS qn
-        |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+      s"""WITH $PqCtes,
         |scored AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
         |    list_sum(list(list_inner_product(q.sv, cb.cent) ORDER BY q.sub)) AS score
@@ -2261,6 +2289,38 @@ object SparkEntry {
         |  JOIN ncodes n ON q.sub = n.sub
         |  JOIN cb2 cb ON cb.sub = n.sub AND cb.code = n.code
         |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND n.vec_id != q.vec_id
+        |  GROUP BY q.vec_id, n.vec_id),
+        |fin AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(s.score / (qn.qn * e.rnorm), 6) AS cos
+        |  FROM scored s JOIN qn ON qn.vec_id = s.query_id
+        |  JOIN enc e ON e.vec_id = s.neighbor_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM fin)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ: the kmeans CTEs give the coarse probe (queries rn<=2,
+    // corpus rn=1 — exactly k6's shape), the PQ CTEs give codes and
+    // reconstruction norms, and ADC scoring runs only on cell-matched
+    // pairs
+    "k8_knn_ivfpq" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+        |$PqCtes,
+        |ccell AS (SELECT vec_id, cell_id FROM a3 WHERE rn = 1),
+        |qcell AS (
+        |  SELECT vec_id, cell_id FROM a3
+        |  WHERE rn <= 2 AND vec_id >= 5 AND vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_sum(list(list_inner_product(ps.sv, cb.cent) ORDER BY ps.sub)) AS score
+        |  FROM qcell q
+        |  JOIN ccell n ON n.cell_id = q.cell_id AND n.vec_id != q.vec_id
+        |  JOIN psub ps ON ps.vec_id = q.vec_id
+        |  JOIN ncodes nc ON nc.vec_id = n.vec_id AND nc.sub = ps.sub
+        |  JOIN cb2 cb ON cb.sub = nc.sub AND cb.code = nc.code
         |  GROUP BY q.vec_id, n.vec_id),
         |fin AS (
         |  SELECT s.query_id, s.neighbor_id,

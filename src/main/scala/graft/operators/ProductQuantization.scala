@@ -184,4 +184,92 @@ object ProductQuantization {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Persist an IVF-PQ index (FAISS's IndexIVFPQ shape, non-residual
+    * variant): coarse k-means centroids + PQ codebooks (both
+    * driver-small) and an inverted file of PQ-ENCODED postings
+    * partitioned by cell — each posting is m small ints and a norm, no
+    * float vectors on disk at all. The probe-time scan is therefore
+    * nProbe/kCells of an already ~64×-compressed corpus: the layout a
+    * web-scale deployment actually ships. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, kCells: Int, coarseIters: Int,
+      m: Int, ksub: Int, pqIters: Int): Unit = {
+    val cents = Clustering.kmeansFit(corpus, idCol, vecCol,
+      kCells, coarseIters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    val cells = Clustering.assignCells(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id", "cv", cents)
+      .select("neighbor_id", "cell_id")
+    pqEncode(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+        "neighbor_id", vecCol, cb)
+      .join(cells, Seq("neighbor_id"))
+      .select("neighbor_id", "codes", "recon_norm", "cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Probe a [[buildIvfPqIndex]] index: rank each query's `nProbe`
+    * nearest cells against the broadcast centroids, build the ADC
+    * distance table once per query against the broadcast codebooks,
+    * then scan ONLY the probed cells' postings partitions — scoring
+    * each candidate with m map lookups, never touching a float vector.
+    * A posting lives in exactly one cell, so pairs are unique across
+    * probes. Full probe with an identity codebook degrades to the
+    * exact brute-force answer (IvfPqSpec pins it). */
+  def ivfPqKnn(queries: DataFrame, indexDir: String, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1,
+      s"ivfPqKnn: k and nProbe must be positive (got k=$k nProbe=$nProbe)")
+    val spark = queries.sparkSession
+    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids")
+      .withColumn("__cn", Similarity.l2norm(col("centroid"))))
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val (m, stride, subDim) = codebookShape(cb)
+    val base = queries.select(col(idCol).as("query_id"), col(vecCol))
+    // probe assignment — materialized: it feeds the driver-side
+    // partition-pruning list AND the broadcast join side
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val probes = base
+      .select(col("query_id"),
+        Similarity.l2norm(transform(col(vecCol), v => v.cast("double")))
+          .as("__qn"), col(vecCol))
+      .crossJoin(cents)
+      .withColumn("ccos", round(
+        dot(col(vecCol), col("centroid")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "__qn", "cell_id")
+      .localCheckpoint(true)
+    // ADC table once per query (not per probed cell)
+    val tbl = subvectors(base, "query_id", vecCol, m, subDim)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("__pdot", dot(col("sv"), col("cent")))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * stride + col("code")).as("slot"),
+        col("__pdot")))).as("__tbl"))
+    val q = broadcast(probes.join(tbl, Seq("query_id")))
+    val probed = probes.select("cell_id").distinct().collect()
+      .map(_.get(0)).toSeq
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("cell_id").isin(probed: _*))
+    val scored = postings.join(q, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__score", aggregate(
+        transform(col("codes"),
+          (c, i) => element_at(col("__tbl"), i * stride + c)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("cos", round(
+        col("__score") / (col("__qn") * col("recon_norm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
 }

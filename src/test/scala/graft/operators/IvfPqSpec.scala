@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** IVF-PQ: the persisted inverted file with PQ codes as postings.
+  * Pins the compression contract (no float vectors on disk), the
+  * exactness degenerate (identity codebook + full probe ≡ brute
+  * force), and the partition pruning the probe exists for. */
+class IvfPqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  private val vecs = Seq.tabulate(40) { i =>
+    (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+  }
+  private def corpus: DataFrame = vecs.toDF("id", "vec")
+  private def queries: DataFrame = corpus.filter(col("id") < 5)
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("postings are pure codes: no float vector column on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    ProductQuantization.buildIvfPqIndex(corpus, "id", "vec", dir,
+      kCells = 4, coarseIters = 1, m = 2, ksub = 4, pqIters = 1)
+    val postings = spark.read.parquet(s"$dir/postings")
+    assert(postings.columns.sorted.toSeq ===
+      Seq("cell_id", "codes", "neighbor_id", "recon_norm"))
+    assert(postings.count() === 40)
+  }
+
+  test("identity codebook + full probe degrades to exact brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    // ksub >= N with 0 PQ rounds: the codebook IS the corpus
+    // subvectors, reconstruction is exact; probing every trained cell
+    // removes the coarse filter
+    ProductQuantization.buildIvfPqIndex(corpus, "id", "vec", dir,
+      kCells = 4, coarseIters = 2, m = 2, ksub = 40, pqIters = 0)
+    val idx = rows(ProductQuantization.ivfPqKnn(queries, dir, "id", "vec",
+      k = 5, nProbe = 10))
+    val brute = rows(Similarity.bruteForceKnn(queries, corpus, "id", "vec",
+      k = 5))
+    assert(idx.map(r => (r._1, r._2, r._3)) ===
+      brute.map(r => (r._1, r._2, r._3)))
+    idx.zip(brute).foreach { case (a, b) =>
+      // subspace fold vs single-pass dot: same math, different FP
+      // association — equal after round-6 except knife edges
+      assert(math.abs(a._4 - b._4) <= 2e-6, s"${a._1}#${a._2}: ${a._4} vs ${b._4}")
+    }
+  }
+
+  test("trained IVF-PQ shortlist contains the exact neighbors " +
+      "(clustered fixture)") {
+    val cdim = 16
+    val crnd = new scala.util.Random(42)
+    val centers = Array.fill(8)(Array.fill(cdim)(crnd.nextGaussian()))
+    val emb = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * crnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec").cache()
+    val qs = emb.filter(col("id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    ProductQuantization.buildIvfPqIndex(emb, "id", "vec", dir,
+      kCells = 8, coarseIters = 2, m = 4, ksub = 16, pqIters = 2)
+    def topk(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topk(Similarity.bruteForceKnn(qs, emb, "id", "vec", 3))
+    val short = topk(ProductQuantization.ivfPqKnn(qs, dir, "id", "vec",
+      k = 40, nProbe = 2))
+    val recall = exact.map { case (q, want) =>
+      short.get(q).map(_.intersect(want).size / 3.0).getOrElse(0.0)
+    }.sum / exact.size
+    info(f"IVF-PQ shortlist-40 recall@3 (nProbe=2): $recall%.2f")
+    assert(recall >= 0.9)
+  }
+
+  test("probing reads ONLY the probed cells' postings partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    ProductQuantization.buildIvfPqIndex(corpus, "id", "vec", dir,
+      kCells = 4, coarseIters = 2, m = 2, ksub = 8, pqIters = 1)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case r: ReusedExchangeExec => allScans(r.child)
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(allScans)
+    }
+    val all = {
+      val df = spark.read.parquet(s"$dir/postings")
+      df.collect()
+      allScans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val one = ProductQuantization.ivfPqKnn(queries.filter(col("id") === 0L),
+      dir, "id", "vec", k = 3, nProbe = 1)
+    one.collect()
+    val postingsFiles = allScans(one.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+      .map(_.metrics("numFiles").value).sum
+    assert(postingsFiles > 0, "no postings scan found in the plan")
+    assert(postingsFiles < all,
+      s"expected partition pruning: $postingsFiles !< $all")
+  }
+}
