@@ -46,7 +46,8 @@ object Soak {
       "d2_minhash_lsh", "d12_simhash_pairs", "p1_sequence_packing",
       "t9_c4_rules",
       "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
-      "p7_weighted_sample")
+      "p7_weighted_sample",
+      "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -96,5 +97,18 @@ object Soak {
         col("ts"), col("user_id"), col("event_type"), col("value"),
         col("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // embeddings: a `factor`× corpus for the ANN ladder — copy k nudges
+    // the first dimension by k/1000 so copies are distinct points (cells
+    // densify uniformly; the query set stays the fixed-id window)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.select(col("*"), ks)
+      .select((col("vec_id") * factor + col("k")).as("vec_id"),
+        transform(col("embedding"),
+          (v, i) => when(i === 0,
+            (v + col("k").cast("float") / lit(1000f)).cast("float"))
+            .otherwise(v)).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 }

@@ -72,4 +72,68 @@ object DocumentStream {
       }
       .start()
   }
+
+  /** Append the batch's HISTORY-novel documents to a content-keyed
+    * store: documents whose md5 is already anywhere in `storeDir` are
+    * dropped, ties within the batch resolve to the lowest `idCol`, and
+    * survivors land partitioned by the key's first two hex chars.
+    *
+    * The prefix partitioning is the scale story: the anti-join reads
+    * ONLY the key column of ONLY the partitions whose prefixes occur in
+    * the batch (≤256, collected driver-side from the deduped batch —
+    * batch-bounded metadata). Per micro-batch that is a column-pruned,
+    * partition-pruned scan, not a full-history pass.
+    *
+    * Crash-replay idempotent BY CONSTRUCTION: if a batch's append
+    * committed but the checkpoint didn't, the replayed batch anti-joins
+    * against its own earlier output and appends nothing — no
+    * batch_seq/LWW resolution needed on read. */
+  def appendNovel(batch: DataFrame, textCol: String, idCol: String,
+      storeDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cols = batch.columns
+    require(!cols.contains("content_key") && !cols.contains("kp"),
+      "appendNovel: input must not already have content_key/kp columns")
+    val keyed = batch
+      .withColumn("content_key", md5(col(textCol)))
+      .withColumn("kp", substring(col("content_key"), 1, 2))
+    val batchDedup = keyed
+      .groupBy("content_key", "kp")
+      .agg(min_by(struct(cols.map(col).toSeq: _*), col(idCol)).as("__w"))
+      .select(col("content_key") +: col("kp") +:
+        cols.map(c => col(s"__w.$c").as(c)): _*)
+    val hasHistory = {
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    val novel =
+      if (!hasHistory) batchDedup
+      else {
+        val prefixes = batchDedup.select("kp").distinct().collect()
+          .map(_.getString(0)).toSeq
+        val hist = spark.read.parquet(storeDir)
+          .filter(col("kp").isin(prefixes: _*))
+          .select("content_key")
+        batchDedup.join(hist, Seq("content_key"), "left_anti")
+      }
+    novel.withColumn("batch_seq", lit(batchId))
+      .write.mode("append").partitionBy("kp").parquet(storeDir)
+  }
+
+  /** History-backed streaming dedup: unlike [[dedupExact]], whose state
+    * is bounded by the watermark horizon, this job checks every batch
+    * against the FULL durable corpus — the store IS the state, the
+    * streaming engine holds none, and a duplicate is dropped no matter
+    * how long ago the original arrived. */
+  def startHistoryDedupJob(docs: DataFrame, textCol: String,
+      idCol: String, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendNovel(batch, textCol, idCol, storeDir, batchId)
+      }
+      .start()
 }

@@ -92,4 +92,58 @@ class DocumentStreamSpec extends SparkSuite {
       assert(stored.select("doc_id").as[Long].collect().toSeq === Seq(1L))
     } finally q.stop()
   }
+
+  test("history dedup drops duplicates across batches, restarts, and " +
+      "crash replays — the store is the state") {
+    spark.conf.set(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("hist_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hist_ckpt").toString
+    def storedIds: Set[Long] = spark.read.parquet(store)
+      .select("doc_id").as[Long].collect().toSet
+
+    val input = MemoryStream[Doc]
+    val q = DocumentStream.startHistoryDedupJob(input.toDF(), "text",
+      "doc_id", store, ckpt)
+    try {
+      input.addData(
+        Doc(2L, "alpha document", 10L),
+        Doc(1L, "alpha document", 20L), // within-batch dup: lowest id wins
+        Doc(3L, "beta document", 30L))
+      q.processAllAvailable()
+      assert(storedIds === Set(1L, 3L))
+      input.addData(Doc(4L, "alpha document", 500L)) // dup vs history
+      input.addData(Doc(5L, "gamma document", 510L))
+      q.processAllAvailable()
+      assert(storedIds === Set(1L, 3L, 5L))
+    } finally q.stop()
+
+    // restart from the same checkpoint + store: history survives the
+    // stream's lifetime — a duplicate from BEFORE the restart is dropped
+    // with no watermark horizon in play
+    val input2 = MemoryStream[Doc]
+    val q2 = DocumentStream.startHistoryDedupJob(input2.toDF(), "text",
+      "doc_id", store, java.nio.file.Files.createTempDirectory("hist_ckpt2")
+        .toString)
+    try {
+      input2.addData(Doc(6L, "beta document", 1000L),
+        Doc(7L, "delta document", 1010L))
+      q2.processAllAvailable()
+      assert(storedIds === Set(1L, 3L, 5L, 7L))
+    } finally q2.stop()
+
+    // crash replay: the same batch applied twice (append committed,
+    // checkpoint lost) — the replay anti-joins its own output and
+    // appends nothing
+    val replay = Seq(Doc(8L, "epsilon document", 2000L)).toDF()
+    DocumentStream.appendNovel(replay, "text", "doc_id", store, 99L)
+    DocumentStream.appendNovel(replay, "text", "doc_id", store, 99L)
+    assert(storedIds === Set(1L, 3L, 5L, 7L, 8L))
+    assert(spark.read.parquet(store).filter(col("doc_id") === 8L).count() === 1L)
+
+    // the store is prefix-partitioned for the pruned anti-join
+    assert(new java.io.File(store).listFiles()
+      .exists(f => f.getName.startsWith("kp=")))
+  }
 }
