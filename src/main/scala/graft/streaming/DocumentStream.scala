@@ -102,10 +102,13 @@ object DocumentStream {
       .agg(min_by(struct(cols.map(col).toSeq: _*), col(idCol)).as("__w"))
       .select(col("content_key") +: col("kp") +:
         cols.map(c => col(s"__w.$c").as(c)): _*)
+    // an empty first batch leaves only _SUCCESS behind (no files, no
+    // schema to infer) — history exists only once a kp= partition does
     val hasHistory = {
       val p = new org.apache.hadoop.fs.Path(storeDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).nonEmpty
+      fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("kp="))
     }
     val novel =
       if (!hasHistory) batchDedup

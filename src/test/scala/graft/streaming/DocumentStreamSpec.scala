@@ -107,6 +107,10 @@ class DocumentStreamSpec extends SparkSuite {
     val q = DocumentStream.startHistoryDedupJob(input.toDF(), "text",
       "doc_id", store, ckpt)
     try {
+      // an EMPTY batch first: leaves no schema behind and must not make
+      // the next batch think history exists
+      DocumentStream.appendNovel(
+        Seq.empty[Doc].toDF(), "text", "doc_id", store, 0L)
       input.addData(
         Doc(2L, "alpha document", 10L),
         Doc(1L, "alpha document", 20L), // within-batch dup: lowest id wins
