@@ -85,7 +85,9 @@ object GraftFunctions {
     ("graft_nfc", classOf[NfcNormalize],
       (es: Seq[Expression]) => NfcNormalize(es.head)),
     ("graft_media_probe", classOf[MediaProbe],
-      (es: Seq[Expression]) => MediaProbe(es.head)))
+      (es: Seq[Expression]) => MediaProbe(es.head)),
+    ("graft_adc_score", classOf[AdcScore],
+      (es: Seq[Expression]) => AdcScore(es(0), es(1))))
 
   private[functions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -138,6 +138,23 @@ object ProductQuantization {
     (r.getInt(0) + 1, r.getInt(1) + 1, r.getInt(2))
   }
 
+  /** Per-query DENSE ADC distance table: from (query_id, sub, code,
+    * sv, cent) rows, one array of m·stride partial dots indexed by
+    * slot = sub·stride + code, nulls at slots no codebook entry fills
+    * (never referenced — codes only point at existing entries). Dense
+    * so candidate scoring is an O(1) array load per subspace, not a
+    * map scan. */
+  private def denseTable(joined: DataFrame, m: Int, stride: Int): DataFrame =
+    joined
+      .withColumn("__pdot", dot(col("sv"), col("cent")))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * stride + col("code")).as("slot"),
+        col("__pdot")))).as("__map"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m * stride - 1)),
+          s => element_at(col("__map"), s)).as("__tbl"))
+
   /** ADC top-k: approximate cosine between each query and every encoded
     * corpus vector, ranked per query. The query side precomputes its
     * distance TABLE — the m·ksub partial dots q_sub · c_(sub,code) —
@@ -156,13 +173,8 @@ object ProductQuantization {
     val qsv = subvectors(
       queries.select(col(idCol).as("query_id"), col(vecCol)),
       "query_id", vecCol, m, subDim)
-    // dense-by-map distance table: slot = sub·stride + code → partial dot
-    val tbl = qsv.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("__pdot", dot(col("sv"), col("cent")))
-      .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * stride + col("code")).as("slot"),
-        col("__pdot")))).as("__tbl"))
+    val tbl = denseTable(qsv.join(broadcast(codebooks), Seq("sub")),
+      m, stride)
     val qn = queries.select(col(idCol).as("query_id"),
       Similarity.l2norm(transform(col(vecCol), v => v.cast("double")))
         .as("__qn"))
@@ -172,10 +184,8 @@ object ProductQuantization {
         col("codes"), col("recon_norm"))
       .crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__score", aggregate(
-        transform(col("codes"),
-          (c, i) => element_at(col("__tbl"), i * stride + c)),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("__score", graft.functions.AdcScore.adc_score(
+        col("codes"), col("__tbl"), stride))
       .withColumn("cos", round(
         col("__score") / (col("__qn") * col("recon_norm")), 6))
     val w = Window.partitionBy("query_id")
@@ -246,13 +256,9 @@ object ProductQuantization {
       .select("query_id", "__qn", "cell_id")
       .localCheckpoint(true)
     // ADC table once per query (not per probed cell)
-    val tbl = subvectors(base, "query_id", vecCol, m, subDim)
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("__pdot", dot(col("sv"), col("cent")))
-      .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * stride + col("code")).as("slot"),
-        col("__pdot")))).as("__tbl"))
+    val tbl = denseTable(
+      subvectors(base, "query_id", vecCol, m, subDim)
+        .join(broadcast(cb), Seq("sub")), m, stride)
     val q = broadcast(probes.join(tbl, Seq("query_id")))
     val probed = probes.select("cell_id").distinct().collect()
       .map(_.get(0)).toSeq
@@ -260,10 +266,8 @@ object ProductQuantization {
       .filter(col("cell_id").isin(probed: _*))
     val scored = postings.join(q, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__score", aggregate(
-        transform(col("codes"),
-          (c, i) => element_at(col("__tbl"), i * stride + c)),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("__score", graft.functions.AdcScore.adc_score(
+        col("codes"), col("__tbl"), stride))
       .withColumn("cos", round(
         col("__score") / (col("__qn") * col("recon_norm")), 6))
     val w = Window.partitionBy("query_id")

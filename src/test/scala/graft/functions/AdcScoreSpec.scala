@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Native ADC scoring: slot arithmetic, the HOF-parity fold order, and
+  * the null contract for malformed code/table pairs. */
+class AdcScoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("score = sum of table[sub*stride + code] in subspace order") {
+    // stride 3, m 2: table slots [s0c0, s0c1, s0c2, s1c0, s1c1, s1c2]
+    val df = Seq((Seq(1, 2), Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0)))
+      .toDF("codes", "table")
+    val got = df.select(AdcScore.adc_score(col("codes"), col("table"), 3)
+      .as("s")).head().getDouble(0)
+    assert(got === 11.0 + 22.0)
+    // parity with the interpreted HOF form it replaced
+    val hof = df.select(aggregate(
+      transform(col("codes"), (c, i) => element_at(col("table"), i * 3 + c + 1)),
+      lit(0.0), (a, x) => a + x).as("s")).head().getDouble(0)
+    assert(got === hof)
+  }
+
+  test("null on out-of-range slot, null slot, or null code") {
+    val out = Seq((Seq(0, 5), Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("codes", "table")
+      .select(AdcScore.adc_score(col("codes"), col("table"), 2).as("s"))
+    assert(out.head().isNullAt(0))
+    // codes (1, 0) hit raw slots 1 and 2 — slot 1 is the null
+    val nullSlot = Seq((Seq(1, 0), Seq[java.lang.Double](1.0, null, 3.0, 4.0)))
+      .toDF("codes", "table")
+      .select(AdcScore.adc_score(col("codes"), col("table"), 2).as("s"))
+    assert(nullSlot.head().isNullAt(0))
+  }
+
+  test("SQL-registered form matches the column API inside codegen") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(0, 1), Seq(1.5, 2.5, 3.5, 4.5))).toDF("codes", "table")
+    df.createOrReplaceTempView("adc_in")
+    val viaSql = spark.sql(
+      """SELECT graft_adc_score(codes,
+        |  concat(array(CAST(2 AS DOUBLE)), table)) AS s
+        |FROM adc_in""".stripMargin).head().getDouble(0)
+    val viaCol = df.select(AdcScore.adc_score(col("codes"), col("table"), 2)
+      .as("s")).head().getDouble(0)
+    assert(viaSql === viaCol && viaCol === 1.5 + 4.5)
+  }
+}
