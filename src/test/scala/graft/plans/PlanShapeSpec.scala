@@ -61,6 +61,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("graft_array_dot"), s"expression missing:\n$p")
   }
 
+  test("PQ ADC scan broadcasts the query tables; codes are not shuffled") {
+    import graft.operators.ProductQuantization
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 3 + j).toFloat))).toDF("vec_id", "embedding")
+    val cb = ProductQuantization.pqTrain(emb, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 1)
+    val enc = ProductQuantization.pqEncode(emb, "vec_id", "embedding", cb)
+      .localCheckpoint(true)
+    val df = ProductQuantization.pqKnn(emb.filter(col("vec_id") < 3),
+      enc, cb, "vec_id", "embedding", k = 3)
+    val p = plan(df)
+    assert(p.contains("Broadcast"), s"query tables not broadcast:\n$p")
+    // the encoded corpus flows straight into scoring: on the STREAMED
+    // path the only exchange is the top-k rank window's partition by
+    // query (the query-side table build shuffles its handful of rows
+    // inside the broadcast subtree, which is fine)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    def streamedShuffles(pl: SparkPlan): Int = pl match {
+      case a: AdaptiveSparkPlanExec => streamedShuffles(a.executedPlan)
+      case _: BroadcastExchangeExec => 0
+      case s: ShuffleExchangeExec =>
+        1 + s.children.map(streamedShuffles).sum
+      case other => other.children.map(streamedShuffles).sum
+    }
+    val n = streamedShuffles(df.queryExecution.executedPlan)
+    assert(n <= 1, s"codes shuffled beyond the rank window ($n):\n$p")
+    // scoring runs the native expression, not an interpreted HOF fold
+    assert(p.contains("graft_adc_score"), s"native ADC score missing:\n$p")
+    assert(!p.contains("aggregate(transform"),
+      s"interpreted HOF fold in the scan:\n$p")
+  }
+
   test("chunkWindows is map-only: zero exchanges") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 200).map(i => lit(s"t$i")): _*).as("text"))
