@@ -113,7 +113,9 @@ object DocumentStream {
     val novel =
       if (!hasHistory) batchDedup
       else {
-        val prefixes = batchDedup.select("kp").distinct().collect()
+        // prefixes from the pre-dedup batch: the same kp set (dedup only
+        // drops duplicate keys) without re-running the groupBy
+        val prefixes = keyed.select("kp").distinct().collect()
           .map(_.getString(0)).toSeq
         val hist = spark.read.parquet(storeDir)
           .filter(col("kp").isin(prefixes: _*))
