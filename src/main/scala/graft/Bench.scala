@@ -20,7 +20,7 @@ object Bench {
     "dc2_decontaminate_joined", "dc3_decontaminate_bloom",
     "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
     "k1_knn_brute", "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
-    "t2_quality", "w2_topk_per_group",
+    "k9_knn_ivfpq_residual", "t2_quality", "w2_topk_per_group",
     "e1_storage_read_path", "e4_render_pipeline",
     "km1_kmeans", "d8_semdedup", "d8b_semdedup_sqrtn",
     "g2_window_functions", "p1_sequence_packing",

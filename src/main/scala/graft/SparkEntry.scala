@@ -959,6 +959,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K9: residual IVF-PQ (FAISS's by_residual default) — PQ quantizes
+    // v − centroid(cell(v)); residuals live in a smaller ball, so the
+    // same m/ksub budget reconstructs far tighter. Same coarse probe as
+    // k8; scoring adds the per-(query,cell) centroid dot to the
+    // residual ADC sum
+    "k9_knn_ivfpq_residual" -> { (s, dir) =>
+      import graft.operators.ProductQuantization
+      val idx = java.nio.file.Files.createTempDirectory("k9ivfpqr").toString
+      val emb = table(s, dir, "embeddings")
+      ProductQuantization.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
+        kCells = 8, coarseIters = 2, m = 4, ksub = 8, pqIters = 1,
+        byResidual = true)
+      ProductQuantization.ivfPqKnn(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        idx, "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -1760,12 +1778,24 @@ object SparkEntry {
     * norms over vec_id 5..10 (`qn`). Shared by k7 (flat ADC) and k8
     * (IVF-PQ — composes with [[kmeansOracleCtes]] for the coarse
     * probe). */
-  private val PqCtes: String =
+  /** Raw query/corpus subvectors (m=4, subDim=16) and query norms —
+    * shared by every PQ-family oracle. */
+  private val PsubCte: String =
     """psub AS (
       |  SELECT e.vec_id, u.s AS sub,
       |    list_transform(e.embedding[u.s * 16 + 1 : u.s * 16 + 16],
       |                   v -> v::DOUBLE) AS sv
-      |  FROM embeddings e, LATERAL unnest(range(0, 4)) u(s)),
+      |  FROM embeddings e, LATERAL unnest(range(0, 4)) u(s))""".stripMargin
+
+  private val QnCte: String =
+    """qn AS (
+      |  SELECT vec_id, sqrt(list_inner_product(
+      |      list_transform(embedding, v -> v::DOUBLE),
+      |      list_transform(embedding, v -> v::DOUBLE))) AS qn
+      |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)""".stripMargin
+
+  private val PqCtes: String =
+    s"""$PsubCte,
       |pc0 AS (
       |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cent
       |  FROM psub WHERE vec_id < 8),
@@ -1800,11 +1830,7 @@ object SparkEntry {
       |enc AS (
       |  SELECT n.vec_id, sqrt(list_sum(list(cb.c2 ORDER BY n.sub))) AS rnorm
       |  FROM ncodes n JOIN cb2 cb USING (sub, code) GROUP BY n.vec_id),
-      |qn AS (
-      |  SELECT vec_id, sqrt(list_inner_product(
-      |      list_transform(embedding, v -> v::DOUBLE),
-      |      list_transform(embedding, v -> v::DOUBLE))) AS qn
-      |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)""".stripMargin
+      |$QnCte""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s2_metric_autocreate" ->
@@ -2327,6 +2353,102 @@ object SparkEntry {
         |    round(s.score / (qn.qn * e.rnorm), 6) AS cos
         |  FROM scored s JOIN qn ON qn.vec_id = s.query_id
         |  JOIN enc e ON e.vec_id = s.neighbor_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM fin)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // residual IVF-PQ: kmeans CTEs give the coarse cells (c2 final
+    // centroids, a3 assignments); residuals r = v − centroid(cell) are
+    // subvector-exploded and run through the SAME seeded/rounded PQ
+    // trajectory; reconstruction norms come from the (cell, sub, code)
+    // combination table; scoring = query·centroid + residual ADC sum
+    "k9_knn_ivfpq_residual" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+        |$PsubCte,
+        |$QnCte,
+        |ccell AS (SELECT vec_id, cell_id FROM a3 WHERE rn = 1),
+        |qcell AS (
+        |  SELECT vec_id, cell_id FROM a3
+        |  WHERE rn <= 2 AND vec_id >= 5 AND vec_id < 10),
+        |emb_d AS (
+        |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+        |  FROM embeddings),
+        |rv AS (
+        |  SELECT d.vec_id, cc.cell_id,
+        |    list_transform(range(1, len(d.e) + 1),
+        |                   i -> d.e[i] - c.centroid[i]) AS r
+        |  FROM emb_d d JOIN ccell cc USING (vec_id)
+        |  JOIN c2 c ON c.cell_id = cc.cell_id),
+        |rsub AS (
+        |  SELECT vec_id, u.s AS sub, r[u.s * 16 + 1 : u.s * 16 + 16] AS sv
+        |  FROM rv, LATERAL unnest(range(0, 4)) u(s)),
+        |rc0 AS (
+        |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cent
+        |  FROM rsub WHERE vec_id < 8),
+        |ra1 AS (
+        |  SELECT v.vec_id, v.sub, v.sv, c.code,
+        |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      round(list_inner_product(v.sv, v.sv)
+        |        - 2 * list_inner_product(v.sv, c.cent)
+        |        + list_inner_product(c.cent, c.cent), 6) ASC,
+        |      c.code ASC) AS rn
+        |  FROM rsub v JOIN rc0 c ON v.sub = c.sub),
+        |rm1 AS (
+        |  SELECT sub, code, pos, round(avg(x), 6) AS mn
+        |  FROM (SELECT a.sub, a.code, u.i AS pos, a.sv[u.i + 1] AS x
+        |        FROM ra1 a, LATERAL unnest(range(0, len(a.sv))) u(i)
+        |        WHERE a.rn = 1)
+        |  GROUP BY sub, code, pos),
+        |rc1 AS (
+        |  SELECT sub, code, list(mn ORDER BY pos) AS cent
+        |  FROM rm1 GROUP BY sub, code),
+        |ra2 AS (
+        |  SELECT v.vec_id, v.sub, c.code,
+        |    row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      round(list_inner_product(v.sv, v.sv)
+        |        - 2 * list_inner_product(v.sv, c.cent)
+        |        + list_inner_product(c.cent, c.cent), 6) ASC,
+        |      c.code ASC) AS rn
+        |  FROM rsub v JOIN rc1 c ON v.sub = c.sub),
+        |rcodes AS (SELECT vec_id, sub, code FROM ra2 WHERE rn = 1),
+        |cslot AS (
+        |  SELECT cc.cell_id, cb.sub, cb.code,
+        |    list_inner_product(
+        |      list_transform(range(1, 17),
+        |                     i -> cc.centroid[cb.sub * 16 + i] + cb.cent[i]),
+        |      list_transform(range(1, 17),
+        |                     i -> cc.centroid[cb.sub * 16 + i] + cb.cent[i])
+        |    ) AS rn2
+        |  FROM c2 cc CROSS JOIN rc1 cb),
+        |renc AS (
+        |  SELECT rc.vec_id,
+        |    sqrt(list_sum(list(cs.rn2 ORDER BY rc.sub))) AS rnorm
+        |  FROM rcodes rc JOIN ccell cc ON cc.vec_id = rc.vec_id
+        |  JOIN cslot cs ON cs.cell_id = cc.cell_id AND cs.sub = rc.sub
+        |    AND cs.code = rc.code
+        |  GROUP BY rc.vec_id),
+        |qc AS (
+        |  SELECT q.vec_id, q.cell_id,
+        |    list_inner_product(d.e, c.centroid) AS qcdot
+        |  FROM qcell q JOIN emb_d d ON d.vec_id = q.vec_id
+        |  JOIN c2 c ON c.cell_id = q.cell_id),
+        |scored AS (
+        |  SELECT qc.vec_id AS query_id, n.vec_id AS neighbor_id, qc.qcdot,
+        |    list_sum(list(list_inner_product(qs.sv, cb.cent) ORDER BY qs.sub)) AS radc
+        |  FROM qc
+        |  JOIN ccell n ON n.cell_id = qc.cell_id AND n.vec_id != qc.vec_id
+        |  JOIN psub qs ON qs.vec_id = qc.vec_id
+        |  JOIN rcodes nc ON nc.vec_id = n.vec_id AND nc.sub = qs.sub
+        |  JOIN rc1 cb ON cb.sub = nc.sub AND cb.code = nc.code
+        |  GROUP BY qc.vec_id, n.vec_id, qc.qcdot),
+        |fin AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round((s.qcdot + s.radc) / (qn.qn * e.rnorm), 6) AS cos
+        |  FROM scored s JOIN qn ON qn.vec_id = s.query_id
+        |  JOIN renc e ON e.vec_id = s.neighbor_id),
         |r AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

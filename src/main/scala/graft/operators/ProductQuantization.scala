@@ -195,31 +195,82 @@ object ProductQuantization {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Persist an IVF-PQ index (FAISS's IndexIVFPQ shape, non-residual
-    * variant): coarse k-means centroids + PQ codebooks (both
-    * driver-small) and an inverted file of PQ-ENCODED postings
-    * partitioned by cell — each posting is m small ints and a norm, no
-    * float vectors on disk at all. The probe-time scan is therefore
-    * nProbe/kCells of an already ~64×-compressed corpus: the layout a
-    * web-scale deployment actually ships. */
+  /** Persist an IVF-PQ index (FAISS's IndexIVFPQ shape): coarse
+    * k-means centroids + PQ codebooks (both driver-small) and an
+    * inverted file of PQ-ENCODED postings partitioned by cell — each
+    * posting is m small ints and a norm, no float vectors on disk at
+    * all. The probe-time scan is therefore nProbe/kCells of an already
+    * ~64×-compressed corpus: the layout a web-scale deployment
+    * actually ships.
+    *
+    * `byResidual = true` is FAISS's default encoding: PQ quantizes the
+    * RESIDUAL v − centroid(cell(v)) instead of v. Residuals live in a
+    * much smaller ball than the vectors (the coarse quantizer has
+    * already explained most of the energy), so the same m·ksub code
+    * budget reconstructs far more accurately. The reconstruction is
+    * centroid + PQ(residual); its norm is computed per posting at
+    * encode time from the k·m·ksub (cell, sub, code) combination table
+    * — broadcast-small by construction. The index records the mode in
+    * `dir/meta`, so probes are self-describing. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, kCells: Int, coarseIters: Int,
-      m: Int, ksub: Int, pqIters: Int): Unit = {
+      m: Int, ksub: Int, pqIters: Int,
+      byResidual: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
     val cents = Clustering.kmeansFit(corpus, idCol, vecCol,
       kCells, coarseIters)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
-    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    spark.range(1).select(lit(byResidual).as("by_residual"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
     val cells = Clustering.assignCells(
         corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         "neighbor_id", "cv", cents)
-      .select("neighbor_id", "cell_id")
-    pqEncode(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
-        "neighbor_id", vecCol, cb)
-      .join(cells, Seq("neighbor_id"))
-      .select("neighbor_id", "codes", "recon_norm", "cell_id")
-      .write.mode("overwrite").partitionBy("cell_id")
-      .parquet(s"$dir/postings")
+    if (!byResidual) {
+      val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
+      cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+      pqEncode(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+          "neighbor_id", vecCol, cb)
+        .join(cells.select("neighbor_id", "cell_id"), Seq("neighbor_id"))
+        .select("neighbor_id", "codes", "recon_norm", "cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$dir/postings")
+    } else {
+      val dim = probeDim(corpus, vecCol)
+      require(dim % m == 0, s"buildIvfPqIndex: dim $dim not divisible by m=$m")
+      val subDim = dim / m
+      // residuals, materialized: they feed pqIters+1 assignment passes
+      // and the encode — without this each pass re-runs the corpus×k
+      // cell assignment
+      val resid = cells.join(broadcast(cents), Seq("cell_id"))
+        .withColumn("rv", zip_with(col("cv"), col("centroid"),
+          (a, b) => a.cast("double") - b))
+        .select(col("neighbor_id"), col("cell_id"), col("rv"))
+        .localCheckpoint(true)
+      val cb = pqTrain(resid, "neighbor_id", "rv", m, ksub, pqIters)
+      cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+      // ||centroid_sub + rc||² per (cell, sub, code): k·m·ksub rows
+      val cellSlot = broadcast(cents.crossJoin(cb)
+        .withColumn("__c_sub",
+          slice(col("centroid"), col("sub") * subDim + 1, lit(subDim)))
+        .withColumn("__recon_sub",
+          zip_with(col("__c_sub"), col("cent"), (a, b) => a + b))
+        .withColumn("__rn2", dot(col("__recon_sub"), col("__recon_sub")))
+        .select("cell_id", "sub", "code", "__rn2"))
+      assignCodes(subvectors(resid, "neighbor_id", "rv", m, subDim),
+          "neighbor_id", cb)
+        .join(resid.select("neighbor_id", "cell_id"), Seq("neighbor_id"))
+        .join(cellSlot, Seq("cell_id", "sub", "code"))
+        .groupBy("neighbor_id", "cell_id")
+        .agg(array_sort(collect_list(
+          struct(col("sub"), col("code"), col("__rn2")))).as("__sc"))
+        .select(col("neighbor_id"),
+          transform(col("__sc"), x => x.getField("code")).as("codes"),
+          sqrt(aggregate(col("__sc"), lit(0.0),
+            (a, x) => a + x.getField("__rn2"))).as("recon_norm"),
+          col("cell_id"))
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$dir/postings")
+    }
   }
 
   /** Probe a [[buildIvfPqIndex]] index: rank each query's `nProbe`
@@ -235,13 +286,20 @@ object ProductQuantization {
     require(k >= 1 && nProbe >= 1,
       s"ivfPqKnn: k and nProbe must be positive (got k=$k nProbe=$nProbe)")
     val spark = queries.sparkSession
+    val byResidual = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) &&
+        spark.read.parquet(s"$indexDir/meta").head().getBoolean(0)
+    }
     val cents = broadcast(spark.read.parquet(s"$indexDir/centroids")
       .withColumn("__cn", Similarity.l2norm(col("centroid"))))
     val cb = spark.read.parquet(s"$indexDir/codebooks")
     val (m, stride, subDim) = codebookShape(cb)
     val base = queries.select(col(idCol).as("query_id"), col(vecCol))
     // probe assignment — materialized: it feeds the driver-side
-    // partition-pruning list AND the broadcast join side
+    // partition-pruning list AND the broadcast join side. qcdot (the
+    // raw query·centroid term) rides along for residual scoring
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell_id").asc)
     val probes = base
@@ -249,11 +307,12 @@ object ProductQuantization {
         Similarity.l2norm(transform(col(vecCol), v => v.cast("double")))
           .as("__qn"), col(vecCol))
       .crossJoin(cents)
+      .withColumn("__qcdot", dot(col(vecCol), col("centroid")))
       .withColumn("ccos", round(
-        dot(col(vecCol), col("centroid")) / (col("__qn") * col("__cn")), 6))
+        col("__qcdot") / (col("__qn") * col("__cn")), 6))
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= nProbe)
-      .select("query_id", "__qn", "cell_id")
+      .select("query_id", "__qn", "cell_id", "__qcdot")
       .localCheckpoint(true)
     // ADC table once per query (not per probed cell)
     val tbl = denseTable(
@@ -264,10 +323,15 @@ object ProductQuantization {
       .map(_.get(0)).toSeq
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("cell_id").isin(probed: _*))
+    // residual mode: recon = centroid + PQ(residual), so dot(q, recon)
+    // = qcdot + Σ_sub q_sub·rc — the table is over residual codebooks,
+    // the per-(query, cell) centroid term comes from the probe
+    val adc = graft.functions.AdcScore.adc_score(
+      col("codes"), col("__tbl"), stride)
     val scored = postings.join(q, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__score", graft.functions.AdcScore.adc_score(
-        col("codes"), col("__tbl"), stride))
+      .withColumn("__score",
+        if (byResidual) col("__qcdot") + adc else adc)
       .withColumn("cos", round(
         col("__score") / (col("__qn") * col("recon_norm")), 6))
     val w = Window.partitionBy("query_id")

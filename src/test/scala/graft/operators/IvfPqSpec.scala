@@ -80,6 +80,56 @@ class IvfPqSpec extends SparkSuite {
     assert(recall >= 0.9)
   }
 
+  test("residual mode: identity residual codebook + full probe is still " +
+      "exact brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqr").toString
+    // rc = residual exactly → recon = centroid + (v − centroid) = v
+    ProductQuantization.buildIvfPqIndex(corpus, "id", "vec", dir,
+      kCells = 4, coarseIters = 2, m = 2, ksub = 40, pqIters = 0,
+      byResidual = true)
+    val idx = rows(ProductQuantization.ivfPqKnn(queries, dir, "id", "vec",
+      k = 5, nProbe = 10))
+    val brute = rows(Similarity.bruteForceKnn(queries, corpus, "id", "vec",
+      k = 5))
+    assert(idx.map(r => (r._1, r._2, r._3)) ===
+      brute.map(r => (r._1, r._2, r._3)))
+    idx.zip(brute).foreach { case (a, b) =>
+      assert(math.abs(a._4 - b._4) <= 2e-6, s"${a._1}#${a._2}: ${a._4} vs ${b._4}")
+    }
+  }
+
+  test("residual encoding reconstructs tighter than non-residual at the " +
+      "same code budget") {
+    val cdim = 16
+    val crnd = new scala.util.Random(5)
+    val centers = Array.fill(6)(Array.fill(cdim)(crnd.nextGaussian() * 3))
+    val emb = (0 until 300).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.4 * crnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec").cache()
+    def meanCosErr(byResidual: Boolean): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("ivfpqcmp").toString
+      ProductQuantization.buildIvfPqIndex(emb, "id", "vec", dir,
+        kCells = 6, coarseIters = 2, m = 2, ksub = 4, pqIters = 2,
+        byResidual = byResidual)
+      val qs = emb.filter(col("id") < 20)
+      // approximate-vs-exact cosine gap over the exact top-3 pairs:
+      // the tighter the reconstruction, the smaller the gap
+      val exact = Similarity.bruteForceKnn(qs, emb, "id", "vec", 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("ecos"))
+      val approx = ProductQuantization.ivfPqKnn(qs, dir, "id", "vec",
+        k = 299, nProbe = 6)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("acos"))
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .select(avg(abs(col("ecos") - col("acos")))).head().getDouble(0)
+    }
+    val errPlain = meanCosErr(byResidual = false)
+    val errResid = meanCosErr(byResidual = true)
+    info(f"mean |cos gap| on exact top-3: plain=$errPlain%.4f residual=$errResid%.4f")
+    assert(errResid < errPlain,
+      s"residual encoding should reconstruct tighter: $errResid !< $errPlain")
+  }
+
   test("probing reads ONLY the probed cells' postings partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
     ProductQuantization.buildIvfPqIndex(corpus, "id", "vec", dir,
