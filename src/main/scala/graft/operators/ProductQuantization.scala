@@ -21,8 +21,10 @@ import org.apache.spark.sql.expressions.Window
   *  - encoding: corpus × broadcast(m·ksub codebook) + a min_by argmin —
   *    map-side partials, one shuffle of (id, sub) rows;
   *  - scoring: the classic ADC table — per query, the m·ksub partial
-  *    dots are computed ONCE against the broadcast codebook; each
-  *    candidate then costs m map lookups and a fold, not an array pass.
+  *    dots are computed ONCE against the broadcast codebook and laid
+  *    out as a dense slot-indexed array; each candidate then costs m
+  *    O(1) array loads in the native [[graft.functions.AdcScore]]
+  *    expression, not an array pass.
   *
   * Determinism: init = subvectors of the first `ksub` ids, squared-L2
   * rounded to 6 before the argmin (ties to the lowest code), centroid
@@ -159,8 +161,8 @@ object ProductQuantization {
     * corpus vector, ranked per query. The query side precomputes its
     * distance TABLE — the m·ksub partial dots q_sub · c_(sub,code) —
     * once against the broadcast codebook; scoring a candidate is then
-    * `m` map lookups folded in subspace order, divided by
-    * ‖q‖·recon_norm. The corpus float vectors are never read — only
+    * `m` O(1) array loads summed in subspace order (native
+    * [[graft.functions.AdcScore]]), divided by ‖q‖·recon_norm. The corpus float vectors are never read — only
     * `encoded` (codes + recon_norm) is scanned, which is the entire
     * point of PQ at scale. With ksub ≥ corpus size and iters=0 the
     * codebook IS the corpus subvectors, reconstruction is exact, and
@@ -277,7 +279,8 @@ object ProductQuantization {
     * nearest cells against the broadcast centroids, build the ADC
     * distance table once per query against the broadcast codebooks,
     * then scan ONLY the probed cells' postings partitions — scoring
-    * each candidate with m map lookups, never touching a float vector.
+    * each candidate with m native array loads, never touching a float
+    * vector.
     * A posting lives in exactly one cell, so pairs are unique across
     * probes. Full probe with an identity codebook degrades to the
     * exact brute-force answer (IvfPqSpec pins it). */
