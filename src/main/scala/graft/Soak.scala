@@ -47,7 +47,8 @@ object Soak {
       "t9_c4_rules",
       "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
       "p7_weighted_sample",
-      "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq")
+      "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
+      "k9_knn_ivfpq_residual")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
