@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB box: BENCH_r05's official run showed what
+  // 49 queries x 3 reps of index builds / 1M-point ingests / localCheckpoints
+  // do to a 32-thread executor squeezed into 8g — bursty multi-second GC
+  // pauses that medians of back-to-back reps cannot reject.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

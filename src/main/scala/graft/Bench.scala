@@ -62,40 +62,57 @@ object Bench {
           array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))))
         .count()
     }
-    // Macros: median of 3, INCLUDING the expensive tail — those are
-    // exactly the queries where one GC pause is seconds, and a single-shot
-    // number there has twice misled the official record (BENCH_r03 ingest,
-    // BENCH_r04 d8). 3× the tail costs ~30 s of bench wall time; a wrong
-    // headline number costs a round.
-    // A failing query publishes -1 (the old row-count sentinel), never its
-    // wall time — a crash must not masquerade as a fast success.
-    def timedMedian(label: String)(run: => Unit): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { run; (System.nanoTime() - t0) / 1e9 } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $label failed: ${e.getMessage}")
-            Double.NaN
-        }
-      }
-      val first = once()
-      if (first.isNaN) -1.0
-      else {
-        val rest = Seq(once(), once())
-        if (rest.exists(_.isNaN)) -1.0
-        else (first +: rest).sorted.apply(1)
+
+    // Every query is a (name, thunk) task; the micro-benchmarks join the
+    // same list after their one-time untimed setup (stores/catalogs built
+    // once, ingest thunks write fresh dirs per call).
+    val tasks: Seq[(String, () => Unit)] =
+      Headline.filter(queries.contains).map { name =>
+        name -> (() => { queries(name)(spark, sfDir).count(); () })
+      } ++ Seq[(String, () => Unit)](
+        "x1_curation_pipeline" -> (() => { curationPipeline(spark, sfDir); () })
+      ) ++ baselineMicroTasks(spark)
+
+    // Median of 3 INTERLEAVED passes: pass 1 runs every query once, then
+    // pass 2, then pass 3, and each query's median is taken across the
+    // passes. Back-to-back reps put all three samples of a query inside
+    // the same wall-clock window — BENCH_r05's official record showed
+    // what that does on a machine with multi-minute contention bursts
+    // (d12 40 s / e4 23 s / ingest 37 s official vs 2.3 / 2.4 / 2.1 s
+    // local; 3 consecutive reps never escaped the burst). Interleaving
+    // spreads a query's samples minutes apart so a burst lands on ONE
+    // sample of many queries, and the median rejects it.
+    // A failing query publishes -1 (the old row-count sentinel), never
+    // its wall time — a crash must not masquerade as a fast success.
+    def once(label: String, thunk: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      try { thunk(); (System.nanoTime() - t0) / 1e9 } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          Double.NaN
       }
     }
-    val results = Headline.filter(queries.contains).map { name =>
-      name -> timedMedian(name)(queries(name)(spark, sfDir).count())
-    } ++ Seq("x1_curation_pipeline" ->
-      timedMedian("x1")(curationPipeline(spark, sfDir))
-    ) ++ baselineMicroBench(spark)
+    val sampleLists = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    for (pass <- 1 to 3; (name, thunk) <- tasks) {
+      val s = once(name, thunk)
+      sampleLists(name) = sampleLists.getOrElse(name, Vector.empty) :+ s
+      System.err.println(f"[bench] pass $pass $name%-28s ${s}%.2f s")
+    }
+    val results = tasks.map { case (name, _) =>
+      val ss = sampleLists(name)
+      name -> (if (ss.exists(_.isNaN)) -1.0 else ss.sorted.apply(ss.size / 2))
+    }
     val qs = results.map { case (k, sec) => s""""$k":$sec""" }
       .mkString("{", ",", "}")
+    // raw per-pass samples ride along for diagnosability (the median is
+    // the published number; the samples show whether an outlier was a
+    // burst in one pass or a real sustained cost)
+    val samplesJson = results.map { case (k, _) =>
+      s""""$k":[${sampleLists(k).map(v => if (v.isNaN) "-1" else f"$v%.3f").mkString(",")}]"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt/Spark noise — ALSO write the line to
     // a dedicated file so the harness can parse it reliably
@@ -137,24 +154,15 @@ object Bench {
     * targets (BASELINE.md): 3-wildcard glob over a 10k-metric catalog,
     * single-series read of 3600 stage0 points (and re-aggregated at the
     * next stage), and ingest of 100 metrics × 1 point incl. downsampling
-    * (benchmarks/accessor_bench.py:99-192). */
-  private def baselineMicroBench(spark: SparkSession): Seq[(String, Double)] = {
+    * (benchmarks/accessor_bench.py:99-192). Setup (stores, catalogs) runs
+    * ONCE, untimed, here; the returned thunks are timed by the caller's
+    * interleaved passes like every other query. */
+  private def baselineMicroTasks(spark: SparkSession): Seq[(String, () => Unit)] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.model._
     import graft.operators.{Downsample, TimeSeriesReader}
     import graft.sources.{MetricCatalog, PointsStore}
-
-    // Median of `reps` runs: a single-shot number lets one GC pause or a
-    // cold code path decide the published figure (BENCH_r03 measured the
-    // same commit 28% slower than a local rerun). Each rep runs the full
-    // operation; the median is robust to one bad run in either direction.
-    def timed(fn: => Unit): Double = {
-      val times = (0 until 3).map { _ =>
-        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
-      }.sorted
-      times(times.length / 2)
-    }
 
     // ---- untimed setup -------------------------------------------------
     val retention = Retention.fromString("3600*60s:2160*3600s")
@@ -184,42 +192,43 @@ object Bench {
     val catalogDir = java.nio.file.Files.createTempDirectory("bgcat").toString
     catalog.write.mode("overwrite").parquet(catalogDir)
 
-    // ---- timed ---------------------------------------------------------
+    // ---- timed thunks --------------------------------------------------
     Seq(
-      "bg_glob_3wild" -> timed {
+      "bg_glob_3wild" -> (() => {
         MetricCatalog.globMetrics(catalog,
-          "toto.tutu.*.tata.*.titi.*.chipiron").count()
-      },
-      "bg_glob_3wild_v2store" -> timed {
+          "toto.tutu.*.tata.*.titi.*.chipiron").count(); ()
+      }),
+      "bg_glob_3wild_v2store" -> (() => {
         val stored = spark.read
           .format(graft.sources.GraftCatalogSource.ShortName).load(catalogDir)
         MetricCatalog.globMetrics(stored,
-          "toto.tutu.*.tata.*.titi.*.chipiron").count()
-      },
-      "bg_read_3600_stage0" -> timed {
+          "toto.tutu.*.tata.*.titi.*.chipiron").count(); ()
+      }),
+      "bg_read_3600_stage0" -> (() => {
         TimeSeriesReader.fetchSeries(spark, storeDir, metric,
-          0L, 3600 * 60L, nowS = 3600 * 60L).count()
-      },
+          0L, 3600 * 60L, nowS = 3600 * 60L).count(); ()
+      }),
       // same single-series fetch through the DSv2 points reader: bucket
       // dirs pruned at plan time + metric_id/ts row-group pruning in-file
-      "bg_read_3600_stage0_v2" -> timed {
+      "bg_read_3600_stage0_v2" -> (() => {
         spark.conf.set("spark.graft.points.v2", "true")
         try TimeSeriesReader.fetchSeries(spark, storeDir, metric,
           0L, 3600 * 60L, nowS = 3600 * 60L).count()
         finally spark.conf.set("spark.graft.points.v2", "false")
-      },
-      "bg_read_3600_stage1" -> timed {
+        ()
+      }),
+      "bg_read_3600_stage1" -> (() => {
         val rows = PointsStore.read(spark, storeDir, retention.stages(1),
           0L, 3600 * 60L, Seq(metric.id))
           .withColumn("aggregator", lit("average"))
-        Downsample.pointGrouper(rows, 3600).count()
-      },
+        Downsample.pointGrouper(rows, 3600).count(); ()
+      }),
       // ingest throughput vs the reference's ~200k points/s design point
       // (plugins/carbon.py:93-95): 1M points through stage0 LWW dedup +
       // both rollups + partitioned store writes
       // ingest reps write to FRESH dirs so repetition neither appends to
       // the read-micro store nor measures an ever-growing table
-      "bg_ingest_1m_points" -> timed {
+      "bg_ingest_1m_points" -> (() => {
         val dir = java.nio.file.Files.createTempDirectory("bgingest").toString
         val raw = spark.range(1000000L).select(
           concat(lit("bulk.m"), (col("id") % 1000)).as("metric_id"),
@@ -244,8 +253,9 @@ object Bench {
             Downsample.rollupStage(deduped, 3600).withColumn("replica", lit(0)),
             dir, retention.stages(1))
         } finally deduped.unpersist(false)
-      },
-      "bg_ingest_100x1" -> timed {
+        ()
+      }),
+      "bg_ingest_100x1" -> (() => {
         val dir = java.nio.file.Files.createTempDirectory("bgingest").toString
         val incoming = (0 until 100).map(m =>
           (names(m), 777 * 60L, m.toDouble, 1.0, 0))
@@ -256,6 +266,7 @@ object Bench {
         PointsStore.write(
           Downsample.rollupStage(incoming, 3600).withColumn("replica", lit(0)),
           dir, retention.stages(1), writeSalt = 1)
-      })
+        ()
+      }))
   }
 }
