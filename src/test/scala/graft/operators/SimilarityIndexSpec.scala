@@ -47,6 +47,46 @@ class SimilarityIndexSpec extends SparkSuite {
     assert(idx === mem)
   }
 
+  test("append without retrain == one index encoded with the same quantizer") {
+    // build on the first half, append the second half: the probe must
+    // equal an index whose postings are ALL vectors assigned against the
+    // half-trained centroids (the FAISS add() contract — quantizer
+    // frozen, postings grow)
+    val half1 = corpus.filter(col("id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    Similarity.buildIvfIndex(half1, "id", "vec", dir, k = 4, iters = 2)
+    Similarity.appendToIvfIndex(corpus.filter(col("id") >= 20), "id", "vec", dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val appended = rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 3, nProbe = 4))
+    // reference: the in-memory trained path over the FULL corpus with the
+    // SAME half-trained centroids, full probe == exact within-all-cells
+    val mem = rows(Similarity.ivfKnnTrained(queries, corpus, "id", "vec",
+      k = 3, centroids = cents))
+    // ivfKnnTrained probes 1 cell; compare at nProbe=1 instead
+    val appended1 = rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 3, nProbe = 1))
+    assert(appended1 === mem)
+    // and the appended index at full probe is exactly brute force
+    val brute = rows(Similarity.bruteForceKnn(queries, corpus, "id", "vec", k = 3))
+    assert(appended === brute)
+  }
+
+  test("appended postings land INSIDE the existing cell partitions") {
+    val half1 = corpus.filter(col("id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp2").toString
+    Similarity.buildIvfIndex(half1, "id", "vec", dir, k = 4, iters = 2)
+    val cellsBefore = spark.read.parquet(s"$dir/postings")
+      .select("cell_id").distinct().as[Int].collect().toSet
+    Similarity.appendToIvfIndex(corpus.filter(col("id") >= 20), "id", "vec", dir)
+    val after = spark.read.parquet(s"$dir/postings")
+    assert(after.count() === 40)
+    // the quantizer is frozen, so appended vectors can only land in
+    // trained cells — the partition layout stays the trained cell set
+    val cellsAfter = after.select("cell_id").distinct().as[Int].collect().toSet
+    assert(cellsAfter.subsetOf(cellsBefore))
+  }
+
   test("probing reads ONLY the probed cells' partitions from disk") {
     val dir = buildIndex()
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
