@@ -51,13 +51,38 @@ case class AdcScore(left: Expression, right: Expression)
   override def nullSafeEval(c: Any, t: Any): Any =
     AdcScore.score(c.asInstanceOf[ArrayData], t.asInstanceOf[ArrayData])
 
+  // the loop is emitted inline (not a call into score()) so the hot
+  // path allocates nothing: the boxed-Double bridge costs one
+  // allocation per CANDIDATE, and the PQ scan evaluates this once per
+  // (query, posting) pair
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, t) => {
-      val res = ctx.freshName("adcRes")
+      val n = ctx.freshName("adcN")
+      val stride = ctx.freshName("adcStride")
+      val m = ctx.freshName("adcM")
+      val s = ctx.freshName("adcSum")
+      val i = ctx.freshName("adcI")
+      val code = ctx.freshName("adcCode")
+      val slot = ctx.freshName("adcSlot")
+      val bad = ctx.freshName("adcBad")
       s"""
-         |java.lang.Double $res = graft.functions.AdcScore.score($c, $t);
-         |if ($res == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $res.doubleValue(); }
+         |final int $n = $t.numElements();
+         |boolean $bad = $n < 1 || $t.isNullAt(0);
+         |final int $stride = $bad ? 0 : (int) $t.getDouble(0);
+         |$bad = $bad || $stride < 1;
+         |double $s = 0.0;
+         |if (!$bad) {
+         |  final int $m = $c.numElements();
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($c.isNullAt($i)) { $bad = true; break; }
+         |    final int $code = $c.getInt($i);
+         |    if ($code < 0 || $code >= $stride) { $bad = true; break; }
+         |    final int $slot = 1 + $code + $i * $stride;
+         |    if ($slot >= $n || $t.isNullAt($slot)) { $bad = true; break; }
+         |    $s += $t.getDouble($slot);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
        """.stripMargin
     })
 
@@ -82,8 +107,15 @@ object AdcScore {
     var i = 0
     while (i < m) {
       if (codes.isNullAt(i)) return null
-      val slot = 1 + codes.getInt(i) + i * stride
-      if (slot < 1 || slot >= n || table.isNullAt(slot)) return null
+      val c = codes.getInt(i)
+      // c >= stride would silently read a NEIGHBORING subspace's slot
+      // (still inside [1, n)) — reject it like any other malformed
+      // lookup; codes from pqEncode are < stride by construction, but
+      // the expression is SQL-registered and must not alias subspaces
+      // on arbitrary input
+      if (c < 0 || c >= stride) return null
+      val slot = 1 + c + i * stride
+      if (slot >= n || table.isNullAt(slot)) return null
       s += table.getDouble(slot)
       i += 1
     }

@@ -263,6 +263,7 @@ object ProductQuantization {
     val spark = newVectors.sparkSession
     val byResidual = readMeta(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
+    Similarity.requireSameDim(newVectors, vecCol, cents)
     val cb = spark.read.parquet(s"$dir/codebooks")
     encodePostings(newVectors, idCol, vecCol, cents, cb, byResidual)
       .write.mode("append").partitionBy("cell_id")

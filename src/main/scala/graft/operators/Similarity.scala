@@ -305,12 +305,15 @@ object Similarity {
     * the data distribution drifts, which is when a deployment
     * re-trains and re-builds — the same contract as FAISS. Appending
     * the same batch twice duplicates postings, exactly like FAISS
-    * `add()`; dedup upstream (`Dedup.exact`) if the feed can replay. */
+    * `add()`; a replay-capable feed goes through
+    * [[graft.streaming.IndexStream.startIvfAppendJob]], whose
+    * affected-cell anti-join makes re-application a no-op. */
   def appendToIvfIndex(newVectors: DataFrame, idCol: String,
       vecCol: String, dir: String): Unit = {
     import graft.operators.Clustering
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
+    requireSameDim(newVectors, vecCol, cents)
     Clustering.assignCells(
         newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         "neighbor_id", "cv", cents)
@@ -318,6 +321,21 @@ object Similarity {
       .select("neighbor_id", "cv", "cnorm", "cell_id")
       .write.mode("append").partitionBy("cell_id")
       .parquet(s"$dir/postings")
+  }
+
+  /** A vector whose length differs from the trained centroids would
+    * null every cosine ([[graft.functions.ArrayDot]]'s mismatch
+    * contract) and silently land in the null-cell partition no probe
+    * ever reads — fail loudly instead. One driver-side row from each
+    * side; an empty batch skips the check (the append is a no-op). */
+  private[operators] def requireSameDim(newVectors: DataFrame,
+      vecCol: String, cents: DataFrame): Unit = {
+    val vd = newVectors.select(size(col(vecCol))).take(1)
+    if (vd.nonEmpty) {
+      val cd = cents.select(size(col("centroid"))).head().getInt(0)
+      require(vd.head.getInt(0) == cd,
+        s"append: vector dim ${vd.head.getInt(0)} != trained dim $cd")
+    }
   }
 
   /** Probe a [[buildIvfIndex]] index: rank each query's `nProbe`

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Clustering, Similarity}
+
+/** Streaming ANN index maintenance: keep a persisted
+  * [[graft.operators.Similarity.buildIvfIndex]] inverted file current
+  * as embedding batches stream in — the online half of the
+  * train-once / probe-many contract (FAISS add() on a schedule).
+  *
+  * Each micro-batch is assigned against the FROZEN persisted
+  * centroids and appended into the existing cell partitions via
+  * [[Similarity.appendToIvfIndex]]. Like
+  * [[DocumentStream.startHistoryDedupJob]], the durable index IS the
+  * state: the streaming engine holds none, and crash replays are
+  * idempotent BY CONSTRUCTION — a replayed id is anti-joined against
+  * the postings already in its (deterministically assigned) target
+  * cell, so the second application appends nothing. The anti-join
+  * reads only the batch's affected cell partitions, and only their id
+  * column (partition pruning + column pruning — micro-batch-scale
+  * work regardless of index size). */
+object IndexStream {
+
+  /** Append the batch's NOVEL vectors (ids not already in their target
+    * cells) to the index. Batch-callable for replay tests; the
+    * streaming face is [[startIvfAppendJob]]. */
+  private[streaming] def appendNovelVectors(batch: DataFrame,
+      idCol: String, vecCol: String, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    // assignment is deterministic, so a replayed id lands in the same
+    // cell — scanning the assigned cells' postings finds every copy a
+    // previous (possibly half-committed) application wrote
+    val assigned = Clustering.assignCells(
+        batch.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        "__id", "__v", cents)
+      .localCheckpoint(true) // feeds the cell list AND the anti-join
+    val cells = assigned.select("cell_id").distinct().collect()
+      .map(_.get(0)).toSeq
+    val existing = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("cell_id").isin(cells: _*))
+      .select(col("neighbor_id").as("__id"))
+    val novel = assigned.join(existing, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("__v").as(vecCol))
+    if (!novel.isEmpty)
+      Similarity.appendToIvfIndex(novel, idCol, vecCol, indexDir)
+  }
+
+  /** Start the maintenance job: every micro-batch of (idCol, vecCol)
+    * rows is appended to the index at `indexDir`, exactly once per id
+    * even across crash replays. The quantizer stays frozen — re-train
+    * and re-build when the embedding distribution drifts, then point
+    * a fresh job at the new index dir. */
+  def startIvfAppendJob(embeddings: DataFrame, idCol: String,
+      vecCol: String, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    embeddings.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendNovelVectors(batch, idCol, vecCol, indexDir)
+      }
+      .start()
+}

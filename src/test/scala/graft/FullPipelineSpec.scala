@@ -16,9 +16,14 @@ class FullPipelineSpec extends SparkSuite {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
+    // ts is nanosecond longs in older driver testdata, timestamp in newer
+    val tsS = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
     val raw = ev.select(
       concat(lit("ev."), col("event_type"), lit("."), col("user_id") % 10).as("metric_id"),
-      expr("ts div 1000000000").as("ts"),
+      tsS.as("ts"),
       col("value"))
 
     val retention = Retention.fromString("1440*60s:720*3600s")

@@ -35,6 +35,22 @@ class AdcScoreSpec extends SparkSuite {
     assert(nullSlot.head().isNullAt(0))
   }
 
+  test("code >= stride is null, never a neighboring subspace's slot") {
+    // stride 2, codes (3, 0): the raw slot 1+3 = 4 is sub1's c1 slot —
+    // still inside the table, so without the explicit code-range check
+    // this would silently score the WRONG subspace (7.0) instead of null
+    val df = Seq((Seq(3, 0), Seq(1.0, 2.0, 3.0, 4.0))).toDF("codes", "table")
+    val viaCodegen = df
+      .select(AdcScore.adc_score(col("codes"), col("table"), 2).as("s"))
+    assert(viaCodegen.head().isNullAt(0))
+    // interpreted path (nullSafeEval → score) must agree
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val got = AdcScore.score(
+      new GenericArrayData(Array(3, 0)),
+      new GenericArrayData(Array(2.0, 1.0, 2.0, 3.0, 4.0)))
+    assert(got === null)
+  }
+
   test("SQL-registered form matches the column API inside codegen") {
     GraftFunctions.register(spark)
     val df = Seq((Seq(0, 1), Seq(1.5, 2.5, 3.5, 4.5))).toDF("codes", "table")

@@ -87,6 +87,19 @@ class SimilarityIndexSpec extends SparkSuite {
     assert(cellsAfter.subsetOf(cellsBefore))
   }
 
+  test("append rejects vectors of the wrong dimension loudly") {
+    val dir = buildIndex()
+    val wrong = Seq((100L, Array.fill(5)(0.5f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(wrong, "id", "vec", dir)
+    }
+    assert(e.getMessage.contains("dim"))
+    // empty append is a no-op, not an error
+    Similarity.appendToIvfIndex(
+      Seq.empty[(Long, Array[Float])].toDF("id", "vec"), "id", "vec", dir)
+    assert(spark.read.parquet(s"$dir/postings").count() === 40)
+  }
+
   test("probing reads ONLY the probed cells' partitions from disk") {
     val dir = buildIndex()
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+import graft.operators.Similarity
+
+/** Streaming IVF index maintenance: batches append into the persisted
+  * inverted file against the frozen quantizer; replays are idempotent
+  * because the durable index is the state. */
+class IndexStreamSpec extends SparkSuite {
+  import spark.implicits._
+  import IndexStreamSpec.Emb
+
+  private val rnd = new scala.util.Random(13)
+  private def v(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+  private val base = Seq.tabulate(20)(i => Emb(i.toLong, v()))
+  private val late = Seq.tabulate(10)(i => Emb(20L + i, v()))
+
+  test("streamed batches extend the probe result; replay appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    Similarity.buildIvfIndex(base.toDF("vec_id", "vec"), "vec_id", "vec",
+      dir, k = 4, iters = 2)
+
+    val input = MemoryStream[Emb]
+    val q = IndexStream.startIvfAppendJob(
+      input.toDF().select(col("vec_id"), col("vec")), "vec_id", "vec",
+      dir, java.nio.file.Files.createTempDirectory("ivfstream_ckpt").toString)
+    try {
+      input.addData(late.take(5): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/postings").count() === 25)
+      input.addData(late.drop(5): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/postings").count() === 30)
+    } finally q.stop()
+
+    // the index after streaming == one batch append of the same rows
+    // (order/batching invariance): probe both at full coverage
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfstream2").toString
+    Similarity.buildIvfIndex(base.toDF("vec_id", "vec"), "vec_id", "vec",
+      dir2, k = 4, iters = 2)
+    Similarity.appendToIvfIndex(late.toDF("vec_id", "vec"), "vec_id", "vec", dir2)
+    val queries = base.take(3).toDF("vec_id", "vec")
+    def probe(d: String) =
+      Similarity.ivfIndexKnn(queries, d, "vec_id", "vec", k = 4, nProbe = 2)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(probe(dir) === probe(dir2))
+
+    // crash replay: the same batch applied twice (append committed,
+    // checkpoint lost) — the replay anti-joins the postings already in
+    // its target cells and appends nothing
+    val replay = Seq(Emb(99L, v())).toDF("vec_id", "vec")
+    IndexStream.appendNovelVectors(replay, "vec_id", "vec", dir)
+    IndexStream.appendNovelVectors(replay, "vec_id", "vec", dir)
+    val copies = spark.read.parquet(s"$dir/postings")
+      .filter(col("neighbor_id") === 99L).count()
+    assert(copies === 1L)
+
+    // empty batch: no-op, no crash
+    IndexStream.appendNovelVectors(
+      Seq.empty[Emb].toDF("vec_id", "vec"), "vec_id", "vec", dir)
+    assert(spark.read.parquet(s"$dir/postings").count() === 31)
+  }
+}
+
+object IndexStreamSpec {
+  case class Emb(vec_id: Long, vec: Array[Float])
+}

@@ -17,11 +17,17 @@ class StreamBatchEquivalenceSpec extends SparkSuite {
 
   test("streamed emissions (LWW-merged) == batch rollup on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // ts is nanosecond longs in older driver testdata, timestamp in newer
+    val tsS = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
+    val raw = ev
       .select(
         concat(lit("ev."), col("event_type"), lit("."), col("user_id") % 10)
           .as("metric"),
-        expr("ts div 1000000000").as("ts"),
+        tsS.as("ts"),
         col("value"))
       .as[RawPoint].collect().sortBy(_.ts)
 
