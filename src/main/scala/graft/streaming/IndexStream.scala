@@ -7,9 +7,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.{Clustering, Similarity}
 
 /** Streaming ANN index maintenance: keep a persisted
-  * [[graft.operators.Similarity.buildIvfIndex]] inverted file current
-  * as embedding batches stream in — the online half of the
-  * train-once / probe-many contract (FAISS add() on a schedule).
+  * [[graft.operators.Similarity.buildIvfIndex]] (or
+  * [[graft.operators.ProductQuantization.buildIvfPqIndex]] — detected
+  * by its codebooks artifact) inverted file current as embedding
+  * batches stream in — the online half of the train-once / probe-many
+  * contract (FAISS add() on a schedule).
   *
   * Each micro-batch is assigned against the FROZEN persisted
   * centroids and appended into the existing cell partitions via
@@ -46,8 +48,23 @@ object IndexStream {
       .select(col("neighbor_id").as("__id"))
     val novel = assigned.join(existing, Seq("__id"), "left_anti")
       .select(col("__id").as(idCol), col("__v").as(vecCol))
-    if (!novel.isEmpty)
-      Similarity.appendToIvfIndex(novel, idCol, vecCol, indexDir)
+    if (!novel.isEmpty) {
+      // both index layouts share the postings schema this job relies on
+      // (neighbor_id + cell_id partitions); dispatch on the one artifact
+      // that distinguishes them
+      if (isPq(spark, indexDir))
+        graft.operators.ProductQuantization.appendToIvfPqIndex(
+          novel, idCol, vecCol, indexDir)
+      else Similarity.appendToIvfIndex(novel, idCol, vecCol, indexDir)
+    }
+  }
+
+  /** An IVF-PQ index carries `dir/codebooks`; a float IVF index does
+    * not. */
+  private def isPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Start the maintenance job: every micro-batch of (idCol, vecCol)

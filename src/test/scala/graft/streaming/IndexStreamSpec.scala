@@ -64,6 +64,23 @@ class IndexStreamSpec extends SparkSuite {
       Seq.empty[Emb].toDF("vec_id", "vec"), "vec_id", "vec", dir)
     assert(spark.read.parquet(s"$dir/postings").count() === 31)
   }
+
+  test("an IVF-PQ index is auto-detected: batches append PQ codes") {
+    import graft.operators.ProductQuantization
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqstream").toString
+    ProductQuantization.buildIvfPqIndex(base.toDF("vec_id", "vec"),
+      "vec_id", "vec", dir, kCells = 4, coarseIters = 2, m = 2, ksub = 4,
+      pqIters = 1, byResidual = true)
+    val batch = late.take(5).toDF("vec_id", "vec")
+    IndexStream.appendNovelVectors(batch, "vec_id", "vec", dir)
+    // replay: second application appends nothing
+    IndexStream.appendNovelVectors(batch, "vec_id", "vec", dir)
+    val postings = spark.read.parquet(s"$dir/postings")
+    assert(postings.count() === 25)
+    // appended rows are CODES (the PQ schema), not float vectors
+    assert(postings.columns.sorted.toSeq ===
+      Seq("cell_id", "codes", "neighbor_id", "recon_norm"))
+  }
 }
 
 object IndexStreamSpec {
