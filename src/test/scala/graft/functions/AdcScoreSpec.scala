@@ -51,6 +51,28 @@ class AdcScoreSpec extends SparkSuite {
     assert(got === null)
   }
 
+  test("native == interpreted HOF fold on 200 random code/table pairs") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(200) { i =>
+      val m = 1 + rnd.nextInt(6)
+      val stride = 1 + rnd.nextInt(8)
+      val codes = Seq.fill(m)(rnd.nextInt(stride))
+      val table = Seq.fill(m * stride)(rnd.nextGaussian())
+      (i, stride, codes, table)
+    }
+    for ((_, stride, _, _) <- rows.groupBy(_._2).map(_._2.head).toSeq) {
+      val grp = rows.filter(_._2 == stride).map(r => (r._1, r._3, r._4))
+      val df = grp.toDF("i", "codes", "table")
+      val native = df
+        .select(col("i"), AdcScore.adc_score(col("codes"), col("table"), stride).as("s"))
+        .as[(Int, Double)].collect().toMap
+      val hof = df.select(col("i"), aggregate(
+        transform(col("codes"), (c, j) => element_at(col("table"), j * stride + c + 1)),
+        lit(0.0), (a, x) => a + x).as("s")).as[(Int, Double)].collect().toMap
+      assert(native === hof, s"stride=$stride")
+    }
+  }
+
   test("SQL-registered form matches the column API inside codegen") {
     GraftFunctions.register(spark)
     val df = Seq((Seq(0, 1), Seq(1.5, 2.5, 3.5, 4.5))).toDF("codes", "table")

@@ -65,6 +65,34 @@ class IndexStreamSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/postings").count() === 31)
   }
 
+  test("the replay anti-join scans only the batch's target cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfprune").toString
+    Similarity.buildIvfIndex(base.toDF("vec_id", "vec"), "vec_id", "vec",
+      dir, k = 4, iters = 2)
+    val allCells = spark.read.parquet(s"$dir/postings")
+      .select("cell_id").distinct().count()
+    // a single new vector targets ONE cell; the anti-join's postings
+    // read must prune to that cell's partition, not scan the index
+    val one = Seq(Emb(500L, v())).toDF("vec_id", "vec")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val assigned = graft.operators.Clustering.assignCells(
+      one.select(col("vec_id").as("__id"), col("vec").as("__v")),
+      "__id", "__v", cents)
+    val cell = assigned.select("cell_id").head().getLong(0)
+    val pruned = spark.read.parquet(s"$dir/postings")
+      .filter(col("cell_id") === cell)
+      .select("neighbor_id")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(allCells > 1)
+    assert(scan.metrics("numFiles").value <
+      spark.read.parquet(s"$dir/postings").inputFiles.length,
+      "cell filter must prune partition directories")
+  }
+
   test("an IVF-PQ index is auto-detected: batches append PQ codes") {
     import graft.operators.ProductQuantization
     val dir = java.nio.file.Files.createTempDirectory("ivfpqstream").toString
