@@ -763,6 +763,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // D12b: the same pair search at the WIDEST fingerprint this
+    // construction affords (31 bits) — the scale path the d12 scaladoc
+    // names: block selectivity grows 2^(bits/(k+1)), so wider
+    // fingerprints shrink both the candidate buckets AND the
+    // fingerprint-saturation false pairs (16 bits = 65k distinct values
+    // saturates long before web scale; Manku's paper uses 64). Same
+    // completeness contract, same brute-force oracle
+    "d12b_simhash_pairs_wide" -> { (s, dir) =>
+      val fp = Dedup.simhashNative(table(s, dir, "documents"),
+        "doc_id", "text", bits = 31)
+      Dedup.simhashNearDupPairs(fp, "doc_id", bits = 31, k = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // D4: exact n-gram Jaccard verification of the LSH candidates
     "d4_ngram_jaccard" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
@@ -2019,6 +2033,29 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 16 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 31-bit twin of d12: vote per md5 nibble 1..31, weight 2^(31-b)
+    "d12b_simhash_pairs_wide" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(substr(text, 1, 4096)), '\s+')) AS tok
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN substr(md5(tok), b, 1) IN
+        |        ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+        |  FROM toks, LATERAL unnest(range(1, 32)) t(b)
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 31 - b) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS fingerprint
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT)
+        |    AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d12_simhash_pairs" ->
       """WITH toks AS (
