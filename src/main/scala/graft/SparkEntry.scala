@@ -1353,6 +1353,14 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     },
 
+    // D13: exact-substring REMOVAL — rewrite each doc with d9's
+    // corpus-duplicated spans cut out (Lee et al. 2021's second half)
+    "d13_span_removal" -> { (s, dir) =>
+      Dedup.removeDuplicateSpans(table(s, dir, "documents"),
+        "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    },
+
     // T7: unigram-LM quality score (CCNet-style) — train token
     // frequencies on sources ≠ src0, score EVERY doc by average negative
     // log-likelihood; src0-only vocabulary pays the smoothed OOV floor
@@ -2938,6 +2946,47 @@ object SparkEntry {
         |  count(*) AS n_windows
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // d9's chain + per-token positions; kept = tokens outside every span
+    "d13_span_removal" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(substr(text, 1, 4096)), '\s+') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         md5(array_to_string(toks[i:i+4], ' ')) AS gram
+        |  FROM base, LATERAL unnest(range(1, greatest(len(toks) - 4, 1) + 1)) t(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        |marked AS (
+        |  SELECT g.doc_id, g.pos FROM grams g
+        |  JOIN dup USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |ptoks AS (
+        |  SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+        |  FROM base, LATERAL unnest(range(1, len(toks) + 1)) u(i)),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.tok FROM ptoks p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = p.doc_id AND p.pos >= s.s AND p.pos < s.e))
+        |SELECT b.doc_id,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+        |  CAST(len(b.toks) - count(k.pos) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |GROUP BY b.doc_id, len(b.toks)
+        |ORDER BY doc_id""".stripMargin,
 
     "t7_unigram_logloss" ->
       """WITH ref AS (

@@ -433,6 +433,44 @@ object Dedup {
       .drop("__island")
   }
 
+  /** REMOVE the corpus-duplicated passages [[duplicateSpans]] finds —
+    * the second half of exact-substring dedup ("Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2021: repeated
+    * 50-token substrings are cut from the training set). Every doc is
+    * rewritten on the SAME normalized token stream the spans index
+    * (lowered, maxChars-truncated, whitespace-split), keeping tokens
+    * outside every span; this is the aggressive variant — a span whose
+    * windows all recur elsewhere is dropped from every copy (the
+    * passage is boilerplate/contamination, not content). Returns
+    * (idCol, clean_text, n_removed).
+    *
+    * Plan shape: [[duplicateSpans]]' linear chain, plus one per-doc
+    * span aggregation and a broadcast-shaped left join back to the
+    * corpus; the rewrite itself is a map-only filter-with-index over
+    * the token array (spans per doc are few, so the per-token exists()
+    * scan is constant-bounded). */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, maxChars: Int = 4096): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, maxChars)
+      .groupBy(col(idCol))
+      .agg(collect_list(
+        struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = split(lower(substring(col(textCol), 1, maxChars)), "\\s+")
+    val noSpans = array().cast(
+      "array<struct<span_start:bigint,span_end:bigint>>")
+    val kept = filter(col("__toks"), (t, i) =>
+      !exists(col("__spans"), s =>
+        i >= s.getField("span_start") && i < s.getField("span_end")))
+    docs.select(col(idCol), toks.as("__toks"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"), noSpans))
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Corpus-level boilerplate removal (CCNet/RefinedWeb-style): drop
     * every line whose total occurrence count across the corpus exceeds
     * `maxOccurrences` — navigation chrome, cookie banners, repeated

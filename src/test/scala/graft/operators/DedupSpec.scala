@@ -161,6 +161,33 @@ class DedupSpec extends SparkSuite {
     assert(spans === Seq((0L, 5L), (8L, 13L)))
   }
 
+  test("removeDuplicateSpans cuts exactly the duplicated passages") {
+    val d = Seq(
+      (1L, "one two three four five six seven alpha beta gamma delta eps"),
+      (2L, "zz one two three four five six seven yy xx ww vv uu"),
+      (3L, "totally different words that appear nowhere else at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "alpha beta gamma delta eps", 7L),
+      (2L, "zz yy xx ww vv uu", 7L),
+      (3L, "totally different words that appear nowhere else at all here", 0L)))
+  }
+
+  test("removeDuplicateSpans: fully-duplicated doc empties, dup counts " +
+      "spans not docs") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "", 6L), (2L, "", 6L)))
+  }
+
   test("dropBoilerplateLines: corpus-frequent lines removed in order, " +
       "short lines immune") {
     val banner = "accept all cookies to continue reading"
