@@ -34,12 +34,18 @@ object IndexStream {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val cents = spark.read.parquet(s"$indexDir/centroids")
+    // within-batch duplicate ids would append two postings for one id
+    // (double-occupying probe ranks); keep one deterministically —
+    // smallest vector by element-wise array ordering, the
+    // DocumentStream within-batch min_by pattern
+    val uniq = batch
+      .groupBy(col(idCol).as("__id"))
+      .agg(min(struct(col(vecCol))).as("__w"))
+      .select(col("__id"), col(s"__w.$vecCol").as("__v"))
     // assignment is deterministic, so a replayed id lands in the same
     // cell — scanning the assigned cells' postings finds every copy a
     // previous (possibly half-committed) application wrote
-    val assigned = Clustering.assignCells(
-        batch.select(col(idCol).as("__id"), col(vecCol).as("__v")),
-        "__id", "__v", cents)
+    val assigned = Clustering.assignCells(uniq, "__id", "__v", cents)
       .localCheckpoint(true) // feeds the cell list AND the anti-join
     val cells = assigned.select("cell_id").distinct().collect()
       .map(_.get(0)).toSeq

@@ -63,6 +63,13 @@ class IndexStreamSpec extends SparkSuite {
     IndexStream.appendNovelVectors(
       Seq.empty[Emb].toDF("vec_id", "vec"), "vec_id", "vec", dir)
     assert(spark.read.parquet(s"$dir/postings").count() === 31)
+
+    // within-batch duplicate id: one posting, picked deterministically
+    IndexStream.appendNovelVectors(
+      Seq(Emb(200L, v()), Emb(200L, v())).toDF("vec_id", "vec"),
+      "vec_id", "vec", dir)
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("neighbor_id") === 200L).count() === 1L)
   }
 
   test("the replay anti-join scans only the batch's target cells") {
