@@ -100,9 +100,12 @@ object Bench {
     // (steal, total) jiffy counters across all cpus; fraction of host
     // cycles stolen between two readings. Zero/absent outside Linux.
     def cpuTicks(): (Long, Long) = try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-      (if (l.length > 7) l(7) else 0L, l.sum)
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val l = src.getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (l.length > 7) l(7) else 0L, l.sum)
+      } finally src.close()
     } catch { case _: Throwable => (0L, 0L) }
     val sampleLists = collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val stealFracs = collection.mutable.ArrayBuffer[Double]()
