@@ -39,6 +39,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // ~50 queries x several codegen stages each churn the default
+      // 100-entry generated-class cache, so later passes re-compile
+      // (and re-warm C2 on) stages they already ran — visible as
+      // multi-pass warm-up tails in the samples. Size the cache to the
+      // whole headline set.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
