@@ -323,6 +323,45 @@ object Similarity {
       .parquet(s"$dir/postings")
   }
 
+  /** COMPACT an index's postings after streaming appends: every
+    * [[appendToIvfIndex]] / micro-batch drops one more small file into
+    * each touched cell directory, and at scale the probe's cost
+    * becomes file-open overhead instead of scan — the classic
+    * small-files failure. Rewrite the postings a slice of cells at a
+    * time (the [[graft.sources.PointsStore.compactStageSlices]]
+    * pattern): read a slice, materialize it (localCheckpoint — the
+    * directories being read are about to be overwritten), shuffle to
+    * ~one writer per cell, dynamic-partition-overwrite ONLY that
+    * slice's cell directories. Slices are independent, so a killed run
+    * leaves earlier slices compacted and later ones untouched; probes
+    * are correct throughout. Schema-agnostic: float postings and PQ
+    * code postings compact identically. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cellsPerSlice: Int = 8): Unit = {
+    require(cellsPerSlice > 0)
+    val postings = spark.read.parquet(s"$dir/postings")
+    val cells = postings.select("cell_id").distinct().collect()
+      .map(_.get(0)).sortBy(_.toString)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      cells.grouped(cellsPerSlice).foreach { slice =>
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("cell_id").isin(slice.toSeq: _*))
+          .localCheckpoint(true)
+          .repartition(slice.length, col("cell_id"))
+          .write.mode("overwrite")
+          .partitionBy("cell_id")
+          .parquet(s"$dir/postings")
+      }
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** A vector whose length differs from the trained centroids would
     * null every cosine ([[graft.functions.ArrayDot]]'s mismatch
     * contract) and silently land in the null-cell partition no probe

@@ -100,6 +100,29 @@ class IndexStreamSpec extends SparkSuite {
       "cell filter must prune partition directories")
   }
 
+  test("compaction collapses append-accumulated small files; probe unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    Similarity.buildIvfIndex(base.toDF("vec_id", "vec"), "vec_id", "vec",
+      dir, k = 4, iters = 2)
+    // 5 single-row appends: each drops another file into its cell dir
+    late.take(5).foreach { e =>
+      Similarity.appendToIvfIndex(Seq(e).toDF("vec_id", "vec"),
+        "vec_id", "vec", dir)
+    }
+    val queries = base.take(3).toDF("vec_id", "vec")
+    def probe() =
+      Similarity.ivfIndexKnn(queries, dir, "vec_id", "vec", k = 4, nProbe = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val before = probe()
+    val filesBefore = spark.read.parquet(s"$dir/postings").inputFiles.length
+    Similarity.compactIvfIndex(spark, dir, cellsPerSlice = 2)
+    val filesAfter = spark.read.parquet(s"$dir/postings").inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"expected fewer files after compaction: $filesAfter !< $filesBefore")
+    assert(spark.read.parquet(s"$dir/postings").count() === 25)
+    assert(probe() === before)
+  }
+
   test("an IVF-PQ index is auto-detected: batches append PQ codes") {
     import graft.operators.ProductQuantization
     val dir = java.nio.file.Files.createTempDirectory("ivfpqstream").toString
