@@ -16,11 +16,13 @@ object Bench {
     "a5_pointgrouper", "a7_dense_spine", "a11_clusters_diff",
     "f5_glob_predicates", "j1_points_metadata",
     "d2_minhash_lsh", "d3_simhash", "d12_simhash_pairs",
+    "d12b_simhash_pairs_wide", "d13_span_removal",
     "d4_ngram_jaccard",
     "dc2_decontaminate_joined", "dc3_decontaminate_bloom",
     "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
     "k1_knn_brute", "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
-    "k9_knn_ivfpq_residual", "t2_quality", "w2_topk_per_group",
+    "k9_knn_ivfpq_residual", "k10_ivf_append",
+    "t2_quality", "w2_topk_per_group",
     "e1_storage_read_path", "e4_render_pipeline",
     "km1_kmeans", "d8_semdedup", "d8b_semdedup_sqrtn",
     "g2_window_functions", "p1_sequence_packing",
