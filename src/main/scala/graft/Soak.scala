@@ -43,12 +43,13 @@ object Soak {
 
     val queries = Seq("e1_storage_read_path", "e2_consolidated_read",
       "e3_multi_retention_read", "e4_render_pipeline",
-      "d2_minhash_lsh", "d12_simhash_pairs", "p1_sequence_packing",
+      "d2_minhash_lsh", "d12_simhash_pairs", "d12b_simhash_pairs_wide",
+      "d13_span_removal", "p1_sequence_packing",
       "t9_c4_rules",
       "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
       "p7_weighted_sample",
       "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
-      "k9_knn_ivfpq_residual")
+      "k9_knn_ivfpq_residual", "k10_ivf_append")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
