@@ -1361,6 +1361,37 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // D14: SSL-prototype pruning (Sorscher et al. 2022) — drop the 30%
+    // most prototypical (closest-to-centroid) examples per k-means cell,
+    // keep the hard ones; shares d8's trained cells and its one-window-
+    // per-cell scale shape
+    "d14_prototypes" -> { (s, dir) =>
+      import graft.operators.Clustering
+      val emb = table(s, dir, "embeddings")
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Clustering.prototypesPrune(emb, "vec_id", "embedding", cents,
+          pruneFrac = 0.3)
+        .withColumn("proto_rank", col("proto_rank").cast("long"))
+        .orderBy("vec_id")
+    },
+
+    // R1: BM25 top-k retrieval — probe queries are trimmed mid-doc
+    // slices of every 97th document (each query's own doc should
+    // surface); the corpus is scored against the BROADCAST query set,
+    // so every shuffle is hits-sized (inverted-index shape)
+    "r1_bm25_topk" -> { (s, dir) =>
+      import graft.operators.Retrieval
+      val docs = table(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          trim(substring(col("text"), 40, 60)).as("qtext"))
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+    },
+
     // T7: unigram-LM quality score (CCNet-style) — train token
     // frequencies on sources ≠ src0, score EVERY doc by average negative
     // log-likelihood; src0-only vocabulary pays the smoothed OOV floor
@@ -1379,6 +1410,26 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       TextAnalysis.bigramLogLoss(docs, "doc_id", "text",
           docs.filter(col("source") =!= "src0"))
+        .orderBy("doc_id")
+    },
+
+    // T13: CCNet perplexity buckets (Wenzek et al. 2020) — the corpus in
+    // head/middle/tail thirds by bigram-LM log-loss. The thirds are an
+    // EXACT global ntile(3) built from a range shuffle
+    // (Ranking.withGlobalNtile), never a single-partition window
+    "t13_perplexity_buckets" -> { (s, dir) =>
+      import graft.operators.Ranking
+      val docs = table(s, dir, "documents")
+      val nll = TextAnalysis.bigramLogLoss(docs, "doc_id", "text",
+        docs.filter(col("source") =!= "src0"))
+      Ranking.withGlobalNtile(nll, 3, "bucket_id",
+          col("avg_nll").asc, col("doc_id").asc)
+        .withColumn("ppl_bucket",
+          when(col("bucket_id") === 1, "head")
+            .when(col("bucket_id") === 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("avg_nll"), col("bucket_id"),
+          col("ppl_bucket"))
         .orderBy("doc_id")
     },
 
@@ -1754,6 +1805,38 @@ object SparkEntry {
       |sh AS (
       |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
       |  FROM base, LATERAL unnest(range(1, greatest(len(toks) - 2, 1) + 1)) t(i))""".stripMargin
+
+  /** Shared DuckDB CTEs for the bigram-LM oracles (t11, t13): reference
+    * bigram/context/unigram counts over the non-src0 sources and the
+    * per-(doc, pair) interpolated negative log-likelihood `nll`. */
+  private val BigramNllCtes =
+    """reft AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents WHERE source <> 'src0'),
+      |refpairs AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM reft, LATERAL unnest(range(1, len(t))) u(i)),
+      |bi AS (SELECT w1, w2, count(*) AS cb FROM refpairs GROUP BY 1, 2),
+      |ctx AS (SELECT w1, sum(cb) AS c1 FROM bi GROUP BY 1),
+      |uni AS (
+      |  SELECT tok, count(*) AS c FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM documents WHERE source <> 'src0') GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+      |dp AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |        FROM documents) d,
+      |  LATERAL unnest(range(1, len(t))) u(i)),
+      |nll AS (
+      |  SELECT dp.doc_id,
+      |    -ln(0.5 * coalesce(bi.cb / ctx.c1, 0)
+      |      + 0.5 * coalesce(uni.c / (tot.total + 1),
+      |          1.0 / (tot.total + 1))) AS v
+      |  FROM dp CROSS JOIN tot
+      |  LEFT JOIN bi ON bi.w1 = dp.w1 AND bi.w2 = dp.w2
+      |  LEFT JOIN ctx ON ctx.w1 = dp.w1
+      |  LEFT JOIN uni ON uni.tok = dp.w2)""".stripMargin
 
   private val SigCte =
     "sig AS (SELECT doc_id, " +
@@ -2988,6 +3071,61 @@ object SparkEntry {
         |GROUP BY b.doc_id, len(b.toks)
         |ORDER BY doc_id""".stripMargin,
 
+    "d14_prototypes" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |sel AS (SELECT vec_id, cell_id, ccos FROM a3 WHERE rn = 1),
+         |rk AS (
+         |  SELECT vec_id, cell_id, ccos,
+         |    CAST(row_number() OVER (PARTITION BY cell_id
+         |      ORDER BY ccos DESC, vec_id) AS BIGINT) AS proto_rank,
+         |    count(*) OVER (PARTITION BY cell_id) AS n_cell
+         |  FROM sel)
+         |SELECT vec_id, cell_id, ccos, proto_rank, n_cell,
+         |  proto_rank > ceil(0.3 * n_cell) AS keep
+         |FROM rk ORDER BY vec_id""".stripMargin,
+
+    "r1_bm25_topk" ->
+      """WITH dt AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dt),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |         trim(substr(text, 40, 60)) AS qtext
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (
+        |  SELECT query_id,
+        |    unnest(list_distinct(string_split_regex(lower(qtext), '\s+')))
+        |      AS term
+        |  FROM q),
+        |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM dt),
+        |dfq AS (
+        |  SELECT term, count(DISTINCT tk.doc_id) AS dfr
+        |  FROM tk JOIN (SELECT DISTINCT term FROM qt) USING (term)
+        |  GROUP BY 1),
+        |idf AS (
+        |  SELECT term, ln(1 + (s.n - dfr + 0.5) / (dfr + 0.5)) AS idf
+        |  FROM dfq CROSS JOIN stats s),
+        |hits AS (
+        |  SELECT qt.query_id, tk.doc_id, tk.dl, tk.term, count(*) AS tf
+        |  FROM tk JOIN qt USING (term) GROUP BY 1, 2, 3, 4),
+        |ts AS (
+        |  SELECT h.query_id, h.doc_id,
+        |    round(i.idf * h.tf * (1.2 + 1)
+        |      / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl)), 6)
+        |      AS tscore
+        |  FROM hits h JOIN idf i USING (term) CROSS JOIN stats s),
+        |sc AS (
+        |  SELECT query_id, doc_id, round(sum(tscore), 4) AS score
+        |  FROM ts GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT query_id, doc_id, score, rk FROM rk
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
     "t7_unigram_logloss" ->
       """WITH ref AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
@@ -3005,35 +3143,24 @@ object SparkEntry {
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t11_bigram_logloss" ->
-      """WITH reft AS (
-        |  SELECT string_split_regex(lower(text), '\s+') AS t
-        |  FROM documents WHERE source <> 'src0'),
-        |refpairs AS (
-        |  SELECT t[i] AS w1, t[i + 1] AS w2
-        |  FROM reft, LATERAL unnest(range(1, len(t))) u(i)),
-        |bi AS (SELECT w1, w2, count(*) AS cb FROM refpairs GROUP BY 1, 2),
-        |ctx AS (SELECT w1, sum(cb) AS c1 FROM bi GROUP BY 1),
-        |uni AS (
-        |  SELECT tok, count(*) AS c FROM (
-        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
-        |    FROM documents WHERE source <> 'src0') GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
-        |dp AS (
-        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-        |        FROM documents) d,
-        |  LATERAL unnest(range(1, len(t))) u(i)),
-        |nll AS (
-        |  SELECT dp.doc_id,
-        |    -ln(0.5 * coalesce(bi.cb / ctx.c1, 0)
-        |      + 0.5 * coalesce(uni.c / (tot.total + 1),
-        |          1.0 / (tot.total + 1))) AS v
-        |  FROM dp CROSS JOIN tot
-        |  LEFT JOIN bi ON bi.w1 = dp.w1 AND bi.w2 = dp.w2
-        |  LEFT JOIN ctx ON ctx.w1 = dp.w1
-        |  LEFT JOIN uni ON uni.tok = dp.w2)
+      s"""WITH $BigramNllCtes
         |SELECT doc_id, count(*) AS n_pairs, round(avg(v), 4) AS avg_nll
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t13_perplexity_buckets" ->
+      s"""WITH $BigramNllCtes,
+        |docnll AS (
+        |  SELECT doc_id, round(avg(v), 4) AS avg_nll
+        |  FROM nll GROUP BY doc_id),
+        |bk AS (
+        |  SELECT doc_id, avg_nll,
+        |    CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS BIGINT)
+        |      AS bucket_id
+        |  FROM docnll)
+        |SELECT doc_id, avg_nll, bucket_id,
+        |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     "t12_nfc_normalize" ->
       """WITH r AS (

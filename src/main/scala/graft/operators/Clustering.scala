@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Embedding-space clustering for training-data curation
   * (beyond-reference scope, SURVEY.md §7.4): a deterministic Lloyd's
@@ -107,5 +108,33 @@ object Clustering {
         Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws"): rank every example by how PROTOTYPICAL it is — cosine to its
+    * k-means centroid — and drop the `pruneFrac` most prototypical per
+    * cell, keeping the hard examples that move a model trained on
+    * abundant data. The inverse keep-the-easy policy for scarce data is
+    * the caller filtering on `proto_rank` instead of `keep`.
+    *
+    * Scale shape: one corpus×k broadcast assignment (shared with d8) and
+    * ONE window partitioned by cell — parallelism = k, each partition a
+    * cell's members, the same blocking that bounds SemDeDup. Returns
+    * (id, cell_id, ccos, proto_rank, n_cell, keep) where proto_rank 1 is
+    * the most prototypical (highest ccos, id-tiebroken) and
+    * keep = proto_rank > ceil(pruneFrac · n_cell). */
+  def prototypesPrune(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, pruneFrac: Double): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac <= 1.0,
+      s"pruneFrac must be in [0,1], got $pruneFrac")
+    val byCell = Window.partitionBy("cell_id")
+    assignCells(corpus, idCol, vecCol, centroids)
+      .withColumn("proto_rank", row_number().over(
+        byCell.orderBy(col("ccos").desc, col(idCol).asc)))
+      .withColumn("n_cell", count(lit(1)).over(byCell))
+      .withColumn("keep",
+        col("proto_rank") > ceil(lit(pruneFrac) * col("n_cell")))
+      .select(col(idCol), col("cell_id"), col("ccos"),
+        col("proto_rank"), col("n_cell"), col("keep"))
   }
 }

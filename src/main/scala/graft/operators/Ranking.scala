@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Exact global ranking without the single-partition window.
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY funnels the
+  * whole relation through one task — the classic scale-killer Spark warns
+  * about. But a global rank is just a global sort plus bookkeeping, and
+  * Spark's sort is distributed: range-partition on the sort key, rank
+  * locally within each range partition, then add the (metadata-scale)
+  * cumulative row counts of the partitions before it. Wall-clock is one
+  * range shuffle — identical to `ORDER BY` — at any corpus size.
+  *
+  * Determinism contract: `sortCols` must be a TOTAL order (include a
+  * unique id as the last key). Rows that compare equal on the sort key
+  * could land on either side of a range boundary, so with a non-total key
+  * tie order would depend on partitioning.
+  */
+object Ranking {
+
+  /** Adds exact global `row_number()` (1-based, named `rnCol`) ordered by
+    * `sortCols`. */
+  def withGlobalRowNumber(df: DataFrame, rnCol: String,
+      sortCols: Column*): DataFrame = {
+    require(sortCols.nonEmpty, "sortCols must not be empty")
+    require(!df.columns.exists(_.startsWith("__")),
+      "input must not carry __-prefixed columns")
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lrn",
+      row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
+    // per-range-partition row counts: #shuffle-partitions rows, metadata
+    // scale; the cumulative window over them is trivially single-partition
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum("__cnt").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rnCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Adds exact global `ntile(n)` (named `bucketCol`, values 1..n) ordered
+    * by `sortCols` — SQL semantics: with base = total div n and
+    * rem = total mod n, the first `rem` buckets hold base+1 rows and the
+    * rest hold base. The input is materialized once (`localCheckpoint`)
+    * because both the rank pass and the one-row total consume it. */
+  def withGlobalNtile(df: DataFrame, n: Int, bucketCol: String,
+      sortCols: Column*): DataFrame = {
+    require(n > 0, s"ntile buckets must be positive, got $n")
+    val base = df.localCheckpoint(true)
+    val total = base.agg(count(lit(1)).as("__total"))
+    withGlobalRowNumber(base, "__rn", sortCols: _*)
+      .crossJoin(broadcast(total))
+      .withColumn("__base", expr(s"__total div $n"))
+      .withColumn("__rem", col("__total") % n)
+      // rows 1..cut sit in the rem larger buckets of base+1 rows each
+      .withColumn("__cut", col("__rem") * (col("__base") + 1))
+      .withColumn(bucketCol,
+        when(col("__rn") <= col("__cut"),
+          expr("(__rn - 1) div (__base + 1)") + 1)
+        .otherwise(col("__rem") +
+          expr("(__rn - __cut - 1) div greatest(__base, 1)") + 1))
+      .drop("__rn", "__total", "__base", "__rem", "__cut")
+  }
+}

@@ -72,4 +72,41 @@ class ClusteringSpec extends SparkSuite {
     // cross-cluster pairs (e.g. 0 vs 1, cos ≈ 0.1) must not appear
     assert(!pairs.exists { case (a, b, _) => a == 0L && b == 1L })
   }
+
+  test("prototypesPrune drops the most prototypical per cell, keeps the hard") {
+    val cents = Clustering.kmeansFit(corpus, "vec_id", "embedding",
+      k = 2, iters = 3)
+    // 3 members per cell; ceil(0.34·3)=2 pruned → exactly 1 kept per cell
+    val got = Clustering.prototypesPrune(corpus, "vec_id", "embedding",
+        cents, pruneFrac = 0.34)
+      .select("vec_id", "cell_id", "ccos", "proto_rank", "n_cell", "keep")
+      .as[(Long, Long, Double, Int, Long, Boolean)].collect().toSeq
+    assert(got.length === 6)
+    assert(got.forall(_._5 == 3L))
+    val byCell = got.groupBy(_._2)
+    byCell.values.foreach { cell =>
+      // ranks are 1..n within the cell, ordered by descending ccos
+      assert(cell.map(_._4).sorted === Seq(1, 2, 3))
+      val kept = cell.filter(_._6)
+      assert(kept.length === 1)
+      // the kept example is the cell's LEAST prototypical (lowest ccos)
+      assert(kept.head._3 === cell.map(_._3).min)
+      assert(kept.head._4 === 3)
+    }
+  }
+
+  test("prototypesPrune boundary fractions: 0 keeps all, 1 keeps none") {
+    val cents = Clustering.kmeansFit(corpus, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val all = Clustering.prototypesPrune(corpus, "vec_id", "embedding",
+      cents, pruneFrac = 0.0)
+    assert(all.filter(col("keep")).count() === 6)
+    val none = Clustering.prototypesPrune(corpus, "vec_id", "embedding",
+      cents, pruneFrac = 1.0)
+    assert(none.filter(col("keep")).count() === 0)
+    intercept[IllegalArgumentException] {
+      Clustering.prototypesPrune(corpus, "vec_id", "embedding",
+        cents, pruneFrac = 1.5)
+    }
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Okapi BM25 top-k retrieval (Retrieval.bm25TopK). */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry durian")
+  ).toDF("doc_id", "text")
+
+  private def queries(qs: (Long, String)*) =
+    qs.toDF("query_id", "qtext")
+
+  test("scores match the hand-applied BM25 formula and rank accordingly") {
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries(10L -> "apple cherry"), "query_id", "qtext", k = 10)
+      .select("doc_id", "score", "rk")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+
+    // N=3, avgdl=3; df(apple)=1, df(cherry)=2 (durian/banana unqueried)
+    def idf(df: Long): Double = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+    def term(idfV: Double, tf: Long, dl: Long): Double =
+      idfV * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+    val expected = Seq(
+      1L -> term(idf(1), 2, 3),             // apple twice in doc 1
+      3L -> term(idf(2), 3, 4),             // cherry thrice in doc 3
+      2L -> term(idf(2), 1, 2))             // cherry once in doc 2
+    assert(got.map(_._1).toSeq === expected.map(_._1))
+    got.zip(expected).foreach { case ((_, s, _), (_, e)) =>
+      assert(math.abs(s - e) < 1e-3, s"score $s vs expected $e")
+    }
+    assert(got.map(_._3).toSeq === Seq(1, 2, 3))
+  }
+
+  test("a unique term retrieves its own document at rank 1") {
+    val corpus = (0L until 20L).map(i =>
+      (i, s"common filler words uniq$i here")).toDF("doc_id", "text")
+    val qs = queries(100L -> "uniq7", 101L -> "uniq13")
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        qs, "query_id", "qtext", k = 3)
+      .filter(col("rk") === 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toMap
+    assert(top === Map(100L -> 7L, 101L -> 13L))
+  }
+
+  test("identical documents tie on score and break by doc_id") {
+    val corpus = Seq(
+      (5L, "zebra yak"), (2L, "zebra yak"), (9L, "aardvark")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries(1L -> "zebra"), "query_id", "qtext", k = 10)
+      .select("doc_id", "score", "rk").as[(Long, Double, Int)]
+      .collect().sortBy(_._3)
+    assert(got.length === 2)
+    assert(got(0)._1 === 2L && got(1)._1 === 5L)
+    assert(got(0)._2 === got(1)._2)
+  }
+
+  test("query term frequency is ignored (terms dedup per query)") {
+    val q1 = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries(1L -> "cherry"), "query_id", "qtext", k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val q2 = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries(1L -> "cherry cherry cherry"), "query_id", "qtext", k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(q1 === q2)
+  }
+
+  test("k caps each query independently") {
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries(1L -> "cherry banana", 2L -> "apple"),
+        "query_id", "qtext", k = 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(2L) === 1L)
+  }
+
+  test("invalid k is rejected") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries(1L -> "x"), "query_id", "qtext", k = 0)
+    }
+  }
+}
