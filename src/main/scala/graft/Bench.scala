@@ -29,7 +29,8 @@ object Bench {
     "t9_c4_rules", "d10_boilerplate", "p5_mixture_sample",
     "g9_render_breadth2", "g10_render_breadth3", "g13_render_breadth4",
     "g14_render_breadth5", "d11_url_dedup",
-    "p6_chunk_windows", "t11_bigram_logloss")
+    "p6_chunk_windows", "t11_bigram_logloss",
+    "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

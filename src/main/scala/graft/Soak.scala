@@ -49,7 +49,8 @@ object Soak {
       "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
       "p7_weighted_sample",
       "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
-      "k9_knn_ivfpq_residual", "k10_ivf_append")
+      "k9_knn_ivfpq_residual", "k10_ivf_append",
+      "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

@@ -95,6 +95,18 @@ class PlanShapeSpec extends SparkSuite {
       s"interpreted HOF fold in the scan:\n$p")
   }
 
+  test("BM25 broadcasts the query side; no sort-merge join touches the corpus") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"token$i filler common words here")).toDF("doc_id", "text")
+    val qs = Seq((1L, "token7 common"), (2L, "token13")).toDF("qid", "qtext")
+    val p = plan(graft.operators.Retrieval.bm25TopK(
+      docs, "doc_id", "text", qs, "qid", "qtext", k = 5))
+    // every join in the plan is broadcast (query terms, idf, stats are
+    // all display-sized); the corpus is never a sort-merge side
+    assert(p.contains("Broadcast"), s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
+  }
+
   test("chunkWindows is map-only: zero exchanges") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 200).map(i => lit(s"t$i")): _*).as("text"))
