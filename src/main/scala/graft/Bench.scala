@@ -30,7 +30,8 @@ object Bench {
     "g9_render_breadth2", "g10_render_breadth3", "g13_render_breadth4",
     "g14_render_breadth5", "d11_url_dedup",
     "p6_chunk_windows", "t11_bigram_logloss",
-    "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes")
+    "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
+    "r2_bm25_index_topk", "d15_cross_corpus_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +80,8 @@ object Bench {
       Headline.filter(queries.contains).map { name =>
         name -> (() => { queries(name)(spark, sfDir).count(); () })
       } ++ Seq[(String, () => Unit)](
-        "x1_curation_pipeline" -> (() => { curationPipeline(spark, sfDir); () })
+        "x1_curation_pipeline" -> (() => { curationPipeline(spark, sfDir); () }),
+        "x2_embedding_pipeline" -> (() => { embeddingPipeline(spark, sfDir); () })
       ) ++ baselineMicroTasks(spark)
 
     // Median of 5 INTERLEAVED passes: each pass runs every query once,
@@ -179,6 +181,34 @@ object Bench {
       .filter(col("jaccard") >= 0.8)
     val comps = Dedup.connectedComponents(dups)
     Dedup.leakageSafeSplit(kept, "doc_id", comps).count()
+  }
+
+  /** The embedding-side curation pipeline as ONE composed plan (the x1
+    * idea on the vector column): k-means cells → SemDeDup pair drop →
+    * SSL-prototype pruning of the survivors → leakage-safe split keyed
+    * on the semantic dup clusters. Stages are individually oracled
+    * (km1, d8, d14, d6/d7); the composition is what a nightly embedding
+    * curation job runs. */
+  private[graft] def embeddingPipeline(spark: SparkSession, sfDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Clustering, Dedup}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val pairs = Clustering.semanticDupPairs(emb, "vec_id", "embedding",
+      cents, threshold = 0.7)
+    // drop the higher id of every semantic near-dup pair, then prune the
+    // most prototypical 30% of what survives
+    val dropIds = pairs.select(col("id_b").as("vec_id")).distinct()
+    val survivors = emb.join(dropIds, Seq("vec_id"), "left_anti")
+    val kept = Clustering.prototypesPrune(survivors, "vec_id", "embedding",
+        cents, pruneFrac = 0.3)
+      .filter(col("keep"))
+      .select("vec_id")
+    val comps = Dedup.connectedComponents(
+      pairs.select("id_a", "id_b"))
+    Dedup.leakageSafeSplit(emb.join(kept, "vec_id"), "vec_id", comps)
+      .count()
   }
 
   /** Micro-benchmarks mirroring the reference's accessor_bench comparable

@@ -50,7 +50,8 @@ object Soak {
       "p7_weighted_sample",
       "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
       "k9_knn_ivfpq_residual", "k10_ivf_append",
-      "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes")
+      "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
+      "r2_bm25_index_topk", "d15_cross_corpus_dedup")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

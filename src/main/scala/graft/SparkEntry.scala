@@ -1361,6 +1361,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // D15: cross-corpus dedup — today's batch (src0) LSH-checked against
+    // the reference corpus (everything else), exact-Jaccard verified;
+    // the batch side drives every join, the reference never self-joins
+    "d15_cross_corpus_dedup" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      Dedup.crossCorpusNearDups(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", numHashes = 8, bands = 8, threshold = 0.5)
+        .orderBy("new_id", "ref_id")
+    },
+
     // D14: SSL-prototype pruning (Sorscher et al. 2022) — drop the 30%
     // most prototypical (closest-to-centroid) examples per k-means cell,
     // keep the hard ones; shares d8's trained cells and its one-window-
@@ -1388,6 +1400,24 @@ object SparkEntry {
           trim(substring(col("text"), 40, 60)).as("qtext"))
       Retrieval.bm25TopK(docs, "doc_id", "text",
           queries, "query_id", "qtext", k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+    },
+
+    // R2: the same retrieval against a PERSISTED inverted index —
+    // term-bucket-partitioned postings built once, probed reading only
+    // the query terms' partitions (k6's train-once/probe-many pattern
+    // applied to text). Same oracle as r1: the index path must
+    // reproduce live scoring exactly
+    "r2_bm25_index_topk" -> { (s, dir) =>
+      import graft.operators.Retrieval
+      val idx = java.nio.file.Files.createTempDirectory("r2idx").toString
+      val docs = table(s, dir, "documents")
+      Retrieval.buildTextIndex(docs, "doc_id", "text", idx)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          trim(substring(col("text"), 40, 60)).as("qtext"))
+      Retrieval.bm25IndexTopK(queries, "query_id", "qtext", idx, k = 10)
         .withColumn("rk", col("rk").cast("long"))
         .orderBy("query_id", "rk")
     },
@@ -1837,6 +1867,50 @@ object SparkEntry {
       |  LEFT JOIN bi ON bi.w1 = dp.w1 AND bi.w2 = dp.w2
       |  LEFT JOIN ctx ON ctx.w1 = dp.w1
       |  LEFT JOIN uni ON uni.tok = dp.w2)""".stripMargin
+
+  /** BM25 oracle — shared verbatim by r1 (live scoring) and r2 (the
+    * persisted-index path, which must reproduce it exactly). */
+  private val Bm25OracleSql =
+    """WITH dt AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |tk AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dt),
+      |q AS (
+      |  SELECT doc_id AS query_id,
+      |         trim(substr(text, 40, 60)) AS qtext
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |qt AS (
+      |  SELECT query_id,
+      |    unnest(list_distinct(string_split_regex(lower(qtext), '\s+')))
+      |      AS term
+      |  FROM q),
+      |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM dt),
+      |dfq AS (
+      |  SELECT term, count(DISTINCT tk.doc_id) AS dfr
+      |  FROM tk JOIN (SELECT DISTINCT term FROM qt) USING (term)
+      |  GROUP BY 1),
+      |idf AS (
+      |  SELECT term, ln(1 + (s.n - dfr + 0.5) / (dfr + 0.5)) AS idf
+      |  FROM dfq CROSS JOIN stats s),
+      |hits AS (
+      |  SELECT qt.query_id, tk.doc_id, tk.dl, tk.term, count(*) AS tf
+      |  FROM tk JOIN qt USING (term) GROUP BY 1, 2, 3, 4),
+      |ts AS (
+      |  SELECT h.query_id, h.doc_id,
+      |    round(i.idf * h.tf * (1.2 + 1)
+      |      / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl)), 6)
+      |      AS tscore
+      |  FROM hits h JOIN idf i USING (term) CROSS JOIN stats s),
+      |sc AS (
+      |  SELECT query_id, doc_id, round(sum(tscore), 4) AS score
+      |  FROM ts GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      |  FROM sc)
+      |SELECT query_id, doc_id, score, rk FROM rk
+      |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   private val SigCte =
     "sig AS (SELECT doc_id, " +
@@ -3071,6 +3145,42 @@ object SparkEntry {
         |GROUP BY b.doc_id, len(b.toks)
         |ORDER BY doc_id""".stripMargin,
 
+    "d15_cross_corpus_dedup" ->
+      s"""WITH $ShinglesCte,
+         |$SigCte,
+         |banded AS (${(0 until 8).map(i =>
+              s"SELECT doc_id, $i AS band_idx, h$i AS band_val FROM sig")
+              .mkString(" UNION ALL ")}),
+         |nb AS (
+         |  SELECT b.doc_id AS new_id, band_idx, band_val
+         |  FROM banded b JOIN documents d USING (doc_id)
+         |  WHERE d.source = 'src0'),
+         |rb AS (
+         |  SELECT b.doc_id AS ref_id, band_idx, band_val
+         |  FROM banded b JOIN documents d USING (doc_id)
+         |  WHERE d.source <> 'src0'),
+         |cpairs AS (
+         |  SELECT DISTINCT new_id, ref_id FROM nb JOIN rb
+         |  USING (band_idx, band_val)),
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.new_id, p.ref_id, count(*) AS i
+         |  FROM cpairs p
+         |  JOIN dsh a ON a.doc_id = p.new_id
+         |  JOIN dsh b ON b.doc_id = p.ref_id AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p.new_id, p.ref_id,
+         |  round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6)
+         |    AS jaccard
+         |FROM cpairs p
+         |LEFT JOIN inter i USING (new_id, ref_id)
+         |JOIN sizes sa ON sa.doc_id = p.new_id
+         |JOIN sizes sb ON sb.doc_id = p.ref_id
+         |WHERE round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6)
+         |  >= 0.5
+         |ORDER BY new_id, ref_id""".stripMargin,
+
     "d14_prototypes" ->
       s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
          |sel AS (SELECT vec_id, cell_id, ccos FROM a3 WHERE rn = 1),
@@ -3084,47 +3194,9 @@ object SparkEntry {
          |  proto_rank > ceil(0.3 * n_cell) AS keep
          |FROM rk ORDER BY vec_id""".stripMargin,
 
-    "r1_bm25_topk" ->
-      """WITH dt AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-        |  FROM documents),
-        |tk AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dt),
-        |q AS (
-        |  SELECT doc_id AS query_id,
-        |         trim(substr(text, 40, 60)) AS qtext
-        |  FROM documents WHERE doc_id % 97 = 0),
-        |qt AS (
-        |  SELECT query_id,
-        |    unnest(list_distinct(string_split_regex(lower(qtext), '\s+')))
-        |      AS term
-        |  FROM q),
-        |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM dt),
-        |dfq AS (
-        |  SELECT term, count(DISTINCT tk.doc_id) AS dfr
-        |  FROM tk JOIN (SELECT DISTINCT term FROM qt) USING (term)
-        |  GROUP BY 1),
-        |idf AS (
-        |  SELECT term, ln(1 + (s.n - dfr + 0.5) / (dfr + 0.5)) AS idf
-        |  FROM dfq CROSS JOIN stats s),
-        |hits AS (
-        |  SELECT qt.query_id, tk.doc_id, tk.dl, tk.term, count(*) AS tf
-        |  FROM tk JOIN qt USING (term) GROUP BY 1, 2, 3, 4),
-        |ts AS (
-        |  SELECT h.query_id, h.doc_id,
-        |    round(i.idf * h.tf * (1.2 + 1)
-        |      / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl)), 6)
-        |      AS tscore
-        |  FROM hits h JOIN idf i USING (term) CROSS JOIN stats s),
-        |sc AS (
-        |  SELECT query_id, doc_id, round(sum(tscore), 4) AS score
-        |  FROM ts GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT query_id, doc_id, score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-        |  FROM sc)
-        |SELECT query_id, doc_id, score, rk FROM rk
-        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "r1_bm25_topk" -> Bm25OracleSql,
+
+    "r2_bm25_index_topk" -> Bm25OracleSql,
 
     "t7_unigram_logloss" ->
       """WITH ref AS (

@@ -120,6 +120,43 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Cross-corpus near-duplicates: MinHash-LSH candidates BETWEEN an
+    * incoming batch and a reference corpus, exact-Jaccard-verified — the
+    * batch twin of streaming/DocumentStream.startHistoryDedupJob
+    * (dedup today's shard against the durable corpus). Unlike
+    * [[lshCandidatePairs]] the reference corpus never self-joins: band
+    * rows of the (huge) reference side survive only where they collide
+    * with a NEW band value, so candidate and verify volume scale with
+    * the batch, not the corpus. The two id spaces stay separate columns
+    * (`new_id`, `ref_id`) and may overlap.
+    * Returns (new_id, ref_id, jaccard) with jaccard >= threshold. */
+  def crossCorpusNearDups(newDocs: DataFrame, refDocs: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 8, bands: Int = 8,
+      n: Int = 3, threshold: Double = 0.5,
+      maxChars: Int = 4096): DataFrame = {
+    def banded(docs: DataFrame, as: String) = bandedRows(
+      minhashSignatureFromText(docs, idCol, textCol, numHashes, n, maxChars),
+      idCol, numHashes, bands)
+      .select(col("band_idx"), col("band_val"), col(idCol).as(as))
+    val cand = banded(newDocs, "new_id")
+      .join(banded(refDocs, "ref_id"), Seq("band_idx", "band_val"))
+      .select("new_id", "ref_id").distinct()
+    def sets(docs: DataFrame, id: String, s: String) = docs.select(
+      col(idCol).as(id),
+      graft.functions.ShingleSet.shingle_set(
+        lower(substring(col(textCol), 1, maxChars)), n).as(s))
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("__sa"), col("__sb"))
+    cand
+      .join(sets(newDocs, "new_id", "__sa"), Seq("new_id"))
+      .join(sets(refDocs, "ref_id", "__sb"), Seq("ref_id"))
+      .withColumn("__i", inter)
+      .withColumn("jaccard", round(col("__i") /
+        (size(col("__sa")) + size(col("__sb")) - col("__i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
   private def bandedRows(signatures: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands

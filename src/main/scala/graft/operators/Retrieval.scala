@@ -8,20 +8,23 @@ import org.apache.spark.sql.expressions.Window
   *
   * The training-data-pipeline use case is query-based curation: score every
   * corpus document against a set of probe queries (eval-set titles, topic
-  * seeds, contamination probes) and keep/drop/inspect the top hits. The
-  * same plan is the batch face of a search index: `postings` below IS the
-  * inverted index (term → (doc, tf)), it is just never materialized wider
-  * than the query set needs.
+  * seeds, contamination probes) and keep/drop/inspect the top hits. Two
+  * faces share one scoring plan:
+  *  - [[bm25TopK]] scores straight off the corpus (scan-time "index");
+  *  - [[buildTextIndex]]/[[bm25IndexTopK]] persist the inverted index —
+  *    term-bucket-partitioned postings — and probe it reading only the
+  *    query terms' partitions (the IVF-index pattern applied to text).
   *
   * Scale shape (the part that must survive 100 TB):
-  *  - The query set is display-sized and is BROADCAST twice — once as
-  *    (query_id, term) pairs to filter the exploded corpus map-side, and
-  *    once as a distinct-term set to scope the document-frequency count.
-  *    The corpus is never shuffled at corpus size: every shuffle in the
-  *    plan (tf counting, df counting, per-query score sum) carries only
-  *    rows whose term matched a query term.
+  *  - The query set is display-sized and is BROADCAST — once as
+  *    (query_id, term) pairs to filter postings map-side, and once as a
+  *    distinct-term set to scope the document-frequency count. The corpus
+  *    is never shuffled at corpus size: every shuffle in the plan (tf
+  *    counting, df counting, per-query score sum) carries only rows whose
+  *    term matched a query term.
   *  - Corpus statistics (N, avgdl) are a one-row aggregate cross-joined
-  *    in, the same scalar-broadcast pattern the downsampler uses.
+  *    in, the same scalar-broadcast pattern the downsampler uses; the
+  *    persisted index stores them at build time.
   *  - Ranking is a window partitioned BY QUERY — parallelism = |queries|,
   *    each partition holding only that query's candidate docs.
   *
@@ -35,50 +38,36 @@ import org.apache.spark.sql.expressions.Window
   *
   * Determinism contract: per-term scores round to 6 decimals, the summed
   * score to 4, and the rank orders by (score DESC, doc_id ASC) — the same
-  * rounded-before-ranked rule every cosine ranking in this repo uses.
+  * rounded-before-ranked rule every cosine ranking in this repo uses. The
+  * index path reproduces the live path bit-for-bit (df, N, avgdl are the
+  * same integers/doubles; RetrievalSpec pins equality).
   */
 object Retrieval {
 
-  /** BM25 top-`k` docs per query. `queries` must be display-sized
-    * (broadcast). Returns (query_id, doc_id, score, rk) with rk 1..k. */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
 
-    def toks(c: Column): Column = split(lower(c), "\\s+")
-
-    // corpus tokens, one row per (doc, position): (doc_id, dl, term)
-    val exploded = docs.select(col(idCol).as("doc_id"),
-        toks(col(textCol)).as("__t"))
+  /** (doc_id, __dl, __term) — one row per corpus token. */
+  private def explodedTokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
       .select(col("doc_id"), size(col("__t")).as("__dl"),
         explode(col("__t")).as("__term"))
 
-    // (query_id, term) pairs, deduped per query — broadcast side
-    val qterms = queries.select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(toks(col(queryTextCol)))).as("__term"))
-    val qtermSet = qterms.select("__term").distinct()
+  /** (query_id, __term) with terms deduped per query — broadcast side. */
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(toks(col(queryTextCol)))).as("__term"))
 
-    // one-row corpus stats (N docs, mean token count)
-    val stats = docs.select(size(toks(col(textCol))).as("__dl"))
-      .agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
-
-    // document frequency, computed only for query terms: map-side
-    // broadcast filter, then a hits-sized distinct count
-    val dfreq = exploded.join(broadcast(qtermSet), Seq("__term"))
-      .groupBy("__term")
-      .agg(countDistinct(col("doc_id")).as("__df"))
+  /** Shared scoring tail: `hits` = (query_id, doc_id, __dl, __term, __tf)
+    * restricted to query terms, `dfreq` = (__term, __df), `stats` = one
+    * row (__n, __avgdl). */
+  private def scoreRank(hits: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val idf = dfreq.crossJoin(broadcast(stats))
       .select(col("__term"),
         log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
           .as("__idf"))
-
-    // candidate postings: exploded corpus ⋈ broadcast query terms, tf per
-    // (query, doc, term) — the only corpus-wide pass, shuffle is hits-only
-    val hits = exploded.join(broadcast(qterms), Seq("__term"))
-      .groupBy("query_id", "doc_id", "__dl", "__term")
-      .agg(count(lit(1)).as("__tf"))
-
     val termScores = hits
       .join(broadcast(idf), Seq("__term"))
       .crossJoin(broadcast(stats))
@@ -90,14 +79,131 @@ object Retrieval {
           (col("__tf") +
             (col("__dl") * b / col("__avgdl") + (1.0 - b)) * k1),
           6).as("__ts"))
-
     val scored = termScores.groupBy("query_id", "doc_id")
       .agg(round(sum("__ts"), 4).as("score"))
-
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("query_id", "doc_id", "score", "rk")
+  }
+
+  /** BM25 top-`k` docs per query, scored straight off the corpus.
+    * `queries` must be display-sized (broadcast). Returns
+    * (query_id, doc_id, score, rk) with rk 1..k. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val exploded = explodedTokens(docs, idCol, textCol)
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    val qtermSet = qterms.select("__term").distinct()
+    val stats = docs.select(size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
+    // document frequency, computed only for query terms: map-side
+    // broadcast filter, then a hits-sized distinct count
+    val dfreq = exploded.join(broadcast(qtermSet), Seq("__term"))
+      .groupBy("__term")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    // candidate postings: exploded corpus ⋈ broadcast query terms, tf per
+    // (query, doc, term) — the only corpus-wide pass, shuffle is hits-only
+    val hits = exploded.join(broadcast(qterms), Seq("__term"))
+      .groupBy("query_id", "doc_id", "__dl", "__term")
+      .agg(count(lit(1)).as("__tf"))
+    scoreRank(hits, dfreq, stats, k, k1, b)
+  }
+
+  /** Persist the inverted index for [[bm25IndexTopK]]: postings
+    * (term, doc_id, tf, dl) partitioned by `term_bucket` =
+    * pmod(xxhash64(term), nBuckets) — a probe's partition filter reads
+    * only its query terms' buckets — plus the one-row corpus stats.
+    * Document frequency is NOT stored: a posting row is one (doc, term)
+    * pair, so df is a count over the (already pruned) probe scan. Stats
+    * are kept as EXACT integer totals (doc count, token count) so that
+    * [[appendToTextIndex]] can update them losslessly — avgdl is derived
+    * at probe time and stays bit-identical to the live path's mean. */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    writePostings(docs, idCol, textCol, dir, nBuckets, overwrite = true)
+    statsOf(docs, idCol, textCol)
+      .withColumn("__nbuckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** APPEND a document batch to a [[buildTextIndex]] index — the text
+    * twin of the IVF index's FAISS-add() face (Similarity
+    * .appendToIvfIndex): the batch's postings land as new files inside
+    * the existing term-bucket partitions (existing postings are never
+    * rewritten; probes union whatever files a bucket holds), and the
+    * integer stats totals are summed, so a probe after build(A)+append(B)
+    * is bit-identical to build(A∪B). Appending the same doc twice
+    * duplicates its postings, exactly like FAISS add(). The stats
+    * overwrite is not crash-atomic; re-run the append on a fresh copy if
+    * a writer died mid-update. */
+  def appendToTextIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val old = spark.read.parquet(s"$dir/stats")
+      .select("__n", "__sumdl", "__nbuckets").head()
+    val nBuckets = old.getInt(2)
+    writePostings(newDocs, idCol, textCol, dir, nBuckets, overwrite = false)
+    statsOf(newDocs, idCol, textCol)
+      .select((col("__n") + old.getLong(0)).as("__n"),
+        (col("__sumdl") + old.getLong(1)).as("__sumdl"))
+      .withColumn("__nbuckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  private def writePostings(docs: DataFrame, idCol: String,
+      textCol: String, dir: String, nBuckets: Int,
+      overwrite: Boolean): Unit =
+    explodedTokens(docs, idCol, textCol)
+      .groupBy("doc_id", "__dl", "__term")
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("__term")), lit(nBuckets)))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+
+  private def statsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(size(toks(col(textCol))).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
+
+  /** BM25 top-`k` against a [[buildTextIndex]] index. The query term
+    * list (display-sized) is collected once to drive BOTH the partition
+    * filter (bucket pruning) and the row filter (`term IN ...`, pushed to
+    * the parquet scan) — the ivfIndexKnn pattern. Scores are identical
+    * to [[bm25TopK]] on the same corpus. */
+  def bm25IndexTopK(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, indexDir: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = queries.sparkSession
+    // materialized: feeds the driver-side term list AND the broadcast
+    // join side (the d8 lesson — don't recompute the explode twice)
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+      .localCheckpoint(true)
+    val terms = qterms.select("__term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val statsRaw = spark.read.parquet(s"$indexDir/stats")
+    // avgdl from the exact totals: sum/count is the same division the
+    // live path's avg() performs, so the two faces cannot drift
+    val stats = statsRaw.select(col("__n"),
+      (col("__sumdl").cast("double") / col("__n")).as("__avgdl"))
+    val nBuckets = statsRaw.select("__nbuckets").head().getInt(0)
+    // bucket ids via the engine's own hash — evaluated in a plan, not
+    // reimplemented driver-side, so build and probe can never drift
+    val buckets = qterms.select(
+        pmod(xxhash64(col("__term")), lit(nBuckets)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("__term").isin(terms: _*))
+    val dfreq = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val hits = postings.join(broadcast(qterms), Seq("__term"))
+      .select("query_id", "doc_id", "__dl", "__term", "__tf")
+    scoreRank(hits, dfreq, stats, k, k1, b)
   }
 }

@@ -209,4 +209,43 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) === ((2L, 1L, "unique third doc line of text")))
     assert(out(4L) === ((2L, 0L, "ok\nfourth doc says something unique")))
   }
+
+  test("crossCorpusNearDups finds batch-vs-reference dups, never " +
+      "intra-corpus pairs") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val batch = Seq(
+      (1L, text),                               // dup of ref 10
+      (2L, text + " slightly changed tail"),    // near-dup of ref 10
+      (3L, "completely different content with no overlap whatsoever at all"),
+      (4L, text))                               // intra-batch dup of 1 — NOT a result
+      .toDF("doc_id", "text")
+    val ref = Seq(
+      (10L, text),
+      (11L, text),                              // intra-ref dup of 10 — NOT a result
+      (12L, "unrelated reference material entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(batch, ref, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    // exact dups score 1.0 against BOTH identical reference docs
+    assert(pairs.contains((1L, 10L)) && pairs.contains((1L, 11L)))
+    assert(pairs.contains((4L, 10L)) && pairs.contains((4L, 11L)))
+    assert(got.filter(t => t._1 == 1L).forall(_._3 == 1.0))
+    // the unrelated docs pair with nothing
+    assert(!pairs.exists(_._1 == 3L))
+    assert(!pairs.exists(_._2 == 12L))
+    // never (batch, batch) or (ref, ref): every new_id from the batch,
+    // every ref_id from the reference
+    assert(pairs.forall { case (a, b) => a <= 4L && b >= 10L })
+  }
+
+  test("crossCorpusNearDups: overlapping id spaces stay distinguishable") {
+    val batch = Seq((1L, "shared duplicated text body here")).toDF("doc_id", "text")
+    val ref = Seq((1L, "shared duplicated text body here")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(batch, ref, "doc_id", "text",
+        threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1.0)))
+  }
 }

@@ -86,4 +86,84 @@ class RetrievalSpec extends SparkSuite {
         queries(1L -> "x"), "query_id", "qtext", k = 0)
     }
   }
+
+  test("persisted index reproduces live scoring exactly") {
+    val corpus = (0L until 100L).map(i =>
+      (i, s"tok${i % 13} tok${i % 7} shared words tok${i % 31}"))
+      .toDF("doc_id", "text")
+    val qs = queries(1L -> "tok3 shared", 2L -> "tok11 tok5", 3L -> "absent")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.buildTextIndex(corpus, "doc_id", "text", dir, nBuckets = 16)
+    val live = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        qs, "query_id", "qtext", k = 7)
+      .select("query_id", "doc_id", "score", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val idx = Retrieval.bm25IndexTopK(qs, "query_id", "qtext", dir, k = 7)
+      .select("query_id", "doc_id", "score", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(idx === live)
+    assert(live.nonEmpty)
+  }
+
+  test("append: build(A)+append(B) probes bit-identically to build(A∪B)") {
+    val corpus = (0L until 80L).map(i =>
+      (i, s"tok${i % 11} tok${i % 5} filler body tok${i % 23}"))
+      .toDF("doc_id", "text")
+    val (a, bPart) = (corpus.filter($"doc_id" < 50), corpus.filter($"doc_id" >= 50))
+    val qs = queries(1L -> "tok3 filler", 2L -> "tok7")
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    val inc = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    Retrieval.buildTextIndex(corpus, "doc_id", "text", full, nBuckets = 16)
+    Retrieval.buildTextIndex(a, "doc_id", "text", inc, nBuckets = 16)
+    Retrieval.appendToTextIndex(bPart, "doc_id", "text", inc)
+    def probe(dir: String) =
+      Retrieval.bm25IndexTopK(qs, "query_id", "qtext", dir, k = 9)
+        .select("query_id", "doc_id", "score", "rk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val (pf, pi) = (probe(full), probe(inc))
+    assert(pf === pi)
+    assert(pf.nonEmpty)
+    // appended docs are retrievable
+    assert(pf.exists(_._2 >= 50L))
+    // and the stats totals really summed (not overwritten by the batch)
+    val stats = spark.read.parquet(s"$inc/stats").head()
+    assert(stats.getLong(stats.fieldIndex("__n")) === 80L)
+  }
+
+  test("probing the index reads only the query terms' bucket partitions") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case r: ReusedExchangeExec => allScans(r.child)
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(allScans)
+    }
+    def postingsFiles(df: DataFrame): Long = {
+      df.collect()
+      allScans(df.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains("postings")))
+        .map(_.metrics("numFiles").value).sum
+    }
+    val corpus = (0L until 200L).map(i =>
+      (i, s"alpha$i beta${i % 5} gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25prune").toString
+    Retrieval.buildTextIndex(corpus, "doc_id", "text", dir, nBuckets = 32)
+    val all = {
+      val d = spark.read.parquet(s"$dir/postings")
+      d.collect()
+      allScans(d.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val probed = postingsFiles(Retrieval.bm25IndexTopK(
+      queries(1L -> "alpha17"), "query_id", "qtext", dir, k = 3))
+    assert(probed > 0, "no postings scan in the probe plan")
+    assert(probed < all, s"expected bucket pruning: $probed !< $all")
+  }
 }
