@@ -195,8 +195,10 @@ object Bench {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
       k = 8, iters = 2)
+    // pair list feeds TWO consumers (drop set + components) — materialize
     val pairs = Clustering.semanticDupPairs(emb, "vec_id", "embedding",
-      cents, threshold = 0.7)
+        cents, threshold = 0.7)
+      .localCheckpoint(true)
     // drop the higher id of every semantic near-dup pair, then prune the
     // most prototypical 30% of what survives
     val dropIds = pairs.select(col("id_b").as("vec_id")).distinct()

@@ -138,18 +138,28 @@ object Dedup {
       minhashSignatureFromText(docs, idCol, textCol, numHashes, n, maxChars),
       idCol, numHashes, bands)
       .select(col("band_idx"), col("band_val"), col(idCol).as(as))
+    // materialized: the candidate list feeds the reference-side semi
+    // filter AND the verify joins (the d8 lesson); it is batch-scaled
     val cand = banded(newDocs, "new_id")
       .join(banded(refDocs, "ref_id"), Seq("band_idx", "band_val"))
       .select("new_id", "ref_id").distinct()
+      .localCheckpoint(true)
     def sets(docs: DataFrame, id: String, s: String) = docs.select(
       col(idCol).as(id),
       graft.functions.ShingleSet.shingle_set(
         lower(substring(col(textCol), 1, maxChars)), n).as(s))
+    // shingle sets are the expensive per-doc step — restrict the
+    // reference side to candidate docs BEFORE computing them (semi-join
+    // on id, then project), so verify cost scales with the batch even
+    // though the reference corpus is the big side
+    val refCand = refDocs.join(
+      cand.select(col("ref_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
     val inter = graft.functions.SortedIntersectCount
       .sorted_intersect_count(col("__sa"), col("__sb"))
     cand
       .join(sets(newDocs, "new_id", "__sa"), Seq("new_id"))
-      .join(sets(refDocs, "ref_id", "__sb"), Seq("ref_id"))
+      .join(sets(refCand, "ref_id", "__sb"), Seq("ref_id"))
       .withColumn("__i", inter)
       .withColumn("jaccard", round(col("__i") /
         (size(col("__sa")) + size(col("__sb")) - col("__i")), 6))

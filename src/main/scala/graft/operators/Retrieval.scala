@@ -16,12 +16,13 @@ import org.apache.spark.sql.expressions.Window
   *    query terms' partitions (the IVF-index pattern applied to text).
   *
   * Scale shape (the part that must survive 100 TB):
-  *  - The query set is display-sized and is BROADCAST — once as
-  *    (query_id, term) pairs to filter postings map-side, and once as a
-  *    distinct-term set to scope the document-frequency count. The corpus
-  *    is never shuffled at corpus size: every shuffle in the plan (tf
-  *    counting, df counting, per-query score sum) carries only rows whose
-  *    term matched a query term.
+  *  - The query set is display-sized and is BROADCAST as
+  *    (query_id, term) pairs filtering the corpus map-side. The corpus
+  *    is never shuffled at corpus size and is scanned exactly ONCE per
+  *    face (stats aside): document frequency is derived from the
+  *    materialized hits, not a second corpus pass, and every shuffle in
+  *    the plan (tf counting, df counting, per-query score sum) carries
+  *    only rows whose term matched a query term.
   *  - Corpus statistics (N, avgdl) are a one-row aggregate cross-joined
   *    in, the same scalar-broadcast pattern the downsampler uses; the
   *    persisted index stores them at build time.
@@ -60,10 +61,23 @@ object Retrieval {
       explode(array_distinct(toks(col(queryTextCol)))).as("__term"))
 
   /** Shared scoring tail: `hits` = (query_id, doc_id, __dl, __term, __tf)
-    * restricted to query terms, `dfreq` = (__term, __df), `stats` = one
-    * row (__n, __avgdl). */
-  private def scoreRank(hits: DataFrame, dfreq: DataFrame,
-      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    * restricted to query terms, `stats` = one row (__n, __avgdl).
+    *
+    * TWO consumers read `hits`: the document-frequency count and the
+    * scoring join — df comes from the hits themselves
+    * (`countDistinct(doc_id)` per term — every doc containing a query
+    * term is present regardless of which query matched), never from a
+    * second corpus pass. The live path materializes hits once
+    * (`localCheckpoint` — hits-sized, never corpus-sized) so the corpus
+    * scan feeding them runs ONCE (the d8 lesson); the index path skips
+    * the checkpoint — its input is the already-pruned postings scan,
+    * cheap to read twice and better left visible to partition pruning
+    * and plan inspection. */
+  private def scoreRank(hitsRaw: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double, materializeHits: Boolean): DataFrame = {
+    val hits = if (materializeHits) hitsRaw.localCheckpoint(true) else hitsRaw
+    val dfreq = hits.groupBy("__term")
+      .agg(countDistinct(col("doc_id")).as("__df"))
     val idf = dfreq.crossJoin(broadcast(stats))
       .select(col("__term"),
         log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
@@ -95,22 +109,16 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val exploded = explodedTokens(docs, idCol, textCol)
-    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
-    val qtermSet = qterms.select("__term").distinct()
     val stats = docs.select(size(toks(col(textCol))).as("__dl"))
       .agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
-    // document frequency, computed only for query terms: map-side
-    // broadcast filter, then a hits-sized distinct count
-    val dfreq = exploded.join(broadcast(qtermSet), Seq("__term"))
-      .groupBy("__term")
-      .agg(countDistinct(col("doc_id")).as("__df"))
     // candidate postings: exploded corpus ⋈ broadcast query terms, tf per
     // (query, doc, term) — the only corpus-wide pass, shuffle is hits-only
-    val hits = exploded.join(broadcast(qterms), Seq("__term"))
+    val hits = explodedTokens(docs, idCol, textCol)
+      .join(broadcast(queryTerms(queries, queryIdCol, queryTextCol)),
+        Seq("__term"))
       .groupBy("query_id", "doc_id", "__dl", "__term")
       .agg(count(lit(1)).as("__tf"))
-    scoreRank(hits, dfreq, stats, k, k1, b)
+    scoreRank(hits, stats, k, k1, b, materializeHits = true)
   }
 
   /** Persist the inverted index for [[bm25IndexTopK]]: postings
@@ -198,12 +206,11 @@ object Retrieval {
     val buckets = qterms.select(
         pmod(xxhash64(col("__term")), lit(nBuckets)).as("__b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val hits = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("__term").isin(terms: _*))
-    val dfreq = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
-    val hits = postings.join(broadcast(qterms), Seq("__term"))
+      .join(broadcast(qterms), Seq("__term"))
       .select("query_id", "doc_id", "__dl", "__term", "__tf")
-    scoreRank(hits, dfreq, stats, k, k1, b)
+    scoreRank(hits, stats, k, k1, b, materializeHits = false)
   }
 }
