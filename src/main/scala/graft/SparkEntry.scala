@@ -1422,6 +1422,53 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     },
 
+    // V1: hashed TF-IDF document vectors (feature hashing, HashingTF
+    // shape) — text → fixed-dim vector with NO vocabulary collection;
+    // the dense face feeds the k-means/ANN/SemDeDup ladder in place of
+    // the embeddings table. Oracle compares the sparse explosion of the
+    // dense vector (slot hash = the cross-engine md5-nibble idiom)
+    "v1_tfidf_vectors" -> { (s, dir) =>
+      import graft.operators.Vectorize
+      val docs = table(s, dir, "documents")
+      Vectorize.tfidfVectors(docs, "doc_id", "text", dim = 64)
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("slot", "weight")))
+        .filter(col("weight") =!= 0.0)
+        .select(col("doc_id"), col("slot").cast("long").as("slot"),
+          col("weight"))
+        .orderBy("doc_id", "slot")
+    },
+
+    // R3: TF-IDF cosine top-k — the VECTOR twin of r1's BM25 over the
+    // same probe queries: query vectors broadcast, corpus side joined
+    // only on active slots, ranking windowed by query. Lexical (r1) and
+    // vector (r3) retrieval from one corpus scan family
+    "r3_tfidf_knn" -> { (s, dir) =>
+      import graft.operators.Vectorize
+      val docs = table(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          trim(substring(col("text"), 40, 60)).as("qtext"))
+      Vectorize.tfidfKnn(docs, "doc_id", "text",
+          queries, "query_id", "qtext", dim = 64, k = 10)
+        .orderBy("query_id", "rk")
+    },
+
+    // CL1: trained text classifier — multinomial Naive Bayes (the
+    // in-engine analog of the fastText-style corpus-gating classifiers:
+    // CCNet LM filter, DCLM quality model). Train = one groupBy pass on
+    // the 4/5 holdout; model = broadcast (vocab × classes) grid; score =
+    // map-side join over the 1/5 test split. Integer-scaled log-space
+    // sums make the scores bit-exact across engines
+    "cl1_nb_classify" -> { (s, dir) =>
+      import graft.operators.Classify
+      val docs = table(s, dir, "documents")
+      val model = Classify.nbFit(docs.filter(col("doc_id") % 5 =!= 0),
+        "lang", "text", vocabSize = 24, alpha = 1.0)
+      Classify.nbPredict(model, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // T7: unigram-LM quality score (CCNet-style) — train token
     // frequencies on sources ≠ src0, score EVERY doc by average negative
     // log-likelihood; src0-only vocabulary pays the smoothed OOV floor
@@ -1911,6 +1958,31 @@ object SparkEntry {
       |  FROM sc)
       |SELECT query_id, doc_id, score, rk FROM rk
       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** `termSlot` (Vectorize) in DuckDB terms: first 4 md5 nibbles of
+    * `expr` parsed base-16 via strpos, mod `dim`. */
+  private def slotSql(expr: String, dim: Int): String =
+    s"""(  (strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 4096
+       | + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1) * 256
+       | + (strpos('0123456789abcdef', substr(md5($expr), 3, 1)) - 1) * 16
+       | + (strpos('0123456789abcdef', substr(md5($expr), 4, 1)) - 1)
+       |) % $dim""".stripMargin
+
+  /** Corpus-side TF-IDF CTEs shared by v1 and r3: slot-hashed token
+    * counts `tfv`, slot idf `idfv`, sparse weights `wv`. */
+  private val TfidfCtes =
+    s"""vtk AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |  FROM documents),
+       |vsl AS (SELECT doc_id, ${slotSql("term", 64)} AS slot FROM vtk),
+       |tfv AS (SELECT doc_id, slot, count(*) AS tf FROM vsl GROUP BY 1, 2),
+       |nv AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |idfv AS (
+       |  SELECT slot, ln(1 + nv.n / count(DISTINCT doc_id)) AS idf
+       |  FROM tfv CROSS JOIN nv GROUP BY slot, nv.n),
+       |wv AS (
+       |  SELECT doc_id, slot, round(tf * idf, 6) AS weight
+       |  FROM tfv JOIN idfv USING (slot))""".stripMargin
 
   private val SigCte =
     "sig AS (SELECT doc_id, " +
@@ -3197,6 +3269,94 @@ object SparkEntry {
     "r1_bm25_topk" -> Bm25OracleSql,
 
     "r2_bm25_index_topk" -> Bm25OracleSql,
+
+    "v1_tfidf_vectors" ->
+      s"""WITH $TfidfCtes
+        |SELECT doc_id, CAST(slot AS BIGINT) AS slot, weight
+        |FROM wv ORDER BY doc_id, slot""".stripMargin,
+
+    "r3_tfidf_knn" ->
+      s"""WITH $TfidfCtes,
+        |cnv AS (SELECT doc_id, sqrt(sum(weight * weight)) AS cn
+        |        FROM wv GROUP BY 1),
+        |qv AS (
+        |  SELECT doc_id AS query_id, trim(substr(text, 40, 60)) AS qtext
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qtk AS (
+        |  SELECT query_id,
+        |    unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+        |  FROM qv),
+        |qsl AS (SELECT query_id, ${slotSql("term", 64)} AS slot FROM qtk),
+        |qtf AS (SELECT query_id, slot, count(*) AS qtf
+        |        FROM qsl GROUP BY 1, 2),
+        |qw AS (
+        |  SELECT query_id, slot, round(qtf * idf, 6) AS qw
+        |  FROM qtf JOIN idfv USING (slot)),
+        |qn AS (SELECT query_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY 1),
+        |dots AS (
+        |  SELECT query_id, wv.doc_id, sum(wv.weight * qw.qw) AS dot
+        |  FROM wv JOIN qw USING (slot) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT query_id, doc_id, round(dot / (cnv.cn * qn.qn), 6) AS cos
+        |  FROM dots JOIN cnv USING (doc_id) JOIN qn USING (query_id)),
+        |rkv AS (
+        |  SELECT query_id, doc_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT query_id, doc_id, cos, rk FROM rkv
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "cl1_nb_classify" ->
+      """WITH tr AS (
+        |  SELECT doc_id, lang AS label, text FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT label, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM tr),
+        |vocab AS (
+        |  SELECT term FROM (SELECT term, count(*) AS c FROM tok GROUP BY 1)
+        |  ORDER BY c DESC, term LIMIT 24),
+        |counts AS (
+        |  SELECT label, term, count(*) AS tc
+        |  FROM tok JOIN vocab USING (term) GROUP BY 1, 2),
+        |totals AS (SELECT label, sum(tc) AS tot FROM counts GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM tr),
+        |pri AS (
+        |  SELECT label,
+        |    CAST(floor(ln(count(*) / nd.nd) * 1000000 + 0.5) AS BIGINT)
+        |      AS prior6
+        |  FROM tr CROSS JOIN nd GROUP BY label, nd.nd),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |grid AS (
+        |  SELECT p.label, vc.term,
+        |    CAST(floor(ln((coalesce(c.tc, 0) + 1.0)
+        |      / (coalesce(t.tot, 0) + 1.0 * vs.v)) * 1000000 + 0.5)
+        |      AS BIGINT) AS lik6,
+        |    p.prior6
+        |  FROM pri p
+        |  LEFT JOIN totals t USING (label)
+        |  CROSS JOIN vocab vc CROSS JOIN vs
+        |  LEFT JOIN counts c ON c.label = p.label AND c.term = vc.term),
+        |dtok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM te),
+        |hits AS (
+        |  SELECT doc_id, label, sum(lik6) AS lik
+        |  FROM dtok JOIN grid USING (term) GROUP BY 1, 2),
+        |gsc AS (
+        |  SELECT te.doc_id, p.label,
+        |    (p.prior6 + coalesce(h.lik, 0)) / 1000000.0 AS score
+        |  FROM te CROSS JOIN pri p
+        |  LEFT JOIN hits h ON h.doc_id = te.doc_id AND h.label = p.label),
+        |best AS (
+        |  SELECT doc_id, label, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label) AS rn
+        |  FROM gsc)
+        |SELECT doc_id, label, score FROM best
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "t7_unigram_logloss" ->
       """WITH ref AS (

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Trained text classifier — multinomial Naive Bayes with Laplace
+  * smoothing, the in-engine analog of the fastText-style quality/domain
+  * classifiers that gate modern pretraining corpora (CCNet's LM filter,
+  * DCLM's fastText quality model, LLaMA's Wikipedia-reference
+  * classifier): train on a labeled subset, score the whole corpus, route
+  * documents by predicted label.
+  *
+  * Naive Bayes is the classifier whose TRAINING is an aggregation — one
+  * groupBy pass over the training tokens yields the entire model — which
+  * makes it the distributed-scan-native choice: no gradient iterations,
+  * no parameter server, and the fitted model is a (vocab × classes) grid
+  * small enough to BROADCAST, so scoring is a map-side join over the
+  * corpus (the same broadcast-model shape the IVF probe and BM25 query
+  * set use).
+  *
+  * Model (α = Laplace smoothing, V = vocab size):
+  *  - vocab      = top-V training terms by (count DESC, term ASC) —
+  *    deterministic, and the cap is what keeps the model broadcastable
+  *    when the raw vocabulary is web-scale
+  *  - prior(c)   = ln(docs_c / docs_total)
+  *  - lik(t, c)  = ln((count(t, c) + α) / (tokens_c + α·V)) for EVERY
+  *    (vocab term, class) pair — the complete smoothed grid, so unseen
+  *    (t, c) combinations score α-mass, not −∞
+  *  - score(d,c) = prior(c) + Σ_{t ∈ d ∩ vocab} lik(t, c); out-of-vocab
+  *    tokens are dropped (the standard multinomial-NB convention)
+  *
+  * Determinism contract (cross-engine, DuckDB-oracle-able): every ln()
+  * is scaled to a 6-decimal LONG (floor(v·1e6 + 0.5)) at model-build
+  * time, and document scores are summed in integer space — bit-exact in
+  * any engine regardless of addition order — then divided back to a
+  * double only for display. Prediction ties break (score DESC, label
+  * ASC). Docs with zero in-vocab tokens are scored on priors alone.
+  */
+object Classify {
+
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  /** ln(x) as a 6-decimal-scaled long — exact integer the moment it is
+    * computed, so downstream sums are order-independent. */
+  private def lnScaled(x: Column): Column =
+    floor(log(x) * 1000000.0 + 0.5).cast("long")
+
+  /** Fit the model: returns the complete (label, term, lik6, prior6)
+    * grid — V·C rows, broadcast-sized by construction. `lik6`/`prior6`
+    * are the 6-decimal-scaled-long log-likelihood / log-prior. */
+  def nbFit(train: DataFrame, labelCol: String, textCol: String,
+      vocabSize: Int, alpha: Double = 1.0): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val tok = train.select(col(labelCol).as("label"),
+        explode(toks(col(textCol))).as("term"))
+      .localCheckpoint(true) // token-scale of the TRAIN SUBSET; feeds
+                             // vocab, class counts, and term counts
+    // top-V terms by (global count DESC, term ASC) — a V-row relation
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select("term")
+    // per-(class, vocab-term) counts; in-vocab only
+    val counts = tok.join(broadcast(vocab), Seq("term"))
+      .groupBy("label", "term").agg(count(lit(1)).as("__tc"))
+    // per-class in-vocab token totals, derived FROM counts (no 2nd pass)
+    val totals = counts.groupBy("label").agg(sum("__tc").as("__tot"))
+    // priors over training docs
+    val nDocs = train.select(count(lit(1)).as("__nd"))
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__dc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("label"),
+        lnScaled(col("__dc").cast("double") / col("__nd")).as("prior6"))
+    // V (actual vocab size — min(vocabSize, distinct terms)) for the
+    // smoothing denominator, as a one-row broadcast
+    val vSize = vocab.agg(count(lit(1)).as("__v"))
+    // complete grid: every class × every vocab term, zero-filled (a
+    // class with zero in-vocab tokens still gets its smoothed grid)
+    priors.join(totals, Seq("label"), "left")
+      .withColumn("__tot", coalesce(col("__tot"), lit(0L)))
+      .crossJoin(broadcast(vocab))
+      .join(counts, Seq("label", "term"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("label"), col("term"),
+        lnScaled((coalesce(col("__tc"), lit(0L)) + alpha) /
+          (col("__tot") + lit(alpha) * col("__v"))).as("lik6"),
+        col("prior6"))
+  }
+
+  /** Score `test` against a fitted model and keep the arg-max class per
+    * doc: (doc_id, label, score) with score = (prior6 + Σ lik6) / 1e6.
+    * The model is broadcast; the corpus-side shuffle carries only
+    * (doc, class) partial sums. */
+  def nbPredict(model: DataFrame, test: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docTok = test.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("term"))
+    // in-vocab token hits × classes: C rows per hit, summed per (doc, c)
+    val hitSums = docTok.join(broadcast(model), Seq("term"))
+      .groupBy("doc_id", "label").agg(sum(col("lik6")).as("__lik"))
+    // every doc scores every class — docs with no vocab hits fall back
+    // to priors alone (left join from the doc × class grid)
+    val priors = model.select("label", "prior6").distinct()
+    val grid = test.select(col(idCol).as("doc_id")).crossJoin(broadcast(priors))
+    val scored = grid.join(hitSums, Seq("doc_id", "label"), "left")
+      .select(col("doc_id"), col("label"),
+        ((col("prior6") + coalesce(col("__lik"), lit(0L))) / 1000000.0)
+          .as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "label", "score")
+  }
+}

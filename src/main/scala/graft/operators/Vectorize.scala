@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Hashed TF-IDF document vectors — text → fixed-dim vector entirely
+  * in-engine, no external embedder.
+  *
+  * This closes the loop between the text operators and the vector ladder:
+  * `documents.text` becomes an `Array[Double]` column that feeds the same
+  * k-means / ANN / SemDeDup / prototype-pruning machinery the
+  * `embeddings` table does. Feature hashing (Weinberger et al. 2009, the
+  * `HashingTF` idea) instead of a vocabulary: `slot(term) = md5-prefix
+  * mod dim`, so the feature space is FIXED at `dim` and no vocab is ever
+  * collected, broadcast, or synchronized — the property that matters at
+  * 100 TB, where a vocabulary is unbounded but a hash is free. The hash
+  * is the repo's cross-engine md5-nibble idiom (Sampling.digestInt), so
+  * a DuckDB oracle reproduces every slot exactly.
+  *
+  * Definitions are at SLOT granularity (true feature hashing — colliding
+  * terms pool their counts BEFORE weighting):
+  *  - `tf(d, s)`  = token occurrences of doc `d` hashing to slot `s`
+  *  - `df(s)`     = number of docs with `tf(d, s) > 0`
+  *  - `idf(s)`    = ln(1 + N / df(s))          (N = corpus doc count)
+  *  - `w(d, s)`   = round(tf · idf, 6)         (round-before-use rule)
+  *
+  * Scale shape:
+  *  - ONE corpus scan: explode → partial-agg'd groupBy(doc, slot). The
+  *    tf relation is bounded by docs × dim (NOT token count) and is
+  *    localCheckpoint'ed because two consumers read it (df and the
+  *    weight join — the d8 lesson); at 100 TB that is metadata scale
+  *    relative to the corpus (docs × dim × 16 B).
+  *  - df/idf is a dim-row aggregate, broadcast into the weight join.
+  *  - [[tfidfKnn]] is the vector twin of BM25 ([[Retrieval.bm25TopK]]):
+  *    query vectors broadcast, the corpus side never shuffled at corpus
+  *    size (the dot-product join carries only rows whose slot is active
+  *    in some query), ranking windowed BY QUERY.
+  */
+object Vectorize {
+
+  /** `slot(term)` — first 4 md5 hex nibbles parsed base-16 (locate/substr
+    * only, the cross-engine idiom), mod `dim`. Uniform in [0, dim). */
+  def termSlot(term: Column, dim: Int): Column = {
+    val digest = md5(term)
+    val v = (1 to 4).map { i =>
+      (call_function("locate", substring(digest, i, 1),
+        lit("0123456789abcdef")) - 1) * lit(1L << (4 * (4 - i)))
+    }.reduce(_ + _)
+    pmod(v, lit(dim.toLong))
+  }
+
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  /** (doc_id, slot) — one row per corpus token, slot-hashed. */
+  private def explodedSlots(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("__term"))
+      .select(col("doc_id"), termSlot(col("__term"), dim).as("slot"))
+
+  /** Sparse TF-IDF: (doc_id, slot, weight) for slots with tf > 0.
+    * The canonical output — the oracle compares this shape, and the
+    * dense face explodes from it. `dim` ≤ 65536 (4 md5 nibbles). */
+  def tfidfSparse(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
+    // docs × dim-bounded; checkpointed: df AND the weight join read it
+    val tf = explodedSlots(docs, idCol, textCol, dim)
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val n = docs.select(countDistinct(col(idCol)).as("__n"))
+    val idf = tf.groupBy("slot")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .crossJoin(broadcast(n))
+      .select(col("slot"), log(lit(1.0) + col("__n") / col("__df"))
+        .as("__idf"))
+    tf.join(broadcast(idf), Seq("slot"))
+      .select(col("doc_id"), col("slot"),
+        round(col("__tf") * col("__idf"), 6).as("weight"))
+  }
+
+  /** Dense TF-IDF vectors: (doc_id, vec Array[Double] of length `dim`) —
+    * the column shape the k-means / ANN / SemDeDup ladder consumes in
+    * place of `embeddings.embedding`. */
+  def tfidfVectors(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    tfidfSparse(docs, idCol, textCol, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("weight"))))
+        .as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          s => coalesce(element_at(col("__m"), s), lit(0.0))).as("vec"))
+
+  /** Top-`k` corpus docs per query by TF-IDF cosine — the VECTOR twin of
+    * [[Retrieval.bm25TopK]] (same probe-query contract, same ranking
+    * rule), running on nothing but the corpus text.
+    *
+    * Query vectors use the CORPUS idf (the standard IR convention);
+    * query slots with no corpus df are dropped — they cannot contribute
+    * to any dot product, and dropping them from the query norm keeps the
+    * norm computable from corpus statistics alone. Ranking considers
+    * docs sharing ≥1 active slot with the query (cosine 0 docs can never
+    * reach a positive-cosine top-k). Ties: (cos DESC, doc_id ASC), the
+    * repo-wide rounded-before-ranked rule.
+    *
+    * Returns (query_id, doc_id, cos, rk), rk 1..k. */
+  def tfidfKnn(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      dim: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // corpus sparse weights materialized ONCE: three consumers (corpus
+    // norms, idf-for-queries via tfidfSparse's own checkpoint, dot join)
+    val cs = tfidfSparse(docs, idCol, textCol, dim).localCheckpoint(true)
+    val cn = cs.groupBy("doc_id")
+      .agg(sqrt(sum(col("weight") * col("weight"))).as("__cn"))
+    // query tf over the same slot hash, weighted by corpus idf — derive
+    // idf from the corpus sparse rows (weight = tf·idf, so idf at any
+    // (doc, slot) is weight/tf; cheaper to recompute from df)
+    val n = docs.select(countDistinct(col(idCol)).as("__n"))
+    val idf = cs.groupBy("slot")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .crossJoin(broadcast(n))
+      .select(col("slot"), log(lit(1.0) + col("__n") / col("__df"))
+        .as("__idf"))
+    val qs = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(toks(col(queryTextCol))).as("__term"))
+      .select(col("query_id"), termSlot(col("__term"), dim).as("slot"))
+      .groupBy("query_id", "slot").agg(count(lit(1)).as("__qtf"))
+      .join(idf, Seq("slot"))
+      .select(col("query_id"), col("slot"),
+        round(col("__qtf") * col("__idf"), 6).as("__qw"))
+      .localCheckpoint(true) // display-sized; feeds qnorm AND the dot join
+    val qn = qs.groupBy("query_id")
+      .agg(sqrt(sum(col("__qw") * col("__qw"))).as("__qn"))
+    val dots = cs.join(broadcast(qs), Seq("slot"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("weight") * col("__qw")).as("__dot"))
+    val scored = dots
+      .join(cn, Seq("doc_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("__dot") / (col("__cn") * col("__qn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "cos", "rk")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Multinomial Naive Bayes: model math, smoothing, vocab cap, OOV and
+  * no-hit semantics, tie-breaks. */
+class ClassifySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val train = Seq(
+    ("spam", "buy pills now"),
+    ("spam", "buy now buy"),
+    ("ham", "meeting notes today"),
+    ("ham", "notes for the meeting")
+  ).toDF("label", "text")
+
+  private def ln6(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+
+  test("model grid is complete and matches hand-computed smoothing") {
+    val m = Classify.nbFit(train, "label", "text", vocabSize = 100)
+    val rows = m.collect().map(r =>
+      ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // vocab = all 8 distinct terms; every (class, term) pair present
+    assert(rows.size == 16)
+    // priors: 2/4 each
+    assert(rows(("spam", "buy"))._2 == ln6(0.5))
+    assert(rows(("ham", "buy"))._2 == ln6(0.5))
+    // spam tokens: buy=3, pills=1, now=2 → total 6; V=8
+    assert(rows(("spam", "buy"))._1 == ln6((3.0 + 1) / (6 + 8)))
+    assert(rows(("spam", "meeting"))._1 == ln6(1.0 / 14))
+    // ham tokens: meeting=2, notes=2, today=1, for=1, the=1 → total 7
+    assert(rows(("ham", "meeting"))._1 == ln6(3.0 / 15))
+  }
+
+  test("vocab cap keeps the top-V terms by (count desc, term asc)") {
+    val m = Classify.nbFit(train, "label", "text", vocabSize = 3)
+    val vocab = m.select("term").distinct().as[String].collect().toSet
+    // counts: buy 3, meeting 2, notes 2, now 2 → top-3 ties broken
+    // alphabetically: buy, meeting, notes
+    assert(vocab == Set("buy", "meeting", "notes"))
+  }
+
+  test("prediction picks the argmax class; OOV tokens are ignored") {
+    val m = Classify.nbFit(train, "label", "text", vocabSize = 100)
+    val test = Seq((1L, "buy pills"), (2L, "meeting notes"),
+      (3L, "unseen words only")).toDF("doc_id", "text")
+    val byId = Classify.nbPredict(m, test, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(byId(1L)._1 == "spam")
+    assert(byId(2L)._1 == "ham")
+    // doc 3: no vocab hits → priors only → tie at ln(0.5) → label asc
+    assert(byId(3L)._1 == "ham")
+    assert(byId(3L)._2 == ln6(0.5) / 1e6)
+  }
+
+  test("scores are exact integer-scaled log sums") {
+    val m = Classify.nbFit(train, "label", "text", vocabSize = 100)
+    val test = Seq((1L, "buy buy pills")).toDF("doc_id", "text")
+    val out = Classify.nbPredict(m, test, "doc_id", "text").collect().head
+    val expected = (ln6(0.5) + 2 * ln6(4.0 / 14) + ln6(2.0 / 14)) / 1e6
+    assert(out.getString(1) == "spam")
+    assert(out.getDouble(2) == expected)
+  }
+
+  test("a class absent from the vocab-hit space still scores") {
+    // vocab restricted so one class owns all vocab terms
+    val skew = Seq(("a", "x x x"), ("b", "y")).toDF("label", "text")
+    val m = Classify.nbFit(skew, "label", "text", vocabSize = 1) // vocab = {x}
+    val test = Seq((1L, "y y")).toDF("doc_id", "text")
+    // y is OOV → priors only: a has 2/3 of docs? no — 1/2 each; tie → "a"
+    val out = Classify.nbPredict(m, test, "doc_id", "text").collect().head
+    assert(out.getString(1) == "a")
+  }
+}
