@@ -1422,6 +1422,27 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     },
 
+    // D17: quality-aware cluster collapse — keep each duplicate
+    // cluster's BEST-quality member (RefinedWeb-style), not an arbitrary
+    // one: d6's connected components + t2's quality score + one window
+    // per cluster. Singletons represent themselves, so this is a total
+    // keep/drop decision over the corpus
+    "d17_cluster_representatives" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
+        numHashes = 8, n = 3)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8,
+        bands = 8, maxBucketSize = 5000)
+      val dup = Dedup.jaccardFromText(pairs, docs, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+      val comps = Dedup.connectedComponents(dup)
+      val q = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.clusterRepresentatives(docs, "doc_id", q, "quality_score",
+          comps)
+        .orderBy("doc_id")
+    },
+
     // V1: hashed TF-IDF document vectors (feature hashing, HashingTF
     // shape) — text → fixed-dim vector with NO vocabulary collection;
     // the dense face feeds the k-means/ANN/SemDeDup ladder in place of
@@ -1466,6 +1487,24 @@ object SparkEntry {
         "lang", "text", vocabSize = 24, alpha = 1.0)
       Classify.nbPredict(model, docs.filter(col("doc_id") % 5 === 0),
           "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // X3: text → semantic curation with NO external embedder — the
+    // closed loop the v1 vectorizer exists for: hashed TF-IDF vectors →
+    // trained k-means cells → SSL-prototype pruning (d14's op over text-
+    // derived vectors). Unlike x1/x2 (bench-only composites), the whole
+    // chain is DuckDB-oracle-able end-to-end
+    "x3_text_semantic_pipeline" -> { (s, dir) =>
+      import graft.operators.{Clustering, Vectorize}
+      val docs = table(s, dir, "documents")
+      val vecs = Vectorize.tfidfVectors(docs, "doc_id", "text", dim = 64)
+        .localCheckpoint(true) // feeds seed filter, assigns, prune
+      val cents = Clustering.kmeansFit(vecs, "doc_id", "vec",
+        k = 8, iters = 3)
+      Clustering.prototypesPrune(vecs, "doc_id", "vec", cents,
+          pruneFrac = 0.3)
+        .withColumn("proto_rank", col("proto_rank").cast("long"))
         .orderBy("doc_id")
     },
 
@@ -2018,7 +2057,7 @@ object SparkEntry {
     * cell map) always runs unfiltered — the oracle shape of
     * train-on-old / assign-everything index appends (k10). */
   private def kmeansOracleCtes(k: Int, iters: Int,
-      trainWhere: String = ""): String = {
+      trainWhere: String = "", source: String = "embeddings"): String = {
     def assign(i: Int): String = {
       val pred = if (trainWhere.nonEmpty && i <= iters)
         s"\n  WHERE $trainWhere" else ""
@@ -2028,13 +2067,13 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |      round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
          |      c.cell_id ASC) AS rn
-         |  FROM embeddings e CROSS JOIN c${i - 1} c$pred)""".stripMargin
+         |  FROM $source e CROSS JOIN c${i - 1} c$pred)""".stripMargin
     }
     val init =
       s"""c0 AS (
          |  SELECT vec_id AS cell_id,
          |    list_transform(embedding, v -> v::DOUBLE) AS centroid
-         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+         |  FROM $source WHERE vec_id < $k)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""${assign(i)},
          |m$i AS (
@@ -3270,6 +3309,66 @@ object SparkEntry {
 
     "r2_bm25_index_topk" -> Bm25OracleSql,
 
+    "d17_cluster_representatives" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$SigCte,
+         |$BandedPairsCte,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN dsh a ON a.doc_id = p.id_a
+         |  JOIN dsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p
+         |  LEFT JOIN inter i USING (id_a, id_b)
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b
+         |  WHERE round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.5),
+         |edges AS (
+         |  SELECT id_a, id_b FROM dup
+         |  UNION ALL SELECT id_b, id_a FROM dup),
+         |reach(id, cluster) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.cluster FROM edges e JOIN reach r ON r.id = e.id_b),
+         |comp AS (SELECT id, min(cluster) AS cluster FROM reach GROUP BY id),
+         |qt AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS toks,
+         |    len(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
+         |  FROM documents),
+         |qc AS (
+         |  SELECT doc_id, len(toks) AS n_tokens, alpha_len,
+         |    ${graft.operators.TextAnalysis.StopwordMarkers.values.flatten.toSeq.distinct
+              .map(w => s"len(list_filter(toks, x -> x = '$w'))").mkString(" + ")} AS stop_cnt
+         |  FROM qt),
+         |qs AS (
+         |  SELECT doc_id,
+         |    floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+         |      (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE)) * 0.3 +
+         |      least(alpha_len / CAST(n_tokens AS DOUBLE) / 8.0, 1.0) * 0.3)
+         |      * 1000000 + 0.5) / 1000000 AS quality_score
+         |  FROM qc),
+         |scd AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         |    q.quality_score
+         |  FROM documents d
+         |  LEFT JOIN comp c ON c.id = d.doc_id
+         |  JOIN qs q USING (doc_id)),
+         |repd AS (
+         |  SELECT cluster, doc_id AS rep_id FROM (
+         |    SELECT cluster, doc_id,
+         |      row_number() OVER (PARTITION BY cluster
+         |        ORDER BY quality_score DESC, doc_id) AS rn
+         |    FROM scd) WHERE rn = 1)
+         |SELECT s.doc_id, s.cluster, s.quality_score, r.rep_id,
+         |  s.doc_id = r.rep_id AS keep
+         |FROM scd s JOIN repd r USING (cluster) ORDER BY s.doc_id""".stripMargin,
+
     "v1_tfidf_vectors" ->
       s"""WITH $TfidfCtes
         |SELECT doc_id, CAST(slot AS BIGINT) AS slot, weight
@@ -3357,6 +3456,28 @@ object SparkEntry {
         |  FROM gsc)
         |SELECT doc_id, label, score FROM best
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "x3_text_semantic_pipeline" ->
+      s"""WITH $TfidfCtes,
+        |dvg AS (
+        |  SELECT d.doc_id, s.slot, coalesce(w.weight, 0.0) AS wgt
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS slot) s
+        |  LEFT JOIN wv w ON w.doc_id = d.doc_id AND w.slot = s.slot),
+        |temb AS (
+        |  SELECT doc_id AS vec_id, list(wgt ORDER BY slot) AS embedding
+        |  FROM dvg GROUP BY doc_id),
+        |${kmeansOracleCtes(k = 8, iters = 3, source = "temb")},
+        |sel3 AS (SELECT vec_id, cell_id, ccos FROM a4 WHERE rn = 1),
+        |rk3 AS (
+        |  SELECT vec_id, cell_id, ccos,
+        |    CAST(row_number() OVER (PARTITION BY cell_id
+        |      ORDER BY ccos DESC, vec_id) AS BIGINT) AS proto_rank,
+        |    count(*) OVER (PARTITION BY cell_id) AS n_cell
+        |  FROM sel3)
+        |SELECT vec_id AS doc_id, cell_id, ccos, proto_rank, n_cell,
+        |  proto_rank > ceil(0.3 * n_cell) AS keep
+        |FROM rk3 ORDER BY doc_id""".stripMargin,
 
     "t7_unigram_logloss" ->
       """WITH ref AS (

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Document deduplication operators for large-scale training-data pipelines
   * (beyond-reference scope, SURVEY.md §7.4): exact, MinHash+LSH, SimHash,
@@ -425,6 +426,41 @@ object Dedup {
       when(h.isin("c", "d"), "val")
         .when(h.isin("e", "f"), "test")
         .otherwise("train"))
+  }
+
+  /** Quality-aware cluster collapse: pick each duplicate cluster's
+    * REPRESENTATIVE by a score (quality, length, recency) instead of
+    * keeping an arbitrary member — what production curation actually
+    * does (RefinedWeb keeps the best copy of a near-dup group, not the
+    * lowest-id one). Docs outside any cluster are their own singleton
+    * representative, so the output is a total keep/drop decision over
+    * the corpus.
+    *
+    * `scores` = (idCol, scoreCol); `components` = connectedComponents
+    * output (id, cluster). Representative = max score, ties to the
+    * smaller id. Scale shape: one left join to attach clusters (docs ⋈
+    * cluster labels, both id-keyed), one window partitioned by cluster
+    * (parallelism = #clusters, each partition one duplicate group), and
+    * the rank-1 rows joined back broadcast-free on the cluster key —
+    * nothing is ever corpus × corpus.
+    *
+    * Returns (idCol, cluster, scoreCol, rep_id, keep). */
+  def clusterRepresentatives(docs: DataFrame, idCol: String,
+      scores: DataFrame, scoreCol: String,
+      components: DataFrame): DataFrame = {
+    val withCluster = docs.select(col(idCol))
+      .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val reps = withCluster
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col(idCol).as("rep_id"))
+    withCluster.join(reps, Seq("cluster"))
+      .select(col(idCol), col("cluster"), col(scoreCol), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("keep"))
   }
 
   /** Duplicate-passage detection (substring-level dedup): find the token

@@ -248,4 +248,26 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 1L, 1.0)))
   }
+
+  test("clusterRepresentatives keeps the best-scored member per cluster; " +
+      "singletons keep themselves") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    // clusters: {1,2,3} and {4}; 5 is unclustered (singleton)
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5), (5L, 0.1))
+      .toDF("doc_id", "score")
+    val out = Dedup.clusterRepresentatives(corpus, "doc_id", scores,
+        "score", comps)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // tie at 0.9 between 2 and 3 → smaller id (2) represents
+    assert(out(1L) == ((1L, 2L, false)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 2L, false)))
+    assert(out(4L) == ((4L, 4L, true)))  // one-member cluster
+    assert(out(5L) == ((5L, 5L, true)))  // unclustered singleton
+  }
 }
