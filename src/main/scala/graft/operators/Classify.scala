@@ -39,7 +39,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Classify {
 
-  private def toks(c: Column): Column = split(lower(c), "\\s+")
+  private def toks(c: Column): Column = TextAnalysis.tokens(c)
 
   /** ln(x) as a 6-decimal-scaled long — exact integer the moment it is
     * computed, so downstream sums are order-independent. */
@@ -88,6 +88,10 @@ object Classify {
         lnScaled((coalesce(col("__tc"), lit(0L)) + alpha) /
           (col("__tot") + lit(alpha) * col("__v"))).as("lik6"),
         col("prior6"))
+      // the fitted model is V·C rows by construction; materialize it so
+      // nbPredict's two consumers (scoring join + priors) don't re-run
+      // the vocab TakeOrdered and counts/totals aggregations per use
+      .localCheckpoint(true)
   }
 
   /** Score `test` against a fitted model and keep the arg-max class per

@@ -438,11 +438,14 @@ object Dedup {
     *
     * `scores` = (idCol, scoreCol); `components` = connectedComponents
     * output (id, cluster). Representative = max score, ties to the
-    * smaller id. Scale shape: one left join to attach clusters (docs ⋈
-    * cluster labels, both id-keyed), one window partitioned by cluster
-    * (parallelism = #clusters, each partition one duplicate group), and
-    * the rank-1 rows joined back broadcast-free on the cluster key —
-    * nothing is ever corpus × corpus.
+    * smaller id; docs MISSING from `scores` stay in the output (the
+    * decision is total) with a null score that ranks LAST — an unscored
+    * doc can only represent a cluster nobody in it was scored. Scale
+    * shape: one left join to attach clusters (docs ⋈ cluster labels,
+    * both id-keyed), one window partitioned by cluster (parallelism =
+    * #clusters, each partition one duplicate group), and the rank-1
+    * rows joined back broadcast-free on the cluster key — nothing is
+    * ever corpus × corpus.
     *
     * Returns (idCol, cluster, scoreCol, rep_id, keep). */
   def clusterRepresentatives(docs: DataFrame, idCol: String,
@@ -451,9 +454,9 @@ object Dedup {
     val withCluster = docs.select(col(idCol))
       .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
-      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
     val w = Window.partitionBy("cluster")
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
     val reps = withCluster
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

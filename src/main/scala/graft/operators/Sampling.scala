@@ -91,7 +91,7 @@ object Sampling {
   /** The first `nibbles` hex chars of a digest parsed as an integer —
     * a uniform value in [0, 16^nibbles), built from locate/substr only
     * so the same expression runs on any md5-capable engine. */
-  private def digestInt(digest: Column, nibbles: Int): Column =
+  private[operators] def digestInt(digest: Column, nibbles: Int): Column =
     (1 to nibbles).map { i =>
       (call_function("locate", substring(digest, i, 1),
         lit("0123456789abcdef")) - 1) *

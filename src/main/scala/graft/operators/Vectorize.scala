@@ -39,18 +39,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Vectorize {
 
-  /** `slot(term)` — first 4 md5 hex nibbles parsed base-16 (locate/substr
-    * only, the cross-engine idiom), mod `dim`. Uniform in [0, dim). */
-  def termSlot(term: Column, dim: Int): Column = {
-    val digest = md5(term)
-    val v = (1 to 4).map { i =>
-      (call_function("locate", substring(digest, i, 1),
-        lit("0123456789abcdef")) - 1) * lit(1L << (4 * (4 - i)))
-    }.reduce(_ + _)
-    pmod(v, lit(dim.toLong))
-  }
+  /** `slot(term)` — first 4 md5 hex nibbles parsed base-16 (the ONE
+    * cross-engine hash contract, Sampling.digestInt), mod `dim`.
+    * Uniform in [0, dim). */
+  def termSlot(term: Column, dim: Int): Column =
+    pmod(Sampling.digestInt(md5(term), 4), lit(dim.toLong))
 
-  private def toks(c: Column): Column = split(lower(c), "\\s+")
+  private def toks(c: Column): Column = TextAnalysis.tokens(c)
 
   /** (doc_id, slot) — one row per corpus token, slot-hashed. */
   private def explodedSlots(docs: DataFrame, idCol: String, textCol: String,
@@ -59,13 +54,12 @@ object Vectorize {
         explode(toks(col(textCol))).as("__term"))
       .select(col("doc_id"), termSlot(col("__term"), dim).as("slot"))
 
-  /** Sparse TF-IDF: (doc_id, slot, weight) for slots with tf > 0.
-    * The canonical output — the oracle compares this shape, and the
-    * dense face explodes from it. `dim` ≤ 65536 (4 md5 nibbles). */
-  def tfidfSparse(docs: DataFrame, idCol: String, textCol: String,
-      dim: Int): DataFrame = {
+  /** The shared corpus pass: slot tf counts (docs × dim-bounded,
+    * checkpointed — df AND the weight join read it) and the dim-row idf
+    * table. Every public face composes from this one pair. */
+  private def tfAndIdf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): (DataFrame, DataFrame) = {
     require(dim > 0 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
-    // docs × dim-bounded; checkpointed: df AND the weight join read it
     val tf = explodedSlots(docs, idCol, textCol, dim)
       .groupBy("doc_id", "slot").agg(count(lit(1)).as("__tf"))
       .localCheckpoint(true)
@@ -75,9 +69,21 @@ object Vectorize {
       .crossJoin(broadcast(n))
       .select(col("slot"), log(lit(1.0) + col("__n") / col("__df"))
         .as("__idf"))
+    (tf, idf)
+  }
+
+  private def weighted(tf: DataFrame, idf: DataFrame): DataFrame =
     tf.join(broadcast(idf), Seq("slot"))
       .select(col("doc_id"), col("slot"),
         round(col("__tf") * col("__idf"), 6).as("weight"))
+
+  /** Sparse TF-IDF: (doc_id, slot, weight) for slots with tf > 0.
+    * The canonical output — the oracle compares this shape, and the
+    * dense face explodes from it. `dim` ≤ 65536 (4 md5 nibbles). */
+  def tfidfSparse(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val (tf, idf) = tfAndIdf(docs, idCol, textCol, dim)
+    weighted(tf, idf)
   }
 
   /** Dense TF-IDF vectors: (doc_id, vec Array[Double] of length `dim`) —
@@ -110,20 +116,15 @@ object Vectorize {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       dim: Int, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // corpus sparse weights materialized ONCE: three consumers (corpus
-    // norms, idf-for-queries via tfidfSparse's own checkpoint, dot join)
-    val cs = tfidfSparse(docs, idCol, textCol, dim).localCheckpoint(true)
+    // ONE corpus pass shared with the sparse face: tf is checkpointed
+    // inside tfAndIdf, idf is the dim-row table — no second df
+    // aggregation for the query side
+    val (tf, idf) = tfAndIdf(docs, idCol, textCol, dim)
+    // corpus sparse weights materialized once: norms AND the dot join
+    val cs = weighted(tf, idf).localCheckpoint(true)
     val cn = cs.groupBy("doc_id")
       .agg(sqrt(sum(col("weight") * col("weight"))).as("__cn"))
-    // query tf over the same slot hash, weighted by corpus idf — derive
-    // idf from the corpus sparse rows (weight = tf·idf, so idf at any
-    // (doc, slot) is weight/tf; cheaper to recompute from df)
-    val n = docs.select(countDistinct(col(idCol)).as("__n"))
-    val idf = cs.groupBy("slot")
-      .agg(countDistinct(col("doc_id")).as("__df"))
-      .crossJoin(broadcast(n))
-      .select(col("slot"), log(lit(1.0) + col("__n") / col("__df"))
-        .as("__idf"))
+    // query tf over the same slot hash, weighted by the CORPUS idf
     val qs = queries
       .select(col(queryIdCol).as("query_id"),
         explode(toks(col(queryTextCol))).as("__term"))

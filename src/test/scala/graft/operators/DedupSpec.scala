@@ -270,4 +270,20 @@ class DedupSpec extends SparkSuite {
     assert(out(4L) == ((4L, 4L, true)))  // one-member cluster
     assert(out(5L) == ((5L, 5L, true)))  // unclustered singleton
   }
+
+  test("clusterRepresentatives: docs missing from scores stay in the " +
+      "output and rank last") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    val scores = Seq((2L, 0.1)).toDF("doc_id", "score") // 1 and 3 unscored
+    val out = Dedup.clusterRepresentatives(corpus, "doc_id", scores,
+        "score", comps)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getBoolean(4), r.isNullAt(2))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // total decision
+    assert(out(2L) == ((2L, true, false))) // scored member wins cluster 1
+    assert(out(1L) == ((2L, false, true))) // unscored, null score, kept out
+    assert(out(3L) == ((3L, true, true)))  // unscored singleton represents
+  }
 }
