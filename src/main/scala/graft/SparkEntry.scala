@@ -1196,6 +1196,19 @@ object SparkEntry {
     // P5: mixture sampling to a token budget (Pile/DoReMi-style domain
     // weights): keep-rate = min(1, budget·frac / stratumTokens),
     // content-addressed at 1/65536 granularity
+    // P9: temperature-scaled mixture (UniMax) — domain weights DERIVED
+    // from corpus sizes (frac ∝ tokens^(1/T)), no hand-tuned fractions;
+    // the planner rides p5's machinery, the filter is the same
+    // content-addressed scan-pruning map pass
+    "p9_temperature_mixture" -> { (s, dir) =>
+      Sampling.temperatureMixture(table(s, dir, "documents"),
+        col("doc_id"), col("source"), col("n_chars"),
+        temperature = 2.0, tokenBudget = 20000L)
+        .select(col("doc_id"), col("source"),
+          (floor(col("keep_rate") * 1000000L + 0.5) / 1000000L).as("keep_rate"))
+        .orderBy("doc_id")
+    },
+
     "p5_mixture_sample" -> { (s, dir) =>
       Sampling.mixtureSample(table(s, dir, "documents"),
         col("doc_id"), col("source"), col("n_chars"),
@@ -2973,6 +2986,29 @@ object SparkEntry {
         |    list(line ORDER BY pos) FILTER (WHERE NOT boiler), chr(10)), '')
         |    AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p9_temperature_mixture" ->
+      """WITH tot AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(t, 0.5)) AS z FROM tot),
+        |rates AS (
+        |  SELECT source,
+        |    least(1.0, CAST(20000 AS DOUBLE) * (pow(t, 0.5) / z.z) / t) AS kr
+        |  FROM tot CROSS JOIN z),
+        |r AS (
+        |  SELECT d.doc_id, d.source, rates.kr,
+        |    md5(CAST(d.doc_id AS VARCHAR)) AS dg
+        |  FROM documents d JOIN rates USING (source))
+        |SELECT doc_id, source,
+        |  floor(kr * 1000000 + 0.5) / 1000000 AS keep_rate
+        |FROM r
+        |WHERE (  (strpos('0123456789abcdef', substr(dg, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(dg, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(dg, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(dg, 4, 1)) - 1)) / 65536.0
+        |      < kr
+        |ORDER BY doc_id""".stripMargin,
 
     "p5_mixture_sample" ->
       """WITH tot AS (

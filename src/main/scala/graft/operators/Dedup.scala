@@ -371,8 +371,14 @@ object Dedup {
     * Returns (id, cluster) where cluster = the smallest member id of the
     * component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialized ONCE: every round's propagation join (and the label
+    // seed) reads edges — without this each of the O(log L) rounds
+    // re-executes the caller's whole pair-producing plan (minhash → LSH
+    // → jaccard in the d6/d17 chains), twice per round via the union.
+    // Edge lists are candidate-pair-sized, far below corpus scale.
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)

@@ -117,10 +117,43 @@ object Sampling {
     require(targetFractions.values.forall(f => f >= 0 && f <= 1),
       "fractions are in [0, 1]")
     require(tokenBudget > 0)
-    val totals = df.groupBy(strataCol.as("__s"))
+    val totals = stratumTotals(df, strataCol, tokenCol)
+    applyRates(df, keyCol, strataCol, totals, targetFractions, tokenBudget)
+  }
+
+  /** UniMax-style temperature sampling (Chung et al. 2023; the
+    * multilingual-mixing default): target fractions are DERIVED from
+    * the corpus itself, frac_s ∝ tokens_s^(1/T), normalized. T = 1 is
+    * natural (proportional) sampling; T → ∞ is uniform across strata —
+    * in between, low-resource strata are up-weighted without hand-tuned
+    * fractions. Planning and application are [[mixtureSample]]'s: one
+    * stratum-totals aggregate (metadata-sized), the keep filter a pure
+    * content-addressed map pass that prunes at the scan. */
+  def temperatureMixture(df: DataFrame, keyCol: Column, strataCol: Column,
+      tokenCol: Column, temperature: Double,
+      tokenBudget: Long): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    require(tokenBudget > 0)
+    val totals = stratumTotals(df, strataCol, tokenCol)
+    // sorted for a deterministic z-sum order (float addition)
+    val powed = totals.toSeq.sortBy(_._1).map { case (s, t) =>
+      s -> math.pow(math.max(t, 1L).toDouble, 1.0 / temperature)
+    }
+    val z = powed.map(_._2).sum
+    val fractions = powed.map { case (s, p) => s -> p / z }.toMap
+    applyRates(df, keyCol, strataCol, totals, fractions, tokenBudget)
+  }
+
+  private def stratumTotals(df: DataFrame, strataCol: Column,
+      tokenCol: Column): Map[String, Long] =
+    df.groupBy(strataCol.as("__s"))
       .agg(sum(tokenCol).as("__tok")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rate: Column = targetFractions.foldLeft(lit(0.0)) {
+
+  private def applyRates(df: DataFrame, keyCol: Column, strataCol: Column,
+      totals: Map[String, Long], fractions: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    val rate: Column = fractions.foldLeft(lit(0.0)) {
       case (acc, (s, f)) =>
         val tokens = math.max(totals.getOrElse(s, 0L), 1L)
         when(strataCol === s,

@@ -110,6 +110,34 @@ class SamplingSpec extends SparkSuite {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("temperatureMixture: T=1 is natural sampling (≡ mixtureSample " +
+      "with proportional fractions); higher T up-weights small strata") {
+    // skewed strata: src0 has 4× the tokens of src1
+    val withTok = docs.filter(col("source").isin("src0", "src1"))
+      .withColumn("n_tok",
+        when(col("source") === "src0", lit(40L)).otherwise(lit(10L)))
+    val t1 = Sampling.temperatureMixture(withTok, col("doc_id"),
+      col("source"), col("n_tok"), temperature = 1.0, tokenBudget = 500L)
+    val natural = Sampling.mixtureSample(withTok, col("doc_id"),
+      col("source"), col("n_tok"),
+      Map("src0" -> 0.8, "src1" -> 0.2), tokenBudget = 500L)
+    // 2000 vs 500 tokens → natural fractions 0.8 / 0.2 exactly
+    assert(t1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      natural.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val r1 = t1.select("source", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // T=1: both rates = budget·(tok_s/Σ)/tok_s = 500/2500 = 0.2
+    assert(math.abs(r1("src0") - 0.2) < 1e-12)
+    assert(math.abs(r1("src1") - 0.2) < 1e-12)
+    // higher temperature shifts keep-rate mass toward the small stratum
+    val r4 = Sampling.temperatureMixture(withTok, col("doc_id"),
+        col("source"), col("n_tok"), temperature = 4.0, tokenBudget = 500L)
+      .select("source", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r4("src1") > r1("src1") && r4("src0") < r1("src0"))
+    assert(r4("src1") > r4("src0"))
+  }
+
   private def weighted: DataFrame =
     (0L until 300L).map(i => (i, (i % 7) + 1.0)).toDF("doc_id", "w")
 
