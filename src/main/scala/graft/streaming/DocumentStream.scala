@@ -141,4 +141,32 @@ object DocumentStream {
         appendNovel(batch, textCol, idCol, storeDir, batchId)
       }
       .start()
+
+  /** Classifier routing at ingest — the fastText-gate deployment shape:
+    * a [[graft.operators.Classify.nbFit]] model is trained OFFLINE
+    * (broadcast-sized by construction), frozen, and applied to every
+    * micro-batch; documents land in the store PARTITIONED BY predicted
+    * label, so downstream mixture/cap sampling prunes whole label
+    * directories. Stateless per batch — the frozen model is the only
+    * input besides the batch, so a crash-replayed batch re-scores
+    * bit-identically (integer-scaled log sums); `batch_seq` stamps make
+    * double-appends LWW-resolvable on read, the curation-job contract.
+    * Returns every input column plus `predicted` and `score`. */
+  def startClassifierRoutingJob(docs: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = graft.operators.Classify
+          .nbPredict(model, batch, idCol, textCol)
+          .select(col("doc_id").as(idCol), col("label").as("predicted"),
+            col("score"))
+        batch.join(scored, Seq(idCol))
+          .withColumn("batch_seq", lit(batchId))
+          .write.mode("append").partitionBy("predicted").parquet(outDir)
+        ()
+      }
+      .start()
 }

@@ -150,4 +150,37 @@ class DocumentStreamSpec extends SparkSuite {
     assert(new java.io.File(store).listFiles()
       .exists(f => f.getName.startsWith("kp=")))
   }
+
+  test("classifier routing: frozen model scores every batch, output " +
+      "partitioned by predicted label") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      ("spam", "buy pills now"), ("spam", "buy now buy"),
+      ("ham", "meeting notes today"), ("ham", "notes for the meeting")
+    ).toDF("label", "text")
+    val model = graft.operators.Classify.nbFit(train, "label", "text",
+      vocabSize = 100)
+    val input = MemoryStream[Doc]
+    val out = java.nio.file.Files.createTempDirectory("route_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("route_ckpt").toString
+    val q = DocumentStream.startClassifierRoutingJob(input.toDF(),
+      "doc_id", "text", model, out, ckpt)
+    try {
+      input.addData(Doc(1L, "buy pills", 10L), Doc(2L, "meeting notes", 20L))
+      q.processAllAvailable()
+      input.addData(Doc(3L, "buy buy now", 30L)) // model reused, batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "predicted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "spam", 2L -> "ham", 3L -> "spam"))
+    // label directories exist → downstream per-label reads prune
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs.contains("predicted=spam") && dirs.contains("predicted=ham"))
+    // original columns survive alongside predicted/score/batch_seq
+    val cols = spark.read.parquet(out).columns.toSet
+    assert(Set("doc_id", "text", "event_ts", "predicted", "score",
+      "batch_seq").subsetOf(cols))
+  }
 }
