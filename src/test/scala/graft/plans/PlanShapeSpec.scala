@@ -107,6 +107,41 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
   }
 
+  test("tfidfKnn: the corpus×query dot join is broadcast; the only " +
+      "sort-merge join is norms⋈dots (both corpus-DOC-sized, co-keyed)") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"token$i filler common words here")).toDF("doc_id", "text")
+    val qs = Seq((1L, "token7 common"), (2L, "token13")).toDF("qid", "qt")
+    val p = plan(graft.operators.Vectorize.tfidfKnn(
+      docs, "doc_id", "text", qs, "qid", "qt", dim = 64, k = 5))
+    // the corpus-token-scale join (sparse weights × query weights on
+    // slot) must be broadcast — that is the join that would shuffle
+    // the corpus if it ever degraded to sort-merge
+    assert(p.contains("BroadcastHashJoin [slot"),
+      s"slot join not broadcast:\n$p")
+    // dots ⋈ corpus norms is doc-count-sized on BOTH sides (already
+    // aggregated) — a shuffled join there is the correct plan; anything
+    // beyond that one is a regression
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"unexpected extra sort-merge joins ($smj):\n$p")
+  }
+
+  test("NB prediction: scoring join against the model is broadcast; " +
+      "token-scale data never sort-merges") {
+    val train = Seq(("a", "x y z"), ("b", "p q r")).toDF("label", "text")
+    val model = graft.operators.Classify.nbFit(train, "label", "text", 10)
+    val test_ = (0L until 100L).map(i => (i, s"x p t$i")).toDF("doc_id", "text")
+    val p = plan(graft.operators.Classify.nbPredict(model, test_,
+      "doc_id", "text"))
+    // the exploded-token ⋈ model join is the token-scale one — broadcast
+    assert(p.contains("BroadcastHashJoin [term"),
+      s"model not broadcast into the token join:\n$p")
+    // grid ⋈ hitSums is docs×C on both sides (post-aggregation) — one
+    // shuffled join there is fine; more is a regression
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"unexpected extra sort-merge joins ($smj):\n$p")
+  }
+
   test("chunkWindows is map-only: zero exchanges") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 200).map(i => lit(s"t$i")): _*).as("text"))
