@@ -53,7 +53,8 @@ object Soak {
       "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
       "r2_bm25_index_topk", "d15_cross_corpus_dedup",
       "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
-      "x3_text_semantic_pipeline", "d17_cluster_representatives")
+      "x3_text_semantic_pipeline", "d17_cluster_representatives",
+      "bp1_bpe_merges")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

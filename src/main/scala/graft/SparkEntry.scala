@@ -1521,6 +1521,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // BP1: BPE tokenizer TRAINING as a Spark plan (Sennrich et al.
+    // 2016) — subword vocabulary induction over the word-frequency
+    // table: one corpus scan for counts, then every merge round runs at
+    // vocabulary scale (distinct words), not corpus scale. The learned
+    // merge list is the output
+    "bp1_bpe_merges" -> { (s, dir) =>
+      import graft.operators.Bpe
+      val words = Bpe.wordFreqs(table(s, dir, "documents"), "text")
+      val (merges, _) = Bpe.trainMerges(words, rounds = 8)
+      merges.orderBy("round")
+    },
+
+    // BP2: the trained tokenizer DEPLOYED — the frozen merge list
+    // applied to every distinct word as ONE chained map-only projection
+    // (how a tokenizer runs in production: merges are metadata, no
+    // per-round actions)
+    "bp2_bpe_segment" -> { (s, dir) =>
+      import graft.operators.Bpe
+      val words = Bpe.wordFreqs(table(s, dir, "documents"), "text")
+      val (merges, _) = Bpe.trainMerges(words, rounds = 8)
+      val ms = merges.orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.segment(words.select("word"), "word", ms)
+        .select("word", "segmented").orderBy("word")
+    },
+
     // T7: unigram-LM quality score (CCNet-style) — train token
     // frequencies on sources ≠ src0, score EVERY doc by average negative
     // log-likelihood; src0-only vocabulary pays the smoothed OOV floor
@@ -2019,6 +2045,47 @@ object SparkEntry {
        | + (strpos('0123456789abcdef', substr(md5($expr), 3, 1)) - 1) * 16
        | + (strpos('0123456789abcdef', substr(md5($expr), 4, 1)) - 1)
        |) % $dim""".stripMargin
+
+  /** Unrolled BPE merge rounds in DuckDB (mirrors
+    * [[graft.operators.Bpe.trainMerges]] at `rounds` merges): word
+    * freqs `w`, seed reprs `r0`, then per round the weighted adjacent-
+    * pair counts `p_i`, the deterministic best pair `t_i`
+    * (cnt DESC, l, r), and the boundary-safe literal replace `r_i`.
+    * CTEs are MATERIALIZED — each round references the previous one
+    * multiple times, and inlining would expand the chain exponentially. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val seed =
+      """w AS MATERIALIZED (
+        |  SELECT tok AS word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1),
+        |r0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+        |      AS repr
+        |  FROM w)""".stripMargin
+    val perRound = (1 to rounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT t.l, t.r, sum(t.freq) AS cnt FROM (
+         |    SELECT s.freq, s.toks[u.i] AS l, s.toks[u.i + 1] AS r
+         |    FROM (SELECT freq, string_split(trim(repr), ' ') AS toks
+         |          FROM r${i - 1}) s,
+         |    LATERAL unnest(range(1, len(s.toks))) u(i)) t
+         |  GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (
+         |  SELECT l, r, l || r AS m, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+         |  FROM p$i),
+         |r$i AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |    replace(w.repr, ' ' || b.l || ' ' || b.r || ' ',
+         |      ' ' || b.m || ' ') AS repr
+         |  FROM r${i - 1} w
+         |  CROSS JOIN (SELECT l, r, m FROM t$i WHERE rn = 1) b)""".stripMargin
+    }
+    (Seq(seed) ++ perRound).mkString(",\n")
+  }
 
   /** Corpus-side TF-IDF CTEs shared by v1 and r3: slot-hashed token
     * counts `tfv`, slot idf `idfv`, sparse weights `wv`. */
@@ -3514,6 +3581,20 @@ object SparkEntry {
         |SELECT vec_id AS doc_id, cell_id, ccos, proto_rank, n_cell,
         |  proto_rank > ceil(0.3 * n_cell) AS keep
         |FROM rk3 ORDER BY doc_id""".stripMargin,
+
+    "bp1_bpe_merges" ->
+      s"""WITH ${bpeOracleCtes(8)}
+        |${(1 to 8).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS round, l AS lhs, r AS rhs, " +
+            s"m AS merged, CAST(cnt AS BIGINT) AS pair_count " +
+            s"FROM t$i WHERE rn = 1")
+          .mkString("\n UNION ALL ")}
+        |ORDER BY round""".stripMargin,
+
+    "bp2_bpe_segment" ->
+      s"""WITH ${bpeOracleCtes(8)}
+        |SELECT word, trim(repr) AS segmented FROM r8
+        |ORDER BY word""".stripMargin,
 
     "t7_unigram_logloss" ->
       """WITH ref AS (
