@@ -1521,6 +1521,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // X4: training-sequence endgame as ONE oracled chain — strided
+    // chunking (p6) → chunk-level exact dedup keeping the first
+    // occurrence → greedy sequence packing (p1) of the survivors: the
+    // documents-to-context-windows step that actually feeds a trainer
+    "x4_chunk_dedup_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val chunks = Packing.chunkWindows(table(s, dir, "documents"),
+        "doc_id", "text", window = 128, stride = 64)
+      val w = Window.partitionBy("chunk_hash")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      val uniq = chunks.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("n_tokens"))
+      Packing.packGreedy(uniq, "chunk_id", "n_tokens",
+          capacity = 256, numShards = 8)
+        .orderBy("chunk_id")
+    },
+
     // BP1: BPE tokenizer TRAINING as a Spark plan (Sennrich et al.
     // 2016) — subword vocabulary induction over the word-frequency
     // table: one corpus scan for counts, then every merge round runs at
@@ -3581,6 +3600,54 @@ object SparkEntry {
         |SELECT vec_id AS doc_id, cell_id, ccos, proto_rank, n_cell,
         |  proto_rank > ceil(0.3 * n_cell) AS keep
         |FROM rk3 ORDER BY doc_id""".stripMargin,
+
+    "x4_chunk_dedup_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sx AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(array_to_string(toks, '')) = 0 THEN 0
+        |         ELSE len(toks) END AS n,
+        |    unnest(range(0, greatest(len(toks), 1), 64)) AS tok_start
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(tok_start // 64 AS BIGINT) AS chunk_idx,
+        |    CAST(len(toks[tok_start + 1 : least(tok_start + 128, n)])
+        |      AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(
+        |      toks[tok_start + 1 : least(tok_start + 128, n)], ' '))
+        |      AS chunk_hash
+        |  FROM sx WHERE tok_start < n),
+        |uq AS (
+        |  SELECT doc_id, chunk_idx, n_tokens,
+        |    row_number() OVER (PARTITION BY chunk_hash
+        |      ORDER BY doc_id, chunk_idx) AS dup_rn
+        |  FROM ch),
+        |cid AS (
+        |  SELECT doc_id * 1000 + chunk_idx AS chunk_id, n_tokens
+        |  FROM uq WHERE dup_rn = 1),
+        |docs2 AS (
+        |  SELECT chunk_id, chunk_id % 8 AS shard, n_tokens,
+        |    row_number() OVER (PARTITION BY chunk_id % 8
+        |      ORDER BY chunk_id) AS rn
+        |  FROM cid),
+        |packed AS (
+        |  SELECT shard, rn, chunk_id, n_tokens, n_tokens AS acc,
+        |         CAST(0 AS BIGINT) AS pack_idx, CAST(1 AS BIGINT) AS pack_pos
+        |  FROM docs2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.chunk_id, d.n_tokens,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN d.n_tokens
+        |         ELSE p.acc + d.n_tokens END,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN p.pack_idx + 1
+        |         ELSE p.pack_idx END,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN CAST(1 AS BIGINT)
+        |         ELSE p.pack_pos + 1 END
+        |  FROM docs2 d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT chunk_id, shard, pack_idx, pack_pos, n_tokens
+        |FROM packed ORDER BY chunk_id""".stripMargin,
 
     "bp1_bpe_merges" ->
       s"""WITH ${bpeOracleCtes(8)}
