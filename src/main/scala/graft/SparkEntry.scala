@@ -1503,6 +1503,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CL2: classification margin (top-1 minus top-2 score) — the
+    // uncertainty-sampling signal: route low-margin docs to labeling /
+    // human review, trust high-margin ones. Integer-scaled scores make
+    // the subtraction exact across engines
+    "cl2_nb_margin" -> { (s, dir) =>
+      import graft.operators.Classify
+      val docs = table(s, dir, "documents")
+      val model = Classify.nbFit(docs.filter(col("doc_id") % 5 =!= 0),
+        "lang", "text", vocabSize = 24, alpha = 1.0)
+      Classify.nbMargin(model, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // X3: text → semantic curation with NO external embedder — the
     // closed loop the v1 vectorizer exists for: hashed TF-IDF vectors →
     // trained k-means cells → SSL-prototype pruning (d14's op over text-
@@ -2105,6 +2119,53 @@ object SparkEntry {
     }
     (Seq(seed) ++ perRound).mkString(",\n")
   }
+
+  /** Naive-Bayes oracle chain shared by cl1/cl2: train/test split,
+    * top-V vocab, smoothed grid, and the per-(doc, class) scores
+    * `gsc`. */
+  private val NbOracleCtes =
+    """tr AS (
+        |  SELECT doc_id, lang AS label, text FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT label, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM tr),
+        |vocab AS (
+        |  SELECT term FROM (SELECT term, count(*) AS c FROM tok GROUP BY 1)
+        |  ORDER BY c DESC, term LIMIT 24),
+        |counts AS (
+        |  SELECT label, term, count(*) AS tc
+        |  FROM tok JOIN vocab USING (term) GROUP BY 1, 2),
+        |totals AS (SELECT label, sum(tc) AS tot FROM counts GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM tr),
+        |pri AS (
+        |  SELECT label,
+        |    CAST(floor(ln(count(*) / nd.nd) * 1000000 + 0.5) AS BIGINT)
+        |      AS prior6
+        |  FROM tr CROSS JOIN nd GROUP BY label, nd.nd),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |grid AS (
+        |  SELECT p.label, vc.term,
+        |    CAST(floor(ln((coalesce(c.tc, 0) + 1.0)
+        |      / (coalesce(t.tot, 0) + 1.0 * vs.v)) * 1000000 + 0.5)
+        |      AS BIGINT) AS lik6,
+        |    p.prior6
+        |  FROM pri p
+        |  LEFT JOIN totals t USING (label)
+        |  CROSS JOIN vocab vc CROSS JOIN vs
+        |  LEFT JOIN counts c ON c.label = p.label AND c.term = vc.term),
+        |dtok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM te),
+        |hits AS (
+        |  SELECT doc_id, label, sum(lik6) AS lik
+        |  FROM dtok JOIN grid USING (term) GROUP BY 1, 2),
+        |gsc AS (
+        |  SELECT te.doc_id, p.label,
+        |    (p.prior6 + coalesce(h.lik, 0)) / 1000000.0 AS score
+        |  FROM te CROSS JOIN pri p
+        |  LEFT JOIN hits h ON h.doc_id = te.doc_id AND h.label = p.label)""".stripMargin
 
   /** Corpus-side TF-IDF CTEs shared by v1 and r3: slot-hashed token
     * counts `tfv`, slot idf `idfv`, sparse weights `wv`. */
@@ -3529,48 +3590,7 @@ object SparkEntry {
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "cl1_nb_classify" ->
-      """WITH tr AS (
-        |  SELECT doc_id, lang AS label, text FROM documents
-        |  WHERE doc_id % 5 <> 0),
-        |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |tok AS (
-        |  SELECT label, unnest(string_split_regex(lower(text), '\s+')) AS term
-        |  FROM tr),
-        |vocab AS (
-        |  SELECT term FROM (SELECT term, count(*) AS c FROM tok GROUP BY 1)
-        |  ORDER BY c DESC, term LIMIT 24),
-        |counts AS (
-        |  SELECT label, term, count(*) AS tc
-        |  FROM tok JOIN vocab USING (term) GROUP BY 1, 2),
-        |totals AS (SELECT label, sum(tc) AS tot FROM counts GROUP BY 1),
-        |nd AS (SELECT count(*) AS nd FROM tr),
-        |pri AS (
-        |  SELECT label,
-        |    CAST(floor(ln(count(*) / nd.nd) * 1000000 + 0.5) AS BIGINT)
-        |      AS prior6
-        |  FROM tr CROSS JOIN nd GROUP BY label, nd.nd),
-        |vs AS (SELECT count(*) AS v FROM vocab),
-        |grid AS (
-        |  SELECT p.label, vc.term,
-        |    CAST(floor(ln((coalesce(c.tc, 0) + 1.0)
-        |      / (coalesce(t.tot, 0) + 1.0 * vs.v)) * 1000000 + 0.5)
-        |      AS BIGINT) AS lik6,
-        |    p.prior6
-        |  FROM pri p
-        |  LEFT JOIN totals t USING (label)
-        |  CROSS JOIN vocab vc CROSS JOIN vs
-        |  LEFT JOIN counts c ON c.label = p.label AND c.term = vc.term),
-        |dtok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-        |  FROM te),
-        |hits AS (
-        |  SELECT doc_id, label, sum(lik6) AS lik
-        |  FROM dtok JOIN grid USING (term) GROUP BY 1, 2),
-        |gsc AS (
-        |  SELECT te.doc_id, p.label,
-        |    (p.prior6 + coalesce(h.lik, 0)) / 1000000.0 AS score
-        |  FROM te CROSS JOIN pri p
-        |  LEFT JOIN hits h ON h.doc_id = te.doc_id AND h.label = p.label),
+      s"""WITH $NbOracleCtes,
         |best AS (
         |  SELECT doc_id, label, score,
         |    row_number() OVER (PARTITION BY doc_id
@@ -3578,6 +3598,23 @@ object SparkEntry {
         |  FROM gsc)
         |SELECT doc_id, label, score FROM best
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "cl2_nb_margin" ->
+      s"""WITH $NbOracleCtes,
+        |rkc AS (
+        |  SELECT doc_id, label, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label) AS rn
+        |  FROM gsc)
+        |SELECT doc_id,
+        |  max(CASE WHEN rn = 1 THEN label END) AS top_label,
+        |  max(CASE WHEN rn = 2 THEN label END) AS second_label,
+        |  round(max(CASE WHEN rn = 1 THEN score END)
+        |    - max(CASE WHEN rn = 2 THEN score END), 6) AS margin
+        |FROM rkc WHERE rn <= 2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
 
     "x3_text_semantic_pipeline" ->
       s"""WITH $TfidfCtes,

@@ -94,12 +94,11 @@ object Classify {
       .localCheckpoint(true)
   }
 
-  /** Score `test` against a fitted model and keep the arg-max class per
-    * doc: (doc_id, label, score) with score = (prior6 + Σ lik6) / 1e6.
-    * The model is broadcast; the corpus-side shuffle carries only
-    * (doc, class) partial sums. */
-  def nbPredict(model: DataFrame, test: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  /** Every (doc, class) score with its per-doc rank — the shared tail
+    * of prediction and margin scoring. Rank 1 = argmax, rule
+    * (score desc, label asc). */
+  private def scoredRanked(model: DataFrame, test: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val docTok = test.select(col(idCol).as("doc_id"),
       explode(toks(col(textCol))).as("term"))
     // in-vocab token hits × classes: C rows per hit, summed per (doc, c)
@@ -116,7 +115,31 @@ object Classify {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("label").asc)
     scored.withColumn("__rn", row_number().over(w))
+  }
+
+  /** Score `test` against a fitted model and keep the arg-max class per
+    * doc: (doc_id, label, score) with score = (prior6 + Σ lik6) / 1e6.
+    * The model is broadcast; the corpus-side shuffle carries only
+    * (doc, class) partial sums. */
+  def nbPredict(model: DataFrame, test: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    scoredRanked(model, test, idCol, textCol)
       .filter(col("__rn") === 1)
       .select("doc_id", "label", "score")
-  }
+
+  /** Classification margin — top-1 minus top-2 score per doc, the
+    * standard uncertainty-sampling signal (docs a labeling pass should
+    * look at first, or a router should treat as ambiguous). Returns
+    * (doc_id, top_label, second_label, margin); integer-scaled scores
+    * make the subtraction exact. Requires a model with ≥ 2 classes. */
+  def nbMargin(model: DataFrame, test: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    scoredRanked(model, test, idCol, textCol)
+      .filter(col("__rn") <= 2)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("__rn") === 1, col("label"))).as("top_label"),
+        max(when(col("__rn") === 2, col("label"))).as("second_label"),
+        round(max(when(col("__rn") === 1, col("score"))) -
+          max(when(col("__rn") === 2, col("score"))), 6).as("margin"))
 }

@@ -63,6 +63,26 @@ class ClassifySpec extends SparkSuite {
     assert(out.getDouble(2) == expected)
   }
 
+  test("nbMargin: top-2 pivot matches prediction, exact subtraction, " +
+      "prior-tie docs get margin 0") {
+    val m = Classify.nbFit(train, "label", "text", vocabSize = 100)
+    val test_ = Seq((1L, "buy pills"), (3L, "unseen words only"))
+      .toDF("doc_id", "text")
+    val out = Classify.nbMargin(m, test_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getString(2), r.getDouble(3)))).toMap
+    // doc 1: spam wins; margin = spamScore - hamScore, both exact
+    val spamScore = (ln6(0.5) + ln6(4.0 / 14) + ln6(2.0 / 14)) / 1e6
+    val hamScore = (ln6(0.5) + ln6(1.0 / 15) + ln6(1.0 / 15)) / 1e6
+    assert(out(1L)._1 == "spam" && out(1L)._2 == "ham")
+    assert(out(1L)._3 ==
+      BigDecimal(spamScore - hamScore)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 3: no vocab hits → equal priors → margin exactly 0, labels
+    // ordered alphabetically by the tie rule
+    assert(out(3L) == (("ham", "spam", 0.0)))
+  }
+
   test("a class absent from the vocab-hit space still scores") {
     // vocab restricted so one class owns all vocab terms
     val skew = Seq(("a", "x x x"), ("b", "y")).toDF("label", "text")
