@@ -1547,7 +1547,9 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
       val uniq = chunks.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+        // 2^20 chunk slots per doc (67M tokens at stride 64) — far above
+        // any real document, and collision-free up to doc_id ~8.8e12
+        .select((col("doc_id") * 1048576L + col("chunk_idx")).as("chunk_id"),
           col("n_tokens"))
       Packing.packGreedy(uniq, "chunk_id", "n_tokens",
           capacity = 256, numShards = 8)
@@ -2112,10 +2114,11 @@ object SparkEntry {
          |  FROM p$i),
          |r$i AS MATERIALIZED (
          |  SELECT w.word, w.freq,
-         |    replace(w.repr, ' ' || b.l || ' ' || b.r || ' ',
-         |      ' ' || b.m || ' ') AS repr
+         |    CASE WHEN b.l IS NULL THEN w.repr
+         |         ELSE replace(w.repr, ' ' || b.l || ' ' || b.r || ' ',
+         |           ' ' || b.m || ' ') END AS repr
          |  FROM r${i - 1} w
-         |  CROSS JOIN (SELECT l, r, m FROM t$i WHERE rn = 1) b)""".stripMargin
+         |  LEFT JOIN (SELECT l, r, m FROM t$i WHERE rn = 1) b ON TRUE)""".stripMargin
     }
     (Seq(seed) ++ perRound).mkString(",\n")
   }
@@ -3663,7 +3666,7 @@ object SparkEntry {
         |      ORDER BY doc_id, chunk_idx) AS dup_rn
         |  FROM ch),
         |cid AS (
-        |  SELECT doc_id * 1000 + chunk_idx AS chunk_id, n_tokens
+        |  SELECT doc_id * 1048576 + chunk_idx AS chunk_id, n_tokens
         |  FROM uq WHERE dup_rn = 1),
         |docs2 AS (
         |  SELECT chunk_id, chunk_id % 8 AS shard, n_tokens,

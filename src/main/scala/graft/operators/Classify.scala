@@ -133,7 +133,12 @@ object Classify {
     * (doc_id, top_label, second_label, margin); integer-scaled scores
     * make the subtraction exact. Requires a model with ≥ 2 classes. */
   def nbMargin(model: DataFrame, test: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String): DataFrame = {
+    // the model is a materialized V·C grid — this count is local-cheap,
+    // and failing here beats every margin silently coming back null
+    val nClasses = model.select("label").distinct().count()
+    require(nClasses >= 2,
+      s"nbMargin needs a model with >= 2 classes, got $nClasses")
     scoredRanked(model, test, idCol, textCol)
       .filter(col("__rn") <= 2)
       .groupBy("doc_id")
@@ -142,4 +147,5 @@ object Classify {
         max(when(col("__rn") === 2, col("label"))).as("second_label"),
         round(max(when(col("__rn") === 1, col("score"))) -
           max(when(col("__rn") === 2, col("score"))), 6).as("margin"))
+  }
 }

@@ -154,7 +154,12 @@ object DocumentStream {
     * Returns every input column plus `predicted` and `score`. */
   def startClassifierRoutingJob(docs: DataFrame, idCol: String,
       textCol: String, model: DataFrame, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val reserved = Seq("predicted", "score", "batch_seq")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"input stream already has column(s) ${reserved.mkString(", ")} — " +
+        "they are produced by the routing job; rename them upstream")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -169,4 +174,5 @@ object DocumentStream {
         ()
       }
       .start()
+  }
 }

@@ -83,6 +83,17 @@ class ClassifySpec extends SparkSuite {
     assert(out(3L) == (("ham", "spam", 0.0)))
   }
 
+  test("nbMargin rejects a single-class model instead of returning " +
+      "null margins") {
+    val m = Classify.nbFit(Seq(("only", "x y")).toDF("label", "text"),
+      "label", "text", vocabSize = 10)
+    val test_ = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Classify.nbMargin(m, test_, "doc_id", "text")
+    }
+    assert(e.getMessage.contains(">= 2 classes"))
+  }
+
   test("a class absent from the vocab-hit space still scores") {
     // vocab restricted so one class owns all vocab terms
     val skew = Seq(("a", "x x x"), ("b", "y")).toDF("label", "text")

@@ -151,6 +151,23 @@ class DocumentStreamSpec extends SparkSuite {
       .exists(f => f.getName.startsWith("kp=")))
   }
 
+  test("classifier routing rejects streams that already carry its " +
+      "output columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.Classify.nbFit(
+      Seq(("a", "x"), ("b", "y")).toDF("label", "text"),
+      "label", "text", vocabSize = 10)
+    val input = MemoryStream[Doc]
+    val clashing = input.toDF().withColumn("score", lit(0.5))
+    val e = intercept[IllegalArgumentException] {
+      DocumentStream.startClassifierRoutingJob(clashing, "doc_id", "text",
+        model,
+        java.nio.file.Files.createTempDirectory("clash_out").toString,
+        java.nio.file.Files.createTempDirectory("clash_ckpt").toString)
+    }
+    assert(e.getMessage.contains("score"))
+  }
+
   test("classifier routing: frozen model scores every batch, output " +
       "partitioned by predicted label") {
     implicit val sqlCtx = spark.sqlContext
