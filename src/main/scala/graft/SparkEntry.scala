@@ -1535,6 +1535,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // PR2: corpus version diff — what changed between dataset snapshots
+    // (crawl N vs N+1), the dataset-versioning twin of a11's
+    // clustersdiff: per source, docs added / removed / changed /
+    // unchanged by content hash. v2 is constructed deterministically
+    // from v1 (drops, edits, additions) so the oracle sees both sides
+    "pr2_corpus_diff" -> { (s, dir) =>
+      import graft.operators.Profile
+      val a = table(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      Profile.corpusDiff(a, b, "doc_id", "text", "source")
+        .orderBy("grp", "status")
+    },
+
     // X4: training-sequence endgame as ONE oracled chain — strided
     // chunking (p6) → chunk-level exact dedup keeping the first
     // occurrence → greedy sequence packing (p1) of the survivors: the
@@ -3640,6 +3658,28 @@ object SparkEntry {
         |SELECT vec_id AS doc_id, cell_id, ccos, proto_rank, n_cell,
         |  proto_rank > ceil(0.3 * n_cell) AS keep
         |FROM rk3 ORDER BY doc_id""".stripMargin,
+
+    "pr2_corpus_diff" ->
+      """WITH bsnap AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents
+        |  WHERE doc_id % 17 = 0),
+        |ka AS (SELECT doc_id, source AS ga, md5(text) AS ha
+        |       FROM documents),
+        |kb AS (SELECT doc_id, source AS gb, md5(text) AS hb FROM bsnap),
+        |j AS (
+        |  SELECT coalesce(kb.gb, ka.ga) AS grp,
+        |    CASE WHEN ka.ha IS NULL THEN 'added'
+        |         WHEN kb.hb IS NULL THEN 'removed'
+        |         WHEN ka.ha <> kb.hb THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM ka FULL OUTER JOIN kb USING (doc_id))
+        |SELECT grp, status, count(*) AS n FROM j
+        |GROUP BY 1, 2 ORDER BY grp, status""".stripMargin,
 
     "x4_chunk_dedup_pack" ->
       """WITH RECURSIVE t AS (

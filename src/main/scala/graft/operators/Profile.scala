@@ -46,4 +46,31 @@ object Profile {
       .withColumn("dup_ratio",
         round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 6))
   }
+
+  /** Corpus version diff — what changed between two snapshots of a
+    * dataset (crawl N vs crawl N+1, pre- vs post-curation): per group,
+    * how many docs were added, removed, changed (same id, different
+    * content hash), or unchanged. The dataset-versioning twin of the
+    * metrics side's `ClustersDiff`.
+    *
+    * One full-outer join on the id — both sides reduced to (id, group,
+    * md5) BEFORE the join, so the shuffle carries 16-byte digests, not
+    * text — then one group-count aggregation. Group comes from whichever
+    * side has the row (b wins for changed docs: the NEW snapshot's slice
+    * assignment describes where the doc lives now). */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, groupCol: String): DataFrame = {
+    def keyed(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as("__id"), col(groupCol).as(s"__g_$side"),
+        md5(col(textCol)).as(s"__h_$side"))
+    val joined = keyed(a, "a").join(keyed(b, "b"), Seq("__id"), "full_outer")
+    val status = when(col("__h_a").isNull, "added")
+      .when(col("__h_b").isNull, "removed")
+      .when(col("__h_a") =!= col("__h_b"), "changed")
+      .otherwise("unchanged")
+    joined
+      .select(coalesce(col("__g_b"), col("__g_a")).as("grp"),
+        status.as("status"))
+      .groupBy("grp", "status").agg(count(lit(1)).as("n"))
+  }
 }

@@ -52,4 +52,25 @@ class ProfileSpec extends SparkSuite {
         s"$src: approx $ap vs exact $ex")
     }
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged per group, " +
+      "changed docs counted under the NEW snapshot's group") {
+    val a = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"),
+      (3L, "s2", "gamma"), (4L, "s2", "delta")
+    ).toDF("doc_id", "source", "text")
+    val b = Seq(
+      (1L, "s1", "alpha"),          // unchanged
+      (2L, "s2", "beta EDITED"),    // changed AND re-sliced → counts in s2
+      (4L, "s2", "delta"),          // unchanged  (3 removed)
+      (9L, "s1", "new doc")         // added
+    ).toDF("doc_id", "source", "text")
+    val got = Profile.corpusDiff(a, b, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("s1", "unchanged") -> 1L, ("s1", "added") -> 1L,
+      ("s2", "changed") -> 1L, ("s2", "unchanged") -> 1L,
+      ("s2", "removed") -> 1L))
+  }
 }
