@@ -84,7 +84,8 @@ object Bench {
         name -> (() => { queries(name)(spark, sfDir).count(); () })
       } ++ Seq[(String, () => Unit)](
         "x1_curation_pipeline" -> (() => { curationPipeline(spark, sfDir); () }),
-        "x2_embedding_pipeline" -> (() => { embeddingPipeline(spark, sfDir); () })
+        "x2_embedding_pipeline" -> (() => { embeddingPipeline(spark, sfDir); () }),
+        "x5_pretrain_prep_pipeline" -> (() => { pretrainPrepPipeline(spark, sfDir); () })
       ) ++ baselineMicroTasks(spark)
 
     // Median of 5 INTERLEAVED passes: each pass runs every query once,
@@ -214,6 +215,43 @@ object Bench {
       pairs.select("id_a", "id_b"))
     Dedup.leakageSafeSplit(emb.join(kept, "vec_id"), "vec_id", comps)
       .count()
+  }
+
+  /** The prepare-pretraining-data job over this round's operators, as
+    * one composed run: NB classifier routing (train on 4/5, keep docs
+    * predicted into the majority class family) → temperature-scaled
+    * mixture over sources → strided chunking → chunk-hash dedup →
+    * greedy sequence packing → BPE merge training on the surviving
+    * text. Stages individually oracled (cl1, p9, x4, bp1); the
+    * composition is the documents-to-trainer handoff. */
+  private[graft] def pretrainPrepPipeline(spark: SparkSession,
+      sfDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Bpe, Classify, Packing, Sampling}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = Classify.nbFit(docs.filter(col("doc_id") % 5 =!= 0),
+      "lang", "text", vocabSize = 24)
+    // keep docs whose predicted language the router trusts (margin > 0)
+    val routed = Classify.nbMargin(model, docs, "doc_id", "text")
+      .filter(col("margin") > 0).select("doc_id")
+    val kept = docs.join(routed, "doc_id")
+    val mixed = Sampling.temperatureMixture(kept, col("doc_id"),
+      col("source"), col("n_chars"), temperature = 2.0,
+      tokenBudget = 500000L)
+    val chunks = Packing.chunkWindows(mixed, "doc_id", "text",
+      window = 128, stride = 64)
+    val w = Window.partitionBy("chunk_hash")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val uniq = chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select((col("doc_id") * 1048576L + col("chunk_idx")).as("chunk_id"),
+        col("n_tokens"))
+    val packed = Packing.packGreedy(uniq, "chunk_id", "n_tokens",
+      capacity = 256, numShards = 8).count()
+    val (merges, _) = Bpe.trainMerges(
+      Bpe.wordFreqs(mixed, "text"), rounds = 8)
+    packed + merges.count()
   }
 
   /** Micro-benchmarks mirroring the reference's accessor_bench comparable
