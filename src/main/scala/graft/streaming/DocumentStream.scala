@@ -142,6 +142,32 @@ object DocumentStream {
       }
       .start()
 
+  /** Running dataset card over the stream — the live twin of
+    * [[graft.operators.Profile.datasetCard]]: per-group doc / token /
+    * byte totals and an HLL distinct-content sketch that update every
+    * micro-batch. Complete-mode aggregation whose state is ONE row per
+    * group (sources/languages — metadata-sized, never corpus-sized;
+    * the HLL sketch is the only viable streaming distinct count), with
+    * each trigger snapshotting the latest card to `outDir` (overwrite:
+    * the newest card is the card). */
+  def startStatsJob(docs: DataFrame, groupCol: String, textCol: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val card = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+          .as("n_tokens"),
+        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"),
+        approx_count_distinct(md5(col(textCol))).as("n_unique"))
+    card.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   /** Classifier routing at ingest — the fastText-gate deployment shape:
     * a [[graft.operators.Classify.nbFit]] model is trained OFFLINE
     * (broadcast-sized by construction), frozen, and applied to every

@@ -151,6 +151,33 @@ class DocumentStreamSpec extends SparkSuite {
       .exists(f => f.getName.startsWith("kp=")))
   }
 
+  test("streaming dataset card: per-group totals update across batches, " +
+      "latest snapshot wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = java.nio.file.Files.createTempDirectory("card_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("card_ckpt").toString
+    val withGroup = input.toDF()
+      .withColumn("source", concat(lit("s"), col("doc_id") % 2))
+    val q = DocumentStream.startStatsJob(withGroup, "source", "text",
+      out, ckpt)
+    try {
+      input.addData(Doc(0L, "two tokens", 1L), Doc(1L, "three token text", 2L))
+      q.processAllAvailable()
+      val first = spark.read.parquet(out)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(first === Map("s0" -> 1L, "s1" -> 1L))
+      input.addData(Doc(2L, "more text here now", 3L))
+      q.processAllAvailable()
+      val second = spark.read.parquet(out)
+        .collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // s0 accumulated across batches: 2 docs, 2+4 tokens
+      assert(second("s0") === ((2L, 6L)))
+      assert(second("s1") === ((1L, 3L)))
+    } finally q.stop()
+  }
+
   test("classifier routing rejects streams that already carry its " +
       "output columns") {
     implicit val sqlCtx = spark.sqlContext
