@@ -1535,6 +1535,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // LR1: logistic regression trained IN-ENGINE by full-batch GD over
+    // hashed TF-IDF features — the learned corpus-gating classifier
+    // (kmeans' iterative shape: broadcast model, two aggregations per
+    // round, weights rounded per round so trajectories replay
+    // bit-identically in any engine). Train on the 4/5 split (y =
+    // lang=='en'), score the 1/5 holdout
+    "lr1_logreg_gate" -> { (s, dir) =>
+      import graft.operators.{LogReg, Vectorize}
+      val docs = table(s, dir, "documents")
+      // ONE tfidf pass over the full corpus: idf consistent across the
+      // split; materialized — train rounds AND prediction read it
+      val feats = Vectorize.tfidfSparse(docs, "doc_id", "text", dim = 16)
+        .localCheckpoint(true)
+      val labels = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = LogReg.fit(feats, labels, dim = 16, eta = 0.5, rounds = 4)
+      LogReg.predict(feats, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", w)
+        .orderBy("doc_id")
+    },
+
     // PR2: corpus version diff — what changed between dataset snapshots
     // (crawl N vs N+1), the dataset-versioning twin of a11's
     // clustersdiff: per source, docs added / removed / changed /
@@ -2099,6 +2121,46 @@ object SparkEntry {
        | + (strpos('0123456789abcdef', substr(md5($expr), 4, 1)) - 1)
        |) % $dim""".stripMargin
 
+  /** Unrolled full-batch GD rounds in DuckDB (mirrors
+    * [[graft.operators.LogReg.fit]] at η=0.5 over the lr1 split):
+    * labels, train features `tf2`, zero weights `lw0` (slot −1 =
+    * bias), then per round the rounded probabilities `lp_i`, gradients
+    * `lg_i`, and rounded weight update `lw_i`. MATERIALIZED for the
+    * same exponential-inlining reason as the BPE chain. */
+  private def lrOracleCtes(rounds: Int): String = {
+    val seed =
+      """lab AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |nl AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+        |tf2 AS MATERIALIZED (
+        |  SELECT wv.doc_id, wv.slot, wv.weight
+        |  FROM wv JOIN lab USING (doc_id)),
+        |lw0 AS MATERIALIZED (
+        |  SELECT unnest(range(-1, 16)) AS slot, 0.0 AS w)""".stripMargin
+    val perRound = (1 to rounds).map { i =>
+      s"""lp$i AS MATERIALIZED (
+         |  SELECT l.doc_id, l.y,
+         |    round(1 / (1 + exp(-(coalesce(mg.m, 0) + bs.b))), 6) AS p
+         |  FROM lab l
+         |  LEFT JOIN (SELECT t.doc_id, sum(t.weight * w.w) AS m
+         |             FROM tf2 t JOIN lw${i - 1} w USING (slot)
+         |             GROUP BY 1) mg USING (doc_id)
+         |  CROSS JOIN (SELECT w AS b FROM lw${i - 1} WHERE slot = -1) bs),
+         |lg$i AS MATERIALIZED (
+         |  SELECT t.slot, round(sum(t.weight * (p.p - p.y)) / nl.n, 6) AS g
+         |  FROM tf2 t JOIN lp$i p USING (doc_id) CROSS JOIN nl
+         |  GROUP BY t.slot, nl.n
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT), round(sum(p - y) / nl.n, 6)
+         |  FROM lp$i CROSS JOIN nl GROUP BY nl.n),
+         |lw$i AS MATERIALIZED (
+         |  SELECT w.slot, round(w.w - 0.5 * coalesce(g.g, 0), 6) AS w
+         |  FROM lw${i - 1} w LEFT JOIN lg$i g USING (slot))""".stripMargin
+    }
+    (Seq(seed) ++ perRound).mkString(",\n")
+  }
+
   /** Unrolled BPE merge rounds in DuckDB (mirrors
     * [[graft.operators.Bpe.trainMerges]] at `rounds` merges): word
     * freqs `w`, seed reprs `r0`, then per round the weighted adjacent-
@@ -2190,11 +2252,11 @@ object SparkEntry {
 
   /** Corpus-side TF-IDF CTEs shared by v1 and r3: slot-hashed token
     * counts `tfv`, slot idf `idfv`, sparse weights `wv`. */
-  private val TfidfCtes =
+  private def tfidfCtes(dim: Int = 64): String =
     s"""vtk AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
        |  FROM documents),
-       |vsl AS (SELECT doc_id, ${slotSql("term", 64)} AS slot FROM vtk),
+       |vsl AS (SELECT doc_id, ${slotSql("term", dim)} AS slot FROM vtk),
        |tfv AS (SELECT doc_id, slot, count(*) AS tf FROM vsl GROUP BY 1, 2),
        |nv AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
        |idfv AS (
@@ -3574,12 +3636,12 @@ object SparkEntry {
          |FROM scd s JOIN repd r USING (cluster) ORDER BY s.doc_id""".stripMargin,
 
     "v1_tfidf_vectors" ->
-      s"""WITH $TfidfCtes
+      s"""WITH ${tfidfCtes()}
         |SELECT doc_id, CAST(slot AS BIGINT) AS slot, weight
         |FROM wv ORDER BY doc_id, slot""".stripMargin,
 
     "r3_tfidf_knn" ->
-      s"""WITH $TfidfCtes,
+      s"""WITH ${tfidfCtes()},
         |cnv AS (SELECT doc_id, sqrt(sum(weight * weight)) AS cn
         |        FROM wv GROUP BY 1),
         |qv AS (
@@ -3638,7 +3700,7 @@ object SparkEntry {
 
 
     "x3_text_semantic_pipeline" ->
-      s"""WITH $TfidfCtes,
+      s"""WITH ${tfidfCtes()},
         |dvg AS (
         |  SELECT d.doc_id, s.slot, coalesce(w.weight, 0.0) AS wgt
         |  FROM (SELECT DISTINCT doc_id FROM documents) d
@@ -3658,6 +3720,20 @@ object SparkEntry {
         |SELECT vec_id AS doc_id, cell_id, ccos, proto_rank, n_cell,
         |  proto_rank > ceil(0.3 * n_cell) AS keep
         |FROM rk3 ORDER BY doc_id""".stripMargin,
+
+    "lr1_logreg_gate" ->
+      s"""WITH ${tfidfCtes(16)},
+        |${lrOracleCtes(4)}
+        |SELECT d.doc_id,
+        |  round(1 / (1 + exp(-(coalesce(mg.m, 0) + bs.b))), 6) AS score,
+        |  round(1 / (1 + exp(-(coalesce(mg.m, 0) + bs.b))), 6) >= 0.5
+        |    AS predicted
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN (SELECT wv.doc_id, sum(wv.weight * w.w) AS m
+        |           FROM wv JOIN lw4 w USING (slot) GROUP BY 1) mg
+        |  USING (doc_id)
+        |CROSS JOIN (SELECT w AS b FROM lw4 WHERE slot = -1) bs
+        |ORDER BY d.doc_id""".stripMargin,
 
     "pr2_corpus_diff" ->
       """WITH bsnap AS (
