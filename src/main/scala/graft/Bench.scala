@@ -34,7 +34,7 @@ object Bench {
     "r2_bm25_index_topk", "d15_cross_corpus_dedup",
     "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
     "x3_text_semantic_pipeline", "d17_cluster_representatives",
-    "bp1_bpe_merges", "x4_chunk_dedup_pack")
+    "bp1_bpe_merges", "x4_chunk_dedup_pack", "lr1_logreg_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

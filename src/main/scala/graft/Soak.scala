@@ -54,7 +54,8 @@ object Soak {
       "r2_bm25_index_topk", "d15_cross_corpus_dedup",
       "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
       "x3_text_semantic_pipeline", "d17_cluster_representatives",
-      "bp1_bpe_merges", "x4_chunk_dedup_pack", "pr2_corpus_diff")
+      "bp1_bpe_merges", "x4_chunk_dedup_pack", "pr2_corpus_diff",
+      "lr1_logreg_gate")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
