@@ -1557,6 +1557,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // DS1: DSIR importance weights (Xie et al. 2023) — hashed unigram+
+    // bigram distributions of target (lang='en') vs raw (everything),
+    // per-bucket log-likelihood ratio, per-doc importance score. λ is
+    // integer-scaled so the per-doc sum is exact in any addition order
+    "ds1_dsir_weights" -> { (s, dir) =>
+      import graft.operators.Dsir
+      val docs = table(s, dir, "documents")
+      Dsir.importanceWeights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), dim = 256)
+        .orderBy("doc_id")
+    },
+
+    // DS2: DSIR selection — 150 docs without replacement, probability ∝
+    // exp(importance): the actual "make the raw corpus look like the
+    // target" resampling step, via the content-addressed E-S clock
+    "ds2_dsir_resample" -> { (s, dir) =>
+      import graft.operators.Dsir
+      val docs = table(s, dir, "documents")
+      Dsir.resample(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), dim = 256, k = 150)
+        .withColumn("sample_score",
+          floor(col("sample_score") * 1000000L + 0.5) / 1000000L)
+        .orderBy("doc_id")
+    },
+
     // PR2: corpus version diff — what changed between dataset snapshots
     // (crawl N vs N+1), the dataset-versioning twin of a11's
     // clustersdiff: per source, docs added / removed / changed /
@@ -2120,6 +2145,51 @@ object SparkEntry {
        | + (strpos('0123456789abcdef', substr(md5($expr), 3, 1)) - 1) * 16
        | + (strpos('0123456789abcdef', substr(md5($expr), 4, 1)) - 1)
        |) % $dim""".stripMargin
+
+  /** DSIR oracle chain (mirrors [[graft.operators.Dsir]]): hashed
+    * unigram+bigram feature counts per doc (`ddc`), raw and target
+    * (lang='en') bucket distributions with add-one smoothing over the
+    * full [0, dim) space, and the integer-scaled λ table (`dlam`).
+    * MATERIALIZED where two consumers read a CTE. */
+  private def dsirCtes(dim: Int): String =
+    s"""ddt AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |dfeat AS (
+       |  SELECT doc_id, unnest(t) AS f FROM ddt
+       |  UNION ALL
+       |  SELECT d.doc_id, d.t[u.i] || ' ' || d.t[u.i + 1] AS f
+       |  FROM ddt d, LATERAL unnest(range(1, len(d.t))) u(i)),
+       |ddc AS MATERIALIZED (
+       |  SELECT doc_id, ${slotSql("f", dim)} AS slot, count(*) AS cnt
+       |  FROM dfeat GROUP BY 1, 2),
+       |drawc AS (SELECT slot, sum(cnt) AS c FROM ddc GROUP BY 1),
+       |dtgtc AS (
+       |  SELECT slot, sum(cnt) AS c FROM ddc
+       |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       |drt AS (SELECT coalesce(sum(c), 0) AS t FROM drawc),
+       |dtt AS (SELECT coalesce(sum(c), 0) AS t FROM dtgtc),
+       |dslots AS (SELECT unnest(range(0, $dim)) AS slot),
+       |dlam AS MATERIALIZED (
+       |  SELECT s.slot,
+       |    CAST(floor((ln((coalesce(tc.c, 0) + 1.0) / (dtt.t + $dim))
+       |              - ln((coalesce(rc.c, 0) + 1.0) / (drt.t + $dim)))
+       |      * 1000000 + 0.5) AS BIGINT) AS lam
+       |  FROM dslots s
+       |  LEFT JOIN dtgtc tc USING (slot)
+       |  LEFT JOIN drawc rc USING (slot)
+       |  CROSS JOIN drt CROSS JOIN dtt)""".stripMargin
+
+  /** The ds1 output select over [[dsirCtes]] (also the `dw` seed of the
+    * ds2 resample chain). */
+  private val DsirWeightsSelect =
+    """SELECT d.doc_id, coalesce(sc.logratio, 0.0) AS logratio
+      |FROM documents d
+      |LEFT JOIN (SELECT ddc.doc_id, sum(ddc.cnt * dlam.lam) / 1e6
+      |             AS logratio
+      |           FROM ddc JOIN dlam USING (slot) GROUP BY 1) sc
+      |  USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Unrolled full-batch GD rounds in DuckDB (mirrors
     * [[graft.operators.LogReg.fit]] at η=0.5 over the lr1 split):
@@ -3734,6 +3804,31 @@ object SparkEntry {
         |  USING (doc_id)
         |CROSS JOIN (SELECT w AS b FROM lw4 WHERE slot = -1) bs
         |ORDER BY d.doc_id""".stripMargin,
+
+    "ds1_dsir_weights" -> s"WITH ${dsirCtes(256)}\n$DsirWeightsSelect",
+
+    "ds2_dsir_resample" ->
+      s"""WITH ${dsirCtes(256)},
+        |dw AS ($DsirWeightsSelect),
+        |dsel AS (
+        |  SELECT doc_id, logratio,
+        |    -ln((  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+        |         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |         + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |         + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+        |         + 1) / 4294967296.0)
+        |      / exp(logratio) AS score
+        |  FROM (SELECT doc_id, logratio,
+        |          md5(CAST(doc_id AS VARCHAR)) AS h FROM dw)
+        |  WHERE exp(logratio) > 0)
+        |SELECT doc_id, logratio,
+        |  floor(score * 1000000 + 0.5) / 1000000 AS sample_score
+        |FROM (SELECT * FROM dsel ORDER BY score, doc_id LIMIT 150)
+        |ORDER BY doc_id""".stripMargin,
 
     "pr2_corpus_diff" ->
       """WITH bsnap AS (
