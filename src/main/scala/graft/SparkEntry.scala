@@ -1688,6 +1688,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // T14: CCNet buckets PER LANGUAGE (the paper's actual shape —
+    // Wenzek et al. bucket each language's corpus separately): grouped
+    // exact ntile(3) by bigram-LM log-loss inside each lang. The grouped
+    // rank is range-partitioned (Ranking.withGroupedNtile), never a
+    // one-task-per-language window — the scale case is 5 languages each
+    // owning a fifth of a 100 TB corpus
+    "t14_ccnet_lang_buckets" -> { (s, dir) =>
+      import graft.operators.Ranking
+      val docs = table(s, dir, "documents")
+      val nll = TextAnalysis.bigramLogLoss(docs, "doc_id", "text",
+          docs.filter(col("source") =!= "src0"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      Ranking.withGroupedNtile(nll, 3, "bucket_id", Seq("lang"),
+          col("avg_nll").asc, col("doc_id").asc)
+        .withColumn("ppl_bucket",
+          when(col("bucket_id") === 1, "head")
+            .when(col("bucket_id") === 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          col("bucket_id"), col("ppl_bucket"))
+        .orderBy("doc_id")
+    },
+
     // T12: NFC normalization (native graft_nfc expression vs DuckDB's
     // nfc_normalize) — the ASCII corpus gets a synthetic composed /
     // decomposed 'café' suffix by doc parity, so the oracle proves the
@@ -3946,6 +3969,21 @@ object SparkEntry {
         |      AS bucket_id
         |  FROM docnll)
         |SELECT doc_id, avg_nll, bucket_id,
+        |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM bk ORDER BY doc_id""".stripMargin,
+
+    "t14_ccnet_lang_buckets" ->
+      s"""WITH $BigramNllCtes,
+        |docnll AS (
+        |  SELECT doc_id, round(avg(v), 4) AS avg_nll
+        |  FROM nll GROUP BY doc_id),
+        |bk AS (
+        |  SELECT n.doc_id, d.lang, n.avg_nll,
+        |    CAST(ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY n.avg_nll, n.doc_id) AS BIGINT) AS bucket_id
+        |  FROM docnll n JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, avg_nll, bucket_id,
         |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM bk ORDER BY doc_id""".stripMargin,

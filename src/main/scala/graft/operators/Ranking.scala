@@ -44,6 +44,67 @@ object Ranking {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Adds exact PER-GROUP `row_number()` (1-based, named `rnCol`)
+    * ordered by `sortCols` inside each combination of `groupCols` —
+    * without `row_number() OVER (PARTITION BY group)`'s
+    * one-task-per-group funnel. A plain partitioned window is fine when
+    * every group fits a task; this form survives the CCNet case — a
+    * handful of language groups, each a large fraction of the corpus —
+    * by range-partitioning on (group, sort) so a big group SPANS
+    * partitions, ranking locally, and adding per-(partition, group)
+    * cumulative offsets (metadata scale: #partitions × #groups rows).
+    * Same determinism contract as [[withGlobalRowNumber]]: groupCols ++
+    * sortCols must totally order rows within a group. */
+  def withGroupedRowNumber(df: DataFrame, rnCol: String,
+      groupCols: Seq[String], sortCols: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    require(sortCols.nonEmpty, "sortCols must not be empty")
+    require(!df.columns.exists(_.startsWith("__")),
+      "input must not carry __-prefixed columns")
+    val gc = groupCols.map(col)
+    val ranged = df.repartitionByRange(gc ++ sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lrn",
+      row_number().over(Window.partitionBy(col("__pid") +: gc: _*)
+        .orderBy(sortCols: _*)))
+    val offsets = ranged.groupBy(col("__pid") +: gc: _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum("__cnt").over(Window.partitionBy(gc: _*).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((col("__pid") +: gc :+ col("__off")): _*)
+    local.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(rnCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Adds exact PER-GROUP `ntile(n)` (named `bucketCol`, values 1..n)
+    * ordered by `sortCols` inside each `groupCols` combination — the
+    * CCNet head/middle/tail shape: per-language perplexity thirds
+    * where single languages are corpus-sized. SQL ntile semantics per
+    * group (first rem buckets hold base+1 rows). The input is
+    * materialized once (`localCheckpoint`) because the rank pass and
+    * the per-group totals both consume it. */
+  def withGroupedNtile(df: DataFrame, n: Int, bucketCol: String,
+      groupCols: Seq[String], sortCols: Column*): DataFrame = {
+    require(n > 0, s"ntile buckets must be positive, got $n")
+    val base = df.localCheckpoint(true)
+    // per-group totals: #groups rows, metadata scale, broadcast back
+    val totals = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__total"))
+    withGroupedRowNumber(base, "__rn", groupCols, sortCols: _*)
+      .join(broadcast(totals), groupCols)
+      .withColumn("__base", expr(s"__total div $n"))
+      .withColumn("__rem", col("__total") % n)
+      .withColumn("__cut", col("__rem") * (col("__base") + 1))
+      .withColumn(bucketCol,
+        when(col("__rn") <= col("__cut"),
+          expr("(__rn - 1) div (__base + 1)") + 1)
+        .otherwise(col("__rem") +
+          expr("(__rn - __cut - 1) div greatest(__base, 1)") + 1))
+      .drop("__rn", "__total", "__base", "__rem", "__cut")
+  }
+
   /** Adds exact global `ntile(n)` (named `bucketCol`, values 1..n) ordered
     * by `sortCols` — SQL semantics: with base = total div n and
     * rem = total mod n, the first `rem` buckets hold base+1 rows and the

@@ -60,6 +60,50 @@ class RankingSpec extends SparkSuite {
     assert(plan.contains("rangepartitioning"), plan.take(2000))
   }
 
+  // grouped rows: 3 uneven groups with duplicate sort values
+  private def grouped(n: Int) = (0 until n)
+    .map(i => (s"g${i % 10 min 2}", (i * 7919) % 97, i.toLong))
+    .toDF("g", "v", "id")
+    .repartition(5, col("id"))
+
+  test("grouped row_number equals the partitioned-window rank") {
+    for (n <- Seq(0, 1, 7, 500)) {
+      val df = grouped(n)
+      val got = Ranking.withGroupedRowNumber(df, "rn", Seq("g"),
+          col("v").asc, col("id").asc)
+        .select("g", "id", "rn").as[(String, Long, Long)]
+        .collect().toSet
+      val want = df.withColumn("rn",
+          row_number().over(Window.partitionBy("g")
+            .orderBy(col("v").asc, col("id").asc)))
+        .select("g", "id", "rn").as[(String, Long, Int)]
+        .collect().map(t => (t._1, t._2, t._3.toLong)).toSet
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("grouped ntile matches SQL NTILE over each group") {
+    for (n <- Seq(1, 11, 300); buckets <- Seq(1, 3, 4)) {
+      val df = grouped(n)
+      val got = Ranking.withGroupedNtile(df, buckets, "b", Seq("g"),
+          col("v").asc, col("id").asc)
+        .select("id", "b").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("b",
+          ntile(buckets).over(Window.partitionBy("g")
+            .orderBy(col("v").asc, col("id").asc)))
+        .select("id", "b").as[(Long, Int)].collect().toMap
+        .map { case (k, v) => k -> v.toLong }
+      assert(got === want, s"n=$n buckets=$buckets")
+    }
+  }
+
+  test("grouped rank range-partitions on (group, sort), no per-group funnel") {
+    val plan = Ranking.withGroupedRowNumber(grouped(1000), "rn", Seq("g"),
+        col("v").asc, col("id").asc)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+  }
+
   test("guards: empty sort keys, reserved columns, bucket count") {
     intercept[IllegalArgumentException] {
       Ranking.withGlobalRowNumber(rows(3), "rn")
