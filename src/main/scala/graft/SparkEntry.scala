@@ -1487,6 +1487,25 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     },
 
+    // R4: hybrid retrieval — RRF fusion of the lexical (r1 BM25) and
+    // vector (r3 TF-IDF cosine) top-10 lists over the same probe
+    // queries: the rank-based combiner every hybrid search engine
+    // defaults to. Contributions are fixed-point (10⁹ div (60+rk)) so
+    // the fused score is exact in any addition order
+    "r4_hybrid_rrf" -> { (s, dir) =>
+      import graft.operators.{Retrieval, Vectorize}
+      val docs = table(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          trim(substring(col("text"), 40, 60)).as("qtext"))
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+      val vec = Vectorize.tfidfKnn(docs, "doc_id", "text",
+        queries, "query_id", "qtext", dim = 64, k = 10)
+      Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+        .orderBy("query_id", "rk")
+    },
+
     // CL1: trained text classifier — multinomial Naive Bayes (the
     // in-engine analog of the fastText-style corpus-gating classifiers:
     // CCNet LM filter, DCLM quality model). Train = one groupBy pass on
@@ -2118,8 +2137,11 @@ object SparkEntry {
 
   /** BM25 oracle — shared verbatim by r1 (live scoring) and r2 (the
     * persisted-index path, which must reproduce it exactly). */
-  private val Bm25OracleSql =
-    """WITH dt AS (
+  /** BM25 oracle chain ending in the ranked `rk` CTE — shared by r1/r2
+    * and composable with [[TfidfKnnCtes]] (names are disjoint) for the
+    * r4 hybrid fusion. */
+  private val Bm25Ctes =
+    """dt AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
       |  FROM documents),
       |tk AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dt),
@@ -2156,7 +2178,10 @@ object SparkEntry {
       |  SELECT query_id, doc_id, score,
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-      |  FROM sc)
+      |  FROM sc)""".stripMargin
+
+  private val Bm25OracleSql =
+    s"""WITH $Bm25Ctes
       |SELECT query_id, doc_id, score, rk FROM rk
       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
@@ -2358,6 +2383,39 @@ object SparkEntry {
        |wv AS (
        |  SELECT doc_id, slot, round(tf * idf, 6) AS weight
        |  FROM tfv JOIN idfv USING (slot))""".stripMargin
+
+  /** TF-IDF cosine top-k oracle chain ending in the ranked `rkv` CTE —
+    * shared by r3 and (composed with [[Bm25Ctes]]) the r4 hybrid
+    * fusion; the two chains' CTE names are disjoint. */
+  private lazy val TfidfKnnCtes =
+    s"""${tfidfCtes()},
+      |cnv AS (SELECT doc_id, sqrt(sum(weight * weight)) AS cn
+      |        FROM wv GROUP BY 1),
+      |qv AS (
+      |  SELECT doc_id AS query_id, trim(substr(text, 40, 60)) AS qtext
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |qtk AS (
+      |  SELECT query_id,
+      |    unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+      |  FROM qv),
+      |qsl AS (SELECT query_id, ${slotSql("term", 64)} AS slot FROM qtk),
+      |qtf AS (SELECT query_id, slot, count(*) AS qtf
+      |        FROM qsl GROUP BY 1, 2),
+      |qw AS (
+      |  SELECT query_id, slot, round(qtf * idf, 6) AS qw
+      |  FROM qtf JOIN idfv USING (slot)),
+      |qn AS (SELECT query_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY 1),
+      |dots AS (
+      |  SELECT query_id, wv.doc_id, sum(wv.weight * qw.qw) AS dot
+      |  FROM wv JOIN qw USING (slot) GROUP BY 1, 2),
+      |scv AS (
+      |  SELECT query_id, doc_id, round(dot / (cnv.cn * qn.qn), 6) AS cos
+      |  FROM dots JOIN cnv USING (doc_id) JOIN qn USING (query_id)),
+      |rkv AS (
+      |  SELECT query_id, doc_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
+      |  FROM scv)""".stripMargin
 
   private val SigCte =
     "sig AS (SELECT doc_id, " +
@@ -3734,35 +3792,26 @@ object SparkEntry {
         |FROM wv ORDER BY doc_id, slot""".stripMargin,
 
     "r3_tfidf_knn" ->
-      s"""WITH ${tfidfCtes()},
-        |cnv AS (SELECT doc_id, sqrt(sum(weight * weight)) AS cn
-        |        FROM wv GROUP BY 1),
-        |qv AS (
-        |  SELECT doc_id AS query_id, trim(substr(text, 40, 60)) AS qtext
-        |  FROM documents WHERE doc_id % 97 = 0),
-        |qtk AS (
-        |  SELECT query_id,
-        |    unnest(string_split_regex(lower(qtext), '\\s+')) AS term
-        |  FROM qv),
-        |qsl AS (SELECT query_id, ${slotSql("term", 64)} AS slot FROM qtk),
-        |qtf AS (SELECT query_id, slot, count(*) AS qtf
-        |        FROM qsl GROUP BY 1, 2),
-        |qw AS (
-        |  SELECT query_id, slot, round(qtf * idf, 6) AS qw
-        |  FROM qtf JOIN idfv USING (slot)),
-        |qn AS (SELECT query_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY 1),
-        |dots AS (
-        |  SELECT query_id, wv.doc_id, sum(wv.weight * qw.qw) AS dot
-        |  FROM wv JOIN qw USING (slot) GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT query_id, doc_id, round(dot / (cnv.cn * qn.qn), 6) AS cos
-        |  FROM dots JOIN cnv USING (doc_id) JOIN qn USING (query_id)),
-        |rkv AS (
-        |  SELECT query_id, doc_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
-        |  FROM sc)
+      s"""WITH $TfidfKnnCtes
         |SELECT query_id, doc_id, cos, rk FROM rkv
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "r4_hybrid_rrf" ->
+      s"""WITH $Bm25Ctes,
+        |$TfidfKnnCtes,
+        |lists AS (
+        |  SELECT query_id, doc_id, rk FROM rk WHERE rk <= 10
+        |  UNION ALL
+        |  SELECT query_id, doc_id, rk FROM rkv WHERE rk <= 10),
+        |fused AS (
+        |  SELECT query_id, doc_id, sum(1000000000 // (60 + rk)) AS s
+        |  FROM lists GROUP BY 1, 2),
+        |rrf AS (
+        |  SELECT query_id, doc_id, s / 1e9 AS rrf_score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
+        |  FROM fused)
+        |SELECT query_id, doc_id, rrf_score, rk FROM rrf
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "cl1_nb_classify" ->

@@ -179,6 +179,44 @@ object Retrieval {
     docs.select(size(toks(col(textCol))).cast("long").as("__dl"))
       .agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * search combiner: given N per-query rankings (each with columns
+    * `query_id, doc_id, rk`, e.g. BM25 and vector top-k), score every
+    * (query, doc) by `Σ_lists 1/(c + rk)` and re-rank. Rank-based, so
+    * incomparable score scales (BM25 vs cosine) fuse without
+    * normalization — which is why RRF is the default in every hybrid
+    * search engine.
+    *
+    * Per-list contributions are computed in FIXED POINT — `10⁹ div
+    * (c + rk)` summed as longs — so the fused score is exact in any
+    * addition order across engines (the cl1/ds1 integer-scale idiom);
+    * `rrf_score` is the descaled sum. Ties: (score DESC, doc_id ASC),
+    * the repo ranking rule.
+    *
+    * Scale shape: inputs are already top-k-per-query relations
+    * (|queries| × k rows — hits-sized, never corpus-sized); one union,
+    * one grouped sum, one per-query ranking window. Returns
+    * (query_id, doc_id, rrf_score, rk), rk 1..k. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(c >= 0, s"rrf constant must be non-negative, got $c")
+    val lists = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rk")))
+      .reduce(_.unionByName(_))
+    val fused = lists
+      .select(col("query_id"), col("doc_id"),
+        expr(s"1000000000 div (${c.toLong} + rk)").as("__c"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("__c").as("__s"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__s").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("__s") / 1e9).as("rrf_score"), col("rk"))
+  }
+
   /** BM25 top-`k` against a [[buildTextIndex]] index. The query term
     * list (display-sized) is collected once to drive BOTH the partition
     * filter (bucket pruning) and the row filter (`term IN ...`, pushed to

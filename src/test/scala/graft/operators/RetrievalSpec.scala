@@ -166,4 +166,27 @@ class RetrievalSpec extends SparkSuite {
     assert(probed > 0, "no postings scan in the probe plan")
     assert(probed < all, s"expected bucket pruning: $probed !< $all")
   }
+
+  test("rrfFuse matches the hand-computed fixed-point RRF score") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rk")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rk").as[(Long, Long, Double, Long)].collect().toSeq
+    def f(rks: Long*): Double =
+      rks.map(r => 1000000000L / (60L + r)).sum / 1e9
+    // doc 11: ranks 2 and 1 — tops both single-list leaders
+    assert(got.map(_._2) === Seq(11L, 10L, 13L, 12L))
+    assert(got.map(_._3) === Seq(f(2, 1), f(1), f(2), f(3)))
+    assert(got.map(_._4) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("rrfFuse ties break by doc_id and k caps per query") {
+    val a = Seq((1L, 5L, 1L), (1L, 6L, 1L), (2L, 7L, 1L), (2L, 8L, 2L))
+      .toDF("query_id", "doc_id", "rk")
+    val got = Retrieval.rrfFuse(Seq(a), k = 1)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) === Set((1L, 5L), (2L, 7L)))
+  }
 }
