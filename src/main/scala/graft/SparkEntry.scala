@@ -1707,6 +1707,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // PH1: word2phrase collocation mining (Mikolov et al. 2013) —
+    // bigrams co-occurring far above chance, scored
+    // (cab−δ)·N/(ca·cb), the phrase pass that fuses "new york"-class
+    // units before tokenizer training
+    "ph1_phrase_mining" -> { (s, dir) =>
+      import graft.operators.Phrases
+      Phrases.phraseScores(table(s, dir, "documents"), "doc_id", "text",
+          delta = 3.0, minCount = 3L, threshold = 1.0)
+        .orderBy("w1", "w2")
+    },
+
+    // PH2: the mined phrases DEPLOYED — top-10 by score fused into
+    // single tokens over every document as one chained map-only
+    // projection (the Bpe.segment deployment idiom)
+    "ph2_phrase_merge" -> { (s, dir) =>
+      import graft.operators.Phrases
+      val docs = table(s, dir, "documents")
+      val top = Phrases.topPhrases(docs, "doc_id", "text", k = 10,
+        delta = 3.0, minCount = 3L, threshold = 1.0)
+      Phrases.mergePhrases(docs, "text", top, "phrased")
+        .select(col("doc_id"), col("phrased"))
+        .orderBy("doc_id")
+    },
+
     // T14: CCNet buckets PER LANGUAGE (the paper's actual shape —
     // Wenzek et al. bucket each language's corpus separately): grouped
     // exact ntile(3) by bigram-LM log-loss inside each lang. The grouped
@@ -2227,6 +2251,30 @@ object SparkEntry {
        |  LEFT JOIN dtgtc tc USING (slot)
        |  LEFT JOIN drawc rc USING (slot)
        |  CROSS JOIN drt CROSS JOIN dtt)""".stripMargin
+
+  /** word2phrase oracle chain (mirrors [[graft.operators.Phrases]]):
+    * token relation, unigram counts, total, bigram counts, and the
+    * scored pairs `psc`. */
+  private def phraseCtes(delta: Double): String =
+    s"""ptk AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |puni AS MATERIALIZED (SELECT unnest(t) AS tok FROM ptk),
+       |puc AS (SELECT tok, count(*) AS c FROM puni GROUP BY 1),
+       |ptot AS (SELECT count(*) AS n FROM puni),
+       |pbg AS (
+       |  SELECT p.t[u.i] AS w1, p.t[u.i + 1] AS w2,
+       |    count(*) AS pair_count
+       |  FROM ptk p, LATERAL unnest(range(1, len(p.t))) u(i)
+       |  GROUP BY 1, 2),
+       |psc AS MATERIALIZED (
+       |  SELECT g.w1, g.w2, g.pair_count,
+       |    round((g.pair_count - $delta) * ptot.n
+       |      / (a.c::DOUBLE * b.c), 6) AS score
+       |  FROM pbg g
+       |  JOIN puc a ON a.tok = g.w1
+       |  JOIN puc b ON b.tok = g.w2
+       |  CROSS JOIN ptot)""".stripMargin
 
   /** The ds1 output select over [[dsirCtes]] (also the `dw` seed of the
     * ds2 resample chain). */
@@ -4021,6 +4069,34 @@ object SparkEntry {
         |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM bk ORDER BY doc_id""".stripMargin,
+
+    "ph1_phrase_mining" ->
+      s"""WITH ${phraseCtes(3.0)}
+        |SELECT w1, w2, pair_count, score FROM psc
+        |WHERE pair_count >= 3 AND score > 1.0
+        |ORDER BY w1, w2""".stripMargin,
+
+    "ph2_phrase_merge" ->
+      s"""WITH RECURSIVE ${phraseCtes(3.0)},
+        |ptop AS (
+        |  SELECT w1, w2, row_number() OVER
+        |      (ORDER BY score DESC, w1, w2) AS pi
+        |  FROM psc WHERE pair_count >= 3 AND score > 1.0
+        |  QUALIFY pi <= 10),
+        |prec AS (
+        |  SELECT doc_id,
+        |    ' ' || array_to_string(
+        |      string_split_regex(lower(text), '\\s+'), ' ') || ' ' AS t,
+        |    0 AS i
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT r.doc_id,
+        |    replace(r.t, ' ' || p.w1 || ' ' || p.w2 || ' ',
+        |      ' ' || p.w1 || '_' || p.w2 || ' '), r.i + 1
+        |  FROM prec r JOIN ptop p ON p.pi = r.i + 1)
+        |SELECT doc_id, trim(t) AS phrased FROM prec
+        |WHERE i = (SELECT max(i) FROM prec)
+        |ORDER BY doc_id""".stripMargin,
 
     "t14_ccnet_lang_buckets" ->
       s"""WITH $BigramNllCtes,

@@ -252,7 +252,7 @@ object TextAnalysis {
   /** Adjacent token pairs of each document, extracted map-side (the
     * token array zipped with itself shifted by one — no window, no
     * shuffle): (idCol, w1, w2), one row per bigram occurrence. */
-  private def tokenPairs(df: DataFrame, idCol: String,
+  private[operators] def tokenPairs(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val n = size(t)
