@@ -55,7 +55,8 @@ object Soak {
       "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
       "x3_text_semantic_pipeline", "d17_cluster_representatives",
       "bp1_bpe_merges", "x4_chunk_dedup_pack", "pr2_corpus_diff",
-      "lr1_logreg_gate")
+      "lr1_logreg_gate", "ds2_dsir_resample", "r4_hybrid_rrf",
+      "ph1_phrase_mining", "t14_ccnet_lang_buckets", "d18_containment")
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

@@ -1435,6 +1435,21 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     },
 
+    // D18: containment near-dup scoring (Broder) — the asymmetric
+    // doc-in-doc measure over the SAME LSH candidate pairs as d4:
+    // containment ≥ 0.8 on either side catches a small doc swallowed
+    // by a big one where symmetric Jaccard stays low
+    "d18_containment" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val sig = Dedup.minhashSignatureFromText(docs, "doc_id", "text",
+        numHashes = 8, n = 3)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 8,
+        bands = 8, maxBucketSize = 5000)
+      Dedup.containmentFromText(pairs, docs, "doc_id", "text", n = 3)
+        .filter(col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
     // D17: quality-aware cluster collapse — keep each duplicate
     // cluster's BEST-quality member (RefinedWeb-style), not an arbitrary
     // one: d6's connected components + t2's quality score + one window
@@ -2818,6 +2833,33 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = p.id_a
          |JOIN sizes sb ON sb.doc_id = p.id_b
          |WHERE round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d18_containment" ->
+      s"""WITH $ShinglesCte,
+         |$SigCte,
+         |$BandedPairsCte,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN dsh a ON a.doc_id = p.id_a
+         |  JOIN dsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |cont AS (
+         |  SELECT p.id_a AS id_a, p.id_b AS id_b,
+         |    round(coalesce(i.i, 0) / sa.sz, 6) AS containment_a,
+         |    round(coalesce(i.i, 0) / sb.sz, 6) AS containment_b,
+         |    round(coalesce(i.i, 0)
+         |      / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+         |  FROM pairs p
+         |  LEFT JOIN inter i USING (id_a, id_b)
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b)
+         |SELECT id_a, id_b, containment_a, containment_b, jaccard
+         |FROM cont
+         |WHERE containment_a >= 0.8 OR containment_b >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     "d6_dup_clusters" ->

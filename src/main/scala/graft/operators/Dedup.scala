@@ -294,6 +294,34 @@ object Dedup {
     * `ShingleSetSpec`); the plan drops the explode, the distinct
     * shuffle, the per-doc size aggregation, and the exploded
     * intersection groupBy. */
+  /** Broder CONTAINMENT scoring for candidate pairs — the asymmetric
+    * twin of [[jaccardFromText]]: `containment_a = |A∩B| / |A|` (how
+    * much of A lives inside B) and the mirror `containment_b`. The
+    * measure that catches doc-in-doc duplication (a quote-heavy page
+    * containing a whole article, a boilerplate-wrapped copy) which
+    * symmetric Jaccard under-scores when the two docs differ in size.
+    * Same plan shape as jaccard: per-doc sorted shingle SETS map-side
+    * (ShingleSet), pairs joined to both sides, one native sorted-merge
+    * intersect per pair — the exploded (doc, shingle) relation never
+    * exists. Emits jaccard alongside, from the same intersect. */
+  def containmentFromText(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxChars: Int = 4096): DataFrame = {
+    val sets = docs.select(col(idCol),
+      graft.functions.ShingleSet.shingle_set(
+        lower(substring(col(textCol), 1, maxChars)), n).as("__ss"))
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("__sa"), col("__sb"))
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("__ss").as("__sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__ss").as("__sb")), Seq("id_b"))
+      .withColumn("__i", inter)
+      .select(col("id_a"), col("id_b"),
+        round(col("__i") / size(col("__sa")), 6).as("containment_a"),
+        round(col("__i") / size(col("__sb")), 6).as("containment_b"),
+        round(col("__i") /
+          (size(col("__sa")) + size(col("__sb")) - col("__i")), 6).as("jaccard"))
+  }
+
   def jaccardFromText(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, maxChars: Int = 4096): DataFrame = {
     val sets = docs.select(col(idCol),

@@ -33,11 +33,11 @@ object Phrases {
       delta: Double = 3.0, minCount: Long = 3L,
       threshold: Double = 1.0): DataFrame = {
     require(minCount >= 1, s"minCount must be ≥1, got $minCount")
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .localCheckpoint(true) // unigram counts AND the total read it
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n"))
+    val uni = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocabulary-sized; counts AND total read it
+    val total = uni.agg(sum("c").as("n"))
     val pairs = TextAnalysis.tokenPairs(docs, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
     pairs

@@ -67,15 +67,21 @@ object Ranking {
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy(col("__pid") +: gc: _*)
         .orderBy(sortCols: _*)))
+    // offsets keyed null-safely (a null group key is a group like any
+    // other; a plain equi-join would silently drop its rows)
     val offsets = ranged.groupBy(col("__pid") +: gc: _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum("__cnt").over(Window.partitionBy(gc: _*).orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select((col("__pid") +: gc :+ col("__off")): _*)
-    local.join(broadcast(offsets), "__pid" +: groupCols)
+      .select(col("__pid").as("__opid") +:
+        groupCols.map(c => col(c).as(s"__og_$c")) :+ col("__off"): _*)
+    val cond = (local("__pid") === offsets("__opid")) +:
+      groupCols.map(c => local(c) <=> offsets(s"__og_$c"))
+    local.join(broadcast(offsets), cond.reduce(_ && _))
       .withColumn(rnCol, col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__off")
+      .drop(("__pid" +: "__lrn" +: "__off" +: "__opid" +:
+        groupCols.map(c => s"__og_$c")): _*)
   }
 
   /** Adds exact PER-GROUP `ntile(n)` (named `bucketCol`, values 1..n)

@@ -97,6 +97,15 @@ class RankingSpec extends SparkSuite {
     }
   }
 
+  test("a null group key is a group like any other (no dropped rows)") {
+    val df = Seq((Some("g0"), 1L), (None, 2L), (None, 3L), (Some("g0"), 4L))
+      .toDF("g", "id")
+    val got = Ranking.withGroupedRowNumber(df, "rn", Seq("g"), col("id").asc)
+    assert(got.count() === 4)
+    assert(got.filter(col("g").isNull).orderBy("id")
+      .select("rn").as[Long].collect().toSeq === Seq(1L, 2L))
+  }
+
   test("grouped rank range-partitions on (group, sort), no per-group funnel") {
     val plan = Ranking.withGroupedRowNumber(grouped(1000), "rn", Seq("g"),
         col("v").asc, col("id").asc)
