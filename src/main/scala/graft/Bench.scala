@@ -36,7 +36,7 @@ object Bench {
     "x3_text_semantic_pipeline", "d17_cluster_representatives",
     "bp1_bpe_merges", "x4_chunk_dedup_pack", "lr1_logreg_gate",
     "ds2_dsir_resample", "r4_hybrid_rrf", "ph1_phrase_mining",
-    "t14_ccnet_lang_buckets", "d18_containment")
+    "t14_ccnet_lang_buckets", "d18_containment", "cu1_curriculum_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,7 +106,12 @@ object Bench {
     // A failing query publishes -1 (the old row-count sentinel), never
     // its wall time — a crash must not masquerade as a fast success.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    // blocks cached by the micro-benchmarks' one-time setup (the warm
+    // glob catalog) are deliberate cross-pass state — everything cached
+    // AFTER this point is per-query residue that drainBlocks may drop
+    val setupBlocks = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def once(label: String, thunk: () => Unit): Double = {
+      drainBlocks(spark, setupBlocks) // orphaned checkpoints, not ours
       val t0 = System.nanoTime()
       try { thunk(); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
@@ -160,6 +165,22 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
+  }
+
+  /** Unpersist checkpoint/cache blocks orphaned by completed queries.
+    * Every pipeline query `localCheckpoint`s its reused intermediates;
+    * across a multi-pass bench (or the soak's 2×~40 query sweep) those
+    * blocks accumulate in the block manager — hundreds of megabytes a
+    * later query pays for in GC and spill. Nothing references them
+    * once the query's action returned, so dropping them between timed
+    * runs measures each query against a clean heap, which is also how
+    * a production job (one JVM per job) runs. */
+  private[graft] def drainBlocks(spark: SparkSession,
+      keep: Set[Int] = Set.empty): Unit = {
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => keep.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    System.gc()
   }
 
   /** The end-to-end curation chain a training-data team runs nightly,

@@ -1722,6 +1722,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CU1: curriculum training order — quality tiers (band 1 = best
+    // t2-score third), deterministic within-band shuffle, global
+    // 1-based training position; both ranks from range shuffles
+    "cu1_curriculum_order" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality_score"))
+      Sampling.curriculumOrder(q, col("doc_id"), col("quality_score"),
+          bands = 3, seed = "ep0")
+        .select(col("doc_id"), col("quality_score"), col("band"),
+          col("position"))
+        .orderBy("doc_id")
+    },
+
     // PH1: word2phrase collocation mining (Mikolov et al. 2013) —
     // bigrams co-occurring far above chance, scored
     // (cab−δ)·N/(ca·cb), the phrase pass that fuses "new york"-class
@@ -2266,6 +2280,28 @@ object SparkEntry {
        |  LEFT JOIN dtgtc tc USING (slot)
        |  LEFT JOIN drawc rc USING (slot)
        |  CROSS JOIN drt CROSS JOIN dtt)""".stripMargin
+
+  /** t2 quality-score oracle chain ending in `qscore` — shared by t2
+    * and cu1's curriculum banding. */
+  private lazy val QualityCtes =
+    s"""t AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(text), '\\s+') AS toks,
+       |    len(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, len(toks) AS n_tokens, alpha_len,
+       |    ${graft.operators.TextAnalysis.StopwordMarkers.values.flatten.toSeq.distinct
+          .map(w => s"len(list_filter(toks, x -> x = '$w'))").mkString(" + ")} AS stop_cnt
+       |  FROM t),
+       |qscore AS (
+       |  SELECT doc_id, n_tokens,
+       |    floor(stop_cnt / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+       |    floor(alpha_len / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS avg_word_len,
+       |    floor((least(n_tokens / 100.0, 1.0) * 0.4 +
+       |      (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE)) * 0.3 +
+       |      least(alpha_len / CAST(n_tokens AS DOUBLE) / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000 AS quality_score
+       |  FROM c)""".stripMargin
 
   /** word2phrase oracle chain (mirrors [[graft.operators.Phrases]]):
     * token relation, unigram counts, total, bigram counts, and the
@@ -3319,23 +3355,26 @@ object SparkEntry {
          |FROM scores ORDER BY doc_id""".stripMargin,
 
     "t2_quality" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    string_split_regex(lower(text), '\\s+') AS toks,
-         |    len(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, len(toks) AS n_tokens, alpha_len,
-         |    ${graft.operators.TextAnalysis.StopwordMarkers.values.flatten.toSeq.distinct
-            .map(w => s"len(list_filter(toks, x -> x = '$w'))").mkString(" + ")} AS stop_cnt
-         |  FROM t)
-         |SELECT doc_id, n_tokens,
-         |  floor(stop_cnt / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
-         |  floor(alpha_len / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS avg_word_len,
-         |  floor((least(n_tokens / 100.0, 1.0) * 0.4 +
-         |    (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE)) * 0.3 +
-         |    least(alpha_len / CAST(n_tokens AS DOUBLE) / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000 AS quality_score
-         |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH $QualityCtes
+         |SELECT doc_id, n_tokens, stopword_ratio, avg_word_len,
+         |  quality_score
+         |FROM qscore ORDER BY doc_id""".stripMargin,
+
+    "cu1_curriculum_order" ->
+      s"""WITH $QualityCtes,
+         |cbk AS (
+         |  SELECT doc_id, quality_score,
+         |    CAST(ntile(3) OVER (ORDER BY quality_score DESC, doc_id)
+         |      AS BIGINT) AS band
+         |  FROM qscore),
+         |cky AS (
+         |  SELECT doc_id, quality_score, band,
+         |    md5('ep0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM cbk)
+         |SELECT doc_id, quality_score, band,
+         |  CAST(row_number() OVER (ORDER BY band, shuffle_key, doc_id)
+         |    AS BIGINT) AS position
+         |FROM cky ORDER BY doc_id""".stripMargin,
 
     "t3_tokens" ->
       """SELECT doc_id,

@@ -181,6 +181,31 @@ object Sampling {
         pmod(digestInt(col("shuffle_key"), 8), lit(nShards)).cast("int"))
   }
 
+  /** Curriculum training order: band the corpus into `bands` quality
+    * tiers (band 1 = best `scoreCol`), shuffle deterministically WITHIN
+    * each band (md5(seed‖key) — content-addressed, so the order
+    * replays across engines and reruns), and emit the global training
+    * `position` (1-based). The standard curriculum-learning emission
+    * order: clean/easy data first, each tier internally shuffled so
+    * no within-tier ordering bias leaks into training.
+    *
+    * Scale shape: both the banding and the global position come from
+    * [[Ranking]]'s range-shuffle rank — two range shuffles total,
+    * never a single-partition window. Adds `band`, `shuffle_key`,
+    * `position`. */
+  def curriculumOrder(df: DataFrame, keyCol: Column, scoreCol: Column,
+      bands: Int, seed: String): DataFrame = {
+    require(bands >= 1, s"bands must be positive, got $bands")
+    require(!Seq("band", "shuffle_key", "position").exists(df.columns.contains),
+      "input already has a band/shuffle_key/position column")
+    val banded = Ranking.withGlobalNtile(df, bands, "band",
+      scoreCol.desc, keyCol.asc)
+    val keyed = banded.withColumn("shuffle_key",
+      md5(concat(lit(seed), lit(":"), keyCol.cast("string"))))
+    Ranking.withGlobalRowNumber(keyed, "position",
+      col("band").asc, col("shuffle_key").asc, keyCol.asc)
+  }
+
   /** Exponential-clock score for weighted sampling without replacement
     * (Efraimidis & Spirakis 2006, the `-ln(u)/w` equivalent of ranking
     * by `u^(1/w)`): `u` is drawn content-addressed from 8 md5 nibbles

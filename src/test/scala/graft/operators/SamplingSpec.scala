@@ -208,6 +208,36 @@ class SamplingSpec extends SparkSuite {
     assert(got === Set(1L, 5L, 6L))
   }
 
+  test("curriculumOrder: band 1 holds the best scores, positions are a " +
+      "permutation, band blocks are contiguous in position") {
+    val df = (0L until 90L).map(i => (i, (i % 9).toDouble))
+      .toDF("doc_id", "score").repartition(7)
+    val got = Sampling.curriculumOrder(df, col("doc_id"), col("score"),
+        bands = 3, seed = "s")
+      .select("doc_id", "score", "band", "position")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(got.map(_._4).sorted.toSeq === (1L to 90L).toSeq)
+    val byBand = got.groupBy(_._3)
+    // 3 equal bands of 30; every band-1 score >= every band-2 score, etc.
+    assert(byBand.mapValues(_.length).toMap === Map(1L -> 30, 2L -> 30, 3L -> 30))
+    assert(byBand(1L).map(_._2).min >= byBand(2L).map(_._2).max)
+    assert(byBand(2L).map(_._2).min >= byBand(3L).map(_._2).max)
+    // positions of band k occupy exactly ((k-1)*30, k*30]
+    for (k <- 1L to 3L)
+      assert(byBand(k).map(_._4).sorted.toSeq ===
+        ((k - 1) * 30 + 1 to k * 30).toSeq)
+  }
+
+  test("curriculumOrder is partitioning-invariant and seed-sensitive") {
+    val df = (0L until 50L).map(i => (i, (i % 5).toDouble))
+      .toDF("doc_id", "score")
+    def pos(d: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.curriculumOrder(d, col("doc_id"), col("score"), 2, seed)
+        .select("doc_id", "position").as[(Long, Long)].collect().toMap
+    assert(pos(df.repartition(11), "a") === pos(df.coalesce(1), "a"))
+    assert(pos(df, "a") !== pos(df, "b"))
+  }
+
   test("weightedSample/weightedSamplePerStratum/Sessionize reject " +
       "inputs carrying their output/helper column names") {
     assertThrows[IllegalArgumentException] {
