@@ -1262,6 +1262,48 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     },
 
+    // FU1: ordered conversion funnel view→click→purchase inside a
+    // 1-day window anchored at funnel entry — ONE shuffle, the
+    // sequential-min recurrence folded per user over its time-sorted
+    // events (no per-stage join cascade; see Funnel.funnel)
+    "fu1_funnel" -> { (s, dir) =>
+      import graft.operators.Funnel
+      val ev = table(s, dir, "events")
+      Funnel.funnel(
+        ev.select(col("user_id"), tsSeconds(ev).as("ts"),
+          col("event_type")),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowS = 86400L)
+        .orderBy("user_id")
+    },
+
+    // CO1: weekly cohort retention triangle — first-touch epoch week
+    // per user, distinct-active (cohort, offset) cells, integer
+    // parts-per-million rates (division rounds identically everywhere)
+    "co1_cohort_retention" -> { (s, dir) =>
+      import graft.operators.Funnel
+      val ev = table(s, dir, "events")
+      Funnel.cohortRetention(
+        ev.select(col("user_id"), tsSeconds(ev).as("ts")),
+        "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // PG1: host-graph PageRank (damping 0.85, 5 rounds, rank mass in
+    // integer parts-per-1e9) over the content-addressed synthetic
+    // link graph — the crawl-centrality quality prior RefinedWeb-style
+    // curation joins in next to content scores; integer scaling makes
+    // every per-round sum order-independent, so the iterative result
+    // is bit-exact across engines
+    "pg1_pagerank" -> { (s, dir) =>
+      import graft.operators.LinkGraph
+      val docs = table(s, dir, "documents")
+      val edges = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 64)
+      LinkGraph.pagerank(s, edges, n = 64L, iters = 5)
+        .select(col("node").as("host_id"), col("rank_scaled"))
+        .orderBy("host_id")
+    },
+
     // P1: greedy sequence packing into 256-token context windows,
     // sharded by doc_id % 8 (deterministic, oracle = recursive CTE)
     "p1_sequence_packing" -> { (s, dir) =>
@@ -1719,6 +1761,27 @@ object SparkEntry {
             .otherwise("tail"))
         .select(col("doc_id"), col("avg_nll"), col("bucket_id"),
           col("ppl_bucket"))
+        .orderBy("doc_id")
+    },
+
+    // X6: the data-selection endgame as ONE oracled chain — DSIR
+    // importance resampling toward the English target (ds2) → quality
+    // scoring (t2) → curriculum order (cu1) over exactly the selected
+    // docs: pick the right data, then feed it to the trainer in the
+    // right order
+    "x6_dsir_curriculum" -> { (s, dir) =>
+      import graft.operators.Dsir
+      val docs = table(s, dir, "documents")
+      val sel = Dsir.resample(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), dim = 256, k = 150)
+        .select("doc_id")
+      val kept = docs.join(sel, "doc_id")
+      val q = TextAnalysis.qualityScore(kept, "text")
+        .select(col("doc_id"), col("quality_score"))
+      Sampling.curriculumOrder(q, col("doc_id"), col("quality_score"),
+          bands = 3, seed = "ep0")
+        .select(col("doc_id"), col("quality_score"), col("band"),
+          col("position"))
         .orderBy("doc_id")
     },
 
@@ -2247,6 +2310,60 @@ object SparkEntry {
        | + (strpos('0123456789abcdef', substr(md5($expr), 4, 1)) - 1)
        |) % $dim""".stripMargin
 
+  /** [[graft.operators.Sampling.digestInt]] with 8 nibbles in DuckDB
+    * terms: first 8 md5 nibbles of `expr` parsed base-16, mod `m`. */
+  private def digest8ModSql(expr: String, m: Int): String =
+    s"""((  (strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 268435456
+       |  + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1) * 16777216
+       |  + (strpos('0123456789abcdef', substr(md5($expr), 3, 1)) - 1) * 1048576
+       |  + (strpos('0123456789abcdef', substr(md5($expr), 4, 1)) - 1) * 65536
+       |  + (strpos('0123456789abcdef', substr(md5($expr), 5, 1)) - 1) * 4096
+       |  + (strpos('0123456789abcdef', substr(md5($expr), 6, 1)) - 1) * 256
+       |  + (strpos('0123456789abcdef', substr(md5($expr), 7, 1)) - 1) * 16
+       |  + (strpos('0123456789abcdef', substr(md5($expr), 8, 1)) - 1)
+       |) % $m)""".stripMargin
+
+  /** PageRank oracle (mirrors [[graft.operators.LinkGraph]]): the
+    * synthetic host graph, out-degrees, and `iters` unrolled rounds of
+    * the integer-scaled recurrence (per-edge contribution = rank
+    * integer-div out-degree; dangling mass redistributed uniformly;
+    * damping 85/100 in integer arithmetic). Ends in `r<iters>`. */
+  private def pagerankCtes(hosts: Int, iters: Int,
+                           scale: Long = 1000000000L): String = {
+    val base = (15L * (scale / hosts)) / 100L
+    val src = digest8ModSql("'pgs:' || CAST(doc_id AS VARCHAR)", hosts)
+    val dst = digest8ModSql("'pgd:' || CAST(doc_id AS VARCHAR)", hosts)
+    val head =
+      s"""pgn AS (SELECT CAST(range AS BIGINT) AS node FROM range($hosts)),
+        |pge AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT $src AS src,
+        |         $dst AS dst
+        |  FROM documents) WHERE src <> dst),
+        |pgo AS (SELECT src, count(*) AS odeg FROM pge GROUP BY src),
+        |r0 AS (SELECT node, CAST(${scale / hosts} AS BIGINT) AS rank
+        |       FROM pgn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""dg$i AS (
+        |  SELECT COALESCE(SUM(rank), 0) AS dm
+        |  FROM r${i - 1} r LEFT JOIN pgo o ON r.node = o.src
+        |  WHERE o.src IS NULL),
+        |in$i AS (
+        |  SELECT e.dst AS node, SUM(r.rank // o.odeg) AS inc
+        |  FROM pge e
+        |  JOIN r${i - 1} r ON e.src = r.node
+        |  JOIN pgo o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r$i AS (
+        |  SELECT n.node,
+        |    CAST($base + (85 * (COALESCE(i.inc, 0) + d.dm // $hosts)) // 100
+        |      AS BIGINT) AS rank
+        |  FROM pgn n
+        |  LEFT JOIN in$i i ON n.node = i.node
+        |  CROSS JOIN dg$i d)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   /** DSIR oracle chain (mirrors [[graft.operators.Dsir]]): hashed
     * unigram+bigram feature counts per doc (`ddc`), raw and target
     * (lang='en') bucket distributions with add-one smoothing over the
@@ -2302,6 +2419,26 @@ object SparkEntry {
        |      (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE)) * 0.3 +
        |      least(alpha_len / CAST(n_tokens AS DOUBLE) / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000 AS quality_score
        |  FROM c)""".stripMargin
+
+  /** The E-S-clock resample chain over [[DsirWeightsSelect]] — ends in
+    * `dsel` (doc_id, logratio, score); shared by ds2 and x6. */
+  private lazy val DsirResampleCtes =
+    s"""dw AS ($DsirWeightsSelect),
+      |dsel AS (
+      |  SELECT doc_id, logratio,
+      |    -ln((  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
+      |         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+      |         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+      |         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+      |         + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+      |         + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+      |         + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+      |         + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+      |         + 1) / 4294967296.0)
+      |      / exp(logratio) AS score
+      |  FROM (SELECT doc_id, logratio,
+      |          md5(CAST(doc_id AS VARCHAR)) AS h FROM dw)
+      |  WHERE exp(logratio) > 0)""".stripMargin
 
   /** word2phrase oracle chain (mirrors [[graft.operators.Phrases]]):
     * token relation, unigram counts, total, bigram counts, and the
@@ -3622,6 +3759,65 @@ object SparkEntry {
         |FROM n GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
+    // earliest-completion funnel: sequential-min CTE chain — stage k's
+    // min ts is constrained by stage k-1's and by the 1-day window
+    // anchored at stage 1 (same recurrence Funnel.funnel folds per user)
+    "fu1_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS s1_ts
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS s2_ts
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts > s1.s1_ts AND e.ts <= s1.s1_ts + 86400
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS s3_ts
+        |  FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s2.s2_ts AND e.ts <= s1.s1_ts + 86400
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.s1_ts, s2.s2_ts, s3.s3_ts,
+        |  CAST(1 + CASE WHEN s2.s2_ts IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.s3_ts IS NOT NULL THEN 1 ELSE 0 END
+        |    AS INT) AS funnel_depth
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+
+    "co1_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM e),
+        |c AS (
+        |  SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+        |         count(*) AS n_users
+        |  FROM a JOIN f ON a.user_id = f.user_id
+        |  GROUP BY f.cohort_week, a.wk - f.cohort_week),
+        |z AS (SELECT cohort_week, count(*) AS cohort_size FROM f
+        |      GROUP BY cohort_week)
+        |SELECT c.cohort_week, c.week_offset, c.n_users, z.cohort_size,
+        |  CAST((c.n_users * 1000000) // z.cohort_size AS BIGINT)
+        |    AS retention_ppm
+        |FROM c JOIN z ON c.cohort_week = z.cohort_week
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin,
+
+    "pg1_pagerank" ->
+      s"""WITH ${pagerankCtes(64, 5)}
+        |SELECT node AS host_id, rank AS rank_scaled
+        |FROM r5 ORDER BY node""".stripMargin,
+
     "t9_c4_rules" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
@@ -4010,22 +4206,7 @@ object SparkEntry {
 
     "ds2_dsir_resample" ->
       s"""WITH ${dsirCtes(256)},
-        |dw AS ($DsirWeightsSelect),
-        |dsel AS (
-        |  SELECT doc_id, logratio,
-        |    -ln((  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0
-        |         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
-        |         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
-        |         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
-        |         + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
-        |         + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
-        |         + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
-        |         + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
-        |         + 1) / 4294967296.0)
-        |      / exp(logratio) AS score
-        |  FROM (SELECT doc_id, logratio,
-        |          md5(CAST(doc_id AS VARCHAR)) AS h FROM dw)
-        |  WHERE exp(logratio) > 0)
+        |$DsirResampleCtes
         |SELECT doc_id, logratio,
         |  floor(score * 1000000 + 0.5) / 1000000 AS sample_score
         |FROM (SELECT * FROM dsel ORDER BY score, doc_id LIMIT 150)
@@ -4150,6 +4331,26 @@ object SparkEntry {
         |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
         |FROM bk ORDER BY doc_id""".stripMargin,
+
+    "x6_dsir_curriculum" ->
+      s"""WITH ${dsirCtes(256)},
+         |$DsirResampleCtes,
+         |xsel AS (
+         |  SELECT doc_id FROM dsel ORDER BY score, doc_id LIMIT 150),
+         |$QualityCtes,
+         |xbk AS (
+         |  SELECT q.doc_id, q.quality_score,
+         |    CAST(ntile(3) OVER (ORDER BY q.quality_score DESC, q.doc_id)
+         |      AS BIGINT) AS band
+         |  FROM qscore q JOIN xsel USING (doc_id)),
+         |xky AS (
+         |  SELECT doc_id, quality_score, band,
+         |    md5('ep0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM xbk)
+         |SELECT doc_id, quality_score, band,
+         |  CAST(row_number() OVER (ORDER BY band, shuffle_key, doc_id)
+         |    AS BIGINT) AS position
+         |FROM xky ORDER BY doc_id""".stripMargin,
 
     "ph1_phrase_mining" ->
       s"""WITH ${phraseCtes(3.0)}

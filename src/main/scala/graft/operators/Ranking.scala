@@ -96,10 +96,17 @@ object Ranking {
     require(n > 0, s"ntile buckets must be positive, got $n")
     val base = df.localCheckpoint(true)
     // per-group totals: #groups rows, metadata scale, broadcast back
+    // (keyed null-safely, like the offsets join — a null group key is a
+    // group like any other)
     val totals = base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__total"))
-    withGroupedRowNumber(base, "__rn", groupCols, sortCols: _*)
-      .join(broadcast(totals), groupCols)
+      .select(groupCols.map(c => col(c).as(s"__tg_$c")) :+
+        col("__total"): _*)
+    val ranked = withGroupedRowNumber(base, "__rn", groupCols, sortCols: _*)
+    ranked
+      .join(broadcast(totals),
+        groupCols.map(c => ranked(c) <=> totals(s"__tg_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__tg_$c"): _*)
       .withColumn("__base", expr(s"__total div $n"))
       .withColumn("__rem", col("__total") % n)
       .withColumn("__cut", col("__rem") * (col("__base") + 1))

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class LinkGraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pagerank: uniform on a symmetric cycle, mass approximately " +
+    "conserved") {
+    // 4-cycle: every node has in-degree 1 and out-degree 1 → rank stays
+    // uniform at scale/n every round (integer arithmetic is exact here)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val got = LinkGraph.pagerank(spark, edges, n = 4L, iters = 3)
+      .orderBy("node").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_.getLong(1)).toSeq ===
+      Seq.fill(4)(250000000L))
+  }
+
+  test("pagerank: sink node accumulates, dangling mass redistributes") {
+    // star into node 0, which has no outlinks (dangling)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val r1 = LinkGraph.pagerank(spark, edges, n = 4L, iters = 1)
+      .orderBy("node").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // round 1 by hand at scale 1e9: rank0 = 250000000 each.
+    // dangling = node 0's 250000000; dm/n = 62500000.
+    // node 0: base + 85*(3*250000000 + 62500000)/100
+    val base = (15L * 250000000L) / 100L
+    assert(r1(0L) === base + (85L * (750000000L + 62500000L)) / 100L)
+    // nodes 1..3 get only the dangling share
+    assert(r1(1L) === base + (85L * 62500000L) / 100L)
+    assert(r1(1L) === r1(2L) && r1(2L) === r1(3L))
+    // total mass stays within integer-truncation slack of scale
+    val total = r1.values.sum
+    assert(total <= 1000000000L && total > 999999900L)
+  }
+
+  test("syntheticHostEdges: deterministic, no self-loops, in range") {
+    val docs = spark.range(200).select(col("id").as("doc_id"))
+    val e1 = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 16)
+      .orderBy("src", "dst").collect().toSeq
+    val e2 = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 16)
+      .orderBy("src", "dst").collect().toSeq
+    assert(e1 === e2)
+    assert(e1.nonEmpty)
+    assert(e1.forall { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      s != d && s >= 0 && s < 16 && d >= 0 && d < 16
+    })
+    // distinct collapsed parallel edges
+    assert(e1.size === e1.distinct.size)
+  }
+
+  test("pagerank: more in-links means more rank") {
+    // 1,2,3 all point at 0; 0 points at 1 — 0 must outrank 2 and 3
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val r = LinkGraph.pagerank(spark, edges, n = 4L, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L) && r(1L) > r(2L) && r(2L) === r(3L))
+  }
+}

@@ -104,6 +104,10 @@ class RankingSpec extends SparkSuite {
     assert(got.count() === 4)
     assert(got.filter(col("g").isNull).orderBy("id")
       .select("rn").as[Long].collect().toSeq === Seq(1L, 2L))
+    val nt = Ranking.withGroupedNtile(df, 2, "b", Seq("g"), col("id").asc)
+    assert(nt.count() === 4)
+    assert(nt.filter(col("g").isNull).orderBy("id")
+      .select("b").as[Long].collect().toSeq === Seq(1L, 2L))
   }
 
   test("grouped rank range-partitions on (group, sort), no per-group funnel") {
