@@ -36,7 +36,9 @@ object Bench {
     "x3_text_semantic_pipeline", "d17_cluster_representatives",
     "bp1_bpe_merges", "x4_chunk_dedup_pack", "lr1_logreg_gate",
     "ds2_dsir_resample", "r4_hybrid_rrf", "ph1_phrase_mining",
-    "t14_ccnet_lang_buckets", "d18_containment", "cu1_curriculum_order")
+    "t14_ccnet_lang_buckets", "d18_containment", "cu1_curriculum_order",
+    "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",
+    "x6_dsir_curriculum", "r5_phrase_query")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

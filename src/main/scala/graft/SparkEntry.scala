@@ -1304,6 +1304,25 @@ object SparkEntry {
         .orderBy("host_id")
     },
 
+    // R5: positional phrase search — exact consecutive-token match via
+    // the anchor trick (every posting votes for occurrence-start
+    // pos - offset; an anchor with votes from ALL phrase offsets is a
+    // hit). Probe phrases are 3-token mid-doc slices of every 89th
+    // document, so each query's own doc must appear
+    "r5_phrase_query" -> { (s, dir) =>
+      import graft.operators.Retrieval
+      val docs = table(s, dir, "documents")
+      val qsrc = docs.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("query_id"),
+          split(lower(col("text")), "\\s+").as("__ph0"))
+        .filter(size(col("__ph0")) >= 13)
+        .select(col("query_id"),
+          concat_ws(" ", slice(col("__ph0"), 11, 3)).as("qtext"))
+      Retrieval.phraseSearch(docs, "doc_id", "text",
+          qsrc, "query_id", "qtext")
+        .orderBy("query_id", "doc_id")
+    },
+
     // P1: greedy sequence packing into 256-token context windows,
     // sharded by doc_id % 8 (deterministic, oracle = recursive CTE)
     "p1_sequence_packing" -> { (s, dir) =>
@@ -3817,6 +3836,41 @@ object SparkEntry {
       s"""WITH ${pagerankCtes(64, 5)}
         |SELECT node AS host_id, rank AS rank_scaled
         |FROM r5 ORDER BY node""".stripMargin,
+
+    // phrase occurrence = anchor (i - j) collecting votes from every
+    // phrase offset j; the phrase string round-trips through the same
+    // join-then-split as the Spark side so tokenization cannot drift
+    "r5_phrase_query" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    string_split_regex(array_to_string(toks[11:13], ' '), '\s+')
+        |      AS ph
+        |  FROM tk WHERE doc_id % 89 = 0 AND len(toks) >= 13),
+        |qt AS (
+        |  SELECT query_id, CAST(j AS BIGINT) AS j,
+        |         ph[CAST(j AS INT)] AS term
+        |  FROM q, LATERAL unnest(range(1, len(ph) + 1)) u(j)),
+        |ql AS (SELECT query_id, len(ph) AS m FROM q),
+        |ps AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |         toks[CAST(i AS INT)] AS term
+        |  FROM tk, LATERAL unnest(range(1, len(toks) + 1)) u(i)),
+        |an AS (
+        |  SELECT qt.query_id, p.doc_id, p.i - qt.j AS anchor,
+        |         count(*) AS votes
+        |  FROM ps p JOIN qt ON p.term = qt.term
+        |  GROUP BY qt.query_id, p.doc_id, p.i - qt.j),
+        |h AS (
+        |  SELECT a.query_id, a.doc_id, count(*) AS n_hits,
+        |         CAST(min(a.anchor) AS BIGINT) AS first_pos
+        |  FROM an a JOIN ql ON a.query_id = ql.query_id
+        |  WHERE a.votes = ql.m
+        |  GROUP BY a.query_id, a.doc_id)
+        |SELECT query_id, doc_id, n_hits, first_pos FROM h
+        |ORDER BY query_id, doc_id""".stripMargin,
 
     "t9_c4_rules" ->
       """WITH tk AS (

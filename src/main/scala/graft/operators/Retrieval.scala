@@ -251,4 +251,46 @@ object Retrieval {
       .select("query_id", "doc_id", "__dl", "__term", "__tf")
     scoreRank(hits, stats, k, k1, b, materializeHits = false)
   }
+
+  /** Positional phrase search — exact consecutive-token match, the
+    * retrieval primitive BM25's bag-of-words scoring cannot express
+    * ("new york" must not match "york ... new").
+    *
+    * The anchor trick keeps it join-shaped instead of sequential: a
+    * phrase occurrence starting at token position `p` has its `j`-th
+    * phrase term at position `p + j`, so every (posting, phrase-term)
+    * match contributes a vote for anchor `pos - j`, and an anchor with
+    * votes from ALL phrase offsets is a complete occurrence. One
+    * broadcast join (corpus postings ⋈ query terms — only postings
+    * whose term appears in some phrase survive, hits-sized like BM25),
+    * one shuffle on (query, doc, anchor), one display-sized rollup.
+    * Within an anchor group each phrase offset can vote at most once
+    * (the position is determined by anchor + offset), so plain counts
+    * need no distinct.
+    *
+    * Returns (query_id, doc_id, n_hits, first_pos) for docs containing
+    * the full phrase at least once; `first_pos` is the 0-based token
+    * position of the earliest occurrence. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame = {
+    val qtoks = queries.select(col(queryIdCol).as("query_id"),
+      toks(col(queryTextCol)).as("__ph"))
+    val qterms = qtoks.select(col("query_id"),
+      posexplode(col("__ph")).as(Seq("__qpos", "__term")))
+    val qlen = qtoks.select(col("query_id"),
+      size(col("__ph")).as("__m"))
+    val postings = docs
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("__pos", "__term")))
+    val votes = postings.join(broadcast(qterms), Seq("__term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("__pos") - col("__qpos")).cast("long").as("__anchor"))
+    val anchors = votes.groupBy("query_id", "doc_id", "__anchor")
+      .agg(count(lit(1)).as("__votes"))
+    anchors.join(broadcast(qlen), Seq("query_id"))
+      .filter(col("__votes") === col("__m"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("__anchor")).as("first_pos"))
+  }
 }

@@ -189,4 +189,30 @@ class RetrievalSpec extends SparkSuite {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(got.map(t => (t._1, t._2)) === Set((1L, 5L), (2L, 7L)))
   }
+
+  test("phraseSearch: order-sensitive, counts overlaps, 0-based pos") {
+    val docs = Seq(
+      (1L, "new york is in new york state"),
+      (2L, "york new has the words reversed"),
+      (3L, "a new day in york"),
+      (4L, "x new york new york new york y")).toDF("doc_id", "text")
+    val qs = Seq((100L, "new york")).toDF("query_id", "qtext")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+        qs, "query_id", "qtext")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 2 (reversed) and doc 3 (non-adjacent) must NOT match
+    assert(got === Seq(
+      (100L, 1L, 2L, 0L),   // "new york ... new york", first at pos 0
+      (100L, 4L, 3L, 1L)))  // three occurrences starting at pos 1
+  }
+
+  test("phraseSearch: repeated-term phrases count overlapping starts") {
+    val docs = Seq((1L, "go go go stop")).toDF("doc_id", "text")
+    val qs = Seq((7L, "go go")).toDF("query_id", "qtext")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+        qs, "query_id", "qtext")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 1L, 2L, 0L)))
+  }
 }
