@@ -1304,6 +1304,26 @@ object SparkEntry {
         .orderBy("host_id")
     },
 
+    // PG2: centrality gate — host PageRank joined back to documents as
+    // a keep signal (keep = the doc's source host carries more than the
+    // uniform share of rank mass); the rank table is node-count-sized,
+    // so the join back to the corpus is a broadcast
+    "pg2_centrality_gate" -> { (s, dir) =>
+      import graft.operators.LinkGraph
+      val docs = table(s, dir, "documents")
+      val edges = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 64)
+      val ranks = LinkGraph.pagerank(s, edges, n = 64L, iters = 5)
+        .withColumnRenamed("node", "host_id")
+      docs.select(col("doc_id"),
+          LinkGraph.sourceHost(col("doc_id"), 64).as("host_id"))
+        .join(broadcast(ranks), "host_id")
+        .withColumn("keep",
+          when(col("rank_scaled") > lit(1000000000L / 64L), 1)
+            .otherwise(0).cast("int"))
+        .select("doc_id", "host_id", "rank_scaled", "keep")
+        .orderBy("doc_id")
+    },
+
     // R5: positional phrase search — exact consecutive-token match via
     // the anchor trick (every posting votes for occurrence-start
     // pos - offset; an anchor with votes from ALL phrase offsets is a
@@ -3836,6 +3856,19 @@ object SparkEntry {
       s"""WITH ${pagerankCtes(64, 5)}
         |SELECT node AS host_id, rank AS rank_scaled
         |FROM r5 ORDER BY node""".stripMargin,
+
+    "pg2_centrality_gate" ->
+      s"""WITH ${pagerankCtes(64, 5)},
+        |dh AS (
+        |  SELECT doc_id,
+        |    ${digest8ModSql("'pgs:' || CAST(doc_id AS VARCHAR)", 64)}
+        |      AS host_id
+        |  FROM documents)
+        |SELECT d.doc_id, d.host_id, r.rank AS rank_scaled,
+        |  CAST(CASE WHEN r.rank > ${1000000000L / 64} THEN 1 ELSE 0 END
+        |    AS INT) AS keep
+        |FROM dh d JOIN r5 r ON d.host_id = r.node
+        |ORDER BY d.doc_id""".stripMargin,
 
     // phrase occurrence = anchor (i - j) collecting votes from every
     // phrase offset j; the phrase string round-trips through the same

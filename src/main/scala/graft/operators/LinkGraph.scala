@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality for corpus curation — PageRank over a host
@@ -37,14 +37,23 @@ object LinkGraph {
     * self-loops dropped, parallel edges collapsed. Stands in for the
     * real outlink relation a crawl would provide. */
   def syntheticHostEdges(docs: DataFrame, idCol: String,
-                         hosts: Int): DataFrame = {
-    def host(salt: String) = pmod(Sampling.digestInt(
-      md5(concat(lit(salt), col(idCol).cast("string"))), 8),
-      lit(hosts.toLong)).cast("long")
-    docs.select(host("pgs:").as("src"), host("pgd:").as("dst"))
+                         hosts: Int): DataFrame =
+    docs.select(sourceHost(col(idCol), hosts).as("src"),
+        saltedHost("pgd:", col(idCol), hosts).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-  }
+
+  /** The content-addressed source host a document's synthetic edge
+    * originates from — the join key for attaching host centrality
+    * back to documents (a crawl would carry a real host column). */
+  def sourceHost(idCol: Column, hosts: Int): Column =
+    saltedHost("pgs:", idCol, hosts)
+
+  private def saltedHost(salt: String, idCol: Column,
+                         hosts: Int): Column =
+    pmod(Sampling.digestInt(
+      md5(concat(lit(salt), idCol.cast("string"))), 8),
+      lit(hosts.toLong)).cast("long")
 
   /** Integer-scaled PageRank with damping 0.85 over nodes `0..n-1`.
     *

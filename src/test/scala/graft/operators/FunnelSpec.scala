@@ -72,6 +72,38 @@ class FunnelSpec extends SparkSuite {
       Row(1L, 1L, 1L, 1L, 1000000L)))
   }
 
+  test("funnel matches a brute-force sequential-min reference on " +
+    "random event sets") {
+    val rnd = new scala.util.Random(42)
+    val stages = Seq("s0", "s1", "s2")
+    val types = stages :+ "zz"
+    val w = 20L
+    for (_ <- 1 to 10) {
+      val evs = Seq.fill(150)((rnd.nextInt(8).toLong,
+        rnd.nextInt(60).toLong, types(rnd.nextInt(types.size))))
+      val df = evs.toDF("user_id", "ts", "event_type")
+      val got = Funnel.funnel(df, "user_id", "ts", "event_type",
+          stages, w)
+        .collect().map { r =>
+          r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))
+        }.toMap
+      val exp = evs.groupBy(_._1).flatMap { case (u, es) =>
+        def minAt(st: String, after: Long, cap: Long): Option[Long] =
+          es.filter(e => e._3 == st && e._2 > after && e._2 <= cap)
+            .map(_._2).minOption
+        es.filter(_._3 == "s0").map(_._2).minOption.map { a =>
+          val t2 = minAt("s1", a, a + w)
+          val t3 = t2.flatMap(b => minAt("s2", b, a + w))
+          val depth = 1 + t2.size + t3.size
+          u -> ((Some(a), t2, t3, depth))
+        }
+      }
+      assert(got === exp)
+    }
+  }
+
   test("funnel plan: one shuffle, stage filter pushed to the scan") {
     val df = events((1L, 100L, "view"))
     val plan = Funnel.funnel(df, "user_id", "ts", "event_type",
