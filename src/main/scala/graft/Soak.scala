@@ -56,7 +56,10 @@ object Soak {
       "x3_text_semantic_pipeline", "d17_cluster_representatives",
       "bp1_bpe_merges", "x4_chunk_dedup_pack", "pr2_corpus_diff",
       "lr1_logreg_gate", "ds2_dsir_resample", "r4_hybrid_rrf",
-      "ph1_phrase_mining", "t14_ccnet_lang_buckets", "d18_containment", "cu1_curriculum_order")
+      "ph1_phrase_mining", "t14_ccnet_lang_buckets", "d18_containment",
+      "cu1_curriculum_order",
+      "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",
+      "pg2_centrality_gate", "r5_phrase_query")
     def timed(fn: => Unit): Double = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block
