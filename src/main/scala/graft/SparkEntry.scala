@@ -1081,6 +1081,33 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // PR3: multi-granularity dataset card — ONE rollup pass yields the
+    // (source, lang), per-source, and grand-total cards from the same
+    // partial aggregates; subtotal rows carry NULLs (ANSI ROLLUP)
+    "pr3_rollup_card" -> { (s, dir) =>
+      import graft.operators.Profile
+      Profile.datasetCardRollup(table(s, dir, "documents"),
+        Seq("source", "lang"), "text")
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
+    },
+
+    // SE2: sliding-window traffic — native window() (1 h window, 15 min
+    // slide: each event lands in its 4 overlapping windows map-side, no
+    // self-join), counts and 4-decimal value sums per (window, type)
+    "se2_sliding_counts" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val base = ev.select(tsSeconds(ev).cast("timestamp").as("et"),
+        col("event_type"), col("value"))
+      base.groupBy(window(col("et"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (floor(sum(col("value")) * 10000L + 0.5) / 10000L)
+            .as("total_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // T1: n-gram/stopword-heuristic language ID
     "t1_langid" -> { (s, dir) =>
       TextAnalysis.langId(table(s, dir, "documents"), "text")
@@ -3307,6 +3334,39 @@ object SparkEntry {
         |  round(quantile_cont(tok, 0.99), 4) AS p99_tokens,
         |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "pr3_rollup_card" ->
+      """WITH t AS (
+        |  SELECT source, lang, md5(text) AS fp,
+        |    len(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents)
+        |SELECT source, lang,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT fp) AS n_unique,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  round(avg(tok), 4) AS avg_tokens,
+        |  round(quantile_cont(tok, 0.5), 4) AS p50_tokens,
+        |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6)
+        |    AS dup_ratio
+        |FROM t GROUP BY ROLLUP (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    // each event's 4 overlapping 1 h/15 min windows enumerated with a
+    // lateral range — the same epoch-aligned starts Spark's window()
+    // assigns map-side
+    "se2_sliding_counts" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_type,
+        |         value
+        |  FROM events),
+        |w AS (
+        |  SELECT ((ts // 900) - k) * 900 AS window_start, event_type,
+        |         value
+        |  FROM e, LATERAL unnest(range(0, 4)) u(k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  floor(sum(value) * 10000 + 0.5) / 10000 AS total_value
+        |FROM w GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "k5_knn_ivf_trained" ->
       s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},

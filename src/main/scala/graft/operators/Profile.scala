@@ -73,4 +73,29 @@ object Profile {
         status.as("status"))
       .groupBy("grp", "status").agg(count(lit(1)).as("n"))
   }
+
+  /** Multi-granularity dataset card: the [[datasetCard]] stats at every
+    * ROLLUP level of `groupCols` (e.g. (source, lang) → per
+    * source×lang, per source, grand total) in ONE pass — Spark's
+    * `rollup` computes all levels from the same partial aggregates, so
+    * a hierarchy of cards costs one shuffle, not one scan per level.
+    * Subtotal rows carry NULL in the rolled-up columns (ANSI ROLLUP
+    * semantics, same as the DuckDB oracle). */
+  def datasetCardRollup(docs: DataFrame, groupCols: Seq[String],
+      textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "rollup needs at least one group column")
+    val fp = md5(col(textCol))
+    val nTok = size(split(col(textCol), "\\s+")).cast("long")
+    docs
+      .select(groupCols.map(col) :+ fp.as("__fp") :+ nTok.as("__tok"): _*)
+      .rollup(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("__fp")).as("n_unique"),
+        sum(col("__tok")).as("n_tokens"),
+        round(avg(col("__tok")), 4).as("avg_tokens"),
+        round(percentile(col("__tok"), lit(0.5)), 4).as("p50_tokens"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 6))
+  }
 }

@@ -73,4 +73,20 @@ class ProfileSpec extends SparkSuite {
       ("s2", "changed") -> 1L, ("s2", "unchanged") -> 1L,
       ("s2", "removed") -> 1L))
   }
+
+  test("datasetCardRollup: every ROLLUP level from one pass, subtotals " +
+      "as NULLs, counts consistent across levels") {
+    val docs = Seq(
+      (1L, "web", "en", "a b"), (2L, "web", "en", "a b"),
+      (3L, "web", "de", "c"), (4L, "book", "en", "d e f")
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = Profile.datasetCardRollup(docs, Seq("source", "lang"), "text")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))
+        -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // levels: 2 sources × langs (3 cells) + 2 source subtotals + 1 total
+    assert(got.size === 6)
+    assert(got((Some("web"), Some("en"))) === ((2L, 1L, 4L)))
+    assert(got((Some("web"), None)) === ((3L, 2L, 5L)))
+    assert(got((None, None)) === ((4L, 3L, 8L)))
+  }
 }
