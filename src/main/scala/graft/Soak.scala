@@ -59,7 +59,8 @@ object Soak {
       "ph1_phrase_mining", "t14_ccnet_lang_buckets", "d18_containment",
       "cu1_curriculum_order",
       "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",
-      "pg2_centrality_gate", "r5_phrase_query")
+      "pg2_centrality_gate", "r5_phrase_query", "t15_kneser_ney",
+      "se2_sliding_counts")
     def timed(fn: => Unit): Double = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block

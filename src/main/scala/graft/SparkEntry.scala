@@ -1810,6 +1810,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // T15: interpolated Kneser-Ney bigram log-loss — absolute discount,
+    // context-escape mass, continuation lower-order model (the
+    // "francisco problem" fix); same reference split as t11 so the two
+    // smoothers are directly comparable per doc
+    "t15_kneser_ney" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      TextAnalysis.kneserNeyLogLoss(docs, "doc_id", "text",
+          docs.filter(col("source") =!= "src0"))
+        .orderBy("doc_id")
+    },
+
     // T13: CCNet perplexity buckets (Wenzek et al. 2020) — the corpus in
     // head/middle/tail thirds by bigram-LM log-loss. The thirds are an
     // EXACT global ntile(3) built from a range shuffle
@@ -4463,6 +4474,43 @@ object SparkEntry {
       s"""WITH $BigramNllCtes
         |SELECT doc_id, count(*) AS n_pairs, round(avg(v), 4) AS avg_nll
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Kneser-Ney: discounted seen-bigram term + escape-mass ×
+    // continuation probability; expression shape mirrors the Spark
+    // side operation-for-operation so IEEE evaluation agrees
+    "t15_kneser_ney" ->
+      """WITH kt AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents WHERE source <> 'src0'),
+        |kp AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM kt, LATERAL unnest(range(1, len(t))) u(i)),
+        |kbi AS (SELECT w1, w2, count(*) AS cb FROM kp GROUP BY 1, 2),
+        |kctx AS (
+        |  SELECT w1, sum(cb) AS c1, count(*) AS n1f FROM kbi GROUP BY 1),
+        |kcont AS (SELECT w2, count(*) AS n1b FROM kbi GROUP BY 1),
+        |knt AS (SELECT count(*) AS nt FROM kbi),
+        |kdp AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |        FROM documents) d,
+        |  LATERAL unnest(range(1, len(t))) u(i)),
+        |knll AS (
+        |  SELECT kdp.doc_id,
+        |    -ln(CASE WHEN kctx.c1 IS NOT NULL
+        |        THEN greatest(CAST(coalesce(kbi.cb, 0) AS DOUBLE) - 0.75,
+        |               0.0) / kctx.c1
+        |           + (0.75 * kctx.n1f / kctx.c1) *
+        |             coalesce(kcont.n1b / CAST(knt.nt AS DOUBLE),
+        |               1.0 / (knt.nt + 1))
+        |        ELSE coalesce(kcont.n1b / CAST(knt.nt AS DOUBLE),
+        |               1.0 / (knt.nt + 1)) END) AS v
+        |  FROM kdp CROSS JOIN knt
+        |  LEFT JOIN kbi ON kbi.w1 = kdp.w1 AND kbi.w2 = kdp.w2
+        |  LEFT JOIN kctx ON kctx.w1 = kdp.w1
+        |  LEFT JOIN kcont ON kcont.w2 = kdp.w2)
+        |SELECT doc_id, count(*) AS n_pairs, round(avg(v), 4) AS avg_nll
+        |FROM knll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t13_perplexity_buckets" ->
       s"""WITH $BigramNllCtes,

@@ -300,4 +300,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pairs"),
         round(avg("__nll"), 4).as("avg_nll"))
   }
+
+  /** Interpolated Kneser-Ney bigram log-loss (Kneser & Ney 1995) — the
+    * smoothing KenLM-class LMs actually use, one rung above
+    * [[bigramLogLoss]]'s fixed 50/50 interpolation: seen bigrams take
+    * an absolute discount `D`, the freed mass escapes through
+    * `λ(w1) = D·N1+(w1·)/c(w1)`, and the lower-order model is the
+    * CONTINUATION distribution `P_cont(w2) = N1+(·w2)/|bigram types|`
+    * ("how many contexts does w2 follow", not "how often does w2
+    * occur" — the francisco problem). Unseen contexts back off to
+    * `P_cont` directly; continuation-unseen words take a
+    * `1/(types+1)` floor so the log never sees zero.
+    *
+    * Same plan shape as [[bigramLogLoss]]: the bigram-type relation is
+    * aggregated ONCE and materialized (three consumers — context
+    * totals+fan-out, continuation counts, the scoring join — must not
+    * re-run the reference scan), everything else is hits-sized joins.
+    * All model tables are aggregates of the type relation, so at
+    * 100 TB the reference corpus is scanned exactly once. */
+  def kneserNeyLogLoss(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0,1), got $discount")
+    val refPairs = tokenPairs(reference.select(lit(0L).as("__rid"),
+      col(textCol)), "__rid", textCol)
+    val bi = refPairs.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint(true)
+    val ctx = bi.groupBy("w1")
+      .agg(sum("__cb").as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("__n1b"))
+    val types = bi.agg(count(lit(1)).as("__nt"))
+    val docPairs = tokenPairs(df, idCol, textCol)
+    val pcont = coalesce(col("__n1b") / col("__nt").cast("double"),
+      lit(1.0) / (col("__nt") + 1))
+    val seenCtx =
+      greatest(coalesce(col("__cb"), lit(0L)).cast("double") - discount,
+        lit(0.0)) / col("__c1") +
+        (lit(discount) * col("__n1f") / col("__c1")) * pcont
+    docPairs
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("__p",
+        when(col("__c1").isNotNull, seenCtx).otherwise(pcont))
+      .withColumn("__nll", -log(col("__p")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("__nll"), 4).as("avg_nll"))
+  }
 }

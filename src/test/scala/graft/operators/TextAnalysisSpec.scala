@@ -81,4 +81,26 @@ class TextAnalysisSpec extends SparkSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out === Seq((1L, 2L, want))) // one-token doc 2 emits no row
   }
+
+  test("kneserNeyLogLoss: discount, escape mass, continuation floor " +
+      "hand-computed") {
+    import spark.implicits._
+    // ref "a b a b a c": bigrams (a,b)=2 (b,a)=2 (a,c)=1;
+    // ctx a: c1=3 n1f=2, b: c1=2 n1f=1; cont a=1 b=1 c=1; types nt=3
+    val ref = Seq((9L, "a b a b a c")).toDF("doc_id", "text")
+    val doc = Seq(
+      (1L, "a b"),   // seen bigram: (2-.75)/3 + (.75·2/3)·(1/3)
+      (2L, "c a"),   // unseen CONTEXT c → pure continuation 1/3
+      (3L, "a z")    // seen ctx, unseen cont → escape × 1/(nt+1) floor
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyLogLoss(doc, "doc_id", "text", ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    def r4(p: Double): Double = BigDecimal(-math.log(p))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      (1L, 1L, r4(1.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3))),
+      (2L, 1L, r4(1.0 / 3)),
+      (3L, 1L, r4((0.75 * 2 / 3) * 0.25))))
+  }
 }
