@@ -39,7 +39,7 @@ object Bench {
     "t14_ccnet_lang_buckets", "d18_containment", "cu1_curriculum_order",
     "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",
     "x6_dsir_curriculum", "r5_phrase_query", "pg2_centrality_gate",
-    "t15_kneser_ney", "se2_sliding_counts")
+    "t15_kneser_ney", "se2_sliding_counts", "se3_props_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1091,6 +1091,23 @@ object SparkEntry {
         .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
     },
 
+    // SE3: semi-structured props — from_json (typed, codegen'd) pulls
+    // the payload field out of the events' JSON column; integer sums so
+    // the rollup is exact in any engine
+    "se3_props_extract" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val ev = table(s, dir, "events")
+      ev.select(col("event_type"),
+          from_json(col("props"), StructType(Seq(
+            StructField("k", LongType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
     // SE2: sliding-window traffic — native window() (1 h window, 15 min
     // slide: each event lands in its 4 overlapping windows map-side, no
     // self-join), counts and 4-decimal value sums per (window, type)
@@ -3361,6 +3378,17 @@ object SparkEntry {
         |    AS dup_ratio
         |FROM t GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "se3_props_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+        |      AS k
+        |  FROM events)
+        |SELECT event_type, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // each event's 4 overlapping 1 h/15 min windows enumerated with a
     // lateral range — the same epoch-aligned starts Spark's window()

@@ -109,17 +109,21 @@ object Funnel {
     val weekS = 7L * 24 * 3600
     val evs = events.select(col(userCol).as("__u"),
       floor(col(tsCol).cast("long") / weekS).cast("long").as("__wk"))
-    val first = evs.groupBy(col("__u"))
-      .agg(min(col("__wk")).as("cohort_week"))
-    // user-week activity joins first-touch on the SAME user_id
-    // partitioning the aggregate above just produced — no extra shuffle
-    val active = evs.distinct()
-      .join(first, "__u")
+    // ONE user-keyed shuffle produces first-touch AND the active-week
+    // set together (collect_set is bounded by the retention horizon in
+    // weeks, not by event count — map-side pre-aggregation dedups);
+    // everything downstream is keyed on the tiny (week, offset) space
+    val perUser = evs.groupBy(col("__u"))
+      .agg(min(col("__wk")).as("cohort_week"),
+        collect_set(col("__wk")).as("__wks"))
+      .localCheckpoint(true) // two consumers: cells and cohort sizes
+    val cells = perUser
+      .select(col("cohort_week"), explode(col("__wks")).as("__wk"))
       .withColumn("week_offset",
         (col("__wk") - col("cohort_week")).cast("long"))
-    val cells = active.groupBy(col("cohort_week"), col("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
-    val sizes = first.groupBy(col("cohort_week"))
+    val sizes = perUser.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("cohort_size"))
     cells.join(broadcast(sizes), "cohort_week")
       .withColumn("retention_ppm",
