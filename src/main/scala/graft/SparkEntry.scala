@@ -1425,6 +1425,24 @@ object SparkEntry {
         .orderBy("name", "ts")
     },
 
+    // G15: z-score anomaly flags per series — per-name mean/σ is a
+    // series-count-sized broadcast; the flag derives from the ROUNDED
+    // z so the |z|>2 boundary decision is deterministic cross-engine
+    "g15_anomaly_flags" -> { (s, dir) =>
+      val base = hourlySeries(s, dir)
+      val stats = base.filter(col("value").isNotNull)
+        .groupBy("name")
+        .agg(avg("value").as("__mu"), stddev_pop(col("value")).as("__sd"))
+      base.join(broadcast(stats), Seq("name"))
+        .filter(col("value").isNotNull && col("__sd") > 0)
+        .withColumn("z",
+          round((col("value") - col("__mu")) / col("__sd"), 4))
+        .withColumn("is_anomaly", (abs(col("z")) > 2.0).cast("int"))
+        .select(col("name"), col("ts"), col("value"), col("z"),
+          col("is_anomaly"))
+        .orderBy("name", "ts")
+    },
+
     // G2: graphite window functions — trailing movingAverage(4),
     // running integral (None slots stay None but don't reset the
     // accumulator), keepLastValue forward-fill. All three share the
@@ -4076,6 +4094,19 @@ object SparkEntry {
          |                  / (ts - lag(ts) OVER w) * 1e6, 4) END AS per_sec_u
          |FROM base WINDOW w AS (PARTITION BY name ORDER BY ts)
          |ORDER BY name, ts""".stripMargin,
+
+    "g15_anomaly_flags" ->
+      s"""WITH $SeriesCte,
+         |st AS (
+         |  SELECT name, avg(value) AS mu, stddev_pop(value) AS sd
+         |  FROM base WHERE value IS NOT NULL GROUP BY name)
+         |SELECT b.name, b.ts, b.value,
+         |  round((b.value - st.mu) / st.sd, 4) AS z,
+         |  CAST(CASE WHEN abs(round((b.value - st.mu) / st.sd, 4)) > 2.0
+         |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
+         |FROM base b JOIN st ON b.name = st.name
+         |WHERE b.value IS NOT NULL AND st.sd > 0
+         |ORDER BY b.name, b.ts""".stripMargin,
 
     "g2_window_functions" ->
       s"""WITH $SeriesCte
