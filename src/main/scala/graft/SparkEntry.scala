@@ -1091,6 +1091,59 @@ object SparkEntry {
         .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
     },
 
+    // SE5: RFM user segmentation — recency/frequency/monetary quartiles
+    // via THREE exact global ntiles, each a range shuffle
+    // (Ranking.withGlobalNtile — never a single-partition window);
+    // anchor fixed just past the data window so recency is deterministic
+    "se5_rfm" -> { (s, dir) =>
+      import graft.operators.Ranking
+      val anchor = 1706745600L // 2024-02-01T00:00Z
+      val ev = table(s, dir, "events")
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tsSeconds(ev).as("ts"), col("value"))
+        .groupBy("user_id")
+        .agg((lit(anchor) - max(col("ts"))).as("recency_s"),
+          count(lit(1)).as("frequency"),
+          (floor(sum(col("value")) * 10000L + 0.5) / 10000L)
+            .as("monetary"))
+      val r = Ranking.withGlobalNtile(pu, 4, "r_bucket",
+        col("recency_s").asc, col("user_id").asc)
+      val f = Ranking.withGlobalNtile(r, 4, "f_bucket",
+        col("frequency").desc, col("user_id").asc)
+      val m = Ranking.withGlobalNtile(f, 4, "m_bucket",
+        col("monetary").desc, col("user_id").asc)
+      m.withColumn("rfm_segment",
+          (col("r_bucket") * 100 + col("f_bucket") * 10 +
+            col("m_bucket")).cast("long"))
+        .select("user_id", "recency_s", "frequency", "monetary",
+          "r_bucket", "f_bucket", "m_bucket", "rfm_segment")
+        .orderBy("user_id")
+    },
+
+    // SE4: event-transition matrix — per-user lead() gives consecutive
+    // (from, to) event-type pairs in one user-keyed window pass; the
+    // 25-cell matrix gets integer ppm row probabilities (transitions
+    // materialized once — two consumers: counts and row totals)
+    "se4_event_transitions" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = ev
+        .select(col("user_id"), tsSeconds(ev).as("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .localCheckpoint(true)
+      val tot = trans.groupBy("from_type").agg(sum("n_trans").as("__t"))
+      trans.join(broadcast(tot), "from_type")
+        .withColumn("prob_ppm",
+          floor((col("n_trans") * 1000000L) / col("__t")).cast("long"))
+        .select("from_type", "to_type", "n_trans", "prob_ppm")
+        .orderBy("from_type", "to_type")
+    },
+
     // SE3: semi-structured props — from_json (typed, codegen'd) pulls
     // the payload field out of the events' JSON column; integer sums so
     // the rollup is exact in any engine
@@ -3396,6 +3449,49 @@ object SparkEntry {
         |    AS dup_ratio
         |FROM t GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "se5_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    1706745600 - max(CAST(floor(epoch(ts)) AS BIGINT))
+        |      AS recency_s,
+        |    count(*) AS frequency,
+        |    floor(sum(value) * 10000 + 0.5) / 10000 AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, recency_s, frequency, monetary,
+        |    CAST(ntile(4) OVER (ORDER BY recency_s, user_id) AS BIGINT)
+        |      AS r_bucket,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id)
+        |      AS BIGINT) AS f_bucket,
+        |    CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id)
+        |      AS BIGINT) AS m_bucket
+        |  FROM pu)
+        |SELECT user_id, recency_s, frequency, monetary,
+        |  r_bucket, f_bucket, m_bucket,
+        |  CAST(r_bucket * 100 + f_bucket * 10 + m_bucket AS BIGINT)
+        |    AS rfm_segment
+        |FROM b ORDER BY user_id""".stripMargin,
+
+    "se4_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         event_id, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, sum(n_trans) AS tt FROM c
+        |      GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n_trans,
+        |  CAST((c.n_trans * 1000000) // t.tt AS BIGINT) AS prob_ppm
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     "se3_props_extract" ->
       """WITH e AS (
