@@ -1091,6 +1091,37 @@ object SparkEntry {
         .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
     },
 
+    // X8: the event-analytics composite — one per-user 360 row from the
+    // new family: gap sessions (se1), funnel progression (fu1, depth 0
+    // when never entered), cohort week (co1), activity bounds. All
+    // pieces key on user_id, so the joins co-partition on the same
+    // exchange the per-user aggregates produce
+    "x8_user360" -> { (s, dir) =>
+      import graft.operators.{Funnel, Sessionize}
+      val ev = table(s, dir, "events")
+      val base = ev.select(col("user_id"), tsSeconds(ev).as("ts"),
+        col("event_id"), col("event_type"))
+      val sess = Sessionize.sessionStats(base, Seq("user_id"), "ts",
+          gapS = 1800L, tieBreak = Seq("event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("total_events"))
+      val fun = Funnel.funnel(base, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), windowS = 86400L)
+        .select(col("user_id"), col("funnel_depth"))
+      val cohort = base.groupBy("user_id")
+        .agg(floor(min(col("ts")) / 604800L).cast("long")
+            .as("cohort_week"),
+          max(col("ts")).as("last_seen_ts"))
+      sess.join(cohort, Seq("user_id"))
+        .join(fun, Seq("user_id"), "left")
+        .withColumn("funnel_depth",
+          coalesce(col("funnel_depth"), lit(0)).cast("int"))
+        .select("user_id", "n_sessions", "total_events", "cohort_week",
+          "last_seen_ts", "funnel_depth")
+        .orderBy("user_id")
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -3449,6 +3480,65 @@ object SparkEntry {
         |    AS dup_ratio
         |FROM t GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "x8_user360" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         event_id, event_type
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM e),
+        |n AS (
+        |  SELECT user_id,
+        |    SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, count(DISTINCT session_seq) AS n_sessions,
+        |         count(*) AS total_events
+        |  FROM n GROUP BY user_id),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS s1_ts
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS s2_ts
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts > s1.s1_ts AND e.ts <= s1.s1_ts + 86400
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS s3_ts
+        |  FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s2.s2_ts AND e.ts <= s1.s1_ts + 86400
+        |  GROUP BY e.user_id),
+        |fdep AS (
+        |  SELECT s1.user_id,
+        |    1 + CASE WHEN s2.s2_ts IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN s3.s3_ts IS NOT NULL THEN 1 ELSE 0 END AS fd
+        |  FROM s1
+        |  LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id),
+        |co AS (
+        |  SELECT user_id,
+        |    CAST(floor(min(ts) / 604800) AS BIGINT) AS cohort_week,
+        |    max(ts) AS last_seen_ts
+        |  FROM e GROUP BY user_id)
+        |SELECT sess.user_id, sess.n_sessions, sess.total_events,
+        |  co.cohort_week, co.last_seen_ts,
+        |  CAST(COALESCE(f.fd, 0) AS INT) AS funnel_depth
+        |FROM sess
+        |JOIN co ON sess.user_id = co.user_id
+        |LEFT JOIN fdep f ON sess.user_id = f.user_id
+        |ORDER BY sess.user_id""".stripMargin,
 
     "se5_rfm" ->
       """WITH pu AS (
