@@ -2616,6 +2616,30 @@ object SparkEntry {
        |      least(alpha_len / CAST(n_tokens AS DOUBLE) / 8.0, 1.0) * 0.3) * 1000000 + 0.5) / 1000000 AS quality_score
        |  FROM c)""".stripMargin
 
+  /** Earliest-completion funnel chain over an `e(user_id, ts,
+    * event_type)` CTE — sequential mins s1/s2/s3 (view→click→purchase,
+    * 1-day window anchored at stage 1, the recurrence Funnel.funnel
+    * folds per user). Shared by fu1 and x8 so the two oracles cannot
+    * drift. */
+  private val FunnelStageCtes =
+    """s1 AS (
+      |  SELECT user_id, min(ts) AS s1_ts
+      |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS s2_ts
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts > s1.s1_ts AND e.ts <= s1.s1_ts + 86400
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS s3_ts
+      |  FROM e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > s2.s2_ts AND e.ts <= s1.s1_ts + 86400
+      |  GROUP BY e.user_id)""".stripMargin
+
   /** The E-S-clock resample chain over [[DsirWeightsSelect]] — ends in
     * `dsel` (doc_id, logratio, score); shared by ds2 and x6. */
   private lazy val DsirResampleCtes =
@@ -3482,7 +3506,7 @@ object SparkEntry {
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
 
     "x8_user360" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
         |         event_id, event_type
         |  FROM events),
@@ -3503,23 +3527,7 @@ object SparkEntry {
         |  SELECT user_id, count(DISTINCT session_seq) AS n_sessions,
         |         count(*) AS total_events
         |  FROM n GROUP BY user_id),
-        |s1 AS (
-        |  SELECT user_id, min(ts) AS s1_ts
-        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (
-        |  SELECT e.user_id, min(e.ts) AS s2_ts
-        |  FROM e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click'
-        |    AND e.ts > s1.s1_ts AND e.ts <= s1.s1_ts + 86400
-        |  GROUP BY e.user_id),
-        |s3 AS (
-        |  SELECT e.user_id, min(e.ts) AS s3_ts
-        |  FROM e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase'
-        |    AND e.ts > s2.s2_ts AND e.ts <= s1.s1_ts + 86400
-        |  GROUP BY e.user_id),
+        |$FunnelStageCtes,
         |fdep AS (
         |  SELECT s1.user_id,
         |    1 + CASE WHEN s2.s2_ts IS NOT NULL THEN 1 ELSE 0 END
@@ -4105,27 +4113,11 @@ object SparkEntry {
     // min ts is constrained by stage k-1's and by the 1-day window
     // anchored at stage 1 (same recurrence Funnel.funnel folds per user)
     "fu1_funnel" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
         |         event_type
         |  FROM events),
-        |s1 AS (
-        |  SELECT user_id, min(ts) AS s1_ts
-        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (
-        |  SELECT e.user_id, min(e.ts) AS s2_ts
-        |  FROM e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click'
-        |    AND e.ts > s1.s1_ts AND e.ts <= s1.s1_ts + 86400
-        |  GROUP BY e.user_id),
-        |s3 AS (
-        |  SELECT e.user_id, min(e.ts) AS s3_ts
-        |  FROM e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase'
-        |    AND e.ts > s2.s2_ts AND e.ts <= s1.s1_ts + 86400
-        |  GROUP BY e.user_id)
+        |$FunnelStageCtes
         |SELECT s1.user_id, s1.s1_ts, s2.s2_ts, s3.s3_ts,
         |  CAST(1 + CASE WHEN s2.s2_ts IS NOT NULL THEN 1 ELSE 0 END
         |         + CASE WHEN s3.s3_ts IS NOT NULL THEN 1 ELSE 0 END

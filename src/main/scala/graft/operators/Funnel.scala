@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Stage name → 0-based stage index as a when-chain (non-stage values
+    * map to NULL). Shared by the batch fold and [[graft.streaming
+    * .FunnelStream]] so the two faces cannot drift on stage matching. */
+  private[graft] def stageIndex(stageCol: Column,
+                                stages: Seq[String]): Column =
+    stages.zipWithIndex.tail
+      .foldLeft(when(stageCol === stages.head, lit(0))) {
+        case (acc, (s, i)) => acc.when(stageCol === s, lit(i))
+      }
+
   /** Earliest-completion ordered funnel.
     *
     * For each user: `t(0)` is the earliest event of `stages(0)`; for
@@ -53,10 +63,7 @@ object Funnel {
     val k = stages.size
     // stage index as a compact int; non-stage events are dropped at the
     // scan (pushed filter), so the shuffle carries only funnel events
-    val stageIdx = stages.zipWithIndex.tail
-      .foldLeft(when(col(stageCol) === stages.head, lit(0))) {
-        case (acc, (s, i)) => acc.when(col(stageCol) === s, lit(i))
-      }
+    val stageIdx = stageIndex(col(stageCol), stages)
     val evs = events
       .filter(col(stageCol).isin(stages: _*))
       .select(col(userCol).as("__u"),

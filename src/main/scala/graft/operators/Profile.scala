@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus profiling — the "dataset card" statistics a training-data
@@ -20,18 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  // card definition shared by the flat and rollup faces — a change to
+  // the fingerprint, token regex, percentile rounding, or dup_ratio
+  // formula must hit both, or the two cards drift on the same slice
+  private def cardFingerprint(textCol: String): Column = md5(col(textCol))
+  private def cardTokens(textCol: String): Column =
+    size(split(col(textCol), "\\s+")).cast("long")
+  private def tokenPercentile(q: Double, name: String): Column =
+    round(percentile(col("__tok"), lit(q)), 4).as(name)
+  private def withDupRatio(card: DataFrame): DataFrame =
+    card.withColumn("dup_ratio",
+      round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 6))
+
   /** Per-group dataset card over `textCol`, grouped by `groupCol`:
     * n_docs, n_unique (by md5 of text), dup_ratio, n_bytes, n_tokens,
     * avg_tokens, p50/p90/p99_tokens. */
   def datasetCard(docs: DataFrame, groupCol: String, textCol: String,
       exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
-    val fp = md5(col(textCol))
-    val nTok = size(split(col(textCol), "\\s+")).cast("long")
     val distinctCnt =
       if (exact) count_distinct(col("__fp"))
       else approx_count_distinct(col("__fp"), rsd)
-    docs
-      .select(col(groupCol), fp.as("__fp"), nTok.as("__tok"),
+    val card = docs
+      .select(col(groupCol), cardFingerprint(textCol).as("__fp"),
+        cardTokens(textCol).as("__tok"),
         octet_length(col(textCol)).cast("long").as("__bytes"))
       .groupBy(col(groupCol))
       .agg(
@@ -40,11 +51,10 @@ object Profile {
         sum(col("__bytes")).as("n_bytes"),
         sum(col("__tok")).as("n_tokens"),
         round(avg(col("__tok")), 4).as("avg_tokens"),
-        round(percentile(col("__tok"), lit(0.5)), 4).as("p50_tokens"),
-        round(percentile(col("__tok"), lit(0.9)), 4).as("p90_tokens"),
-        round(percentile(col("__tok"), lit(0.99)), 4).as("p99_tokens"))
-      .withColumn("dup_ratio",
-        round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 6))
+        tokenPercentile(0.5, "p50_tokens"),
+        tokenPercentile(0.9, "p90_tokens"),
+        tokenPercentile(0.99, "p99_tokens"))
+    withDupRatio(card)
   }
 
   /** Corpus version diff — what changed between two snapshots of a
@@ -84,18 +94,16 @@ object Profile {
   def datasetCardRollup(docs: DataFrame, groupCols: Seq[String],
       textCol: String): DataFrame = {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
-    val fp = md5(col(textCol))
-    val nTok = size(split(col(textCol), "\\s+")).cast("long")
-    docs
-      .select(groupCols.map(col) :+ fp.as("__fp") :+ nTok.as("__tok"): _*)
+    val card = docs
+      .select(groupCols.map(col) :+ cardFingerprint(textCol).as("__fp") :+
+        cardTokens(textCol).as("__tok"): _*)
       .rollup(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
         count_distinct(col("__fp")).as("n_unique"),
         sum(col("__tok")).as("n_tokens"),
         round(avg(col("__tok")), 4).as("avg_tokens"),
-        round(percentile(col("__tok"), lit(0.5)), 4).as("p50_tokens"))
-      .withColumn("dup_ratio",
-        round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 6))
+        tokenPercentile(0.5, "p50_tokens"))
+    withDupRatio(card)
   }
 }

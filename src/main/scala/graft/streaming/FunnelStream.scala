@@ -64,10 +64,7 @@ object FunnelStream {
     val spark = events.sparkSession
     import spark.implicits._
     val k = stages.size
-    val stageIdx = stages.zipWithIndex.tail
-      .foldLeft(when(col(stageCol) === stages.head, lit(0))) {
-        case (acc, (s, i)) => acc.when(col(stageCol) === s, lit(i))
-      }
+    val stageIdx = graft.operators.Funnel.stageIndex(col(stageCol), stages)
     val ds = events
       .withWatermark(eventTimeCol, watermark)
       .filter(col(stageCol).isin(stages: _*))
@@ -100,7 +97,12 @@ object FunnelStream {
     var open = true
     while (open) {
       buf.filter(_.stage == 0).map(_.ts).minOption match {
-        case Some(a) if a + windowS <= wmS =>
+        // STRICTLY past: wmS is the truncated watermark, so at
+        // wmS == a+windowS an admissible event (event-time just above
+        // the watermark) can still truncate INTO the inclusive window;
+        // only wmS > a+windowS guarantees every future event's
+        // truncated ts lands beyond it (matches the +1 s timeout slack)
+        case Some(a) if a + windowS < wmS =>
           // watermark has passed this funnel's window end — no
           // in-watermark event can change it; emit and continue with
           // the events beyond the window (the next funnel's seed)

@@ -78,6 +78,43 @@ class FunnelStreamSpec extends SparkSuite {
     assert(got === batchReference(b1 ++ b2 ++ b3))
   }
 
+  test("an event truncating into the window after the watermark touches " +
+      "its end is still counted (strict finalize boundary)") {
+    spark.conf.set(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, String)]
+    val out = FunnelStream.funnelCompletions(
+      input.toDF().toDF("user_id", "ts", "event_type")
+        .withColumn("event_time", col("ts").cast("timestamp")),
+      "user_id", "event_time", "event_type", Seq("view", "click"),
+      windowS = 100L, watermark = "10 seconds")
+    val name = s"funnel_bd_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // anchor at 10 → window end 110 (inclusive)
+      input.addData((1L, 10.0, "view")); q.processAllAvailable()
+      // advance the watermark to EXACTLY 110.0
+      input.addData((999L, 120.0, "click")); q.processAllAvailable()
+      // poke user 1 while wm == window end: finalizing here would lose
+      // the admissible straggler below (the pre-fix behavior); the view
+      // at 115 only seeds the next funnel and keeps wm at 110
+      input.addData((1L, 115.0, "view")); q.processAllAvailable()
+      // admissible (110.4 > wm 110) and truncates INTO the window (110)
+      input.addData((1L, 110.4, "click")); q.processAllAvailable()
+      input.addData((999L, 100000.0, "click")); q.processAllAvailable()
+      input.addData((999L, 100000.0, "click")); q.processAllAvailable()
+      val got = spark.table(name)
+        .select("user_id", "s1_ts", "s2_ts", "funnel_depth")
+        .as[(Long, Option[Long], Option[Long], Int)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got === Seq(
+        (1L, Some(10L), Some(110L), 2),   // the straggler counted
+        (1L, Some(115L), None, 1)))       // the 115 view's own funnel
+    } finally q.stop()
+  }
+
   test("after a funnel finalizes, a later entry starts a new funnel") {
     val b1 = Seq(
       FunnelStreamEvent(1L, 10L, "view"),
