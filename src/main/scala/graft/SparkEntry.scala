@@ -1452,6 +1452,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // PG3: per-host triangle participation — the local-clustering
+    // signal (spam farms are triangle-dense); canonical a<b<c two-join
+    // enumeration, each triangle counted once per corner
+    "pg3_triangles" -> { (s, dir) =>
+      import graft.operators.LinkGraph
+      val docs = table(s, dir, "documents")
+      val edges = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 64)
+      LinkGraph.triangleCounts(edges)
+        .select(col("node").as("host_id"), col("n_triangles"))
+        .orderBy("host_id")
+    },
+
+    // PG4: bounded BFS hop distance from host 0 over the undirected
+    // graph — 4 relaxation sweeps, each one join + one integer min
+    // (bit-exact); unreached hosts are absent
+    "pg4_bfs_hops" -> { (s, dir) =>
+      import graft.operators.LinkGraph
+      val docs = table(s, dir, "documents")
+      val edges = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 64)
+      LinkGraph.bfsHops(s, edges, Seq(0L), rounds = 4)
+        .select(col("node").as("host_id"), col("hops"))
+        .orderBy("host_id")
+    },
+
     // R5: positional phrase search — exact consecutive-token match via
     // the anchor trick (every posting votes for occurrence-start
     // pos - offset; an anchor with votes from ALL phrase offsets is a
@@ -2524,17 +2548,25 @@ object SparkEntry {
     * the integer-scaled recurrence (per-edge contribution = rank
     * integer-div out-degree; dangling mass redistributed uniformly;
     * damping 85/100 in integer arithmetic). Ends in `r<iters>`. */
+  /** The synthetic host graph in DuckDB terms (`pgn` nodes, `pge`
+    * distinct directed edges) — mirrors
+    * [[graft.operators.LinkGraph.syntheticHostEdges]]; shared by the
+    * PageRank, triangle, and BFS oracles. */
+  private def hostGraphCtes(hosts: Int): String = {
+    val src = digest8ModSql("'pgs:' || CAST(doc_id AS VARCHAR)", hosts)
+    val dst = digest8ModSql("'pgd:' || CAST(doc_id AS VARCHAR)", hosts)
+    s"""pgn AS (SELECT CAST(range AS BIGINT) AS node FROM range($hosts)),
+      |pge AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT $src AS src,
+      |         $dst AS dst
+      |  FROM documents) WHERE src <> dst)""".stripMargin
+  }
+
   private def pagerankCtes(hosts: Int, iters: Int,
                            scale: Long = 1000000000L): String = {
     val base = (15L * (scale / hosts)) / 100L
-    val src = digest8ModSql("'pgs:' || CAST(doc_id AS VARCHAR)", hosts)
-    val dst = digest8ModSql("'pgd:' || CAST(doc_id AS VARCHAR)", hosts)
     val head =
-      s"""pgn AS (SELECT CAST(range AS BIGINT) AS node FROM range($hosts)),
-        |pge AS (SELECT DISTINCT src, dst FROM (
-        |  SELECT $src AS src,
-        |         $dst AS dst
-        |  FROM documents) WHERE src <> dst),
+      s"""${hostGraphCtes(hosts)},
         |pgo AS (SELECT src, count(*) AS odeg FROM pge GROUP BY src),
         |r0 AS (SELECT node, CAST(${scale / hosts} AS BIGINT) AS rank
         |       FROM pgn)""".stripMargin
@@ -4151,6 +4183,42 @@ object SparkEntry {
       s"""WITH ${pagerankCtes(64, 5)}
         |SELECT node AS host_id, rank AS rank_scaled
         |FROM r5 ORDER BY node""".stripMargin,
+
+    "pg3_triangles" ->
+      s"""WITH ${hostGraphCtes(64)},
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM pge),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n3 AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node AS host_id, count(*) AS n_triangles
+        |FROM n3 GROUP BY node ORDER BY node""".stripMargin,
+
+    "pg4_bfs_hops" ->
+      s"""WITH ${hostGraphCtes(64)},
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM pge),
+        |adj AS (SELECT a AS u, b AS v FROM und
+        |        UNION ALL SELECT b AS u, a AS v FROM und),
+        |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops),
+        |${(1 to 4).map { i =>
+          s"""d$i AS (
+            |  SELECT node, min(hops) AS hops FROM (
+            |    SELECT node, hops FROM d${i - 1}
+            |    UNION ALL
+            |    SELECT adj.v AS node, d${i - 1}.hops + 1 AS hops
+            |    FROM adj JOIN d${i - 1} ON adj.u = d${i - 1}.node)
+            |  GROUP BY node)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT node AS host_id, hops FROM d4 ORDER BY node""".stripMargin,
 
     "pg2_centrality_gate" ->
       s"""WITH ${pagerankCtes(64, 5)},

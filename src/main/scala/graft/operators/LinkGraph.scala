@@ -55,6 +55,62 @@ object LinkGraph {
       md5(concat(lit(salt), idCol.cast("string"))), 8),
       lit(hosts.toLong)).cast("long")
 
+  /** Directed edges → the canonical undirected edge set `(a < b)`,
+    * parallel/reverse duplicates collapsed. */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts over the undirected graph
+    * — the local clustering signal (spam farms show dense triangle
+    * neighborhoods; isolated content shows none).
+    *
+    * The classic two-join plan on canonically ordered edges: wedge
+    * `(a<b) ⋈ (b<c)` then close with `(a,c)` — each triangle is
+    * enumerated exactly once as `a<b<c`, so no division by 6. Both
+    * joins key on node ids; at web scale the standard skew treatment
+    * (degree-ordered orientation) drops in here, and the edge relation
+    * is materialized once for its three consumers. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = undirected(edges).localCheckpoint(true)
+    val e1 = und.select(col("a").as("x"), col("b").as("y"))
+    val e2 = und.select(col("a").as("y"), col("b").as("z"))
+    val e3 = und.select(col("a").as("x"), col("b").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Bounded-hop BFS distance from a seed set over the undirected
+    * graph: `rounds` relaxation sweeps, each one join + one min-
+    * aggregation on integer hop counts (order-independent, bit-exact).
+    * Nodes unreached within `rounds` hops are absent from the result.
+    * Frontier/visited-set optimizations are deliberately left out —
+    * the full-relaxation form is what unrolls into the SQL oracle, and
+    * each sweep is still one hits-sized shuffle. */
+  def bfsHops(spark: SparkSession, edges: DataFrame, seeds: Seq[Long],
+              rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    import spark.implicits._
+    val und = undirected(edges).localCheckpoint(true)
+    // both directions, so one join per sweep covers all neighbors
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var dist = seeds.toDF("node").withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = adj.join(dist, adj("u") === dist("node"))
+        .select(col("v").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Integer-scaled PageRank with damping 0.85 over nodes `0..n-1`.
     *
     * Per iteration, with all divisions integer (floor — every term is

@@ -54,6 +54,43 @@ class LinkGraphSpec extends SparkSuite {
     assert(e1.size === e1.distinct.size)
   }
 
+  test("triangleCounts: each triangle counted once per corner, " +
+      "reverse/parallel edges collapse, non-members absent") {
+    // triangle 0-1-2 (with a reversed duplicate edge) + pendant 2-3
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (0L, 2L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = LinkGraph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    // 0-1-2 and 1-2-3: edge (1,2) shared — 1 and 2 sit in two each
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = LinkGraph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("bfsHops: hop distances on a path, bounded by rounds, " +
+      "direction-agnostic") {
+    // path 0-1-2-3-4-5, edges deliberately mixed-direction
+    val edges = Seq((1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L))
+      .toDF("src", "dst")
+    val got = LinkGraph.bfsHops(spark, edges, Seq(0L), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("bfsHops: multiple seeds take the nearest, seed distance wins " +
+      "over a longer rediscovery") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = LinkGraph.bfsHops(spark, edges, Seq(0L, 3L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("pagerank: more in-links means more rank") {
     // 1,2,3 all point at 0; 0 points at 1 — 0 must outrank 2 and 3
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L))
