@@ -1476,6 +1476,20 @@ object SparkEntry {
         .orderBy("host_id")
     },
 
+    // PG5: personalized PageRank from host 0 — teleport and dangling
+    // mass return to the seed, so rank measures PROXIMITY to it
+    // (related-host discovery / topic-focused crawl scoring); same
+    // integer-scaled bit-exact recurrence as pg1
+    "pg5_personalized_ppr" -> { (s, dir) =>
+      import graft.operators.LinkGraph
+      val docs = table(s, dir, "documents")
+      val edges = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 64)
+      LinkGraph.personalizedPagerank(s, edges, n = 64L, seeds = Seq(0L),
+          iters = 5)
+        .select(col("node").as("host_id"), col("rank_scaled"))
+        .orderBy("host_id")
+    },
+
     // R5: positional phrase search — exact consecutive-token match via
     // the anchor trick (every posting votes for occurrence-start
     // pos - offset; an anchor with votes from ALL phrase offsets is a
@@ -4183,6 +4197,36 @@ object SparkEntry {
       s"""WITH ${pagerankCtes(64, 5)}
         |SELECT node AS host_id, rank AS rank_scaled
         |FROM r5 ORDER BY node""".stripMargin,
+
+    "pg5_personalized_ppr" ->
+      s"""WITH ${hostGraphCtes(64)},
+        |pgo AS (SELECT src, count(*) AS odeg FROM pge GROUP BY src),
+        |q0 AS (SELECT node,
+        |  CAST(CASE WHEN node = 0 THEN 1000000000 ELSE 0 END AS BIGINT)
+        |    AS rank FROM pgn),
+        |${(1 to 5).map { i =>
+          s"""qg$i AS (
+            |  SELECT COALESCE(SUM(rank), 0) AS dm
+            |  FROM q${i - 1} r LEFT JOIN pgo o ON r.node = o.src
+            |  WHERE o.src IS NULL),
+            |qi$i AS (
+            |  SELECT e.dst AS node, SUM(r.rank // o.odeg) AS inc
+            |  FROM pge e
+            |  JOIN q${i - 1} r ON e.src = r.node
+            |  JOIN pgo o ON e.src = o.src
+            |  GROUP BY e.dst),
+            |q$i AS (
+            |  SELECT n.node,
+            |    CAST(CASE WHEN n.node = 0 THEN 150000000 ELSE 0 END
+            |      + (85 * (COALESCE(i.inc, 0)
+            |         + CASE WHEN n.node = 0 THEN d.dm ELSE 0 END)) // 100
+            |      AS BIGINT) AS rank
+            |  FROM pgn n
+            |  LEFT JOIN qi$i i ON n.node = i.node
+            |  CROSS JOIN qg$i d)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT node AS host_id, rank AS rank_scaled
+        |FROM q5 ORDER BY node""".stripMargin,
 
     "pg3_triangles" ->
       s"""WITH ${hostGraphCtes(64)},

@@ -54,6 +54,22 @@ class LinkGraphSpec extends SparkSuite {
     assert(e1.size === e1.distinct.size)
   }
 
+  test("personalizedPagerank: one-round mass flow is exact; converged " +
+      "ranks decay with distance from the seed") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val r1 = LinkGraph.personalizedPagerank(spark, cycle, 4L, Seq(0L), 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1 by hand: all mass at the seed, one hop pushes 85% to 1
+    assert(r1 === Map(0L -> 150000000L, 1L -> 850000000L,
+      2L -> 0L, 3L -> 0L))
+    val r = LinkGraph.personalizedPagerank(spark, cycle, 4L, Seq(0L), 20)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L) && r(1L) > r(2L) && r(2L) > r(3L))
+    val total = r.values.sum
+    assert(total <= 1000000000L && total > 999999000L)
+  }
+
   test("triangleCounts: each triangle counted once per corner, " +
       "reverse/parallel edges collapse, non-members absent") {
     // triangle 0-1-2 (with a reversed duplicate edge) + pendant 2-3
