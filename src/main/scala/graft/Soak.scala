@@ -60,7 +60,9 @@ object Soak {
       "cu1_curriculum_order",
       "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",
       "pg2_centrality_gate", "r5_phrase_query", "t15_kneser_ney",
-      "se2_sliding_counts")
+      "se2_sliding_counts", "se4_event_transitions", "se5_rfm",
+      "g15_anomaly_flags", "pg3_triangles", "pg4_bfs_hops",
+      "pg5_personalized_ppr", "x8_user360")
     def timed(fn: => Unit): Double = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block
