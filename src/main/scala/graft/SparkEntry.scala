@@ -1490,6 +1490,20 @@ object SparkEntry {
         .orderBy("host_id")
     },
 
+    // PG6: HITS hubs/authorities — Kleinberg's pair to PageRank with
+    // integer L1 renormalization each half-round (exact SQL `div`:
+    // the quotient's fraction can sit below double precision), 3
+    // mutual-reinforcement rounds
+    "pg6_hits" -> { (s, dir) =>
+      import graft.operators.LinkGraph
+      val docs = table(s, dir, "documents")
+      val edges = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 64)
+      LinkGraph.hits(s, edges, n = 64L, iters = 3)
+        .select(col("node").as("host_id"), col("hub_scaled"),
+          col("auth_scaled"))
+        .orderBy("host_id")
+    },
+
     // R5: positional phrase search — exact consecutive-token match via
     // the anchor trick (every posting votes for occurrence-start
     // pos - offset; an anchor with votes from ALL phrase offsets is a
@@ -4197,6 +4211,36 @@ object SparkEntry {
       s"""WITH ${pagerankCtes(64, 5)}
         |SELECT node AS host_id, rank AS rank_scaled
         |FROM r5 ORDER BY node""".stripMargin,
+
+    "pg6_hits" ->
+      s"""WITH ${hostGraphCtes(64)},
+        |h0 AS (SELECT node, CAST(15625 AS BIGINT) AS h FROM pgn),
+        |${(1 to 3).map { i =>
+          s"""ar$i AS (
+            |  SELECT n.node, COALESCE(CAST(s.a AS BIGINT), 0) AS a
+            |  FROM pgn n LEFT JOIN (
+            |    SELECT e.dst AS node, SUM(h.h) AS a
+            |    FROM pge e JOIN h${i - 1} h ON e.src = h.node
+            |    GROUP BY e.dst) s ON n.node = s.node),
+            |at$i AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM ar$i),
+            |a$i AS (
+            |  SELECT r.node, CAST((r.a * 1000000) // x.t AS BIGINT) AS a
+            |  FROM ar$i r CROSS JOIN at$i x),
+            |hr$i AS (
+            |  SELECT n.node, COALESCE(CAST(s.h AS BIGINT), 0) AS h
+            |  FROM pgn n LEFT JOIN (
+            |    SELECT e.src AS node, SUM(a.a) AS h
+            |    FROM pge e JOIN a$i a ON e.dst = a.node
+            |    GROUP BY e.src) s ON n.node = s.node),
+            |ht$i AS (SELECT CAST(SUM(h) AS BIGINT) AS t FROM hr$i),
+            |h$i AS (
+            |  SELECT r.node, CAST((r.h * 1000000) // x.t AS BIGINT) AS h
+            |  FROM hr$i r CROSS JOIN ht$i x)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT h3.node AS host_id, h3.h AS hub_scaled,
+        |       a3.a AS auth_scaled
+        |FROM h3 JOIN a3 ON h3.node = a3.node
+        |ORDER BY host_id""".stripMargin,
 
     "pg5_personalized_ppr" ->
       s"""WITH ${hostGraphCtes(64)},

@@ -108,6 +108,58 @@ object LinkGraph {
     ranks
   }
 
+  /** HITS hubs and authorities (Kleinberg) — the link-analysis pair to
+    * PageRank: a good AUTHORITY is pointed at by good hubs, a good HUB
+    * points at good authorities. Curation reads authorities as
+    * reference-quality hosts and hubs as link-directory hosts.
+    *
+    * Each half-round is one join + one sum by node, then an integer
+    * renormalization `x'(v) = (x(v) * scale) div Σx` (the L1 norm in
+    * place of Kleinberg's L2 — same fixed point direction, and integer
+    * arithmetic keeps every engine bit-identical; Σx is a one-row
+    * scalar, the centroid pattern). `scale` = 1e6 so the worst
+    * intermediate `x(v) * scale ≤ n · scale²` stays far inside Long
+    * even for multi-million-node graphs.
+    *
+    * Returns `(node, hub_scaled, auth_scaled)` in parts-per-`scale`. */
+  def hits(spark: SparkSession, edges: DataFrame, n: Long, iters: Int,
+           scale: Long = 1000000L): DataFrame = {
+    require(n > 0 && iters >= 0, "hits needs n > 0, iters >= 0")
+    val ed = edges.select(col("src").cast("long"),
+      col("dst").cast("long")).localCheckpoint(true)
+    val nodes = spark.range(n).select(col("id").as("node"))
+    var hub = nodes.withColumn("h", lit(scale / n)).localCheckpoint(true)
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val rawAuth = nodes.join(
+          ed.join(hub, ed("src") === hub("node"))
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__a"))
+            .withColumnRenamed("node", "__n"),
+          col("node") === col("__n"), "left")
+        .select(col("node"), coalesce(col("__a"), lit(0L)).as("a"))
+      val aSum = rawAuth.agg(sum(col("a"))).head().getLong(0)
+      // exact integer div (SQL `div`): the quotient's fractional part
+      // can be ~1/(n·scale), below double precision at this magnitude,
+      // so floor-of-double-division would not be engine-exact here
+      auth = rawAuth.select(col("node"),
+          expr(s"a * ${scale}L div ${aSum}L").as("a"))
+        .localCheckpoint(true)
+      val rawHub = nodes.join(
+          ed.join(auth, ed("dst") === auth("node"))
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("__h"))
+            .withColumnRenamed("node", "__n"),
+          col("node") === col("__n"), "left")
+        .select(col("node"), coalesce(col("__h"), lit(0L)).as("h"))
+      val hSum = rawHub.agg(sum(col("h"))).head().getLong(0)
+      hub = rawHub.select(col("node"),
+          expr(s"h * ${scale}L div ${hSum}L").as("h"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub_scaled"),
+        col("a").as("auth_scaled"))
+  }
+
   /** Directed edges → the canonical undirected edge set `(a < b)`,
     * parallel/reverse duplicates collapsed. */
   def undirected(edges: DataFrame): DataFrame =

@@ -70,6 +70,22 @@ class LinkGraphSpec extends SparkSuite {
     assert(total <= 1000000000L && total > 999999000L)
   }
 
+  test("hits: one round of mutual reinforcement, hand-computed with " +
+      "the integer L1 renormalization") {
+    // 2 is the strong authority (two hubs point at it), 0 the strong
+    // hub (points at both authorities)
+    val edges = Seq((0L, 2L), (1L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = LinkGraph.hits(spark, edges, n = 4L, iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // h0 = 250000 each; a(2)=500000, a(3)=250000 → Σ=750000 →
+    // a'(2)=666666, a'(3)=333333; h(0)=999999, h(1)=666666 →
+    // Σ=1666665 → h'(0)=600000, h'(1)=400000 (both divisions exact)
+    assert(got === Map(
+      0L -> ((600000L, 0L)), 1L -> ((400000L, 0L)),
+      2L -> ((0L, 666666L)), 3L -> ((0L, 333333L))))
+  }
+
   test("triangleCounts: each triangle counted once per corner, " +
       "reverse/parallel edges collapse, non-members absent") {
     // triangle 0-1-2 (with a reversed duplicate edge) + pendant 2-3
