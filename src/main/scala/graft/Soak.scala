@@ -62,7 +62,7 @@ object Soak {
       "pg2_centrality_gate", "r5_phrase_query", "t15_kneser_ney",
       "se2_sliding_counts", "se4_event_transitions", "se5_rfm",
       "g15_anomaly_flags", "pg3_triangles", "pg4_bfs_hops",
-      "pg5_personalized_ppr", "x8_user360")
+      "pg5_personalized_ppr", "pg6_hits", "x8_user360")
     def timed(fn: => Unit): Double = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block
