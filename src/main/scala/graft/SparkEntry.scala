@@ -1504,6 +1504,20 @@ object SparkEntry {
         .orderBy("host_id")
     },
 
+    // PG7: host-graph connected components — mirror-domain clusters
+    // (the same min-label convergence loop the duplicate-cluster
+    // pipeline uses, on the link graph instead of near-dup pairs);
+    // nodes without edges are absent, like d6
+    "pg7_components" -> { (s, dir) =>
+      import graft.operators.{Dedup, LinkGraph}
+      val docs = table(s, dir, "documents")
+      val edges = LinkGraph.syntheticHostEdges(docs, "doc_id", hosts = 64)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      Dedup.connectedComponents(edges)
+        .select(col("id").as("host_id"), col("cluster"))
+        .orderBy("host_id")
+    },
+
     // R5: positional phrase search — exact consecutive-token match via
     // the anchor trick (every posting votes for occurrence-start
     // pos - offset; an anchor with votes from ALL phrase offsets is a
@@ -4211,6 +4225,18 @@ object SparkEntry {
       s"""WITH ${pagerankCtes(64, 5)}
         |SELECT node AS host_id, rank AS rank_scaled
         |FROM r5 ORDER BY node""".stripMargin,
+
+    "pg7_components" ->
+      s"""WITH RECURSIVE ${hostGraphCtes(64)},
+        |ged AS (
+        |  SELECT src AS id_a, dst AS id_b FROM pge
+        |  UNION ALL SELECT dst AS id_a, src AS id_b FROM pge),
+        |reach(id, cluster) AS (
+        |  SELECT DISTINCT id_a, id_a FROM ged
+        |  UNION
+        |  SELECT e.id_a, r.cluster FROM ged e JOIN reach r ON r.id = e.id_b)
+        |SELECT id AS host_id, min(cluster) AS cluster
+        |FROM reach GROUP BY id ORDER BY host_id""".stripMargin,
 
     "pg6_hits" ->
       s"""WITH ${hostGraphCtes(64)},
