@@ -4240,7 +4240,8 @@ object SparkEntry {
 
     "pg6_hits" ->
       s"""WITH ${hostGraphCtes(64)},
-        |h0 AS (SELECT node, CAST(15625 AS BIGINT) AS h FROM pgn),
+        |h0 AS (SELECT node, CAST(${1000000L / 64} AS BIGINT) AS h
+        |       FROM pgn),
         |${(1 to 3).map { i =>
           s"""ar$i AS (
             |  SELECT n.node, COALESCE(CAST(s.a AS BIGINT), 0) AS a

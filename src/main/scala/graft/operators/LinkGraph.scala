@@ -73,16 +73,35 @@ object LinkGraph {
       scale: Long = 1000000000L): DataFrame = {
     require(n > 0 && iters >= 0 && seeds.nonEmpty,
       "personalizedPagerank needs n > 0, iters >= 0, seeds non-empty")
+    require(seeds.forall(s => s >= 0 && s < n),
+      s"seeds must lie in [0, $n): ${seeds.filterNot(s => s >= 0 && s < n)}")
     val ns = seeds.size.toLong
+    val isSeed = col("node").isin(seeds: _*)
+    val base = (15L * (scale / ns)) / 100L
+    rankIteration(spark, edges, n, iters,
+      initRank = when(isSeed, lit(scale / ns)).otherwise(lit(0L)),
+      teleport = when(isSeed, lit(base)).otherwise(lit(0L)),
+      danglingShare = d => when(isSeed, lit(d / ns)).otherwise(lit(0L)))
+  }
+
+  /** The shared damped mass-flow recurrence behind [[pagerank]]
+    * (uniform restart) and [[personalizedPagerank]] (seed restart):
+    * per round, one scalar dangling collect, one contributions
+    * join+sum, one node-keyed update
+    *
+    * {{{ rank'(v) = teleport(v)
+    *              + (85 * (incoming(v) + danglingShare(v))) div 100 }}}
+    *
+    * with the restart policy injected as expressions over `node`. */
+  private def rankIteration(spark: SparkSession, edges: DataFrame,
+      n: Long, iters: Int, initRank: Column, teleport: Column,
+      danglingShare: Long => Column): DataFrame = {
     val ed = edges.select(col("src").cast("long"),
       col("dst").cast("long")).localCheckpoint(true)
     val odeg = ed.groupBy("src").agg(count(lit(1)).as("__odeg"))
       .localCheckpoint(true)
-    val isSeed = col("node").isin(seeds: _*)
-    val base = (15L * (scale / ns)) / 100L
     val nodes = spark.range(n).select(col("id").as("node"))
-    var ranks = nodes.withColumn("rank_scaled",
-        when(isSeed, lit(scale / ns)).otherwise(lit(0L)))
+    var ranks = nodes.withColumn("rank_scaled", initRank)
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val dangling = ranks.join(odeg,
@@ -98,10 +117,9 @@ object LinkGraph {
         .groupBy("node").agg(sum(col("__c")).as("__in"))
       ranks = nodes.join(incoming, Seq("node"), "left")
         .select(col("node"),
-          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+          (teleport +
             floor((coalesce(col("__in"), lit(0L)) +
-              when(isSeed, lit(dangling / ns)).otherwise(lit(0L))) *
-              85L / 100L).cast("long"))
+              danglingShare(dangling)) * 85L / 100L).cast("long"))
             .as("rank_scaled"))
         .localCheckpoint(true)
     }
@@ -117,43 +135,49 @@ object LinkGraph {
     * renormalization `x'(v) = (x(v) * scale) div Σx` (the L1 norm in
     * place of Kleinberg's L2 — same fixed point direction, and integer
     * arithmetic keeps every engine bit-identical; Σx is a one-row
-    * scalar, the centroid pattern). `scale` = 1e6 so the worst
-    * intermediate `x(v) * scale ≤ n · scale²` stays far inside Long
-    * even for multi-million-node graphs.
+    * scalar, the centroid pattern). Bounds: `scale >= n` (so the
+    * initial per-node mass `scale div n` is non-zero) and
+    * `n * scale^2 < 2^63` (the worst renormalization intermediate) —
+    * the 1e6 default covers host graphs to ~1e6 nodes; larger graphs
+    * need a Decimal renormalization, which this integer formulation
+    * deliberately trades away for bit-exactness.
     *
     * Returns `(node, hub_scaled, auth_scaled)` in parts-per-`scale`. */
   def hits(spark: SparkSession, edges: DataFrame, n: Long, iters: Int,
            scale: Long = 1000000L): DataFrame = {
     require(n > 0 && iters >= 0, "hits needs n > 0, iters >= 0")
+    require(scale >= n, s"hits needs scale >= n ($scale < $n): the " +
+      "initial per-node mass scale div n would be zero")
     val ed = edges.select(col("src").cast("long"),
       col("dst").cast("long")).localCheckpoint(true)
     val nodes = spark.range(n).select(col("id").as("node"))
+    // one half-round: gather mass across edges (fromCol → toCol), then
+    // L1-renormalize to `scale` with exact integer div (the quotient's
+    // fractional part can be ~1/(n·scale), below double precision, so
+    // floor-of-double-division would not be engine-exact). A zero
+    // total (empty graph, or all mass on edgeless nodes) renormalizes
+    // to all-zero instead of dividing by zero.
+    def halfRound(mass: DataFrame, massCol: String, fromCol: String,
+        toCol: String, outCol: String): DataFrame = {
+      val raw = nodes.join(
+          ed.join(mass, ed(fromCol) === mass("node"))
+            .groupBy(col(toCol).as("__n"))
+            .agg(sum(col(massCol)).as("__m")),
+          col("node") === col("__n"), "left")
+        .select(col("node"), coalesce(col("__m"), lit(0L)).as(outCol))
+      val total = raw.agg(coalesce(sum(col(outCol)), lit(0L)))
+        .head().getLong(0)
+      val normalized =
+        if (total == 0L) raw.select(col("node"), lit(0L).as(outCol))
+        else raw.select(col("node"),
+          expr(s"$outCol * ${scale}L div ${total}L").as(outCol))
+      normalized.localCheckpoint(true)
+    }
     var hub = nodes.withColumn("h", lit(scale / n)).localCheckpoint(true)
     var auth = nodes.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
-      val rawAuth = nodes.join(
-          ed.join(hub, ed("src") === hub("node"))
-            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__a"))
-            .withColumnRenamed("node", "__n"),
-          col("node") === col("__n"), "left")
-        .select(col("node"), coalesce(col("__a"), lit(0L)).as("a"))
-      val aSum = rawAuth.agg(sum(col("a"))).head().getLong(0)
-      // exact integer div (SQL `div`): the quotient's fractional part
-      // can be ~1/(n·scale), below double precision at this magnitude,
-      // so floor-of-double-division would not be engine-exact here
-      auth = rawAuth.select(col("node"),
-          expr(s"a * ${scale}L div ${aSum}L").as("a"))
-        .localCheckpoint(true)
-      val rawHub = nodes.join(
-          ed.join(auth, ed("dst") === auth("node"))
-            .groupBy(col("src").as("node")).agg(sum(col("a")).as("__h"))
-            .withColumnRenamed("node", "__n"),
-          col("node") === col("__n"), "left")
-        .select(col("node"), coalesce(col("__h"), lit(0L)).as("h"))
-      val hSum = rawHub.agg(sum(col("h"))).head().getLong(0)
-      hub = rawHub.select(col("node"),
-          expr(s"h * ${scale}L div ${hSum}L").as("h"))
-        .localCheckpoint(true)
+      auth = halfRound(hub, "h", "src", "dst", "a")
+      hub = halfRound(auth, "a", "dst", "src", "h")
     }
     hub.join(auth, "node")
       .select(col("node"), col("h").as("hub_scaled"),
@@ -235,33 +259,9 @@ object LinkGraph {
   def pagerank(spark: SparkSession, edges: DataFrame, n: Long,
                iters: Int, scale: Long = 1000000000L): DataFrame = {
     require(n > 0 && iters >= 0, "pagerank needs n > 0, iters >= 0")
-    val ed = edges.select(col("src").cast("long"),
-      col("dst").cast("long")).localCheckpoint(true)
-    val odeg = ed.groupBy("src").agg(count(lit(1)).as("__odeg"))
-      .localCheckpoint(true)
-    val base = (15L * (scale / n)) / 100L
-    val nodes = spark.range(n).select(col("id").as("node"))
-    var ranks = nodes.withColumn("rank_scaled", lit(scale / n))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val dangling = ranks.join(odeg,
-          ranks("node") === odeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank_scaled")), lit(0L)))
-        .head().getLong(0)
-      val incoming = ed
-        .join(ranks, ed("src") === ranks("node"))
-        .join(odeg, "src")
-        .select(col("dst").as("node"),
-          floor(col("rank_scaled") / col("__odeg")).cast("long")
-            .as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(incoming, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + floor((coalesce(col("__in"), lit(0L)) +
-            lit(dangling / n)) * 85L / 100L).cast("long"))
-            .as("rank_scaled"))
-        .localCheckpoint(true)
-    }
-    ranks
+    rankIteration(spark, edges, n, iters,
+      initRank = lit(scale / n),
+      teleport = lit((15L * (scale / n)) / 100L),
+      danglingShare = d => lit(d / n))
   }
 }

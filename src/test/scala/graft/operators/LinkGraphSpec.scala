@@ -86,6 +86,23 @@ class LinkGraphSpec extends SparkSuite {
       2L -> ((0L, 666666L)), 3L -> ((0L, 333333L))))
   }
 
+  test("hits: an empty graph renormalizes to all-zero, never " +
+      "NULL/divide-by-zero; out-of-range PPR seeds are rejected") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = LinkGraph.hits(spark, empty, n = 3L, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got === Seq((0L, 0L, 0L), (1L, 0L, 0L), (2L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      LinkGraph.hits(spark, empty, n = 10L, iters = 1, scale = 5L)
+    }
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPagerank(spark, edges, n = 4L,
+        seeds = Seq(100L), iters = 1)
+    }
+  }
+
   test("triangleCounts: each triangle counted once per corner, " +
       "reverse/parallel edges collapse, non-members absent") {
     // triangle 0-1-2 (with a reversed duplicate edge) + pendant 2-3
