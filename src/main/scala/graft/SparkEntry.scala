@@ -1122,6 +1122,92 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // H1: the pricing-summary rollup (TPC-H Q1 shape) over lineitem —
+    // one partial-aggregating pass, all sums/avgs mergeable map-side;
+    // rounded identically on both engines since double-sum order
+    // differs across partitionings
+    "h1_pricing_summary" -> { (s, dir) =>
+      def r2(c: Column) = floor(c * 100L + 0.5) / 100L
+      val li = table(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          (floor(avg(col("l_discount")) * 10000L + 0.5) / 10000L)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // H3: shipping priority (TPC-H Q3 shape) — the fact table joins a
+    // BROADCAST filtered dimension; top-10 by revenue with the sort on
+    // the ROUNDED value + key so the cut is deterministic cross-engine
+    "h3_shipping_priority" -> { (s, dir) =>
+      val cust = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_orderpriority")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg((floor(sum(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))) * 100L + 0.5) / 100L)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // H5: local-supplier revenue (TPC-H Q5 shape) — the 6-relation
+    // star: fact table shuffles once on orderkey, every dimension
+    // (region→nation, customer, supplier) broadcasts; the
+    // same-nation customer/supplier constraint rides the supplier join
+    "h5_local_supplier" -> { (s, dir) =>
+      val nat = table(s, dir, "nation")
+        .join(broadcast(table(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = table(s, dir, "customer")
+        .join(broadcast(nat.select(col("n_nationkey").as("__nk"))),
+          col("c_nationkey") === col("__nk"))
+        .select("c_custkey", "c_nationkey")
+      val supp = table(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice",
+          "l_discount")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp),
+          li("l_suppkey") === supp("s_suppkey") &&
+            cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nat),
+          supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((floor(sum(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))) * 100L + 0.5) / 100L)
+          .as("revenue"))
+        .orderBy("n_name")
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -3621,6 +3707,55 @@ object SparkEntry {
         |JOIN co ON sess.user_id = co.user_id
         |LEFT JOIN fdep f ON sess.user_id = f.user_id
         |ORDER BY sess.user_id""".stripMargin,
+
+    "h1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        |  floor(sum(l_extendedprice) * 100 + 0.5) / 100
+        |    AS sum_base_price,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |    / 100 AS sum_disc_price,
+        |  floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
+        |  floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "h3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |    / 100 AS revenue,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+        |  o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "h5_local_supplier" ->
+      """WITH nat AS (
+        |  SELECT n_nationkey, n_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT nat.n_name,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |    / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nat ON s_nationkey = nat.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY nat.n_name ORDER BY nat.n_name""".stripMargin,
 
     "se5_rfm" ->
       """WITH pu AS (
