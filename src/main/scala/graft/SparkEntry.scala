@@ -1208,6 +1208,48 @@ object SparkEntry {
         .orderBy("n_name")
     },
 
+    // H14: promo revenue share (TPC-H Q14 shape) — lineitem ⋈ BROADCAST
+    // part with a conditional aggregate: the CASE rides the same pass
+    // as the total, one scan, one broadcast, one one-row result
+    "h14_promo_revenue" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val part = table(s, dir, "part").select("p_partkey", "p_type")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg(
+          (floor(sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0.0))) * 100L + 0.5) / 100L)
+            .as("promo_revenue"),
+          (floor(sum(rev) * 100L + 0.5) / 100L).as("total_revenue"))
+        .withColumn("promo_ppm",
+          floor(col("promo_revenue") * 1000000L / col("total_revenue"))
+            .cast("long"))
+    },
+
+    // H18: large-volume orders (TPC-H Q18 shape) — a HAVING on the
+    // fact aggregate, then the qualifying keys (display-sized) join
+    // back to orders/customer as a broadcast semi-ish star
+    "h18_large_orders" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("__sumq"))
+        .filter(col("__sumq") > 200.0)
+        .select(col("l_orderkey").as("o_orderkey"),
+          (floor(col("__sumq") * 100L + 0.5) / 100L).as("sum_qty"))
+      val ord = table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val cust = table(s, dir, "customer").select("c_custkey", "c_name")
+      ord.join(broadcast(big), "o_orderkey")
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -3707,6 +3749,36 @@ object SparkEntry {
         |JOIN co ON sess.user_id = co.user_id
         |LEFT JOIN fdep f ON sess.user_id = f.user_id
         |ORDER BY sess.user_id""".stripMargin,
+
+    "h14_promo_revenue" ->
+      """WITH r AS (
+        |  SELECT
+        |    floor(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |      * 100 + 0.5) / 100 AS promo_revenue,
+        |    floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |      / 100 AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01')
+        |SELECT promo_revenue, total_revenue,
+        |  CAST(floor(promo_revenue * 1000000 / total_revenue) AS BIGINT)
+        |    AS promo_ppm
+        |FROM r""".stripMargin,
+
+    "h18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 200)
+        |SELECT c_name, o.o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+        |  o_totalprice, big.sum_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
