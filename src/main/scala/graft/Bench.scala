@@ -162,17 +162,41 @@ object Bench {
     }.mkString("{", ",", "}")
     val stealJson = stealFracs.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json =
+    // FULL record (full names + per-pass samples) goes to the file ONLY —
+    // it is ~8 KB, larger than the driver's 2000-char stdout tail capture,
+    // which is exactly how BENCH_r06.json ended up with "parsed": null.
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"cpu_steal":$stealJson,"sf":"$sfDir"}"""
-    println(json)
-    // stdout is interleaved with sbt/Spark noise — ALSO write the line to
-    // a dedicated file so the harness can parse it reliably
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // COMPACT medians-only line is the LAST stdout output, keyed by the
+    // canonical short query ids (a1, d17, h14, ... — the ids every round
+    // note and verdict uses); bg_* micros keep their full names because
+    // they map 1:1 onto BASELINE.md comparables. Full names + samples
+    // live in bench_out.json. Must stay well under 2000 chars.
+    val compactQs = results.map { case (k, sec) =>
+      s""""${shortName(k)}":${if (sec < 0) "-1" else f"$sec%.3f"}"""
+    }.mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$compactQs,"cpu_steal":$stealJson,"sf":"$sfDir","full":"$outFile"}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1900 — driver tail may truncate")
+    println(compact)
     spark.stop()
   }
+
+  /** Canonical short id for the compact stdout line: the prefix before the
+    * first underscore (the id the round notes/verdicts use), with the two
+    * collisions disambiguated and the BASELINE.md micro names kept whole.
+    * Guaranteed injective over the bench task list (asserted in BenchSpec). */
+  private[graft] def shortName(full: String): String =
+    if (full.startsWith("bg_")) full
+    else if (full == "a3_downsample_2stage") "a3b"
+    else full.takeWhile(_ != '_')
+
+  private[graft] def headlineNames: Seq[String] = Headline
 
   /** Unpersist checkpoint/cache blocks orphaned by completed queries.
     * Every pipeline query `localCheckpoint`s its reused intermediates;

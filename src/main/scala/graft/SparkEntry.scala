@@ -3872,11 +3872,15 @@ object SparkEntry {
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
+    // json_extract_string mirrors Spark's from_json(LongType): both parse
+    // the JSON (negative / quoted values agree) and both null out
+    // non-integral values (TRY_CAST('12.5') = from_json LongType = NULL)
     "se3_props_extract" ->
       """WITH e AS (
         |  SELECT event_type,
-        |    TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
-        |      AS k
+        |    TRY_CAST(CASE WHEN json_valid(props)
+        |                  THEN json_extract_string(props, '$.k')
+        |             END AS BIGINT) AS k
         |  FROM events)
         |SELECT event_type, count(k) AS n_with_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
@@ -4458,7 +4462,8 @@ object SparkEntry {
             |    GROUP BY e.dst) s ON n.node = s.node),
             |at$i AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM ar$i),
             |a$i AS (
-            |  SELECT r.node, CAST((r.a * 1000000) // x.t AS BIGINT) AS a
+            |  SELECT r.node, CAST(CASE WHEN x.t = 0 THEN 0
+            |    ELSE (r.a * 1000000) // x.t END AS BIGINT) AS a
             |  FROM ar$i r CROSS JOIN at$i x),
             |hr$i AS (
             |  SELECT n.node, COALESCE(CAST(s.h AS BIGINT), 0) AS h
@@ -4468,7 +4473,8 @@ object SparkEntry {
             |    GROUP BY e.src) s ON n.node = s.node),
             |ht$i AS (SELECT CAST(SUM(h) AS BIGINT) AS t FROM hr$i),
             |h$i AS (
-            |  SELECT r.node, CAST((r.h * 1000000) // x.t AS BIGINT) AS h
+            |  SELECT r.node, CAST(CASE WHEN x.t = 0 THEN 0
+            |    ELSE (r.h * 1000000) // x.t END AS BIGINT) AS h
             |  FROM hr$i r CROSS JOIN ht$i x)""".stripMargin
         }.mkString(",\n")}
         |SELECT h3.node AS host_id, h3.h AS hub_scaled,

@@ -284,16 +284,6 @@ object Dedup {
   def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame =
     jaccardOpt(pairs, sh, idCol, cacheDistinct = false)
 
-  /** Jaccard verification straight from the text column: each document's
-    * distinct shingle SET is built in one native pass
-    * ([[graft.functions.ShingleSet]], sorted array, map-only — the
-    * exploded (doc, shingle) relation never exists), pairs join the
-    * one-row-per-doc set table twice, and |A∩B| is a single sorted-merge
-    * ([[graft.functions.SortedIntersectCount]]) per pair. Same jaccard
-    * values as [[jaccard]] over [[shingles]] (parity in
-    * `ShingleSetSpec`); the plan drops the explode, the distinct
-    * shuffle, the per-doc size aggregation, and the exploded
-    * intersection groupBy. */
   /** Broder CONTAINMENT scoring for candidate pairs — the asymmetric
     * twin of [[jaccardFromText]]: `containment_a = |A∩B| / |A|` (how
     * much of A lives inside B) and the mirror `containment_b`. The
@@ -322,6 +312,16 @@ object Dedup {
           (size(col("__sa")) + size(col("__sb")) - col("__i")), 6).as("jaccard"))
   }
 
+  /** Jaccard verification straight from the text column: each document's
+    * distinct shingle SET is built in one native pass
+    * ([[graft.functions.ShingleSet]], sorted array, map-only — the
+    * exploded (doc, shingle) relation never exists), pairs join the
+    * one-row-per-doc set table twice, and |A∩B| is a single sorted-merge
+    * ([[graft.functions.SortedIntersectCount]]) per pair. Same jaccard
+    * values as [[jaccard]] over [[shingles]] (parity in
+    * `ShingleSetSpec`); the plan drops the explode, the distinct
+    * shuffle, the per-doc size aggregation, and the exploded
+    * intersection groupBy. */
   def jaccardFromText(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, maxChars: Int = 4096): DataFrame = {
     val sets = docs.select(col(idCol),
@@ -476,10 +476,12 @@ object Dedup {
     * decision is total) with a null score that ranks LAST — an unscored
     * doc can only represent a cluster nobody in it was scored. Scale
     * shape: one left join to attach clusters (docs ⋈ cluster labels,
-    * both id-keyed), one window partitioned by cluster (parallelism =
-    * #clusters, each partition one duplicate group), and the rank-1
-    * rows joined back broadcast-free on the cluster key — nothing is
-    * ever corpus × corpus.
+    * both id-keyed), then ONE window partitioned by cluster
+    * (parallelism = #clusters, each partition one duplicate group):
+    * `first(id)` over a running frame in (score desc, id) order IS the
+    * representative for every member, so there is no rank-1 filter and
+    * no join-back — the scores scan and the cluster join each run
+    * exactly once, and nothing is ever corpus × corpus.
     *
     * Returns (idCol, cluster, scoreCol, rep_id, keep). */
   def clusterRepresentatives(docs: DataFrame, idCol: String,
@@ -489,13 +491,13 @@ object Dedup {
       .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
+    // running frame: row n sees rows 1..n, so first(id) = the top-ranked
+    // member (max score, ties to smaller id) on EVERY row of the cluster
     val w = Window.partitionBy("cluster")
       .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
-    val reps = withCluster
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("cluster"), col(idCol).as("rep_id"))
-    withCluster.join(reps, Seq("cluster"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withCluster
+      .withColumn("rep_id", first(col(idCol)).over(w))
       .select(col(idCol), col("cluster"), col(scoreCol), col("rep_id"),
         (col(idCol) === col("rep_id")).as("keep"))
   }

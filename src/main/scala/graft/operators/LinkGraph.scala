@@ -148,6 +148,14 @@ object LinkGraph {
     require(n > 0 && iters >= 0, "hits needs n > 0, iters >= 0")
     require(scale >= n, s"hits needs scale >= n ($scale < $n): the " +
       "initial per-node mass scale div n would be zero")
+    // the documented overflow precondition, enforced: the renormalization
+    // intermediate `mass * scale` is bounded by scale^2 (mass is L1-capped
+    // at `scale` each half-round), with n-fold headroom kept for the
+    // pre-normalization gather sum
+    require(BigInt(n) * BigInt(scale) * BigInt(scale) < BigInt(Long.MaxValue),
+      s"hits needs n * scale^2 < 2^63 (n=$n, scale=$scale): the integer " +
+        "renormalization would overflow — use a smaller scale or a Decimal " +
+        "renorm for graphs this large")
     val ed = edges.select(col("src").cast("long"),
       col("dst").cast("long")).localCheckpoint(true)
     val nodes = spark.range(n).select(col("id").as("node"))

@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * is two aggregations over the training rows — per-doc margins (sparse
   * dot via a slot join), then per-slot gradients — and the updated
   * weights are ROUNDED to 6 decimals per round so training trajectories
-  * are bit-identical in any engine (the kmeans centroid-rounding rule;
-  * per-doc probabilities are rounded before the gradient sums for the
-  * same reason). Full-batch, not SGD: deterministic by construction and
+  * are deterministic in practice across engines (the kmeans
+  * centroid-rounding rule; per-doc probabilities are rounded before the
+  * gradient sums for the same reason). "In practice" because the float
+  * sums feeding each rounding are order-dependent at the last ulp: a
+  * difference landing exactly on a rounding half-boundary could still
+  * flip a weight — truly order-independent training would need the
+  * cl1/ds1 integer-scaled-contribution idiom end to end.
+  * Full-batch, not SGD: deterministic by construction and
   * one scan per round; at 100 TB the gradient is a partial-aggregated
   * sum per slot — the shuffle carries dim+1 rows.
   *

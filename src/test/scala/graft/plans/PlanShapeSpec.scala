@@ -177,6 +177,25 @@ class PlanShapeSpec extends SparkSuite {
       s"bounds/kept-names not broadcast:\n$rp")
   }
 
+  test("clusterRepresentatives is single-pass: the scores side is scanned " +
+      "once and there is no join-back after the window") {
+    val docs = spark.range(100).select(col("id").as("doc_id"))
+    val comps = Seq((1L, 0L), (2L, 0L), (5L, 4L)).toDF("id", "cluster")
+    val scores = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 7).cast("double").as("score"))
+    val df = Dedup.clusterRepresentatives(docs, "doc_id", scores, "score",
+      comps)
+    val p = plan(df)
+    // one window computes rep_id in place — a second Window or a join
+    // AFTER the window would be the r6 double-branch regression
+    assert("Window".r.findAllIn(p).size === 1, s"expected one window:\n$p")
+    // the scores relation appears exactly once (Range scans: docs,
+    // scores; a duplicated branch would re-scan or ReusedExchange it)
+    val ranges = "Range \\(0, 100".r.findAllIn(p).size
+    assert(ranges === 2, s"expected docs+scores scanned once each:\n$p")
+    assert(!p.contains("ReusedExchange"), s"duplicated branch:\n$p")
+  }
+
   test("dated catalog: time-scoped scan reads fewer files than full scan") {
     import graft.sources.MetricCatalog
     val dir = java.nio.file.Files.createTempDirectory("datedcat").toString
