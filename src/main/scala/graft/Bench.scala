@@ -43,7 +43,9 @@ object Bench {
     "se4_event_transitions", "se5_rfm", "g15_anomaly_flags",
     "pg3_triangles", "pg4_bfs_hops", "x8_user360", "pg5_personalized_ppr", "pg6_hits", "pg7_components",
     "h1_pricing_summary", "h3_shipping_priority", "h5_local_supplier",
-    "h14_promo_revenue", "h18_large_orders")
+    "h14_promo_revenue", "h18_large_orders", "h17_small_qty_revenue",
+    "h21_waiting_suppliers", "h13_order_count_distribution",
+    "h16_part_supplier_variety")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

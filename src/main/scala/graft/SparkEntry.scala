@@ -1250,6 +1250,116 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // H17: small-quantity-order revenue (TPC-H Q17 shape) — the
+    // CORRELATED SCALAR SUBQUERY (`l_quantity < 0.2 * avg(l_quantity)
+    // for the same part`) decorrelated into ONE pass: the brand/size
+    // part filter broadcasts into the fact scan, and the per-part avg
+    // is a window over the filtered rows — the filtered fact exchanges
+    // once on l_partkey and is never scanned twice (the agg+join-back
+    // decorrelation would re-read it, the exact d17-class double
+    // branch). Revenue sums integer cents so the one-row result is
+    // order-independent
+    "h17_small_qty_revenue" -> { (s, dir) =>
+      val p = table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") <= 15)
+        .select("p_partkey")
+      val li = table(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val w = Window.partitionBy("l_partkey")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .withColumn("__avgq", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("__avgq"))
+        .agg(sum(floor(col("l_extendedprice") * 100L + 0.5).cast("long"))
+          .as("__c"))
+        .select((floor(col("__c") / lit(7.0) + 0.5) / 100L)
+          .as("avg_yearly"))
+    },
+
+    // H21: suppliers who kept orders waiting (TPC-H Q21 shape) — the
+    // EXISTS/NOT-EXISTS multi-condition self-join pair: a supplier's
+    // late lineitem qualifies iff ANOTHER supplier shipped on the same
+    // order (left_semi) and NO OTHER supplier was also late (left_anti).
+    // The finished-order fact rows are materialized ONCE
+    // (localCheckpoint) and feed all three sides, each self-join
+    // co-keyed on l_orderkey; supplier and nation broadcast. "Late" =
+    // shipped more than 90 days after the order date (the synthetic
+    // tables carry no commit/receipt dates)
+    "h21_waiting_suppliers" -> { (s, dir) =>
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val lo = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAY")).as("late"))
+        .localCheckpoint(true)
+      val l2 = lo.select(col("l_orderkey").as("__ok"),
+        col("l_suppkey").as("__sk"))
+      val l3 = lo.filter(col("late"))
+        .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
+      val supp = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_7"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      lo.filter(col("late"))
+        .join(l2, col("l_orderkey") === col("__ok") &&
+          col("l_suppkey") =!= col("__sk"), "left_semi")
+        .join(l3, col("l_orderkey") === col("__ok3") &&
+          col("l_suppkey") =!= col("__sk3"), "left_anti")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // H13: customer order-count distribution (TPC-H Q13 shape) — the
+    // LEFT-JOIN-COUNT histogram: orders pre-aggregate to one row per
+    // customer BEFORE the join (the raw fact never rides the customer
+    // join), customers with no qualifying orders keep count 0 via the
+    // left join, then the distribution is a second tiny groupBy.
+    // Priority class 1-URGENT stands in for Q13's comment-regex filter
+    "h13_order_count_distribution" -> { (s, dir) =>
+      val perCust = table(s, dir, "orders")
+        .filter(!col("o_orderpriority").startsWith("1-"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__n"))
+      table(s, dir, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // H16: supplier variety per part class (TPC-H Q16 shape) — the
+    // DISTINCT-COUNT over ANTI-JOINED dims: lineitem's (part, supplier)
+    // pairs stand in for partsupp, the part filter broadcasts INTO the
+    // fact scan before the distinct, complained-about suppliers
+    // (negative balance — no comment column) leave via a broadcast
+    // anti-join, then count(DISTINCT supplier) per (brand, type, size)
+    "h16_part_supplier_variety" -> { (s, dir) =>
+      val p = table(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" &&
+          col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -3779,6 +3889,70 @@ object SparkEntry {
         |JOIN big ON o.o_orderkey = big.o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // per-part avg over integer quantities is exact in both engines
+    // (integer sum < 2^53, one IEEE division); revenue sums integer cents
+    "h17_small_qty_revenue" ->
+      """WITH p AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#23' AND p_size <= 15),
+        |l AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT l_partkey, avg(l_quantity) AS aq FROM l GROUP BY 1)
+        |SELECT floor(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+        |    AS BIGINT)) / 7.0 + 0.5) / 100 AS avg_yearly
+        |FROM l JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity < 0.2 * a.aq""".stripMargin,
+
+    "h21_waiting_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F')
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM lo l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        |  AND l1.late
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "h13_order_count_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderpriority NOT LIKE '1-%'
+        |  GROUP BY o_custkey),
+        |co AS (
+        |  SELECT c.c_custkey, COALESCE(p.n, 0) AS c_count
+        |  FROM customer c LEFT JOIN per_cust p
+        |    ON c.c_custkey = p.o_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "h16_part_supplier_variety" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |  WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        |    AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)),
+        |ok AS (
+        |  SELECT DISTINCT p.p_brand, p.p_type, p.p_size, l.l_suppkey
+        |  FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+        |FROM ok GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

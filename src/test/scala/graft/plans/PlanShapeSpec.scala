@@ -196,6 +196,48 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("ReusedExchange"), s"duplicated branch:\n$p")
   }
 
+  test("wave-2 warehouse queries: dimensions broadcast, the fact side is " +
+      "scanned once per query") {
+    val dir = "/root/testdata/sf0.001"
+    def scansOf(p: String, tbl: String): Int =
+      s"$tbl\\.parquet".r.findAllIn(p).size
+    // h17: the correlated per-part avg is a window, not an agg+join-back
+    // — lineitem is scanned ONCE and the part filter broadcasts
+    val h17 = graft.SparkEntry.queries("h17_small_qty_revenue")(spark, dir)
+    h17.count()
+    val p17 = plan(h17)
+    assert(scansOf(p17, "lineitem") === 1, s"fact scanned twice:\n$p17")
+    assert(p17.contains("BroadcastHashJoin"), s"part not broadcast:\n$p17")
+    assert("Window".r.findAllIn(p17).size === 1, s"expected one window:\n$p17")
+    // h21: the finished-order rows are checkpointed once; every further
+    // join is either co-keyed on l_orderkey or a broadcast
+    val h21 = graft.SparkEntry.queries("h21_waiting_suppliers")(spark, dir)
+    h21.count()
+    val p21 = plan(h21)
+    assert(scansOf(p21, "lineitem") === 0,
+      s"fact re-read past the checkpoint:\n$p21")
+    assert(p21.contains("BroadcastHashJoin"),
+      s"supplier/nation dim not broadcast:\n$p21")
+    // h13: the raw orders rows never ride the customer join — orders
+    // pre-aggregate to per-customer counts first
+    val h13 = graft.SparkEntry.queries("h13_order_count_distribution")(
+      spark, dir)
+    h13.count()
+    val p13 = plan(h13)
+    assert(scansOf(p13, "orders") === 1 && scansOf(p13, "customer") === 1,
+      s"expected one scan of each side:\n$p13")
+    // h16: both dims broadcast (filtered part, complained suppliers) —
+    // the only exchanges are the distinct and the final group
+    val h16 = graft.SparkEntry.queries("h16_part_supplier_variety")(
+      spark, dir)
+    h16.count()
+    val p16 = plan(h16)
+    assert(scansOf(p16, "lineitem") === 1, s"fact scanned twice:\n$p16")
+    assert("BroadcastHashJoin".r.findAllIn(p16).size === 2,
+      s"part/bad-supplier dims not both broadcast:\n$p16")
+    assert(!p16.contains("SortMergeJoin"), s"corpus-sized join side:\n$p16")
+  }
+
   test("dated catalog: time-scoped scan reads fewer files than full scan") {
     import graft.sources.MetricCatalog
     val dir = java.nio.file.Files.createTempDirectory("datedcat").toString
