@@ -47,6 +47,25 @@ object Bench {
     "h21_waiting_suppliers", "h13_order_count_distribution",
     "h16_part_supplier_variety")
 
+  /** Names of the composed-pipeline + BASELINE.md micro tasks that join
+    * the headline list at runtime, in runtime order — the ONE source
+    * both `main`'s task assembly (asserted below) and BenchSpec's
+    * injectivity/length pins read, so the spec can never silently test
+    * a stale domain. */
+  private[graft] val ExtraTaskNames: Seq[String] = Seq(
+    "x1_curation_pipeline", "x2_embedding_pipeline",
+    "x5_pretrain_prep_pipeline",
+    "bg_glob_3wild", "bg_glob_3wild_v2store", "bg_read_3600_stage0",
+    "bg_read_3600_stage0_v2", "bg_read_3600_stage1",
+    "bg_ingest_1m_points", "bg_ingest_100x1")
+
+  /** Locale-pinned fixed-point formatting for every numeric field in
+    * the emitted JSON: the scala f-interpolator uses the default JVM
+    * locale, which under a comma-decimal locale would print `1,234` and
+    * break the harness parse. */
+  private def fmt(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,14 +109,20 @@ object Bench {
     // Every query is a (name, thunk) task; the micro-benchmarks join the
     // same list after their one-time untimed setup (stores/catalogs built
     // once, ingest thunks write fresh dirs per call).
-    val tasks: Seq[(String, () => Unit)] =
-      Headline.filter(queries.contains).map { name =>
-        name -> (() => { queries(name)(spark, sfDir).count(); () })
-      } ++ Seq[(String, () => Unit)](
+    val extraTasks: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
         "x1_curation_pipeline" -> (() => { curationPipeline(spark, sfDir); () }),
         "x2_embedding_pipeline" -> (() => { embeddingPipeline(spark, sfDir); () }),
         "x5_pretrain_prep_pipeline" -> (() => { pretrainPrepPipeline(spark, sfDir); () })
       ) ++ baselineMicroTasks(spark)
+    // the spec pins its guarantees against ExtraTaskNames — fail fast if
+    // the runtime list ever drifts from the declared one
+    require(extraTasks.map(_._1) == ExtraTaskNames,
+      s"extra task names drifted from Bench.ExtraTaskNames: " +
+        s"${extraTasks.map(_._1)} vs $ExtraTaskNames")
+    val tasks: Seq[(String, () => Unit)] =
+      Headline.filter(queries.contains).map { name =>
+        name -> (() => { queries(name)(spark, sfDir).count(); () })
+      } ++ extraTasks
 
     // Median of 5 INTERLEAVED passes: each pass runs every query once,
     // and a query's median is taken across the passes. Back-to-back reps
@@ -160,9 +185,9 @@ object Bench {
     // the published number; the samples show whether an outlier was a
     // burst in one pass or a real sustained cost)
     val samplesJson = results.map { case (k, _) =>
-      s""""$k":[${sampleLists(k).map(v => if (v.isNaN) "-1" else f"$v%.3f").mkString(",")}]"""
+      s""""$k":[${sampleLists(k).map(v => if (v.isNaN) "-1" else fmt(v, 3)).mkString(",")}]"""
     }.mkString("{", ",", "}")
-    val stealJson = stealFracs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val stealJson = stealFracs.map(v => fmt(v, 3)).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // FULL record (full names + per-pass samples) goes to the file ONLY —
     // it is ~8 KB, larger than the driver's 2000-char stdout tail capture,
@@ -179,10 +204,10 @@ object Bench {
     // they map 1:1 onto BASELINE.md comparables. Full names + samples
     // live in bench_out.json. Must stay well under 2000 chars.
     val compactQs = results.map { case (k, sec) =>
-      s""""${shortName(k)}":${if (sec < 0) "-1" else f"$sec%.3f"}"""
+      s""""${shortName(k)}":${if (sec < 0) "-1" else fmt(sec, 3)}"""
     }.mkString("{", ",", "}")
     val compact =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$compactQs,"cpu_steal":$stealJson,"sf":"$sfDir","full":"$outFile"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$compactQs,"cpu_steal":$stealJson,"sf":"$sfDir","full":"$outFile"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1900 — driver tail may truncate")
     println(compact)

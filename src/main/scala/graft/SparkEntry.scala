@@ -2103,9 +2103,9 @@ object SparkEntry {
     // LR1: logistic regression trained IN-ENGINE by full-batch GD over
     // hashed TF-IDF features — the learned corpus-gating classifier
     // (kmeans' iterative shape: broadcast model, two aggregations per
-    // round, weights rounded per round so trajectories replay
-    // bit-identically in any engine). Train on the 4/5 split (y =
-    // lang=='en'), score the 1/5 holdout
+    // round, every margin/gradient sum integer-scaled at the row level
+    // so trajectories replay bit-identically under any partitioning).
+    // Train on the 4/5 split (y = lang=='en'), score the 1/5 holdout
     "lr1_logreg_gate" -> { (s, dir) =>
       import graft.operators.{LogReg, Vectorize}
       val docs = table(s, dir, "documents")
@@ -3011,8 +3011,10 @@ object SparkEntry {
     * [[graft.operators.LogReg.fit]] at η=0.5 over the lr1 split):
     * labels, train features `tf2`, zero weights `lw0` (slot −1 =
     * bias), then per round the rounded probabilities `lp_i`, gradients
-    * `lg_i`, and rounded weight update `lw_i`. MATERIALIZED for the
-    * same exponential-inlining reason as the BPE chain. */
+    * `lg_i`, and rounded weight update `lw_i` — margin and gradient
+    * contributions are floor(·1e6+0.5)-scaled BIGINTs before each sum,
+    * mirroring LogReg's order-independent integer sums. MATERIALIZED
+    * for the same exponential-inlining reason as the BPE chain. */
   private def lrOracleCtes(rounds: Int): String = {
     val seed =
       """lab AS MATERIALIZED (
@@ -3027,18 +3029,25 @@ object SparkEntry {
     val perRound = (1 to rounds).map { i =>
       s"""lp$i AS MATERIALIZED (
          |  SELECT l.doc_id, l.y,
-         |    round(1 / (1 + exp(-(coalesce(mg.m, 0) + bs.b))), 6) AS p
+         |    round(1 / (1 + exp(-(coalesce(mg.m6, 0) / 1e6 + bs.b))), 6)
+         |      AS p
          |  FROM lab l
-         |  LEFT JOIN (SELECT t.doc_id, sum(t.weight * w.w) AS m
+         |  LEFT JOIN (SELECT t.doc_id,
+         |               sum(CAST(floor(t.weight * w.w * 1e6 + 0.5)
+         |                 AS BIGINT)) AS m6
          |             FROM tf2 t JOIN lw${i - 1} w USING (slot)
          |             GROUP BY 1) mg USING (doc_id)
          |  CROSS JOIN (SELECT w AS b FROM lw${i - 1} WHERE slot = -1) bs),
          |lg$i AS MATERIALIZED (
-         |  SELECT t.slot, round(sum(t.weight * (p.p - p.y)) / nl.n, 6) AS g
+         |  SELECT t.slot,
+         |    round(sum(CAST(floor(t.weight * (p.p - p.y) * 1e6 + 0.5)
+         |      AS BIGINT)) / 1e6 / nl.n, 6) AS g
          |  FROM tf2 t JOIN lp$i p USING (doc_id) CROSS JOIN nl
          |  GROUP BY t.slot, nl.n
          |  UNION ALL
-         |  SELECT CAST(-1 AS BIGINT), round(sum(p - y) / nl.n, 6)
+         |  SELECT CAST(-1 AS BIGINT),
+         |    round(sum(CAST(floor((p - y) * 1e6 + 0.5) AS BIGINT))
+         |      / 1e6 / nl.n, 6)
          |  FROM lp$i CROSS JOIN nl GROUP BY nl.n),
          |lw$i AS MATERIALIZED (
          |  SELECT w.slot, round(w.w - 0.5 * coalesce(g.g, 0), 6) AS w
@@ -4046,13 +4055,17 @@ object SparkEntry {
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
-    // json_extract_string mirrors Spark's from_json(LongType): both parse
-    // the JSON (negative / quoted values agree) and both null out
-    // non-integral values (TRY_CAST('12.5') = from_json LongType = NULL)
+    // mirrors Spark's from_json(LongType) strictness: the json_type
+    // guard keeps only numeric-integer JSON values, because DuckDB's
+    // json_extract_string would also parse a QUOTED number ({"k":"12"}
+    // → '12' → 12) where from_json(LongType) returns NULL; TRY_CAST
+    // then nulls non-integral leftovers like from_json does
     "se3_props_extract" ->
       """WITH e AS (
         |  SELECT event_type,
         |    TRY_CAST(CASE WHEN json_valid(props)
+        |                   AND json_type(props, '$.k')
+        |                     IN ('BIGINT', 'UBIGINT')
         |                  THEN json_extract_string(props, '$.k')
         |             END AS BIGINT) AS k
         |  FROM events)
@@ -5157,11 +5170,14 @@ object SparkEntry {
       s"""WITH ${tfidfCtes(16)},
         |${lrOracleCtes(4)}
         |SELECT d.doc_id,
-        |  round(1 / (1 + exp(-(coalesce(mg.m, 0) + bs.b))), 6) AS score,
-        |  round(1 / (1 + exp(-(coalesce(mg.m, 0) + bs.b))), 6) >= 0.5
-        |    AS predicted
+        |  round(1 / (1 + exp(-(coalesce(mg.m6, 0) / 1e6 + bs.b))), 6)
+        |    AS score,
+        |  round(1 / (1 + exp(-(coalesce(mg.m6, 0) / 1e6 + bs.b))), 6)
+        |    >= 0.5 AS predicted
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
-        |LEFT JOIN (SELECT wv.doc_id, sum(wv.weight * w.w) AS m
+        |LEFT JOIN (SELECT wv.doc_id,
+        |             sum(CAST(floor(wv.weight * w.w * 1e6 + 0.5)
+        |               AS BIGINT)) AS m6
         |           FROM wv JOIN lw4 w USING (slot) GROUP BY 1) mg
         |  USING (doc_id)
         |CROSS JOIN (SELECT w AS b FROM lw4 WHERE slot = -1) bs

@@ -12,16 +12,15 @@ import org.apache.spark.sql.functions._
   * The GD shape is exactly [[Clustering.kmeansFit]]'s: the model is
   * planning metadata (dim+1 doubles, broadcast each round), each round
   * is two aggregations over the training rows — per-doc margins (sparse
-  * dot via a slot join), then per-slot gradients — and the updated
-  * weights are ROUNDED to 6 decimals per round so training trajectories
-  * are deterministic in practice across engines (the kmeans
-  * centroid-rounding rule; per-doc probabilities are rounded before the
-  * gradient sums for the same reason). "In practice" because the float
-  * sums feeding each rounding are order-dependent at the last ulp: a
-  * difference landing exactly on a rounding half-boundary could still
-  * flip a weight — truly order-independent training would need the
-  * cl1/ds1 integer-scaled-contribution idiom end to end.
-  * Full-batch, not SGD: deterministic by construction and
+  * dot via a slot join), then per-slot gradients — and every sum in the
+  * trajectory is ORDER-INDEPENDENT by construction: each per-row
+  * contribution (margin term `weight·w`, gradient term `weight·(p−y)`)
+  * is scaled to an exact 6-decimal LONG at the row level (the
+  * [[Classify]]/[[Dsir]] integer-scaled-contribution idiom) and summed
+  * in integer space, so the training trajectory is bit-identical under
+  * any partitioning or addition order; the updated weights are then
+  * rounded to 6 decimals per round so the broadcast model stays a
+  * clean 6-decimal grid. Full-batch, not SGD: deterministic and
   * one scan per round; at 100 TB the gradient is a partial-aggregated
   * sum per slot — the shuffle carries dim+1 rows.
   *
@@ -34,19 +33,28 @@ object LogReg {
 
   private def round6(c: Column): Column = round(c, 6)
 
+  /** A per-row double contribution scaled to an exact 6-decimal long —
+    * sums of these are bit-identical in any addition order (the
+    * cl1/ds1 idiom; the double product itself is one IEEE multiply, so
+    * it is the same value on every executor and engine). */
+  private def scaled6(c: Column): Column =
+    floor(c * 1000000.0 + lit(0.5)).cast("long")
+
   /** One GD round's probability per labeled doc, given broadcast
-    * weights: p = round6(sigmoid(margin + bias)). Docs with no active
-    * slot get margin 0 (dim is small, so this is rare by construction,
-    * but the left join keeps the contract total). */
+    * weights: p = round6(sigmoid(margin + bias)) with the margin summed
+    * as 6-decimal-scaled longs. Docs with no active slot get margin 0
+    * (dim is small, so this is rare by construction, but the left join
+    * keeps the contract total). */
   private def probs(labels: DataFrame, feats: DataFrame,
       wDf: DataFrame, bias: Double): DataFrame = {
     val margins = feats.join(broadcast(wDf), Seq("slot"))
       .groupBy("doc_id")
-      .agg(sum(col("weight") * col("w")).as("__m"))
+      .agg(sum(scaled6(col("weight") * col("w"))).as("__m6"))
     labels.join(margins, Seq("doc_id"), "left")
       .select(col("doc_id"), col("y"),
         round6(lit(1.0) / (lit(1.0) +
-          exp(-(coalesce(col("__m"), lit(0.0)) + bias)))).as("p"))
+          exp(-(coalesce(col("__m6"), lit(0L)) / 1000000.0 + bias))))
+          .as("p"))
   }
 
   /** Fit by `rounds` full-batch GD steps at learning rate `eta`.
@@ -68,15 +76,17 @@ object LogReg {
       val bias = w.head._2
       val wDf = w.tail.toDF("slot", "w")
       val p = probs(labels, feats, wDf, bias).localCheckpoint(true)
-      // gradients rounded to 6 decimals BEFORE the update: the sums'
-      // addition order differs across engines/partitionings, and an
-      // unrounded last-ulp difference can land the weight update on a
-      // rounding half-boundary (the same reason p is rounded above)
+      // gradient contributions scaled to exact 6-decimal longs BEFORE
+      // the sum: integer sums are bit-identical in any addition order,
+      // so the rounded gradient (and hence the whole trajectory) cannot
+      // flip on a rounding half-boundary under repartitioning
       val slotGrads = feats.join(p, Seq("doc_id"))
         .groupBy("slot")
-        .agg(round6(sum(col("weight") * (col("p") - col("y"))) / n).as("g"))
+        .agg(round6(sum(scaled6(col("weight") * (col("p") - col("y"))))
+          / 1000000.0 / n).as("g"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val biasGrad = p.agg(round6(sum(col("p") - col("y")) / n).as("g"))
+      val biasGrad = p.agg(round6(sum(scaled6(col("p") - col("y")))
+          / 1000000.0 / n).as("g"))
         .head().getDouble(0)
       w = w.map { case (s, ws) =>
         val g = if (s == -1L) biasGrad else slotGrads.getOrElse(s, 0.0)
@@ -101,11 +111,12 @@ object LogReg {
     val margins = features.join(ids, "doc_id")
       .join(broadcast(wDf), Seq("slot"))
       .groupBy("doc_id")
-      .agg(sum(col("weight") * col("w")).as("__m"))
+      .agg(sum(scaled6(col("weight") * col("w"))).as("__m6"))
     ids.join(margins, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round6(lit(1.0) / (lit(1.0) +
-          exp(-(coalesce(col("__m"), lit(0.0)) + bias)))).as("score"))
+          exp(-(coalesce(col("__m6"), lit(0L)) / 1000000.0 + bias))))
+          .as("score"))
       .withColumn("predicted", col("score") >= 0.5)
   }
 }

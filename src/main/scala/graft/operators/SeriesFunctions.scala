@@ -28,6 +28,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object SeriesFunctions {
 
+  /** Hard cardinality bound on the relations this layer ranks with a
+    * single unpartitioned window (legend ordering, positional list
+    * pairing). Those windows are display-sized BY CONTRACT — one row
+    * per rendered series — so the bound exists to make a corpus-scale
+    * misuse fail loudly at plan time instead of silently funnelling
+    * millions of rows through one partition. Render targets resolve to
+    * at most a few thousand series; 100k is an order of magnitude of
+    * headroom past any legend a human reads. */
+  val MaxRankedSeries: Long = 100000L
+
+  /** Guard for the display-sized single-window contract above: counts
+    * the (column-pruned, distinct-name) relation — cheap next to the
+    * ranking it precedes — and fails loudly past [[MaxRankedSeries]]. */
+  private def requireDisplaySized(df: DataFrame, fn: String): Long = {
+    val n = df.select("name").distinct().count()
+    require(n <= MaxRankedSeries,
+      s"$fn: $n distinct series exceeds the display-sized bound " +
+        s"$MaxRankedSeries for a single global ranking window — " +
+        "narrow the fetch glob or aggregate per group instead")
+    n
+  }
+
   private def perSeries = Window.partitionBy("name").orderBy("ts")
 
   /** d/dt as graphite `derivative`: value − previous value, None for the
@@ -445,8 +467,11 @@ object SeriesFunctions {
     * column (ties break on the lexically smaller name) and the rows come
     * back sorted by it. The ranking window runs over the per-series
     * aggregate — metric-count rows, never the points — so the single
-    * unpartitioned window is display-sized by construction. */
+    * unpartitioned window is display-sized by construction, and a
+    * [[MaxRankedSeries]] guard makes a corpus-scale misuse fail loudly
+    * rather than serialize through one partition. */
   def sortSeries(df: DataFrame, by: String = "maxima"): DataFrame = {
+    requireDisplaySized(df, "sortSeries")
     val ranked = by match {
       case "name" =>
         df.select("name").distinct()
@@ -1332,14 +1357,18 @@ object SeriesFunctions {
     * denominator. Result series are named `fn(a,b)` like graphite. */
   def pairwiseSeriesLists(df: DataFrame, other: DataFrame,
       op: String): DataFrame = {
+    // guard on the distinct-name counts BEFORE planning the global
+    // ranking windows, so corpus-scale input fails without ever
+    // funnelling through the single-partition sort
+    val na = requireDisplaySized(df, s"${op}SeriesLists")
+    val nb = requireDisplaySized(other, s"${op}SeriesLists")
+    require(na == nb && na > 0,
+      s"${op}SeriesLists: lists must pair up 1:1, got $na vs $nb series")
     def ranked(in: DataFrame): DataFrame =
       in.select("name").distinct()
         .withColumn("__rank", row_number().over(Window.orderBy("name")))
     val ra = ranked(df)
     val rb = ranked(other)
-    val (na, nb) = (ra.count(), rb.count())
-    require(na == nb && na > 0,
-      s"${op}SeriesLists: lists must pair up 1:1, got $na vs $nb series")
     val fnName = op match {
       case "sum" => "sumSeries"
       case "diff" => "diffSeries"

@@ -11,7 +11,12 @@ class LogRegSpec extends SparkSuite {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Plain-Scala full-batch GD with the operator's exact rounding. */
+  /** The operator's row-level contribution scaling: an exact 6-decimal
+    * long, so reference sums below are integer sums like the engine's. */
+  private def s6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  /** Plain-Scala full-batch GD with the operator's exact
+    * integer-scaled sums and rounding. */
   private def reference(feats: Seq[(Long, Long, Double)],
       labels: Map[Long, Double], dim: Int, eta: Double,
       rounds: Int): Map[Long, Double] = {
@@ -20,15 +25,15 @@ class LogRegSpec extends SparkSuite {
     val n = labels.size.toDouble
     for (_ <- 1 to rounds) {
       val p = labels.map { case (id, y) =>
-        val m = train.filter(_._1 == id)
-          .map { case (_, s, x) => x * w(s) }.sum
-        id -> (r6(1.0 / (1.0 + math.exp(-(m + w(-1L))))), y)
+        val m6 = train.filter(_._1 == id)
+          .map { case (_, s, x) => s6(x * w(s)) }.sum
+        id -> (r6(1.0 / (1.0 + math.exp(-(m6 / 1e6 + w(-1L))))), y)
       }
       val grads = train.groupBy(_._2).map { case (s, rows) =>
-        s -> r6(rows.map { case (id, _, x) => x * (p(id)._1 - p(id)._2) }
-          .sum / n)
+        s -> r6(rows.map { case (id, _, x) =>
+          s6(x * (p(id)._1 - p(id)._2)) }.sum / 1e6 / n)
       }
-      val bg = r6(p.values.map { case (pp, y) => pp - y }.sum / n)
+      val bg = r6(p.values.map { case (pp, y) => s6(pp - y) }.sum / 1e6 / n)
       w = w.map { case (s, ws) =>
         val g = if (s == -1L) bg else grads.getOrElse(s, 0.0)
         s -> r6(ws - eta * g)
@@ -74,6 +79,29 @@ class LogRegSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     for (id <- 30L until 40L)
       assert(pred(id) === (id % 2 == 0), s"doc $id")
+  }
+
+  test("training is partition-invariant: identical weights under " +
+      "1, 3, and 32 partitions") {
+    val rnd = new scala.util.Random(4242)
+    // weights dense enough that per-slot sums span many rows, with
+    // irrational-ish magnitudes that exercise last-ulp addition order
+    val feats = for {
+      id <- 0L until 60L
+      s <- 0L until 8L if rnd.nextInt(3) > 0
+    } yield (id, s, r6(rnd.nextDouble() * math.Pi))
+    val labels = (0L until 60L)
+      .map(id => (id, if (rnd.nextBoolean()) 1.0 else 0.0))
+    val got = Seq(1, 3, 32).map { parts =>
+      LogReg.fit(
+          feats.toDF("doc_id", "slot", "weight").repartition(parts),
+          labels.toDF("doc_id", "y").repartition(parts),
+          dim = 8, eta = 0.5, rounds = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(got(0) === got(1))
+    assert(got(1) === got(2))
+    assert(got(0) === reference(feats, labels.toMap, 8, 0.5, 5))
   }
 
   test("docs with no active features get the bias-only score") {

@@ -810,4 +810,22 @@ class SeriesFunctionsSpec extends SparkSuite {
         b.filter(col("name") === "y.1"), "sum")
     }
   }
+
+  test("display-sized window guard fails loudly on corpus-scale input") {
+    val big = spark.range(SeriesFunctions.MaxRankedSeries + 1)
+      .select(concat(lit("m."), col("id")).as("name"),
+        lit(0L).as("ts"), lit(1.0).as("value"))
+    val eSort = intercept[IllegalArgumentException] {
+      SeriesFunctions.sortSeries(big, by = "maxima")
+    }
+    assert(eSort.getMessage.contains("display-sized bound"))
+    val ePair = intercept[IllegalArgumentException] {
+      SeriesFunctions.pairwiseSeriesLists(big, big, "sum")
+    }
+    assert(ePair.getMessage.contains("display-sized bound"))
+    // the bound is headroom, not a ceiling on real legends: a normal
+    // display-sized call still works
+    assert(SeriesFunctions.sortSeries(series, by = "total")
+      .select("series_order").distinct().count() === 2)
+  }
 }
