@@ -45,6 +45,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Retrieval {
 
+  /** Reserved postings partition holding one MARKER row per document
+    * appended through the streaming face
+    * ([[graft.streaming.TextIndexStream]]): (doc_id, __dl, __term =
+    * null, __tf = 0) under `term_bucket = -1`. Markers make a
+    * streaming append CRASH-ATOMIC — they land in the SAME write job
+    * as the batch's postings, so either both committed or neither —
+    * and double as the replay-presence state (one partition directory,
+    * doc_id column only) and the streaming half of the corpus stats
+    * (probe-time N/avgdl = stats file + marker aggregate). Probes
+    * never read the partition: query buckets are pmod-nonnegative. */
+  val MarkerBucket: Long = -1L
+
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
   /** (doc_id, __dl, __term) — one row per corpus token. */
@@ -148,7 +160,9 @@ object Retrieval {
     * is bit-identical to build(A∪B). Appending the same doc twice
     * duplicates its postings, exactly like FAISS add(). The stats
     * overwrite is not crash-atomic; re-run the append on a fresh copy if
-    * a writer died mid-update. */
+    * a writer died mid-update — or use the streaming face
+    * ([[graft.streaming.TextIndexStream]]), whose marker-row append is
+    * single-write crash-atomic and replay-idempotent. */
   def appendToTextIndex(newDocs: DataFrame, idCol: String,
       textCol: String, dir: String): Unit = {
     val spark = newDocs.sparkSession
@@ -173,6 +187,63 @@ object Retrieval {
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("term_bucket")
       .parquet(s"$dir/postings")
+
+  /** Append `docs`' postings PLUS one [[MarkerBucket]] marker row per
+    * doc in a SINGLE write job — the crash-atomic append the streaming
+    * face builds on: Spark's commit protocol publishes the job's files
+    * across all partitions together, so a doc's postings and its
+    * marker (the replay-presence record and the stats contribution)
+    * can never be separated by a crash. The stats FILE is not touched;
+    * [[bm25IndexTopK]] folds the marker aggregate in at probe time. */
+  private[graft] def appendDocsWithMarkers(docs: DataFrame,
+      idCol: String, textCol: String, dir: String, nBuckets: Int): Unit = {
+    val postings = explodedTokens(docs, idCol, textCol)
+      .groupBy("doc_id", "__dl", "__term")
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("__term")), lit(nBuckets)))
+    val markers = docs.select(col(idCol).as("doc_id"),
+      size(toks(col(textCol))).as("__dl"),
+      lit(null).cast("string").as("__term"),
+      lit(0L).as("__tf"),
+      lit(MarkerBucket).as("term_bucket"))
+    postings.unionByName(markers)
+      .write.mode("append")
+      .partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Compact a text index's term-bucket partitions in place: streaming
+    * appends drop one file per batch into every touched bucket (and the
+    * marker partition), and probe cost grows with file count, not row
+    * count. Buckets are rewritten `bucketsPerSlice` at a time under
+    * dynamic partition overwrite — untouched buckets keep their files,
+    * and a probe sees each bucket either pre- or post-compaction
+    * (same rows). The [[Similarity.compactIvfIndex]] pattern. */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bucketsPerSlice: Int = 16): Unit = {
+    require(bucketsPerSlice > 0)
+    val buckets = spark.read.parquet(s"$dir/postings")
+      .select("term_bucket").distinct().collect()
+      .map(_.get(0)).sortBy(_.toString)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      buckets.grouped(bucketsPerSlice).foreach { slice =>
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("term_bucket").isin(slice.toSeq: _*))
+          .localCheckpoint(true)
+          .repartition(slice.length, col("term_bucket"))
+          .write.mode("overwrite")
+          .partitionBy("term_bucket")
+          .parquet(s"$dir/postings")
+      }
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 
   private def statsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -234,10 +305,20 @@ object Retrieval {
     val terms = qterms.select("__term").distinct()
       .collect().map(_.getString(0)).toSeq
     val statsRaw = spark.read.parquet(s"$indexDir/stats")
-    // avgdl from the exact totals: sum/count is the same division the
-    // live path's avg() performs, so the two faces cannot drift
-    val stats = statsRaw.select(col("__n"),
-      (col("__sumdl").cast("double") / col("__n")).as("__avgdl"))
+    // corpus totals = stats file (build + batch appends) PLUS the
+    // streaming-append marker rows; a marker-less index prunes the
+    // [[MarkerBucket]] partition to zero files, so the aggregate is
+    // free and yields (0, 0). avgdl from the exact summed totals:
+    // sum/count is the same division the live path's avg() performs,
+    // so the two faces cannot drift
+    val markerAgg = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term_bucket") === MarkerBucket)
+      .agg(count(lit(1)).as("__mn"),
+        coalesce(sum(col("__dl").cast("long")), lit(0L)).as("__msum"))
+    val stats = statsRaw.crossJoin(markerAgg)
+      .select((col("__n") + col("__mn")).as("__n"),
+        ((col("__sumdl") + col("__msum")).cast("double") /
+          (col("__n") + col("__mn"))).as("__avgdl"))
     val nBuckets = statsRaw.select("__nbuckets").head().getInt(0)
     // bucket ids via the engine's own hash — evaluated in a plan, not
     // reimplemented driver-side, so build and probe can never drift

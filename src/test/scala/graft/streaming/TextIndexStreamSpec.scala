@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+import graft.operators.Retrieval
+
+/** Streaming text-index maintenance: batches append postings + marker
+  * rows in one atomic job against the persisted inverted index; replays
+  * are idempotent because the marker partition is the presence state,
+  * and probes fold the markers into the corpus stats so streamed and
+  * rebuilt indexes answer bit-for-bit identically. */
+class TextIndexStreamSpec extends SparkSuite {
+  import spark.implicits._
+  import TextIndexStreamSpec.Doc
+
+  private val base = Seq(
+    Doc(1L, "spark shuffles data between stages"),
+    Doc(2L, "parquet stores columns not rows"),
+    Doc(3L, "bm25 ranks documents by term rarity"),
+    Doc(4L, "the quick brown fox jumps over the lazy dog"),
+    Doc(5L, "streaming appends keep the index current"))
+  private val late = Seq(
+    Doc(6L, "inverted index postings live in term buckets"),
+    Doc(7L, "spark broadcast joins avoid the shuffle"),
+    Doc(8L, "rarity beats frequency in idf weighting"),
+    Doc(9L, "crash replays must append nothing twice"))
+  private val queries = Seq(
+    (101L, "spark shuffle"), (102L, "term rarity index"),
+    (103L, "the lazy dog")).toDF("query_id", "query_text")
+
+  private def probe(dir: String): Seq[(Long, Long, Double, Int)] =
+    Retrieval.bm25IndexTopK(queries, "query_id", "query_text", dir, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+
+  test("streamed batches extend the index; probe == build(A∪B) bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("txtstream").toString
+    Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      dir, nBuckets = 8)
+
+    val input = MemoryStream[Doc]
+    val q = TextIndexStream.startTextAppendJob(
+      input.toDF().select(col("doc_id"), col("text")), "doc_id", "text",
+      dir, java.nio.file.Files.createTempDirectory("txtstream_ckpt").toString)
+    try {
+      input.addData(late.take(2): _*)
+      q.processAllAvailable()
+      input.addData(late.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // one marker per streamed doc, none for built docs
+    val markers = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket") === Retrieval.MarkerBucket)
+    assert(markers.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(6L, 7L, 8L, 9L))
+
+    // bit-for-bit: the streamed index answers exactly like a one-shot
+    // build over the union (stats fold the markers in, so N/avgdl and
+    // every idf agree), and like the live scan-time path
+    val dirAll = java.nio.file.Files.createTempDirectory("txtall").toString
+    Retrieval.buildTextIndex((base ++ late).toDF("doc_id", "text"),
+      "doc_id", "text", dirAll, nBuckets = 8)
+    assert(probe(dir) === probe(dirAll))
+    val live = Retrieval.bm25TopK((base ++ late).toDF("doc_id", "text"),
+        "doc_id", "text", queries, "query_id", "query_text", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(probe(dir) === live)
+  }
+
+  test("crash replay appends nothing; empty and duplicate batches behave") {
+    val dir = java.nio.file.Files.createTempDirectory("txtreplay").toString
+    Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      dir, nBuckets = 8)
+    val batch = late.take(2).toDF("doc_id", "text")
+
+    // the same batch applied twice (append committed, checkpoint lost):
+    // the replay anti-joins the marker partition and appends nothing —
+    // postings, markers, AND the probe answer are all unchanged
+    TextIndexStream.appendNovelDocs(batch, "doc_id", "text", dir)
+    val afterFirst = spark.read.parquet(s"$dir/postings").count()
+    val probeFirst = probe(dir)
+    TextIndexStream.appendNovelDocs(batch, "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/postings").count() === afterFirst)
+    assert(probe(dir) === probeFirst)
+
+    // empty batch: no-op, no crash
+    TextIndexStream.appendNovelDocs(
+      Seq.empty[Doc].toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/postings").count() === afterFirst)
+
+    // within-batch duplicate id: ONE marker, one set of postings,
+    // picked deterministically (smallest text)
+    TextIndexStream.appendNovelDocs(
+      Seq(Doc(50L, "zz duplicated doc"), Doc(50L, "aa duplicated doc"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val fifty = spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") === 50L)
+    assert(fifty.filter(col("term_bucket") === Retrieval.MarkerBucket)
+      .count() === 1L)
+    assert(fifty.filter(col("__term") === "aa").count() === 1L)
+    assert(fifty.filter(col("__term") === "zz").count() === 0L)
+  }
+
+  test("the replay anti-join reads only the marker partition") {
+    val dir = java.nio.file.Files.createTempDirectory("txtprune").toString
+    Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      dir, nBuckets = 8)
+    TextIndexStream.appendNovelDocs(late.take(2).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val pruned = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket") === Retrieval.MarkerBucket)
+      .select("doc_id")
+    pruned.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value <
+      spark.read.parquet(s"$dir/postings").inputFiles.length,
+      "marker filter must prune the term-bucket directories")
+    // scan.schema keeps the term_bucket PARTITION column (read from
+    // directory names, not file bytes); no data column beyond doc_id
+    // may survive pruning
+    assert(scan.schema.fieldNames.toSet.subsetOf(
+      Set("doc_id", "term_bucket")),
+      s"presence check read extra columns: ${scan.schema.fieldNames.toSeq}")
+  }
+
+  test("compaction collapses append-accumulated files; probe unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("txtcompact").toString
+    Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      dir, nBuckets = 8)
+    // one append per doc: each drops another file into every touched
+    // bucket and the marker partition
+    late.foreach { d =>
+      TextIndexStream.appendNovelDocs(Seq(d).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    val before = probe(dir)
+    val rowsBefore = spark.read.parquet(s"$dir/postings").count()
+    val filesBefore = spark.read.parquet(s"$dir/postings").inputFiles.length
+    Retrieval.compactTextIndex(spark, dir, bucketsPerSlice = 4)
+    val filesAfter = spark.read.parquet(s"$dir/postings").inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"expected fewer files after compaction: $filesAfter !< $filesBefore")
+    assert(spark.read.parquet(s"$dir/postings").count() === rowsBefore)
+    assert(probe(dir) === before)
+    // compaction preserves the replay state too: re-applying an old
+    // batch still appends nothing
+    TextIndexStream.appendNovelDocs(late.take(1).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/postings").count() === rowsBefore)
+  }
+}
+
+object TextIndexStreamSpec {
+  case class Doc(doc_id: Long, text: String)
+}
