@@ -144,20 +144,44 @@ object DocumentStream {
 
   /** Running dataset card over the stream — the live twin of
     * [[graft.operators.Profile.datasetCard]]: per-group doc / token /
-    * byte totals and an HLL distinct-content sketch that update every
-    * micro-batch. Complete-mode aggregation whose state is ONE row per
-    * group (sources/languages — metadata-sized, never corpus-sized;
-    * the HLL sketch is the only viable streaming distinct count), with
-    * each trigger snapshotting the latest card to `outDir` (overwrite:
-    * the newest card is the card). */
+    * byte totals, an HLL distinct-content sketch, and p50/p90/p99
+    * token-length percentiles from a mergeable quantile sketch, all
+    * updating every micro-batch. Complete-mode aggregation whose state
+    * is ONE row per group plus its bounded sketches (sources/languages
+    * — metadata-sized, never corpus-sized; sketches are the only
+    * 100 TB-viable streaming form of distinct counts and percentiles),
+    * with each trigger snapshotting the latest card to `outDir`
+    * (overwrite: the newest card is the card).
+    *
+    * Percentiles use `percentile_approx` (Spark's Greenwald-Khanna
+    * quantile summary — partials merge across batches and executors):
+    * rank error ≤ n/`sketchAccuracy`, and EXACT element-rank answers
+    * while a group holds ≤ `sketchAccuracy` docs. The batch face's
+    * exact `percentile` interpolates between elements where the sketch
+    * returns an observed element, so the two cards agree within one
+    * inter-element gap at matched rank — both bounds pinned in
+    * DocumentStreamSpec. */
   def startStatsJob(docs: DataFrame, groupCol: String, textCol: String,
-      outDir: String, checkpointDir: String): StreamingQuery = {
-    val card = docs.groupBy(col(groupCol))
+      outDir: String, checkpointDir: String,
+      sketchAccuracy: Int = 10000): StreamingQuery = {
+    require(sketchAccuracy > 0,
+      s"sketchAccuracy must be positive, got $sketchAccuracy")
+    def sketchPct(q: Double, name: String) =
+      percentile_approx(col("__tok"), lit(q), lit(sketchAccuracy))
+        .cast("double").as(name)
+    val card = docs
+      .select(col(groupCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__tok"),
+        octet_length(col(textCol)).cast("long").as("__bytes"),
+        md5(col(textCol)).as("__fp"))
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
-          .as("n_tokens"),
-        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"),
-        approx_count_distinct(md5(col(textCol))).as("n_unique"))
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__bytes")).as("n_bytes"),
+        approx_count_distinct(col("__fp")).as("n_unique"),
+        sketchPct(0.5, "p50_tokens"),
+        sketchPct(0.9, "p90_tokens"),
+        sketchPct(0.99, "p99_tokens"))
     card.writeStream
       .outputMode("complete")
       .option("checkpointLocation", checkpointDir)

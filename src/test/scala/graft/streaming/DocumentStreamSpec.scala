@@ -175,7 +175,86 @@ class DocumentStreamSpec extends SparkSuite {
       // s0 accumulated across batches: 2 docs, 2+4 tokens
       assert(second("s0") === ((2L, 6L)))
       assert(second("s1") === ((1L, 3L)))
+      // sketch percentiles ride the same card: element-valued, within
+      // s0's observed token counts {2, 4}, with the tail at the max
+      val pcts = spark.read.parquet(out)
+        .filter(col("source") === "s0")
+        .select("p50_tokens", "p90_tokens", "p99_tokens").head()
+      assert(Set(2.0, 4.0).contains(pcts.getDouble(0)))
+      assert(pcts.getDouble(1) === 4.0)
+      assert(pcts.getDouble(2) === 4.0)
     } finally q.stop()
+  }
+
+  test("card percentile sketch: batch-merged stream == one-shot sketch, " +
+      "exact face within one element gap, rank error bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    // 500 docs, token counts cycling 1..97 — dense enough that the
+    // exact interpolated percentile sits within 1 of an observed element
+    val tokenCounts = (0 until 500).map(i => i % 97 + 1)
+    val docs = tokenCounts.zipWithIndex.map { case (n, i) =>
+      Doc(i.toLong, Seq.fill(n)("tok").mkString(" ") + s" ", i.toLong)
+    }
+    // trailing space: TextAnalysis.tokens must still count n tokens
+    val input = MemoryStream[Doc]
+    val out = java.nio.file.Files.createTempDirectory("sketch_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sketch_ckpt").toString
+    val q = DocumentStream.startStatsJob(
+      input.toDF().withColumn("grp", lit("all")), "grp", "text", out, ckpt)
+    try {
+      // three micro-batches: the sketch must MERGE across triggers
+      docs.grouped(200).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      val card = spark.read.parquet(out)
+        .select("n_docs", "p50_tokens", "p90_tokens", "p99_tokens").head()
+      assert(card.getLong(0) === 500L)
+      val static = docs.toDF()
+        .select(size(split(col("text"), "\\s+")).cast("long").as("__tok"))
+      // merged-across-batches == the same sketch built in one shot (the
+      // mergeability claim, pinned as equality)
+      val oneShot = static.agg(
+        percentile_approx(col("__tok"), lit(0.5), lit(10000)).cast("double"),
+        percentile_approx(col("__tok"), lit(0.9), lit(10000)).cast("double"),
+        percentile_approx(col("__tok"), lit(0.99), lit(10000)).cast("double"))
+        .head()
+      assert(card.getDouble(1) === oneShot.getDouble(0))
+      assert(card.getDouble(2) === oneShot.getDouble(1))
+      assert(card.getDouble(3) === oneShot.getDouble(2))
+      // vs the batch face's exact interpolated percentile: the sketch
+      // returns an observed element, so the faces agree within one
+      // inter-element gap (= 1 here)
+      val exact = static.agg(
+        percentile(col("__tok"), lit(0.5)),
+        percentile(col("__tok"), lit(0.9)),
+        percentile(col("__tok"), lit(0.99))).head()
+      for (i <- 0 until 3)
+        assert(math.abs(card.getDouble(i + 1) - exact.getDouble(i)) <= 1.0,
+          s"percentile $i drifted: ${card.getDouble(i + 1)} vs ${exact.getDouble(i)}")
+    } finally q.stop()
+
+    // rank-error bound at a deliberately coarse accuracy: n/accuracy =
+    // 500/50 = 10 ranks of slack, and the answer must respect it
+    val input2 = MemoryStream[Doc]
+    val out2 = java.nio.file.Files.createTempDirectory("sketch_out2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("sketch_ckpt2").toString
+    val q2 = DocumentStream.startStatsJob(
+      input2.toDF().withColumn("grp", lit("all")), "grp", "text", out2,
+      ckpt2, sketchAccuracy = 50)
+    try {
+      docs.grouped(200).foreach { b =>
+        input2.addData(b: _*); q2.processAllAvailable()
+      }
+      val sorted = tokenCounts.sorted
+      val p90 = spark.read.parquet(out2).select("p90_tokens")
+        .head().getDouble(0)
+      val lo = sorted.indexWhere(_ == p90.toInt)
+      val hi = sorted.lastIndexWhere(_ == p90.toInt)
+      val target = 0.9 * sorted.size
+      val slack = sorted.size / 50 + 1
+      assert(lo <= target + slack && hi >= target - slack,
+        s"p90=$p90 occupies ranks [$lo,$hi], target $target ± $slack")
+    } finally q2.stop()
   }
 
   test("classifier routing rejects streams that already carry its " +
