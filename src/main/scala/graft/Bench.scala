@@ -45,7 +45,8 @@ object Bench {
     "h1_pricing_summary", "h3_shipping_priority", "h5_local_supplier",
     "h14_promo_revenue", "h18_large_orders", "h17_small_qty_revenue",
     "h21_waiting_suppliers", "h13_order_count_distribution",
-    "h16_part_supplier_variety")
+    "h16_part_supplier_variety", "h2_min_cost_supplier",
+    "h20_part_promotion_suppliers", "h22_sales_opportunity")
 
   /** Names of the composed-pipeline + BASELINE.md micro tasks that join
     * the headline list at runtime, in runtime order — the ONE source

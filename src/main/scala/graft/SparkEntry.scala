@@ -1360,6 +1360,101 @@ object SparkEntry {
           col("p_size"))
     },
 
+    // H2: minimum-cost supplier per part (TPC-H Q2 shape) — the
+    // CORRELATED MIN() SUBQUERY over a dim chain
+    // (supplier⋈nation⋈region), decorrelated to ONE windowed pass:
+    // lineitem aggregates to its (part, supplier) cheapest-price
+    // relation (the partsupp analog — the synthetic schema has no
+    // partsupp) with the EUROPE supplier chain and the part filter both
+    // broadcast INTO that single fact scan, and the per-part minimum is
+    // a window min over the already-restricted aggregate — no
+    // agg+join-back second fact read (the h17/d17 rule)
+    "h2_min_cost_supplier" -> { (s, dir) =>
+      val eu = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+          .join(broadcast(table(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val p = table(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 10)
+        .select("p_partkey")
+      val ps = table(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(min("l_extendedprice").as("supplycost"))
+      val w = Window.partitionBy("p_partkey")
+      ps.withColumn("__min", min(col("supplycost")).over(w))
+        .filter(col("supplycost") === col("__min"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    },
+
+    // H20: part-promotion suppliers (TPC-H Q20 shape) — the NESTED IN
+    // with a per-key aggregate threshold: the part-name IN-list
+    // broadcasts into the one date-pruned lineitem scan, the
+    // (supplier, part) shipped-quantity aggregate applies the HAVING
+    // threshold, and the surviving supplier keys semi-join the
+    // nation-filtered supplier dim (dim-sized left side, so the
+    // aggregate never widens past its own keys)
+    "h20_part_promotion_suppliers" -> { (s, dir) =>
+      val pp = table(s, dir, "part")
+        .filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val qual = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum("l_quantity").as("__sq"))
+        .filter(col("__sq") > 40.0)
+        .select("l_suppkey")
+      table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_2", "NATION_6", "NATION_11"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    },
+
+    // H22: dormant high-balance customers per name-code bucket (TPC-H
+    // Q22 shape) — the SUBSTRING-BUCKET ANTI-JOIN: the code bucket is
+    // the last two chars of c_name (the synthetic schema has no phone),
+    // the above-average test is EXACT integer arithmetic against a
+    // one-row broadcast (cents·n > Σcents — no float division to flip a
+    // boundary row; cents ≤ 1e6 and n ≤ 1e9-class keep the product well
+    // under 2^63), and "dormant" anti-joins the recent-orders fact
+    // projected to its single key column — the shuffle carries custkeys,
+    // never order rows. The filtered customer slice materializes once
+    // and feeds both the threshold and the main pass (the h21 rule)
+    "h22_sales_opportunity" -> { (s, dir) =>
+      val codes = Seq("01", "12", "23", "34", "45", "56", "67")
+      val sel = table(s, dir, "customer")
+        .select(expr("right(c_name, 2)").as("cntrycode"),
+          col("c_custkey"), col("c_acctbal"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("__cents"))
+        .filter(col("cntrycode").isin(codes: _*))
+        .localCheckpoint(true)
+      val st = sel.filter(col("c_acctbal") > 0)
+        .agg(sum("__cents").as("__sc"), count(lit(1)).as("__n"))
+      val recent = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select("o_custkey")
+      sel.crossJoin(broadcast(st))
+        .filter(col("__cents") * col("__n") > col("__sc"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          (sum("__cents") / 100.0).as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -3962,6 +4057,68 @@ object SparkEntry {
         |SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
         |FROM ok GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // the oracle keeps Q2's correlated min() subquery verbatim; the
+    // Spark side decorrelates it to one window over the same relation
+    "h2_min_cost_supplier" ->
+      """WITH ps0 AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+        |FROM part
+        |JOIN ps0 ON p_partkey = ps0.l_partkey
+        |JOIN eu ON ps0.l_suppkey = eu.s_suppkey
+        |WHERE p_type = 'ECONOMY' AND p_size <= 10
+        |  AND supplycost = (
+        |    SELECT min(ps2.supplycost)
+        |    FROM ps0 ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+        |    WHERE ps2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "h20_part_promotion_suppliers" ->
+      """WITH pp AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |q AS (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 40)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_2', 'NATION_6', 'NATION_11')
+        |  AND s_suppkey IN (SELECT l_suppkey FROM q)
+        |ORDER BY s_name""".stripMargin,
+
+    // cents·n > Σcents mirrors the Spark side's exact integer
+    // above-average test — no float division on either engine
+    "h22_sales_opportunity" ->
+      """WITH sel AS (
+        |  SELECT right(c_name, 2) AS cntrycode, c_custkey, c_acctbal,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE right(c_name, 2)
+        |    IN ('01', '12', '23', '34', '45', '56', '67')),
+        |st AS (
+        |  SELECT sum(cents) AS sc, count(*) AS n
+        |  FROM sel WHERE c_acctbal > 0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  sum(cents) / 100.0 AS totacctbal
+        |FROM sel, st
+        |WHERE cents * n > sc
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

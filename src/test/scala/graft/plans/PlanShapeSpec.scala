@@ -238,6 +238,49 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p16.contains("SortMergeJoin"), s"corpus-sized join side:\n$p16")
   }
 
+  test("wave-3 warehouse queries: correlated-min window, nested-IN semi, " +
+      "substring anti-join all keep the fact to one scan") {
+    val dir = "/root/testdata/sf0.001"
+    def scansOf(p: String, tbl: String): Int =
+      s"$tbl\\.parquet".r.findAllIn(p).size
+    // h2: Q2's correlated min() decorrelates to ONE window over the
+    // (part, supplier) aggregate — one lineitem scan, both the part
+    // filter and the EUROPE supplier chain broadcast
+    val h2 = graft.SparkEntry.queries("h2_min_cost_supplier")(spark, dir)
+    h2.count()
+    val p2 = plan(h2)
+    assert(scansOf(p2, "lineitem") === 1, s"fact scanned twice:\n$p2")
+    assert("Window".r.findAllIn(p2).size === 1, s"expected one window:\n$p2")
+    assert("BroadcastHashJoin".r.findAllIn(p2).size >= 2,
+      s"part/supplier-chain dims not broadcast:\n$p2")
+    // h20: the nested part IN-list broadcasts into the single date-
+    // pruned fact scan; the HAVING survivors reach supplier as a
+    // semi-join, and the shipdate filter is pushed to the parquet scan
+    val h20 = graft.SparkEntry.queries("h20_part_promotion_suppliers")(
+      spark, dir)
+    h20.count()
+    val p20 = plan(h20)
+    assert(scansOf(p20, "lineitem") === 1, s"fact scanned twice:\n$p20")
+    assert(p20.contains("LeftSemi"), s"supplier filter not a semi-join:\n$p20")
+    assert(p20.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"),
+      s"shipdate not pushed to the scan:\n$p20")
+    // h22: the filtered customer slice is checkpointed once and feeds
+    // both the threshold row and the main pass; the anti-join's order
+    // side is scanned once, projected to its key column
+    val h22 = graft.SparkEntry.queries("h22_sales_opportunity")(spark, dir)
+    h22.count()
+    val p22 = plan(h22)
+    assert(scansOf(p22, "customer") === 0,
+      s"customer re-read past the checkpoint:\n$p22")
+    assert(scansOf(p22, "orders") === 1,
+      s"expected one orders scan:\n$p22")
+    assert(p22.contains("LeftAnti"), s"dormant test not an anti-join:\n$p22")
+    assert(p22.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p22).size >= 1,
+      s"one-row threshold not broadcast:\n$p22")
+  }
+
   test("dated catalog: time-scoped scan reads fewer files than full scan") {
     import graft.sources.MetricCatalog
     val dir = java.nio.file.Files.createTempDirectory("datedcat").toString
