@@ -62,7 +62,13 @@ object Soak {
       "pg2_centrality_gate", "r5_phrase_query", "t15_kneser_ney",
       "se2_sliding_counts", "se4_event_transitions", "se5_rfm",
       "g15_anomaly_flags", "pg3_triangles", "pg4_bfs_hops",
-      "pg5_personalized_ppr", "pg6_hits", "x8_user360")
+      "pg5_personalized_ppr", "pg6_hits", "x8_user360",
+      "h1_pricing_summary", "h3_shipping_priority", "h5_local_supplier",
+      "h13_order_count_distribution", "h14_promo_revenue",
+      "h16_part_supplier_variety", "h17_small_qty_revenue",
+      "h18_large_orders", "h21_waiting_suppliers",
+      "h2_min_cost_supplier", "h20_part_promotion_suppliers",
+      "h22_sales_opportunity")
     def timed(fn: => Unit): Double = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block
@@ -118,6 +124,30 @@ object Soak {
         col("ts"), col("user_id"), col("event_type"), col("value"),
         col("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // TPC-H-shape tables for the warehouse family: FACTS inflate, DIMS
+    // stay fixed — copy k re-keys the order while keeping its customer
+    // and lineitems, so every customer accrues factor× orders and
+    // lineitem grows factor× against an unchanged dimension side (the
+    // axis a real warehouse actually grows along; growing dims with the
+    // facts would shrink join selectivity instead of stressing volume)
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    ord.select(col("*"), ks)
+      .select((col("o_orderkey") * factor + col("k")).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.select(col("*"), ks)
+      .select((col("l_orderkey") * factor + col("k")).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    for (t <- Seq("customer", "part", "supplier", "nation", "region"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // embeddings: a `factor`× corpus for the ANN ladder — copy k nudges
     // the first dimension by k/1000 so copies are distinct points (cells

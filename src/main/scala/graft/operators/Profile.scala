@@ -11,12 +11,21 @@ import org.apache.spark.sql.functions._
   * is mergeable map-side, so the shuffle carries one small row per group
   * regardless of corpus size.
   *
-  * `exact = false` swaps the distinct-document count for a HyperLogLog++
-  * sketch (`approx_count_distinct`, ±`rsd` relative error) — at 100 TB
-  * the sketch is the only viable distinct count (bounded memory,
-  * one pass, partials merge across executors); exact mode is for
+  * `exact = false` swaps BOTH unbounded-memory statistics for sketches:
+  * the distinct-document count becomes HyperLogLog++
+  * (`approx_count_distinct`, ±`rsd` relative error) and the token
+  * percentiles become a mergeable Greenwald-Khanna quantile summary
+  * (`percentile_approx`, rank error ≤ n/`percentileAccuracy`, exact
+  * below it) — at 100 TB sketches are the only viable forms (bounded
+  * memory, one pass, partials merge across executors), and they are
+  * the same sketches the streaming card
+  * ([[graft.streaming.DocumentStream.startStatsJob]]) maintains, so
+  * batch and streaming cards stay comparable. Exact mode is for
   * small-slice audits and cross-engine verification, where a
-  * count(DISTINCT) is affordable.
+  * count(DISTINCT) and a full-sort percentile are affordable. The
+  * sketch percentile returns an observed element where the exact one
+  * interpolates — agreement within one inter-element gap at matched
+  * rank (pinned in ProfileSpec).
   */
 object Profile {
 
@@ -28,6 +37,10 @@ object Profile {
     size(split(col(textCol), "\\s+")).cast("long")
   private def tokenPercentile(q: Double, name: String): Column =
     round(percentile(col("__tok"), lit(q)), 4).as(name)
+  private def tokenPercentileSketch(q: Double, name: String,
+      accuracy: Int): Column =
+    percentile_approx(col("__tok"), lit(q), lit(accuracy))
+      .cast("double").as(name)
   private def withDupRatio(card: DataFrame): DataFrame =
     card.withColumn("dup_ratio",
       round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 6))
@@ -36,10 +49,16 @@ object Profile {
     * n_docs, n_unique (by md5 of text), dup_ratio, n_bytes, n_tokens,
     * avg_tokens, p50/p90/p99_tokens. */
   def datasetCard(docs: DataFrame, groupCol: String, textCol: String,
-      exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+      exact: Boolean = true, rsd: Double = 0.05,
+      percentileAccuracy: Int = 10000): DataFrame = {
+    require(percentileAccuracy > 0,
+      s"percentileAccuracy must be positive, got $percentileAccuracy")
     val distinctCnt =
       if (exact) count_distinct(col("__fp"))
       else approx_count_distinct(col("__fp"), rsd)
+    def pct(q: Double, name: String): Column =
+      if (exact) tokenPercentile(q, name)
+      else tokenPercentileSketch(q, name, percentileAccuracy)
     val card = docs
       .select(col(groupCol), cardFingerprint(textCol).as("__fp"),
         cardTokens(textCol).as("__tok"),
@@ -51,9 +70,9 @@ object Profile {
         sum(col("__bytes")).as("n_bytes"),
         sum(col("__tok")).as("n_tokens"),
         round(avg(col("__tok")), 4).as("avg_tokens"),
-        tokenPercentile(0.5, "p50_tokens"),
-        tokenPercentile(0.9, "p90_tokens"),
-        tokenPercentile(0.99, "p99_tokens"))
+        pct(0.5, "p50_tokens"),
+        pct(0.9, "p90_tokens"),
+        pct(0.99, "p99_tokens"))
     withDupRatio(card)
   }
 

@@ -53,6 +53,30 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("sketch-mode percentiles track the exact face within one " +
+      "inter-element gap; shared columns are identical") {
+    val exact = Profile.datasetCard(corpus, "source", "text", exact = true)
+      .orderBy("source").collect()
+    val approx = Profile.datasetCard(corpus, "source", "text",
+      exact = false).orderBy("source").collect()
+    for ((e, a) <- exact.zip(approx)) {
+      // everything but the sketched stats is the same single pass
+      for (c <- Seq("n_docs", "n_bytes", "n_tokens"))
+        assert(e.getLong(e.fieldIndex(c)) === a.getLong(a.fieldIndex(c)),
+          s"$c drifted between modes")
+      assert(e.getDouble(e.fieldIndex("avg_tokens")) ===
+        a.getDouble(a.fieldIndex("avg_tokens")))
+      // the sketch returns an observed element; the exact percentile
+      // interpolates — token counts here are dense (integers a few
+      // apart), so agreement within the local gap means within 2
+      for (c <- Seq("p50_tokens", "p90_tokens", "p99_tokens")) {
+        val (ev, av) = (e.getDouble(e.fieldIndex(c)),
+          a.getDouble(a.fieldIndex(c)))
+        assert(math.abs(ev - av) <= 2.0, s"$c: sketch $av vs exact $ev")
+      }
+    }
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged per group, " +
       "changed docs counted under the NEW snapshot's group") {
     val a = Seq(
