@@ -131,6 +131,31 @@ class TextIndexStreamSpec extends SparkSuite {
       s"presence check read extra columns: ${scan.schema.fieldNames.toSeq}")
   }
 
+  test("batching invariance: any random split of the appended docs " +
+      "probes identically to the one-shot build") {
+    val want = {
+      val d = java.nio.file.Files.createTempDirectory("txtprop0").toString
+      Retrieval.buildTextIndex((base ++ late).toDF("doc_id", "text"),
+        "doc_id", "text", d, nBuckets = 8)
+      probe(d)
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"txtprop$trial")
+        .toString
+      Retrieval.buildTextIndex(base.toDF("doc_id", "text"),
+        "doc_id", "text", dir, nBuckets = 8)
+      // partition the late docs into 1..4 random batches, shuffled
+      val shuffled = rnd.shuffle(late)
+      val cuts = rnd.nextInt(4) + 1
+      shuffled.grouped(math.max(1, shuffled.size / cuts)).foreach { b =>
+        TextIndexStream.appendNovelDocs(b.toDF("doc_id", "text"),
+          "doc_id", "text", dir)
+      }
+      assert(probe(dir) === want, s"trial $trial (cuts=$cuts) diverged")
+    }
+  }
+
   test("compaction collapses append-accumulated files; probe unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("txtcompact").toString
     Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
