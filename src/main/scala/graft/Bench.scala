@@ -61,10 +61,10 @@ object Bench {
     "bg_ingest_1m_points", "bg_ingest_100x1")
 
   /** Locale-pinned fixed-point formatting for every numeric field in
-    * the emitted JSON: the scala f-interpolator uses the default JVM
-    * locale, which under a comma-decimal locale would print `1,234` and
-    * break the harness parse. */
-  private def fmt(v: Double, decimals: Int): String =
+    * the emitted JSON (shared with [[Soak]]): the scala f-interpolator
+    * uses the default JVM locale, which under a comma-decimal locale
+    * would print `1,234` and break the harness parse. */
+  private[graft] def fmt(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
   def main(args: Array[String]): Unit = {

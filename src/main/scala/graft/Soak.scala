@@ -88,7 +88,11 @@ object Soak {
       ("x1_curation_pipeline", small, big)
     }).map { case (q, small, big) =>
       val exp = math.log(big / small) / math.log(factor.toDouble)
-      f"""{"query":"$q","t1":$small%.2f,"t$factor":$big%.2f,"exponent":$exp%.2f}"""
+      // Locale.ROOT via Bench.fmt — a comma-decimal default locale
+      // would otherwise emit invalid JSON (the Bench lesson)
+      s"""{"query":"$q","t1":${Bench.fmt(small, 2)},""" +
+        s""""t$factor":${Bench.fmt(big, 2)},""" +
+        s""""exponent":${Bench.fmt(exp, 2)}}"""
     }
     rows.foreach(println)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_out.json")
