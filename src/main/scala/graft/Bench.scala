@@ -46,7 +46,10 @@ object Bench {
     "h14_promo_revenue", "h18_large_orders", "h17_small_qty_revenue",
     "h21_waiting_suppliers", "h13_order_count_distribution",
     "h16_part_supplier_variety", "h2_min_cost_supplier",
-    "h20_part_promotion_suppliers", "h22_sales_opportunity")
+    "h20_part_promotion_suppliers", "h22_sales_opportunity",
+    "h4_order_priority_check", "h6_forecast_revenue",
+    "h10_returned_items", "h12_priority_shipping",
+    "h19_disjunctive_revenue")
 
   /** Names of the composed-pipeline + BASELINE.md micro tasks that join
     * the headline list at runtime, in runtime order — the ONE source

@@ -68,7 +68,9 @@ object Soak {
       "h16_part_supplier_variety", "h17_small_qty_revenue",
       "h18_large_orders", "h21_waiting_suppliers",
       "h2_min_cost_supplier", "h20_part_promotion_suppliers",
-      "h22_sales_opportunity")
+      "h22_sales_opportunity", "h4_order_priority_check",
+      "h6_forecast_revenue", "h10_returned_items",
+      "h12_priority_shipping", "h19_disjunctive_revenue")
     def timed(fn: => Unit): Double = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block

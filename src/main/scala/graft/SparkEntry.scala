@@ -1455,6 +1455,119 @@ object SparkEntry {
         .orderBy("cntrycode")
     },
 
+    // H4: order priority checking (TPC-H Q4 shape) — EXISTS with a
+    // MIXED equi + non-equi condition: a quarter's orders survive iff
+    // some lineitem of theirs shipped more than 30 days after the
+    // order date (the commit<receipt standin). One co-keyed left_semi
+    // on l_orderkey, quarter filter pruning orders BEFORE the join
+    "h4_order_priority_check" -> { (s, dir) =>
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = table(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 30 DAY"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // H6: forecasting revenue change (TPC-H Q6 shape) — the pure
+    // scan-aggregate: every predicate (shipdate window, discount band,
+    // quantity cap) pushes to the parquet scan, no join anywhere, and
+    // the revenue sums per-row integer cents so the one-row answer is
+    // order-independent
+    "h6_forecast_revenue" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg((sum(floor(col("l_extendedprice") * col("l_discount")
+            * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
+    },
+
+    // H10: returned-item reporting (TPC-H Q10 shape) — top-20 customers
+    // by lost revenue: the returned-lineitem fact joins the
+    // quarter-filtered orders CO-KEYED on l_orderkey, aggregates to one
+    // row per customer BEFORE the dim joins (customer/nation broadcast
+    // onto customer-count rows, never lineitems), then a global top-20
+    // by exact integer-cent revenue
+    "h10_returned_items" -> { (s, dir) =>
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+        .select("o_orderkey", "o_custkey")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("__cents"))
+      val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("__cents").as("__c"))
+      val cust = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      perCust.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"), (col("__c") / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // H12: shipping priority classes (TPC-H Q12 shape) — the
+    // CONDITIONAL TWO-COUNT pivot: the date-pruned lineitem fact joins
+    // orders co-keyed on the order key (both fact-sized — no broadcast
+    // pretense), then one grouped pass pivots priorities into
+    // high/low counts per return flag (the ship-mode standin)
+    "h12_priority_shipping" -> { (s, dir) =>
+      val hi = Seq("1-URGENT", "2-HIGH")
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_returnflag")
+      val ord = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin(hi: _*), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin(hi: _*), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // H19: discounted revenue over DISJUNCTIVE predicates (TPC-H Q19
+    // shape): the part side pre-filters to the three branches' HULL
+    // (brand set × max size band) before broadcasting — the classic
+    // Q19 rewrite that turns an un-pushable OR into a pushed dim
+    // filter — and the per-branch (brand, size, quantity) residual
+    // disjunction applies after the join; revenue sums integer cents
+    "h19_disjunctive_revenue" -> { (s, dir) =>
+      val p = table(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+          col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      def branch(b: String, sHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === b && col("p_size").between(1, sHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(branch("Brand#12", 5, 1, 11) ||
+          branch("Brand#23", 10, 10, 20) ||
+          branch("Brand#3", 15, 20, 30))
+        .agg((sum(floor(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * 100 + 0.5).cast("long"))
+          / 100.0).as("revenue"))
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -4119,6 +4232,68 @@ object SparkEntry {
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
+
+    "h4_order_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "h6_forecast_revenue" ->
+      """SELECT sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+        |    AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "h10_returned_items" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  c / 100.0 AS revenue
+        |FROM per_cust
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "h12_priority_shipping" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "h19_disjunctive_revenue" ->
+      """SELECT sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |    * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

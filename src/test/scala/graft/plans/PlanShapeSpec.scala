@@ -281,6 +281,61 @@ class PlanShapeSpec extends SparkSuite {
       s"one-row threshold not broadcast:\n$p22")
   }
 
+  test("wave-4 warehouse queries: pushed scan filters, semi-join EXISTS, " +
+      "pre-aggregated dim joins, hull-filtered disjunction") {
+    val dir = "/root/testdata/sf0.001"
+    def scansOf(p: String, tbl: String): Int =
+      s"$tbl\\.parquet".r.findAllIn(p).size
+    // h6: the pure scan-aggregate — every predicate reaches the parquet
+    // scan, no join, no exchange beyond the partial-agg gather. The
+    // plan's toString elides long PushedFilters lists, so read the
+    // scan node's metadata un-truncated
+    val h6 = graft.SparkEntry.queries("h6_forecast_revenue")(spark, dir)
+    h6.count()
+    val p6 = plan(h6)
+    assert(!p6.contains("Join"), s"Q6 must be join-free:\n$p6")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val final6 = h6.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan // post-count final
+      case p => p
+    }
+    val pushed6 = final6.collectFirst {
+      case f: FileSourceScanExec => f.metadata("PushedFilters")
+    }.get
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount"))
+      assert(pushed6.contains(f), s"$f not pushed to the scan: $pushed6")
+    // h4: EXISTS compiles to ONE co-keyed left_semi; the quarter filter
+    // prunes orders at the scan
+    val h4 = graft.SparkEntry.queries("h4_order_priority_check")(spark, dir)
+    h4.count()
+    val p4 = plan(h4)
+    assert(p4.contains("LeftSemi"), s"EXISTS not a semi-join:\n$p4")
+    assert(scansOf(p4, "orders") === 1 && scansOf(p4, "lineitem") === 1,
+      s"expected one scan per side:\n$p4")
+    assert(p4.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter not pushed:\n$p4")
+    // h10: lineitem aggregates to per-customer rows BEFORE customer/
+    // nation join, and those dims broadcast
+    val h10 = graft.SparkEntry.queries("h10_returned_items")(spark, dir)
+    h10.count()
+    val p10 = plan(h10)
+    assert(scansOf(p10, "lineitem") === 1, s"fact scanned twice:\n$p10")
+    assert("BroadcastHashJoin".r.findAllIn(p10).size >= 2,
+      s"customer/nation not broadcast:\n$p10")
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      s"return flag not pushed:\n$p10")
+    // h19: the OR-hull (brand set + size band) reaches the part scan so
+    // the broadcast side is pre-shrunk; the fact is scanned once
+    val h19 = graft.SparkEntry.queries("h19_disjunctive_revenue")(spark, dir)
+    h19.count()
+    val p19 = plan(h19)
+    assert(scansOf(p19, "lineitem") === 1, s"fact scanned twice:\n$p19")
+    assert(p19.contains("BroadcastHashJoin"), s"part not broadcast:\n$p19")
+    assert(p19.contains("In(p_brand"), s"brand hull not pushed:\n$p19")
+  }
+
   test("dated catalog: time-scoped scan reads fewer files than full scan") {
     import graft.sources.MetricCatalog
     val dir = java.nio.file.Files.createTempDirectory("datedcat").toString
