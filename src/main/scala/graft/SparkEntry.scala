@@ -1081,6 +1081,16 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // PR4: per-slice token heavy hitters — top 5 tokens per language,
+    // one (group, token) partial-aggregated shuffle then a rank window
+    // over each group's own vocabulary; deterministic (cnt DESC, token)
+    // ties
+    "pr4_top_tokens" -> { (s, dir) =>
+      import graft.operators.Profile
+      Profile.topTokens(table(s, dir, "documents"), "lang", "text", k = 5)
+        .orderBy("lang", "rk")
+    },
+
     // PR3: multi-granularity dataset card — ONE rollup pass yields the
     // (source, lang), per-source, and grand-total cards from the same
     // partial aggregates; subtotal rows carry NULLs (ANSI ROLLUP)
@@ -3999,6 +4009,20 @@ object SparkEntry {
         |            // ((doc_id % 8 * 1000 + 8000) * (doc_id % 3 + 1) * 2)
         |       END AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pr4_top_tokens" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, token, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, token) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT lang, token, cnt, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
 
     "pr1_dataset_card" ->
       """WITH t AS (

@@ -76,6 +76,32 @@ object Profile {
     withDupRatio(card)
   }
 
+  /** Per-group top-k token heavy hitters — the "what dominates this
+    * slice" card statistic (top tokens per language, top domains per
+    * source). ONE partial-aggregated shuffle on (group, token): the
+    * corpus never moves, only distinct (group, token) partial counts —
+    * then a per-group rank window over the group's OWN vocabulary
+    * (post-aggregation rows, vocabulary-scale not corpus-scale; a
+    * web-scale group's distinct-token relation is millions of rows, a
+    * single window partition holds it comfortably). Ties break
+    * (count DESC, token ASC) so the cut is deterministic and
+    * oracle-able. Tokenization is the corpus convention
+    * ([[TextAnalysis.tokens]]: whitespace split of the lowercased
+    * text). Returns (groupCol, token, cnt, rk), rk 1..k. */
+  def topTokens(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = docs
+      .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Corpus version diff — what changed between two snapshots of a
     * dataset (crawl N vs crawl N+1, pre- vs post-curation): per group,
     * how many docs were added, removed, changed (same id, different

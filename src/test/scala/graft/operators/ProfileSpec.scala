@@ -77,6 +77,25 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("topTokens: per-group heavy hitters with deterministic ties") {
+    val docs = Seq(
+      ("en", "the cat and the dog and the cat"),
+      ("en", "the bird"),
+      ("de", "der der die das das")
+    ).toDF("lang", "text")
+    val got = Profile.topTokens(docs, "lang", "text", k = 2)
+      .orderBy("lang", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // en: the=4, and=2, cat=2, bird=1, dog=1 → (the,4),(and,2) [and<cat]
+    // de: der=2, das=2, die=1 → ties at 2 break token-asc: das, der
+    assert(got.toSeq === Seq(
+      ("de", "das", 2L, 1L), ("de", "der", 2L, 2L),
+      ("en", "the", 4L, 1L), ("en", "and", 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Profile.topTokens(docs, "lang", "text", k = 0)
+    }
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged per group, " +
       "changed docs counted under the NEW snapshot's group") {
     val a = Seq(
