@@ -1082,9 +1082,10 @@ object SparkEntry {
     },
 
     // PR4: per-slice token heavy hitters — top 5 tokens per language,
-    // one (group, token) partial-aggregated shuffle then a rank window
-    // over each group's own vocabulary; deterministic (cnt DESC, token)
-    // ties
+    // one (group, token) partial-aggregated shuffle then a salted
+    // two-stage top-k (local top-k per (group, salt) cell, final rank
+    // over <= k*salts survivors) so no group's vocabulary ever funnels
+    // through one partition; deterministic (cnt DESC, token) ties
     "pr4_top_tokens" -> { (s, dir) =>
       import graft.operators.Profile
       Profile.topTokens(table(s, dir, "documents"), "lang", "text", k = 5)
@@ -4015,7 +4016,8 @@ object SparkEntry {
         |  SELECT lang,
         |    unnest(string_split_regex(lower(text), '\s+')) AS token
         |  FROM documents),
-        |c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM tok
+        |      WHERE token <> '' GROUP BY 1, 2),
         |r AS (
         |  SELECT lang, token, cnt,
         |    CAST(row_number() OVER (PARTITION BY lang

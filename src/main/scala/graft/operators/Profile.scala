@@ -79,27 +79,48 @@ object Profile {
   /** Per-group top-k token heavy hitters — the "what dominates this
     * slice" card statistic (top tokens per language, top domains per
     * source). ONE partial-aggregated shuffle on (group, token): the
-    * corpus never moves, only distinct (group, token) partial counts —
-    * then a per-group rank window over the group's OWN vocabulary
-    * (post-aggregation rows, vocabulary-scale not corpus-scale; a
-    * web-scale group's distinct-token relation is millions of rows, a
-    * single window partition holds it comfortably). Ties break
-    * (count DESC, token ASC) so the cut is deterministic and
-    * oracle-able. Tokenization is the corpus convention
-    * ([[TextAnalysis.tokens]]: whitespace split of the lowercased
-    * text). Returns (groupCol, token, cnt, rk), rk 1..k. */
+    * corpus never moves, only distinct (group, token) partial counts.
+    *
+    * The top-k over each group's vocabulary is a SALTED TWO-STAGE rank,
+    * never a per-group window: vocabulary is not display-sized (Heaps'
+    * law — a web-scale slice holds 10⁸⁺ distinct tokens), so ranking it
+    * in one window partition per group is the funnel
+    * [[Ranking.withGroupedNtile]] exists to avoid. Instead each token
+    * hashes to exactly ONE of `nSalts` salt cells, stage 1 ranks within
+    * (group, salt) — parallelism = groups × salts, each cell holding
+    * ~vocab/nSalts rows — and stage 2 ranks the ≤ k·nSalts survivors
+    * per group, a display-sized relation. The result is EXACT: any
+    * token outside its cell's local top-k has ≥ k same-group tokens
+    * ranked above it, so it cannot be in the group's global top-k.
+    *
+    * Ties break (count DESC, token ASC) in both stages so the cut is
+    * deterministic and oracle-able. Tokenization is the corpus
+    * convention ([[TextAnalysis.tokens]]: whitespace split of the
+    * lowercased text), minus the empty token that leading/trailing
+    * whitespace admits — '' is a split artifact, never a card
+    * statistic. Returns (groupCol, token, cnt, rk), rk 1..k. */
   def topTokens(docs: DataFrame, groupCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, nSalts: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
     val counts = docs
       .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol)))
         .as("token"))
+      .filter(col("token") =!= "")
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("cnt"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    val survivors = counts
+      .withColumn("__salt", pmod(xxhash64(col("token")), lit(nSalts)))
+      .withColumn("__lrk", row_number().over(wLocal))
+      .filter(col("__lrk") <= k)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(col("cnt").desc, col("token").asc)
-    counts.withColumn("rk", row_number().over(w).cast("long"))
+    survivors.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
+      .select(col(groupCol), col("token"), col("cnt"), col("rk"))
   }
 
   /** Corpus version diff — what changed between two snapshots of a

@@ -94,6 +94,34 @@ class ProfileSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Profile.topTokens(docs, "lang", "text", k = 0)
     }
+    intercept[IllegalArgumentException] {
+      Profile.topTokens(docs, "lang", "text", k = 2, nSalts = 0)
+    }
+  }
+
+  test("topTokens: salted two-stage is exact — identical result at any " +
+      "salt count (tokens never straddle cells)") {
+    // zipf-ish vocabulary big enough that salt cells hold distinct slices
+    val docs = (0 until 120).flatMap { i =>
+      Seq(("en", s"w${i % 37} w${i % 11} w${i % 5} common filler"),
+        ("de", s"v${i % 23} v${i % 7} gemein"))
+    }.toDF("lang", "text")
+    val ref = Profile.topTokens(docs, "lang", "text", k = 7, nSalts = 1)
+      .orderBy("lang", "rk").collect().toSeq
+    for (s <- Seq(2, 7, 64, 1024)) {
+      val got = Profile.topTokens(docs, "lang", "text", k = 7, nSalts = s)
+        .orderBy("lang", "rk").collect().toSeq
+      assert(got === ref, s"nSalts=$s drifted from unsalted result")
+    }
+  }
+
+  test("topTokens drops the empty split-artifact token from " +
+      "leading/trailing whitespace") {
+    val docs = Seq(("en", "  a a b  "), ("en", " a ")).toDF("lang", "text")
+    val got = Profile.topTokens(docs, "lang", "text", k = 5)
+      .orderBy("rk").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 3L), ("b", 1L)))
   }
 
   test("corpusDiff classifies added/removed/changed/unchanged per group, " +

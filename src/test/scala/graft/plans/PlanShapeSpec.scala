@@ -177,6 +177,37 @@ class PlanShapeSpec extends SparkSuite {
       s"bounds/kept-names not broadcast:\n$rp")
   }
 
+  test("topTokens: the vocabulary-scale window is salted — no window " +
+      "partitioned by group alone ranks the full token relation") {
+    val docs = spark.range(200).select(
+      (col("id") % 3).cast("string").as("lang"),
+      concat_ws(" ", lit("common"), concat(lit("w"), col("id") % 41),
+        concat(lit("w"), col("id") % 13)).as("text"))
+    val df = graft.operators.Profile.topTokens(docs, "lang", "text", k = 5)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(pl: SparkPlan): Seq[WindowExec] = pl match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.size === 2, s"expected the two-stage rank:\n${plan(df)}")
+    // pre-order: ws(0) is the final display-sized merge (<= k*salts rows
+    // per group), ws(1) the bottom vocabulary rank — which MUST carry the
+    // salt in its partition spec or the dominant group's whole vocabulary
+    // funnels through one task
+    assert(ws(1).partitionSpec.size === 2,
+      s"vocabulary window not salted:\n${plan(df)}")
+    assert(ws(0).partitionSpec.size === 1)
+    // and the final window's input is the stage-1 survivors, not the raw
+    // counts: a __lrk filter sits in its subtree below it
+    val belowFinal = ws(0).children.head.toString
+    assert(belowFinal.contains("__lrk"),
+      s"final window not fed by local top-k survivors:\n${plan(df)}")
+  }
+
   test("clusterRepresentatives is single-pass: the scores side is scanned " +
       "once and there is no join-back after the window") {
     val docs = spark.range(100).select(col("id").as("doc_id"))
