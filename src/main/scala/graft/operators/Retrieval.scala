@@ -46,16 +46,29 @@ import org.apache.spark.sql.expressions.Window
 object Retrieval {
 
   /** Reserved postings partition holding one MARKER row per document
-    * appended through the streaming face
-    * ([[graft.streaming.TextIndexStream]]): (doc_id, __dl, __term =
-    * null, __tf = 0) under `term_bucket = -1`. Markers make a
-    * streaming append CRASH-ATOMIC — they land in the SAME write job
-    * as the batch's postings, so either both committed or neither —
-    * and double as the replay-presence state (one partition directory,
-    * doc_id column only) and the streaming half of the corpus stats
-    * (probe-time N/avgdl = stats file + marker aggregate). Probes
-    * never read the partition: query buckets are pmod-nonnegative. */
+    * appended after the build (batch [[appendToTextIndex]] or the
+    * streaming face [[graft.streaming.TextIndexStream]]): (doc_id,
+    * __dl, __term = null, __tf = 1, __seq) under `term_bucket = -1`.
+    * Markers make an append CRASH-ATOMIC — they land in the SAME
+    * write job as the batch's postings, so either both committed or
+    * neither — and double as the replay-presence state (one partition
+    * directory, doc_id column only) and the appended half of the
+    * corpus stats (probe-time N/avgdl = stats file + marker
+    * aggregate: Σ__tf docs, Σ__dl tokens). [[compactTextIndex]] FOLDS
+    * markers below the replay horizon into one fold row (doc_id null,
+    * __tf = Σdocs, __dl = Σdl), so the marker aggregate a query pays
+    * for stays one-micro-batch-sized however many docs were ever
+    * appended. Probes never read the partition's postings side: query
+    * buckets are pmod-nonnegative. */
   val MarkerBucket: Long = -1L
+
+  /** `__seq` sentinel for rows that can never be replayed by the
+    * streaming engine — built postings, batch-append markers, and fold
+    * rows. Markers carrying it are always foldable at compaction;
+    * stream markers carry their micro-batch id (≥ 0) instead, and only
+    * the NEWEST stream batch (the one Structured Streaming can re-run
+    * after a crash) survives a fold. */
+  val FoldableSeq: Long = -1L
 
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
@@ -134,18 +147,29 @@ object Retrieval {
   }
 
   /** Persist the inverted index for [[bm25IndexTopK]]: postings
-    * (term, doc_id, tf, dl) partitioned by `term_bucket` =
+    * (term, doc_id, tf, dl, seq) partitioned by `term_bucket` =
     * pmod(xxhash64(term), nBuckets) — a probe's partition filter reads
     * only its query terms' buckets — plus the one-row corpus stats.
     * Document frequency is NOT stored: a posting row is one (doc, term)
     * pair, so df is a count over the (already pruned) probe scan. Stats
-    * are kept as EXACT integer totals (doc count, token count) so that
-    * [[appendToTextIndex]] can update them losslessly — avgdl is derived
-    * at probe time and stays bit-identical to the live path's mean. */
+    * are kept as EXACT integer totals (doc count, token count); avgdl
+    * is derived at probe time and stays bit-identical to the live
+    * path's mean. The stats file is written ONCE here — every append
+    * (batch or streaming) contributes through [[MarkerBucket]] marker
+    * rows instead, so there is exactly one append protocol and no
+    * non-atomic stats rewrite anywhere. */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    writePostings(docs, idCol, textCol, dir, nBuckets, overwrite = true)
+    explodedTokens(docs, idCol, textCol)
+      .groupBy("doc_id", "__dl", "__term")
+      .agg(count(lit(1)).as("__tf"))
+      .select(col("doc_id"), col("__dl").cast("long").as("__dl"),
+        col("__term"), col("__tf"), lit(FoldableSeq).as("__seq"),
+        pmod(xxhash64(col("__term")), lit(nBuckets)).as("term_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
     statsOf(docs, idCol, textCol)
       .withColumn("__nbuckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
@@ -155,56 +179,47 @@ object Retrieval {
     * twin of the IVF index's FAISS-add() face (Similarity
     * .appendToIvfIndex): the batch's postings land as new files inside
     * the existing term-bucket partitions (existing postings are never
-    * rewritten; probes union whatever files a bucket holds), and the
-    * integer stats totals are summed, so a probe after build(A)+append(B)
-    * is bit-identical to build(A∪B). Appending the same doc twice
-    * duplicates its postings, exactly like FAISS add(). The stats
-    * overwrite is not crash-atomic; re-run the append on a fresh copy if
-    * a writer died mid-update — or use the streaming face
-    * ([[graft.streaming.TextIndexStream]]), whose marker-row append is
-    * single-write crash-atomic and replay-idempotent. */
+    * rewritten; probes union whatever files a bucket holds) together
+    * with one [[MarkerBucket]] marker row per doc in the SAME write
+    * job, so the append is crash-atomic and a probe after
+    * build(A)+append(B) is bit-identical to build(A∪B) — the marker
+    * aggregate supplies B's share of N/avgdl; the stats file is never
+    * rewritten. Appending the same doc twice duplicates its postings
+    * (and its stats contribution), exactly like FAISS add(); the
+    * streaming face ([[graft.streaming.TextIndexStream]]) adds the
+    * replay anti-join on top of this same protocol. */
   def appendToTextIndex(newDocs: DataFrame, idCol: String,
       textCol: String, dir: String): Unit = {
-    val spark = newDocs.sparkSession
-    val old = spark.read.parquet(s"$dir/stats")
-      .select("__n", "__sumdl", "__nbuckets").head()
-    val nBuckets = old.getInt(2)
-    writePostings(newDocs, idCol, textCol, dir, nBuckets, overwrite = false)
-    statsOf(newDocs, idCol, textCol)
-      .select((col("__n") + old.getLong(0)).as("__n"),
-        (col("__sumdl") + old.getLong(1)).as("__sumdl"))
-      .withColumn("__nbuckets", lit(nBuckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    val nBuckets = newDocs.sparkSession.read.parquet(s"$dir/stats")
+      .select("__nbuckets").head().getInt(0)
+    appendDocsWithMarkers(newDocs, idCol, textCol, dir, nBuckets,
+      FoldableSeq)
   }
 
-  private def writePostings(docs: DataFrame, idCol: String,
-      textCol: String, dir: String, nBuckets: Int,
-      overwrite: Boolean): Unit =
-    explodedTokens(docs, idCol, textCol)
-      .groupBy("doc_id", "__dl", "__term")
-      .agg(count(lit(1)).as("__tf"))
-      .withColumn("term_bucket", pmod(xxhash64(col("__term")), lit(nBuckets)))
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("term_bucket")
-      .parquet(s"$dir/postings")
-
   /** Append `docs`' postings PLUS one [[MarkerBucket]] marker row per
-    * doc in a SINGLE write job — the crash-atomic append the streaming
-    * face builds on: Spark's commit protocol publishes the job's files
-    * across all partitions together, so a doc's postings and its
-    * marker (the replay-presence record and the stats contribution)
-    * can never be separated by a crash. The stats FILE is not touched;
-    * [[bm25IndexTopK]] folds the marker aggregate in at probe time. */
+    * doc in a SINGLE write job — the one append protocol both faces
+    * share: Spark's commit protocol publishes the job's files across
+    * all partitions together, so a doc's postings and its marker (the
+    * replay-presence record and the stats contribution) can never be
+    * separated by a crash. The stats FILE is not touched;
+    * [[bm25IndexTopK]] folds the marker aggregate in at probe time.
+    * `seq` stamps every row: the streaming face passes its micro-batch
+    * id (markers of the newest batch must survive [[compactTextIndex]]
+    * for replay's anti-join), batch callers pass [[FoldableSeq]]. */
   private[graft] def appendDocsWithMarkers(docs: DataFrame,
-      idCol: String, textCol: String, dir: String, nBuckets: Int): Unit = {
+      idCol: String, textCol: String, dir: String, nBuckets: Int,
+      seq: Long): Unit = {
     val postings = explodedTokens(docs, idCol, textCol)
       .groupBy("doc_id", "__dl", "__term")
       .agg(count(lit(1)).as("__tf"))
-      .withColumn("term_bucket", pmod(xxhash64(col("__term")), lit(nBuckets)))
+      .select(col("doc_id"), col("__dl").cast("long").as("__dl"),
+        col("__term"), col("__tf"), lit(seq).as("__seq"),
+        pmod(xxhash64(col("__term")), lit(nBuckets)).as("term_bucket"))
     val markers = docs.select(col(idCol).as("doc_id"),
-      size(toks(col(textCol))).as("__dl"),
+      size(toks(col(textCol))).cast("long").as("__dl"),
       lit(null).cast("string").as("__term"),
-      lit(0L).as("__tf"),
+      lit(1L).as("__tf"),
+      lit(seq).as("__seq"),
       lit(MarkerBucket).as("term_bucket"))
     postings.unionByName(markers)
       .write.mode("append")
@@ -212,37 +227,85 @@ object Retrieval {
       .parquet(s"$dir/postings")
   }
 
-  /** Compact a text index's term-bucket partitions in place: streaming
-    * appends drop one file per batch into every touched bucket (and the
-    * marker partition), and probe cost grows with file count, not row
-    * count. Buckets are rewritten `bucketsPerSlice` at a time under
-    * dynamic partition overwrite — untouched buckets keep their files,
-    * and a probe sees each bucket either pre- or post-compaction
-    * (same rows). The [[Similarity.compactIvfIndex]] pattern. */
+  /** Compact a text index's term-bucket partitions in place: appends
+    * drop one file per batch into every touched bucket (and the marker
+    * partition), and probe cost grows with file count, not row count.
+    * Buckets are rewritten `bucketsPerSlice` at a time under dynamic
+    * partition overwrite (set per-write, never on the session) —
+    * untouched buckets keep their files, and a probe sees each bucket
+    * either pre- or post-compaction (same rows). The
+    * [[Similarity.compactIvfIndex]] pattern. The marker partition is
+    * additionally FOLDED: markers below the replay horizon collapse
+    * into one fold row (see [[foldMarkers]]), bounding every future
+    * probe's marker aggregate.
+    *
+    * NOT concurrency-safe with a live append: each slice is read then
+    * overwritten, so a batch committed between the two would be
+    * silently dropped (and a doc's postings and marker span multiple
+    * slices). Stop or drain the [[graft.streaming.TextIndexStream]]
+    * job — and pause batch appends — before compacting; the streaming
+    * checkpoint makes the stopped stream resume exactly where it
+    * left off. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, bucketsPerSlice: Int = 16): Unit = {
     require(bucketsPerSlice > 0)
+    foldMarkers(spark, dir)
     val buckets = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket") =!= MarkerBucket)
       .select("term_bucket").distinct().collect()
       .map(_.get(0)).sortBy(_.toString)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      buckets.grouped(bucketsPerSlice).foreach { slice =>
-        spark.read.parquet(s"$dir/postings")
-          .filter(col("term_bucket").isin(slice.toSeq: _*))
-          .localCheckpoint(true)
-          .repartition(slice.length, col("term_bucket"))
-          .write.mode("overwrite")
-          .partitionBy("term_bucket")
-          .parquet(s"$dir/postings")
-      }
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    buckets.grouped(bucketsPerSlice).foreach { slice =>
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("term_bucket").isin(slice.toSeq: _*))
+        .localCheckpoint(true)
+        .repartition(slice.length, col("term_bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(s"$dir/postings")
     }
+  }
+
+  /** Fold the marker partition down to the replay horizon. Only the
+    * NEWEST stream batch can ever be replayed (Structured Streaming
+    * re-runs at most the last micro-batch whose checkpoint commit is
+    * missing), so its markers are kept verbatim for the replay
+    * anti-join; every other marker — older stream batches, batch-append
+    * markers, fold rows from earlier compactions — collapses into ONE
+    * fold row (doc_id null, __tf = Σdocs, __dl = Σdl, __seq =
+    * [[FoldableSeq]]). The integer totals a probe aggregates are
+    * identical before and after, but the rows it reads drop from
+    * docs-ever-appended to one-micro-batch + 1. The rewrite is a
+    * single dynamic-overwrite job of the one marker partition —
+    * crash-atomic, a probe sees it either pre- or post-fold. */
+  private def foldMarkers(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val markers = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket") === MarkerBucket)
+      .localCheckpoint(true)
+    if (markers.isEmpty) return
+    val maxSeq = markers.agg(max("__seq")).head().getLong(0)
+    val horizon =
+      if (maxSeq == FoldableSeq) markers.limit(0)
+      else markers.filter(col("__seq") === maxSeq)
+    val foldable =
+      if (maxSeq == FoldableSeq) markers
+      else markers.filter(col("__seq") =!= maxSeq)
+    if (foldable.isEmpty) return
+    val foldRow = foldable
+      .agg(sum("__tf").as("__tf"), sum("__dl").as("__dl"))
+      .select(
+        lit(null).cast(markers.schema("doc_id").dataType).as("doc_id"),
+        col("__dl"), lit(null).cast("string").as("__term"), col("__tf"),
+        lit(FoldableSeq).as("__seq"),
+        lit(MarkerBucket).cast(markers.schema("term_bucket").dataType)
+          .as("term_bucket"))
+    horizon.unionByName(foldRow)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
   }
 
   private def statsOf(docs: DataFrame, idCol: String,
@@ -305,16 +368,18 @@ object Retrieval {
     val terms = qterms.select("__term").distinct()
       .collect().map(_.getString(0)).toSeq
     val statsRaw = spark.read.parquet(s"$indexDir/stats")
-    // corpus totals = stats file (build + batch appends) PLUS the
-    // streaming-append marker rows; a marker-less index prunes the
-    // [[MarkerBucket]] partition to zero files, so the aggregate is
-    // free and yields (0, 0). avgdl from the exact summed totals:
-    // sum/count is the same division the live path's avg() performs,
-    // so the two faces cannot drift
+    // corpus totals = stats file (the build) PLUS the appended docs'
+    // marker rows (each marker carries __tf = its doc count — 1 for a
+    // live marker, Σfolded for a fold row — so compaction never changes
+    // the totals); a marker-less index prunes the [[MarkerBucket]]
+    // partition to zero files, so the aggregate is free and yields
+    // (0, 0). avgdl from the exact summed totals: sum/count is the same
+    // division the live path's avg() performs, so the two faces cannot
+    // drift
     val markerAgg = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term_bucket") === MarkerBucket)
-      .agg(count(lit(1)).as("__mn"),
-        coalesce(sum(col("__dl").cast("long")), lit(0L)).as("__msum"))
+      .agg(coalesce(sum(col("__tf")), lit(0L)).as("__mn"),
+        coalesce(sum(col("__dl")), lit(0L)).as("__msum"))
     val stats = statsRaw.crossJoin(markerAgg)
       .select((col("__n") + col("__mn")).as("__n"),
         ((col("__sumdl") + col("__msum")).cast("double") /

@@ -30,14 +30,25 @@ import graft.operators.Retrieval
   * is bit-identical to build(A∪B).
   *
   * Appends accumulate one file per touched bucket per batch; run
-  * [[Retrieval.compactTextIndex]] on a schedule to fold them. */
+  * [[Retrieval.compactTextIndex]] on a schedule — WITH THIS JOB
+  * STOPPED OR DRAINED (compaction reads then rewrites slices; a batch
+  * committed in between would be lost) — to fold them. Markers carry
+  * the micro-batch id as `__seq`: compaction keeps only the newest
+  * batch's markers (the one batch Structured Streaming can replay)
+  * and folds the rest into a single stats row, so the marker
+  * partition — and with it the probe-time stats aggregate and this
+  * job's anti-join — stays micro-batch-sized forever. The doc-id
+  * dedup this anti-join gives is therefore scoped: crash replays are
+  * always caught; a doc RE-SUBMITTED in a later batch is caught until
+  * a compaction folds its marker (full-history content dedup is
+  * [[DocumentStream.startHistoryDedupJob]]'s contract, upstream). */
 object TextIndexStream {
 
   /** Append the batch's NOVEL docs (ids without a marker row) to the
-    * index. Batch-callable for replay tests; the streaming face is
-    * [[startTextAppendJob]]. */
+    * index, stamping `batchSeq` on every row. Batch-callable for
+    * replay tests; the streaming face is [[startTextAppendJob]]. */
   private[streaming] def appendNovelDocs(batch: DataFrame, idCol: String,
-      textCol: String, indexDir: String): Unit = {
+      textCol: String, indexDir: String, batchSeq: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val nBuckets = spark.read.parquet(s"$indexDir/stats")
@@ -59,22 +70,24 @@ object TextIndexStream {
       .localCheckpoint(true) // feeds the emptiness probe AND the write
     if (!novel.isEmpty)
       Retrieval.appendDocsWithMarkers(novel, "doc_id", "__text",
-        indexDir, nBuckets)
+        indexDir, nBuckets, batchSeq)
   }
 
   /** Start the maintenance job: every micro-batch of (idCol, textCol)
     * rows is appended to the index at `indexDir`, exactly once per doc
-    * id even across crash replays. Tokenization and bucketing follow
-    * the index's build-time convention (nBuckets is read from its
-    * stats artifact), so streamed and built postings are
-    * indistinguishable to a probe. */
+    * id even across crash replays (re-submissions in later batches are
+    * additionally deduped back to the last compaction's fold horizon —
+    * see the object doc). Tokenization and bucketing follow the
+    * index's build-time convention (nBuckets is read from its stats
+    * artifact), so streamed and built postings are indistinguishable
+    * to a probe. */
   def startTextAppendJob(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, checkpointDir: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendNovelDocs(batch, idCol, textCol, indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendNovelDocs(batch, idCol, textCol, indexDir, batchId)
       }
       .start()
 }

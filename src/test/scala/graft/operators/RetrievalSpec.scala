@@ -125,9 +125,15 @@ class RetrievalSpec extends SparkSuite {
     assert(pf.nonEmpty)
     // appended docs are retrievable
     assert(pf.exists(_._2 >= 50L))
-    // and the stats totals really summed (not overwritten by the batch)
+    // the stats file keeps the BUILD's totals (never rewritten); the
+    // appended docs' share rides the crash-atomic marker partition and
+    // the probe folds the two — so visible N is the full 80
     val stats = spark.read.parquet(s"$inc/stats").head()
-    assert(stats.getLong(stats.fieldIndex("__n")) === 80L)
+    assert(stats.getLong(stats.fieldIndex("__n")) === 50L)
+    val m = spark.read.parquet(s"$inc/postings")
+      .filter($"term_bucket" === Retrieval.MarkerBucket)
+      .agg(sum("__tf")).head()
+    assert(m.getLong(0) === 30L)
   }
 
   test("probing the index reads only the query terms' bucket partitions") {

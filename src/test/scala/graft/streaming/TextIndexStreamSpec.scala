@@ -78,26 +78,27 @@ class TextIndexStreamSpec extends SparkSuite {
       dir, nBuckets = 8)
     val batch = late.take(2).toDF("doc_id", "text")
 
-    // the same batch applied twice (append committed, checkpoint lost):
-    // the replay anti-joins the marker partition and appends nothing —
-    // postings, markers, AND the probe answer are all unchanged
-    TextIndexStream.appendNovelDocs(batch, "doc_id", "text", dir)
+    // the same batch applied twice (append committed, checkpoint lost —
+    // the replay re-runs under the SAME batch id): the replay
+    // anti-joins the marker partition and appends nothing — postings,
+    // markers, AND the probe answer are all unchanged
+    TextIndexStream.appendNovelDocs(batch, "doc_id", "text", dir, 0L)
     val afterFirst = spark.read.parquet(s"$dir/postings").count()
     val probeFirst = probe(dir)
-    TextIndexStream.appendNovelDocs(batch, "doc_id", "text", dir)
+    TextIndexStream.appendNovelDocs(batch, "doc_id", "text", dir, 0L)
     assert(spark.read.parquet(s"$dir/postings").count() === afterFirst)
     assert(probe(dir) === probeFirst)
 
     // empty batch: no-op, no crash
     TextIndexStream.appendNovelDocs(
-      Seq.empty[Doc].toDF("doc_id", "text"), "doc_id", "text", dir)
+      Seq.empty[Doc].toDF("doc_id", "text"), "doc_id", "text", dir, 1L)
     assert(spark.read.parquet(s"$dir/postings").count() === afterFirst)
 
     // within-batch duplicate id: ONE marker, one set of postings,
     // picked deterministically (smallest text)
     TextIndexStream.appendNovelDocs(
       Seq(Doc(50L, "zz duplicated doc"), Doc(50L, "aa duplicated doc"))
-        .toDF("doc_id", "text"), "doc_id", "text", dir)
+        .toDF("doc_id", "text"), "doc_id", "text", dir, 2L)
     val fifty = spark.read.parquet(s"$dir/postings")
       .filter(col("doc_id") === 50L)
     assert(fifty.filter(col("term_bucket") === Retrieval.MarkerBucket)
@@ -111,7 +112,7 @@ class TextIndexStreamSpec extends SparkSuite {
     Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
       dir, nBuckets = 8)
     TextIndexStream.appendNovelDocs(late.take(2).toDF("doc_id", "text"),
-      "doc_id", "text", dir)
+      "doc_id", "text", dir, 0L)
     val pruned = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket") === Retrieval.MarkerBucket)
       .select("doc_id")
@@ -148,38 +149,119 @@ class TextIndexStreamSpec extends SparkSuite {
       // partition the late docs into 1..4 random batches, shuffled
       val shuffled = rnd.shuffle(late)
       val cuts = rnd.nextInt(4) + 1
-      shuffled.grouped(math.max(1, shuffled.size / cuts)).foreach { b =>
-        TextIndexStream.appendNovelDocs(b.toDF("doc_id", "text"),
-          "doc_id", "text", dir)
-      }
+      shuffled.grouped(math.max(1, shuffled.size / cuts)).zipWithIndex
+        .foreach { case (b, i) =>
+          TextIndexStream.appendNovelDocs(b.toDF("doc_id", "text"),
+            "doc_id", "text", dir, i.toLong)
+        }
       assert(probe(dir) === want, s"trial $trial (cuts=$cuts) diverged")
     }
   }
 
-  test("compaction collapses append-accumulated files; probe unchanged") {
+  test("compaction collapses append-accumulated files and folds markers " +
+      "to the replay horizon; probe bit-identical") {
     val dir = java.nio.file.Files.createTempDirectory("txtcompact").toString
     Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
       dir, nBuckets = 8)
     // one append per doc: each drops another file into every touched
     // bucket and the marker partition
-    late.foreach { d =>
+    late.zipWithIndex.foreach { case (d, i) =>
       TextIndexStream.appendNovelDocs(Seq(d).toDF("doc_id", "text"),
-        "doc_id", "text", dir)
+        "doc_id", "text", dir, i.toLong)
     }
     val before = probe(dir)
-    val rowsBefore = spark.read.parquet(s"$dir/postings").count()
-    val filesBefore = spark.read.parquet(s"$dir/postings").inputFiles.length
+    def postings() = spark.read.parquet(s"$dir/postings")
+    val buckets = postings().filter(col("term_bucket") =!=
+      Retrieval.MarkerBucket)
+    val bucketRowsBefore = buckets.count()
+    val filesBefore = postings().inputFiles.length
     Retrieval.compactTextIndex(spark, dir, bucketsPerSlice = 4)
-    val filesAfter = spark.read.parquet(s"$dir/postings").inputFiles.length
+    val filesAfter = postings().inputFiles.length
     assert(filesAfter < filesBefore,
       s"expected fewer files after compaction: $filesAfter !< $filesBefore")
-    assert(spark.read.parquet(s"$dir/postings").count() === rowsBefore)
+    // postings side untouched row-wise; markers folded down to the
+    // newest batch (1 doc) + one fold row carrying the other 3 docs
+    assert(postings().filter(col("term_bucket") =!= Retrieval.MarkerBucket)
+      .count() === bucketRowsBefore)
+    val markers = postings()
+      .filter(col("term_bucket") === Retrieval.MarkerBucket).collect()
+    assert(markers.length === 2,
+      s"expected horizon + fold row: ${markers.mkString(", ")}")
+    val fold = markers.find(_.isNullAt(0)).get
+    assert(fold.getLong(fold.fieldIndex("__tf")) === late.size - 1L)
+    val horizonRow = markers.find(!_.isNullAt(0)).get
+    assert(horizonRow.getLong(0) === late.last.doc_id)
+    // the fold moved integer totals, not values: probe is bit-identical
     assert(probe(dir) === before)
-    // compaction preserves the replay state too: re-applying an old
-    // batch still appends nothing
-    TextIndexStream.appendNovelDocs(late.take(1).toDF("doc_id", "text"),
-      "doc_id", "text", dir)
-    assert(spark.read.parquet(s"$dir/postings").count() === rowsBefore)
+    // replay of the NEWEST batch (the only one the engine can re-run)
+    // still appends nothing after compaction
+    val rowsAfter = postings().count()
+    TextIndexStream.appendNovelDocs(
+      Seq(late.last).toDF("doc_id", "text"), "doc_id", "text", dir,
+      (late.size - 1).toLong)
+    assert(postings().count() === rowsAfter)
+  }
+
+  test("repeated compaction keeps the marker partition bounded: older " +
+      "fold rows re-fold into one; batch-append markers always fold") {
+    val dir = java.nio.file.Files.createTempDirectory("txtfold").toString
+    Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      dir, nBuckets = 8)
+    // pure batch appends (no replay possible): first compaction folds
+    // EVERY marker into the single fold row
+    late.grouped(2).foreach { b =>
+      Retrieval.appendToTextIndex(b.toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    val wantProbe = probe(dir)
+    Retrieval.compactTextIndex(spark, dir, bucketsPerSlice = 4)
+    def markers() = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket") === Retrieval.MarkerBucket)
+    val afterFirst = markers().collect()
+    assert(afterFirst.length === 1 && afterFirst.head.isNullAt(0))
+    assert(afterFirst.head.getLong(afterFirst.head.fieldIndex("__tf"))
+      === late.size.toLong)
+    assert(probe(dir) === wantProbe)
+    // stream two more batches, compact again: the prior fold row and
+    // the older batch fold together, the newest batch survives
+    TextIndexStream.appendNovelDocs(
+      Seq(Doc(20L, "fresh streamed doc twenty")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    TextIndexStream.appendNovelDocs(
+      Seq(Doc(21L, "fresher streamed doc twenty one")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1L)
+    val wantProbe2 = probe(dir)
+    Retrieval.compactTextIndex(spark, dir, bucketsPerSlice = 4)
+    val afterSecond = markers().collect()
+    assert(afterSecond.length === 2)
+    assert(afterSecond.count(_.isNullAt(0)) === 1)
+    val fold2 = afterSecond.find(_.isNullAt(0)).get
+    assert(fold2.getLong(fold2.fieldIndex("__tf")) === late.size + 1L)
+    assert(afterSecond.find(!_.isNullAt(0)).get.getLong(0) === 21L)
+    assert(probe(dir) === wantProbe2)
+  }
+
+  test("batch append is the same marker protocol: build(A)+append(B) " +
+      "probes bit-identically to build(A∪B), stats file untouched") {
+    val inc = java.nio.file.Files.createTempDirectory("txtbatch").toString
+    Retrieval.buildTextIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+      inc, nBuckets = 8)
+    val statsBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(inc, "stats")).count()
+    Retrieval.appendToTextIndex(late.toDF("doc_id", "text"),
+      "doc_id", "text", inc)
+    // stats artifact byte-untouched (file count unchanged — no rewrite
+    // job ran); the appended docs' share rides the marker partition
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(inc, "stats")).count() === statsBefore)
+    val m = spark.read.parquet(s"$inc/postings")
+      .filter(col("term_bucket") === Retrieval.MarkerBucket)
+      .agg(sum("__tf"), sum("__dl")).head()
+    assert(m.getLong(0) === late.size.toLong)
+    val full = java.nio.file.Files.createTempDirectory("txtbatchfull").toString
+    Retrieval.buildTextIndex((base ++ late).toDF("doc_id", "text"),
+      "doc_id", "text", full, nBuckets = 8)
+    assert(probe(inc) === probe(full))
   }
 }
 
