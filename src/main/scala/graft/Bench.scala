@@ -49,7 +49,9 @@ object Bench {
     "h20_part_promotion_suppliers", "h22_sales_opportunity",
     "h4_order_priority_check", "h6_forecast_revenue",
     "h10_returned_items", "h12_priority_shipping",
-    "h19_disjunctive_revenue")
+    "h19_disjunctive_revenue",
+    "h7_volume_shipping", "h8_market_share", "h9_product_profit",
+    "h11_important_stock", "h15_top_supplier", "pr4_top_tokens")
 
   /** Names of the composed-pipeline + BASELINE.md micro tasks that join
     * the headline list at runtime, in runtime order — the ONE source
@@ -207,8 +209,10 @@ object Bench {
     // note and verdict uses); bg_* micros keep their full names because
     // they map 1:1 onto BASELINE.md comparables. Full names + samples
     // live in bench_out.json. Must stay well under 2000 chars.
+    // 2 decimals (10 ms): the precision the comparisons actually use;
+    // 3 would push the 116-task line past the driver's 2000-char tail
     val compactQs = results.map { case (k, sec) =>
-      s""""${shortName(k)}":${if (sec < 0) "-1" else fmt(sec, 3)}"""
+      s""""${shortName(k)}":${if (sec < 0) "-1" else fmt(sec, 2)}"""
     }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$compactQs,"cpu_steal":$stealJson,"sf":"$sfDir","full":"$outFile"}"""

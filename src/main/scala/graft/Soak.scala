@@ -70,7 +70,9 @@ object Soak {
       "h2_min_cost_supplier", "h20_part_promotion_suppliers",
       "h22_sales_opportunity", "h4_order_priority_check",
       "h6_forecast_revenue", "h10_returned_items",
-      "h12_priority_shipping", "h19_disjunctive_revenue")
+      "h12_priority_shipping", "h19_disjunctive_revenue",
+      "h7_volume_shipping", "h8_market_share", "h9_product_profit",
+      "h11_important_stock", "h15_top_supplier", "pr4_top_tokens")
     def timed(fn: => Unit): Double = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block

@@ -1579,6 +1579,175 @@ object SparkEntry {
           / 100.0).as("revenue"))
     },
 
+    // H7: two-nation volume shipping (TPC-H Q7 shape) — the DISJUNCTIVE
+    // NATION PAIR: lineitem joins orders co-keyed on the order key, the
+    // supplier→nation and customer→nation chains broadcast (each
+    // pre-filtered to the two nations, so the broadcast rows shrink
+    // before the fact sees them), and the (supp, cust) ≠-pair
+    // disjunction applies after both chains attach; revenue sums
+    // integer cents per (supp_nation, cust_nation, year)
+    "h7_volume_shipping" -> { (s, dir) =>
+      val pair = Seq("NATION_3", "NATION_7")
+      val supp = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = table(s, dir, "orders").select("o_orderkey", "o_custkey")
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("__cents"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((sum("__cents") / 100.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // H8: national market share (TPC-H Q8 shape) — the SHARE OF A
+    // GROUPED SUM: one fact pass carries BOTH the focal nation's
+    // conditional sum and the total per year, so the share needs no
+    // self-join or second scan; the ratio is exact bigint arithmetic
+    // (cents·10⁶ div total — sound while total < 2^63/10⁶ ≈ 92T cents)
+    // so no float division can flip a digit cross-engine
+    "h8_market_share" -> { (s, dir) =>
+      val market = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")
+          .join(broadcast(table(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val supp = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val part = table(s, dir, "part")
+        .filter(col("p_type") === "STANDARD").select("p_partkey")
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("__cents"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(market), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", col("__cents"))
+            .otherwise(0L)).as("__nc"),
+          sum("__cents").as("__tc"))
+        .select(col("o_year"),
+          expr("(__nc * 1000000) div __tc").as("share_ppm"),
+          (col("__nc") / 100.0).as("nation_revenue"),
+          (col("__tc") / 100.0).as("total_revenue"))
+        .orderBy("o_year")
+    },
+
+    // H9: product-type profit (TPC-H Q9 shape) — profit per (supplier
+    // nation, order year) for one part family: the fact joins orders
+    // co-keyed (year comes from the order), the name-filtered part and
+    // the supplier→nation chain broadcast, and per-row profit is the
+    // difference of two integer-cent roundings (revenue minus
+    // retail-cost·qty — the schema has no partsupp, so p_retailprice
+    // stands in for ps_supplycost), summed exactly
+    "h9_product_profit" -> { (s, dir) =>
+      val part = table(s, dir, "part")
+        .filter(col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+      val supp = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val ord = table(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5).cast("long") -
+           floor(col("p_retailprice") * 100 + 0.5).cast("long") *
+            col("l_quantity").cast("long")).as("__pc"))
+        .groupBy("nation", "o_year")
+        .agg((sum("__pc") / 100.0).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // H11: important stock (TPC-H Q11 shape) — the GROUP-VS-GLOBAL
+    // HAVING: per-part value (supply-cost·qty over one nation's
+    // suppliers; lineitem is the partsupp analog) aggregates ONCE and
+    // is checkpointed, the global total derives from that same
+    // aggregate as a one-row BROADCAST (never a second fact scan), and
+    // the threshold test is exact bigint (value·10⁴ > total — sound
+    // while total < 2^63/10⁴)
+    "h11_important_stock" -> { (s, dir) =>
+      val supp = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+          .filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val perPart = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+            col("l_quantity").cast("long")).as("__vc"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum("__vc").as("__pv"))
+        .localCheckpoint(true) // feeds the global total AND the filter
+      val total = perPart.agg(sum("__pv").as("__gv"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("__pv") * 10000L > col("__gv"))
+        .select(col("l_partkey"), (col("__pv") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // H15: top supplier (TPC-H Q15 shape) — MAX OVER AN AGGREGATE
+    // VIEW: the quarter's per-supplier revenue aggregates once and is
+    // checkpointed, its maximum comes back as a one-row broadcast, and
+    // the equality filter (exact integer cents — ties would ALL
+    // surface, as in the spec's view semantics) picks the top
+    // supplier(s) before the display-sized supplier dim broadcasts in
+    "h15_top_supplier" -> { (s, dir) =>
+      val rev = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .select(col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("__cents"))
+        .groupBy("l_suppkey")
+        .agg(sum("__cents").as("__rc"))
+        .localCheckpoint(true) // feeds the max row AND the filter
+      val top = rev.agg(max("__rc").as("__mx"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("__rc") === col("__mx"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("__rc") / 100.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -4320,6 +4489,111 @@ object SparkEntry {
         |    AND l_quantity BETWEEN 10 AND 20)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "h7_volume_shipping" ->
+      """WITH s AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')),
+        |c AS (
+        |  SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7'))
+        |SELECT supp_nation, cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |    * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN s ON l_suppkey = s.s_suppkey
+        |JOIN c ON o_custkey = c.c_custkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "h8_market_share" ->
+      """WITH mkt AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |s AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |a AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+        |      THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |        * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tc
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN s ON l_suppkey = s.s_suppkey
+        |  WHERE p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND o_custkey IN (SELECT c_custkey FROM mkt)
+        |  GROUP BY 1)
+        |SELECT o_year, (nc * 1000000) // tc AS share_ppm,
+        |  nc / 100.0 AS nation_revenue, tc / 100.0 AS total_revenue
+        |FROM a ORDER BY o_year""".stripMargin,
+
+    "h9_product_profit" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_retailprice FROM part
+        |  WHERE p_name LIKE '%bolt%'),
+        |s AS (
+        |  SELECT s_suppkey, n_name AS nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 100 + 0.5) AS BIGINT)
+        |    - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) / 100.0 AS sum_profit
+        |FROM lineitem
+        |JOIN p ON l_partkey = p.p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN s ON l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "h11_important_stock" ->
+      """WITH s AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5'),
+        |pv AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS pv
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM s)
+        |  GROUP BY 1),
+        |g AS (SELECT CAST(sum(pv) AS BIGINT) AS gv FROM pv)
+        |SELECT l_partkey, pv / 100.0 AS value
+        |FROM pv CROSS JOIN g
+        |WHERE pv * 10000 > gv
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "h15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT max(rc) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, rc / 100.0 AS total_revenue
+        |FROM rev CROSS JOIN m
+        |JOIN supplier ON rev.l_suppkey = s_suppkey
+        |WHERE rc = mx
+        |ORDER BY s_suppkey""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

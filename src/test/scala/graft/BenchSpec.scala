@@ -24,7 +24,7 @@ class BenchSpec extends AnyFunSuite {
     // so the static guarantee holds even on a host where a query runs
     // 1000+ s; the runtime >1900-char stderr warning remains the backstop)
     val qs = allNames
-      .map(n => s""""${Bench.shortName(n)}":9999.999""")
+      .map(n => s""""${Bench.shortName(n)}":9999.99""")
       .mkString("{", ",", "}")
     val steal = Seq.fill(5)("0.999").mkString("[", ",", "]")
     val line =

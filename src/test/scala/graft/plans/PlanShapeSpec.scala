@@ -367,6 +367,63 @@ class PlanShapeSpec extends SparkSuite {
     assert(p19.contains("In(p_brand"), s"brand hull not pushed:\n$p19")
   }
 
+  test("wave-5 warehouse queries: disjunctive nation pair, share-of-sum, " +
+      "profit star, group-vs-global HAVING, max-over-view — one fact " +
+      "scan each, dims broadcast, scalars broadcast not recomputed") {
+    val dir = "/root/testdata/sf0.001"
+    def scansOf(p: String, tbl: String): Int =
+      s"$tbl\\.parquet".r.findAllIn(p).size
+    // h7: both nation chains broadcast pre-filtered; fact scanned once
+    // with the shipdate window pushed
+    val h7 = graft.SparkEntry.queries("h7_volume_shipping")(spark, dir)
+    h7.count()
+    val p7 = plan(h7)
+    assert(scansOf(p7, "lineitem") === 1, s"fact scanned twice:\n$p7")
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 2,
+      s"supplier/customer chains not broadcast:\n$p7")
+    assert(p7.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed:\n$p7")
+    // h8: the share needs ONE fact pass — the conditional nation sum
+    // and the total ride the same aggregate, no self-join; the market
+    // membership is a semi-join
+    val h8 = graft.SparkEntry.queries("h8_market_share")(spark, dir)
+    h8.count()
+    val p8 = plan(h8)
+    assert(scansOf(p8, "lineitem") === 1,
+      s"share-of-sum must not rescan the fact:\n$p8")
+    assert(p8.contains("LeftSemi"), s"market filter not a semi-join:\n$p8")
+    assert("HashAggregate".r.findAllIn(p8).nonEmpty)
+    // h9: profit star — one fact scan, part and supplier→nation
+    // broadcast, orders co-keyed
+    val h9 = graft.SparkEntry.queries("h9_product_profit")(spark, dir)
+    h9.count()
+    val p9 = plan(h9)
+    assert(scansOf(p9, "lineitem") === 1, s"fact scanned twice:\n$p9")
+    assert("BroadcastHashJoin".r.findAllIn(p9).size >= 2,
+      s"part/supplier dims not broadcast:\n$p9")
+    // h11: the per-part aggregate is checkpointed ONCE and feeds both
+    // the global total (a one-row broadcast) and the filter — the fact
+    // never re-scans; the nation supplier set is a semi-join
+    val h11 = graft.SparkEntry.queries("h11_important_stock")(spark, dir)
+    h11.count()
+    val p11 = plan(h11)
+    assert(scansOf(p11, "lineitem") === 0,
+      s"fact re-read past the checkpoint:\n$p11")
+    assert(p11.contains("BroadcastNestedLoopJoin") ||
+      p11.contains("BroadcastHashJoin"),
+      s"global threshold not broadcast:\n$p11")
+    // h15: max-over-view — the revenue view is checkpointed once, its
+    // max comes back as a one-row broadcast, supplier dim broadcasts
+    val h15 = graft.SparkEntry.queries("h15_top_supplier")(spark, dir)
+    h15.count()
+    val p15 = plan(h15)
+    assert(scansOf(p15, "lineitem") === 0,
+      s"view re-read past the checkpoint:\n$p15")
+    assert(p15.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p15).size >= 1,
+      s"max row / supplier not broadcast:\n$p15")
+  }
+
   test("dated catalog: time-scoped scan reads fewer files than full scan") {
     import graft.sources.MetricCatalog
     val dir = java.nio.file.Files.createTempDirectory("datedcat").toString
