@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *    count stays fixed while every time slot gets `factor`× the points,
   *    the dense-volume axis a metrics store actually grows along.
   *
-  * Usage: `runMain graft.Soak [srcDir] [outDir] [factor]`.
+  * Usage: `runMain graft.Soak [srcDir] [outDir] [factor] [query...]` —
+  * trailing query names restrict the run to that subset (the 100×
+  * spot-soak of the heaviest queries, where running the full list
+  * would take hours).
   */
 object Soak {
 
@@ -28,6 +31,7 @@ object Soak {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_soak"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,6 +60,7 @@ object Soak {
       "x3_text_semantic_pipeline", "d17_cluster_representatives",
       "bp1_bpe_merges", "x4_chunk_dedup_pack", "pr2_corpus_diff",
       "lr1_logreg_gate", "ds2_dsir_resample", "r4_hybrid_rrf",
+      "x6_dsir_curriculum",
       "ph1_phrase_mining", "t14_ccnet_lang_buckets", "d18_containment",
       "cu1_curriculum_order",
       "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",
@@ -82,11 +87,19 @@ object Soak {
       Bench.drainBlocks(spark)
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    val rows = (queries.map { q =>
+    val selected =
+      if (only.isEmpty) queries
+      else {
+        val unknown = only -- queries.toSet
+        require(unknown.isEmpty, s"unknown soak queries: $unknown")
+        queries.filter(only)
+      }
+    val base = selected.map { q =>
       val small = timed(SparkEntry.queries(q)(spark, src).count())
       val big = timed(SparkEntry.queries(q)(spark, out).count())
       (q, small, big)
-    } :+ {
+    }
+    val rows = (if (only.nonEmpty) base else base :+ {
       val small = timed(Bench.curationPipeline(spark, src))
       val big = timed(Bench.curationPipeline(spark, out))
       ("x1_curation_pipeline", small, big)
