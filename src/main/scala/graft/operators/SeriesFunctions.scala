@@ -40,7 +40,14 @@ object SeriesFunctions {
 
   /** Guard for the display-sized single-window contract above: counts
     * the (column-pruned, distinct-name) relation — cheap next to the
-    * ranking it precedes — and fails loudly past [[MaxRankedSeries]]. */
+    * ranking it precedes — and fails loudly past [[MaxRankedSeries]].
+    *
+    * NOTE: this is an EAGER Spark action at call time — callers of
+    * [[sortSeries]]/[[pairwiseSeriesLists]] that merely compose plans
+    * still execute one distinct-count pass over the (display-sized)
+    * input when they call, a deliberate trade: failing at plan-build
+    * beats serializing a corpus through one window partition at
+    * execution. */
   private def requireDisplaySized(df: DataFrame, fn: String): Long = {
     val n = df.select("name").distinct().count()
     require(n <= MaxRankedSeries,

@@ -342,23 +342,19 @@ object Similarity {
     val postings = spark.read.parquet(s"$dir/postings")
     val cells = postings.select("cell_id").distinct().collect()
       .map(_.get(0)).sortBy(_.toString)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      cells.grouped(cellsPerSlice).foreach { slice =>
-        spark.read.parquet(s"$dir/postings")
-          .filter(col("cell_id").isin(slice.toSeq: _*))
-          .localCheckpoint(true)
-          .repartition(slice.length, col("cell_id"))
-          .write.mode("overwrite")
-          .partitionBy("cell_id")
-          .parquet(s"$dir/postings")
-      }
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // dynamic overwrite set PER-WRITE, never on the session: a
+    // concurrent writer sharing the SparkSession must not inherit
+    // overwrite semantics mid-flight (the Retrieval.compactTextIndex
+    // convention)
+    cells.grouped(cellsPerSlice).foreach { slice =>
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("cell_id").isin(slice.toSeq: _*))
+        .localCheckpoint(true)
+        .repartition(slice.length, col("cell_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell_id")
+        .parquet(s"$dir/postings")
     }
   }
 

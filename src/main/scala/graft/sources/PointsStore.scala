@@ -223,23 +223,21 @@ object PointsStore {
     val span = bucketSpanS(stage.precisionS)
     val buckets = listBuckets(baseDir, stage)
       .filter(b => sinceS == Long.MinValue || b + span > sinceS)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      buckets.grouped(bucketsPerSlice).foreach { slice =>
-        // read() prunes to the slice's buckets and applies batch_seq
-        // last-write-wins; rewrite only those partition dirs
-        val merged = read(spark, baseDir, stage, slice.min, slice.max + span)
-        val rows = if (dropBatchSeq) merged.drop("batch_seq") else merged
-        // materialize before overwriting the directories being read
-        rows.localCheckpoint(true)
-          .write.mode("overwrite")
-          .partitionBy("stage", "bucket")
-          .parquet(baseDir)
-      }
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // dynamic overwrite set PER-WRITE, never on the session: a
+    // concurrent writer sharing the SparkSession (the streaming ingest
+    // job's foreachBatch, most likely) must not inherit overwrite
+    // semantics mid-flight (the Retrieval.compactTextIndex convention)
+    buckets.grouped(bucketsPerSlice).foreach { slice =>
+      // read() prunes to the slice's buckets and applies batch_seq
+      // last-write-wins; rewrite only those partition dirs
+      val merged = read(spark, baseDir, stage, slice.min, slice.max + span)
+      val rows = if (dropBatchSeq) merged.drop("batch_seq") else merged
+      // materialize before overwriting the directories being read
+      rows.localCheckpoint(true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("stage", "bucket")
+        .parquet(baseDir)
     }
     buckets
   }
