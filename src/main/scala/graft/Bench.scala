@@ -51,7 +51,8 @@ object Bench {
     "h10_returned_items", "h12_priority_shipping",
     "h19_disjunctive_revenue",
     "h7_volume_shipping", "h8_market_share", "h9_product_profit",
-    "h11_important_stock", "h15_top_supplier", "pr4_top_tokens")
+    "h11_important_stock", "h15_top_supplier", "pr4_top_tokens",
+    "pr5_top_tokens_sketch", "r6_phrase_index")
 
   /** Names of the composed-pipeline + BASELINE.md micro tasks that join
     * the headline list at runtime, in runtime order — the ONE source

@@ -23,7 +23,18 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.Soak [srcDir] [outDir] [factor] [query...]` —
   * trailing query names restrict the run to that subset (the 100×
   * spot-soak of the heaviest queries, where running the full list
-  * would take hours).
+  * would take hours). `--list` as the sole trailing arg prints the
+  * full query list and exits (no SparkSession) — the handle the
+  * chunked fresh-JVM driver (`tools/run_soak_fresh.sh`) reads.
+  *
+  * MEASUREMENT PROTOCOL (the r9 lesson): one JVM running the whole
+  * list accumulates residue that `Bench.drainBlocks` does NOT reclaim
+  * — by query ~40 the heavy 10× legs measured 3-8× their fresh-JVM
+  * times (r1 146 s vs 40 s, d2 37 s vs 5 s, same data, same build).
+  * Soak runs must therefore be CHUNKED across fresh JVMs
+  * (`tools/run_soak_fresh.sh`, a few queries per JVM) on an otherwise
+  * idle machine; inflation happens once and is reused via the
+  * `_inflate_<factor>.ok` sentinel.
   */
 object Soak {
 
@@ -32,6 +43,10 @@ object Soak {
     val out = if (args.length > 1) args(1) else "/tmp/graft_soak"
     val factor = if (args.length > 2) args(2).toInt else 10
     val only = args.drop(3).toSet
+    if (only == Set("--list")) {
+      allQueryNames.foreach(println)
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,41 +58,13 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    inflate(spark, src, out, factor)
+    // inflate once per (outDir, factor); chunked fresh-JVM runs reuse it
+    val sentinel = java.nio.file.Paths.get(out, s"_inflate_$factor.ok")
+    if (!java.nio.file.Files.exists(sentinel)) {
+      inflate(spark, src, out, factor)
+      java.nio.file.Files.createFile(sentinel)
+    }
 
-    val queries = Seq("e1_storage_read_path", "e2_consolidated_read",
-      "e3_multi_retention_read", "e4_render_pipeline",
-      "d2_minhash_lsh", "d12_simhash_pairs", "d12b_simhash_pairs_wide",
-      "d13_span_removal", "p1_sequence_packing",
-      "t9_c4_rules",
-      "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
-      "p7_weighted_sample",
-      "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
-      "k9_knn_ivfpq_residual", "k10_ivf_append",
-      "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
-      "r2_bm25_index_topk", "d15_cross_corpus_dedup",
-      "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
-      "x3_text_semantic_pipeline", "d17_cluster_representatives",
-      "bp1_bpe_merges", "x4_chunk_dedup_pack", "pr2_corpus_diff",
-      "lr1_logreg_gate", "ds2_dsir_resample", "r4_hybrid_rrf",
-      "x6_dsir_curriculum",
-      "ph1_phrase_mining", "t14_ccnet_lang_buckets", "d18_containment",
-      "cu1_curriculum_order",
-      "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",
-      "pg2_centrality_gate", "r5_phrase_query", "t15_kneser_ney",
-      "se2_sliding_counts", "se4_event_transitions", "se5_rfm",
-      "g15_anomaly_flags", "pg3_triangles", "pg4_bfs_hops",
-      "pg5_personalized_ppr", "pg6_hits", "x8_user360",
-      "h1_pricing_summary", "h3_shipping_priority", "h5_local_supplier",
-      "h13_order_count_distribution", "h14_promo_revenue",
-      "h16_part_supplier_variety", "h17_small_qty_revenue",
-      "h18_large_orders", "h21_waiting_suppliers",
-      "h2_min_cost_supplier", "h20_part_promotion_suppliers",
-      "h22_sales_opportunity", "h4_order_priority_check",
-      "h6_forecast_revenue", "h10_returned_items",
-      "h12_priority_shipping", "h19_disjunctive_revenue",
-      "h7_volume_shipping", "h8_market_share", "h9_product_profit",
-      "h11_important_stock", "h15_top_supplier", "pr4_top_tokens")
     def timed(fn: => Unit): Double = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block
@@ -88,22 +75,20 @@ object Soak {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val selected =
-      if (only.isEmpty) queries
+      if (only.isEmpty) allQueryNames
       else {
-        val unknown = only -- queries.toSet
+        val unknown = only -- allQueryNames.toSet
         require(unknown.isEmpty, s"unknown soak queries: $unknown")
-        queries.filter(only)
+        allQueryNames.filter(only)
       }
-    val base = selected.map { q =>
-      val small = timed(SparkEntry.queries(q)(spark, src).count())
-      val big = timed(SparkEntry.queries(q)(spark, out).count())
+    def run(q: String, dir: String): Unit =
+      if (q == "x1_curation_pipeline") Bench.curationPipeline(spark, dir)
+      else SparkEntry.queries(q)(spark, dir).count()
+    val rows = selected.map { q =>
+      val small = timed(run(q, src))
+      val big = timed(run(q, out))
       (q, small, big)
-    }
-    val rows = (if (only.nonEmpty) base else base :+ {
-      val small = timed(Bench.curationPipeline(spark, src))
-      val big = timed(Bench.curationPipeline(spark, out))
-      ("x1_curation_pipeline", small, big)
-    }).map { case (q, small, big) =>
+    }.map { case (q, small, big) =>
       val exp = math.log(big / small) / math.log(factor.toDouble)
       // Locale.ROOT via Bench.fmt — a comma-decimal default locale
       // would otherwise emit invalid JSON (the Bench lesson)
@@ -119,6 +104,45 @@ object Soak {
       System.err.println(s"[soak] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
+
+  /** Every soaked query, in run order; `x1_curation_pipeline` (the
+    * composed Bench pipeline, not a SparkEntry query) is last. */
+  val allQueryNames: Seq[String] = Seq("e1_storage_read_path",
+    "e2_consolidated_read",
+    "e3_multi_retention_read", "e4_render_pipeline",
+    "d2_minhash_lsh", "d12_simhash_pairs", "d12b_simhash_pairs_wide",
+    "d13_span_removal", "p1_sequence_packing",
+    "t9_c4_rules",
+    "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
+    "p7_weighted_sample",
+    "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
+    "k9_knn_ivfpq_residual", "k10_ivf_append",
+    "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
+    "r2_bm25_index_topk", "d15_cross_corpus_dedup",
+    "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
+    "x3_text_semantic_pipeline", "d17_cluster_representatives",
+    "bp1_bpe_merges", "x4_chunk_dedup_pack", "pr2_corpus_diff",
+    "lr1_logreg_gate", "ds2_dsir_resample", "r4_hybrid_rrf",
+    "x6_dsir_curriculum",
+    "ph1_phrase_mining", "t14_ccnet_lang_buckets", "d18_containment",
+    "cu1_curriculum_order",
+    "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",
+    "pg2_centrality_gate", "r5_phrase_query", "t15_kneser_ney",
+    "se2_sliding_counts", "se4_event_transitions", "se5_rfm",
+    "g15_anomaly_flags", "pg3_triangles", "pg4_bfs_hops",
+    "pg5_personalized_ppr", "pg6_hits", "x8_user360",
+    "h1_pricing_summary", "h3_shipping_priority", "h5_local_supplier",
+    "h13_order_count_distribution", "h14_promo_revenue",
+    "h16_part_supplier_variety", "h17_small_qty_revenue",
+    "h18_large_orders", "h21_waiting_suppliers",
+    "h2_min_cost_supplier", "h20_part_promotion_suppliers",
+    "h22_sales_opportunity", "h4_order_priority_check",
+    "h6_forecast_revenue", "h10_returned_items",
+    "h12_priority_shipping", "h19_disjunctive_revenue",
+    "h7_volume_shipping", "h8_market_share", "h9_product_profit",
+    "h11_important_stock", "h15_top_supplier", "pr4_top_tokens",
+    "pr5_top_tokens_sketch", "r6_phrase_index",
+    "x1_curation_pipeline")
 
   /** Write `factor`-times-inflated copies of documents + events. */
   def inflate(spark: SparkSession, src: String, out: String,

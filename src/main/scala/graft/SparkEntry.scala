@@ -1092,6 +1092,20 @@ object SparkEntry {
         .orderBy("lang", "rk")
     },
 
+    // PR5: the SKETCH path for pr4 — graft_frequent_items (Misra-Gries,
+    // the repo's one TypedImperativeAggregate) gives per-group heavy
+    // hitters with hard bounded state: the shuffle carries one
+    // <= capacity-counter summary per (partition, group), never the
+    // vocabulary. Exact (max_err 0, oracle-able) while capacity covers
+    // each partial's distinct tokens — the bound regime is
+    // property-tested in FrequentItemsSpec
+    "pr5_top_tokens_sketch" -> { (s, dir) =>
+      import graft.operators.Profile
+      Profile.topTokensSketch(table(s, dir, "documents"), "lang", "text",
+          k = 5, capacity = 4096)
+        .orderBy("lang", "rk")
+    },
+
     // PR3: multi-granularity dataset card — ONE rollup pass yields the
     // (source, lang), per-source, and grand-total cards from the same
     // partial aggregates; subtotal rows carry NULLs (ANSI ROLLUP)
@@ -2160,6 +2174,27 @@ object SparkEntry {
           concat_ws(" ", slice(col("__ph0"), 11, 3)).as("qtext"))
       Retrieval.phraseSearch(docs, "doc_id", "text",
           qsrc, "query_id", "qtext")
+        .orderBy("query_id", "doc_id")
+    },
+
+    // R6: r5's phrase search against a PERSISTED positional index
+    // (build once, probe many — the r1/r2 relationship): the probe
+    // reads only the phrase terms' term-bucket partitions, so the
+    // corpus never re-scans per query batch. Same query set and same
+    // oracle as r5 — the index path must reproduce live matching
+    // exactly
+    "r6_phrase_index" -> { (s, dir) =>
+      import graft.operators.Retrieval
+      val idx = java.nio.file.Files.createTempDirectory("r6idx").toString
+      val docs = table(s, dir, "documents")
+      Retrieval.buildPhraseIndex(docs, "doc_id", "text", idx)
+      val qsrc = docs.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("query_id"),
+          split(lower(col("text")), "\\s+").as("__ph0"))
+        .filter(size(col("__ph0")) >= 13)
+        .select(col("query_id"),
+          concat_ws(" ", slice(col("__ph0"), 11, 3)).as("qtext"))
+      Retrieval.phraseIndexSearch(qsrc, "query_id", "qtext", idx)
         .orderBy("query_id", "doc_id")
     },
 
@@ -4195,6 +4230,25 @@ object SparkEntry {
         |SELECT lang, token, cnt, rk FROM r WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
 
+    // the sketch runs in its exact regime on this corpus (capacity
+    // 4096 >> per-partial distinct tokens), so the oracle is pr4's
+    // exact top-k with the max_err = 0 certificate column
+    "pr5_top_tokens_sketch" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM tok
+        |      WHERE token <> '' GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, token, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, token) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT lang, token, cnt, CAST(0 AS BIGINT) AS max_err, rk
+        |FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
     "pr1_dataset_card" ->
       """WITH t AS (
         |  SELECT source, md5(text) AS fp,
@@ -5384,6 +5438,41 @@ object SparkEntry {
     // phrase offset j; the phrase string round-trips through the same
     // join-then-split as the Spark side so tokenization cannot drift
     "r5_phrase_query" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    string_split_regex(array_to_string(toks[11:13], ' '), '\s+')
+        |      AS ph
+        |  FROM tk WHERE doc_id % 89 = 0 AND len(toks) >= 13),
+        |qt AS (
+        |  SELECT query_id, CAST(j AS BIGINT) AS j,
+        |         ph[CAST(j AS INT)] AS term
+        |  FROM q, LATERAL unnest(range(1, len(ph) + 1)) u(j)),
+        |ql AS (SELECT query_id, len(ph) AS m FROM q),
+        |ps AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |         toks[CAST(i AS INT)] AS term
+        |  FROM tk, LATERAL unnest(range(1, len(toks) + 1)) u(i)),
+        |an AS (
+        |  SELECT qt.query_id, p.doc_id, p.i - qt.j AS anchor,
+        |         count(*) AS votes
+        |  FROM ps p JOIN qt ON p.term = qt.term
+        |  GROUP BY qt.query_id, p.doc_id, p.i - qt.j),
+        |h AS (
+        |  SELECT a.query_id, a.doc_id, count(*) AS n_hits,
+        |         CAST(min(a.anchor) AS BIGINT) AS first_pos
+        |  FROM an a JOIN ql ON a.query_id = ql.query_id
+        |  WHERE a.votes = ql.m
+        |  GROUP BY a.query_id, a.doc_id)
+        |SELECT query_id, doc_id, n_hits, first_pos FROM h
+        |ORDER BY query_id, doc_id""".stripMargin,
+
+    // r6 = r5 through the positional index; identical query set, so
+    // the oracle is r5's verbatim — the index path must reproduce
+    // live phrase matching bit for bit
+    "r6_phrase_index" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |  FROM documents),

@@ -123,6 +123,46 @@ object Profile {
       .select(col(groupCol), col("token"), col("cnt"), col("rk"))
   }
 
+  /** Sketch path for [[topTokens]] — the form the card takes when even
+    * the distinct (group, token) relation is too big to shuffle:
+    * [[graft.functions.FrequentItemsSketch]] (Misra-Gries) aggregates
+    * heavy hitters with HARD bounded state, so the corpus scan emits
+    * one ≤ `capacity`-counter summary per (partition, group) partial,
+    * the shuffle carries summaries (not vocabulary), and the merge is
+    * one bounded fold per group. Where the exact path's cost grows with
+    * vocabulary (Heaps' law), this one's is `groups × capacity` —
+    * corpus-size-independent.
+    *
+    * EXACT — and bit-equal to [[topTokens]] — whenever no partial ever
+    * overflows `capacity` (every emitted `max_err` is 0, the
+    * certificate the caller can check); otherwise `cnt` is a lower
+    * bound with error ≤ `max_err` ≤ N/(capacity+1), and any token whose
+    * true share exceeds 1/(capacity+1) of the group is guaranteed
+    * present (the Misra-Gries contract, property-tested in
+    * FrequentItemsSpec). Ties and ranking mirror [[topTokens]]
+    * (cnt DESC, token ASC). Returns (groupCol, token, cnt, max_err,
+    * rk), rk 1..k. */
+  def topTokensSketch(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int, capacity: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k <= capacity, s"k=$k exceeds sketch capacity=$capacity")
+    import graft.functions.FrequentItemsSketch.frequent_items
+    val summaries = docs
+      .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(groupCol))
+      .agg(frequent_items(col("token"), capacity).as("__fi"))
+    // the summary is already (est DESC, item ASC)-sorted, so the top-k
+    // cut is a slice; posexplode supplies the rank
+    summaries
+      .select(col(groupCol),
+        posexplode(slice(col("__fi"), 1, k)).as(Seq("__i", "__e")))
+      .select(col(groupCol), col("__e.item").as("token"),
+        col("__e.est").as("cnt"), col("__e.max_err").as("max_err"),
+        (col("__i") + 1).cast("long").as("rk"))
+  }
+
   /** Corpus version diff — what changed between two snapshots of a
     * dataset (crawl N vs crawl N+1, pre- vs post-curation): per group,
     * how many docs were added, removed, changed (same id, different

@@ -439,4 +439,79 @@ object Retrieval {
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_hits"), min(col("__anchor")).as("first_pos"))
   }
+
+  /** Persist a POSITIONAL index for [[phraseIndexSearch]]: one row per
+    * (doc, term) carrying the term's sorted in-doc position list,
+    * partitioned by `term_bucket` = pmod(xxhash64(term), nBuckets) —
+    * the [[buildTextIndex]] layout with positions where the BM25 index
+    * has tf. Positions are what phrase matching needs and bag-of-words
+    * scoring discards; storing them per (doc, term) keeps the index
+    * row count equal to the BM25 index's (the position arrays add
+    * ~one long per corpus token, spread across the buckets). The
+    * stats artifact records nBuckets so probes bucket with the
+    * build's convention. */
+  def buildPhraseIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(toks(col(textCol))).as(Seq("__pos", "__term")))
+      .groupBy("doc_id", "__term")
+      .agg(sort_array(collect_list(col("__pos"))).as("__positions"))
+      .select(col("doc_id"), col("__term"), col("__positions"),
+        pmod(xxhash64(col("__term")), lit(nBuckets)).as("term_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+    Seq(nBuckets).toDF("__nbuckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** [[phraseSearch]] against a [[buildPhraseIndex]] index — identical
+    * results (pinned in RetrievalSpec), but the corpus never re-scans:
+    * the query phrases' term list (display-sized) is collected once to
+    * drive the partition filter (bucket pruning) and the pushed
+    * `term IN ...` row filter, so the probe reads only the phrase
+    * terms' posting rows — hits-sized, like [[bm25IndexTopK]]. The
+    * anchor trick then runs unchanged on the exploded position lists:
+    * a (posting, phrase-offset) match votes for anchor `pos − offset`,
+    * and an anchor with votes from all phrase offsets is a complete
+    * occurrence. */
+  def phraseIndexSearch(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, indexDir: String): DataFrame = {
+    val spark = queries.sparkSession
+    val qtoks = queries.select(col(queryIdCol).as("query_id"),
+      toks(col(queryTextCol)).as("__ph"))
+      // feeds the driver-side term list AND the broadcast join side
+      .localCheckpoint(true)
+    val qterms = qtoks.select(col("query_id"),
+      posexplode(col("__ph")).as(Seq("__qpos", "__term")))
+    val qlen = qtoks.select(col("query_id"),
+      size(col("__ph")).as("__m"))
+    val terms = qterms.select("__term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val nBuckets = spark.read.parquet(s"$indexDir/stats")
+      .select("__nbuckets").head().getInt(0)
+    // bucket ids via the engine's own hash — evaluated in a plan, not
+    // reimplemented driver-side, so build and probe can never drift
+    val buckets = qterms.select(
+        pmod(xxhash64(col("__term")), lit(nBuckets)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val votes = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("__term").isin(terms: _*))
+      .join(broadcast(qterms), Seq("__term"))
+      .select(col("query_id"), col("doc_id"), col("__qpos"),
+        explode(col("__positions")).as("__pos"))
+      .select(col("query_id"), col("doc_id"),
+        (col("__pos") - col("__qpos")).cast("long").as("__anchor"))
+    val anchors = votes.groupBy("query_id", "doc_id", "__anchor")
+      .agg(count(lit(1)).as("__votes"))
+    anchors.join(broadcast(qlen), Seq("query_id"))
+      .filter(col("__votes") === col("__m"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("__anchor")).as("first_pos"))
+  }
 }

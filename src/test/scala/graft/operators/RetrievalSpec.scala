@@ -221,4 +221,55 @@ class RetrievalSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq((7L, 1L, 2L, 0L)))
   }
+
+  test("phraseIndexSearch reproduces phraseSearch bit for bit") {
+    val corpus = Seq(
+      (1L, "new york is in new york state"),
+      (2L, "york new has the words reversed"),
+      (3L, "a new day in york"),
+      (4L, "x new york new york new york y"),
+      (5L, "go go go stop"),
+      (6L, "unrelated filler text entirely")).toDF("doc_id", "text")
+    val qs = Seq((100L, "new york"), (101L, "go go"), (102L, "absent phrase"))
+      .toDF("query_id", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("phraseidx").toString
+    Retrieval.buildPhraseIndex(corpus, "doc_id", "text", dir, nBuckets = 8)
+    val live = Retrieval.phraseSearch(corpus, "doc_id", "text",
+        qs, "query_id", "qtext")
+      .orderBy("query_id", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val indexed = Retrieval.phraseIndexSearch(qs, "query_id", "qtext", dir)
+      .orderBy("query_id", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(indexed === live)
+    assert(live.nonEmpty)
+
+    // the probe reads ONLY the phrase terms' term-bucket partitions
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case r: ReusedExchangeExec => allScans(r.child)
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(allScans)
+    }
+    val full = spark.read.parquet(s"$dir/postings")
+    full.collect()
+    val all = allScans(full.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val probe = Retrieval.phraseIndexSearch(
+      Seq((100L, "new york")).toDF("query_id", "qtext"), "query_id",
+      "qtext", dir)
+    probe.collect()
+    val probed = allScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+      .map(_.metrics("numFiles").value).sum
+    assert(probed > 0, "no postings scan found in the probe plan")
+    assert(probed < all, s"expected partition pruning: $probed !< $all")
+  }
 }

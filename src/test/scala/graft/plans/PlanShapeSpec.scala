@@ -208,6 +208,26 @@ class PlanShapeSpec extends SparkSuite {
       s"final window not fed by local top-k survivors:\n${plan(df)}")
   }
 
+  test("topTokensSketch: sketch partials aggregate map-side — one " +
+      "exchange carrying summaries, zero windows") {
+    val docs = spark.range(200).select(
+      (col("id") % 3).cast("string").as("lang"),
+      concat_ws(" ", lit("common"), concat(lit("w"), col("id") % 41),
+        concat(lit("w"), col("id") % 13)).as("text"))
+    val df = graft.operators.Profile.topTokensSketch(docs, "lang", "text",
+      k = 5, capacity = 64)
+    val p = plan(df)
+    // the TypedImperativeAggregate plans as ObjectHashAggregate
+    // partial/final around ONE exchange: the shuffle moves per-partition
+    // summaries, never the (group, token) vocabulary
+    assert("ObjectHashAggregate".r.findAllIn(p).size === 2,
+      s"expected partial+final sketch aggregation:\n$p")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"expected one summary-sized exchange:\n$p")
+    assert(!p.contains("Window"), s"sketch path must not rank a window:\n$p")
+    assert(p.contains("graft_frequent_items"), s"sketch agg missing:\n$p")
+  }
+
   test("clusterRepresentatives is single-pass: the scores side is scanned " +
       "once and there is no join-back after the window") {
     val docs = spark.range(100).select(col("id").as("doc_id"))
