@@ -27,14 +27,20 @@ import org.apache.spark.sql.functions._
   * full query list and exits (no SparkSession) — the handle the
   * chunked fresh-JVM driver (`tools/run_soak_fresh.sh`) reads.
   *
-  * MEASUREMENT PROTOCOL (the r9 lesson): one JVM running the whole
-  * list accumulates residue that `Bench.drainBlocks` does NOT reclaim
-  * — by query ~40 the heavy 10× legs measured 3-8× their fresh-JVM
-  * times (r1 146 s vs 40 s, d2 37 s vs 5 s, same data, same build).
-  * Soak runs must therefore be CHUNKED across fresh JVMs
-  * (`tools/run_soak_fresh.sh`, a few queries per JVM) on an otherwise
-  * idle machine; inflation happens once and is reused via the
-  * `_inflate_<factor>.ok` sentinel.
+  * MEASUREMENT PROTOCOL (the r9 lessons, each measured):
+  *  - CHUNKED FRESH JVMs (`tools/run_soak_fresh.sh`, a few queries per
+  *    JVM, idle machine): one JVM running the whole list accumulates
+  *    residue `Bench.drainBlocks` does NOT reclaim — by query ~40 the
+  *    heavy 10× legs measured 3-8× their fresh-JVM times (r1 146 s vs
+  *    40 s, d2 37 s vs 5 s, same data, same build). Inflation happens
+  *    once, reused via the `_inflate_<factor>.ok` sentinel.
+  *  - LAYOUT-NORMALIZED LEGS: both legs read 32-file fact tables (the
+  *    1× side from a normalized copy), so scan parallelism is policy,
+  *    not a files.maxPartitionBytes accident (d18's 10× leg: 52 s
+  *    against a one-file inflation vs 8 s split).
+  *  - PER-QUERY UNTIMED WARM-UP: the first query in a fresh JVM
+  *    otherwise pays codegen/JIT warm-up in its t1 (se1: 7.1 s cold
+  *    vs 0.8 s warm), skewing exponents negative.
   */
 object Soak {
 
@@ -58,11 +64,22 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // inflate once per (outDir, factor); chunked fresh-JVM runs reuse it
-    val sentinel = java.nio.file.Paths.get(out, s"_inflate_$factor.ok")
-    if (!java.nio.file.Files.exists(sentinel)) {
-      inflate(spark, src, out, factor)
-      java.nio.file.Files.createFile(sentinel)
+    // inflate once per (outDir, factor); chunked fresh-JVM runs reuse it.
+    // The SMALL leg runs against a layout-normalized 1× copy (inflate
+    // at factor 1 is the identity transform) so both legs scan files
+    // written under the same 32-way layout policy — the driver's sf0.1
+    // tables are single files, and which side of a
+    // files.maxPartitionBytes split a table lands on otherwise
+    // dominates the heavy map-side queries (d18's 10× leg measured
+    // 52 s against a one-file inflation vs 8 s against a split one:
+    // the shingle/tokenize work serialized on one core)
+    val base = s"${out}_1x"
+    for ((dir, f) <- Seq((base, 1), (out, factor))) {
+      val sentinel = java.nio.file.Paths.get(dir, s"_inflate_$f.ok")
+      if (!java.nio.file.Files.exists(sentinel)) {
+        inflate(spark, src, dir, f)
+        java.nio.file.Files.createFile(sentinel)
+      }
     }
 
     def timed(fn: => Unit): Double = {
@@ -85,7 +102,11 @@ object Soak {
       if (q == "x1_curation_pipeline") Bench.curationPipeline(spark, dir)
       else SparkEntry.queries(q)(spark, dir).count()
     val rows = selected.map { q =>
-      val small = timed(run(q, src))
+      // untimed warm-up leg: a fresh JVM's first query otherwise pays
+      // all of Spark's codegen/JIT warm-up in its t1 (measured: se1 t1
+      // 7.1 s cold vs 0.8 s warm), skewing exponents negative
+      run(q, base)
+      val small = timed(run(q, base))
       val big = timed(run(q, out))
       (q, small, big)
     }.map { case (q, small, big) =>
@@ -144,6 +165,12 @@ object Soak {
     "pr5_top_tokens_sketch", "r6_phrase_index",
     "x1_curation_pipeline")
 
+  /** Fact-table file count for inflated (and 1×-normalized) copies:
+    * one file per core of the local[32] session, so scan parallelism
+    * is the same known quantity on both soak legs instead of an
+    * accident of files.maxPartitionBytes splitting. */
+  private val Files = 32
+
   /** Write `factor`-times-inflated copies of documents + events. */
   def inflate(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
@@ -161,6 +188,7 @@ object Soak {
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("q"), col("k"), lit("_$1")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
+      .repartition(Files) // deterministic 32-way layout, see `main`
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val ev = spark.read.parquet(s"$src/events.parquet")
@@ -168,6 +196,7 @@ object Soak {
       .select((col("event_id") * factor + col("k")).as("event_id"),
         col("ts"), col("user_id"), col("event_type"), col("value"),
         col("props"))
+      .repartition(Files)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // TPC-H-shape tables for the warehouse family: FACTS inflate, DIMS
@@ -181,6 +210,7 @@ object Soak {
       .select((col("o_orderkey") * factor + col("k")).as("o_orderkey"),
         col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
+      .repartition(Files)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     li.select(col("*"), ks)
@@ -189,6 +219,7 @@ object Soak {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"),
         col("l_shipdate"))
+      .repartition(Files)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     for (t <- Seq("customer", "part", "supplier", "nation", "region"))
       spark.read.parquet(s"$src/$t.parquet")
@@ -205,6 +236,7 @@ object Soak {
             (v + col("k").cast("float") / lit(1000f)).cast("float"))
             .otherwise(v)).as("embedding"),
         col("label"))
+      .repartition(Files)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 }

@@ -3605,12 +3605,15 @@ object SparkEntry {
       |  SELECT query_id, slot, round(qtf * idf, 6) AS qw
       |  FROM qtf JOIN idfv USING (slot)),
       |qn AS (SELECT query_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY 1),
-      |dots AS (
-      |  SELECT query_id, wv.doc_id, sum(wv.weight * qw.qw) AS dot
-      |  FROM wv JOIN qw USING (slot) GROUP BY 1, 2),
+      |cwn AS (
+      |  SELECT doc_id, slot, weight / cn AS nw
+      |  FROM wv JOIN cnv USING (doc_id)),
+      |qwn AS (
+      |  SELECT query_id, slot, qw / qn AS qnw
+      |  FROM qw JOIN qn USING (query_id)),
       |scv AS (
-      |  SELECT query_id, doc_id, round(dot / (cnv.cn * qn.qn), 6) AS cos
-      |  FROM dots JOIN cnv USING (doc_id) JOIN qn USING (query_id)),
+      |  SELECT query_id, doc_id, round(sum(nw * qnw), 6) AS cos
+      |  FROM cwn JOIN qwn USING (slot) GROUP BY 1, 2),
       |rkv AS (
       |  SELECT query_id, doc_id, cos,
       |    CAST(row_number() OVER (PARTITION BY query_id

@@ -111,6 +111,18 @@ object Vectorize {
     * reach a positive-cosine top-k). Ties: (cos DESC, doc_id ASC), the
     * repo-wide rounded-before-ranked rule.
     *
+    * Scale shape: both sides are L2-NORMALIZED BEFORE the slot join, so
+    * the pair-scale relation (every query × every doc sharing a slot —
+    * the brute-force face's inherent cost) is touched exactly once, by
+    * the dot aggregation whose output IS the cosine; the norm joins run
+    * on the corpus-token and query-token relations instead (at 10×/sf0.1
+    * this halved the query: the norms-after-dots plan joined and
+    * re-joined a 23.8M-pair relation). The top-k is the salted
+    * two-stage rank (the pr4 idiom) — a query matching the whole corpus
+    * ranks in `SaltCells` parallel cells, never one partition. For
+    * corpus-scale k-NN without the all-pairs dot, use the ANN ladder
+    * (Similarity/ProductQuantization).
+    *
     * Returns (query_id, doc_id, cos, rk), rk 1..k. */
   def tfidfKnn(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
@@ -124,6 +136,11 @@ object Vectorize {
     val cs = weighted(tf, idf).localCheckpoint(true)
     val cn = cs.groupBy("doc_id")
       .agg(sqrt(sum(col("weight") * col("weight"))).as("__cn"))
+    // normalized corpus side: one co-keyed corpus-token × doc-count
+    // join, BEFORE any query fan-out
+    val cnw = cs.join(cn, Seq("doc_id"))
+      .select(col("doc_id"), col("slot"),
+        (col("weight") / col("__cn")).as("__nw"))
     // query tf over the same slot hash, weighted by the CORPUS idf
     val qs = queries
       .select(col(queryIdCol).as("query_id"),
@@ -136,18 +153,30 @@ object Vectorize {
       .localCheckpoint(true) // display-sized; feeds qnorm AND the dot join
     val qn = qs.groupBy("query_id")
       .agg(sqrt(sum(col("__qw") * col("__qw"))).as("__qn"))
-    val dots = cs.join(broadcast(qs), Seq("slot"))
+    val qnw = qs.join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("slot"),
+        (col("__qw") / col("__qn")).as("__qnw"))
+    // normalized dot IS the cosine — the pair-scale relation exists
+    // only inside this one partial-aggregated shuffle
+    val scored = cnw.join(broadcast(qnw), Seq("slot"))
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("weight") * col("__qw")).as("__dot"))
-    val scored = dots
-      .join(cn, Seq("doc_id"))
-      .join(broadcast(qn), Seq("query_id"))
-      .select(col("query_id"), col("doc_id"),
-        round(col("__dot") / (col("__cn") * col("__qn")), 6).as("cos"))
+      .agg(round(sum(col("__nw") * col("__qnw")), 6).as("cos"))
+    val wLocal = Window
+      .partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val survivors = scored
+      .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(SaltCells)))
+      .withColumn("__lrk", row_number().over(wLocal))
+      .filter(col("__lrk") <= k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("doc_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
+    survivors.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "doc_id", "cos", "rk")
   }
+
+  /** Salt-cell count for the two-stage per-query rank: a doc lands in
+    * exactly one cell, so the stage-1 cut is exact (anything outside a
+    * cell's top-k has ≥ k same-query docs above it). */
+  private val SaltCells = 32
 }

@@ -107,23 +107,39 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
   }
 
-  test("tfidfKnn: the corpus×query dot join is broadcast; the only " +
-      "sort-merge join is norms⋈dots (both corpus-DOC-sized, co-keyed)") {
+  test("tfidfKnn: the corpus×query dot join is broadcast, norms attach " +
+      "BEFORE the pair fan-out, and the top-k rank is salted two-stage") {
     val docs = (0L until 200L).map(i =>
       (i, s"token$i filler common words here")).toDF("doc_id", "text")
     val qs = Seq((1L, "token7 common"), (2L, "token13")).toDF("qid", "qt")
-    val p = plan(graft.operators.Vectorize.tfidfKnn(
-      docs, "doc_id", "text", qs, "qid", "qt", dim = 64, k = 5))
-    // the corpus-token-scale join (sparse weights × query weights on
-    // slot) must be broadcast — that is the join that would shuffle
+    val df = graft.operators.Vectorize.tfidfKnn(
+      docs, "doc_id", "text", qs, "qid", "qt", dim = 64, k = 5)
+    val p = plan(df)
+    // the corpus-token-scale join (normalized weights × query weights
+    // on slot) must be broadcast — that is the join that would shuffle
     // the corpus if it ever degraded to sort-merge
     assert(p.contains("BroadcastHashJoin [slot"),
       s"slot join not broadcast:\n$p")
-    // dots ⋈ corpus norms is doc-count-sized on BOTH sides (already
-    // aggregated) — a shuffled join there is the correct plan; anything
-    // beyond that one is a regression
+    // weights ⋈ norms is co-keyed on doc_id and runs on the
+    // corpus-token relation (pre-fan-out) — one shuffled join there is
+    // the correct plan; anything beyond it is a regression (the
+    // norms-after-dots shape joined the PAIR-scale relation twice)
     val smj = "SortMergeJoin".r.findAllIn(p).size
     assert(smj <= 1, s"unexpected extra sort-merge joins ($smj):\n$p")
+    // pair-scale ranking never funnels one query's matches through one
+    // partition: bottom window salted, top window over __lrk survivors
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(pl: SparkPlan): Seq[WindowExec] = pl match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.size === 2, s"expected the two-stage rank:\n$p")
+    assert(ws(1).partitionSpec.size === 2, s"pair window not salted:\n$p")
+    assert(ws(0).partitionSpec.size === 1)
   }
 
   test("NB prediction: scoring join against the model is broadcast; " +
