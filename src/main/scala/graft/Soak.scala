@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
   * chunked fresh-JVM driver (`tools/run_soak_fresh.sh`) reads.
   *
   * MEASUREMENT PROTOCOL (the r9 lessons, each measured):
-  *  - CHUNKED FRESH JVMs (`tools/run_soak_fresh.sh`, a few queries per
-  *    JVM, idle machine): one JVM running the whole list accumulates
-  *    residue `Bench.drainBlocks` does NOT reclaim — by query ~40 the
-  *    heavy 10× legs measured 3-8× their fresh-JVM times (r1 146 s vs
-  *    40 s, d2 37 s vs 5 s, same data, same build). Inflation happens
-  *    once, reused via the `_inflate_<factor>.ok` sentinel.
+  *  - ONE QUERY PER FRESH JVM (`tools/run_soak_fresh.sh`, idle
+  *    machine): one JVM running the whole list accumulates residue
+  *    `Bench.drainBlocks` does NOT reclaim — by query ~40 the heavy
+  *    10× legs measured 3-8× their fresh-JVM times (r1 146 s vs 40 s,
+  *    d2 37 s vs 5 s, same data, same build) — and even 4-per-JVM
+  *    chunks leak (r1 54 s after the k-family index builds vs 6.5 s
+  *    chunk-first). Inflation happens once, reused via the
+  *    `_inflate_<factor>.ok` sentinel.
   *  - LAYOUT-NORMALIZED LEGS: both legs read 32-file fact tables (the
   *    1× side from a normalized copy), so scan parallelism is policy,
   *    not a files.maxPartitionBytes accident (d18's 10× leg: 52 s

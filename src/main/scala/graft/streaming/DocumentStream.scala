@@ -225,4 +225,47 @@ object DocumentStream {
       }
       .start()
   }
+
+  /** Streaming per-slice token heavy hitters — the streaming face of
+    * [[graft.operators.Profile.topTokensSketch]], completing the
+    * batch/streaming card symmetry ([[startStatsJob]] carries the
+    * quantile sketches, this job the token sketch): a complete-mode
+    * aggregation whose per-group state is ONE bounded Misra-Gries
+    * summary ([[graft.functions.FrequentItemsSketch]]) merged across
+    * every micro-batch — the same mergeable-partials mechanics
+    * `percentile_approx` already exercises in [[startStatsJob]], so
+    * crash replays resume from the checkpointed summary. Each batch
+    * overwrites `outDir` with the current top-`k` per group
+    * (groupCol, token, cnt, max_err, rk); `max_err` 0 certifies the
+    * card equals the exact batch card over everything streamed so far
+    * (pinned against the one-shot batch face in DocumentStreamSpec).
+    * State per group is ≤ `capacity` counters regardless of how much
+    * text ever streams — the 100 TB-safe invariant. */
+  def startTopTokensJob(docs: DataFrame, groupCol: String,
+      textCol: String, outDir: String, checkpointDir: String,
+      k: Int = 20, capacity: Int = 4096): StreamingQuery = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k <= capacity, s"k=$k exceeds sketch capacity=$capacity")
+    import graft.functions.FrequentItemsSketch.frequent_items
+    val summaries = docs
+      .select(col(groupCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("__token"))
+      .filter(col("__token") =!= "")
+      .groupBy(col(groupCol))
+      .agg(frequent_items(col("__token"), capacity).as("__fi"))
+    summaries.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(col(groupCol),
+            posexplode(slice(col("__fi"), 1, k)).as(Seq("__i", "__e")))
+          .select(col(groupCol), col("__e.item").as("token"),
+            col("__e.est").as("cnt"), col("__e.max_err").as("max_err"),
+            (col("__i") + 1).cast("long").as("rk"))
+          .write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .start()
+  }
 }

@@ -306,4 +306,41 @@ class DocumentStreamSpec extends SparkSuite {
     assert(Set("doc_id", "text", "event_ts", "predicted", "score",
       "batch_seq").subsetOf(cols))
   }
+
+  test("top-tokens card: summaries merge across batches == one-shot " +
+      "batch sketch, max_err certifies exactness") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamedDoc]
+    val out = java.nio.file.Files.createTempDirectory("tt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tt_ckpt").toString
+    val withLang = input.toDF()
+      .withColumn("lang", concat(lit("l"), col("doc_id") % 2))
+    val q = DocumentStream.startTopTokensJob(withLang, "lang", "text",
+      out, ckpt, k = 3, capacity = 64)
+    val batch1 = Seq(Doc(0L, "the cat sat on the mat", 1L),
+      Doc(1L, "le chat le chien le", 2L))
+    val batch2 = Seq(Doc(2L, "the dog sat", 3L),
+      Doc(3L, "chat chien  ", 4L))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .orderBy("lang", "rk")
+        .as[(String, String, Long, Long, Long)].collect().toSeq
+      // the streamed card equals the one-shot batch sketch over the
+      // union — the state IS the merged summary
+      val oneShot = graft.operators.Profile.topTokensSketch(
+          (batch1 ++ batch2).toDF()
+            .withColumn("lang", concat(lit("l"), col("doc_id") % 2)),
+          "lang", "text", k = 3, capacity = 64)
+        .orderBy("lang", "rk")
+        .as[(String, String, Long, Long, Long)].collect().toSeq
+      assert(streamed === oneShot)
+      assert(streamed.nonEmpty)
+      assert(streamed.forall(_._4 == 0L), "exact regime certifies max_err 0")
+      // 'the' counted across both batches for l0: 2 (batch1) + 1 (batch2)
+      assert(streamed.find(r => r._1 == "l0" && r._2 == "the")
+        .map(_._3) === Some(3L))
+    } finally q.stop()
+  }
 }
