@@ -52,7 +52,8 @@ object Bench {
     "h19_disjunctive_revenue",
     "h7_volume_shipping", "h8_market_share", "h9_product_profit",
     "h11_important_stock", "h15_top_supplier", "pr4_top_tokens",
-    "pr5_top_tokens_sketch", "r6_phrase_index")
+    "pr5_top_tokens_sketch", "r6_phrase_index",
+    "er1_fuzzy_ed_join", "er2_nearest_master", "zo1_zorder_scan")
 
   /** Names of the composed-pipeline + BASELINE.md micro tasks that join
     * the headline list at runtime, in runtime order — the ONE source

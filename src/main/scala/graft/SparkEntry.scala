@@ -1762,6 +1762,59 @@ object SparkEntry {
         .orderBy("s_suppkey")
     },
 
+    // ER1: exact edit-distance self-join over the customer-key
+    // vocabulary — symmetric-delete (SymSpell) candidate generation:
+    // depth-1 deletion neighborhoods joined on the shared variant, a
+    // GUARANTEED superset for any string length (q-gram prefix filters
+    // are not), then codegen'd levenshtein(threshold) verification.
+    // Every shuffle is vocabulary-scale; no all-pairs anywhere.
+    "er1_fuzzy_ed_join" -> { (s, dir) =>
+      import graft.operators.EntityResolution
+      EntityResolution
+        .editDistancePairs(table(s, dir, "customer"), "c_name", k = 1)
+        .orderBy("name_a", "name_b")
+    },
+
+    // ER2: dirty-record → master-data assignment — each customer key
+    // mapped to the nearest key of the high-balance "master" registry
+    // within one edit (ties: smaller distance, then lexicographic
+    // master; null when none). The per-key argmin is min(struct(...)),
+    // a partial-aggregatable fold — never a window, so a dirty key
+    // matching many masters funnels nothing.
+    "er2_nearest_master" -> { (s, dir) =>
+      import graft.operators.EntityResolution
+      val cust = table(s, dir, "customer")
+      val masters = cust.filter(col("c_acctbal") >= 9000.0)
+      EntityResolution.nearestMaster(cust, "c_name", masters, "c_name",
+          k = 1)
+        .select("c_custkey", "c_name", "master_name", "dist")
+        .orderBy("c_custkey")
+    },
+
+    // ZO1: Z-order layout scan — lineitem re-clustered on
+    // (l_orderkey, l_partkey) by quantile-bucket bit interleave, then
+    // a two-dimensional range predicate aggregated over the laid-out
+    // copy. The ANSWER is layout-independent (the oracle is plain SQL
+    // on the original table); the point of the layout — file-level
+    // min/max pruning on BOTH dimensions — is pinned in LayoutSpec.
+    "zo1_zorder_scan" -> { (s, dir) =>
+      import graft.operators.Layout
+      val out = java.nio.file.Files.createTempDirectory("zo1").toString
+      Layout.zorderWrite(table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey"), out, nFiles = 32)
+      s.read.parquet(out)
+        .filter(col("l_orderkey").between(1000, 2999) &&
+          col("l_partkey").between(200, 599))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (floor(sum(col("l_quantity")) * 100 + 0.5) / 100L)
+            .as("sum_qty"),
+          (floor(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * 100 + 0.5) / 100L).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -4651,6 +4704,45 @@ object SparkEntry {
         |JOIN supplier ON rev.l_suppkey = s_suppkey
         |WHERE rc = mx
         |ORDER BY s_suppkey""".stripMargin,
+
+    "er1_fuzzy_ed_join" ->
+      """WITH nm AS (
+        |  SELECT DISTINCT c_name AS name FROM customer
+        |  WHERE c_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM nm a JOIN nm b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "er2_nearest_master" ->
+      """WITH masters AS (
+        |  SELECT DISTINCT c_name AS mname FROM customer
+        |  WHERE c_acctbal >= 9000 AND c_name IS NOT NULL),
+        |scored AS (
+        |  SELECT c.c_custkey, m.mname,
+        |    CAST(levenshtein(c.c_name, m.mname) AS BIGINT) AS d,
+        |    row_number() OVER (PARTITION BY c.c_custkey
+        |      ORDER BY levenshtein(c.c_name, m.mname), m.mname) AS rn
+        |  FROM customer c JOIN masters m
+        |    ON levenshtein(c.c_name, m.mname) <= 1)
+        |SELECT c.c_custkey, c.c_name, s.mname AS master_name,
+        |  s.d AS dist
+        |FROM customer c
+        |LEFT JOIN scored s ON s.c_custkey = c.c_custkey AND s.rn = 1
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "zo1_zorder_scan" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+        |    / 100 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2999
+        |  AND l_partkey BETWEEN 200 AND 599
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

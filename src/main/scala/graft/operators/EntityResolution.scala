@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution operators for dirty-key matching at corpus scale
+  * (beyond-reference scope, SURVEY.md §7.4): exact edit-distance joins
+  * via symmetric-delete (SymSpell-style) candidate generation.
+  *
+  * The classic scale problem: "find all key pairs within Levenshtein
+  * distance k" is all-pairs quadratic if done naively, and q-gram
+  * prefix filtering has false negatives on short strings (two strings
+  * within distance 1 can share zero q-grams, e.g. "cat"/"car" with
+  * q=3). The symmetric-delete neighborhood has neither problem: if
+  * lev(a,b) ≤ k then the matched positions of an optimal alignment
+  * form a common string reachable from BOTH sides by ≤ k character
+  * deletions — a has ≤ k unmatched characters (each consumes a delete
+  * or substitute op) and so does b. So joining the deletion
+  * neighborhoods of depth ≤ k yields a GUARANTEED superset of the true
+  * pairs, for any string length, and a codegen'd `levenshtein`
+  * verification (with early-abandon threshold) removes the false
+  * positives. No UDFs anywhere.
+  *
+  * Scale shape (100 TB): everything runs on the DISTINCT key
+  * vocabulary, not the row count; the neighborhood blow-up is
+  * C(L, ≤k) variants per key (L = key length — ~20 for k=1 on typical
+  * identifiers, ~200 for k=2), produced by codegen'd explode +
+  * substring, never an interpreted higher-order lambda; the candidate
+  * join shuffles on the variant string whose bucket size is bounded by
+  * the number of keys genuinely within distance 2k of each other (for
+  * identifier-like keys, ≤ alphabet-size per deleted position), so no
+  * single key funnels the relation; verification is map-side.
+  */
+object EntityResolution {
+
+  /** One row per (keyCol, __v) where __v ranges over the deletion
+    * neighborhood of depth 0..k — the key itself plus every string
+    * obtainable by deleting up to `k` characters. Distinct. The
+    * per-depth explode is codegen'd (sequence + substr + concat);
+    * rows with an empty key contribute only their depth-0 row. */
+  def deletionVariants(keys: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 0 && k <= 2, s"deletion depth must be 0..2, got $k")
+    val depth0 = keys.select(col(keyCol), col(keyCol).cast("string").as("__v"))
+    var cur = depth0
+    var acc = depth0
+    for (_ <- 1 to k) {
+      cur = cur
+        .filter(length(col("__v")) > 0)
+        .select(col(keyCol), col("__v"),
+          explode(sequence(lit(1), length(col("__v")))).as("__p"))
+        .select(col(keyCol),
+          concat(
+            col("__v").substr(lit(1), col("__p") - 1),
+            col("__v").substr(col("__p") + 1, length(col("__v")) - col("__p"))
+          ).as("__v"))
+      acc = acc.union(cur)
+    }
+    acc.distinct()
+  }
+
+  /** All DISTINCT-value pairs of `keyCol` within Levenshtein distance
+    * `k`: (name_a, name_b, dist) with name_a < name_b, exact (the
+    * symmetric-delete candidate set is a proven superset; `levenshtein`
+    * with threshold early-abandon verifies). One shuffle for the
+    * vocabulary distinct, one for the variant join, one for the
+    * candidate-pair distinct — all on vocabulary-scale relations. */
+  def editDistancePairs(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 2, s"edit-distance threshold must be 1..2, got $k")
+    val names = df.select(col(keyCol).cast("string").as("name"))
+      .where(col("name").isNotNull).distinct()
+    val vars = deletionVariants(names, "name", k)
+    // disjoint alias per side: the two legs share lineage, and an
+    // ambiguous vars("__v") === vars("__v") resolves trivially true —
+    // which would silently degrade the equi-join to filtered all-pairs
+    val va = vars.select(col("name").as("name_a"), col("__v").as("__va"))
+    val vb = vars.select(col("name").as("name_b"), col("__v").as("__vb"))
+    val cand = va.join(vb,
+        col("__va") === col("__vb") && col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+    cand
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b"), k).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** The master registry's deletion-variant table (__mname, __vm),
+    * distinct — the reusable half of [[nearestMaster]]. Compute (and
+    * materialize) this ONCE when the registry is frozen and many
+    * batches match against it (the streaming face,
+    * [[graft.streaming.EntityResolutionStream]], does exactly that). */
+  def masterVariants(masters: DataFrame, masterCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 2, s"edit-distance threshold must be 1..2, got $k")
+    val mn = masters.select(col(masterCol).cast("string").as("__mname"))
+      .where(col("__mname").isNotNull).distinct()
+    deletionVariants(mn, "__mname", k).withColumnRenamed("__v", "__vm")
+  }
+
+  /** Dirty-record → master-data assignment: for each record key, the
+    * nearest master key within Levenshtein distance `k` (ties broken by
+    * smaller distance then lexicographic master), left-joined back onto
+    * `records` as (master col `masterOut`, distance col `distOut`,
+    * null when no master is within k). A record whose key IS a master
+    * key maps to itself at distance 0.
+    *
+    * Same symmetric-delete candidate shape as [[editDistancePairs]],
+    * run asymmetrically over the two key vocabularies; the per-key
+    * argmin is `min(struct(dist, master))` — a partial-aggregatable
+    * fold, never a window, so no per-key funnel exists even when one
+    * dirty key matches many masters. */
+  def nearestMaster(records: DataFrame, keyCol: String,
+      masters: DataFrame, masterCol: String, k: Int,
+      masterOut: String = "master_name", distOut: String = "dist"): DataFrame =
+    nearestMasterAgainstVariants(records, keyCol,
+      masterVariants(masters, masterCol, k), k, masterOut, distOut)
+
+  /** [[nearestMaster]] against a precomputed [[masterVariants]] table
+    * (callers that match many batches against one frozen registry pay
+    * the registry's variant expansion once). */
+  def nearestMasterAgainstVariants(records: DataFrame, keyCol: String,
+      masterVars: DataFrame, k: Int,
+      masterOut: String = "master_name", distOut: String = "dist"): DataFrame = {
+    require(k >= 1 && k <= 2, s"edit-distance threshold must be 1..2, got $k")
+    val rn = records.select(col(keyCol).cast("string").as("__name"))
+      .where(col("__name").isNotNull).distinct()
+    // disjoint variant aliases: records and masters often share
+    // lineage (e.g. masters filtered out of records), and an ambiguous
+    // __v === __v would resolve trivially true (all-pairs)
+    val rv = deletionVariants(rn, "__name", k)
+      .withColumnRenamed("__v", "__vr")
+    val cand = rv.join(masterVars, col("__vr") === col("__vm"))
+      .select("__name", "__mname").distinct()
+    val best = cand
+      .select(col("__name"), col("__mname"),
+        levenshtein(col("__name"), col("__mname"), k).as("__dist"))
+      .filter(col("__dist") >= 0)
+      .groupBy("__name")
+      .agg(min(struct(col("__dist"), col("__mname"))).as("__b"))
+      .select(col("__name"), col("__b.__mname").as(masterOut),
+        col("__b.__dist").cast("long").as(distOut))
+    records.join(best, records(keyCol) === best("__name"), "left")
+      .drop("__name")
+  }
+}

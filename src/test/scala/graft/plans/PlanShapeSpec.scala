@@ -484,4 +484,27 @@ class PlanShapeSpec extends SparkSuite {
     // pruning is lossless: exactly the days-0..29 rows survive
     assert(expired.count() === 30)
   }
+
+  test("edit-distance join: variant-keyed equi-join, never cartesian, " +
+      "never a window; nearestMaster argmin aggregates map-side") {
+    import graft.operators.EntityResolution
+    val df = Seq.tabulate(40)(i => f"key_$i%03d").toDF("name")
+    val p = plan(EntityResolution.editDistancePairs(df, "name", 1))
+    assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi candidate join:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+
+    // masters SHARE LINEAGE with records (filtered from the same frame)
+    // — the case where an ambiguous variant self-join would resolve
+    // trivially true and silently degrade to filtered all-pairs
+    val masters = df.filter(col("name").isin("key_001", "key_017"))
+      .withColumnRenamed("name", "mname")
+    val p2 = plan(EntityResolution.nearestMaster(df, "name", masters,
+      "mname", 1))
+    assert(!p2.contains("Window"), s"argmin must not be a window:\n$p2")
+    assert(p2.contains("partial_min"),
+      s"per-key argmin has no map-side partial:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"all-pairs join:\n$p2")
+  }
 }
