@@ -82,6 +82,13 @@ object Soak {
         inflate(spark, src, dir, f)
         java.nio.file.Files.createFile(sentinel)
       }
+      // ER vocabulary axis landed later — its own sentinel so existing
+      // inflation dirs upgrade in place
+      val erSentinel = java.nio.file.Paths.get(dir, s"_inflate_er_$f.ok")
+      if (!java.nio.file.Files.exists(erSentinel)) {
+        inflateEr(spark, src, dir, f)
+        java.nio.file.Files.createFile(erSentinel)
+      }
     }
 
     def timed(fn: => Unit): Double = {
@@ -102,6 +109,9 @@ object Soak {
       }
     def run(q: String, dir: String): Unit =
       if (q == "x1_curation_pipeline") Bench.curationPipeline(spark, dir)
+      // er1/er2 scale along the key VOCABULARY; the warehouse axis
+      // keeps customer fixed, so they read the `er/` variant instead
+      else if (q.startsWith("er")) SparkEntry.queries(q)(spark, s"$dir/er").count()
       else SparkEntry.queries(q)(spark, dir).count()
     val rows = selected.map { q =>
       // untimed warm-up leg: a fresh JVM's first query otherwise pays
@@ -241,5 +251,29 @@ object Soak {
         col("label"))
       .repartition(Files)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** ER-axis customer copy under `$out/er/`: the entity-resolution
+    * queries' scale axis is the KEY VOCABULARY, which the warehouse
+    * inflation deliberately keeps fixed (dims-fixed). Copy k prefixes
+    * every name with `q<k><k>_` — the doubled decimal makes any two
+    * distinct prefixes Levenshtein ≥ 2 apart (same length ⇒ each
+    * differing digit appears twice; different length ⇒ even-length gap
+    * ≥ 2), so at threshold k=1 the copies' match structures are
+    * DISJOINT: each copy reproduces the source vocabulary's internal
+    * near-match pairs and nothing crosses copies. Copy 0 stays
+    * verbatim (source is a subset). */
+  def inflateEr(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val ks = explode(sequence(lit(0), lit(factor - 1))).as("k")
+    spark.read.parquet(s"$src/customer.parquet")
+      .select(col("*"), ks)
+      .select((col("c_custkey") * factor + col("k")).as("c_custkey"),
+        when(col("k") === 0, col("c_name"))
+          .otherwise(concat(lit("q"), col("k"), col("k"), lit("_"),
+            col("c_name"))).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(Files)
+      .write.mode("overwrite").parquet(s"$out/er/customer.parquet")
   }
 }
