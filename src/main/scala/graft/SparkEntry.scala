@@ -1799,7 +1799,11 @@ object SparkEntry {
     // min/max pruning on BOTH dimensions — is pinned in LayoutSpec.
     "zo1_zorder_scan" -> { (s, dir) =>
       import graft.operators.Layout
-      val out = java.nio.file.Files.createTempDirectory("zo1").toString
+      // fixed per-dataset path, overwritten each run: the layout copy
+      // is fact-table-scale, so repeated runs (bench reps, soak legs)
+      // must reuse one directory rather than leak a copy per run
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zo1_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       Layout.zorderWrite(table(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey"), out, nFiles = 32)
       s.read.parquet(out)

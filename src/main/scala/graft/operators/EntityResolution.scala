@@ -31,13 +31,24 @@ import org.apache.spark.sql.functions._
   * identifier-like keys, ≤ alphabet-size per deleted position), so no
   * single key funnels the relation; verification is map-side.
   */
+/** A master registry's deletion-variant table together with the depth
+  * it was expanded to — carrying `k` in the value makes a depth
+  * mismatch between precomputation and probe impossible (a mismatch
+  * would silently DROP matches, not fail). */
+final case class MasterVariants(df: DataFrame, k: Int)
+
 object EntityResolution {
 
   /** One row per (keyCol, __v) where __v ranges over the deletion
     * neighborhood of depth 0..k — the key itself plus every string
     * obtainable by deleting up to `k` characters. Distinct. The
     * per-depth explode is codegen'd (sequence + substr + concat);
-    * rows with an empty key contribute only their depth-0 row. */
+    * rows with an empty key contribute only their depth-0 row. The
+    * frontier is dedup'd BETWEEN depths: keys with repeated character
+    * runs (zero-padded ids) produce the same depth-1 variant many
+    * times, and re-exploding the duplicates at depth 2 would multiply
+    * the widest stage — one vocabulary-scale distinct per depth
+    * bounds it. */
   def deletionVariants(keys: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 0 && k <= 2, s"deletion depth must be 0..2, got $k")
     val depth0 = keys.select(col(keyCol), col(keyCol).cast("string").as("__v"))
@@ -53,6 +64,7 @@ object EntityResolution {
             col("__v").substr(lit(1), col("__p") - 1),
             col("__v").substr(col("__p") + 1, length(col("__v")) - col("__p"))
           ).as("__v"))
+        .distinct()
       acc = acc.union(cur)
     }
     acc.distinct()
@@ -84,16 +96,18 @@ object EntityResolution {
   }
 
   /** The master registry's deletion-variant table (__mname, __vm),
-    * distinct — the reusable half of [[nearestMaster]]. Compute (and
-    * materialize) this ONCE when the registry is frozen and many
-    * batches match against it (the streaming face,
-    * [[graft.streaming.EntityResolutionStream]], does exactly that). */
+    * distinct, tagged with its expansion depth — the reusable half of
+    * [[nearestMaster]]. Compute (and materialize) this ONCE when the
+    * registry is frozen and many batches match against it (the
+    * streaming face, [[graft.streaming.EntityResolutionStream]], does
+    * exactly that). */
   def masterVariants(masters: DataFrame, masterCol: String,
-      k: Int): DataFrame = {
+      k: Int): MasterVariants = {
     require(k >= 1 && k <= 2, s"edit-distance threshold must be 1..2, got $k")
     val mn = masters.select(col(masterCol).cast("string").as("__mname"))
       .where(col("__mname").isNotNull).distinct()
-    deletionVariants(mn, "__mname", k).withColumnRenamed("__v", "__vm")
+    MasterVariants(
+      deletionVariants(mn, "__mname", k).withColumnRenamed("__v", "__vm"), k)
   }
 
   /** Dirty-record → master-data assignment: for each record key, the
@@ -112,14 +126,18 @@ object EntityResolution {
       masters: DataFrame, masterCol: String, k: Int,
       masterOut: String = "master_name", distOut: String = "dist"): DataFrame =
     nearestMasterAgainstVariants(records, keyCol,
-      masterVariants(masters, masterCol, k), k, masterOut, distOut)
+      masterVariants(masters, masterCol, k), masterOut, distOut)
 
   /** [[nearestMaster]] against a precomputed [[masterVariants]] table
     * (callers that match many batches against one frozen registry pay
-    * the registry's variant expansion once). */
+    * the registry's variant expansion once). The threshold is the one
+    * the variant table was built with — carried in [[MasterVariants]]
+    * so the record-side expansion can never be deeper than the
+    * master-side one (which would silently miss matches). */
   def nearestMasterAgainstVariants(records: DataFrame, keyCol: String,
-      masterVars: DataFrame, k: Int,
+      masterVars: MasterVariants,
       masterOut: String = "master_name", distOut: String = "dist"): DataFrame = {
+    val k = masterVars.k
     require(k >= 1 && k <= 2, s"edit-distance threshold must be 1..2, got $k")
     val rn = records.select(col(keyCol).cast("string").as("__name"))
       .where(col("__name").isNotNull).distinct()
@@ -128,7 +146,7 @@ object EntityResolution {
     // __v === __v would resolve trivially true (all-pairs)
     val rv = deletionVariants(rn, "__name", k)
       .withColumnRenamed("__v", "__vr")
-    val cand = rv.join(masterVars, col("__vr") === col("__vm"))
+    val cand = rv.join(masterVars.df, col("__vr") === col("__vm"))
       .select("__name", "__mname").distinct()
     val best = cand
       .select(col("__name"), col("__mname"),

@@ -16,31 +16,52 @@ import org.apache.spark.sql.functions._
   * aggregate over the input (partial-agg, tiny result collected as
   * driver-side planning metadata — the repo's planning-collect idiom),
   * NOT a global rank, so there is no row_number pass; the bucket
-  * mapping and bit interleave are codegen'd comparisons/shifts; the
-  * only full shuffle is the `repartitionByRange` on the z-value that
-  * any clustering write must pay, and it is range-based so output
-  * files are even-sized regardless of value skew (ties on popular
-  * z-cells split across files rather than funneling one).
+  * mapping is a single higher-order `size(filter(cuts, _ < v))` over
+  * the cut array — constant expression-tree depth at any `bits`, where
+  * a chained-`when` ladder would grow 2^bits deep — and the interleave
+  * is codegen'd shifts; the only full shuffle is the
+  * `repartitionByRange` on the z-value that any clustering write must
+  * pay, and it is range-based so output files are even-sized
+  * regardless of value skew (ties on popular z-cells split across
+  * files rather than funneling one).
+  *
+  * The layout directory is PARTITIONED by `__zp`, the top
+  * [[Layout.PrefixBits]] bits of the z-value. Readers see it as one
+  * extra int column; its job is to bound maintenance: compaction
+  * stages and rewrites ONE z-prefix slice at a time (dynamic partition
+  * overwrite), so at no point does the whole table sit in checkpoint
+  * blocks — the same bounded-slice idiom as
+  * `PointsStore.compactStageSlices`. A crash mid-compaction loses at
+  * most the slice being rewritten, not the table.
   *
   * Lifecycle (the same build/append/compact triple as the IVF and text
   * indexes): [[zorderWrite]] persists its quantile cuts as a hidden
   * `_zmeta` table inside the layout directory (underscore-prefixed, so
-  * plain `spark.read.parquet(dir)` never sees it); [[zorderAppend]]
+  * partition discovery and plain reads never see it); [[zorderAppend]]
   * bucketizes new batches with the SAVED cuts — z-values stay
   * comparable across writes and no re-scan of the existing data ever
   * happens — and lands them as additional well-clustered files;
-  * [[compactLayout]] folds an append-heavy directory back to `nFiles`
-  * files, again under the saved cuts, so compaction is a rewrite of
-  * the data without a re-planning pass.
+  * [[compactLayout]] folds an append-heavy directory back to ~`nFiles`
+  * files slice by slice, again under the saved cuts, so compaction is
+  * a rewrite of the data without a re-planning pass. Compaction must
+  * not run concurrently with appends (the repo-wide compaction
+  * contract).
   */
 object Layout {
 
+  /** z-prefix partition width: 2^4 = 16 maintenance slices. Derived
+    * (not persisted): `__zp` values are only read back as "the set of
+    * slices that exist", so layouts written under a different constant
+    * remain valid — slices are just sized differently. */
+  private val PrefixBits = 4
+
   /** Quantile-bucket index 0..2^bits-1 of `v` against sorted cut
-    * points (a fold of codegen'd comparisons; nulls land in bucket 0). */
+    * points: the count of cuts strictly below `v`, one higher-order
+    * filter over the (array-literal) cuts — constant tree depth for
+    * any `bits`. Nulls land in bucket 0 (a null comparison is filtered
+    * out). */
   private def bucketize(v: Column, cuts: Seq[Double]): Column =
-    cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(v > c, 1).otherwise(0)
-    }
+    size(filter(typedlit(cuts), c => v > c))
 
   /** Bit-interleave the bucket indices round-robin (most-significant
     * bit of every column first) into one long z-value. */
@@ -55,14 +76,30 @@ object Layout {
     terms.foldLeft(lit(0L))(_ + _)
   }
 
+  /** Total z-value width; bounded at validation so shifts never reach
+    * 64 (Java masks long-shift distances to 6 bits — an overflow would
+    * silently wrap positions and corrupt every z-value). */
+  private def zbitsOf(nCols: Int, bits: Int): Int = nCols * bits
+
+  private def validate(cols: Seq[String], bits: Int): Unit = {
+    require(cols.nonEmpty, "z-order needs at least one column")
+    require(bits >= 1 && bits <= 15, s"bits must be 1..15, got $bits")
+    require(zbitsOf(cols.size, bits) <= 63,
+      s"bits*columns must fit a long: ${cols.size} cols x $bits bits = " +
+        s"${zbitsOf(cols.size, bits)} > 63")
+  }
+
   /** One `percentile_approx` pass over `df`: the 2^bits-quantile cut
-    * points per column (driver-side planning metadata). */
+    * points per column (driver-side planning metadata). Sketch
+    * accuracy scales with the bucket count so cuts are never coarser
+    * than the grid they define. */
   private def computeCuts(df: DataFrame, cols: Seq[String],
       bits: Int): Seq[(String, Seq[Double])] = {
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb)
+    val accuracy = math.max(10000, nb * 4)
     val aggs = cols.map(c =>
-      percentile_approx(col(c).cast("double"), typedlit(probs), lit(10000))
+      percentile_approx(col(c).cast("double"), typedlit(probs), lit(accuracy))
         .as(s"__cuts_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.map { c =>
@@ -100,13 +137,24 @@ object Layout {
     (cuts, rows.head.getInt(2), rows.head.getInt(3))
   }
 
-  private def writeClustered(df: DataFrame, z: Column, outDir: String,
-      nFiles: Int, mode: String): Unit =
-    df.withColumn("__z", z)
+  /** Cluster `df` by z-value into ~`nFiles` files under the `__zp`
+    * partition scheme. Each range task holds a contiguous z-interval
+    * and writes one file per z-prefix it overlaps, so the file count
+    * is nFiles plus at most one straddle per slice boundary. */
+  private def writeClustered(df: DataFrame, cuts: Seq[(String, Seq[Double])],
+      bits: Int, outDir: String, nFiles: Int, mode: String,
+      dynamicOverwrite: Boolean = false): Unit = {
+    val zbits = zbitsOf(cuts.size, bits)
+    val pb = math.min(PrefixBits, zbits)
+    val w = df.withColumn("__z", zFromCuts(cuts, bits))
+      .withColumn("__zp", shiftright(col("__z"), zbits - pb).cast("int"))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode(mode).parquet(outDir)
+      .write.partitionBy("__zp").mode(mode)
+    (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic")
+     else w).parquet(outDir)
+  }
 
   /** The z-value column for `df` over numeric `cols`: each column is
     * bucketized by its own approximate 2^bits-quantile cuts (computed
@@ -114,28 +162,26 @@ object Layout {
     * then bit-interleaved. Exposed for tests; [[zorderWrite]] is the
     * user-facing entry. */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
-    require(cols.nonEmpty, "z-order needs at least one column")
-    require(bits >= 1 && bits <= 15, s"bits must be 1..15, got $bits")
+    validate(cols, bits)
     zFromCuts(computeCuts(df, cols, bits), bits)
   }
 
-  /** Write `df` to `outDir` as `nFiles` parquet files Z-ordered on
+  /** Write `df` to `outDir` as ~`nFiles` parquet files Z-ordered on
     * `cols`, persisting the quantile cuts to `_zmeta` so later
     * [[zorderAppend]]/[[compactLayout]] calls cluster against the same
     * grid. */
   def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
       nFiles: Int, bits: Int = 6): Unit = {
-    require(cols.nonEmpty, "z-order needs at least one column")
-    require(bits >= 1 && bits <= 15, s"bits must be 1..15, got $bits")
+    validate(cols, bits)
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     val cuts = computeCuts(df, cols, bits)
-    writeClustered(df, zFromCuts(cuts, bits), outDir, nFiles, "overwrite")
+    writeClustered(df, cuts, bits, outDir, nFiles, "overwrite")
     writeMeta(df.sparkSession, outDir, cuts, bits, nFiles)
   }
 
   /** Append a batch to an existing z-ordered directory: the batch is
     * bucketized with the SAVED cuts (no re-scan of existing data, and
-    * z-values stay comparable across writes) and lands as `nFiles`
+    * z-values stay comparable across writes) and lands as ~`nFiles`
     * additional clustered files (default: the build's file count
     * scaled down to the batch — at least 1). Readers prune each file
     * independently, so append-created small files cost file-count, not
@@ -143,22 +189,31 @@ object Layout {
   def zorderAppend(df: DataFrame, outDir: String, nFiles: Int = 0): Unit = {
     val (cuts, bits, built) = readMeta(df.sparkSession, outDir)
     val n = if (nFiles >= 1) nFiles else math.max(1, built / 8)
-    writeClustered(df, zFromCuts(cuts, bits), outDir, n, "append")
+    writeClustered(df, cuts, bits, outDir, n, "append")
   }
 
-  /** Rewrite an append-fragmented layout back to `nFiles` files (the
-    * build's count when omitted) under the saved cuts. The data is
-    * materialized before the in-place overwrite (the repo's compaction
-    * idiom); `_zmeta` is rewritten after the data — a crash between
-    * the two loses only the metadata, which [[zorderWrite]] can
-    * restore, and the scaladoc'd contract is that compaction does not
-    * run concurrently with appends. */
+  /** Rewrite an append-fragmented layout back to ~`nFiles` files (at
+    * least one per occupied z-prefix slice; the build's count when
+    * omitted) under the saved cuts — ONE `__zp` slice at a time, so
+    * the staged set is a slice, never the table, and a crash loses at
+    * most the slice being swapped (dynamic partition overwrite). Must
+    * not run concurrently with appends (the repo-wide compaction
+    * contract). */
   def compactLayout(spark: SparkSession, outDir: String,
       nFiles: Int = 0): Unit = {
     val (cuts, bits, built) = readMeta(spark, outDir)
     val n = if (nFiles >= 1) nFiles else built
-    val data = spark.read.parquet(outDir).localCheckpoint(true)
-    writeClustered(data, zFromCuts(cuts, bits), outDir, n, "overwrite")
+    // occupied slices: ≤ 2^PrefixBits rows of planning metadata
+    val slices = spark.read.parquet(outDir)
+      .select("__zp").distinct().collect().map(_.getInt(0)).sorted
+    val perSlice = math.max(1, n / math.max(1, slices.length))
+    for (zp <- slices) {
+      val slice = spark.read.parquet(outDir)
+        .filter(col("__zp") === zp).drop("__zp")
+        .localCheckpoint(true) // bounded: one slice, not the table
+      writeClustered(slice, cuts, bits, outDir, perSlice, "overwrite",
+        dynamicOverwrite = true)
+    }
     writeMeta(spark, outDir, cuts, bits, n)
   }
 }
