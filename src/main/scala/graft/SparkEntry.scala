@@ -1819,6 +1819,35 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // CD1: SCD type-2 dimension build from the event changelog — LWW
+    // within identical (user, second) via a partial-aggregatable
+    // max(struct), consecutive no-op updates compressed, intervals
+    // from ONE key-partitioned window pair (lag + lead share the
+    // exchange). Per-window state = one user's compressed history.
+    "cd1_scd2_intervals" -> { (s, dir) =>
+      import graft.operators.Scd
+      val ev = table(s, dir, "events")
+      val log = ev.select(col("user_id"), tsSeconds(ev).as("ts"),
+        col("event_id"), col("event_type"))
+      Scd.scd2(log, Seq("user_id"), "ts", "event_id", Seq("event_type"))
+        .orderBy("user_id", "valid_from")
+    },
+
+    // CD2: point-in-time snapshot of the SCD2 dimension — each user's
+    // state as of one instant; a pure interval filter over cd1's
+    // output (file-prunable on both bounds when stored sorted).
+    "cd2_pit_snapshot" -> { (s, dir) =>
+      import graft.operators.Scd
+      val ev = table(s, dir, "events")
+      val log = ev.select(col("user_id"), tsSeconds(ev).as("ts"),
+        col("event_id"), col("event_type"))
+      Scd.snapshotAt(
+          Scd.scd2(log, Seq("user_id"), "ts", "event_id", Seq("event_type")),
+          lit(1706745600L)) // 2024-02-01T00:00:00Z
+        .select("user_id", "event_type", "valid_from")
+        .orderBy("user_id")
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -4747,6 +4776,51 @@ object SparkEntry {
         |  AND l_partkey BETWEEN 200 AND 599
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "cd1_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         event_id, event_type
+        |  FROM events),
+        |lww AS (
+        |  SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+        |  FROM e GROUP BY user_id, ts),
+        |comp AS (
+        |  SELECT user_id, ts, event_type FROM (
+        |    SELECT user_id, ts, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM lww)
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+        |    AS is_current
+        |FROM comp
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    "cd2_pit_snapshot" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         event_id, event_type
+        |  FROM events),
+        |lww AS (
+        |  SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+        |  FROM e GROUP BY user_id, ts),
+        |comp AS (
+        |  SELECT user_id, ts, event_type FROM (
+        |    SELECT user_id, ts, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM lww)
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |  FROM comp)
+        |SELECT user_id, event_type, valid_from
+        |FROM iv
+        |WHERE valid_from <= 1706745600
+        |  AND (valid_to IS NULL OR valid_to > 1706745600)
+        |ORDER BY user_id""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ScdSpec extends SparkSuite {
+  import spark.implicits._
+
+  // (key, ts, seq, attr) — includes same-(key,ts) LWW collisions,
+  // no-op updates to compress, a null attribute, a single-row key
+  private val changelog = Seq(
+    ("u1", 10L, 1L, "a"), ("u1", 10L, 2L, "b"), // LWW: seq 2 wins -> b
+    ("u1", 20L, 3L, "b"),                       // no-op, compressed
+    ("u1", 30L, 4L, "c"),
+    ("u1", 40L, 5L, null.asInstanceOf[String]), // null attr is a change
+    ("u1", 50L, 6L, null.asInstanceOf[String]), // null == null: no-op
+    ("u1", 60L, 7L, "c"),
+    ("u2", 15L, 8L, "x"),
+    ("u3", 5L, 9L, "z"), ("u3", 25L, 10L, "y")
+  ).toDF("k", "ts", "seq", "attr")
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    Scd.scd2(df, Seq("k"), "ts", "seq", Seq("attr"))
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .as[(String, Option[String], Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+
+  test("scd2: LWW, no-op compression, null attrs, interval chain") {
+    assert(run(changelog) === Seq(
+      ("u1", Some("b"), 10L, Some(30L), false),
+      ("u1", Some("c"), 30L, Some(40L), false),
+      ("u1", None, 40L, Some(60L), false),
+      ("u1", Some("c"), 60L, None, true),
+      ("u2", Some("x"), 15L, None, true),
+      ("u3", Some("z"), 5L, Some(25L), false),
+      ("u3", Some("y"), 25L, None, true)))
+  }
+
+  test("scd2 is partition-count invariant and intervals tile per key") {
+    assert(run(changelog.repartition(1)) === run(changelog.repartition(8)))
+    val rows = run(changelog)
+    rows.groupBy(_._1).foreach { case (k, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      // exactly one current interval per key, and it is the last
+      assert(sorted.count(_._5) === 1, k)
+      assert(sorted.last._5, k)
+      // valid_to chains to the next valid_from: no gaps, no overlaps
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 === Some(b._3), k)
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty, k)
+    }
+  }
+
+  test("scd2 windows are key-partitioned and the LWW agg has a partial") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Scd.scd2(changelog, Seq("k"), "ts", "seq", Seq("attr"))
+      .queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("partial_max"), s"LWW has no map-side partial:\n$p")
+    def windows(pl: SparkPlan): Seq[WindowExec] = pl match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val ws = windows(plan)
+    assert(ws.nonEmpty)
+    // never an unpartitioned (single-funnel) window
+    assert(ws.forall(_.partitionSpec.nonEmpty), s"unpartitioned window:\n$p")
+  }
+
+  test("snapshotAt returns each live key's state at the instant") {
+    val scd = Scd.scd2(changelog, Seq("k"), "ts", "seq", Seq("attr"))
+    val got = Scd.snapshotAt(scd, lit(35L))
+      .select("k", "attr").as[(String, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(("u1", Some("c")), ("u2", Some("x")),
+      ("u3", Some("y"))))
+    // before a key exists, it is absent
+    val early = Scd.snapshotAt(scd, lit(7L))
+      .select("k").as[String].collect().toSeq
+    assert(early === Seq("u3"))
+  }
+}
