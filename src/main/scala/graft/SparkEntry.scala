@@ -1843,8 +1843,29 @@ object SparkEntry {
         col("event_id"), col("event_type"))
       Scd.snapshotAt(
           Scd.scd2(log, Seq("user_id"), "ts", "event_id", Seq("event_type")),
-          lit(1706745600L)) // 2024-02-01T00:00:00Z
+          lit(1704844800L)) // 2024-01-10T00:00:00Z
         .select("user_id", "event_type", "valid_from")
+        .orderBy("user_id")
+    },
+
+    // CD3: CDC extraction — diff two point-in-time snapshots of the
+    // SCD2 dimension into a changelog (insert/delete/update; unchanged
+    // dropped). ONE co-keyed full outer join on presence markers; the
+    // shared scd2 relation is checkpointed so the two snapshots read
+    // one materialization, not two window recomputes.
+    "cd3_snapshot_diff" -> { (s, dir) =>
+      import graft.operators.Scd
+      val ev = table(s, dir, "events")
+      val log = ev.select(col("user_id"), tsSeconds(ev).as("ts"),
+        col("event_id"), col("event_type"))
+      val scd = Scd.scd2(log, Seq("user_id"), "ts", "event_id",
+        Seq("event_type")).localCheckpoint(true)
+      Scd.snapshotDiff(
+          Scd.snapshotAt(scd, lit(1704844800L)) // 2024-01-10
+            .select("user_id", "event_type"),
+          Scd.snapshotAt(scd, lit(1706140800L)) // 2024-01-25
+            .select("user_id", "event_type"),
+          Seq("user_id"), Seq("event_type"))
         .orderBy("user_id")
     },
 
@@ -1854,7 +1875,7 @@ object SparkEntry {
     // anchor fixed just past the data window so recency is deterministic
     "se5_rfm" -> { (s, dir) =>
       import graft.operators.Ranking
-      val anchor = 1706745600L // 2024-02-01T00:00Z
+      val anchor = 1704844800L // 2024-02-01T00:00Z
       val ev = table(s, dir, "events")
       val pu = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), tsSeconds(ev).as("ts"), col("value"))
@@ -4818,8 +4839,46 @@ object SparkEntry {
         |  FROM comp)
         |SELECT user_id, event_type, valid_from
         |FROM iv
-        |WHERE valid_from <= 1706745600
-        |  AND (valid_to IS NULL OR valid_to > 1706745600)
+        |WHERE valid_from <= 1704844800
+        |  AND (valid_to IS NULL OR valid_to > 1704844800)
+        |ORDER BY user_id""".stripMargin,
+
+    "cd3_snapshot_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |         event_id, event_type
+        |  FROM events),
+        |lww AS (
+        |  SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+        |  FROM e GROUP BY user_id, ts),
+        |comp AS (
+        |  SELECT user_id, ts, event_type FROM (
+        |    SELECT user_id, ts, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM lww)
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |  FROM comp),
+        |s1 AS (
+        |  SELECT user_id, event_type FROM iv
+        |  WHERE valid_from <= 1704844800
+        |    AND (valid_to IS NULL OR valid_to > 1704844800)),
+        |s2 AS (
+        |  SELECT user_id, event_type FROM iv
+        |  WHERE valid_from <= 1706140800
+        |    AND (valid_to IS NULL OR valid_to > 1706140800))
+        |SELECT * FROM (
+        |  SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |    CASE WHEN s1.user_id IS NULL THEN 'insert'
+        |         WHEN s2.user_id IS NULL THEN 'delete'
+        |         WHEN s1.event_type IS DISTINCT FROM s2.event_type
+        |           THEN 'update' END AS op,
+        |    s1.event_type AS old_event_type,
+        |    s2.event_type AS new_event_type
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+        |WHERE op IS NOT NULL
         |ORDER BY user_id""".stripMargin,
 
     "h1_pricing_summary" ->
@@ -4874,7 +4933,7 @@ object SparkEntry {
     "se5_rfm" ->
       """WITH pu AS (
         |  SELECT user_id,
-        |    1706745600 - max(CAST(floor(epoch(ts)) AS BIGINT))
+        |    1704844800 - max(CAST(floor(epoch(ts)) AS BIGINT))
         |      AS recency_s,
         |    count(*) AS frequency,
         |    floor(sum(value) * 10000 + 0.5) / 10000 AS monetary

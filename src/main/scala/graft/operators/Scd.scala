@@ -76,4 +76,43 @@ object Scd {
   def snapshotAt(scd2Table: DataFrame, at: Column): DataFrame =
     scd2Table.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
+
+  /** CDC extraction — the inverse of [[scd2]]: diff two snapshots of a
+    * keyed table into a changelog of `(keys, op, old_*, new_*)` rows,
+    * `op ∈ insert | delete | update`; keys whose tracked attributes
+    * are unchanged (null-safe) are dropped. ONE co-keyed full outer
+    * join (both sides shuffle on the key once; AQE broadcasts a small
+    * side), no windows — the standard way to bootstrap a changelog
+    * from periodic full dumps when the source system has no CDC feed. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(attrCols.nonEmpty, "snapshotDiff needs at least one attribute")
+    // disjoint column namespaces: the two sides usually share lineage
+    // (two reads of one table), so ambiguous names must not survive
+    val o = oldSnap.select(
+      keyCols.map(c => col(c).as(s"__ko_$c")) ++
+        attrCols.map(c => col(c).as(s"old_$c")) :+
+        lit(true).as("__o_present"): _*)
+    val n = newSnap.select(
+      keyCols.map(c => col(c).as(s"__kn_$c")) ++
+        attrCols.map(c => col(c).as(s"new_$c")) :+
+        lit(true).as("__n_present"): _*)
+    val joinCond = keyCols.map(c => col(s"__ko_$c") <=> col(s"__kn_$c"))
+      .reduce(_ && _)
+    val oldAttrs = struct(attrCols.map(c => col(s"old_$c")): _*)
+    val newAttrs = struct(attrCols.map(c => col(s"new_$c")): _*)
+    o.join(n, joinCond, "full_outer")
+      // presence markers, not key-null checks: a legitimately null key
+      // value must not read as a missing side
+      .withColumn("op",
+        when(col("__o_present").isNull, lit("insert"))
+          .when(col("__n_present").isNull, lit("delete"))
+          .when(!(oldAttrs <=> newAttrs), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(
+        keyCols.map(c => coalesce(col(s"__ko_$c"), col(s"__kn_$c")).as(c)) ++
+          (col("op") +: (attrCols.map(c => col(s"old_$c")) ++
+            attrCols.map(c => col(s"new_$c")))): _*)
+  }
 }

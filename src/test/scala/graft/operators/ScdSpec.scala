@@ -72,6 +72,38 @@ class ScdSpec extends SparkSuite {
     assert(ws.forall(_.partitionSpec.nonEmpty), s"unpartitioned window:\n$p")
   }
 
+  test("snapshotDiff: insert/delete/update ops, null-safe attr compare, " +
+      "unchanged dropped, shared-lineage sides") {
+    val oldS = Seq(("k1", Some("a")), ("k2", Some("b")), ("k3", None),
+      ("k4", Some("d")), ("k5", None)).toDF("k", "attr")
+    val newS = Seq(("k1", Some("a")), // unchanged -> dropped
+      ("k2", Some("B")),              // update
+      ("k3", Some("c")),              // null -> value: update
+      ("k5", None),                   // null -> null: unchanged
+      ("k6", Some("f"))               // insert
+    ).toDF("k", "attr")                // k4 deleted
+    val got = Scd.snapshotDiff(oldS, newS, Seq("k"), Seq("attr"))
+      .select("k", "op", "old_attr", "new_attr")
+      .as[(String, String, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("k2", "update", Some("b"), Some("B")),
+      ("k3", "update", None, Some("c")),
+      ("k4", "delete", Some("d"), None),
+      ("k6", "insert", None, Some("f"))))
+
+    // two snapshots OF THE SAME FRAME (the cd3 shape): ambiguous
+    // column resolution must not silently join a side to itself
+    val base = Seq(("k1", 1L, "a"), ("k1", 2L, "b"), ("k2", 1L, "x"))
+      .toDF("k", "v", "attr")
+    val d = Scd.snapshotDiff(
+      base.filter(col("v") === 1L).select("k", "attr"),
+      base.filter(col("v") === 2L).select("k", "attr"),
+      Seq("k"), Seq("attr"))
+      .select("k", "op").as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(d === Seq(("k1", "update"), ("k2", "delete")))
+  }
+
   test("snapshotAt returns each live key's state at the instant") {
     val scd = Scd.scd2(changelog, Seq("k"), "ts", "seq", Seq("attr"))
     val got = Scd.snapshotAt(scd, lit(35L))
