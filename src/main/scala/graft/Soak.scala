@@ -176,7 +176,7 @@ object Soak {
     "h11_important_stock", "h15_top_supplier", "pr4_top_tokens",
     "pr5_top_tokens_sketch", "r6_phrase_index",
     "er1_fuzzy_ed_join", "er2_nearest_master", "zo1_zorder_scan",
-    "cd1_scd2_intervals", "cd2_pit_snapshot",
+    "cd1_scd2_intervals", "cd2_pit_snapshot", "cd3_snapshot_diff",
     "x1_curation_pipeline")
 
   /** Fact-table file count for inflated (and 1×-normalized) copies:
