@@ -54,7 +54,8 @@ object Bench {
     "h11_important_stock", "h15_top_supplier", "pr4_top_tokens",
     "pr5_top_tokens_sketch", "r6_phrase_index",
     "er1_fuzzy_ed_join", "er2_nearest_master", "zo1_zorder_scan",
-    "cd1_scd2_intervals", "cd2_pit_snapshot", "cd3_snapshot_diff")
+    "cd1_scd2_intervals", "cd2_pit_snapshot", "cd3_snapshot_diff",
+    "dq1_expectations")
 
   /** Names of the composed-pipeline + BASELINE.md micro tasks that join
     * the headline list at runtime, in runtime order — the ONE source
@@ -225,12 +226,26 @@ object Bench {
     spark.stop()
   }
 
+  /** Compressed ids for the BASELINE.md micro tasks in the compact
+    * stdout line — at 120+ entries the full names outgrew the driver's
+    * 2000-char stdout tail (the full names still key `bench_out.json`,
+    * which carries every sample). */
+  private val BgShort = Map(
+    "bg_glob_3wild" -> "bg_glob3",
+    "bg_glob_3wild_v2store" -> "bg_glob3v2",
+    "bg_read_3600_stage0" -> "bg_read0",
+    "bg_read_3600_stage0_v2" -> "bg_read0v2",
+    "bg_read_3600_stage1" -> "bg_read1",
+    "bg_ingest_1m_points" -> "bg_ingest1m",
+    "bg_ingest_100x1" -> "bg_ingest100")
+
   /** Canonical short id for the compact stdout line: the prefix before the
     * first underscore (the id the round notes/verdicts use), with the two
-    * collisions disambiguated and the BASELINE.md micro names kept whole.
+    * collisions disambiguated and the BASELINE.md micro names compressed
+    * per [[BgShort]].
     * Guaranteed injective over the bench task list (asserted in BenchSpec). */
   private[graft] def shortName(full: String): String =
-    if (full.startsWith("bg_")) full
+    if (full.startsWith("bg_")) BgShort.getOrElse(full, full)
     else if (full == "a3_downsample_2stage") "a3b"
     else full.takeWhile(_ != '_')
 

@@ -177,6 +177,7 @@ object Soak {
     "pr5_top_tokens_sketch", "r6_phrase_index",
     "er1_fuzzy_ed_join", "er2_nearest_master", "zo1_zorder_scan",
     "cd1_scd2_intervals", "cd2_pit_snapshot", "cd3_snapshot_diff",
+    "dq1_expectations",
     "x1_curation_pipeline")
 
   /** Fact-table file count for inflated (and 1×-normalized) copies:

@@ -1869,6 +1869,22 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // DQ1: data-quality gate — Deequ-style expectations, one verdict
+    // row per rule. Row rules + uniqueness fold into ONE corpus
+    // aggregate (mixed distinct/non-distinct over one scan); the FK
+    // rule is one anti-join against the distinct order keys.
+    "dq1_expectations" -> { (s, dir) =>
+      import graft.operators.Quality._
+      validate(table(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_discount", 0.0, 0.1),
+        InRange("l_quantity", 1.0, 25.0),
+        AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey(Seq("l_orderkey"), table(s, dir, "orders"),
+          Seq("o_orderkey"))))
+    },
+
     // SE5: RFM user segmentation — recency/frequency/monetary quartiles
     // via THREE exact global ntiles, each a range shuffle
     // (Ranking.withGlobalNtile — never a single-partition window);
@@ -4880,6 +4896,41 @@ object SparkEntry {
         |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
         |WHERE op IS NOT NULL
         |ORDER BY user_id""".stripMargin,
+
+    "dq1_expectations" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_nn,
+        |    CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |             AND (l_discount < 0.0 OR l_discount > 0.1)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |             AND (l_quantity < 1.0 OR l_quantity > 25.0)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |             AND l_returnflag NOT IN ('A','N','R')
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_rf,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uq
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT count(*) AS v
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+        |SELECT * FROM (
+        |  SELECT 'not_null(l_orderkey)' AS rule, n AS checked,
+        |    v_nn AS violations, v_nn = 0 AS pass FROM t
+        |  UNION ALL SELECT 'in_range(l_discount,0.0,0.1)', n, v_disc,
+        |    v_disc = 0 FROM t
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,25.0)', n, v_qty,
+        |    v_qty = 0 FROM t
+        |  UNION ALL SELECT 'accepted_values(l_returnflag)', n, v_rf,
+        |    v_rf = 0 FROM t
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n, v_uq,
+        |    v_uq = 0 FROM t
+        |  UNION ALL SELECT 'foreign_key(l_orderkey)', n, fk.v,
+        |    fk.v = 0 FROM t, fk)
+        |ORDER BY rule""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
