@@ -210,8 +210,8 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     // COMPACT medians-only line is the LAST stdout output, keyed by the
     // canonical short query ids (a1, d17, h14, ... — the ids every round
-    // note and verdict uses); bg_* micros keep their full names because
-    // they map 1:1 onto BASELINE.md comparables. Full names + samples
+    // note and verdict uses); bg_* micros compress per BgShort (their
+    // BASELINE.md full names key bench_out.json). Full names + samples
     // live in bench_out.json. Must stay well under 2000 chars.
     // 2 decimals (10 ms): the precision the comparisons actually use;
     // 3 would push the 116-task line past the driver's 2000-char tail

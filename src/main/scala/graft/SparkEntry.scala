@@ -1891,7 +1891,7 @@ object SparkEntry {
     // anchor fixed just past the data window so recency is deterministic
     "se5_rfm" -> { (s, dir) =>
       import graft.operators.Ranking
-      val anchor = 1704844800L // 2024-02-01T00:00Z
+      val anchor = 1706745600L // 2024-02-01T00:00Z
       val ev = table(s, dir, "events")
       val pu = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), tsSeconds(ev).as("ts"), col("value"))
@@ -4878,22 +4878,23 @@ object SparkEntry {
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
         |  FROM comp),
         |s1 AS (
-        |  SELECT user_id, event_type FROM iv
+        |  SELECT user_id, event_type, true AS o_present FROM iv
         |  WHERE valid_from <= 1704844800
         |    AND (valid_to IS NULL OR valid_to > 1704844800)),
         |s2 AS (
-        |  SELECT user_id, event_type FROM iv
+        |  SELECT user_id, event_type, true AS n_present FROM iv
         |  WHERE valid_from <= 1706140800
         |    AND (valid_to IS NULL OR valid_to > 1706140800))
         |SELECT * FROM (
         |  SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
-        |    CASE WHEN s1.user_id IS NULL THEN 'insert'
-        |         WHEN s2.user_id IS NULL THEN 'delete'
+        |    CASE WHEN o_present IS NULL THEN 'insert'
+        |         WHEN n_present IS NULL THEN 'delete'
         |         WHEN s1.event_type IS DISTINCT FROM s2.event_type
         |           THEN 'update' END AS op,
         |    s1.event_type AS old_event_type,
         |    s2.event_type AS new_event_type
-        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+        |  FROM s1 FULL OUTER JOIN s2
+        |    ON s1.user_id IS NOT DISTINCT FROM s2.user_id)
         |WHERE op IS NOT NULL
         |ORDER BY user_id""".stripMargin,
 
@@ -4984,7 +4985,7 @@ object SparkEntry {
     "se5_rfm" ->
       """WITH pu AS (
         |  SELECT user_id,
-        |    1704844800 - max(CAST(floor(epoch(ts)) AS BIGINT))
+        |    1706745600 - max(CAST(floor(epoch(ts)) AS BIGINT))
         |      AS recency_s,
         |    count(*) AS frequency,
         |    floor(sum(value) * 10000 + 0.5) / 10000 AS monetary

@@ -66,11 +66,16 @@ object ScdStream {
         val b = bucketed(batch, keyCol, nBuckets)
           .withColumn("batch_seq", lit(batchId))
           .localCheckpoint(true) // batch-sized; two writes below
-        b.write.partitionBy("__kb").mode("append").parquet(logDir)
-        val touched = b.select("__kb").distinct()
-          .collect().map(_.getInt(0)).toSeq // planning metadata
-        rebuildBuckets(spark, logDir, scdDir, touched,
-          keyCol, tsCol, seqCol, attrCols, nBuckets)
+        try {
+          b.write.partitionBy("__kb").mode("append").parquet(logDir)
+          val touched = b.select("__kb").distinct()
+            .collect().map(_.getInt(0)).toSeq // planning metadata
+          rebuildBuckets(spark, logDir, scdDir, touched,
+            keyCol, tsCol, seqCol, attrCols, nBuckets)
+        } finally {
+          // a long-running stream must not pin every batch's blocks
+          b.unpersist()
+        }
         ()
       }
       .start()
@@ -89,9 +94,12 @@ object ScdStream {
         .filter(col("__kb") === kb)
         .dropDuplicates()
         .localCheckpoint(true) // one bucket, not the log
-      slice.write.partitionBy("__kb")
+      try slice.write.partitionBy("__kb")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(logDir)
+      // release each slice's blocks before staging the next, so peak
+      // staging really is one bucket, not the whole log by loop end
+      finally slice.unpersist()
     }
   }
 }
