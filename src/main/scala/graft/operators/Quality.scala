@@ -53,7 +53,9 @@ object Quality {
     def name = s"foreign_key(${cols.mkString(",")})"
   }
 
-  private def violated(r: Rule): Column = r match {
+  /** The per-row violation predicate of a row rule (shared with the
+    * streaming gate's record routing). */
+  private[graft] def rowViolated(r: Rule): Column = r match {
     case NotNull(c) => col(c).isNull
     case InRange(c, lo, hi) =>
       col(c).isNotNull && (col(c) < lo || col(c) > hi)
@@ -77,7 +79,7 @@ object Quality {
     // per-uniqueness-rule distinct key counts
     val aggs = (count(lit(1)).as("__n") +:
       rowRules.zipWithIndex.map { case (r, i) =>
-        sum(when(violated(r), 1L).otherwise(0L)).as(s"__v$i") }) ++
+        sum(when(rowViolated(r), 1L).otherwise(0L)).as(s"__v$i") }) ++
       uniqueRules.zipWithIndex.map { case (u, i) =>
         count_distinct(struct(u.cols.map(col): _*)).as(s"__u$i") }
     val base = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
