@@ -11,22 +11,26 @@ import org.apache.spark.sql.functions._
   * lookups and as-of joins (beyond-reference scope; the temporal-join
   * half already lives in [[AsOfJoin]]).
   *
-  * Scale shape (100 TB changelog): three key-partitioned steps, ONE
-  * shuffle on the key.
+  * Scale shape (100 TB changelog): three key-clustered steps, TWO
+  * bounded exchanges (plan-pinned in ScdSpec).
   *  1. Last-write-wins within identical (key, ts): a
   *     `max(struct(seq, attrs*))` aggregate — partial-aggregatable
-  *     (map-side combine), never a window, so a hot key's duplicate
-  *     burst reduces before it moves.
+  *     (map-side combine), never a window, so a hot key's same-instant
+  *     duplicate burst reduces BEFORE its (key, ts) exchange moves it.
+  *     (An up-front repartition(key) would save the second exchange
+  *     but ship every raw duplicate across the network — the wrong
+  *     trade for CDC feeds, whose pathology is exactly retry bursts.)
   *  2. Changelog compression: consecutive rows whose tracked
   *     attributes did not change are dropped (`lag` over the key
   *     window, null-safe struct compare) — the classic SCD2 "no-op
   *     update" elimination.
   *  3. Intervals: `valid_from = ts`, `valid_to = lead(ts)` over the
   *     same key window, `is_current = valid_to IS NULL`.
-  * Both windows are partitioned by the key and co-partitioned with the
-  * aggregate, so Catalyst reuses one exchange; per-partition window
-  * state is ONE key's compressed history — bounded by how often that
-  * key genuinely changed, never a corpus-scale funnel.
+  * The second exchange carries the LWW-collapsed relation to a
+  * key-only partitioning that BOTH windows share (one sort, one
+  * exchange for steps 2+3); per-partition window state is ONE key's
+  * compressed history — bounded by how often that key genuinely
+  * changed, never a corpus-scale funnel.
   */
 object Scd {
 

@@ -67,9 +67,13 @@ class ScdSpec extends SparkSuite {
       case other => other.children.flatMap(windows)
     }
     val ws = windows(plan)
-    assert(ws.nonEmpty)
+    assert(ws.size === 2, s"lag+lead should be two window nodes:\n$p")
     // never an unpartitioned (single-funnel) window
     assert(ws.forall(_.partitionSpec.nonEmpty), s"unpartitioned window:\n$p")
+    // exactly two exchanges: the (key, ts) LWW exchange carrying
+    // map-side-combined rows, and the key exchange BOTH windows share
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 2, s"expected the two bounded exchanges:\n$p")
   }
 
   test("snapshotDiff: insert/delete/update ops, null-safe attr compare, " +
