@@ -1805,7 +1805,9 @@ object SparkEntry {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_zo1_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Layout.zorderWrite(table(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey"), out, nFiles = 32)
+        Seq("l_orderkey", "l_partkey"), out, nFiles = 32,
+        cutsSampleFraction = 0.05) // cuts from a sample, like any
+                                   // range partitioner's boundaries
       s.read.parquet(out)
         .filter(col("l_orderkey").between(1000, 2999) &&
           col("l_partkey").between(200, 599))

@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * aggregate over the input (partial-agg, tiny result collected as
   * driver-side planning metadata — the repo's planning-collect idiom),
   * NOT a global rank, so there is no row_number pass; the bucket
-  * mapping is a single higher-order `size(filter(cuts, _ < v))` over
-  * the cut array — constant expression-tree depth at any `bits`, where
-  * a chained-`when` ladder would grow 2^bits deep — and the interleave
-  * is codegen'd shifts; the only full shuffle is the
+  * mapping is a native codegen'd O(log n) binary search
+  * ([[graft.functions.BucketIndex]]) with constant generated-code size
+  * at any `bits`, and the interleave is codegen'd shifts; the only
+  * full shuffle is the
   * `repartitionByRange` on the z-value that any clustering write must
   * pay, and it is range-based so output files are even-sized
   * regardless of value skew (ties on popular z-cells split across
@@ -56,12 +56,13 @@ object Layout {
   private val PrefixBits = 4
 
   /** Quantile-bucket index 0..2^bits-1 of `v` against sorted cut
-    * points: the count of cuts strictly below `v`, one higher-order
-    * filter over the (array-literal) cuts — constant tree depth for
-    * any `bits`. Nulls land in bucket 0 (a null comparison is filtered
-    * out). */
+    * points: the count of cuts strictly below `v`, as one native
+    * codegen'd O(log n) binary search ([[graft.functions.BucketIndex]]
+    * — a HOF filter here is CodegenFallback, an interpreted boxing
+    * lambda per cut per row, and a when-ladder grows 2^bits deep).
+    * Nulls and NaNs land in bucket 0. */
   private def bucketize(v: Column, cuts: Seq[Double]): Column =
-    size(filter(typedlit(cuts), c => v > c))
+    graft.functions.BucketIndex.bucket_index(v, cuts)
 
   /** Bit-interleave the bucket indices round-robin (most-significant
     * bit of every column first) into one long z-value. */
@@ -89,19 +90,27 @@ object Layout {
         s"${zbitsOf(cols.size, bits)} > 63")
   }
 
-  /** One `percentile_approx` pass over `df`: the 2^bits-quantile cut
-    * points per column (driver-side planning metadata). Sketch
-    * accuracy scales with the bucket count so cuts are never coarser
-    * than the grid they define. */
+  /** One `percentile_approx` pass over (a sample of) `df`: the
+    * 2^bits-quantile cut points per column (driver-side planning
+    * metadata). Sketch accuracy scales with the bucket count so cuts
+    * are never coarser than the grid they define. `sampleFraction < 1`
+    * sketches a Bernoulli sample — the same estimate-boundaries-from-
+    * a-sample design every range partitioner uses, and the right call
+    * at scale: bucket boundaries need rough balance, not exactness,
+    * and cut error only skews file SIZES, never correctness (the
+    * z-value is still a total function of the row). */
   private def computeCuts(df: DataFrame, cols: Seq[String],
-      bits: Int): Seq[(String, Seq[Double])] = {
+      bits: Int, sampleFraction: Double): Seq[(String, Seq[Double])] = {
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb)
     val accuracy = math.max(10000, nb * 4)
+    val src =
+      if (sampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, sampleFraction, seed = 42L)
     val aggs = cols.map(c =>
       percentile_approx(col(c).cast("double"), typedlit(probs), lit(accuracy))
         .as(s"__cuts_$c"))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = src.agg(aggs.head, aggs.tail: _*).head()
     cols.map { c =>
       c -> Option(row.getAs[scala.collection.Seq[Double]](s"__cuts_$c"))
         .map(_.toSeq).getOrElse(Seq.empty[Double])
@@ -163,7 +172,7 @@ object Layout {
     * user-facing entry. */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     validate(cols, bits)
-    zFromCuts(computeCuts(df, cols, bits), bits)
+    zFromCuts(computeCuts(df, cols, bits, 1.0), bits)
   }
 
   /** Write `df` to `outDir` as ~`nFiles` parquet files Z-ordered on
@@ -171,10 +180,12 @@ object Layout {
     * [[zorderAppend]]/[[compactLayout]] calls cluster against the same
     * grid. */
   def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
-      nFiles: Int, bits: Int = 6): Unit = {
+      nFiles: Int, bits: Int = 6, cutsSampleFraction: Double = 1.0): Unit = {
     validate(cols, bits)
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
-    val cuts = computeCuts(df, cols, bits)
+    require(cutsSampleFraction > 0.0 && cutsSampleFraction <= 1.0,
+      s"cutsSampleFraction must be in (0, 1], got $cutsSampleFraction")
+    val cuts = computeCuts(df, cols, bits, cutsSampleFraction)
     writeClustered(df, cuts, bits, outDir, nFiles, "overwrite")
     writeMeta(df.sparkSession, outDir, cuts, bits, nFiles)
   }
