@@ -76,8 +76,15 @@ object Bench {
   private[graft] def fmt(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** Every bench task name in runtime order — the headline queries then
+    * the composed pipelines + BASELINE.md micros. This is the ONE order
+    * every mode (forked parent, chunk child, in-process) runs and
+    * publishes in. */
+  private[graft] def allTaskNames: Seq[String] = Headline ++ ExtraTaskNames
+
+  /** The bench SparkSession profile (one per JVM — forked chunk children
+    * each build their own, which is the point of the fork). */
+  private def makeSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,62 +101,79 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** One warm-up pass over a tiny query to absorb JVM/codegen startup,
+    * plus JIT-warming the native expression hot loops (MinHashSig,
+    * ShingleSet, SimHashSig, ArrayDot) on 100 in-memory rows so the
+    * timed queries measure steady-state throughput, not first-call
+    * compilation of the expression classes. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    SparkEntry.queries("f10_result_cap")(spark, sfDir).count()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tiny = (0 until 100)
+      .map(i => (i.toLong, s"warm up tokens $i a b c d e f g"))
+      .toDF("id", "text")
+    tiny.select(
+      graft.functions.MinHashSig.minhash_sig(col("text"), 8, 3),
+      graft.functions.ShingleSet.shingle_set(col("text"), 3),
+      graft.functions.SimHashSig.simhash_sig(col("text"), 16),
+      graft.functions.ArrayDot.array_dot(
+        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))))
+      .count()
+  }
+
+  /** Build the (name, thunk) tasks for exactly `names`, in their order.
+    * The BASELINE.md micros' one-time untimed setup (stores, catalogs)
+    * runs ONLY when the requested names include a `bg_` task — a forked
+    * chunk of plain queries must not pay for stores it never probes. */
+  private def buildTasks(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Seq[(String, () => Unit)] = {
     val queries = SparkEntry.queries
-    // one warm-up pass over a tiny query to absorb JVM/codegen startup
-    queries("f10_result_cap")(spark, sfDir).count()
-    // also JIT-warm the native expression hot loops (MinHashSig,
-    // ShingleSet, SimHashSig, ArrayDot) on 100 in-memory rows so the
-    // timed queries measure steady-state throughput, not first-call
-    // compilation of the expression classes
-    locally {
-      import org.apache.spark.sql.functions._
-      import spark.implicits._
-      val tiny = (0 until 100)
-        .map(i => (i.toLong, s"warm up tokens $i a b c d e f g"))
-        .toDF("id", "text")
-      tiny.select(
-        graft.functions.MinHashSig.minhash_sig(col("text"), 8, 3),
-        graft.functions.ShingleSet.shingle_set(col("text"), 3),
-        graft.functions.SimHashSig.simhash_sig(col("text"), 16),
-        graft.functions.ArrayDot.array_dot(
-          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))))
-        .count()
+    lazy val micros: Map[String, () => Unit] = {
+      val built = baselineMicroTasks(spark)
+      // the spec pins its guarantees against ExtraTaskNames — fail fast
+      // if the runtime list ever drifts from the declared one
+      require(built.map(_._1) == ExtraTaskNames.filter(_.startsWith("bg_")),
+        s"micro task names drifted from Bench.ExtraTaskNames: " +
+          s"${built.map(_._1)}")
+      built.toMap
     }
+    names.map {
+      case n if queries.contains(n) =>
+        n -> (() => { queries(n)(spark, sfDir).count(); () })
+      case n @ "x1_curation_pipeline" =>
+        n -> (() => { curationPipeline(spark, sfDir); () })
+      case n @ "x2_embedding_pipeline" =>
+        n -> (() => { embeddingPipeline(spark, sfDir); () })
+      case n @ "x5_pretrain_prep_pipeline" =>
+        n -> (() => { pretrainPrepPipeline(spark, sfDir); () })
+      case n if n.startsWith("bg_") =>
+        n -> micros.getOrElse(n,
+          throw new IllegalArgumentException(s"unknown micro task $n"))
+      case n => throw new IllegalArgumentException(s"unknown bench task $n")
+    }
+  }
 
-    // Every query is a (name, thunk) task; the micro-benchmarks join the
-    // same list after their one-time untimed setup (stores/catalogs built
-    // once, ingest thunks write fresh dirs per call).
-    val extraTasks: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
-        "x1_curation_pipeline" -> (() => { curationPipeline(spark, sfDir); () }),
-        "x2_embedding_pipeline" -> (() => { embeddingPipeline(spark, sfDir); () }),
-        "x5_pretrain_prep_pipeline" -> (() => { pretrainPrepPipeline(spark, sfDir); () })
-      ) ++ baselineMicroTasks(spark)
-    // the spec pins its guarantees against ExtraTaskNames — fail fast if
-    // the runtime list ever drifts from the declared one
-    require(extraTasks.map(_._1) == ExtraTaskNames,
-      s"extra task names drifted from Bench.ExtraTaskNames: " +
-        s"${extraTasks.map(_._1)} vs $ExtraTaskNames")
-    val tasks: Seq[(String, () => Unit)] =
-      Headline.filter(queries.contains).map { name =>
-        name -> (() => { queries(name)(spark, sfDir).count(); () })
-      } ++ extraTasks
-
-    // Median of 5 INTERLEAVED passes: each pass runs every query once,
-    // and a query's median is taken across the passes. Back-to-back reps
-    // put all samples of a query inside the same wall-clock window —
-    // BENCH_r05's official record showed what that does on this host
-    // (d12 40 s / e4 23 s / ingest 37 s official vs 2.3 / 2.4 / 2.1 s
-    // local; 3 consecutive reps never escaped the burst). The noise is
-    // HOST CPU STEAL — /proc/stat showed 18% steal with the guest
-    // otherwise idle during one burst, and a 73 s dc3 (normally 2 s)
-    // inside it — so it is invisible to guest load, bursty, and can
-    // last minutes. Interleaving spreads a query's samples across the
-    // whole run; 5 passes keep the median honest even when a storm
-    // covers two of them. Per-pass steal fractions are published in the
-    // JSON so a poisoned official run carries its own evidence.
-    // A failing query publishes -1 (the old row-count sentinel), never
-    // its wall time — a crash must not masquerade as a fast success.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+  /** Median-of-passes timing loop over `tasks`: each pass runs every
+    * task once, INTERLEAVED. Back-to-back reps put all samples of a
+    * query inside the same wall-clock window — BENCH_r05's official
+    * record showed what that does on this host (d12 40 s / e4 23 s /
+    * ingest 37 s official vs 2.3 / 2.4 / 2.1 s local; 3 consecutive
+    * reps never escaped the burst). The noise is HOST CPU STEAL —
+    * /proc/stat showed 18% steal with the guest otherwise idle during
+    * one burst — so it is invisible to guest load, bursty, and can last
+    * minutes. Interleaving spreads a query's samples across the run;
+    * the per-pass steal fractions ride along so a poisoned run carries
+    * its own evidence. A failing task records NaN samples (published as
+    * -1) — a crash must not masquerade as a fast success.
+    *
+    * Returns (samples per task in input order, per-pass steal fracs). */
+  private def runTasks(spark: SparkSession,
+      tasks: Seq[(String, () => Unit)], passes: Int)
+      : (collection.mutable.LinkedHashMap[String, Vector[Double]], Vector[Double]) = {
     // blocks cached by the micro-benchmarks' one-time setup (the warm
     // glob catalog) are deliberate cross-pass state — everything cached
     // AFTER this point is per-query residue that drainBlocks may drop
@@ -185,9 +209,179 @@ object Bench {
       val (s1, t1) = cpuTicks()
       stealFracs += (if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0)
     }
-    val results = tasks.map { case (name, _) =>
-      val ss = sampleLists(name)
-      name -> (if (ss.exists(_.isNaN)) -1.0 else ss.sorted.apply(ss.size / 2))
+    (sampleLists, stealFracs.toVector)
+  }
+
+  private def benchPasses: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.length >= 2 && args(0) == "--chunk")
+      runChunk(sfDir, args(1), args.drop(2).toSeq)
+    else {
+      val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1")
+      if (fork == "0" || fork.equalsIgnoreCase("false")) runInProcess(sfDir)
+      else runForked(sfDir)
+    }
+  }
+
+  /** Child mode: time ONLY `names` in this fresh JVM and write raw
+    * samples as TSV (`task\tname\ts1,s2,...` rows + one
+    * `steal\tf1,f2,...` row) for the forking parent to aggregate. TSV,
+    * not JSON, so the parent needs no JSON parser. */
+  private def runChunk(sfDir: String, outFile: String,
+      names: Seq[String]): Unit = {
+    val spark = makeSession()
+    warmup(spark, sfDir)
+    val tasks = buildTasks(spark, sfDir, names)
+    val (samples, steals) = runTasks(spark, tasks, benchPasses)
+    val sb = new StringBuilder
+    for ((name, ss) <- samples)
+      sb.append("task\t").append(name).append('\t')
+        .append(ss.map(v => if (v.isNaN) "-1" else fmt(v, 4)).mkString(","))
+        .append('\n')
+    sb.append("steal\t").append(steals.map(fmt(_, 4)).mkString(",")).append('\n')
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
+    spark.stop()
+  }
+
+  /** Required JDK17 module opens for Spark — the child JVMs must carry
+    * them even when the parent inherited them through a launcher env
+    * var this process can't see. Duplicates are harmless. */
+  private val RequiredOpens: Seq[String] = Seq(
+    "java.base/java.io", "java.base/java.lang.invoke", "java.base/java.lang",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util.concurrent", "java.base/java.util",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(m => s"--add-opens=$m=ALL-UNNAMED")
+
+  /** Parent mode (the DEFAULT driver entry): run the bench as a series
+    * of FRESH-JVM chunks and aggregate. Round 9 proved the single-JVM
+    * full-list protocol poisons its own late measurements: on identical
+    * data and build, one long JVM measured heavy legs 3-8x over
+    * fresh-JVM times (block-manager residue, codegen/JIT churn, heap
+    * fragmentation that drainBlocks does not reclaim), and the official
+    * BENCH_r09 drifted 1.7x on matched queries — including
+    * code-untouched micros — while the code got faster. This is
+    * tools/run_soak_fresh.sh's protocol applied to the official bench:
+    * each chunk of tasks gets its own JVM (same classpath, same module
+    * opens, same heap), pays its own untimed warm-up, runs the usual
+    * interleaved passes, and reports raw samples; chunks run
+    * SEQUENTIALLY so they never contend. The composed x-pipelines and
+    * the bg micros each get a dedicated chunk so the micros can never
+    * inherit pipeline residue. A failed chunk marks its tasks -1 and
+    * the run continues; if the FIRST chunk fails (fork environment
+    * broken), the bench falls back to the in-process protocol so the
+    * driver still gets a result. */
+  private def runForked(sfDir: String): Unit = {
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "8").toInt
+    // the composed x-pipelines (x1/x2/x5) and the bg micros come from
+    // ExtraTaskNames; x3/x4/x6/x8 are ordinary headline queries
+    val (bgNames, xNames) = ExtraTaskNames.partition(_.startsWith("bg_"))
+    val chunks: Seq[Seq[String]] =
+      Headline.grouped(chunkSize).toSeq ++ Seq(xNames, bgNames)
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val parentArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val jvmArgs: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val inherited = parentArgs.asScala.toSeq.filterNot(a =>
+        a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      inherited ++ RequiredOpens.filterNot(inherited.contains)
+    }
+    val cp = System.getProperty("java.class.path")
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val steals = collection.mutable.ArrayBuffer[Double]()
+    var firstChunkFailed = false
+    for ((names, i) <- chunks.zipWithIndex if !firstChunkFailed) {
+      val outFile = s"$tmpDir/chunk_$i.tsv"
+      val logFile = new java.io.File(s"$tmpDir/chunk_$i.log")
+      val cmd: Seq[String] = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench", "--chunk", outFile) ++ names
+      System.err.println(s"[bench] chunk ${i + 1}/${chunks.size}: " +
+        names.map(shortName).mkString(" "))
+      val t0 = System.nanoTime()
+      val rc = try {
+        import scala.jdk.CollectionConverters._
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.redirectOutput(logFile)
+        pb.redirectError(logFile)
+        pb.start().waitFor()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] chunk $i fork failed: ${e.getMessage}")
+        -1
+      }
+      val parsed = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      var chunkSteals = Vector.empty[Double]
+      if (rc == 0) try {
+        val src = scala.io.Source.fromFile(outFile)
+        try src.getLines().foreach { line =>
+          line.split("\\t", -1) match {
+            case Array("task", name, ss) =>
+              parsed(name) = ss.split(",").toVector
+                .map(v => { val d = v.toDouble; if (d < 0) Double.NaN else d })
+            case Array("steal", ss) if ss.nonEmpty =>
+              chunkSteals = ss.split(",").toVector.map(_.toDouble)
+            case _ => ()
+          }
+        } finally src.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] chunk $i result unreadable: ${e.getMessage}")
+      }
+      if (parsed.isEmpty) {
+        System.err.println(s"[bench] chunk $i produced nothing (rc=$rc) — " +
+          s"log tail:")
+        try {
+          val log = java.nio.file.Files.readString(logFile.toPath)
+          System.err.println(log.takeRight(2000))
+        } catch { case _: Throwable => () }
+        if (i == 0) firstChunkFailed = true
+        else names.foreach(n => samples(n) = Vector(Double.NaN))
+      } else {
+        // a task the child dropped (crashed before its row) is a failure
+        names.foreach(n => samples(n) = parsed.getOrElse(n, Vector(Double.NaN)))
+        steals ++= chunkSteals
+        System.err.println(f"[bench] chunk ${i + 1} done in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+    if (firstChunkFailed) {
+      System.err.println("[bench] first chunk failed — falling back to the " +
+        "in-process protocol")
+      runInProcess(sfDir)
+    } else emit(sfDir, samples, steals.toVector)
+  }
+
+  /** Legacy single-JVM protocol (SPARK_GRAFT_BENCH_FORK=0): every task
+    * in one JVM. Kept as the fallback when forking is impossible; its
+    * late-query inflation is documented in ROUND_NOTES_r9.md §7. */
+  private def runInProcess(sfDir: String): Unit = {
+    val spark = makeSession()
+    warmup(spark, sfDir)
+    val tasks = buildTasks(spark, sfDir, allTaskNames)
+    val (samples, steals) = runTasks(spark, tasks, benchPasses)
+    emit(sfDir, samples, steals)
+    spark.stop()
+  }
+
+  /** Publish the run: the FULL record (full names, per-pass samples,
+    * every steal reading) goes to bench_out.json ONLY — it is well past
+    * the driver's 2000-char stdout tail, which is exactly how
+    * BENCH_r06.json ended up with "parsed": null. The COMPACT
+    * medians-only line is the LAST stdout output, keyed by the
+    * canonical short ids (a1, d17, h14, ...; bg_* per BgShort), with
+    * the steal readings summarized as [mean, max] so the line stays
+    * well under 2000 chars at any chunk count. */
+  private def emit(sfDir: String,
+      sampleLists: collection.mutable.LinkedHashMap[String, Vector[Double]],
+      stealFracs: Vector[Double]): Unit = {
+    val results = sampleLists.toSeq.map { case (name, ss) =>
+      name -> (if (ss.isEmpty || ss.exists(_.isNaN)) -1.0
+               else ss.sorted.apply(ss.size / 2))
     }
     val qs = results.map { case (k, sec) => s""""$k":$sec""" }
       .mkString("{", ",", "}")
@@ -199,31 +393,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val stealJson = stealFracs.map(v => fmt(v, 3)).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // FULL record (full names + per-pass samples) goes to the file ONLY —
-    // it is ~8 KB, larger than the driver's 2000-char stdout tail capture,
-    // which is exactly how BENCH_r06.json ended up with "parsed": null.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"cpu_steal":$stealJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    // COMPACT medians-only line is the LAST stdout output, keyed by the
-    // canonical short query ids (a1, d17, h14, ... — the ids every round
-    // note and verdict uses); bg_* micros compress per BgShort (their
-    // BASELINE.md full names key bench_out.json). Full names + samples
-    // live in bench_out.json. Must stay well under 2000 chars.
     // 2 decimals (10 ms): the precision the comparisons actually use;
-    // 3 would push the 116-task line past the driver's 2000-char tail
+    // 3 would push the 120+-task line past the driver's 2000-char tail
     val compactQs = results.map { case (k, sec) =>
       s""""${shortName(k)}":${if (sec < 0) "-1" else fmt(sec, 2)}"""
     }.mkString("{", ",", "}")
+    val stealSummary =
+      if (stealFracs.isEmpty) "[]"
+      else s"[${fmt(stealFracs.sum / stealFracs.size, 3)},${fmt(stealFracs.max, 3)}]"
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$compactQs,"cpu_steal":$stealJson,"sf":"$sfDir","full":"$outFile"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$compactQs,"cpu_steal":$stealSummary,"sf":"$sfDir","full":"$outFile"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1900 — driver tail may truncate")
     println(compact)
-    spark.stop()
   }
 
   /** Compressed ids for the BASELINE.md micro tasks in the compact
@@ -440,7 +628,9 @@ object Bench {
       // ingest reps write to FRESH dirs so repetition neither appends to
       // the read-micro store nor measures an ever-growing table
       "bg_ingest_1m_points" -> (() => {
-        val dir = java.nio.file.Files.createTempDirectory("bgingest").toString
+        // fixed dir wiped per rep: PointsStore.write is append-mode, and
+        // a per-rep temp dir leaks a 1M-point store copy per bench pass
+        val dir = SparkEntry.freshTmpDir("bgingest1m", "bench")
         val raw = spark.range(1000000L).select(
           concat(lit("bulk.m"), (col("id") % 1000)).as("metric_id"),
           ((col("id") / 1000).cast("long") * 60).as("ts"),
@@ -467,7 +657,7 @@ object Bench {
         ()
       }),
       "bg_ingest_100x1" -> (() => {
-        val dir = java.nio.file.Files.createTempDirectory("bgingest").toString
+        val dir = SparkEntry.freshTmpDir("bgingest100", "bench")
         val incoming = (0 until 100).map(m =>
           (names(m), 777 * 60L, m.toDouble, 1.0, 0))
           .toDF("metric_id", "ts", "value", "count", "replica")

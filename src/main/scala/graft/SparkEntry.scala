@@ -109,6 +109,28 @@ object SparkEntry {
   private def stepTs(precisionS: Long): Column =
     (floor(col("ts") / precisionS) * precisionS).cast("long")
 
+  /** Fixed per-(prefix, dataset) scratch dir, RECURSIVELY WIPED on every
+    * call. Queries that stage an on-disk store before probing it must
+    * reuse ONE directory per dataset: a per-run `createTempDirectory`
+    * leaks a store copy per bench rep / soak leg (the disk-fill class
+    * the r9 review caught on zo1), and append-mode writers
+    * ([[graft.sources.PointsStore.write]]) would compound rows across
+    * runs if the fixed dir were not wiped first. Callers are the
+    * sequential bench/soak/verify harnesses — never concurrent on one
+    * (prefix, dataset). */
+  private[graft] def freshTmpDir(prefix: String, dataset: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${prefix}_" + java.lang.Integer.toHexString(dataset.hashCode))
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete(_))
+    }
+    Files.createDirectories(p)
+    p.toString
+  }
+
   // ---- flagship -------------------------------------------------------
 
   /** Flagship: the FULL storage lifecycle on sf0.001 — ingest into a real
@@ -120,7 +142,7 @@ object SparkEntry {
     import graft.model.Retention
     import graft.operators.TimeSeriesReader
     import graft.sources.PointsStore
-    val store = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val store = freshTmpDir("entry", dir)
     val ret = Retention.fromString("1440*60s:720*3600s")
     val pts = points(spark, dir)
       .withColumn("metric_id", col("name"))
@@ -399,7 +421,7 @@ object SparkEntry {
           concat(lit("ev."), col("event_type"), lit("."), col("user_id")).as("name"),
           tsSeconds(ev).as("ts"))
         .groupBy("name").agg(max("ts").as("updated_on"))
-      val tmp = java.nio.file.Files.createTempDirectory("m2cat").toString
+      val tmp = freshTmpDir("m2cat", dir)
       MetricCatalog.writeDated(cat, tmp)
       // nowS − maxAgeS = T0 + 23 d − 1 ⟺ updated_on < T0 + 23 d
       MetricCatalog.expiredMetrics(s.read.parquet(tmp),
@@ -557,7 +579,7 @@ object SparkEntry {
       import graft.model.{Retention, Stage}
       import graft.operators.{Downsample, TimeSeriesReader}
       import graft.sources.PointsStore
-      val store = java.nio.file.Files.createTempDirectory("graft_e1").toString
+      val store = freshTmpDir("e1", dir)
       val retention = "1440*60s:720*3600s" // 1 day fine, 30 days hourly
       val ret = Retention.fromString(retention)
       val pts = points(s, dir)
@@ -601,7 +623,7 @@ object SparkEntry {
       import graft.model.Retention
       import graft.operators.{Downsample, TimeSeriesReader}
       import graft.sources.PointsStore
-      val store = java.nio.file.Files.createTempDirectory("graft_e2").toString
+      val store = freshTmpDir("e2", dir)
       val ret = Retention.fromString("1440*60s:720*3600s")
       val pts = points(s, dir)
         .withColumn("metric_id", col("name"))
@@ -635,7 +657,7 @@ object SparkEntry {
       import graft.model.Retention
       import graft.operators.{Downsample, SeriesFunctions, TimeSeriesReader}
       import graft.sources.PointsStore
-      val store = java.nio.file.Files.createTempDirectory("graft_e4").toString
+      val store = freshTmpDir("e4", dir)
       val ret = Retention.fromString("1440*60s:720*3600s")
       val pts = points(s, dir)
         .withColumn("metric_id", col("name"))
@@ -672,7 +694,7 @@ object SparkEntry {
       import graft.model.Retention
       import graft.operators.{Downsample, TimeSeriesReader}
       import graft.sources.PointsStore
-      val store = java.nio.file.Files.createTempDirectory("graft_e3").toString
+      val store = freshTmpDir("e3", dir)
       val retA = Retention.fromString("1440*60s:720*3600s")   // hourly read
       val retB = Retention.fromString("2880*60s:360*7200s")   // 2-hourly read
       val isA = split(col("name"), "\\.").getItem(1).isin("click", "purchase")
@@ -929,7 +951,10 @@ object SparkEntry {
     // SimilarityIndexSpec pins the file count); the oracle models the
     // same two-cell probe from the same deterministic training
     "k6_knn_ivf_index" -> { (s, dir) =>
-      val idx = java.nio.file.Files.createTempDirectory("k6ivf").toString
+      // fixed per-dataset path, overwritten by the build each run — a
+      // per-run temp dir leaks a corpus-scale index copy per bench rep
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k6ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val emb = table(s, dir, "embeddings")
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
         k = 8, iters = 2)
@@ -963,7 +988,8 @@ object SparkEntry {
     // PQ matches k7 (m=4, ksub=8, 1 round)
     "k8_knn_ivfpq" -> { (s, dir) =>
       import graft.operators.ProductQuantization
-      val idx = java.nio.file.Files.createTempDirectory("k8ivfpq").toString
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k8ivfpq_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val emb = table(s, dir, "embeddings")
       ProductQuantization.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
         kCells = 8, coarseIters = 2, m = 4, ksub = 8, pqIters = 1)
@@ -980,7 +1006,8 @@ object SparkEntry {
     // residual ADC sum
     "k9_knn_ivfpq_residual" -> { (s, dir) =>
       import graft.operators.ProductQuantization
-      val idx = java.nio.file.Files.createTempDirectory("k9ivfpqr").toString
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k9ivfpqr_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val emb = table(s, dir, "embeddings")
       ProductQuantization.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
         kCells = 8, coarseIters = 2, m = 4, ksub = 8, pqIters = 1,
@@ -999,7 +1026,11 @@ object SparkEntry {
     // partition pruning. Oracle: k-means trained on vec_id < 250, final
     // assignment over everything
     "k10_ivf_append" -> { (s, dir) =>
-      val idx = java.nio.file.Files.createTempDirectory("k10ivf").toString
+      // fixed path: the build's STATIC overwrite truncates the whole
+      // postings dir, so the previous run's appended postings are gone
+      // before this run's append lands — per-run state never compounds
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k10ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val emb = table(s, dir, "embeddings")
       Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250),
         "vec_id", "embedding", idx, k = 8, iters = 2)
@@ -2310,7 +2341,11 @@ object SparkEntry {
     // exactly
     "r6_phrase_index" -> { (s, dir) =>
       import graft.operators.Retrieval
-      val idx = java.nio.file.Files.createTempDirectory("r6idx").toString
+      // fixed per-dataset path, overwritten each run (the zo1 pattern):
+      // the positional index is corpus-scale, so repeated runs (bench
+      // reps, soak legs) must reuse one directory, never leak a copy
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_r6idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val docs = table(s, dir, "documents")
       Retrieval.buildPhraseIndex(docs, "doc_id", "text", idx)
       val qsrc = docs.filter(col("doc_id") % 89 === 0)
@@ -2503,7 +2538,11 @@ object SparkEntry {
     // reproduce live scoring exactly
     "r2_bm25_index_topk" -> { (s, dir) =>
       import graft.operators.Retrieval
-      val idx = java.nio.file.Files.createTempDirectory("r2idx").toString
+      // fixed per-dataset path, overwritten each run (the zo1 pattern):
+      // the index is corpus-scale, so repeated runs (bench reps, soak
+      // legs) must reuse one directory rather than leak a copy per run
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_r2idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val docs = table(s, dir, "documents")
       Retrieval.buildTextIndex(docs, "doc_id", "text", idx)
       val queries = docs.filter(col("doc_id") % 97 === 0)

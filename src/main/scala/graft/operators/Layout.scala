@@ -60,7 +60,9 @@ object Layout {
     * codegen'd O(log n) binary search ([[graft.functions.BucketIndex]]
     * — a HOF filter here is CodegenFallback, an interpreted boxing
     * lambda per cut per row, and a when-ladder grows 2^bits deep).
-    * Nulls and NaNs land in bucket 0. */
+    * Nulls land in bucket 0; NaN follows Spark's double ordering
+    * (greater than every number) and lands in the TOP bucket — pinned
+    * in BucketIndexSpec. */
   private def bucketize(v: Column, cuts: Seq[Double]): Column =
     graft.functions.BucketIndex.bucket_index(v, cuts)
 
@@ -200,29 +202,37 @@ object Layout {
   def zorderAppend(df: DataFrame, outDir: String, nFiles: Int = 0): Unit = {
     val (cuts, bits, built) = readMeta(df.sparkSession, outDir)
     val n = if (nFiles >= 1) nFiles else math.max(1, built / 8)
-    writeClustered(df, cuts, bits, outDir, n, "append")
+    graft.sources.Compaction.guardedAppend(df.sparkSession, outDir) {
+      writeClustered(df, cuts, bits, outDir, n, "append")
+    }
   }
 
   /** Rewrite an append-fragmented layout back to ~`nFiles` files (at
     * least one per occupied z-prefix slice; the build's count when
     * omitted) under the saved cuts — ONE `__zp` slice at a time, so
     * the staged set is a slice, never the table, and a crash loses at
-    * most the slice being swapped (dynamic partition overwrite). Must
-    * not run concurrently with appends (the repo-wide compaction
-    * contract). */
+    * most the slice being swapped (dynamic partition overwrite).
+    * Guarded by [[graft.sources.Compaction]]'s two-flag protocol: a
+    * concurrent [[zorderAppend]] fails fast
+    * ([[graft.sources.ConcurrentCompactionException]]) instead of
+    * being silently dropped by a slice's read-then-overwrite. */
   def compactLayout(spark: SparkSession, outDir: String,
       nFiles: Int = 0): Unit = {
     val (cuts, bits, built) = readMeta(spark, outDir)
     val n = if (nFiles >= 1) nFiles else built
+    // table listed ONCE; each slice's overwrite replaces only its own
+    // __zp dir, which no later slice reads. Guarded: a concurrent
+    // zorderAppend fails fast instead of being silently dropped by a
+    // slice's read-then-overwrite.
+    val base = spark.read.parquet(outDir)
     // occupied slices: ≤ 2^PrefixBits rows of planning metadata
-    val slices = spark.read.parquet(outDir)
-      .select("__zp").distinct().collect().map(_.getInt(0)).sorted
+    val slices = base
+      .select("__zp").distinct().collect().map(_.getInt(0)).sorted.toSeq
     val perSlice = math.max(1, n / math.max(1, slices.length))
-    for (zp <- slices) {
-      val slice = spark.read.parquet(outDir)
-        .filter(col("__zp") === zp).drop("__zp")
-        .localCheckpoint(true) // bounded: one slice, not the table
-      writeClustered(slice, cuts, bits, outDir, perSlice, "overwrite",
+    graft.sources.Compaction.compactSlices(spark, outDir, slices, 1) {
+      slice => base.filter(col("__zp") === slice.head).drop("__zp")
+    } { (staged, _) =>
+      writeClustered(staged, cuts, bits, outDir, perSlice, "overwrite",
         dynamicOverwrite = true)
     }
     writeMeta(spark, outDir, cuts, bits, n)

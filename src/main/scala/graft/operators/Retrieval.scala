@@ -221,10 +221,12 @@ object Retrieval {
       lit(1L).as("__tf"),
       lit(seq).as("__seq"),
       lit(MarkerBucket).as("term_bucket"))
-    postings.unionByName(markers)
-      .write.mode("append")
-      .partitionBy("term_bucket")
-      .parquet(s"$dir/postings")
+    graft.sources.Compaction.guardedAppend(docs.sparkSession, dir) {
+      postings.unionByName(markers)
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(s"$dir/postings")
+    }
   }
 
   /** Compact a text index's term-bucket partitions in place: appends
@@ -239,26 +241,31 @@ object Retrieval {
     * into one fold row (see [[foldMarkers]]), bounding every future
     * probe's marker aggregate.
     *
-    * NOT concurrency-safe with a live append: each slice is read then
-    * overwritten, so a batch committed between the two would be
-    * silently dropped (and a doc's postings and marker span multiple
-    * slices). Stop or drain the [[graft.streaming.TextIndexStream]]
-    * job — and pause batch appends — before compacting; the streaming
-    * checkpoint makes the stopped stream resume exactly where it
-    * left off. */
+    * GUARDED against a live append ([[graft.sources.Compaction]]'s
+    * two-flag protocol): each slice is read then overwritten, so a
+    * batch committed between the two would be silently dropped (and a
+    * doc's postings and marker span multiple slices) — a concurrent
+    * append or compaction now fails fast with
+    * [[graft.sources.ConcurrentCompactionException]] instead. Stop or
+    * drain the [[graft.streaming.TextIndexStream]] job before
+    * compacting; the streaming checkpoint makes the stopped stream
+    * resume exactly where it left off. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, bucketsPerSlice: Int = 16): Unit = {
-    require(bucketsPerSlice > 0)
+      dir: String, bucketsPerSlice: Int = 16): Unit =
+      graft.sources.Compaction.guardedCompaction(spark, dir) {
     foldMarkers(spark, dir)
-    val buckets = spark.read.parquet(s"$dir/postings")
+    // postings listed ONCE (after the fold's rewrite); each slice's
+    // overwrite replaces only its own bucket dirs, which no later
+    // slice reads
+    val base = spark.read.parquet(s"$dir/postings")
+    val buckets = base
       .filter(col("term_bucket") =!= MarkerBucket)
       .select("term_bucket").distinct().collect()
-      .map(_.get(0)).sortBy(_.toString)
-    buckets.grouped(bucketsPerSlice).foreach { slice =>
-      spark.read.parquet(s"$dir/postings")
-        .filter(col("term_bucket").isin(slice.toSeq: _*))
-        .localCheckpoint(true)
-        .repartition(slice.length, col("term_bucket"))
+      .map(_.get(0)).sortBy(_.toString).toSeq
+    graft.sources.Compaction.rewriteSlices(buckets, bucketsPerSlice) {
+      slice => base.filter(col("term_bucket").isin(slice: _*))
+    } { (staged, slice) =>
+      staged.repartition(slice.length, col("term_bucket"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("term_bucket")

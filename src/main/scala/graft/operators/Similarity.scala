@@ -314,13 +314,15 @@ object Similarity {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
     requireSameDim(newVectors, vecCol, cents)
-    Clustering.assignCells(
-        newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-        "neighbor_id", "cv", cents)
-      .withColumn("cnorm", l2norm(col("cv")))
-      .select("neighbor_id", "cv", "cnorm", "cell_id")
-      .write.mode("append").partitionBy("cell_id")
-      .parquet(s"$dir/postings")
+    graft.sources.Compaction.guardedAppend(spark, dir) {
+      Clustering.assignCells(
+          newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+          "neighbor_id", "cv", cents)
+        .withColumn("cnorm", l2norm(col("cv")))
+        .select("neighbor_id", "cv", "cnorm", "cell_id")
+        .write.mode("append").partitionBy("cell_id")
+        .parquet(s"$dir/postings")
+    }
   }
 
   /** COMPACT an index's postings after streaming appends: every
@@ -338,19 +340,17 @@ object Similarity {
     * code postings compact identically. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, cellsPerSlice: Int = 8): Unit = {
-    require(cellsPerSlice > 0)
-    val postings = spark.read.parquet(s"$dir/postings")
-    val cells = postings.select("cell_id").distinct().collect()
-      .map(_.get(0)).sortBy(_.toString)
-    // dynamic overwrite set PER-WRITE, never on the session: a
-    // concurrent writer sharing the SparkSession must not inherit
-    // overwrite semantics mid-flight (the Retrieval.compactTextIndex
-    // convention)
-    cells.grouped(cellsPerSlice).foreach { slice =>
-      spark.read.parquet(s"$dir/postings")
-        .filter(col("cell_id").isin(slice.toSeq: _*))
-        .localCheckpoint(true)
-        .repartition(slice.length, col("cell_id"))
+    // postings listed ONCE; each slice's dynamic overwrite (set
+    // PER-WRITE, never on the session) replaces only its own cell
+    // dirs, which no later slice reads. Guarded: a concurrent
+    // appendToIvfIndex fails fast instead of being silently dropped.
+    val base = spark.read.parquet(s"$dir/postings")
+    val cells = base.select("cell_id").distinct().collect()
+      .map(_.get(0)).sortBy(_.toString).toSeq
+    graft.sources.Compaction.compactSlices(spark, dir, cells, cellsPerSlice) {
+      slice => base.filter(col("cell_id").isin(slice: _*))
+    } { (staged, slice) =>
+      staged.repartition(slice.length, col("cell_id"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell_id")

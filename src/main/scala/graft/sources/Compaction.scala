@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** An in-place compaction raced a concurrent append (or vice versa) on
+  * the same directory — the write that would otherwise have been
+  * SILENTLY LOST fails loudly instead. */
+class ConcurrentCompactionException(msg: String)
+  extends IllegalStateException(msg)
+
+/** The repo-wide in-place compaction protocol: ONE implementation of
+  * the bounded-slice rewrite idiom (read a slice → materialize →
+  * dynamic-partition-overwrite only that slice) and ONE fail-fast
+  * concurrency guard shared by every compactable store — the text
+  * index, the IVF index, the points store, the z-order layout, and the
+  * SCD changelog. Before this existed each path re-implemented the
+  * loop with its own crash/concurrency caveats, and a concurrent
+  * append during compaction was a SCALADOC CONTRACT ONLY: the
+  * compactor reads then overwrites a slice, so a batch committed
+  * between the two vanished without an error.
+  *
+  * == The guard (two-flag protocol) ==
+  *
+  * Appenders and compactors each raise a marker file in the store's
+  * root before touching data, then check for the other side's marker:
+  *
+  *  - an appender creates `_APPENDING.<uuid>`, THEN checks for
+  *    `_COMPACTING` — present → delete its own marker and throw;
+  *  - a compactor creates `_COMPACTING` (failing if one already
+  *    exists), THEN checks for any `_APPENDING.*` — present → release
+  *    and throw.
+  *
+  * If the two overlap at all, both markers exist at the moment the
+  * LATER creation's check runs, so at least one side always throws —
+  * the Dekker-flag argument, needing only create/exists/delete on one
+  * filesystem (no atomic rename, no lock server). Underscore-prefixed
+  * names are invisible to Spark's file index, so markers never pollute
+  * reads. Cost per append: three filesystem metadata operations,
+  * nothing data-sized.
+  *
+  * A CRASHED holder leaves its marker behind, which fails subsequent
+  * compactions (and, for `_COMPACTING`, appends) by design — the
+  * operator inspects and runs [[Compaction.clearMarkers]] once the dead
+  * job is confirmed gone. Fail-stale-and-loud beats heuristic marker
+  * expiry: a marker that auto-expired under a merely-slow compactor
+  * would re-open the silent-loss window the guard exists to close.
+  *
+  * == The bounded-slice rewrite ==
+  *
+  * [[Compaction.rewriteSlices]] stages one slice at a time
+  * (localCheckpoint — the files being read are about to be
+  * overwritten), rewrites it under dynamic partition overwrite, and
+  * unpersists before the next slice, so peak staged state is one slice
+  * and a killed run loses at most the in-flight slice (earlier slices
+  * compacted, later ones untouched — every slice readable throughout).
+  * Callers list the slice keys ONCE from one base DataFrame and filter
+  * it per slice: the old per-slice `spark.read.parquet(dir)` re-ran
+  * file listing every iteration, which at 100 TB is itself a
+  * metadata-service hammer. The stale file index stays valid because a
+  * slice's overwrite only replaces that slice's partition directories,
+  * which no later slice reads. */
+object Compaction {
+
+  val CompactingMarker = "_COMPACTING"
+  val AppendingPrefix = "_APPENDING."
+
+  private def fileSystem(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val root = new Path(dir)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** Run `write` (an append job against `dir`) under the appender side
+    * of the two-flag guard: raise `_APPENDING.<uuid>`, fail fast if a
+    * compaction holds `_COMPACTING`, always drop the marker. */
+  def guardedAppend[T](spark: SparkSession, dir: String)(write: => T): T = {
+    val (fs, root) = fileSystem(spark, dir)
+    fs.mkdirs(root) // the very first append may precede the directory
+    val mine = new Path(root, AppendingPrefix + java.util.UUID.randomUUID())
+    fs.create(mine, false).close()
+    try {
+      if (fs.exists(new Path(root, CompactingMarker)))
+        throw new ConcurrentCompactionException(
+          s"append to $dir refused: a compaction holds $CompactingMarker " +
+            "(or a crashed one left it — clear with Compaction.clearMarkers " +
+            "after confirming no compactor is alive)")
+      write
+    } finally fs.delete(mine, false)
+  }
+
+  /** Run `body` (a compaction of `dir`) under the compactor side of the
+    * two-flag guard: raise `_COMPACTING` (refusing if one exists), fail
+    * fast if any append is in flight, always drop the marker. */
+  def guardedCompaction[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val (fs, root) = fileSystem(spark, dir)
+    val marker = new Path(root, CompactingMarker)
+    try fs.create(marker, false).close()
+    catch { case _: java.io.IOException =>
+      throw new ConcurrentCompactionException(
+        s"compaction of $dir refused: $CompactingMarker already present — " +
+          "another compaction is running, or a crashed one left it (clear " +
+          "with Compaction.clearMarkers after confirming it is gone)")
+    }
+    try {
+      val appending = Option(
+        fs.globStatus(new Path(root, AppendingPrefix + "*")))
+        .getOrElse(Array.empty)
+      if (appending.nonEmpty)
+        throw new ConcurrentCompactionException(
+          s"compaction of $dir refused: append in flight " +
+            s"(${appending.map(_.getPath.getName).mkString(", ")}) — " +
+            "stop or drain writers first; a crashed appender's stale " +
+            "marker clears with Compaction.clearMarkers")
+      body
+    } finally fs.delete(marker, false)
+  }
+
+  /** Stale-marker recovery after a confirmed-dead holder: delete every
+    * guard marker under `dir` and return the paths removed. */
+  def clearMarkers(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = fileSystem(spark, dir)
+    val stale =
+      Option(fs.globStatus(new Path(root, AppendingPrefix + "*")))
+        .getOrElse(Array.empty).map(_.getPath) ++
+      (if (fs.exists(new Path(root, CompactingMarker)))
+         Seq(new Path(root, CompactingMarker)) else Nil)
+    stale.foreach(fs.delete(_, false))
+    stale.map(_.toString).toSeq
+  }
+
+  /** The bounded-slice rewrite loop — NO guard (callers hold
+    * [[guardedCompaction]], possibly around extra per-store work such
+    * as the text index's marker fold). `loadSlice` prunes the caller's
+    * ONCE-LISTED base relation to one slice's keys; `writeSlice`
+    * dynamic-overwrites exactly those partitions. Each slice is
+    * checkpointed before its own directories are overwritten and
+    * unpersisted before the next slice is staged. */
+  def rewriteSlices[K](sliceKeys: Seq[K], perSlice: Int)(
+      loadSlice: Seq[K] => DataFrame)(
+      writeSlice: (DataFrame, Seq[K]) => Unit): Unit = {
+    require(perSlice > 0, s"perSlice must be positive, got $perSlice")
+    sliceKeys.grouped(perSlice).foreach { keys =>
+      val staged = loadSlice(keys).localCheckpoint(true)
+      try writeSlice(staged, keys)
+      finally staged.unpersist(false)
+    }
+  }
+
+  /** Guard + rewrite in one call — the whole compaction for stores
+    * with no extra in-guard work. */
+  def compactSlices[K](spark: SparkSession, guardDir: String,
+      sliceKeys: Seq[K], perSlice: Int)(
+      loadSlice: Seq[K] => DataFrame)(
+      writeSlice: (DataFrame, Seq[K]) => Unit): Unit =
+    guardedCompaction(spark, guardDir) {
+      rewriteSlices(sliceKeys, perSlice)(loadSlice)(writeSlice)
+    }
+}

@@ -60,7 +60,8 @@ object PointsStore {
     math.max(1, math.min(64, (rows / 32768L + 1).toInt))
 
   def write(points: DataFrame, baseDir: String, stage: Stage,
-      writeSalt: Int = 8): Unit = {
+      writeSalt: Int = 8): Unit =
+      Compaction.guardedAppend(points.sparkSession, baseDir) {
     val span = bucketSpanS(stage.precisionS)
     points
       .withColumn("stage", lit(stage.toString))
@@ -100,9 +101,6 @@ object PointsStore {
     * final state, never stale re-emissions. */
   def read(spark: SparkSession, baseDir: String, stage: Stage,
       startS: Long, endS: Long, metricIds: Seq[String] = Nil): DataFrame = {
-    val span = bucketSpanS(stage.precisionS)
-    val b0 = startS / span * span
-    val b1 = endS / span * span
     // spark.graft.points.v2=true reads through the GraftCatalogSource DSv2
     // reader: stage/bucket dir pruning PLUS metric_id/ts row-group
     // stats+dictionary pruning inside each file — a narrow point fetch
@@ -112,6 +110,17 @@ object PointsStore {
       if (spark.conf.getOption("spark.graft.points.v2").contains("true"))
         spark.read.format(GraftCatalogSource.ShortName).load(baseDir)
       else spark.read.parquet(baseDir)
+    readFrom(base, stage, startS, endS, metricIds)
+  }
+
+  /** [[read]] against a caller-supplied base relation — so a compaction
+    * loop can list the store's files ONCE and prune per slice, instead
+    * of re-listing the whole table every slice. */
+  private[sources] def readFrom(base: DataFrame, stage: Stage,
+      startS: Long, endS: Long, metricIds: Seq[String] = Nil): DataFrame = {
+    val span = bucketSpanS(stage.precisionS)
+    val b0 = startS / span * span
+    val b1 = endS / span * span
     var df = base
       .filter(col("stage") === stage.toString)
       .filter(col("bucket") >= b0 && col("bucket") <= b1)
@@ -223,18 +232,20 @@ object PointsStore {
     val span = bucketSpanS(stage.precisionS)
     val buckets = listBuckets(baseDir, stage)
       .filter(b => sinceS == Long.MinValue || b + span > sinceS)
-    // dynamic overwrite set PER-WRITE, never on the session: a
-    // concurrent writer sharing the SparkSession (the streaming ingest
-    // job's foreachBatch, most likely) must not inherit overwrite
-    // semantics mid-flight (the Retrieval.compactTextIndex convention)
-    buckets.grouped(bucketsPerSlice).foreach { slice =>
-      // read() prunes to the slice's buckets and applies batch_seq
-      // last-write-wins; rewrite only those partition dirs
-      val merged = read(spark, baseDir, stage, slice.min, slice.max + span)
-      val rows = if (dropBatchSeq) merged.drop("batch_seq") else merged
-      // materialize before overwriting the directories being read
-      rows.localCheckpoint(true)
-        .write.mode("overwrite")
+    // base listed ONCE; each slice's dynamic overwrite (set PER-WRITE,
+    // never on the session) replaces only its own (stage, bucket) dirs,
+    // which no later slice reads. Guarded: a concurrent PointsStore
+    // .write (the streaming ingest job, most likely) fails fast instead
+    // of being silently dropped by a slice's read-then-overwrite.
+    val base = spark.read.parquet(baseDir)
+    Compaction.compactSlices(spark, baseDir, buckets, bucketsPerSlice) {
+      slice =>
+        // readFrom prunes to the slice's buckets and applies batch_seq
+        // last-write-wins; rewrite only those partition dirs
+        val merged = readFrom(base, stage, slice.min, slice.max + span)
+        if (dropBatchSeq) merged.drop("batch_seq") else merged
+    } { (staged, _) =>
+      staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("stage", "bucket")
         .parquet(baseDir)

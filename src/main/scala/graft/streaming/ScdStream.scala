@@ -34,6 +34,16 @@ object ScdStream {
   private def bucketed(df: DataFrame, keyCol: String, nBuckets: Int): DataFrame =
     df.withColumn("__kb", pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int"))
 
+  /** Append one micro-batch's raw rows to the changelog, under the
+    * appender side of the repo-wide compaction guard — a batch that
+    * would land mid-[[compactLog]] (and be silently dropped by a
+    * slice's read-then-overwrite) fails fast instead, and Structured
+    * Streaming replays it after the compaction releases. */
+  private[graft] def appendLog(b: DataFrame, logDir: String): Unit =
+    graft.sources.Compaction.guardedAppend(b.sparkSession, logDir) {
+      b.write.partitionBy("__kb").mode("append").parquet(logDir)
+    }
+
   /** Rebuild the SCD2 partitions for `touched` buckets from the raw
     * log (partition-pruned read, dynamic partition overwrite).
     * Exposed for the spec's replay-idempotency drive. */
@@ -67,7 +77,7 @@ object ScdStream {
           .withColumn("batch_seq", lit(batchId))
           .localCheckpoint(true) // batch-sized; two writes below
         try {
-          b.write.partitionBy("__kb").mode("append").parquet(logDir)
+          appendLog(b, logDir)
           val touched = b.select("__kb").distinct()
             .collect().map(_.getInt(0)).toSeq // planning metadata
           rebuildBuckets(spark, logDir, scdDir, touched,
@@ -84,22 +94,22 @@ object ScdStream {
   /** Drop replay-duplicated raw rows bucket by bucket (bounded
     * staging, dynamic overwrite). Content-level: two log rows are
     * duplicates iff every column matches — exactly what a replayed
-    * append produces (same batch_seq included). Must not run
-    * concurrently with the stream. */
+    * append produces (same batch_seq included). Guarded
+    * ([[graft.sources.Compaction]]): a live stream's append fails
+    * fast instead of being silently dropped by a bucket's
+    * read-then-overwrite. */
   def compactLog(spark: SparkSession, logDir: String): Unit = {
-    val buckets = spark.read.parquet(logDir)
-      .select("__kb").distinct().collect().map(_.getInt(0)).sorted
-    for (kb <- buckets) {
-      val slice = spark.read.parquet(logDir)
-        .filter(col("__kb") === kb)
-        .dropDuplicates()
-        .localCheckpoint(true) // one bucket, not the log
-      try slice.write.partitionBy("__kb")
+    // log listed ONCE; each bucket's overwrite replaces only its own
+    // __kb dir, which no later bucket reads
+    val base = spark.read.parquet(logDir)
+    val buckets = base
+      .select("__kb").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    graft.sources.Compaction.compactSlices(spark, logDir, buckets, 1) {
+      slice => base.filter(col("__kb") === slice.head).dropDuplicates()
+    } { (staged, _) =>
+      staged.write.partitionBy("__kb")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(logDir)
-      // release each slice's blocks before staging the next, so peak
-      // staging really is one bucket, not the whole log by loop end
-      finally slice.unpersist()
     }
   }
 }

@@ -26,7 +26,9 @@ class BenchSpec extends AnyFunSuite {
     val qs = allNames
       .map(n => s""""${Bench.shortName(n)}":9999.99""")
       .mkString("{", ",", "}")
-    val steal = Seq.fill(5)("0.999").mkString("[", ",", "]")
+    // the compact line summarizes steal as [mean, max] (full per-pass
+    // readings live in bench_out.json) so chunk count can't grow the line
+    val steal = Seq.fill(2)("0.999").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,"cpu_steal":$steal,"sf":"/root/testdata/sf0.1","full":"bench_out.json"}"""
     assert(line.length < 1900, s"compact line ${line.length} chars")

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.model.Retention
+import graft.operators.{Layout, Retrieval, Similarity}
+import graft.streaming.ScdStream
+
+/** The repo-wide compaction guard: ONE two-flag mechanism
+  * ([[Compaction]]), and a concurrent-case proof per compactable
+  * store — an append during compaction (or a compaction during an
+  * append) throws [[ConcurrentCompactionException]] instead of
+  * silently losing the batch to a slice's read-then-overwrite. */
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  // ---- the mechanism ---------------------------------------------------
+
+  test("append during compaction throws; markers clean up after") {
+    val dir = tmp("guard")
+    Compaction.guardedCompaction(spark, dir) {
+      val e = intercept[ConcurrentCompactionException] {
+        Compaction.guardedAppend(spark, dir) { fail("write must not run") }
+      }
+      assert(e.getMessage.contains("_COMPACTING"))
+    }
+    // both flags released: the next append and compaction run clean
+    assert(Compaction.guardedAppend(spark, dir) { 42 } === 42)
+    assert(Compaction.guardedCompaction(spark, dir) { 43 } === 43)
+    assert(new java.io.File(dir).listFiles().forall(f =>
+      !f.getName.startsWith("_COMPACTING") &&
+        !f.getName.startsWith("_APPENDING")))
+  }
+
+  test("compaction during an in-flight append throws") {
+    val dir = tmp("guard2")
+    Compaction.guardedAppend(spark, dir) {
+      val e = intercept[ConcurrentCompactionException] {
+        Compaction.guardedCompaction(spark, dir) { fail("must not run") }
+      }
+      assert(e.getMessage.contains("append in flight"))
+    }
+    // the refused compaction released its own flag on the way out
+    assert(Compaction.guardedCompaction(spark, dir) { 1 } === 1)
+  }
+
+  test("two compactions of one dir exclude each other") {
+    val dir = tmp("guard3")
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        Compaction.guardedCompaction(spark, dir) { fail("must not run") }
+      }
+    }
+  }
+
+  test("crashed holder's stale marker fails loudly; clearMarkers recovers") {
+    val dir = tmp("guard4")
+    // a crashed appender: marker left behind, no process holds it
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir,
+      Compaction.AppendingPrefix + "deadbeef"))
+    intercept[ConcurrentCompactionException] {
+      Compaction.guardedCompaction(spark, dir) { fail("must not run") }
+    }
+    // stale _APPENDING blocks compaction only, never other appends
+    assert(Compaction.guardedAppend(spark, dir) { 7 } === 7)
+    val cleared = Compaction.clearMarkers(spark, dir)
+    assert(cleared.size === 1)
+    assert(Compaction.guardedCompaction(spark, dir) { 8 } === 8)
+  }
+
+  // ---- one concurrent-case proof per compactable store ------------------
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+    (3L, "gamma delta epsilon")).toDF("doc_id", "text")
+
+  test("text index: append during compaction fails fast") {
+    val dir = tmp("ti_guard")
+    Retrieval.buildTextIndex(docs, "doc_id", "text", dir)
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        Retrieval.appendToTextIndex(
+          Seq((4L, "delta epsilon zeta")).toDF("doc_id", "text"),
+          "doc_id", "text", dir)
+      }
+    }
+    // and the real compactor holds the same guard: a stale appender
+    // marker refuses compactTextIndex until cleared
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir,
+      Compaction.AppendingPrefix + "crashed"))
+    intercept[ConcurrentCompactionException] {
+      Retrieval.compactTextIndex(spark, dir)
+    }
+    Compaction.clearMarkers(spark, dir)
+    Retrieval.compactTextIndex(spark, dir) // recovers
+  }
+
+  private def vecs(ids: Long*) = ids.map(i =>
+    (i, Array(i.toFloat, (i % 3).toFloat))).toDF("vec_id", "embedding")
+
+  test("IVF index: append during compaction fails fast") {
+    val dir = tmp("ivf_guard")
+    Similarity.buildIvfIndex(vecs(1L, 2L, 3L, 4L), "vec_id", "embedding",
+      dir, k = 2, iters = 1)
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        Similarity.appendToIvfIndex(vecs(5L), "vec_id", "embedding", dir)
+      }
+    }
+    Similarity.compactIvfIndex(spark, dir) // guard released → runs clean
+  }
+
+  test("points store: write during compaction fails fast") {
+    val dir = tmp("pts_guard")
+    val stage = Retention.fromString("60*60s:24*3600s").stage0
+    val pts = Seq(("m1", 60L, 1.0, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica")
+    PointsStore.write(pts, dir, stage, writeSalt = 1)
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        PointsStore.write(pts, dir, stage, writeSalt = 1)
+      }
+    }
+    PointsStore.compactStageSlices(spark, dir, stage)
+    assert(PointsStore.read(spark, dir, stage, 0L, 3600L).count() === 1)
+  }
+
+  test("z-order layout: append during compaction fails fast") {
+    val dir = tmp("zo_guard")
+    val df = (1 to 40).map(i => (i.toLong, (i * 7 % 40).toLong))
+      .toDF("a", "b")
+    Layout.zorderWrite(df, Seq("a", "b"), dir, nFiles = 2, bits = 2)
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        Layout.zorderAppend(df, dir)
+      }
+    }
+    Layout.zorderAppend(df, dir) // guard released
+    Layout.compactLayout(spark, dir)
+    assert(spark.read.parquet(dir).count() === 80)
+  }
+
+  test("SCD changelog: append during compactLog fails fast") {
+    val dir = tmp("scd_guard")
+    val log = Seq((1L, 10L, 1L, "a", 0), (1L, 20L, 2L, "b", 0))
+      .toDF("k", "ts", "seq", "attr", "__kb")
+    ScdStream.appendLog(log, dir)
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        ScdStream.appendLog(log, dir)
+      }
+    }
+    ScdStream.appendLog(log, dir) // replay lands once the guard releases
+    ScdStream.compactLog(spark, dir)
+    // the duplicated append folds back to the distinct rows
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+}
