@@ -142,14 +142,11 @@ object Bench {
       built.toMap
     }
     names.map {
+      // x1/x2/x5 are ordinary SparkEntry queries since they gained
+      // DuckDB oracles — the first case times the same composed plan
+      // the correctness gate hashes
       case n if queries.contains(n) =>
         n -> (() => { queries(n)(spark, sfDir).count(); () })
-      case n @ "x1_curation_pipeline" =>
-        n -> (() => { curationPipeline(spark, sfDir); () })
-      case n @ "x2_embedding_pipeline" =>
-        n -> (() => { embeddingPipeline(spark, sfDir); () })
-      case n @ "x5_pretrain_prep_pipeline" =>
-        n -> (() => { pretrainPrepPipeline(spark, sfDir); () })
       case n if n.startsWith("bg_") =>
         n -> micros.getOrElse(n,
           throw new IllegalArgumentException(s"unknown micro task $n"))
@@ -453,100 +450,6 @@ object Bench {
       .filterNot { case (id, _) => keep.contains(id) }
       .values.foreach(_.unpersist(blocking = false))
     System.gc()
-  }
-
-  /** The end-to-end curation chain a training-data team runs nightly,
-    * as ONE plan: URL dedup → Gopher quality gate → minhash signatures
-    * → LSH candidate pairs → jaccard verification ≥0.8 → duplicate
-    * clusters → leakage-safe split. Each stage is individually
-    * oracle-checked (d11/t8/d2/d4/d6/d7); this entry measures the
-    * composed pipeline's wall time at the bench scale factor. (C4 line
-    * cleaning is omitted only because the synthetic corpus has no
-    * newlines — every page would die on the terminal-punctuation rule.) */
-  private[graft] def curationPipeline(spark: SparkSession, sfDir: String): Long = {
-    import org.apache.spark.sql.functions._
-    import graft.operators.{Dedup, TextAnalysis, Urls}
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val url = concat(lit("https://"), col("source"),
-      lit(".example.com/d/"), col("doc_id") % 40)
-    val urlKept = Urls.dedupByUrl(docs.withColumn("url", url))
-      .filter(col("kept") === 1).drop("url", "canon_url", "kept")
-    val quality = TextAnalysis.gopherRules(urlKept, "doc_id", "text")
-      .filter(col("keep")).select("doc_id")
-    val kept = urlKept.join(quality, "doc_id").select("doc_id", "text")
-    val sigs = Dedup.minhashSignatureFromText(kept, "doc_id", "text")
-    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
-    val dups = Dedup.jaccardFromText(pairs, kept, "doc_id", "text")
-      .filter(col("jaccard") >= 0.8)
-    val comps = Dedup.connectedComponents(dups)
-    Dedup.leakageSafeSplit(kept, "doc_id", comps).count()
-  }
-
-  /** The embedding-side curation pipeline as ONE composed plan (the x1
-    * idea on the vector column): k-means cells → SemDeDup pair drop →
-    * SSL-prototype pruning of the survivors → leakage-safe split keyed
-    * on the semantic dup clusters. Stages are individually oracled
-    * (km1, d8, d14, d6/d7); the composition is what a nightly embedding
-    * curation job runs. */
-  private[graft] def embeddingPipeline(spark: SparkSession, sfDir: String): Long = {
-    import org.apache.spark.sql.functions._
-    import graft.operators.{Clustering, Dedup}
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
-      k = 8, iters = 2)
-    // pair list feeds TWO consumers (drop set + components) — materialize
-    val pairs = Clustering.semanticDupPairs(emb, "vec_id", "embedding",
-        cents, threshold = 0.7)
-      .localCheckpoint(true)
-    // drop the higher id of every semantic near-dup pair, then prune the
-    // most prototypical 30% of what survives
-    val dropIds = pairs.select(col("id_b").as("vec_id")).distinct()
-    val survivors = emb.join(dropIds, Seq("vec_id"), "left_anti")
-    val kept = Clustering.prototypesPrune(survivors, "vec_id", "embedding",
-        cents, pruneFrac = 0.3)
-      .filter(col("keep"))
-      .select("vec_id")
-    val comps = Dedup.connectedComponents(
-      pairs.select("id_a", "id_b"))
-    Dedup.leakageSafeSplit(emb.join(kept, "vec_id"), "vec_id", comps)
-      .count()
-  }
-
-  /** The prepare-pretraining-data job over this round's operators, as
-    * one composed run: NB classifier routing (train on 4/5, keep docs
-    * predicted into the majority class family) → temperature-scaled
-    * mixture over sources → strided chunking → chunk-hash dedup →
-    * greedy sequence packing → BPE merge training on the surviving
-    * text. Stages individually oracled (cl1, p9, x4, bp1); the
-    * composition is the documents-to-trainer handoff. */
-  private[graft] def pretrainPrepPipeline(spark: SparkSession,
-      sfDir: String): Long = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    import graft.operators.{Bpe, Classify, Packing, Sampling}
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val model = Classify.nbFit(docs.filter(col("doc_id") % 5 =!= 0),
-      "lang", "text", vocabSize = 24)
-    // keep docs whose predicted language the router trusts (margin > 0)
-    val routed = Classify.nbMargin(model, docs, "doc_id", "text")
-      .filter(col("margin") > 0).select("doc_id")
-    val kept = docs.join(routed, "doc_id")
-    val mixed = Sampling.temperatureMixture(kept, col("doc_id"),
-      col("source"), col("n_chars"), temperature = 2.0,
-      tokenBudget = 500000L)
-    val chunks = Packing.chunkWindows(mixed, "doc_id", "text",
-      window = 128, stride = 64)
-    val w = Window.partitionBy("chunk_hash")
-      .orderBy(col("doc_id"), col("chunk_idx"))
-    val uniq = chunks.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select((col("doc_id") * 1048576L + col("chunk_idx")).as("chunk_id"),
-        col("n_tokens"))
-    val packed = Packing.packGreedy(uniq, "chunk_id", "n_tokens",
-      capacity = 256, numShards = 8).count()
-    val (merges, _) = Bpe.trainMerges(
-      Bpe.wordFreqs(mixed, "text"), rounds = 8)
-    packed + merges.count()
   }
 
   /** Micro-benchmarks mirroring the reference's accessor_bench comparable

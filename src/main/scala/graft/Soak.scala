@@ -108,10 +108,9 @@ object Soak {
         allQueryNames.filter(only)
       }
     def run(q: String, dir: String): Unit =
-      if (q == "x1_curation_pipeline") Bench.curationPipeline(spark, dir)
       // er1/er2 scale along the key VOCABULARY; the warehouse axis
       // keeps customer fixed, so they read the `er/` variant instead
-      else if (q.startsWith("er")) SparkEntry.queries(q)(spark, s"$dir/er").count()
+      if (q.startsWith("er")) SparkEntry.queries(q)(spark, s"$dir/er").count()
       else SparkEntry.queries(q)(spark, dir).count()
     val rows = selected.map { q =>
       // untimed warm-up leg: a fresh JVM's first query otherwise pays

@@ -2674,6 +2674,93 @@ object SparkEntry {
     // trained k-means cells → SSL-prototype pruning (d14's op over text-
     // derived vectors). Unlike x1/x2 (bench-only composites), the whole
     // chain is DuckDB-oracle-able end-to-end
+    // X1: the nightly text-curation chain as ONE oracled plan — URL
+    // dedup (d11) → Gopher quality gate (t8's rules minus the stopword
+    // floor, which the synthetic corpus can never pass — the same
+    // reason the chain omits C4's terminal-punctuation rule) →
+    // minhash/LSH/jaccard near-dup pairs at 0.8 (d2/d4) → duplicate
+    // clusters (d6) → leakage-safe split (d7). Bench times this same
+    // queries entry.
+    "x1_curation_pipeline" -> { (s, dir) =>
+      import graft.operators.{Dedup, TextAnalysis, Urls}
+      val docs = table(s, dir, "documents")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/d/"), col("doc_id") % 200)
+      val urlKept = Urls.dedupByUrl(docs.withColumn("url", url))
+        .filter(col("kept") === 1).drop("url", "canon_url", "kept")
+      val quality = TextAnalysis.gopherRules(urlKept, "doc_id", "text",
+          minWords = 20)
+        .filter(col("rule_words") && col("rule_mean_len") &&
+          col("rule_symbols") && col("rule_alpha"))
+        .select("doc_id")
+      val kept = urlKept.join(quality, "doc_id").select("doc_id", "text")
+      val sigs = Dedup.minhashSignatureFromText(kept, "doc_id", "text")
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      val dups = Dedup.jaccardFromText(pairs, kept, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+      val comps = Dedup.connectedComponents(dups)
+      Dedup.leakageSafeSplit(kept, "doc_id", comps)
+        .orderBy("doc_id")
+    },
+
+    // X2: the embedding-side curation chain as ONE oracled plan —
+    // k-means cells (km1) → SemDeDup pair drop at 0.7 (d8) →
+    // SSL-prototype pruning of the survivors (d14) → leakage-safe
+    // split keyed on the semantic dup clusters (d6/d7 on vectors).
+    "x2_embedding_pipeline" -> { (s, dir) =>
+      import graft.operators.{Clustering, Dedup}
+      val emb = table(s, dir, "embeddings")
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      // pair list feeds TWO consumers (drop set + components)
+      val pairs = Clustering.semanticDupPairs(emb, "vec_id", "embedding",
+          cents, threshold = 0.7)
+        .localCheckpoint(true)
+      val dropIds = pairs.select(col("id_b").as("vec_id")).distinct()
+      val survivors = emb.join(dropIds, Seq("vec_id"), "left_anti")
+      val kept = Clustering.prototypesPrune(survivors, "vec_id",
+          "embedding", cents, pruneFrac = 0.3)
+        .filter(col("keep"))
+        .select("vec_id")
+      val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      Dedup.leakageSafeSplit(emb.join(kept, "vec_id"), "vec_id", comps)
+        .orderBy("vec_id")
+    },
+
+    // X5: the prepare-pretraining-data chain as ONE oracled plan — NB
+    // classifier routing on margin (cl2) → temperature-scaled mixture
+    // (p9, budget 500k) → strided chunking → chunk-hash dedup → greedy
+    // packing (x4's chain) — with the BPE merge count (bp1) trained on
+    // the same mixed text riding along as a constant column.
+    "x5_pretrain_prep_pipeline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Bpe, Classify, Packing, Sampling}
+      val docs = table(s, dir, "documents")
+      val model = Classify.nbFit(docs.filter(col("doc_id") % 5 =!= 0),
+        "lang", "text", vocabSize = 24)
+      // keep docs whose predicted language the router trusts
+      val routed = Classify.nbMargin(model, docs, "doc_id", "text")
+        .filter(col("margin") > 0).select("doc_id")
+      val kept = docs.join(routed, "doc_id")
+      val mixed = Sampling.temperatureMixture(kept, col("doc_id"),
+        col("source"), col("n_chars"), temperature = 2.0,
+        tokenBudget = 500000L)
+      val chunks = Packing.chunkWindows(mixed, "doc_id", "text",
+        window = 128, stride = 64)
+      val w = Window.partitionBy("chunk_hash")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      val uniq = chunks.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select((col("doc_id") * 1048576L + col("chunk_idx")).as("chunk_id"),
+          col("n_tokens"))
+      val packed = Packing.packGreedy(uniq, "chunk_id", "n_tokens",
+        capacity = 256, numShards = 8)
+      val (merges, _) = Bpe.trainMerges(Bpe.wordFreqs(mixed, "text"),
+        rounds = 8)
+      packed.crossJoin(merges.agg(count(lit(1)).as("n_merges")))
+        .orderBy("chunk_id")
+    },
+
     "x3_text_semantic_pipeline" -> { (s, dir) =>
       import graft.operators.{Clustering, Vectorize}
       val docs = table(s, dir, "documents")
@@ -3650,12 +3737,13 @@ object SparkEntry {
     * (cnt DESC, l, r), and the boundary-safe literal replace `r_i`.
     * CTEs are MATERIALIZED — each round references the previous one
     * multiple times, and inlining would expand the chain exponentially. */
-  private def bpeOracleCtes(rounds: Int): String = {
+  private def bpeOracleCtes(rounds: Int,
+      source: String = "documents"): String = {
     val seed =
-      """w AS MATERIALIZED (
+      raw"""w AS MATERIALIZED (
         |  SELECT tok AS word, count(*) AS freq FROM (
         |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
-        |    FROM documents)
+        |    FROM $source)
         |  GROUP BY 1),
         |r0 AS MATERIALIZED (
         |  SELECT word, freq,
@@ -3685,14 +3773,15 @@ object SparkEntry {
     (Seq(seed) ++ perRound).mkString(",\n")
   }
 
-  /** Naive-Bayes oracle chain shared by cl1/cl2: train/test split,
+  /** Naive-Bayes oracle chain shared by cl1/cl2/x5: train/test split,
     * top-V vocab, smoothed grid, and the per-(doc, class) scores
-    * `gsc`. */
-  private val NbOracleCtes =
-    """tr AS (
+    * `gsc`. `scoreWhere` selects the scored set (cl1/cl2 hold out the
+    * 1/5 split; x5's router scores everything). */
+  private def nbOracleCtes(scoreWhere: String): String =
+    raw"""tr AS (
         |  SELECT doc_id, lang AS label, text FROM documents
         |  WHERE doc_id % 5 <> 0),
-        |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |te AS (SELECT doc_id, text FROM documents WHERE $scoreWhere),
         |tok AS (
         |  SELECT label, unnest(string_split_regex(lower(text), '\s+')) AS term
         |  FROM tr),
@@ -6164,7 +6253,7 @@ object SparkEntry {
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "cl1_nb_classify" ->
-      s"""WITH $NbOracleCtes,
+      s"""WITH ${nbOracleCtes("doc_id % 5 = 0")},
         |best AS (
         |  SELECT doc_id, label, score,
         |    row_number() OVER (PARTITION BY doc_id
@@ -6174,7 +6263,7 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "cl2_nb_margin" ->
-      s"""WITH $NbOracleCtes,
+      s"""WITH ${nbOracleCtes("doc_id % 5 = 0")},
         |rkc AS (
         |  SELECT doc_id, label, score,
         |    row_number() OVER (PARTITION BY doc_id
@@ -6189,6 +6278,194 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
 
+
+    "x1_curation_pipeline" ->
+      raw"""WITH RECURSIVE uk AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (
+        |        PARTITION BY lower(source || '.example.com') || '/d/'
+        |          || CAST(doc_id % 200 AS VARCHAR)
+        |        ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM documents)
+        |  WHERE rn = 1),
+        |gm AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM uk),
+        |gq AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    floor((list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+        |      / len(toks)) * 1000000 + 0.5) / 1000000 AS mean_word_len,
+        |    floor((len(list_filter(toks, x -> contains(x, '#')
+        |        OR contains(x, '...') OR contains(x, chr(8230))))::DOUBLE
+        |      / len(toks)) * 1000000 + 0.5) / 1000000 AS symbol_ratio,
+        |    floor((len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |      / len(toks)) * 1000000 + 0.5) / 1000000 AS alpha_ratio
+        |  FROM gm),
+        |kept AS (
+        |  SELECT uk.doc_id, uk.text FROM uk JOIN gq USING (doc_id)
+        |  WHERE gq.n_words >= 20 AND gq.n_words <= 100000
+        |    AND gq.mean_word_len >= 3 AND gq.mean_word_len <= 10
+        |    AND gq.symbol_ratio <= 0.1 AND gq.alpha_ratio >= 0.8),
+        |${ShinglesCte.replace("FROM documents", "FROM kept")},
+        |$SigCte,
+        |$BandedPairsCte,
+        |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS i
+        |  FROM pairs p
+        |  JOIN dsh a ON a.doc_id = p.id_a
+        |  JOIN dsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pairs p
+        |  LEFT JOIN inter i USING (id_a, id_b)
+        |  JOIN sizes sa ON sa.doc_id = p.id_a
+        |  JOIN sizes sb ON sb.doc_id = p.id_b
+        |  WHERE round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.8),
+        |edges AS (
+        |  SELECT id_a, id_b FROM dup
+        |  UNION ALL SELECT id_b, id_a FROM dup),
+        |reach(id, cluster) AS (
+        |  SELECT DISTINCT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.cluster FROM edges e JOIN reach r ON r.id = e.id_b),
+        |comp AS (SELECT id, min(cluster) AS cluster FROM reach GROUP BY id),
+        |assigned AS (
+        |  SELECT k.doc_id, coalesce(c.cluster, k.doc_id) AS cluster
+        |  FROM kept k LEFT JOIN comp c ON c.id = k.doc_id)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('c', 'd')
+        |         THEN 'val'
+        |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('e', 'f')
+        |         THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM assigned ORDER BY doc_id""".stripMargin,
+
+    "x2_embedding_pipeline" ->
+      s"""WITH RECURSIVE ${kmeansOracleCtes(k = 8, iters = 2)},
+         |sel AS (SELECT vec_id, embedding, cell_id, ccos FROM a3 WHERE rn = 1),
+         |spairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sel a JOIN sel b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.7),
+         |dropids AS (SELECT DISTINCT id_b FROM spairs),
+         |surv AS (
+         |  SELECT s.vec_id, s.cell_id, s.ccos FROM sel s
+         |  WHERE s.vec_id NOT IN (SELECT id_b FROM dropids)),
+         |rk AS (
+         |  SELECT vec_id, cell_id, ccos,
+         |    row_number() OVER (PARTITION BY cell_id
+         |      ORDER BY ccos DESC, vec_id) AS proto_rank,
+         |    count(*) OVER (PARTITION BY cell_id) AS n_cell
+         |  FROM surv),
+         |keepids AS (SELECT vec_id FROM rk WHERE proto_rank > ceil(0.3 * n_cell)),
+         |edges AS (
+         |  SELECT id_a, id_b FROM spairs
+         |  UNION ALL SELECT id_b, id_a FROM spairs),
+         |reach(id, cluster) AS (
+         |  SELECT DISTINCT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.cluster FROM edges e JOIN reach r ON r.id = e.id_b),
+         |comp AS (SELECT id, min(cluster) AS cluster FROM reach GROUP BY id),
+         |assigned AS (
+         |  SELECT k.vec_id, coalesce(c.cluster, k.vec_id) AS cluster
+         |  FROM keepids k LEFT JOIN comp c ON c.id = k.vec_id)
+         |SELECT vec_id, cluster,
+         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('c', 'd')
+         |         THEN 'val'
+         |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('e', 'f')
+         |         THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM assigned ORDER BY vec_id""".stripMargin,
+
+    "x5_pretrain_prep_pipeline" ->
+      raw"""WITH RECURSIVE ${nbOracleCtes("TRUE")},
+        |rkc AS (
+        |  SELECT doc_id, label, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label) AS rn
+        |  FROM gsc),
+        |mar AS (
+        |  SELECT doc_id,
+        |    round(max(CASE WHEN rn = 1 THEN score END)
+        |      - max(CASE WHEN rn = 2 THEN score END), 6) AS margin
+        |  FROM rkc WHERE rn <= 2 GROUP BY doc_id),
+        |routed AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, d.text
+        |  FROM documents d JOIN mar USING (doc_id) WHERE mar.margin > 0),
+        |tot AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t
+        |  FROM routed GROUP BY source),
+        |z AS (SELECT sum(pow(t, 0.5)) AS z FROM tot),
+        |rates AS (
+        |  SELECT source,
+        |    least(1.0, CAST(500000 AS DOUBLE) * (pow(t, 0.5) / z.z) / t) AS kr
+        |  FROM tot CROSS JOIN z),
+        |mixed AS MATERIALIZED (
+        |  SELECT doc_id, text FROM (
+        |    SELECT d.doc_id, d.text, rates.kr,
+        |      md5(CAST(d.doc_id AS VARCHAR)) AS dg
+        |    FROM routed d JOIN rates USING (source))
+        |  WHERE (  (strpos('0123456789abcdef', substr(dg, 1, 1)) - 1) * 4096
+        |         + (strpos('0123456789abcdef', substr(dg, 2, 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substr(dg, 3, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(dg, 4, 1)) - 1)) / 65536.0
+        |        < kr),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM mixed),
+        |sx AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(array_to_string(toks, '')) = 0 THEN 0
+        |         ELSE len(toks) END AS n,
+        |    unnest(range(0, greatest(len(toks), 1), 64)) AS tok_start
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(tok_start // 64 AS BIGINT) AS chunk_idx,
+        |    CAST(len(toks[tok_start + 1 : least(tok_start + 128, n)])
+        |      AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(
+        |      toks[tok_start + 1 : least(tok_start + 128, n)], ' '))
+        |      AS chunk_hash
+        |  FROM sx WHERE tok_start < n),
+        |uq AS (
+        |  SELECT doc_id, chunk_idx, n_tokens,
+        |    row_number() OVER (PARTITION BY chunk_hash
+        |      ORDER BY doc_id, chunk_idx) AS dup_rn
+        |  FROM ch),
+        |cid AS (
+        |  SELECT doc_id * 1048576 + chunk_idx AS chunk_id, n_tokens
+        |  FROM uq WHERE dup_rn = 1),
+        |docs2 AS (
+        |  SELECT chunk_id, chunk_id % 8 AS shard, n_tokens,
+        |    row_number() OVER (PARTITION BY chunk_id % 8
+        |      ORDER BY chunk_id) AS rn
+        |  FROM cid),
+        |packed AS (
+        |  SELECT shard, rn, chunk_id, n_tokens, n_tokens AS acc,
+        |         CAST(0 AS BIGINT) AS pack_idx, CAST(1 AS BIGINT) AS pack_pos
+        |  FROM docs2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.chunk_id, d.n_tokens,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN d.n_tokens
+        |         ELSE p.acc + d.n_tokens END,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN p.pack_idx + 1
+        |         ELSE p.pack_idx END,
+        |    CASE WHEN p.acc + d.n_tokens > 256 THEN CAST(1 AS BIGINT)
+        |         ELSE p.pack_pos + 1 END
+        |  FROM docs2 d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1),
+        |${bpeOracleCtes(8, source = "mixed")},
+        |nm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_merges FROM (
+        |    ${(1 to 8).map(i => s"SELECT 1 FROM t$i WHERE rn = 1")
+                .mkString(" UNION ALL ")}))
+        |SELECT chunk_id, shard, pack_idx, pack_pos, n_tokens, nm.n_merges
+        |FROM packed CROSS JOIN nm ORDER BY chunk_id""".stripMargin,
 
     "x3_text_semantic_pipeline" ->
       s"""WITH ${tfidfCtes()},

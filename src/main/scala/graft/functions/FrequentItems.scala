@@ -137,10 +137,14 @@ case class FrequentItemsSketch(
       entries(i) = (e.getKey, e.getValue); i += 1
     }
     // (est DESC, item ASC): a deterministic display order and the rank
-    // order topTokensSketch cuts at k
+    // order topTokensSketch cuts at k. Item ties compare as UTF8String
+    // (UTF-8 byte order) — Profile.topTokens ranks token ASC under
+    // Spark's binary string ordering, and Java String.compareTo (UTF-16
+    // code units) diverges from it for supplementary-plane characters,
+    // which would break the exact-regime bit-equality contract
     java.util.Arrays.sort(entries, (a: (String, Long), b: (String, Long)) =>
       if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
-      else a._1.compareTo(b._1))
+      else UTF8String.fromString(a._1).compareTo(UTF8String.fromString(b._1)))
     new GenericArrayData(entries.map { case (item, est) =>
       val row = new GenericInternalRow(3)
       row.update(0, UTF8String.fromString(item))
@@ -161,7 +165,13 @@ case class FrequentItemsSketch(
     val it = buffer.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed raw UTF-8, not writeUTF: writeUTF throws
+      // UTFDataFormatException past 65535 encoded bytes, so one
+      // pathological token would fail the whole aggregation at shuffle
+      // time instead of just being counted
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -174,7 +184,13 @@ case class FrequentItemsSketch(
     val n = in.readInt()
     val m = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     new FreqSummary(m, offset)
   }
 

@@ -82,16 +82,26 @@ object Quality {
         sum(when(rowViolated(r), 1L).otherwise(0L)).as(s"__v$i") }) ++
       uniqueRules.zipWithIndex.map { case (u, i) =>
         count_distinct(struct(u.cols.map(col): _*)).as(s"__u$i") }
-    val base = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    // ONE ROW of counters — collected driver-side (planning metadata,
+    // the repo convention), never checkpointed: the streaming gate
+    // calls validate per micro-batch, and a checkpoint here would pin
+    // one cached RDD per batch for the job's lifetime
+    val baseRow = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = baseRow.getLong(baseRow.fieldIndex("__n"))
+    def counter(name: String): Long = // sums over an empty corpus: null
+      Option(baseRow.get(baseRow.fieldIndex(name)))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
 
-    val rowVerdicts = rowRules.zipWithIndex.map { case (r, i) =>
-      base.select(lit(r.name).as("rule"), col("__n").as("checked"),
-        coalesce(col(s"__v$i"), lit(0L)).as("violations"))
-    }
-    val uniqueVerdicts = uniqueRules.zipWithIndex.map { case (u, i) =>
-      base.select(lit(u.name).as("rule"), col("__n").as("checked"),
-        (col("__n") - col(s"__u$i")).as("violations"))
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scalarVerdicts: Seq[(String, Long, Long)] =
+      rowRules.zipWithIndex.map { case (r, i) =>
+        (r.name, n, counter(s"__v$i")) } ++
+      uniqueRules.zipWithIndex.map { case (u, i) =>
+        (u.name, n, n - counter(s"__u$i")) }
+    val scalarDf =
+      if (scalarVerdicts.isEmpty) Nil
+      else Seq(scalarVerdicts.toDF("rule", "checked", "violations"))
     val fkVerdicts = fkRules.map { f =>
       val dimKeys = f.dim
         .select(f.dimCols.map(c => col(c).as(s"__dk_$c")): _*).distinct()
@@ -102,11 +112,11 @@ object Quality {
       val nonNull = f.cols.map(col(_).isNotNull).reduce(_ && _)
       df.filter(nonNull).join(dimKeys, cond, "left_anti")
         .agg(count(lit(1)).as("violations"))
-        .crossJoin(base.select(col("__n").as("checked")))
-        .select(lit(f.name).as("rule"), col("checked"), col("violations"))
+        .select(lit(f.name).as("rule"), lit(n).as("checked"),
+          col("violations"))
     }
 
-    (rowVerdicts ++ uniqueVerdicts ++ fkVerdicts)
+    (scalarDf ++ fkVerdicts)
       .reduce(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
       .orderBy("rule")

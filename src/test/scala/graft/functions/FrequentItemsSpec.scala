@@ -93,4 +93,36 @@ class FrequentItemsSpec extends SparkSuite {
     assert(sketch.map(t => (t._1, t._2, t._3, t._5)) === exact)
     assert(sketch.forall(_._4 == 0L), "exact regime certifies max_err 0")
   }
+
+  test("a token past writeUTF's 64 KiB limit survives the shuffle") {
+    // writeUTF throws UTFDataFormatException at 65536+ encoded bytes;
+    // the summary serializes length-prefixed raw UTF-8 instead, so one
+    // pathological token degrades nothing
+    val big = "x" * 70000
+    val rows = Seq.fill(5)(("g", big)) ++ Seq.fill(3)(("g", "small"))
+    val got = spark.createDataset(rows).repartition(4).toDF("g", "item")
+      .groupBy("g").agg(frequent_items(col("item"), 8).as("fi"))
+      .select(explode(col("fi")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .as[(String, Long)].collect().toMap
+    assert(got(big) === 5L)
+    assert(got("small") === 3L)
+  }
+
+  test("count ties break in UTF-8 byte order, matching Spark's string sort") {
+    // U+1F600 (😀) encodes F0 9F 98 80; U+FFFD encodes EF BF BD. UTF-16
+    // code units order 😀 (surrogate D83D) BEFORE FFFD, UTF-8 bytes the
+    // reverse — the sketch must match topTokens' UTF8String ordering
+    val smiley = "😀"
+    val repl = "�"
+    val rows = Seq(("g", smiley), ("g", repl))
+    val got = spark.createDataset(rows).toDF("g", "item")
+      .groupBy("g").agg(frequent_items(col("item"), 8).as("fi"))
+      .select(explode(col("fi")).as("e"))
+      .select(col("e.item")).as[String].collect().toSeq
+    val sparkOrder = spark.createDataset(rows).toDF("g", "item")
+      .orderBy("item").select("item").as[String].collect().toSeq
+    assert(got === sparkOrder, "tie order must be UTF-8 binary")
+    assert(got === Seq(repl, smiley))
+  }
 }
