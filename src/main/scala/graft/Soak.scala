@@ -65,6 +65,16 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — session conf overrides for
+    // measurement variants (e.g. the single-node r4 memory knob:
+    // spark.graft.tfidf.statsStorage=disk). Published legs note the
+    // conf they ran under.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
 
     // inflate once per (outDir, factor); chunked fresh-JVM runs reuse it.
     // The SMALL leg runs against a layout-normalized 1× copy (inflate
@@ -111,6 +121,7 @@ object Soak {
       // er1/er2 scale along the key VOCABULARY; the warehouse axis
       // keeps customer fixed, so they read the `er/` variant instead
       if (q.startsWith("er")) SparkEntry.queries(q)(spark, s"$dir/er").count()
+      else if (q == "zo2_zorder_lifecycle") zorderLifecycle(spark, dir)
       else SparkEntry.queries(q)(spark, dir).count()
     val rows = selected.map { q =>
       // untimed warm-up leg: a fresh JVM's first query otherwise pays
@@ -175,6 +186,7 @@ object Soak {
     "h11_important_stock", "h15_top_supplier", "pr4_top_tokens",
     "pr5_top_tokens_sketch", "r6_phrase_index",
     "er1_fuzzy_ed_join", "er2_nearest_master", "zo1_zorder_scan",
+    "zo2_zorder_lifecycle",
     "cd1_scd2_intervals", "cd2_pit_snapshot", "cd3_snapshot_diff",
     "dq1_expectations",
     "x1_curation_pipeline")
@@ -276,5 +288,48 @@ object Soak {
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .repartition(Files)
       .write.mode("overwrite").parquet(s"$out/er/customer.parquet")
+  }
+
+  /** The zo2 soak query: the FULL z-order maintenance lifecycle — build
+    * on 60% of the fact, two 20% appends under the saved cuts, compact
+    * back to the build's file count, then the zo1 two-dimensional probe
+    * over the compacted layout. zo1 soaks the build+scan; this row is
+    * the append/compact path's scaling evidence (verdict r9 item 7).
+    * Stage timings and file counts print to stderr for the chunk log;
+    * the soak row records the lifecycle total. */
+  def zorderLifecycle(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Layout
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zo2_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    // wipe: zorderWrite overwrites, but appends from a PREVIOUS run
+    // must not survive into this run's build
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def files(): Int = spark.read.parquet(out)
+      .select(input_file_name()).distinct().count().toInt
+    def probe(): Unit = {
+      spark.read.parquet(out)
+        .filter(col("l_orderkey").between(1000, 2999) &&
+          col("l_partkey").between(200, 599))
+        .agg(count(lit(1)), sum("l_quantity")).collect()
+      ()
+    }
+    def stage[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[zo2] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    stage("build 60%")(Layout.zorderWrite(
+      li.filter(col("l_orderkey") % 5 < 3), Seq("l_orderkey", "l_partkey"),
+      out, nFiles = 32, cutsSampleFraction = 0.05))
+    stage("append 20%")(Layout.zorderAppend(
+      li.filter(col("l_orderkey") % 5 === 3), out))
+    stage("append 20%")(Layout.zorderAppend(
+      li.filter(col("l_orderkey") % 5 === 4), out))
+    System.err.println(s"[zo2] files pre-compact: ${files()}")
+    stage("probe pre-compact")(probe())
+    stage("compact")(Layout.compactLayout(spark, out, nFiles = 32))
+    System.err.println(s"[zo2] files post-compact: ${files()}")
+    stage("probe post-compact")(probe())
   }
 }

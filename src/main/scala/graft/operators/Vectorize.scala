@@ -47,6 +47,28 @@ object Vectorize {
 
   private def toks(c: Column): Column = TextAnalysis.tokens(c)
 
+  /** Conf key for the corpus-stat staging level: `memory` (default —
+    * eager localCheckpoint, fastest) or `disk` (eager DISK_ONLY
+    * persist). The tf/weight relations are docs × dim-bounded, but on a
+    * SINGLE node 100× the bench corpus walks past the executor heap and
+    * localCheckpoint blocks start spilling mid-query (r4's documented
+    * 24 GiB memory floor, docs/SCALE.md); `disk` trades a slower warm
+    * path for a flat memory profile. On a real cluster the default is
+    * right — the relations shard across executors. */
+  val StatsStorageKey = "spark.graft.tfidf.statsStorage"
+
+  /** Materialize a corpus-stat relation eagerly under [[StatsStorageKey]]:
+    * both modes cut lineage re-execution for the multiple consumers;
+    * `disk` keeps the blocks off-heap entirely. */
+  private def materializeStats(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(StatsStorageKey) match {
+      case Some("disk") =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count() // eager, like localCheckpoint(true)
+        p
+      case _ => df.localCheckpoint(true)
+    }
+
   /** (doc_id, slot) — one row per corpus token, slot-hashed. */
   private def explodedSlots(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame =
@@ -60,9 +82,9 @@ object Vectorize {
   private def tfAndIdf(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): (DataFrame, DataFrame) = {
     require(dim > 0 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
-    val tf = explodedSlots(docs, idCol, textCol, dim)
-      .groupBy("doc_id", "slot").agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
+    val tf = materializeStats(
+      explodedSlots(docs, idCol, textCol, dim)
+        .groupBy("doc_id", "slot").agg(count(lit(1)).as("__tf")))
     val n = docs.select(countDistinct(col(idCol)).as("__n"))
     val idf = tf.groupBy("slot")
       .agg(countDistinct(col("doc_id")).as("__df"))
@@ -133,7 +155,7 @@ object Vectorize {
     // aggregation for the query side
     val (tf, idf) = tfAndIdf(docs, idCol, textCol, dim)
     // corpus sparse weights materialized once: norms AND the dot join
-    val cs = weighted(tf, idf).localCheckpoint(true)
+    val cs = materializeStats(weighted(tf, idf))
     val cn = cs.groupBy("doc_id")
       .agg(sqrt(sum(col("weight") * col("weight"))).as("__cn"))
     // normalized corpus side: one co-keyed corpus-token × doc-count

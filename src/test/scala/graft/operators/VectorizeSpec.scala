@@ -85,6 +85,21 @@ class VectorizeSpec extends SparkSuite {
     assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(2) < 1))
   }
 
+  test("disk stats storage produces bit-identical tfidfKnn results") {
+    // the single-node memory knob (spark.graft.tfidf.statsStorage=disk)
+    // changes only WHERE the corpus-stat relations stage, never a value
+    val queries = Seq((10L, "apple cherry")).toDF("query_id", "qtext")
+    def run(): Seq[(Long, Long, Double, Long)] =
+      Vectorize.tfidfKnn(docs, "doc_id", "text",
+          queries, "query_id", "qtext", dim = 64, k = 3)
+        .orderBy("query_id", "rk")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val inMemory = run()
+    spark.conf.set(Vectorize.StatsStorageKey, "disk")
+    try assert(run() === inMemory)
+    finally spark.conf.unset(Vectorize.StatsStorageKey)
+  }
+
   test("termSlot stays in [0, dim) and is stable") {
     val terms = Seq("a", "b", "longer_term", "ünïcode").toDF("t")
     val slots = terms.select(Vectorize.termSlot(col("t"), 7).as("s"))
