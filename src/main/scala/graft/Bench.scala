@@ -243,6 +243,29 @@ object Bench {
     spark.stop()
   }
 
+  /** Parse one chunk child's TSV (see [[runChunk]]): `task` rows to
+    * per-task raw samples (negative sample = the child's crash
+    * sentinel → NaN, so the parent republishes -1), the `steal` row to
+    * per-pass steal fractions. Unknown rows are ignored; a malformed
+    * numeric field throws (the caller marks the whole chunk failed
+    * rather than publishing half a chunk). */
+  private[graft] def parseChunkTsv(lines: Iterator[String])
+      : (Map[String, Vector[Double]], Vector[Double]) = {
+    val tasks = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    var steals = Vector.empty[Double]
+    lines.foreach { line =>
+      line.split("\t", -1) match {
+        case Array("task", name, ss) =>
+          tasks(name) = ss.split(",").toVector
+            .map(v => { val d = v.toDouble; if (d < 0) Double.NaN else d })
+        case Array("steal", ss) if ss.nonEmpty =>
+          steals = ss.split(",").toVector.map(_.toDouble)
+        case _ => ()
+      }
+    }
+    (tasks.toMap, steals)
+  }
+
   /** Required JDK17 module opens for Spark — the child JVMs must carry
     * them even when the parent inherited them through a launcher env
     * var this process can't see. Duplicates are harmless. */
@@ -285,9 +308,15 @@ object Bench {
       .getRuntimeMXBean.getInputArguments
     val jvmArgs: Seq[String] = {
       import scala.jdk.CollectionConverters._
+      // children get the BENCH heap profile regardless of how the
+      // parent was launched — an sbt-launched parent would otherwise
+      // hand its own (small) -Xmx down to every measurement JVM
+      val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_XMX", "24g")
       val inherited = parentArgs.asScala.toSeq.filterNot(a =>
-        a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-      inherited ++ RequiredOpens.filterNot(inherited.contains)
+        a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+          a.startsWith("-Xmx") || a.startsWith("-Xms"))
+      inherited ++ Seq(s"-Xms$heap", s"-Xmx$heap") ++
+        RequiredOpens.filterNot(inherited.contains)
     }
     val cp = System.getProperty("java.class.path")
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
@@ -312,19 +341,13 @@ object Bench {
         System.err.println(s"[bench] chunk $i fork failed: ${e.getMessage}")
         -1
       }
-      val parsed = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      var parsed = Map.empty[String, Vector[Double]]
       var chunkSteals = Vector.empty[Double]
       if (rc == 0) try {
         val src = scala.io.Source.fromFile(outFile)
-        try src.getLines().foreach { line =>
-          line.split("\\t", -1) match {
-            case Array("task", name, ss) =>
-              parsed(name) = ss.split(",").toVector
-                .map(v => { val d = v.toDouble; if (d < 0) Double.NaN else d })
-            case Array("steal", ss) if ss.nonEmpty =>
-              chunkSteals = ss.split(",").toVector.map(_.toDouble)
-            case _ => ()
-          }
+        try {
+          val (p, st) = parseChunkTsv(src.getLines())
+          parsed = p; chunkSteals = st
         } finally src.close()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] chunk $i result unreadable: ${e.getMessage}")

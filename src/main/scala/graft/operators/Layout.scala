@@ -217,19 +217,20 @@ object Layout {
     * ([[graft.sources.ConcurrentCompactionException]]) instead of
     * being silently dropped by a slice's read-then-overwrite. */
   def compactLayout(spark: SparkSession, outDir: String,
-      nFiles: Int = 0): Unit = {
+      nFiles: Int = 0): Unit =
+      graft.sources.Compaction.guardedCompaction(spark, outDir) {
     val (cuts, bits, built) = readMeta(spark, outDir)
     val n = if (nFiles >= 1) nFiles else built
-    // table listed ONCE; each slice's overwrite replaces only its own
-    // __zp dir, which no later slice reads. Guarded: a concurrent
-    // zorderAppend fails fast instead of being silently dropped by a
-    // slice's read-then-overwrite.
+    // table listed ONCE, INSIDE the guard (the rewriteSlices ordering
+    // contract); each slice's overwrite replaces only its own __zp
+    // dir, which no later slice reads. A concurrent zorderAppend fails
+    // fast instead of being silently dropped.
     val base = spark.read.parquet(outDir)
     // occupied slices: ≤ 2^PrefixBits rows of planning metadata
     val slices = base
       .select("__zp").distinct().collect().map(_.getInt(0)).sorted.toSeq
     val perSlice = math.max(1, n / math.max(1, slices.length))
-    graft.sources.Compaction.compactSlices(spark, outDir, slices, 1) {
+    graft.sources.Compaction.rewriteSlices(slices, 1) {
       slice => base.filter(col("__zp") === slice.head).drop("__zp")
     } { (staged, _) =>
       writeClustered(staged, cuts, bits, outDir, perSlice, "overwrite",

@@ -339,15 +339,17 @@ object Similarity {
     * are correct throughout. Schema-agnostic: float postings and PQ
     * code postings compact identically. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, cellsPerSlice: Int = 8): Unit = {
-    // postings listed ONCE; each slice's dynamic overwrite (set
+      dir: String, cellsPerSlice: Int = 8): Unit =
+      graft.sources.Compaction.guardedCompaction(spark, dir) {
+    // postings listed ONCE, INSIDE the guard (the rewriteSlices
+    // ordering contract); each slice's dynamic overwrite (set
     // PER-WRITE, never on the session) replaces only its own cell
-    // dirs, which no later slice reads. Guarded: a concurrent
-    // appendToIvfIndex fails fast instead of being silently dropped.
+    // dirs, which no later slice reads. A concurrent appendToIvfIndex
+    // fails fast instead of being silently dropped.
     val base = spark.read.parquet(s"$dir/postings")
     val cells = base.select("cell_id").distinct().collect()
       .map(_.get(0)).sortBy(_.toString).toSeq
-    graft.sources.Compaction.compactSlices(spark, dir, cells, cellsPerSlice) {
+    graft.sources.Compaction.rewriteSlices(cells, cellsPerSlice) {
       slice => base.filter(col("cell_id").isin(slice: _*))
     } { (staged, slice) =>
       staged.repartition(slice.length, col("cell_id"))

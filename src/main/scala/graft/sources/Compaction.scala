@@ -134,7 +134,14 @@ object Compaction {
     * ONCE-LISTED base relation to one slice's keys; `writeSlice`
     * dynamic-overwrites exactly those partitions. Each slice is
     * checkpointed before its own directories are overwritten and
-    * unpersisted before the next slice is staged. */
+    * unpersisted before the next slice is staged.
+    *
+    * ORDERING CONTRACT: the base relation (and anything derived from
+    * its eager file listing, including `sliceKeys`) must be built
+    * INSIDE the caller's [[guardedCompaction]] body — a listing taken
+    * before the flag is raised can miss an append that completed
+    * entirely in the gap, and the slice overwrite would then drop its
+    * files with no marker left to catch it. */
   def rewriteSlices[K](sliceKeys: Seq[K], perSlice: Int)(
       loadSlice: Seq[K] => DataFrame)(
       writeSlice: (DataFrame, Seq[K]) => Unit): Unit = {
@@ -145,14 +152,4 @@ object Compaction {
       finally staged.unpersist(false)
     }
   }
-
-  /** Guard + rewrite in one call — the whole compaction for stores
-    * with no extra in-guard work. */
-  def compactSlices[K](spark: SparkSession, guardDir: String,
-      sliceKeys: Seq[K], perSlice: Int)(
-      loadSlice: Seq[K] => DataFrame)(
-      writeSlice: (DataFrame, Seq[K]) => Unit): Unit =
-    guardedCompaction(spark, guardDir) {
-      rewriteSlices(sliceKeys, perSlice)(loadSlice)(writeSlice)
-    }
 }

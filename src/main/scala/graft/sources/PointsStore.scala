@@ -230,27 +230,32 @@ object PointsStore {
       dropBatchSeq: Boolean = false): Seq[Long] = {
     require(bucketsPerSlice > 0)
     val span = bucketSpanS(stage.precisionS)
-    val buckets = listBuckets(baseDir, stage)
-      .filter(b => sinceS == Long.MinValue || b + span > sinceS)
-    // base listed ONCE; each slice's dynamic overwrite (set PER-WRITE,
-    // never on the session) replaces only its own (stage, bucket) dirs,
-    // which no later slice reads. Guarded: a concurrent PointsStore
-    // .write (the streaming ingest job, most likely) fails fast instead
-    // of being silently dropped by a slice's read-then-overwrite.
-    val base = spark.read.parquet(baseDir)
-    Compaction.compactSlices(spark, baseDir, buckets, bucketsPerSlice) {
-      slice =>
+    // Guarded: a concurrent PointsStore.write (the streaming ingest
+    // job, most likely) fails fast instead of being silently dropped
+    // by a slice's read-then-overwrite. The bucket list AND the base
+    // file listing are taken INSIDE the guard — a listing from before
+    // the flag was raised could miss an append that completed in the
+    // gap (the rewriteSlices ordering contract).
+    Compaction.guardedCompaction(spark, baseDir) {
+      val buckets = listBuckets(baseDir, stage)
+        .filter(b => sinceS == Long.MinValue || b + span > sinceS)
+      // base listed ONCE; each slice's dynamic overwrite (set PER-WRITE,
+      // never on the session) replaces only its own (stage, bucket)
+      // dirs, which no later slice reads
+      val base = spark.read.parquet(baseDir)
+      Compaction.rewriteSlices(buckets, bucketsPerSlice) { slice =>
         // readFrom prunes to the slice's buckets and applies batch_seq
         // last-write-wins; rewrite only those partition dirs
         val merged = readFrom(base, stage, slice.min, slice.max + span)
         if (dropBatchSeq) merged.drop("batch_seq") else merged
-    } { (staged, _) =>
-      staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("stage", "bucket")
-        .parquet(baseDir)
+      } { (staged, _) =>
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("stage", "bucket")
+          .parquet(baseDir)
+      }
+      buckets
     }
-    buckets
   }
 
   /** TTL enforcement as a METADATA operation: delete whole bucket

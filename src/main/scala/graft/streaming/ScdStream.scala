@@ -98,13 +98,15 @@ object ScdStream {
     * ([[graft.sources.Compaction]]): a live stream's append fails
     * fast instead of being silently dropped by a bucket's
     * read-then-overwrite. */
-  def compactLog(spark: SparkSession, logDir: String): Unit = {
-    // log listed ONCE; each bucket's overwrite replaces only its own
-    // __kb dir, which no later bucket reads
+  def compactLog(spark: SparkSession, logDir: String): Unit =
+      graft.sources.Compaction.guardedCompaction(spark, logDir) {
+    // log listed ONCE, INSIDE the guard (the rewriteSlices ordering
+    // contract); each bucket's overwrite replaces only its own __kb
+    // dir, which no later bucket reads
     val base = spark.read.parquet(logDir)
     val buckets = base
       .select("__kb").distinct().collect().map(_.getInt(0)).sorted.toSeq
-    graft.sources.Compaction.compactSlices(spark, logDir, buckets, 1) {
+    graft.sources.Compaction.rewriteSlices(buckets, 1) {
       slice => base.filter(col("__kb") === slice.head).dropDuplicates()
     } { (staged, _) =>
       staged.write.partitionBy("__kb")

@@ -19,6 +19,22 @@ class BenchSpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"colliding short ids: $dupes")
   }
 
+  test("chunk TSV round-trips samples, crash sentinels, and steal rows") {
+    val tsv = Seq(
+      "task\tq1_agg\t0.5000,0.4800,0.5100",
+      "task\tq2_join\t-1,0.9000,0.8000", // crashed pass → NaN → -1
+      "steal\t0.0100,0.0000,0.0300",
+      "garbage line that must be ignored").iterator
+    val (tasks, steals) = Bench.parseChunkTsv(tsv)
+    assert(tasks("q1_agg") === Vector(0.5, 0.48, 0.51))
+    assert(tasks("q2_join")(0).isNaN)
+    assert(tasks("q2_join").drop(1) === Vector(0.9, 0.8))
+    assert(steals === Vector(0.01, 0.0, 0.03))
+    // empty input → nothing parsed (the caller fails the chunk)
+    val (none, noSteal) = Bench.parseChunkTsv(Iterator.empty)
+    assert(none.isEmpty && noSteal.isEmpty)
+  }
+
   test("worst-case compact stdout line fits the driver's 2000-char tail") {
     // worst case: every median prints wide (FOUR digits before the point,
     // so the static guarantee holds even on a host where a query runs
