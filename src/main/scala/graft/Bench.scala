@@ -184,16 +184,6 @@ object Bench {
           Double.NaN
       }
     }
-    // (steal, total) jiffy counters across all cpus; fraction of host
-    // cycles stolen between two readings. Zero/absent outside Linux.
-    def cpuTicks(): (Long, Long) = try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val l = src.getLines()
-          .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-        (if (l.length > 7) l(7) else 0L, l.sum)
-      } finally src.close()
-    } catch { case _: Throwable => (0L, 0L) }
     val sampleLists = collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val stealFracs = collection.mutable.ArrayBuffer[Double]()
     for (pass <- 1 to passes) {
@@ -459,6 +449,22 @@ object Bench {
 
   private[graft] def headlineNames: Seq[String] = Headline
 
+  /** (steal, total) jiffy counters across all cpus; fraction of host
+    * cycles stolen between two readings. Zero/absent outside Linux.
+    * Shared by the bench passes and the soak legs — any number
+    * published without its steal reading is unfalsifiable against
+    * host-neighbor noise (the r10 lesson: an idle-looking guest
+    * measured 1.3% baseline steal and 5-17% bursts under load, and
+    * identical back-to-back soak legs read 10 vs 27 s). */
+  private[graft] def cpuTicks(): (Long, Long) = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val l = src.getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (l.length > 7) l(7) else 0L, l.sum)
+    } finally src.close()
+  } catch { case _: Throwable => (0L, 0L) }
+
   /** Unpersist checkpoint/cache blocks orphaned by completed queries.
     * Every pipeline query `localCheckpoint`s its reused intermediates;
     * across a multi-pass bench (or the soak's 2×~40 query sweep) those
@@ -573,12 +579,16 @@ object Bench {
           // (span 120000 s > data span), so the flat salt of 8 caps the
           // write at 8 tasks on 32 cores — size the salt to the batch
           // (saltFor(1M) = 31 writers), exactly what a live carbon
-          // instance flushing batches this size should do
-          PointsStore.write(deduped.drop("aggregator"), dir, retention.stage0,
-            writeSalt = PointsStore.saltFor(1000000L))
-          PointsStore.write(
-            Downsample.rollupStage(deduped, 3600).withColumn("replica", lit(0)),
-            dir, retention.stages(1))
+          // instance flushing batches this size should do. BOTH stages
+          // land in one write job with one commit (writeMulti): the
+          // rollup branch fills scheduler slots the stage0 shuffle
+          // leaves idle instead of paying a second job + commit
+          PointsStore.writeMulti(Seq(
+            (deduped.drop("aggregator"), retention.stage0,
+              PointsStore.saltFor(1000000L)),
+            (Downsample.rollupStage(deduped, 3600)
+              .withColumn("replica", lit(0)), retention.stages(1), 8)),
+            dir)
         } finally deduped.unpersist(false)
         ()
       }),
@@ -588,11 +598,11 @@ object Bench {
           (names(m), 777 * 60L, m.toDouble, 1.0, 0))
           .toDF("metric_id", "ts", "value", "count", "replica")
           .withColumn("aggregator", lit("average"))
-        PointsStore.write(incoming.drop("aggregator"), dir, retention.stage0,
-          writeSalt = 1)
-        PointsStore.write(
-          Downsample.rollupStage(incoming, 3600).withColumn("replica", lit(0)),
-          dir, retention.stages(1), writeSalt = 1)
+        PointsStore.writeMulti(Seq(
+          (incoming.drop("aggregator"), retention.stage0, 1),
+          (Downsample.rollupStage(incoming, 3600)
+            .withColumn("replica", lit(0)), retention.stages(1), 1)),
+          dir)
         ()
       }))
   }

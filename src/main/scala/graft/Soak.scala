@@ -101,14 +101,24 @@ object Soak {
       }
     }
 
-    def timed(fn: => Unit): Double = {
+    // seconds AND the leg's host-steal fraction: a soak exponent
+    // published without its steal readings is unfalsifiable against
+    // host-neighbor noise — r10 measured identical back-to-back d2
+    // 10x legs at 10 vs 27 s under 5-17% steal bursts on an
+    // idle-looking guest (1.3% steal at rest). A leg with steal
+    // beyond ~2-3% is a re-run, not a datapoint.
+    def timed(fn: => Unit): (Double, Double) = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block
       // manager across the run, and late queries pay their GC/spill —
       // ph1 measured 18.5 s inside the polluted session vs 4.8 s in a
       // fresh JVM on the same 10× data (a 1.40 vs 0.47 exponent)
       Bench.drainBlocks(spark)
-      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      val (s0, j0) = Bench.cpuTicks()
+      val t0 = System.nanoTime(); fn
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (s1, j1) = Bench.cpuTicks()
+      (sec, if (j1 > j0) (s1 - s0).toDouble / (j1 - j0) else 0.0)
     }
     val selected =
       if (only.isEmpty) allQueryNames
@@ -128,16 +138,17 @@ object Soak {
       // all of Spark's codegen/JIT warm-up in its t1 (measured: se1 t1
       // 7.1 s cold vs 0.8 s warm), skewing exponents negative
       run(q, base)
-      val small = timed(run(q, base))
-      val big = timed(run(q, out))
-      (q, small, big)
-    }.map { case (q, small, big) =>
+      val (small, stealSmall) = timed(run(q, base))
+      val (big, stealBig) = timed(run(q, out))
+      (q, small, big, stealSmall, stealBig)
+    }.map { case (q, small, big, stealSmall, stealBig) =>
       val exp = math.log(big / small) / math.log(factor.toDouble)
       // Locale.ROOT via Bench.fmt — a comma-decimal default locale
       // would otherwise emit invalid JSON (the Bench lesson)
       s"""{"query":"$q","t1":${Bench.fmt(small, 2)},""" +
         s""""t$factor":${Bench.fmt(big, 2)},""" +
-        s""""exponent":${Bench.fmt(exp, 2)}}"""
+        s""""exponent":${Bench.fmt(exp, 2)},""" +
+        s""""steal":[${Bench.fmt(stealSmall, 3)},${Bench.fmt(stealBig, 3)}]}"""
     }
     rows.foreach(println)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_out.json")

@@ -151,13 +151,14 @@ object SparkEntry {
         col("ts") * 10000000L + col("event_id"))
       .select(col("metric_id"), col("ts"), col("value"),
         lit(1.0).as("count"), lit(0).as("replica"))
-    PointsStore.write(stage0, store, ret.stage0, writeSalt = 1)
     val st1 = ret.stages(1)
-    PointsStore.write(
-      Downsample.rollupStage(pts, st1.precisionS)
+    // both stages in one write job, one commit (the ingest fast path)
+    PointsStore.writeMulti(Seq(
+      (stage0, ret.stage0, 1),
+      (Downsample.rollupStage(pts, st1.precisionS)
         .select(col("metric_id"), col("ts"), col("value"), col("count"),
-          lit(0).as("replica")),
-      store, st1, writeSalt = 1)
+          lit(0).as("replica")), st1, 1)),
+      store)
     val catalog = MetricCatalog.withDerivedColumns(
       pts.select("name").distinct())
       .withColumn("id", col("name"))
@@ -592,12 +593,13 @@ object SparkEntry {
           col("ts") * 10000000L + col("event_id"))
         .select(col("metric_id"), col("ts"), col("value"),
           lit(1.0).as("count"), lit(0).as("replica"))
-      PointsStore.write(stage0, store, ret.stage0, writeSalt = 1)
       val st1 = ret.stages(1)
       val stage1 = Downsample.rollupStage(pts, st1.precisionS)
         .select(col("metric_id"), col("ts"), col("value"), col("count"),
           lit(0).as("replica"))
-      PointsStore.write(stage1, store, st1, writeSalt = 1)
+      // both stages in one write job, one commit (the ingest fast path)
+      PointsStore.writeMulti(Seq((stage0, ret.stage0, 1), (stage1, st1, 1)),
+        store)
       // catalog: id = name keeps the store join oracle-checkable
       val catalog = MetricCatalog.withDerivedColumns(
         pts.select("name").distinct())
@@ -701,16 +703,15 @@ object SparkEntry {
       val pts = points(s, dir)
         .withColumn("metric_id", col("name"))
         .withColumn("aggregator", lit("average"))
-      PointsStore.write(
-        Downsample.rollupStage(pts.filter(isA), retA.stages(1).precisionS)
+      // both retention classes in one write job, one commit
+      PointsStore.writeMulti(Seq(
+        (Downsample.rollupStage(pts.filter(isA), retA.stages(1).precisionS)
           .select(col("metric_id"), col("ts"), col("value"), col("count"),
-            lit(0).as("replica")),
-        store, retA.stages(1), writeSalt = 1)
-      PointsStore.write(
-        Downsample.rollupStage(pts.filter(!isA), retB.stages(1).precisionS)
+            lit(0).as("replica")), retA.stages(1), 1),
+        (Downsample.rollupStage(pts.filter(!isA), retB.stages(1).precisionS)
           .select(col("metric_id"), col("ts"), col("value"), col("count"),
-            lit(0).as("replica")),
-        store, retB.stages(1), writeSalt = 1)
+            lit(0).as("replica")), retB.stages(1), 1)),
+        store)
       val catalog = MetricCatalog.withDerivedColumns(
         pts.select("name").distinct())
         .withColumn("id", col("name"))

@@ -299,6 +299,10 @@ object Retrieval {
       if (maxSeq == FoldableSeq) markers
       else markers.filter(col("__seq") =!= maxSeq)
     if (foldable.isEmpty) return
+    // already at the fixed point (one fold row, nothing newer): skip
+    // the no-op rewrite job a back-to-back compaction would otherwise
+    // re-run every time
+    if (maxSeq == FoldableSeq && markers.limit(2).count() == 1) return
     val foldRow = foldable
       .agg(sum("__tf").as("__tf"), sum("__dl").as("__dl"))
       .select(

@@ -70,11 +70,30 @@ object Compaction {
     (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
   }
 
+  /** [[guardedAppend]] without a SparkSession in scope — same appender
+    * flag, resolved through a default Hadoop configuration. For
+    * driver-side store MUTATIONS that never run a Spark job but still
+    * race a compaction's read-then-overwrite, e.g. the points store's
+    * TTL bucket delete: unguarded, a TTL sweep landing between a
+    * compaction slice's stage and its overwrite would have its deleted
+    * buckets silently RESURRECTED by the rewrite (or yank files out
+    * from under the stage). */
+  def guardedMutation[T](dir: String)(write: => T): T = {
+    val root = new Path(dir)
+    guardedAppendOn(root.getFileSystem(
+      new org.apache.hadoop.conf.Configuration()), root, dir)(write)
+  }
+
   /** Run `write` (an append job against `dir`) under the appender side
     * of the two-flag guard: raise `_APPENDING.<uuid>`, fail fast if a
     * compaction holds `_COMPACTING`, always drop the marker. */
   def guardedAppend[T](spark: SparkSession, dir: String)(write: => T): T = {
     val (fs, root) = fileSystem(spark, dir)
+    guardedAppendOn(fs, root, dir)(write)
+  }
+
+  private def guardedAppendOn[T](fs: FileSystem, root: Path, dir: String)(
+      write: => T): T = {
     fs.mkdirs(root) // the very first append may precede the directory
     val mine = new Path(root, AppendingPrefix + java.util.UUID.randomUUID())
     fs.create(mine, false).close()

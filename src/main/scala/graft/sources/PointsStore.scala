@@ -33,6 +33,15 @@ object PointsStore {
     (tsS: Long) => tsS / span * span
   }
 
+  /** Salt sized to a micro-batch's row count: one writer per ~32k rows,
+    * capped at 64 files per (stage, bucket). Live ingest concentrates a
+    * batch into one or two time buckets, so the batch size — not the
+    * bucket count — decides how many parallel writers the hot bucket
+    * needs; callers that know their batch size should pass
+    * `writeSalt = saltFor(n)` instead of the flat default. */
+  def saltFor(rows: Long): Int =
+    math.max(1, math.min(64, (rows / 32768L + 1).toInt))
+
   /** Append points for one stage. Expects metric_id, ts, value, count,
     * replica. The shuffle implied by the partitioned write is the batch
     * analog of the reference's per-partition unlogged batches
@@ -50,41 +59,57 @@ object PointsStore {
     * BACKFILL spanning many buckets already parallelizes across the
     * bucket dimension — pass writeSalt = 1 there to avoid paying
     * salt× small files per bucket for no extra parallelism. */
-  /** Salt sized to a micro-batch's row count: one writer per ~32k rows,
-    * capped at 64 files per (stage, bucket). Live ingest concentrates a
-    * batch into one or two time buckets, so the batch size — not the
-    * bucket count — decides how many parallel writers the hot bucket
-    * needs; callers that know their batch size should pass
-    * `writeSalt = saltFor(n)` instead of the flat default. */
-  def saltFor(rows: Long): Int =
-    math.max(1, math.min(64, (rows / 32768L + 1).toInt))
-
   def write(points: DataFrame, baseDir: String, stage: Stage,
       writeSalt: Int = 8): Unit =
-      Compaction.guardedAppend(points.sparkSession, baseDir) {
-    val span = bucketSpanS(stage.precisionS)
-    points
-      .withColumn("stage", lit(stage.toString))
-      .withColumn("bucket", (col("ts") / span).cast("long") * span)
-      .repartition(col("stage"), col("bucket"),
-        pmod(hash(col("metric_id")), lit(writeSalt)))
-      // local sort inside each writer: row groups become metric-id
-      // clustered, so min/max stats actually prune a single-series
-      // fetch (unsorted uuid ids span every row group's stats range);
-      // the bloom filter catches the IN-list probes stats can't.
-      // Leading with (stage, bucket) satisfies the file writer's
-      // required ordering — otherwise it inserts its own partition-col
-      // sort and the metric clustering is lost
-      .sortWithinPartitions("stage", "bucket", "metric_id", "ts")
-      .write.mode("append")
-      // ndv sized to ONE FILE's content (saltFor targets ~32k rows per
-      // writer), not the corpus: a 1M-ndv bloom is a ~1.2 MB bitmap per
-      // file — measurable pure overhead on small writes — while 32k ndv
-      // is ~40 KB and still right-sized for what a file can hold
-      .option("parquet.bloom.filter.enabled#metric_id", "true")
-      .option("parquet.bloom.filter.expected.ndv#metric_id", "32768")
-      .partitionBy("stage", "bucket")
-      .parquet(baseDir)
+    writeMulti(Seq((points, stage, writeSalt)), baseDir)
+
+  /** Append points for SEVERAL stages as ONE write job with ONE commit —
+    * the multi-stage form of [[write]]. A micro-batch that lands stage0
+    * plus its rollups (the streaming ingest's steady state, and any
+    * backfill) otherwise pays one job submission, one shuffle barrier
+    * and one output commit PER STAGE; on an object store each commit is
+    * its own rename storm, and per-batch ingest latency is the SUM of
+    * the sequential commits. The union write executes every stage's
+    * branch inside one job (the small rollup branches fill scheduler
+    * slots the big stage0 shuffle leaves idle) and commits once.
+    * Concurrent jobs against one output root would NOT be a safe
+    * substitute: they share the committer's `_temporary` staging dir,
+    * and the first `commitJob` deletes the others' pending task output.
+    *
+    * All batches must share one schema (metric_id, ts, value, count,
+    * replica, and optionally batch_seq — the [[write]] contract); each
+    * gets its own salt, sized to ITS row count (`saltFor`). */
+  def writeMulti(batches: Seq[(DataFrame, Stage, Int)],
+      baseDir: String): Unit = {
+    require(batches.nonEmpty, "writeMulti needs at least one batch")
+    Compaction.guardedAppend(batches.head._1.sparkSession, baseDir) {
+      batches.map { case (points, stage, writeSalt) =>
+        val span = bucketSpanS(stage.precisionS)
+        points
+          .withColumn("stage", lit(stage.toString))
+          .withColumn("bucket", (col("ts") / span).cast("long") * span)
+          .withColumn("__salt", pmod(hash(col("metric_id")), lit(writeSalt)))
+      }.reduce(_ unionByName _)
+        .repartition(col("stage"), col("bucket"), col("__salt"))
+        .drop("__salt")
+        // local sort inside each writer: row groups become metric-id
+        // clustered, so min/max stats actually prune a single-series
+        // fetch (unsorted uuid ids span every row group's stats range);
+        // the bloom filter catches the IN-list probes stats can't.
+        // Leading with (stage, bucket) satisfies the file writer's
+        // required ordering — otherwise it inserts its own partition-col
+        // sort and the metric clustering is lost
+        .sortWithinPartitions("stage", "bucket", "metric_id", "ts")
+        .write.mode("append")
+        // ndv sized to ONE FILE's content (saltFor targets ~32k rows per
+        // writer), not the corpus: a 1M-ndv bloom is a ~1.2 MB bitmap per
+        // file — measurable pure overhead on small writes — while 32k ndv
+        // is ~40 KB and still right-sized for what a file can hold
+        .option("parquet.bloom.filter.enabled#metric_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#metric_id", "32768")
+        .partitionBy("stage", "bucket")
+        .parquet(baseDir)
+    }
   }
 
   /** Pruned scan of one stage and time range; `metricIds` optionally
@@ -264,10 +289,18 @@ object PointsStore {
     * drivers/cassandra.py:752,943-946 — expiry never touches live data
     * files). Returns the deleted partition paths. Rows younger than the
     * cutoff inside a surviving bucket are left for read-side ts filters
-    * (same as Cassandra, where TTL'd cells linger until compaction). */
+    * (same as Cassandra, where TTL'd cells linger until compaction).
+    *
+    * Runs on the MUTATOR side of the repo-wide compaction guard
+    * ([[Compaction.guardedMutation]]): a TTL sweep racing a
+    * [[compactStageSlices]] would otherwise either have its deleted
+    * buckets silently resurrected (slice staged before the delete,
+    * overwritten after) or yank files out from under the stage — the
+    * race now fails fast with [[ConcurrentCompactionException]]. */
   def dropExpiredBuckets(baseDir: String, nowS: Long): Seq[String] = {
     val root = new java.io.File(baseDir)
     if (!root.exists()) return Nil
+    Compaction.guardedMutation(baseDir) {
     val deleted = Seq.newBuilder[String]
     for {
       stageDir <- Option(root.listFiles()).getOrElse(Array.empty)
@@ -286,6 +319,7 @@ object PointsStore {
       deleted += bucketDir.getPath
     }
     deleted.result()
+    }
   }
 
   /** Retention enforcement — the TTL/compaction-window analog

@@ -132,7 +132,7 @@ object StreamingIngest {
             System.currentTimeMillis() / 1000))
         val stages = batch.select("stage").distinct()
           .collect().map(_.getString(0))
-        stages.foreach { stageStr =>
+        val perStage = stages.toSeq.map { stageStr =>
           val st = Stage.fromString(stageStr.stripSuffix("_0").stripSuffix("_aggr"),
             stage0 = stageStr.endsWith("_0"))
           // points are keyed by the metric's UUIDv5 like the reference's
@@ -153,8 +153,11 @@ object StreamingIngest {
           val deduped = Downsample.lastWriteWins(
             rows.withColumn("__seq", monotonically_increasing_id()),
             st.precisionS, struct(col("ts"), col("__seq"))).drop("__seq")
-          PointsStore.write(deduped, storeDir, st)
+          (deduped, st, 8)
         }
+        // every stage in ONE write job with ONE commit: per-batch
+        // latency was the SUM of sequential per-stage job commits
+        if (perStage.nonEmpty) PointsStore.writeMulti(perStage, storeDir)
         ()
       }
   }

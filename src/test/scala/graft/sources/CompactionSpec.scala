@@ -144,6 +144,28 @@ class CompactionSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() === 80)
   }
 
+  test("points store: TTL expiry during compaction fails fast") {
+    val dir = tmp("ttl_guard")
+    val stage = Retention.fromString("60*60s:24*3600s").stage0
+    val pts = Seq(("m1", 60L, 1.0, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica")
+    PointsStore.write(pts, dir, stage, writeSalt = 1)
+    // unguarded, a TTL sweep landing between a compaction slice's stage
+    // and its overwrite would have its deleted buckets resurrected by
+    // the rewrite — the guard makes the race loud instead
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        PointsStore.dropExpiredBuckets(dir, nowS = 1000000000L)
+      }
+    }
+    // guard released → the sweep runs; everything is long expired
+    assert(PointsStore.dropExpiredBuckets(dir, 1000000000L).nonEmpty)
+    // a missing store stays a no-op (and must not create the directory)
+    val ghost = s"$dir/never_written"
+    assert(PointsStore.dropExpiredBuckets(ghost, 1000000000L).isEmpty)
+    assert(!new java.io.File(ghost).exists())
+  }
+
   test("SCD changelog: append during compactLog fails fast") {
     val dir = tmp("scd_guard")
     val log = Seq((1L, 10L, 1L, "a", 0), (1L, 20L, 2L, "b", 0))

@@ -35,6 +35,31 @@ class StoreLifecycleSpec extends SparkSuite {
     assert(after === before)
   }
 
+  test("writeMulti: one job lands both stages identically to two writes") {
+    val fine = Stage(1440, 60, stage0 = true)
+    val coarse = Stage(720, 3600, stage0 = false)
+    val stage0Rows = Seq(("m1", 60L, 1.0, 1.0, 0), ("m2", 120L, 2.0, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica")
+    val rollupRows = Seq(("m1", 0L, 1.0, 1.0, 0), ("m2", 0L, 2.0, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica")
+
+    val seq = java.nio.file.Files.createTempDirectory("wm_seq").toString
+    PointsStore.write(stage0Rows, seq, fine, writeSalt = 2)
+    PointsStore.write(rollupRows, seq, coarse, writeSalt = 1)
+    val one = java.nio.file.Files.createTempDirectory("wm_one").toString
+    PointsStore.writeMulti(
+      Seq((stage0Rows, fine, 2), (rollupRows, coarse, 1)), one)
+
+    def dump(d: String) = spark.read.parquet(d)
+      .select("stage", "bucket", "metric_id", "ts", "value", "count")
+      .orderBy("stage", "ts", "metric_id")
+      .as[(String, Long, String, Long, Double, Double)].collect().toSeq
+    assert(dump(one) === dump(seq))
+    // pruned per-stage reads see exactly their own rows
+    assert(PointsStore.read(spark, one, fine, 0L, 3600L).count() === 2)
+    assert(PointsStore.read(spark, one, coarse, 0L, 3600L).count() === 2)
+  }
+
   test("compactStageSlices compacts per bucket slice; sinceS bounds scope") {
     val dir = java.nio.file.Files.createTempDirectory("compact_sl").toString
     val stage = Stage(1440, 60, stage0 = true)
