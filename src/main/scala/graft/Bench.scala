@@ -586,7 +586,7 @@ object Bench {
           PointsStore.writeMulti(Seq(
             (deduped.drop("aggregator"), retention.stage0,
               PointsStore.saltFor(1000000L)),
-            (Downsample.rollupStage(deduped, 3600)
+            (Downsample.rollupStage(deduped, 3600).drop("aggregator")
               .withColumn("replica", lit(0)), retention.stages(1), 8)),
             dir)
         } finally deduped.unpersist(false)
@@ -600,7 +600,7 @@ object Bench {
           .withColumn("aggregator", lit("average"))
         PointsStore.writeMulti(Seq(
           (incoming.drop("aggregator"), retention.stage0, 1),
-          (Downsample.rollupStage(incoming, 3600)
+          (Downsample.rollupStage(incoming, 3600).drop("aggregator")
             .withColumn("replica", lit(0)), retention.stages(1), 1)),
           dir)
         ()
