@@ -311,13 +311,13 @@ object Bgutil {
       existing.unionByName(row, allowMissingColumns = true))
     db.commitCatalog(merged)
 
-    metadata.retention.stages.foreach { st =>
+    // every stage in ONE write job with ONE commit (writeMulti); one
+    // point / a backfill spanning many buckets: no hot-bucket salt
+    PointsStore.writeMulti(metadata.retention.stages.map { st =>
       val stepTs = st.roundDown(ts)
-      val pts = Seq((metric.id, stepTs, value, 1.0, 0))
-        .toDF("metric_id", "ts", "value", "count", "replica")
-      // one point / a backfill spanning many buckets: no hot-bucket salt
-      PointsStore.write(pts, db.pointsPath, st, writeSalt = 1)
-    }
+      (Seq((metric.id, stepTs, value, 1.0, 0))
+        .toDF("metric_id", "ts", "value", "count", "replica"), st, 1)
+    }, db.pointsPath)
     upsertDirectories(db, Seq(metric.name).toDF("name"))
   }
 
@@ -392,7 +392,8 @@ object Bgutil {
     val raw = points.toDF("name", "ts", "value")
       .withColumn("metric_id", graft.functions.GraftFunctions.graft_uuid5(col("name")))
       .withColumn("aggregator", lit(metadata.aggregator.name))
-    metadata.retention.stages.foreach { st =>
+    // every stage in ONE write job with ONE commit (writeMulti)
+    PointsStore.writeMulti(metadata.retention.stages.map { st =>
       val staged =
         if (st.stage0)
           Downsample.lastWriteWins(raw, st.precisionS, col("ts"))
@@ -403,8 +404,8 @@ object Bgutil {
           Downsample.rollupStage(raw, st.precisionS)
             .select(col("metric_id"), col("ts"), col("value"), col("count"),
               lit(0).as("replica"))
-      PointsStore.write(staged, db.pointsPath, st, writeSalt = 1)
-    }
+      (staged, st, 1)
+    }, db.pointsPath)
   }
 
   /** Read dense series for every metric matching the glob
