@@ -107,6 +107,13 @@ object Soak {
     // 10x legs at 10 vs 27 s under 5-17% steal bursts on an
     // idle-looking guest (1.3% steal at rest). A leg with steal
     // beyond ~2-3% is a re-run, not a datapoint.
+    //
+    // SCALE NOTE: the fraction is steal jiffies over ALL cpu jiffies
+    // INCLUDING idle/iowait, so on a mostly-idle guest a steal burst
+    // concentrated on the busy cores reads diluted. The ~2-3%
+    // re-run threshold above (and every published soak row) is
+    // calibrated to THIS diluted scale — do not compare these numbers
+    // against a busy-jiffies-normalized reading.
     def timed(fn: => Unit): (Double, Double) = {
       // drop checkpoint/cache blocks orphaned by PREVIOUS queries:
       // dozens of localCheckpoints otherwise accumulate in the block

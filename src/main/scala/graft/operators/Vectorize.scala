@@ -47,22 +47,51 @@ object Vectorize {
 
   private def toks(c: Column): Column = TextAnalysis.tokens(c)
 
-  /** Conf key for the corpus-stat staging level: `memory` (default —
-    * eager localCheckpoint, fastest) or `disk` (eager DISK_ONLY
-    * persist). The tf/weight relations are docs × dim-bounded, but on a
-    * SINGLE node 100× the bench corpus walks past the executor heap and
-    * localCheckpoint blocks start spilling mid-query (r4's documented
-    * 24 GiB memory floor, docs/SCALE.md); `disk` trades a slower warm
-    * path for a flat memory profile. On a real cluster the default is
-    * right — the relations shard across executors. */
+  /** Conf key for the corpus-stat staging level: `auto` (default),
+    * `memory` (eager localCheckpoint, fastest) or `disk` (eager
+    * DISK_ONLY persist). The tf/weight relations are docs × dim-bounded,
+    * but on a SINGLE node 100× the bench corpus walks past the executor
+    * heap and localCheckpoint blocks start spilling mid-query (r4's
+    * documented 24 GiB memory floor, docs/SCALE.md); `disk` trades a
+    * slower warm path (measured ~4× at memory-resident sizes) for a
+    * flat memory profile (measured 100× exponent 0.85 vs memory's
+    * 1.14). `auto` picks per query from the corpus size estimate —
+    * see [[resolveStatsMode]]. */
   val StatsStorageKey = "spark.graft.tfidf.statsStorage"
 
-  /** Materialize a corpus-stat relation eagerly under [[StatsStorageKey]]:
-    * both modes cut lineage re-execution for the multiple consumers;
-    * `disk` keeps the blocks off-heap entirely. */
-  private def materializeStats(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(StatsStorageKey) match {
-      case Some("disk") =>
+  /** Conf key for auto mode's crossover: corpus plan-stats bytes above
+    * which `auto` resolves to `disk`. Default: this JVM's max heap /
+    * 1024 — calibrated to the measured single-node crossover (the 10×
+    * sf0.1 corpus, ~6 MB parquet against a 24 GiB heap, is memory-safe
+    * and 4× faster in memory mode; the 100× corpus, ~60 MB parquet,
+    * spills memory-mode localCheckpoints and disk mode wins the
+    * exponent, soak_out_r10.json). The per-JVM-heap framing is a
+    * SINGLE-NODE heuristic: on a multi-executor cluster the stat
+    * relations shard, so either raise this key to (executors × heap) /
+    * 1024 or pin `memory` explicitly. */
+  val AutoDiskBytesKey = "spark.graft.tfidf.autoDiskBytes"
+
+  /** Resolve [[StatsStorageKey]] for a corpus: explicit `memory`/`disk`
+    * pass through; `auto` (the default) compares the corpus relation's
+    * optimizer size estimate against [[AutoDiskBytesKey]]. */
+  private[graft] def resolveStatsMode(docs: DataFrame): String =
+    docs.sparkSession.conf.getOption(StatsStorageKey).getOrElse("auto") match {
+      case "auto" =>
+        val threshold = docs.sparkSession.conf.getOption(AutoDiskBytesKey)
+          .map(_.toLong).getOrElse(Runtime.getRuntime.maxMemory / 1024)
+        val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est > BigInt(threshold)) "disk" else "memory"
+      case m => m
+    }
+
+  /** Materialize a corpus-stat relation eagerly under the RESOLVED
+    * storage mode: both modes cut lineage re-execution for the multiple
+    * consumers; `disk` keeps the blocks off-heap entirely. The mode is
+    * resolved ONCE per query from the corpus relation (not per stat
+    * relation) so one query never mixes modes. */
+  private def materializeStats(df: DataFrame, mode: String): DataFrame =
+    mode match {
+      case "disk" =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         p.count() // eager, like localCheckpoint(true)
         p
@@ -84,7 +113,8 @@ object Vectorize {
     require(dim > 0 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
     val tf = materializeStats(
       explodedSlots(docs, idCol, textCol, dim)
-        .groupBy("doc_id", "slot").agg(count(lit(1)).as("__tf")))
+        .groupBy("doc_id", "slot").agg(count(lit(1)).as("__tf")),
+      resolveStatsMode(docs))
     val n = docs.select(countDistinct(col(idCol)).as("__n"))
     val idf = tf.groupBy("slot")
       .agg(countDistinct(col("doc_id")).as("__df"))
@@ -155,7 +185,7 @@ object Vectorize {
     // aggregation for the query side
     val (tf, idf) = tfAndIdf(docs, idCol, textCol, dim)
     // corpus sparse weights materialized once: norms AND the dot join
-    val cs = materializeStats(weighted(tf, idf))
+    val cs = materializeStats(weighted(tf, idf), resolveStatsMode(docs))
     val cn = cs.groupBy("doc_id")
       .agg(sqrt(sum(col("weight") * col("weight"))).as("__cn"))
     // normalized corpus side: one co-keyed corpus-token × doc-count

@@ -70,19 +70,90 @@ object Compaction {
     (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
   }
 
-  /** [[guardedAppend]] without a SparkSession in scope — same appender
-    * flag, resolved through a default Hadoop configuration. For
-    * driver-side store MUTATIONS that never run a Spark job but still
-    * race a compaction's read-then-overwrite, e.g. the points store's
-    * TTL bucket delete: unguarded, a TTL sweep landing between a
-    * compaction slice's stage and its overwrite would have its deleted
-    * buckets silently RESURRECTED by the rewrite (or yank files out
-    * from under the stage). */
-  def guardedMutation[T](dir: String)(write: => T): T = {
+  /** Hadoop configuration for callers with no SparkSession parameter:
+    * the ACTIVE session's conf when one exists (it carries the
+    * deployment's `spark.hadoop.*` overrides — object-store credentials,
+    * per-bucket endpoints), else a plain default. Resolving markers
+    * through a bare `new Configuration()` while the data writers resolve
+    * through the session conf would land the two sides' markers on
+    * DIFFERENT filesystems and silently void the mutual exclusion. */
+  private[sources] def resolvedConf(
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.conf.Configuration =
+    Option(conf)
+      .orElse(SparkSession.getActiveSession.map(_.sessionState.newHadoopConf()))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** [[guardedAppend]] without a SparkSession parameter — same appender
+    * flag, resolved through [[resolvedConf]] (the active session's
+    * Hadoop conf when present, or the explicit `conf`). For driver-side
+    * store MUTATIONS that never run a Spark job but still race a
+    * compaction's read-then-overwrite, e.g. the points store's TTL
+    * bucket delete: unguarded, a TTL sweep landing between a compaction
+    * slice's stage and its overwrite would have its deleted buckets
+    * silently RESURRECTED by the rewrite (or yank files out from under
+    * the stage). */
+  def guardedMutation[T](dir: String,
+      conf: org.apache.hadoop.conf.Configuration = null)(write: => T): T = {
     val root = new Path(dir)
-    guardedAppendOn(root.getFileSystem(
-      new org.apache.hadoop.conf.Configuration()), root, dir)(write)
+    guardedAppendOn(root.getFileSystem(resolvedConf(conf)), root, dir)(write)
   }
+
+  /** Provenance body written into every guard marker: who raised it and
+    * when, so an operator facing a stale marker can check the holder is
+    * actually dead before [[clearMarkers]] (an empty marker gives the
+    * "confirm the dead job is gone" step nothing to go on). */
+  private def markerBody(): Array[Byte] = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Throwable => "unknown" }
+    (s"host=$host\npid=${ProcessHandle.current().pid()}\n" +
+      s"started_ms=${System.currentTimeMillis()}\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def createMarker(fs: FileSystem, marker: Path,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(marker, overwrite)
+    try out.write(markerBody()) finally out.close()
+  }
+
+  /** One guard marker's provenance, parsed from its body. Empty/legacy
+    * markers (or ones a crashed writer never finished) report
+    * `host = "unknown"`, `pid = -1`, `startedMs = -1`. */
+  final case class MarkerInfo(path: String, kind: String, host: String,
+      pid: Long, startedMs: Long)
+
+  /** Report every guard marker under `dir` with its provenance — the
+    * inspection step before [[clearMarkers]]: check the reported
+    * (host, pid) is dead, THEN clear. Read-only. */
+  def inspectMarkers(spark: SparkSession, dir: String): Seq[MarkerInfo] = {
+    val (fs, root) = fileSystem(spark, dir)
+    listMarkers(fs, root).map { p =>
+      val fields: Map[String, String] = try {
+        val in = fs.open(p)
+        val body = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        body.linesIterator.flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+      val kind = if (p.getName == CompactingMarker) CompactingMarker
+                 else AppendingPrefix.dropRight(1)
+      MarkerInfo(p.toString, kind,
+        fields.getOrElse("host", "unknown"),
+        fields.get("pid").flatMap(_.toLongOption).getOrElse(-1L),
+        fields.get("started_ms").flatMap(_.toLongOption).getOrElse(-1L))
+    }
+  }
+
+  private def listMarkers(fs: FileSystem, root: Path): Seq[Path] =
+    (Option(fs.globStatus(new Path(root, AppendingPrefix + "*")))
+      .getOrElse(Array.empty).map(_.getPath) ++
+      (if (fs.exists(new Path(root, CompactingMarker)))
+        Seq(new Path(root, CompactingMarker)) else Nil)).toSeq
 
   /** Run `write` (an append job against `dir`) under the appender side
     * of the two-flag guard: raise `_APPENDING.<uuid>`, fail fast if a
@@ -96,7 +167,7 @@ object Compaction {
       write: => T): T = {
     fs.mkdirs(root) // the very first append may precede the directory
     val mine = new Path(root, AppendingPrefix + java.util.UUID.randomUUID())
-    fs.create(mine, false).close()
+    createMarker(fs, mine, overwrite = false)
     try {
       if (fs.exists(new Path(root, CompactingMarker)))
         throw new ConcurrentCompactionException(
@@ -113,7 +184,13 @@ object Compaction {
   def guardedCompaction[T](spark: SparkSession, dir: String)(body: => T): T = {
     val (fs, root) = fileSystem(spark, dir)
     val marker = new Path(root, CompactingMarker)
-    try fs.create(marker, false).close()
+    // create-exclusive is the compactor-vs-compactor arbiter; on HDFS /
+    // object stores it is atomic, on RawLocalFileSystem it is
+    // check-then-create (two LOCAL compactors could theoretically both
+    // pass — a test-environment-only caveat; the appender/compactor
+    // direction, the data-loss one, is sound everywhere by the two-flag
+    // argument)
+    try createMarker(fs, marker, overwrite = false)
     catch { case _: java.io.IOException =>
       throw new ConcurrentCompactionException(
         s"compaction of $dir refused: $CompactingMarker already present — " +
@@ -134,17 +211,14 @@ object Compaction {
     } finally fs.delete(marker, false)
   }
 
-  /** Stale-marker recovery after a confirmed-dead holder: delete every
-    * guard marker under `dir` and return the paths removed. */
+  /** Stale-marker recovery after a confirmed-dead holder (see
+    * [[inspectMarkers]] for the confirming step): delete every guard
+    * marker under `dir` and return the paths removed. */
   def clearMarkers(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, root) = fileSystem(spark, dir)
-    val stale =
-      Option(fs.globStatus(new Path(root, AppendingPrefix + "*")))
-        .getOrElse(Array.empty).map(_.getPath) ++
-      (if (fs.exists(new Path(root, CompactingMarker)))
-         Seq(new Path(root, CompactingMarker)) else Nil)
+    val stale = listMarkers(fs, root)
     stale.foreach(fs.delete(_, false))
-    stale.map(_.toString).toSeq
+    stale.map(_.toString)
   }
 
   /** The bounded-slice rewrite loop — NO guard (callers hold

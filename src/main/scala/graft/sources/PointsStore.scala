@@ -82,6 +82,19 @@ object PointsStore {
   def writeMulti(batches: Seq[(DataFrame, Stage, Int)],
       baseDir: String): Unit = {
     require(batches.nonEmpty, "writeMulti needs at least one batch")
+    // fail with the contract, not a raw AnalysisException deep inside
+    // the union: a caller mixing batches with and without the optional
+    // batch_seq column should be pointed at the offending stage
+    val head = batches.head._1.columns.toSet
+    for (((df, stage, _), i) <- batches.zipWithIndex) {
+      val cols = df.columns.toSet
+      require(cols == head,
+        s"writeMulti batch $i (stage $stage) has columns " +
+          s"${cols.toSeq.sorted.mkString(", ")} but batch 0 has " +
+          s"${head.toSeq.sorted.mkString(", ")} — all batches must share " +
+          "one column set (metric_id, ts, value, count, replica, and " +
+          "batch_seq on all batches or none)")
+    }
     Compaction.guardedAppend(batches.head._1.sparkSession, baseDir) {
       batches.map { case (points, stage, writeSalt) =>
         val span = bucketSpanS(stage.precisionS)

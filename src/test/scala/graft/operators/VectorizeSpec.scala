@@ -85,8 +85,8 @@ class VectorizeSpec extends SparkSuite {
     assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(2) < 1))
   }
 
-  test("disk stats storage produces bit-identical tfidfKnn results") {
-    // the single-node memory knob (spark.graft.tfidf.statsStorage=disk)
+  test("all three stats-storage modes produce bit-identical tfidfKnn") {
+    // the single-node memory knob (spark.graft.tfidf.statsStorage)
     // changes only WHERE the corpus-stat relations stage, never a value
     val queries = Seq((10L, "apple cherry")).toDF("query_id", "qtext")
     def run(): Seq[(Long, Long, Double, Long)] =
@@ -94,10 +94,39 @@ class VectorizeSpec extends SparkSuite {
           queries, "query_id", "qtext", dim = 64, k = 3)
         .orderBy("query_id", "rk")
         .as[(Long, Long, Double, Long)].collect().toSeq
-    val inMemory = run()
-    spark.conf.set(Vectorize.StatsStorageKey, "disk")
-    try assert(run() === inMemory)
-    finally spark.conf.unset(Vectorize.StatsStorageKey)
+    val auto = run() // default (unset) = auto
+    try {
+      for (mode <- Seq("memory", "disk", "auto")) {
+        spark.conf.set(Vectorize.StatsStorageKey, mode)
+        assert(run() === auto, s"mode $mode diverged")
+      }
+      // auto forced across its threshold still matches bit-for-bit
+      spark.conf.set(Vectorize.StatsStorageKey, "auto")
+      spark.conf.set(Vectorize.AutoDiskBytesKey, "1")
+      assert(run() === auto, "auto-as-disk diverged")
+    } finally {
+      spark.conf.unset(Vectorize.StatsStorageKey)
+      spark.conf.unset(Vectorize.AutoDiskBytesKey)
+    }
+  }
+
+  test("auto stats storage resolves from corpus size vs the threshold") {
+    try {
+      // a 3-row corpus is far under any real heap-derived default
+      assert(Vectorize.resolveStatsMode(docs) == "memory")
+      // force the crossover: 1-byte threshold → every corpus is "big"
+      spark.conf.set(Vectorize.AutoDiskBytesKey, "1")
+      assert(Vectorize.resolveStatsMode(docs) == "disk")
+      // explicit modes bypass the estimate entirely
+      spark.conf.set(Vectorize.StatsStorageKey, "memory")
+      assert(Vectorize.resolveStatsMode(docs) == "memory")
+      spark.conf.set(Vectorize.StatsStorageKey, "disk")
+      spark.conf.unset(Vectorize.AutoDiskBytesKey)
+      assert(Vectorize.resolveStatsMode(docs) == "disk")
+    } finally {
+      spark.conf.unset(Vectorize.StatsStorageKey)
+      spark.conf.unset(Vectorize.AutoDiskBytesKey)
+    }
   }
 
   test("termSlot stays in [0, dim) and is stable") {

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
@@ -70,6 +71,62 @@ class CompactionSpec extends SparkSuite {
     val cleared = Compaction.clearMarkers(spark, dir)
     assert(cleared.size === 1)
     assert(Compaction.guardedCompaction(spark, dir) { 8 } === 8)
+  }
+
+  test("markers carry provenance and inspectMarkers reports it") {
+    val dir = tmp("guard5")
+    val self = ProcessHandle.current().pid()
+    // a LIVE compaction's marker reports this process
+    Compaction.guardedCompaction(spark, dir) {
+      val ms = Compaction.inspectMarkers(spark, dir)
+      assert(ms.size === 1)
+      assert(ms.head.kind === Compaction.CompactingMarker)
+      assert(ms.head.pid === self)
+      assert(ms.head.startedMs > 0)
+      assert(ms.head.host.nonEmpty && ms.head.host != "unknown")
+    }
+    Compaction.guardedAppend(spark, dir) {
+      val ms = Compaction.inspectMarkers(spark, dir)
+      assert(ms.size === 1)
+      assert(ms.head.kind === "_APPENDING")
+      assert(ms.head.pid === self)
+    }
+    assert(Compaction.inspectMarkers(spark, dir).isEmpty)
+    // a legacy/empty marker (crashed writer, pre-provenance file)
+    // reports unknown provenance rather than failing the inspection
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir,
+      Compaction.AppendingPrefix + "legacy"))
+    val stale = Compaction.inspectMarkers(spark, dir)
+    assert(stale.size === 1)
+    assert(stale.head.host === "unknown" && stale.head.pid === -1L)
+    // inspection is read-only; clearMarkers still does the removal
+    assert(Compaction.clearMarkers(spark, dir).size === 1)
+    assert(Compaction.inspectMarkers(spark, dir).isEmpty)
+  }
+
+  test("guardedMutation resolves the active session's Hadoop conf") {
+    // the session conf carries deployment overrides (spark.hadoop.*,
+    // object-store credentials); a guard resolving a bare default conf
+    // could land its marker on a DIFFERENT filesystem than the
+    // compactor's and silently void the exclusion (ADVICE r10)
+    spark.sparkContext.hadoopConfiguration.set("graft.test.probe", "42")
+    try {
+      assert(SparkSession.getActiveSession.nonEmpty)
+      assert(Compaction.resolvedConf(null).get("graft.test.probe") === "42")
+      // an explicit conf wins over the session's
+      val mine = new org.apache.hadoop.conf.Configuration()
+      mine.set("graft.test.probe", "7")
+      assert(Compaction.resolvedConf(mine).get("graft.test.probe") === "7")
+    } finally
+      spark.sparkContext.hadoopConfiguration.unset("graft.test.probe")
+    // and the guard built on it still excludes: mutation vs compaction
+    val dir = tmp("guard6")
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        Compaction.guardedMutation(dir) { fail("must not run") }
+      }
+    }
+    assert(Compaction.guardedMutation(dir) { 9 } === 9)
   }
 
   // ---- one concurrent-case proof per compactable store ------------------

@@ -60,6 +60,27 @@ class StoreLifecycleSpec extends SparkSuite {
     assert(PointsStore.read(spark, one, coarse, 0L, 3600L).count() === 2)
   }
 
+  test("writeMulti refuses mixed column sets with a contract message") {
+    val fine = Stage(1440, 60, stage0 = true)
+    val coarse = Stage(720, 3600, stage0 = false)
+    val plain = Seq(("m1", 60L, 1.0, 1.0, 0))
+      .toDF("metric_id", "ts", "value", "count", "replica")
+    val seqd = plain.withColumn("batch_seq", lit(1L))
+    val dir = java.nio.file.Files.createTempDirectory("wm_mixed").toString
+    val e = intercept[IllegalArgumentException] {
+      PointsStore.writeMulti(Seq((plain, fine, 1), (seqd, coarse, 1)), dir)
+    }
+    // the error names the offending batch/stage and the contract,
+    // instead of a raw AnalysisException deep inside the union
+    assert(e.getMessage.contains("batch 1"))
+    assert(e.getMessage.contains("batch_seq"))
+    // nothing was written, and no guard marker leaked
+    val left = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+    assert(left.forall(f => !f.getName.startsWith("_APPENDING") &&
+      !f.getName.startsWith("_COMPACTING") && !f.getName.startsWith("stage=")))
+  }
+
   test("compactStageSlices compacts per bucket slice; sinceS bounds scope") {
     val dir = java.nio.file.Files.createTempDirectory("compact_sl").toString
     val stage = Stage(1440, 60, stage0 = true)
