@@ -69,6 +69,25 @@ object Bench {
     "bg_read_3600_stage0_v2", "bg_read_3600_stage1",
     "bg_ingest_1m_points", "bg_ingest_100x1")
 
+  /** The build-then-probe queries whose in-query index/layout build
+    * dominates their total (r10 verdict item 6: k8's probe could
+    * regress 3× and the total would move 10%). Their thunks time the
+    * two phases separately — `build` = the eager index/layout write
+    * that runs when the query function is applied, `probe` = the
+    * returned plan's execution — and the per-pass sub-timings are
+    * published under `"phases"` in bench_out.json. The published
+    * median for the TASK stays build+probe (protocol unchanged). */
+  private[graft] val PhaseSplitTasks: Set[String] = Set(
+    "r2_bm25_index_topk", "r6_phrase_index", "k6_knn_ivf_index",
+    "k8_knn_ivfpq", "k9_knn_ivfpq_residual", "k10_ivf_append",
+    "zo1_zorder_scan")
+
+  /** Per-JVM recorder for the [[PhaseSplitTasks]] sub-timings: task →
+    * (build samples, probe samples), one entry per timed pass (a
+    * crashed pass records nothing — the task sample is already NaN). */
+  private val phaseSamples =
+    collection.mutable.LinkedHashMap[String, (Vector[Double], Vector[Double])]()
+
   /** Locale-pinned fixed-point formatting for every numeric field in
     * the emitted JSON (shared with [[Soak]]): the scala f-interpolator
     * uses the default JVM locale, which under a comma-decimal locale
@@ -145,6 +164,19 @@ object Bench {
       // x1/x2/x5 are ordinary SparkEntry queries since they gained
       // DuckDB oracles — the first case times the same composed plan
       // the correctness gate hashes
+      case n if PhaseSplitTasks.contains(n) && queries.contains(n) =>
+        // build-then-probe split: applying the query function runs the
+        // eager index/layout build; count() runs the probe plan
+        n -> (() => {
+          val t0 = System.nanoTime()
+          val df = queries(n)(spark, sfDir)
+          val tBuild = (System.nanoTime() - t0) / 1e9
+          df.count()
+          val tProbe = (System.nanoTime() - t0) / 1e9 - tBuild
+          val (bs, ps) = phaseSamples.getOrElse(n, (Vector.empty, Vector.empty))
+          phaseSamples(n) = (bs :+ tBuild, ps :+ tProbe)
+          ()
+        })
       case n if queries.contains(n) =>
         n -> (() => { queries(n)(spark, sfDir).count(); () })
       case n if n.startsWith("bg_") =>
@@ -228,6 +260,10 @@ object Bench {
       sb.append("task\t").append(name).append('\t')
         .append(ss.map(v => if (v.isNaN) "-1" else fmt(v, 4)).mkString(","))
         .append('\n')
+    for ((name, (bs, ps)) <- phaseSamples)
+      sb.append("phase\t").append(name).append('\t')
+        .append(bs.map(fmt(_, 4)).mkString(",")).append('\t')
+        .append(ps.map(fmt(_, 4)).mkString(",")).append('\n')
     sb.append("steal\t").append(steals.map(fmt(_, 4)).mkString(",")).append('\n')
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     spark.stop()
@@ -235,25 +271,32 @@ object Bench {
 
   /** Parse one chunk child's TSV (see [[runChunk]]): `task` rows to
     * per-task raw samples (negative sample = the child's crash
-    * sentinel → NaN, so the parent republishes -1), the `steal` row to
-    * per-pass steal fractions. Unknown rows are ignored; a malformed
-    * numeric field throws (the caller marks the whole chunk failed
-    * rather than publishing half a chunk). */
+    * sentinel → NaN, so the parent republishes -1), `phase` rows to
+    * the [[PhaseSplitTasks]] build/probe sub-timings, the `steal` row
+    * to per-pass steal fractions. Unknown rows are ignored; a
+    * malformed numeric field throws (the caller marks the whole chunk
+    * failed rather than publishing half a chunk). */
   private[graft] def parseChunkTsv(lines: Iterator[String])
-      : (Map[String, Vector[Double]], Vector[Double]) = {
+      : (Map[String, Vector[Double]],
+         Map[String, (Vector[Double], Vector[Double])], Vector[Double]) = {
     val tasks = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val phases =
+      collection.mutable.LinkedHashMap[String, (Vector[Double], Vector[Double])]()
     var steals = Vector.empty[Double]
     lines.foreach { line =>
       line.split("\t", -1) match {
         case Array("task", name, ss) =>
           tasks(name) = ss.split(",").toVector
             .map(v => { val d = v.toDouble; if (d < 0) Double.NaN else d })
+        case Array("phase", name, bs, ps) =>
+          phases(name) = (bs.split(",").toVector.map(_.toDouble),
+            ps.split(",").toVector.map(_.toDouble))
         case Array("steal", ss) if ss.nonEmpty =>
           steals = ss.split(",").toVector.map(_.toDouble)
         case _ => ()
       }
     }
-    (tasks.toMap, steals)
+    (tasks.toMap, phases.toMap, steals)
   }
 
   /** Required JDK17 module opens for Spark — the child JVMs must carry
@@ -311,6 +354,8 @@ object Bench {
     val cp = System.getProperty("java.class.path")
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val phases =
+      collection.mutable.LinkedHashMap[String, (Vector[Double], Vector[Double])]()
     val steals = collection.mutable.ArrayBuffer[Double]()
     var firstChunkFailed = false
     for ((names, i) <- chunks.zipWithIndex if !firstChunkFailed) {
@@ -332,12 +377,13 @@ object Bench {
         -1
       }
       var parsed = Map.empty[String, Vector[Double]]
+      var chunkPhases = Map.empty[String, (Vector[Double], Vector[Double])]
       var chunkSteals = Vector.empty[Double]
       if (rc == 0) try {
         val src = scala.io.Source.fromFile(outFile)
         try {
-          val (p, st) = parseChunkTsv(src.getLines())
-          parsed = p; chunkSteals = st
+          val (p, ph, st) = parseChunkTsv(src.getLines())
+          parsed = p; chunkPhases = ph; chunkSteals = st
         } finally src.close()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] chunk $i result unreadable: ${e.getMessage}")
@@ -354,6 +400,7 @@ object Bench {
       } else {
         // a task the child dropped (crashed before its row) is a failure
         names.foreach(n => samples(n) = parsed.getOrElse(n, Vector(Double.NaN)))
+        names.foreach(n => chunkPhases.get(n).foreach(phases(n) = _))
         steals ++= chunkSteals
         System.err.println(f"[bench] chunk ${i + 1} done in " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -363,7 +410,7 @@ object Bench {
       System.err.println("[bench] first chunk failed — falling back to the " +
         "in-process protocol")
       runInProcess(sfDir)
-    } else emit(sfDir, samples, steals.toVector)
+    } else emit(sfDir, samples, phases, steals.toVector)
   }
 
   /** Legacy single-JVM protocol (SPARK_GRAFT_BENCH_FORK=0): every task
@@ -374,7 +421,7 @@ object Bench {
     warmup(spark, sfDir)
     val tasks = buildTasks(spark, sfDir, allTaskNames)
     val (samples, steals) = runTasks(spark, tasks, benchPasses)
-    emit(sfDir, samples, steals)
+    emit(sfDir, samples, phaseSamples, steals)
     spark.stop()
   }
 
@@ -388,6 +435,7 @@ object Bench {
     * well under 2000 chars at any chunk count. */
   private def emit(sfDir: String,
       sampleLists: collection.mutable.LinkedHashMap[String, Vector[Double]],
+      phases: collection.Map[String, (Vector[Double], Vector[Double])],
       stealFracs: Vector[Double]): Unit = {
     val results = sampleLists.toSeq.map { case (name, ss) =>
       name -> (if (ss.isEmpty || ss.exists(_.isNaN)) -1.0
@@ -402,9 +450,20 @@ object Bench {
       s""""$k":[${sampleLists(k).map(v => if (v.isNaN) "-1" else fmt(v, 3)).mkString(",")}]"""
     }.mkString("{", ",", "}")
     val stealJson = stealFracs.map(v => fmt(v, 3)).mkString("[", ",", "]")
+    // build/probe sub-timings for the PhaseSplitTasks (full JSON only):
+    // per-pass raw samples plus the medians the round-over-round probe
+    // comparison reads — the in-query build otherwise masks probe
+    // regressions (k8's probe could triple and the total moves 10%)
+    def med(v: Vector[Double]): Double =
+      if (v.isEmpty) -1.0 else v.sorted.apply(v.size / 2)
+    val phasesJson = results.flatMap { case (k, _) => phases.get(k).map { case (bs, ps) =>
+      s""""$k":{"build":[${bs.map(fmt(_, 3)).mkString(",")}],""" +
+        s""""probe":[${ps.map(fmt(_, 3)).mkString(",")}],""" +
+        s""""build_med":${fmt(med(bs), 3)},"probe_med":${fmt(med(ps), 3)}}"""
+    }}.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"cpu_steal":$stealJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"phases":$phasesJson,"cpu_steal":$stealJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable =>

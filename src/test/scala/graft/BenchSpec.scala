@@ -19,20 +19,28 @@ class BenchSpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"colliding short ids: $dupes")
   }
 
-  test("chunk TSV round-trips samples, crash sentinels, and steal rows") {
+  test("chunk TSV round-trips samples, phases, crash sentinels, steal rows") {
     val tsv = Seq(
       "task\tq1_agg\t0.5000,0.4800,0.5100",
       "task\tq2_join\t-1,0.9000,0.8000", // crashed pass → NaN → -1
+      "task\tk8_knn_ivfpq\t2.0000,1.9000,2.1000",
+      "phase\tk8_knn_ivfpq\t1.5000,1.4000,1.6000\t0.5000,0.5000,0.5000",
       "steal\t0.0100,0.0000,0.0300",
       "garbage line that must be ignored").iterator
-    val (tasks, steals) = Bench.parseChunkTsv(tsv)
+    val (tasks, phases, steals) = Bench.parseChunkTsv(tsv)
     assert(tasks("q1_agg") === Vector(0.5, 0.48, 0.51))
     assert(tasks("q2_join")(0).isNaN)
     assert(tasks("q2_join").drop(1) === Vector(0.9, 0.8))
+    assert(phases("k8_knn_ivfpq") ===
+      ((Vector(1.5, 1.4, 1.6), Vector(0.5, 0.5, 0.5))))
     assert(steals === Vector(0.01, 0.0, 0.03))
     // empty input → nothing parsed (the caller fails the chunk)
-    val (none, noSteal) = Bench.parseChunkTsv(Iterator.empty)
-    assert(none.isEmpty && noSteal.isEmpty)
+    val (none, noPhase, noSteal) = Bench.parseChunkTsv(Iterator.empty)
+    assert(none.isEmpty && noPhase.isEmpty && noSteal.isEmpty)
+  }
+
+  test("phase-split tasks are a subset of the bench task list") {
+    assert(Bench.PhaseSplitTasks.subsetOf(allNames.toSet))
   }
 
   test("worst-case compact stdout line fits the driver's 2000-char tail") {
