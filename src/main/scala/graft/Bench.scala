@@ -34,7 +34,8 @@ object Bench {
     "r2_bm25_index_topk", "d15_cross_corpus_dedup",
     "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
     "x3_text_semantic_pipeline", "d17_cluster_representatives",
-    "bp1_bpe_merges", "x4_chunk_dedup_pack", "lr1_logreg_gate",
+    "bp1_bpe_merges", "bp3_unigram_train", "x4_chunk_dedup_pack",
+    "lr1_logreg_gate",
     "ds2_dsir_resample", "r4_hybrid_rrf", "ph1_phrase_mining",
     "t14_ccnet_lang_buckets", "d18_containment", "cu1_curriculum_order",
     "fu1_funnel", "co1_cohort_retention", "pg1_pagerank",

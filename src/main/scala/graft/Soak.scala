@@ -99,6 +99,12 @@ object Soak {
         inflateEr(spark, src, dir, f)
         java.nio.file.Files.createFile(erSentinel)
       }
+      // x1 SOURCES axis (r10 verdict item 2) — own sentinel, same reason
+      val sxSentinel = java.nio.file.Paths.get(dir, s"_inflate_srcx_$f.ok")
+      if (!java.nio.file.Files.exists(sxSentinel)) {
+        inflateSources(spark, src, dir, f)
+        java.nio.file.Files.createFile(sxSentinel)
+      }
     }
 
     // seconds AND the leg's host-steal fraction: a soak exponent
@@ -139,6 +145,12 @@ object Soak {
       // keeps customer fixed, so they read the `er/` variant instead
       if (q.startsWith("er")) SparkEntry.queries(q)(spark, s"$dir/er").count()
       else if (q == "zo2_zorder_lifecycle") zorderLifecycle(spark, dir)
+      // x1's docs-count axis is FLAT by construction (URL groups
+      // collapse to ~200 per source, ROUND_NOTES_r10 §10); the axis
+      // that scales its minhash/LSH/components tail is SOURCES — this
+      // row reads the srcx/ variant where copy k re-keys the source
+      else if (q == "x1_curation_sources")
+        SparkEntry.queries("x1_curation_pipeline")(spark, s"$dir/srcx").count()
       else SparkEntry.queries(q)(spark, dir).count()
     val rows = selected.map { q =>
       // untimed warm-up leg: a fresh JVM's first query otherwise pays
@@ -182,7 +194,8 @@ object Soak {
     "r2_bm25_index_topk", "d15_cross_corpus_dedup",
     "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
     "x3_text_semantic_pipeline", "d17_cluster_representatives",
-    "bp1_bpe_merges", "x4_chunk_dedup_pack", "pr2_corpus_diff",
+    "bp1_bpe_merges", "bp3_unigram_train", "x4_chunk_dedup_pack",
+    "pr2_corpus_diff",
     "lr1_logreg_gate", "ds2_dsir_resample", "r4_hybrid_rrf",
     "x6_dsir_curriculum",
     "ph1_phrase_mining", "t14_ccnet_lang_buckets", "d18_containment",
@@ -207,7 +220,8 @@ object Soak {
     "zo2_zorder_lifecycle",
     "cd1_scd2_intervals", "cd2_pit_snapshot", "cd3_snapshot_diff",
     "dq1_expectations",
-    "x1_curation_pipeline")
+    "x2_embedding_pipeline", "x5_pretrain_prep_pipeline",
+    "x1_curation_pipeline", "x1_curation_sources")
 
   /** Fact-table file count for inflated (and 1×-normalized) copies:
     * one file per core of the local[32] session, so scan parallelism
@@ -306,6 +320,37 @@ object Soak {
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .repartition(Files)
       .write.mode("overwrite").parquet(s"$out/er/customer.parquet")
+  }
+
+  /** SOURCE-axis documents copy under `$out/srcx/`: x1's corpus-growth
+    * axis. The plain docs-count inflation leaves x1's 10× leg FLAT by
+    * construction — its URL-dedup stage keys on source × (doc_id % 200),
+    * so 10× docs still collapse to the same ~200 URL groups per source
+    * and the expensive minhash/LSH/components tail sees a constant
+    * survivor set (ROUND_NOTES_r10 §10). Here copy k re-keys the SOURCE
+    * (`<source>_q<k>`), so URL groups — and with them the url-dedup
+    * survivors feeding the tail — grow `factor`×; the text is q-prefixed
+    * token-disjoint exactly like [[inflate]], so each copy reproduces
+    * the source corpus's internal near-duplicate structure instead of
+    * forming factor-sized cross-copy clusters of identical text (which
+    * would measure quadratic pair-count growth, a data-shape change,
+    * not the engine). Copy 0 stays verbatim. */
+  def inflateSources(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val ks = explode(sequence(lit(0), lit(factor - 1))).as("k")
+    spark.read.parquet(s"$src/documents.parquet")
+      .select(col("*"), ks)
+      .select(
+        (col("doc_id") * factor + col("k")).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("q"), col("k"), lit("_$1")))).as("text"),
+        col("lang"),
+        when(col("k") === 0, col("source"))
+          .otherwise(concat(col("source"), lit("_q"), col("k"))).as("source"),
+        col("n_chars"))
+      .repartition(Files)
+      .write.mode("overwrite").parquet(s"$out/srcx/documents.parquet")
   }
 
   /** The zo2 soak query: the FULL z-order maintenance lifecycle — build

@@ -2739,13 +2739,22 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val model = Classify.nbFit(docs.filter(col("doc_id") % 5 =!= 0),
         "lang", "text", vocabSize = 24)
-      // keep docs whose predicted language the router trusts
+      // keep docs whose predicted language the router trusts. The id
+      // set is CHECKPOINTED: the mixture's stratum totals, the chunk
+      // chain, and the BPE word counts all sit downstream, and without
+      // the cut each would re-run the whole NB scoring pass (r10 bench
+      // attributed x5's cost to exactly this — NB margin scoring
+      // executed 4x). One doc_id column, the cheapest thing to pin
       val routed = Classify.nbMargin(model, docs, "doc_id", "text")
         .filter(col("margin") > 0).select("doc_id")
+        .localCheckpoint(true)
       val kept = docs.join(routed, "doc_id")
+      // budget-bounded (500k tokens) → checkpoint is small at ANY
+      // corpus scale; feeds chunking AND the BPE trainer
       val mixed = Sampling.temperatureMixture(kept, col("doc_id"),
         col("source"), col("n_chars"), temperature = 2.0,
         tokenBudget = 500000L)
+        .localCheckpoint(true)
       val chunks = Packing.chunkWindows(mixed, "doc_id", "text",
         window = 128, stride = 64)
       val w = Window.partitionBy("chunk_hash")
@@ -2884,6 +2893,33 @@ object SparkEntry {
       val ms = merges.orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.segment(words.select("word"), "word", ms)
+        .select("word", "segmented").orderBy("word")
+    },
+
+    // BP3: unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
+    // unigram model) — the top-down sibling of bp1: seed an
+    // over-complete piece inventory from substring counts, then 2 EM
+    // rounds of greedy-segment → re-count → prune, all at
+    // distinct-word scale with integer-scaled log-probs (the DuckDB
+    // mirror unrolls the same rounds, the greedy walk as a recursive
+    // CTE). Output = the final inventory with counts + log-probs
+    "bp3_unigram_train" -> { (s, dir) =>
+      import graft.operators.{Bpe, Unigram}
+      val words = Bpe.wordFreqs(table(s, dir, "documents"), "text")
+      Unigram.train(words, rounds = 2, keepMulti = 256)
+        .select(col("piece"), col("cnt").as("piece_count"),
+          col("logp").as("logp_scaled"))
+        .orderBy(col("piece_count").desc, col("piece"))
+    },
+
+    // BP3b: the trained unigram inventory DEPLOYED — frozen piece
+    // table broadcast into one map-only greedy segmentation over the
+    // distinct words (bp2's relationship to bp1)
+    "bp3b_unigram_segment" -> { (s, dir) =>
+      import graft.operators.{Bpe, Unigram}
+      val words = Bpe.wordFreqs(table(s, dir, "documents"), "text")
+      val vocab = Unigram.train(words, rounds = 2, keepMulti = 256)
+      Unigram.segment(words, "word", vocab)
         .select("word", "segmented").orderBy("word")
     },
 
@@ -3772,6 +3808,83 @@ object SparkEntry {
          |  LEFT JOIN (SELECT l, r, m FROM t$i WHERE rn = 1) b ON TRUE)""".stripMargin
     }
     (Seq(seed) ++ perRound).mkString(",\n")
+  }
+
+  /** Unrolled unigram-LM EM rounds in DuckDB (mirrors
+    * [[graft.operators.Unigram.train]]): word freqs `w`, substring seed
+    * counts `sub`, the fixed alphabet `chars`, then per inventory
+    * generation the pruned+smoothed piece table `v_i` and per EM round
+    * the greedy best-piece-per-position table `cand_i` and the
+    * left-to-right walk `walk_i` as a RECURSIVE CTE (one row per
+    * consumed piece; the per-char density argmax is the integer
+    * `logp * 12/len` cross-multiplication, ties to the longer piece —
+    * the exact Spark-side rule). The final SELECT must open with
+    * `WITH RECURSIVE`. `segRounds` > `rounds` adds one extra
+    * cand/walk generation under the FINAL inventory for the
+    * deployment-twin oracle. */
+  private def unigramOracleCtes(rounds: Int, keepMulti: Int,
+      walkFinal: Boolean = false): String = {
+    val seed =
+      raw"""w AS MATERIALIZED (
+        |  SELECT tok AS word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1),
+        |sub AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT w.freq, substr(w.word, CAST(u.i AS INT), CAST(v.l AS INT)) AS piece
+        |    FROM w,
+        |    LATERAL unnest(range(1, len(w.word) + 1)) u(i),
+        |    LATERAL unnest([1, 2, 3, 4]) v(l)
+        |    WHERE u.i + v.l - 1 <= len(w.word))
+        |  GROUP BY 1),
+        |chars AS MATERIALIZED (SELECT piece FROM sub WHERE len(piece) = 1)""".stripMargin
+    // inventory generation i from count source `src` (sub for i=0,
+    // walk counts after): singles ∪ top-keepMulti multis, then the
+    // Laplace-smoothed integer log-prob
+    def inventory(i: Int, src: String): String =
+      s"""v${i}keep AS MATERIALIZED (
+         |  SELECT c.piece, coalesce(n.cnt, 0) AS cnt
+         |  FROM chars c LEFT JOIN $src n USING (piece)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM $src WHERE len(piece) >= 2) WHERE rn <= $keepMulti),
+         |v$i AS MATERIALIZED (
+         |  SELECT piece, CAST(len(piece) AS INT) AS l, CAST(cnt AS BIGINT) AS cnt,
+         |    CAST(floor(ln((cnt + 1.0) / (t.total + t.nv)) * 1000000 + 0.5)
+         |      AS BIGINT) AS logp
+         |  FROM v${i}keep CROSS JOIN
+         |    (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nv
+         |     FROM v${i}keep) t)""".stripMargin
+    // greedy walk generation i under inventory v_{i-1}
+    def walk(i: Int): String =
+      s"""cand$i AS MATERIALIZED (
+         |  SELECT word, pos, l FROM (
+         |    SELECT s.word, s.pos, v.l,
+         |      row_number() OVER (PARTITION BY s.word, s.pos
+         |        ORDER BY v.logp * (CASE v.l WHEN 1 THEN 12 WHEN 2 THEN 6
+         |          WHEN 3 THEN 4 ELSE 3 END) DESC, v.l DESC) AS rn
+         |    FROM (SELECT w.word, CAST(u.i AS INT) AS pos
+         |          FROM w, LATERAL unnest(range(1, len(w.word) + 1)) u(i)) s
+         |    JOIN v${i - 1} v ON v.piece = substr(s.word, s.pos, v.l))
+         |  WHERE rn = 1),
+         |walk$i AS (
+         |  SELECT word, freq, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM w
+         |  UNION ALL
+         |  SELECT k.word, k.freq, k.pos + b.l,
+         |    substr(k.word, k.pos, b.l)
+         |  FROM walk$i k JOIN cand$i b ON b.word = k.word AND b.pos = k.pos
+         |  WHERE k.pos <= len(k.word))""".stripMargin
+    def counts(i: Int): String =
+      s"""cnt$i AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM walk$i
+         |  WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
+    val perRound = (1 to rounds).flatMap(i =>
+      Seq(walk(i), counts(i), inventory(i, s"cnt$i")))
+    val finalWalk = if (walkFinal) Seq(walk(rounds + 1)) else Nil
+    (Seq(seed, inventory(0, "sub")) ++ perRound ++ finalWalk)
+      .mkString(",\n")
   }
 
   /** Naive-Bayes oracle chain shared by cl1/cl2/x5: train/test split,
@@ -6600,6 +6713,17 @@ object SparkEntry {
       s"""WITH ${bpeOracleCtes(8)}
         |SELECT word, trim(repr) AS segmented FROM r8
         |ORDER BY word""".stripMargin,
+
+    "bp3_unigram_train" ->
+      s"""WITH RECURSIVE ${unigramOracleCtes(2, 256)}
+        |SELECT piece, cnt AS piece_count, logp AS logp_scaled
+        |FROM v2 ORDER BY piece_count DESC, piece""".stripMargin,
+
+    "bp3b_unigram_segment" ->
+      s"""WITH RECURSIVE ${unigramOracleCtes(2, 256, walkFinal = true)}
+        |SELECT word, string_agg(piece, ' ' ORDER BY pos) AS segmented
+        |FROM walk3 WHERE piece IS NOT NULL
+        |GROUP BY word ORDER BY word""".stripMargin,
 
     "t7_unigram_logloss" ->
       """WITH ref AS (
