@@ -2740,11 +2740,12 @@ object SparkEntry {
       val model = Classify.nbFit(docs.filter(col("doc_id") % 5 =!= 0),
         "lang", "text", vocabSize = 24)
       // keep docs whose predicted language the router trusts. The id
-      // set is CHECKPOINTED: the mixture's stratum totals, the chunk
-      // chain, and the BPE word counts all sit downstream, and without
-      // the cut each would re-run the whole NB scoring pass (r10 bench
-      // attributed x5's cost to exactly this — NB margin scoring
-      // executed 4x). One doc_id column, the cheapest thing to pin
+      // set is CHECKPOINTED: the mixture's eager stratum totals, the
+      // chunk chain, and the BPE word counts all sit downstream, and
+      // without the cut each re-executes the whole NB scoring pass —
+      // the pipeline's dominant stage ran ~4x (this round's
+      // attribution of the r10 note "NB scoring dominates"). One
+      // doc_id column, the cheapest thing to pin
       val routed = Classify.nbMargin(model, docs, "doc_id", "text")
         .filter(col("margin") > 0).select("doc_id")
         .localCheckpoint(true)

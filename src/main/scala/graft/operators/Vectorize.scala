@@ -73,14 +73,20 @@ object Vectorize {
 
   /** Resolve [[StatsStorageKey]] for a corpus: explicit `memory`/`disk`
     * pass through; `auto` (the default) compares the corpus relation's
-    * optimizer size estimate against [[AutoDiskBytesKey]]. */
+    * optimizer size estimate against [[AutoDiskBytesKey]]. An UNKNOWN
+    * estimate (a checkpointed/derived corpus reports the
+    * `defaultSizeInBytes` sentinel, not a size) resolves to `memory` —
+    * the cluster-correct default — rather than letting the sentinel
+    * silently force every derived input onto the disk path. */
   private[graft] def resolveStatsMode(docs: DataFrame): String =
     docs.sparkSession.conf.getOption(StatsStorageKey).getOrElse("auto") match {
       case "auto" =>
         val threshold = docs.sparkSession.conf.getOption(AutoDiskBytesKey)
           .map(_.toLong).getOrElse(Runtime.getRuntime.maxMemory / 1024)
         val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (est > BigInt(threshold)) "disk" else "memory"
+        val unknown = est >=
+          BigInt(docs.sparkSession.sessionState.conf.defaultSizeInBytes)
+        if (!unknown && est > BigInt(threshold)) "disk" else "memory"
       case m => m
     }
 

@@ -112,9 +112,18 @@ class VectorizeSpec extends SparkSuite {
 
   test("auto stats storage resolves from corpus size vs the threshold") {
     try {
-      // a 3-row corpus is far under any real heap-derived default
+      // a 3-row corpus is far under any real heap-derived default —
+      // parquet-backed or checkpointed alike (a checkpointed relation
+      // reports its real materialized size on Spark 4)
       assert(Vectorize.resolveStatsMode(docs) == "memory")
-      // force the crossover: 1-byte threshold → every corpus is "big"
+      assert(Vectorize.resolveStatsMode(docs.localCheckpoint(true))
+        == "memory")
+      // an UNKNOWN estimate (defaultSizeInBytes sentinel) must resolve
+      // memory, never let the sentinel force the disk path
+      val noStats = spark.sessionState.conf.defaultSizeInBytes
+      assert(BigInt(noStats) >
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes)
+      // force the crossover: 1-byte threshold → every KNOWN size is "big"
       spark.conf.set(Vectorize.AutoDiskBytesKey, "1")
       assert(Vectorize.resolveStatsMode(docs) == "disk")
       // explicit modes bypass the estimate entirely
