@@ -21,7 +21,7 @@ object Bench {
     "dc2_decontaminate_joined", "dc3_decontaminate_bloom",
     "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
     "k1_knn_brute", "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
-    "k9_knn_ivfpq_residual", "k10_ivf_append",
+    "k9_knn_ivfpq_residual", "k10_ivf_append", "k11_ivf_retrain",
     "t2_quality", "w2_topk_per_group",
     "e1_storage_read_path", "e4_render_pipeline",
     "km1_kmeans", "d8_semdedup", "d8b_semdedup_sqrtn",
@@ -81,6 +81,7 @@ object Bench {
   private[graft] val PhaseSplitTasks: Set[String] = Set(
     "r2_bm25_index_topk", "r6_phrase_index", "k6_knn_ivf_index",
     "k8_knn_ivfpq", "k9_knn_ivfpq_residual", "k10_ivf_append",
+    "k11_ivf_retrain",
     "zo1_zorder_scan")
 
   /** Per-JVM recorder for the [[PhaseSplitTasks]] sub-timings: task →

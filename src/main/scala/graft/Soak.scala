@@ -189,7 +189,7 @@ object Soak {
     "aj1_asof_attribution", "rj1_range_join_binned", "se1_sessionize",
     "p7_weighted_sample",
     "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
-    "k9_knn_ivfpq_residual", "k10_ivf_append",
+    "k9_knn_ivfpq_residual", "k10_ivf_append", "k11_ivf_retrain",
     "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
     "r2_bm25_index_topk", "d15_cross_corpus_dedup",
     "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",

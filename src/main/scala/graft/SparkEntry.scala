@@ -1043,6 +1043,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K11: index RETRAIN + generation swap — the drift answer FAISS
+    // spells "train a new index and swap", done in place: build a
+    // deliberately STALE quantizer on the first half (k=4, 1 round),
+    // append the rest unretrained (k10's shape), then retrainIvfIndex
+    // re-clusters the CURRENT postings at the k6 configuration (k=8,
+    // 2 rounds), writes a fresh generation and atomically swaps the
+    // MANIFEST pointer the probe resolves through. Oracle = k6's SQL
+    // verbatim: a retrained index must answer EXACTLY as a fresh build
+    // over the full corpus — that equality is the lifecycle's
+    // correctness contract (ids survive retraining, so k-means over
+    // the postings is k-means over the original vectors)
+    "k11_ivf_retrain" -> { (s, dir) =>
+      // fixed per-dataset path (the k6/k10 lifecycle rule): the build's
+      // generation reset wipes the previous run's manifest + gen dirs
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k11ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", idx, k = 4, iters = 1)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", idx)
+      Similarity.retrainIvfIndex(s, idx, k = 8, iters = 2)
+      Similarity.ivfIndexKnn(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        idx, "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -4010,13 +4038,35 @@ object SparkEntry {
       s" AS score_$lang"
   }
 
+  /** The k6-shaped IVF probe oracle — full-corpus k=8/2-round training,
+    * 2-cell probe, top-3. Shared verbatim by k6 (fresh build) and k11
+    * (stale build → append → retrain → probe through the generation
+    * pointer): the retrained index answering exactly this SQL is k11's
+    * correctness contract. */
+  private lazy val fullTrainIvfProbeOracle: String =
+    s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+       |cells AS (SELECT vec_id, embedding, cell_id FROM a3 WHERE rn = 1),
+       |qcells AS (
+       |  SELECT vec_id, embedding, cell_id FROM a3
+       |  WHERE rn <= 2 AND vec_id >= 5 AND vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+       |  FROM qcells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB CTE chain mirroring [[graft.operators.Clustering]]: seeds
     * c0 with the first `k` vectors, unrolls `iters` assign+update rounds
     * (a1/m1/c1 … ), and ends with the final assignment `a{iters+1}`
     * (vec_id, embedding, cell_id, ccos, rn) against c{iters}. Rounding
     * (ccos to 6, means to 6) matches the Spark side exactly so the
-    * iteration trajectories stay bit-identical across engines. */
-  /** `trainWhere` (a bare predicate over `e`, e.g. "e.vec_id < 250")
+    * iteration trajectories stay bit-identical across engines.
+    * `trainWhere` (a bare predicate over `e`, e.g. "e.vec_id < 250")
     * restricts the TRAINING rounds to a corpus subset; the final
     * assignment (which feeds both the probe ranking and the full-corpus
     * cell map) always runs unfiltered — the oracle shape of
@@ -5341,22 +5391,13 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
-    "k6_knn_ivf_index" ->
-      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
-         |cells AS (SELECT vec_id, embedding, cell_id FROM a3 WHERE rn = 1),
-         |qcells AS (
-         |  SELECT vec_id, embedding, cell_id FROM a3
-         |  WHERE rn <= 2 AND vec_id >= 5 AND vec_id < 10),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
-         |  FROM qcells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id),
-         |r AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
-         |ORDER BY query_id, rank""".stripMargin,
+    "k6_knn_ivf_index" -> fullTrainIvfProbeOracle,
+
+    // identical SQL to k6 BY DESIGN: the retrained index (stale build →
+    // append → retrain at the k6 configuration → probe through the
+    // swapped generation pointer) must answer exactly as a fresh k6
+    // build over the full corpus — the lifecycle's correctness contract
+    "k11_ivf_retrain" -> fullTrainIvfProbeOracle,
 
     // mirrors ProductQuantization: subvector explode, one L2 Lloyd's
     // round seeded with the first-8 ids (d² rounded to 6, ties to the

@@ -270,6 +270,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  // ---- index generations (the retrain lifecycle) -------------------------
+
+  private val ManifestName = "MANIFEST"
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** The index's current generation number: what `dir/MANIFEST` names
+    * ([[retrainIvfIndex]] wrote it), or 0 for an index that has never
+    * been retrained (no manifest — [[buildIvfIndex]]'s fixed paths).
+    * A manifest that exists but does not parse fails loudly: silently
+    * treating it as generation 0 would serve a superseded index. */
+  private[operators] def liveGeneration(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    val (fs, root) = indexFs(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (!fs.exists(m)) 0
+    else {
+      val in = fs.open(m)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      s.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalStateException(
+          s"$dir/$ManifestName is corrupt ('$s') — expected a positive " +
+            "generation number; refusing to guess which index generation " +
+            "is live"))
+    }
+  }
+
+  /** The LIVE (centroids, postings) paths of an index under `dir`:
+    * generation-suffixed once a [[retrainIvfIndex]] has swapped the
+    * manifest pointer, the original fixed names before that. Every
+    * reader and writer of a float IVF index resolves through this, so
+    * a retrain is one atomic pointer swap away from all of them. */
+  def livePaths(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, String) = liveGeneration(spark, dir) match {
+    case 0 => (s"$dir/centroids", s"$dir/postings")
+    case g => (s"$dir/centroids_g$g", s"$dir/postings_g$g")
+  }
+
   /** PERSIST an IVF index — the train-once / probe-many shape of a
     * production ANN deployment (FAISS's IndexIVF on Spark terms):
     * k-means centroids to `dir/centroids` (driver-small), and the
@@ -277,10 +320,17 @@ object Similarity {
     * vector norm precomputed per posting. At probe time only the
     * probed cells' partition directories are listed and read —
     * partition pruning makes the scan fraction nProbe/k of the corpus
-    * without any bespoke index machinery. */
+    * without any bespoke index machinery.
+    *
+    * A REBUILD of a previously retrained index resets the generation
+    * state: the manifest and any `*_g<N>` directories are removed
+    * first, so a probe never resolves a stale pointer onto the old
+    * generation while the fresh build sits unread at the fixed paths. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, k: Int, iters: Int): Unit = {
     import graft.operators.Clustering
+    val spark = corpus.sparkSession
+    val (fs, root) = indexFs(spark, dir)
     val cents = Clustering.kmeansFit(corpus, idCol, vecCol, k, iters)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     Clustering.assignCells(
@@ -290,6 +340,67 @@ object Similarity {
       .select("neighbor_id", "cv", "cnorm", "cell_id")
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$dir/postings")
+    // generation reset LAST: the fixed-path data above is complete
+    // before the pointer stops naming the old generation
+    fs.delete(new org.apache.hadoop.fs.Path(root, ManifestName), false)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "*_g*")))
+      .getOrElse(Array.empty)
+      .filter(st => st.getPath.getName.matches("(centroids|postings)_g\\d+"))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** RETRAIN an IVF index in place — the drift answer FAISS spells
+    * "train a new index and swap": after enough [[appendToIvfIndex]]
+    * batches the frozen quantizer no longer matches the data
+    * distribution (cells skew, recall at fixed nProbe decays). This
+    * re-runs k-means over the CURRENT postings (same deterministic
+    * seeding as [[buildIvfIndex]] — ids are preserved in the postings,
+    * so retraining on them equals retraining on the original vectors),
+    * reassigns every posting, and writes BOTH relations to a fresh
+    * generation (`centroids_g<N+1>`, `postings_g<N+1>`) — never
+    * overwriting the files it is reading, which is what makes this a
+    * plain two-scan job at any scale, no staging checkpoint. The
+    * `MANIFEST` pointer then swaps atomically (temp + rename) and the
+    * superseded generation is dropped. Runs under the compaction guard:
+    * a concurrent append either lands before the retrain's listing or
+    * fails fast — never into the doomed old generation. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, iters: Int): Unit =
+      graft.sources.Compaction.guardedCompaction(spark, dir) {
+    import graft.operators.Clustering
+    val (fs, root) = indexFs(spark, dir)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "codebooks")),
+      s"$dir is an IVF-PQ index (codebooks artifact present): its postings " +
+        "are PQ codes, not float vectors, so an in-place retrain cannot " +
+        "re-cluster them — rebuild with buildIvfPqIndex from the source " +
+        "vectors instead")
+    val oldGen = liveGeneration(spark, dir)
+    val (oldCents, oldPosts) = livePaths(spark, dir)
+    val gen = oldGen + 1
+    val base = spark.read.parquet(oldPosts).select("neighbor_id", "cv")
+    val cents = Clustering.kmeansFit(base, "neighbor_id", "cv", k, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids_g$gen")
+    Clustering.assignCells(base, "neighbor_id", "cv", cents)
+      .withColumn("cnorm", l2norm(col("cv")))
+      .select("neighbor_id", "cv", "cnorm", "cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/postings_g$gen")
+    // atomic pointer swap: write aside, rename over (rename is atomic
+    // on HDFS and local; readers see the old or the new pointer, never
+    // a torn one)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    val manifest = new org.apache.hadoop.fs.Path(root, ManifestName)
+    fs.delete(manifest, false)
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(
+        s"could not swap $dir/$ManifestName to generation $gen")
+    // the superseded generation: in-flight probes of it are the same
+    // reader-vs-compactor caveat every compaction here carries
+    fs.delete(new org.apache.hadoop.fs.Path(oldCents), true)
+    fs.delete(new org.apache.hadoop.fs.Path(oldPosts), true)
   }
 
   /** APPEND new vectors to a [[buildIvfIndex]] index without
@@ -312,16 +423,20 @@ object Similarity {
       vecCol: String, dir: String): Unit = {
     import graft.operators.Clustering
     val spark = newVectors.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
-    requireSameDim(newVectors, vecCol, cents)
     graft.sources.Compaction.guardedAppend(spark, dir) {
+      // paths resolved INSIDE the guard: a retrain cannot swap the
+      // generation pointer between this resolution and the write (it
+      // holds the compactor flag, which this appender flag excludes)
+      val (centPath, postPath) = livePaths(spark, dir)
+      val cents = spark.read.parquet(centPath)
+      requireSameDim(newVectors, vecCol, cents)
       Clustering.assignCells(
           newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
           "neighbor_id", "cv", cents)
         .withColumn("cnorm", l2norm(col("cv")))
         .select("neighbor_id", "cv", "cnorm", "cell_id")
         .write.mode("append").partitionBy("cell_id")
-        .parquet(s"$dir/postings")
+        .parquet(postPath)
     }
   }
 
@@ -346,7 +461,8 @@ object Similarity {
     // PER-WRITE, never on the session) replaces only its own cell
     // dirs, which no later slice reads. A concurrent appendToIvfIndex
     // fails fast instead of being silently dropped.
-    val base = spark.read.parquet(s"$dir/postings")
+    val (_, postPath) = livePaths(spark, dir)
+    val base = spark.read.parquet(postPath)
     val cells = base.select("cell_id").distinct().collect()
       .map(_.get(0)).sortBy(_.toString).toSeq
     graft.sources.Compaction.rewriteSlices(cells, cellsPerSlice) {
@@ -356,7 +472,7 @@ object Similarity {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell_id")
-        .parquet(s"$dir/postings")
+        .parquet(postPath)
     }
   }
 
@@ -387,7 +503,8 @@ object Similarity {
       vecCol: String, k: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe must be positive: $nProbe")
     val spark = queries.sparkSession
-    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids")
+    val (centPath, postPath) = livePaths(spark, indexDir)
+    val cents = broadcast(spark.read.parquet(centPath)
       .withColumn("__cn", l2norm(col("centroid"))))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell_id").asc)
@@ -406,7 +523,7 @@ object Similarity {
       .localCheckpoint(true)
     val probed = q.select("cell_id").distinct().collect()
       .map(_.get(0)).toSeq
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = spark.read.parquet(postPath)
       .filter(col("cell_id").isin(probed: _*))
     val scored = postings.join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

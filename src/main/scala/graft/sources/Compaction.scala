@@ -111,10 +111,22 @@ object Compaction {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Create the marker and write its provenance body. If the CREATE
+    * itself fails (exists — the guard's refusal signal) nothing was
+    * raised and the exception propagates as-is; if the create succeeded
+    * but the BODY write fails (quota, transient IO), the half-written
+    * marker is deleted before rethrowing — otherwise it would leak and
+    * block every future compaction until a manual clearMarkers, and
+    * [[guardedCompaction]]'s exists-check would misreport the write
+    * failure as a concurrent compaction. */
   private def createMarker(fs: FileSystem, marker: Path,
       overwrite: Boolean): Unit = {
     val out = fs.create(marker, overwrite)
-    try out.write(markerBody()) finally out.close()
+    try { try out.write(markerBody()) finally out.close() }
+    catch { case e: Throwable =>
+      try fs.delete(marker, false) catch { case _: Throwable => () }
+      throw e
+    }
   }
 
   /** One guard marker's provenance, parsed from its body. Empty/legacy
@@ -191,11 +203,15 @@ object Compaction {
     // direction, the data-loss one, is sound everywhere by the two-flag
     // argument)
     try createMarker(fs, marker, overwrite = false)
-    catch { case _: java.io.IOException =>
-      throw new ConcurrentCompactionException(
-        s"compaction of $dir refused: $CompactingMarker already present — " +
-          "another compaction is running, or a crashed one left it (clear " +
-          "with Compaction.clearMarkers after confirming it is gone)")
+    catch {
+      // only an EXISTING marker is the refusal signal; a body-write
+      // failure deleted its half-raised marker (createMarker) and is a
+      // real IO error, not a concurrent compaction — rethrow it
+      case e: java.io.IOException if fs.exists(marker) =>
+        throw new ConcurrentCompactionException(
+          s"compaction of $dir refused: $CompactingMarker already present — " +
+            "another compaction is running, or a crashed one left it (clear " +
+            "with Compaction.clearMarkers after confirming it is gone)")
     }
     try {
       val appending = Option(

@@ -33,7 +33,12 @@ object IndexStream {
       idCol: String, vecCol: String, indexDir: String): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    // resolve through the generation pointer (a retrained float index
+    // lives at manifest-named paths; PQ indexes never have one and
+    // resolve to the fixed paths). Ids survive a retrain, so an
+    // interleaved retrain cannot break the anti-join's idempotency.
+    val (centPath, postPath) = Similarity.livePaths(spark, indexDir)
+    val cents = spark.read.parquet(centPath)
     // within-batch duplicate ids would append two postings for one id
     // (double-occupying probe ranks); keep one deterministically —
     // smallest vector by element-wise array ordering, the
@@ -49,7 +54,7 @@ object IndexStream {
       .localCheckpoint(true) // feeds the cell list AND the anti-join
     val cells = assigned.select("cell_id").distinct().collect()
       .map(_.get(0)).toSeq
-    val existing = spark.read.parquet(s"$indexDir/postings")
+    val existing = spark.read.parquet(postPath)
       .filter(col("cell_id").isin(cells: _*))
       .select(col("neighbor_id").as("__id"))
     val novel = assigned.join(existing, Seq("__id"), "left_anti")
@@ -75,9 +80,12 @@ object IndexStream {
 
   /** Start the maintenance job: every micro-batch of (idCol, vecCol)
     * rows is appended to the index at `indexDir`, exactly once per id
-    * even across crash replays. The quantizer stays frozen — re-train
-    * and re-build when the embedding distribution drifts, then point
-    * a fresh job at the new index dir. */
+    * even across crash replays. The quantizer stays frozen between
+    * maintenance windows — when the embedding distribution drifts, run
+    * [[Similarity.retrainIvfIndex]] against the SAME dir (it excludes
+    * in-flight appends via the compaction guard and swaps the
+    * generation pointer); this job picks up the new generation on its
+    * next batch with no restart. */
   def startIvfAppendJob(embeddings: DataFrame, idCol: String,
       vecCol: String, indexDir: String,
       checkpointDir: String): StreamingQuery =

@@ -135,4 +135,105 @@ class SimilarityIndexSpec extends SparkSuite {
     assert(postingsFiles < all,
       s"expected partition pruning: $postingsFiles !< $all")
   }
+
+  // ---- retrain + generation swap ------------------------------------------
+
+  test("retrain swaps the generation: manifest, fresh dirs, ids preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfrt").toString
+    Similarity.buildIvfIndex(corpus.filter(col("id") < 20), "id", "vec",
+      dir, k = 2, iters = 1) // deliberately stale quantizer
+    Similarity.appendToIvfIndex(corpus.filter(col("id") >= 20), "id", "vec", dir)
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    // the pointer names generation 1 and the old fixed-path dirs are gone
+    val f = new java.io.File(dir)
+    val names = f.listFiles().map(_.getName).toSet
+    assert(names.contains("MANIFEST"))
+    assert(names.contains("centroids_g1") && names.contains("postings_g1"))
+    assert(!names.contains("centroids") && !names.contains("postings"))
+    // every id exactly once — retraining moves postings, never loses them
+    val (_, posts) = Similarity.livePaths(spark, dir)
+    val ids = spark.read.parquet(posts).groupBy("neighbor_id")
+      .count().as[(Long, Long)].collect()
+    assert(ids.length === 40 && ids.forall(_._2 == 1L))
+    // a second retrain bumps to g2 and drops g1
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    val names2 = f.listFiles().map(_.getName).toSet
+    assert(names2.contains("postings_g2") && !names2.contains("postings_g1"))
+  }
+
+  test("retrained index answers EXACTLY as a fresh build on the full corpus") {
+    // the k11 contract: stale build → append → retrain ≡ fresh build,
+    // because ids survive retraining and k-means seeds by id value
+    val dir = java.nio.file.Files.createTempDirectory("ivfrt2").toString
+    Similarity.buildIvfIndex(corpus.filter(col("id") < 20), "id", "vec",
+      dir, k = 2, iters = 1)
+    Similarity.appendToIvfIndex(corpus.filter(col("id") >= 20), "id", "vec", dir)
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    val fresh = buildIndex() // full corpus, k=4, iters=2
+    for (nProbe <- Seq(1, 2, 10)) {
+      val rt = rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+        k = 3, nProbe = nProbe))
+      val fb = rows(Similarity.ivfIndexKnn(queries, fresh, "id", "vec",
+        k = 3, nProbe = nProbe))
+      assert(rt === fb, s"retrain != fresh build at nProbe=$nProbe")
+    }
+  }
+
+  test("append after retrain lands in the live generation, probe-visible") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfrt3").toString
+    Similarity.buildIvfIndex(corpus.filter(col("id") < 20), "id", "vec",
+      dir, k = 4, iters = 2)
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    Similarity.appendToIvfIndex(corpus.filter(col("id") >= 20), "id", "vec", dir)
+    val (_, posts) = Similarity.livePaths(spark, dir)
+    assert(posts.endsWith("postings_g1"))
+    assert(spark.read.parquet(posts).count() === 40)
+    // full probe over the post-retrain appended index is exact
+    val brute = rows(Similarity.bruteForceKnn(queries, corpus, "id", "vec", k = 3))
+    assert(rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 3, nProbe = 10)) === brute)
+  }
+
+  test("rebuild resets generations; corrupt manifest and PQ retrain refused") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfrt4").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    // rebuild over a retrained index: pointer and gen dirs wiped, fixed
+    // paths live again — a probe never resolves a stale generation
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains("MANIFEST") && !names.exists(_.contains("_g")))
+    assert(Similarity.livePaths(spark, dir)._2.endsWith("/postings"))
+    // a manifest that exists but does not parse fails loudly
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "MANIFEST"), "garbage")
+    val e = intercept[IllegalStateException] {
+      Similarity.livePaths(spark, dir)
+    }
+    assert(e.getMessage.contains("corrupt"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "MANIFEST"))
+    // an IVF-PQ index (codebooks artifact) cannot be retrained in place
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(dir, "codebooks"))
+    val pq = intercept[IllegalArgumentException] {
+      Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    }
+    assert(pq.getMessage.contains("buildIvfPqIndex"))
+  }
+
+  test("retrain holds the compactor flag: concurrent appends fail fast") {
+    // the guard direction that protects the swap: an append racing the
+    // retrain would otherwise land postings in the DOOMED old generation
+    // and be silently deleted with it
+    val dir = java.nio.file.Files.createTempDirectory("ivfrt5").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    graft.sources.Compaction.guardedAppend(spark, dir) {
+      intercept[graft.sources.ConcurrentCompactionException] {
+        Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+      }
+    }
+    // and with the appender gone, retrain proceeds
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    assert(Similarity.livePaths(spark, dir)._2.endsWith("postings_g1"))
+  }
 }
