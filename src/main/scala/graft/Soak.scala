@@ -99,8 +99,11 @@ object Soak {
         inflateEr(spark, src, dir, f)
         java.nio.file.Files.createFile(erSentinel)
       }
-      // x1 SOURCES axis (r10 verdict item 2) — own sentinel, same reason
-      val sxSentinel = java.nio.file.Paths.get(dir, s"_inflate_srcx_$f.ok")
+      // x1 SOURCES axis (r10 verdict item 2) — own sentinel, same
+      // reason. v2: the first cut's id re-keying collapsed the URL
+      // group count (see inflateSources); the bumped sentinel makes
+      // existing inflation dirs regenerate the fixed variant in place
+      val sxSentinel = java.nio.file.Paths.get(dir, s"_inflate_srcx2_$f.ok")
       if (!java.nio.file.Files.exists(sxSentinel)) {
         inflateSources(spark, src, dir, f)
         java.nio.file.Files.createFile(sxSentinel)
@@ -338,10 +341,26 @@ object Soak {
   def inflateSources(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val ks = explode(sequence(lit(0), lit(factor - 1))).as("k")
-    spark.read.parquet(s"$src/documents.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    // copy-disjoint ids as doc_id + k·ceil with ceil a MULTIPLE OF
+    // x1's URL modulus (200), so each copy PRESERVES the source
+    // corpus's doc_id%200 residue structure. The docs axis's
+    // doc_id*factor+k re-keying would collapse the group count right
+    // back to the 1× value here: in the generated corpus `source` is
+    // itself periodic in doc_id (source ~ doc_id%20, 20 | 200), so
+    // under id*10+k each copy k only reaches the 20 residues ≡ k
+    // (mod 10) and sources × residues stays EXACTLY 200 at any factor
+    // — measured, that made the first srcx leg as flat (−0.05) as the
+    // docs axis it was built to replace. With the offset form each
+    // re-keyed source keeps its full residue set and URL groups — and
+    // the url-dedup survivors feeding the minhash/LSH/components tail
+    // — genuinely grow factor×.
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ceil = (maxId / 200 + 1) * 200
+    docs
       .select(col("*"), ks)
       .select(
-        (col("doc_id") * factor + col("k")).as("doc_id"),
+        (col("doc_id") + col("k") * ceil).as("doc_id"),
         when(col("k") === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("q"), col("k"), lit("_$1")))).as("text"),
