@@ -129,9 +129,11 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|info|clustersdiff|shell|web> [args...]\n" +
+        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|info|clustersdiff|shell|web> [args...]\n" +
         "  compact [sinceS] [bucketsPerSlice]            fold streaming re-emissions (all stages)\n" +
         "  expire <nowS>                                 drop whole bucket dirs past retention\n" +
+        "  markers [dir]                                 inspect guard markers + provenance\n" +
+        "  clearmarkers [dir]                            stale-marker recovery (confirm holder dead first)\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
         "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
         "  dirs <glob>                                   directory glob (stored table or derived)\n" +
@@ -180,6 +182,10 @@ object Bgutil {
       sinceS = if (rest.length > 0) rest(0).toLong else Long.MinValue,
       bucketsPerSlice = if (rest.length > 1) rest(1).toInt else 8)
     case "expire" => expire(db, rest(0).toLong)
+    case "markers" => markers(db,
+      if (rest.nonEmpty) rest(0) else db.pointsPath)
+    case "clearmarkers" => clearMarkersCmd(db,
+      if (rest.nonEmpty) rest(0) else db.pointsPath)
     case "info" => info(db)
     case "clustersdiff" => clustersDiff(db, Db(db.spark, rest(0)),
       rest(1).toLong, rest(2).toLong, rest.drop(3).toSeq)
@@ -904,6 +910,31 @@ object Bgutil {
     val deleted = PointsStore.dropExpiredBuckets(db.pointsPath, nowS)
     deleted.foreach(p => println(s"expired $p"))
     println(s"expired ${deleted.length} bucket partition(s)")
+  }
+
+  /** `bgutil markers [dir]` — report the compaction-guard markers under
+    * a store directory (default: this db's points store) WITH their
+    * provenance (host / pid / start time), the confirm-the-holder-is-
+    * actually-dead step an operator runs before `clearmarkers`. Covers
+    * any guarded store path (points, ANN/text index, z-order layout,
+    * SCD log) — pass its directory. Read-only. */
+  def markers(db: Db, dir: String): Unit = {
+    val ms = graft.sources.Compaction.inspectMarkers(db.spark, dir)
+    if (ms.isEmpty) println(s"no guard markers under $dir")
+    else ms.foreach(m => println(
+      s"${m.kind}\thost=${m.host}\tpid=${m.pid}\t" +
+        s"started_ms=${m.startedMs}\t${m.path}"))
+  }
+
+  /** `bgutil clearmarkers [dir]` — stale-marker recovery after a crash:
+    * delete every guard marker under the directory. Run `markers` first
+    * and confirm the reported holder is dead — clearing a LIVE holder's
+    * marker reopens the append/compaction race the guard exists to
+    * close. */
+  def clearMarkersCmd(db: Db, dir: String): Unit = {
+    val cleared = graft.sources.Compaction.clearMarkers(db.spark, dir)
+    cleared.foreach(p => println(s"cleared $p"))
+    println(s"cleared ${cleared.length} marker(s)")
   }
 
   /** Orphan points without a catalog row (drivers/cassandra.py:2734-2842). */

@@ -403,6 +403,29 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(oldPosts), true)
   }
 
+  /** Maintenance report for a persisted IVF index: one row per cell
+    * with its posting count and file count — what an operator (or a
+    * cron gate) reads to pick between the two maintenance verbs:
+    * `files` creeping up per cell (streaming appends) →
+    * [[compactIvfIndex]]; posting-count SKEW creeping up (appended
+    * data drifting away from the frozen quantizer piles into a few
+    * cells, degrading recall at fixed nProbe) → [[retrainIvfIndex]].
+    * Metadata-scale by construction: one count per cell plus the file
+    * names from the scan's `_metadata` column — the vectors are never
+    * deserialized (column pruning; only cell_id and the file path are
+    * read). Skew recipe: `max(postings) / avg(postings)` over the
+    * returned rows — near 1 is balanced; the z-order/compaction soak
+    * used >4 as its rewrite trigger and the same default is sane here. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (_, postPath) = livePaths(spark, dir)
+    spark.read.parquet(postPath)
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("postings"),
+        countDistinct(col("_metadata.file_path")).as("files"))
+      .orderBy("cell_id")
+  }
+
   /** APPEND new vectors to a [[buildIvfIndex]] index without
     * retraining — FAISS's `add()` on Spark terms, and the operation a
     * production deployment runs far more often than a build: the daily

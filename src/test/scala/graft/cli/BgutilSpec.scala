@@ -290,4 +290,36 @@ class BgutilSpec extends SparkSuite {
     // the overlay correctly did NOT let the backlog shadow durable data
     assert(slot(60L) === Some(4.0))
   }
+
+  test("markers + clearmarkers: inspect provenance, recover, default dir") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("bgmk").toString
+    val db = Db(spark, dir)
+    Bgutil.syncdb(db)
+    Bgutil.write(db, "sys.mk.a", 60L, 1.0, "60*60s:24*3600s", "average")
+    def stdout(f: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos))(f)
+      bos.toString("UTF-8")
+    }
+    // clean store: no markers
+    assert(stdout(Bgutil.markers(db, db.pointsPath))
+      .contains("no guard markers"))
+    // a live compaction's marker reports provenance through the CLI face
+    Compaction.guardedCompaction(spark, db.pointsPath) {
+      val out = stdout(Bgutil.markers(db, db.pointsPath))
+      assert(out.contains("_COMPACTING"))
+      assert(out.contains(s"pid=${ProcessHandle.current().pid()}"))
+    }
+    // crash analog: a stale marker left behind; clearmarkers recovers
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      db.pointsPath, Compaction.CompactingMarker))
+    val cleared = stdout(Bgutil.clearMarkersCmd(db, db.pointsPath))
+    assert(cleared.contains("cleared 1 marker(s)"))
+    assert(stdout(Bgutil.markers(db, db.pointsPath))
+      .contains("no guard markers"))
+    // and the dispatch face defaults [dir] to the db's points store
+    val viaRun = stdout(Bgutil.run(db, "markers", Array.empty))
+    assert(viaRun.contains("no guard markers"))
+  }
 }

@@ -221,6 +221,31 @@ class SimilarityIndexSpec extends SparkSuite {
     assert(pq.getMessage.contains("buildIvfPqIndex"))
   }
 
+  test("indexStats reports per-cell postings + files, through the pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfst").toString
+    Similarity.buildIvfIndex(corpus.filter(col("id") < 20), "id", "vec",
+      dir, k = 4, iters = 2)
+    def stats() = Similarity.indexStats(spark, dir)
+      .as[(Int, Long, Long)].collect().toSeq
+    val s0 = stats()
+    assert(s0.map(_._2).sum === 20)
+    // two appends drop extra files into the touched cells
+    Similarity.appendToIvfIndex(corpus.filter(col("id") >= 20 && col("id") < 30),
+      "id", "vec", dir)
+    Similarity.appendToIvfIndex(corpus.filter(col("id") >= 30), "id", "vec", dir)
+    val s1 = stats()
+    assert(s1.map(_._2).sum === 40)
+    assert(s1.map(_._3).sum > s0.map(_._3).sum, "appends must add files")
+    // compaction folds the files back; postings unchanged
+    Similarity.compactIvfIndex(spark, dir)
+    val s2 = stats()
+    assert(s2.map(_._2).sum === 40)
+    assert(s2.map(_._3).sum < s1.map(_._3).sum)
+    // after a retrain the report follows the generation pointer
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    assert(stats().map(_._2).sum === 40)
+  }
+
   test("retrain holds the compactor flag: concurrent appends fail fast") {
     // the guard direction that protects the swap: an append racing the
     // retrain would otherwise land postings in the DOOMED old generation
