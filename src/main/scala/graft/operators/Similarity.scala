@@ -385,9 +385,13 @@ object Similarity {
       .select("neighbor_id", "cv", "cnorm", "cell_id")
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$dir/postings_g$gen")
-    // atomic pointer swap: write aside, rename over (rename is atomic
-    // on HDFS and local; readers see the old or the new pointer, never
-    // a torn one)
+    // pointer swap: write aside, then delete + rename (rename-over-
+    // existing is not portable across Hadoop filesystems). Readers
+    // never see a TORN pointer; in the delete→rename instant a reader
+    // sees NO pointer and resolves the fixed gen-0 paths — the same
+    // in-flight-reader-vs-compactor caveat the generation drop below
+    // already carries (a retrain, like any compaction here, assumes
+    // probes drain or retry)
     val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.toString.getBytes(
