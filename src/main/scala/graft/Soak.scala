@@ -194,6 +194,7 @@ object Soak {
     "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
     "k9_knn_ivfpq_residual", "k10_ivf_append", "k11_ivf_retrain",
     "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
+    "d8b_semdedup_sqrtn",
     "r2_bm25_index_topk", "d15_cross_corpus_dedup",
     "v1_tfidf_vectors", "r3_tfidf_knn", "cl1_nb_classify",
     "x3_text_semantic_pipeline", "d17_cluster_representatives",
