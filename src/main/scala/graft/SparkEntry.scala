@@ -35,6 +35,35 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** The x2 embedding-curation chain, parameterized by the k-means
+    * configuration: k-means cells → SemDeDup pair drop at 0.7 →
+    * SSL-prototype pruning of survivors → leakage-safe split on the
+    * semantic dup clusters. The oracled query runs it at d8's fixed
+    * (k=8, 2 rounds); the soak's `x2_sqrtn` variant runs the SAME body
+    * at d8b's k≈√N — the pair stage's documented corpus-scale
+    * operating point (Σcell² ≈ N^1.5 instead of N²/k; docs/SCALE.md).
+    * `private[graft]` so Soak can drive the variant without a
+    * duplicate chain. */
+  private[graft] def x2Chain(s: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame = {
+    import graft.operators.{Clustering, Dedup}
+    val emb = table(s, dir, "embeddings")
+    val cents = Clustering.kmeansFit(emb, "vec_id", "embedding", k, iters)
+    // pair list feeds TWO consumers (drop set + components)
+    val pairs = Clustering.semanticDupPairs(emb, "vec_id", "embedding",
+        cents, threshold = 0.7)
+      .localCheckpoint(true)
+    val dropIds = pairs.select(col("id_b").as("vec_id")).distinct()
+    val survivors = emb.join(dropIds, Seq("vec_id"), "left_anti")
+    val kept = Clustering.prototypesPrune(survivors, "vec_id",
+        "embedding", cents, pruneFrac = 0.3)
+      .filter(col("keep"))
+      .select("vec_id")
+    val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    Dedup.leakageSafeSplit(emb.join(kept, "vec_id"), "vec_id", comps)
+      .orderBy("vec_id")
+  }
+
   /** Epoch seconds for a raw `ts` column that is either a timestamp or
     * (with spark.sql.legacy.parquet.nanosAsLong) nanosecond longs. Integral
     * division avoids double rounding at the 1.7e18 ns scale. */
@@ -2737,23 +2766,7 @@ object SparkEntry {
     // SSL-prototype pruning of the survivors (d14) → leakage-safe
     // split keyed on the semantic dup clusters (d6/d7 on vectors).
     "x2_embedding_pipeline" -> { (s, dir) =>
-      import graft.operators.{Clustering, Dedup}
-      val emb = table(s, dir, "embeddings")
-      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding",
-        k = 8, iters = 2)
-      // pair list feeds TWO consumers (drop set + components)
-      val pairs = Clustering.semanticDupPairs(emb, "vec_id", "embedding",
-          cents, threshold = 0.7)
-        .localCheckpoint(true)
-      val dropIds = pairs.select(col("id_b").as("vec_id")).distinct()
-      val survivors = emb.join(dropIds, Seq("vec_id"), "left_anti")
-      val kept = Clustering.prototypesPrune(survivors, "vec_id",
-          "embedding", cents, pruneFrac = 0.3)
-        .filter(col("keep"))
-        .select("vec_id")
-      val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-      Dedup.leakageSafeSplit(emb.join(kept, "vec_id"), "vec_id", comps)
-        .orderBy("vec_id")
+      x2Chain(s, dir, k = 8, iters = 2)
     },
 
     // X5: the prepare-pretraining-data chain as ONE oracled plan — NB
