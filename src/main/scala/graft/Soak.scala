@@ -154,15 +154,6 @@ object Soak {
       // row reads the srcx/ variant where copy k re-keys the source
       else if (q == "x1_curation_sources")
         SparkEntry.queries("x1_curation_pipeline")(spark, s"$dir/srcx").count()
-      // the x2 chain at d8b's k≈√N operating point — the pair stage's
-      // corpus-scale configuration (docs/SCALE.md asymptote note): same
-      // body as the oracled x2, only the k-means configuration differs
-      // (k from the corpus count at plan time, one round like d8b)
-      else if (q == "x2_sqrtn") {
-        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-        SparkEntry.x2Chain(spark, dir,
-          k = math.max(1, math.sqrt(n.toDouble).toInt), iters = 1).count()
-      }
       else SparkEntry.queries(q)(spark, dir).count()
     val rows = selected.map { q =>
       // untimed warm-up leg: a fresh JVM's first query otherwise pays

@@ -2769,6 +2769,18 @@ object SparkEntry {
       x2Chain(s, dir, k = 8, iters = 2)
     },
 
+    // X2_SQRTN: the SAME chain at d8b's k≈√N operating point — the
+    // pair stage's corpus-scale configuration (Σcell² ≈ N^1.5 instead
+    // of fixed-k's N²/k; the measured 100× trade is 44 s vs 678 s,
+    // docs/SCALE.md). k derives from the corpus size at plan time
+    // (driver-side count of a metadata-scale aggregate, the d8b
+    // convention); the oracle pins k=⌊√500⌋=22 for the sf0.01 gate
+    "x2_sqrtn" -> { (s, dir) =>
+      val n = table(s, dir, "embeddings").count()
+      x2Chain(s, dir, k = math.max(1, math.sqrt(n.toDouble).toInt),
+        iters = 1)
+    },
+
     // X5: the prepare-pretraining-data chain as ONE oracled plan — NB
     // classifier routing on margin (cl2) → temperature-scaled mixture
     // (p9, budget 500k) → strided chunking → chunk-hash dedup → greedy
@@ -4072,6 +4084,50 @@ object SparkEntry {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+
+  /** The x2 DuckDB mirror, parameterized like [[x2Chain]]: kmeans CTEs
+    * at (k, iters), SemDeDup pairs at 0.7 from the final assignment
+    * a{iters+1}, prototype prune at 0.3, recursive-CTE components,
+    * md5 split. x2 pins (8, 2) — the d8 configuration; x2_sqrtn pins
+    * (22, 1) — ⌊√500⌋ at the sf0.01 gate, the d8b convention. */
+  private def x2OracleSql(k: Int, iters: Int): String =
+    s"""WITH RECURSIVE ${kmeansOracleCtes(k, iters)},
+       |sel AS (SELECT vec_id, embedding, cell_id, ccos
+       |        FROM a${iters + 1} WHERE rn = 1),
+       |spairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sel a JOIN sel b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.7),
+       |dropids AS (SELECT DISTINCT id_b FROM spairs),
+       |surv AS (
+       |  SELECT s.vec_id, s.cell_id, s.ccos FROM sel s
+       |  WHERE s.vec_id NOT IN (SELECT id_b FROM dropids)),
+       |rk AS (
+       |  SELECT vec_id, cell_id, ccos,
+       |    row_number() OVER (PARTITION BY cell_id
+       |      ORDER BY ccos DESC, vec_id) AS proto_rank,
+       |    count(*) OVER (PARTITION BY cell_id) AS n_cell
+       |  FROM surv),
+       |keepids AS (SELECT vec_id FROM rk WHERE proto_rank > ceil(0.3 * n_cell)),
+       |edges AS (
+       |  SELECT id_a, id_b FROM spairs
+       |  UNION ALL SELECT id_b, id_a FROM spairs),
+       |reach(id, cluster) AS (
+       |  SELECT DISTINCT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.cluster FROM edges e JOIN reach r ON r.id = e.id_b),
+       |comp AS (SELECT id, min(cluster) AS cluster FROM reach GROUP BY id),
+       |assigned AS (
+       |  SELECT k.vec_id, coalesce(c.cluster, k.vec_id) AS cluster
+       |  FROM keepids k LEFT JOIN comp c ON c.id = k.vec_id)
+       |SELECT vec_id, cluster,
+       |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('c', 'd')
+       |         THEN 'val'
+       |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('e', 'f')
+       |         THEN 'test'
+       |       ELSE 'train' END AS split
+       |FROM assigned ORDER BY vec_id""".stripMargin
 
   /** DuckDB CTE chain mirroring [[graft.operators.Clustering]]: seeds
     * c0 with the first `k` vectors, unrolls `iters` assign+update rounds
@@ -6514,42 +6570,12 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM assigned ORDER BY doc_id""".stripMargin,
 
-    "x2_embedding_pipeline" ->
-      s"""WITH RECURSIVE ${kmeansOracleCtes(k = 8, iters = 2)},
-         |sel AS (SELECT vec_id, embedding, cell_id, ccos FROM a3 WHERE rn = 1),
-         |spairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sel a JOIN sel b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-         |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.7),
-         |dropids AS (SELECT DISTINCT id_b FROM spairs),
-         |surv AS (
-         |  SELECT s.vec_id, s.cell_id, s.ccos FROM sel s
-         |  WHERE s.vec_id NOT IN (SELECT id_b FROM dropids)),
-         |rk AS (
-         |  SELECT vec_id, cell_id, ccos,
-         |    row_number() OVER (PARTITION BY cell_id
-         |      ORDER BY ccos DESC, vec_id) AS proto_rank,
-         |    count(*) OVER (PARTITION BY cell_id) AS n_cell
-         |  FROM surv),
-         |keepids AS (SELECT vec_id FROM rk WHERE proto_rank > ceil(0.3 * n_cell)),
-         |edges AS (
-         |  SELECT id_a, id_b FROM spairs
-         |  UNION ALL SELECT id_b, id_a FROM spairs),
-         |reach(id, cluster) AS (
-         |  SELECT DISTINCT id_a, id_a FROM edges
-         |  UNION
-         |  SELECT e.id_a, r.cluster FROM edges e JOIN reach r ON r.id = e.id_b),
-         |comp AS (SELECT id, min(cluster) AS cluster FROM reach GROUP BY id),
-         |assigned AS (
-         |  SELECT k.vec_id, coalesce(c.cluster, k.vec_id) AS cluster
-         |  FROM keepids k LEFT JOIN comp c ON c.id = k.vec_id)
-         |SELECT vec_id, cluster,
-         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('c', 'd')
-         |         THEN 'val'
-         |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('e', 'f')
-         |         THEN 'test'
-         |       ELSE 'train' END AS split
-         |FROM assigned ORDER BY vec_id""".stripMargin,
+    "x2_embedding_pipeline" -> x2OracleSql(k = 8, iters = 2),
+
+    // same CTE chain at the pinned √N-of-the-sf0.01-gate configuration
+    // (k=⌊√500⌋=22, one round — the d8b convention for plan-time-derived
+    // cell counts)
+    "x2_sqrtn" -> x2OracleSql(k = 22, iters = 1),
 
     "x5_pretrain_prep_pipeline" ->
       raw"""WITH RECURSIVE ${nbOracleCtes("TRUE")},
