@@ -72,6 +72,47 @@ class IndexStreamSpec extends SparkSuite {
       .filter(col("neighbor_id") === 200L).count() === 1L)
   }
 
+  test("a retrain between micro-batches is picked up with no restart") {
+    // the generation-pointer claim: retrainIvfIndex swaps MANIFEST
+    // between two micro-batches of a RUNNING append job, and the next
+    // batch resolves the new generation — no job restart, nothing lost
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream_rt").toString
+    Similarity.buildIvfIndex(base.toDF("vec_id", "vec"), "vec_id", "vec",
+      dir, k = 2, iters = 1) // deliberately stale quantizer
+    val input = MemoryStream[Emb]
+    val q = IndexStream.startIvfAppendJob(
+      input.toDF().select(col("vec_id"), col("vec")), "vec_id", "vec",
+      dir, java.nio.file.Files.createTempDirectory("ivfstream_rtc").toString)
+    try {
+      input.addData(late.take(5): _*)
+      q.processAllAvailable() // batch 1 → gen-0 fixed paths
+      Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+      val (_, posts) = Similarity.livePaths(spark, dir)
+      assert(posts.endsWith("postings_g1"))
+      input.addData(late.drop(5): _*)
+      q.processAllAvailable() // batch 2 → resolves g1 through the pointer
+      assert(spark.read.parquet(posts).count() === 30)
+      // and a replay of batch-2 rows against the NEW generation still
+      // appends nothing (ids survived the retrain)
+      IndexStream.appendNovelVectors(late.drop(5).toDF("vec_id", "vec"),
+        "vec_id", "vec", dir)
+      assert(spark.read.parquet(posts).count() === 30)
+    } finally q.stop()
+    // probe equals a fresh full-corpus build at the retrain config with
+    // the last batch appended (the k11 contract, through the stream)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfstream_rt2").toString
+    Similarity.buildIvfIndex((base ++ late.take(5)).toDF("vec_id", "vec"),
+      "vec_id", "vec", dir2, k = 4, iters = 2)
+    Similarity.appendToIvfIndex(late.drop(5).toDF("vec_id", "vec"),
+      "vec_id", "vec", dir2)
+    val queries = base.take(3).toDF("vec_id", "vec")
+    def probe(d: String) =
+      Similarity.ivfIndexKnn(queries, d, "vec_id", "vec", k = 4, nProbe = 10)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(probe(dir) === probe(dir2))
+  }
+
   test("the replay anti-join scans only the batch's target cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivfprune").toString
     Similarity.buildIvfIndex(base.toDF("vec_id", "vec"), "vec_id", "vec",
