@@ -939,7 +939,7 @@ object SparkEntry {
     // 2023) — Σcell² ≈ N²/k = N^1.5 candidate pairs, the scale shape
     // that holds when the corpus grows. k derives from the corpus size
     // at plan time (driver-side count of a metadata-scale relation);
-    // the oracle pins k=⌊√500⌋=22 for the sf0.01 gate.
+    // the oracle derives its k from the same count (sqrtNkSql).
     "d8b_semdedup_sqrtn" -> { (s, dir) =>
       import graft.operators.Clustering
       val emb = table(s, dir, "embeddings")
@@ -2774,7 +2774,8 @@ object SparkEntry {
     // of fixed-k's N²/k; the measured 100× trade is 44 s vs 678 s,
     // docs/SCALE.md). k derives from the corpus size at plan time
     // (driver-side count of a metadata-scale aggregate, the d8b
-    // convention); the oracle pins k=⌊√500⌋=22 for the sf0.01 gate
+    // convention); the oracle derives its k from the same count
+    // (sqrtNkSql), so a gate-dataset size change moves both sides
     "x2_sqrtn" -> { (s, dir) =>
       val n = table(s, dir, "embeddings").count()
       x2Chain(s, dir, k = math.max(1, math.sqrt(n.toDouble).toInt),
@@ -4087,12 +4088,14 @@ object SparkEntry {
 
 
   /** The x2 DuckDB mirror, parameterized like [[x2Chain]]: kmeans CTEs
-    * at (k, iters), SemDeDup pairs at 0.7 from the final assignment
+    * at (kSql, iters), SemDeDup pairs at 0.7 from the final assignment
     * a{iters+1}, prototype prune at 0.3, recursive-CTE components,
-    * md5 split. x2 pins (8, 2) — the d8 configuration; x2_sqrtn pins
-    * (22, 1) — ⌊√500⌋ at the sf0.01 gate, the d8b convention. */
-  private def x2OracleSql(k: Int, iters: Int): String =
-    s"""WITH RECURSIVE ${kmeansOracleCtes(k, iters)},
+    * md5 split. x2 pins ("8", 2) — the d8 configuration; x2_sqrtn
+    * passes [[sqrtNkSql]] (k≈√N derived from the SAME count the Spark
+    * side derives it from, so a gate-dataset size change moves both
+    * sides together) at iters = 1 — the d8b convention. */
+  private def x2OracleSql(kSql: String, iters: Int): String =
+    s"""WITH RECURSIVE ${kmeansOracleCtesExpr(kSql, iters)},
        |sel AS (SELECT vec_id, embedding, cell_id, ccos
        |        FROM a${iters + 1} WHERE rn = 1),
        |spairs AS (
@@ -4141,6 +4144,20 @@ object SparkEntry {
     * cell map) always runs unfiltered — the oracle shape of
     * train-on-old / assign-everything index appends (k10). */
   private def kmeansOracleCtes(k: Int, iters: Int,
+      trainWhere: String = "", source: String = "embeddings"): String =
+    kmeansOracleCtesExpr(k.toString, iters, trainWhere, source)
+
+  /** The k≈√N seed-count expression for the sqrt-N oracles (d8b,
+    * x2_sqrtn), the exact DuckDB mirror of the Spark side's
+    * `math.max(1, math.sqrt(count).toInt)`: deriving the oracle's k
+    * from the SAME runtime count the query derives it from means a
+    * gate-dataset size change moves both sides together instead of
+    * silently diverging behind a hard-pinned k (an oracle mismatch
+    * there would masquerade as an engine bug). */
+  private def sqrtNkSql(source: String = "embeddings"): String =
+    s"(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM $source)"
+
+  private def kmeansOracleCtesExpr(kSql: String, iters: Int,
       trainWhere: String = "", source: String = "embeddings"): String = {
     def assign(i: Int): String = {
       val pred = if (trainWhere.nonEmpty && i <= iters)
@@ -4157,7 +4174,7 @@ object SparkEntry {
       s"""c0 AS (
          |  SELECT vec_id AS cell_id,
          |    list_transform(embedding, v -> v::DOUBLE) AS centroid
-         |  FROM $source WHERE vec_id < $k)""".stripMargin
+         |  FROM $source WHERE vec_id < $kSql)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""${assign(i)},
          |m$i AS (
@@ -4678,7 +4695,7 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "d8b_semdedup_sqrtn" ->
-      s"""WITH ${kmeansOracleCtes(k = 22, iters = 1)},
+      s"""WITH ${kmeansOracleCtesExpr(sqrtNkSql(), iters = 1)},
          |sel AS (SELECT vec_id, embedding, cell_id FROM a2 WHERE rn = 1)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
@@ -6570,12 +6587,12 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM assigned ORDER BY doc_id""".stripMargin,
 
-    "x2_embedding_pipeline" -> x2OracleSql(k = 8, iters = 2),
+    "x2_embedding_pipeline" -> x2OracleSql(kSql = "8", iters = 2),
 
-    // same CTE chain at the pinned √N-of-the-sf0.01-gate configuration
-    // (k=⌊√500⌋=22, one round — the d8b convention for plan-time-derived
-    // cell counts)
-    "x2_sqrtn" -> x2OracleSql(k = 22, iters = 1),
+    // same CTE chain at the k≈√N configuration, k derived inside the
+    // oracle from the same embeddings count the Spark side uses (one
+    // round — the d8b convention for plan-time-derived cell counts)
+    "x2_sqrtn" -> x2OracleSql(kSql = sqrtNkSql(), iters = 1),
 
     "x5_pretrain_prep_pipeline" ->
       raw"""WITH RECURSIVE ${nbOracleCtes("TRUE")},

@@ -129,11 +129,13 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|info|clustersdiff|shell|web> [args...]\n" +
+        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|indexstats|maintainindex|info|clustersdiff|shell|web> [args...]\n" +
         "  compact [sinceS] [bucketsPerSlice]            fold streaming re-emissions (all stages)\n" +
         "  expire <nowS>                                 drop whole bucket dirs past retention\n" +
         "  markers [dir]                                 inspect guard markers + provenance\n" +
         "  clearmarkers [dir]                            stale-marker recovery (confirm holder dead first)\n" +
+        "  indexstats <indexDir>                         IVF index per-cell postings/files + skew + orphans\n" +
+        "  maintainindex <indexDir> [maxSkew] [maxFiles] auto compact-vs-retrain from the indexstats signals\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
         "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
         "  dirs <glob>                                   directory glob (stored table or derived)\n" +
@@ -186,6 +188,10 @@ object Bgutil {
       if (rest.nonEmpty) rest(0) else db.pointsPath)
     case "clearmarkers" => clearMarkersCmd(db,
       if (rest.nonEmpty) rest(0) else db.pointsPath)
+    case "indexstats" => indexStatsCmd(db, rest(0))
+    case "maintainindex" => maintainIndexCmd(db, rest(0),
+      maxSkew = if (rest.length > 1) rest(1).toDouble else 4.0,
+      maxFiles = if (rest.length > 2) rest(2).toLong else 4L)
     case "info" => info(db)
     case "clustersdiff" => clustersDiff(db, Db(db.spark, rest(0)),
       rest(1).toLong, rest(2).toLong, rest.drop(3).toSeq)
@@ -935,6 +941,42 @@ object Bgutil {
     val cleared = graft.sources.Compaction.clearMarkers(db.spark, dir)
     cleared.foreach(p => println(s"cleared $p"))
     println(s"cleared ${cleared.length} marker(s)")
+  }
+
+  /** `bgutil indexstats <indexDir>` — the IVF maintenance report on the
+    * CLI: per-cell postings + file counts through the generation
+    * pointer, the posting-skew and files-per-cell summary those rows
+    * roll up to (the compact-vs-retrain trigger inputs), and any orphan
+    * generations a crashed retrain swap left behind. Read-only;
+    * metadata-scale (one row per cell, vectors never deserialized). */
+  def indexStatsCmd(db: Db, dir: String): Unit = {
+    import graft.operators.Similarity
+    val cells = Similarity.indexStats(db.spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    println("cell_id\tpostings\tfiles")
+    cells.foreach { case (c, p, f) => println(s"$c\t$p\t$f") }
+    val skew =
+      if (cells.isEmpty) 0.0
+      else cells.map(_._2).max.toDouble * cells.length / cells.map(_._2).sum
+    val orphans = Similarity.orphanGenerations(db.spark, dir)
+    println(f"cells=${cells.length} posting_skew=$skew%.2f " +
+      s"max_files_per_cell=${if (cells.isEmpty) 0L else cells.map(_._3).max} " +
+      s"orphan_generations=${if (orphans.isEmpty) "none"
+        else orphans.mkString(",")}")
+  }
+
+  /** `bgutil maintainindex <indexDir> [maxSkew] [maxFiles]` — the cron
+    * face of [[graft.operators.Similarity.maintainIvfIndex]]: read the
+    * indexstats signals, dispatch retrain (skew over threshold) or
+    * compact (files over threshold) or nothing, and report what ran. */
+  def maintainIndexCmd(db: Db, dir: String, maxSkew: Double,
+      maxFiles: Long): Unit = {
+    val m = graft.operators.Similarity.maintainIvfIndex(db.spark, dir,
+      maxSkew = maxSkew, maxFiles = maxFiles)
+    println(f"${m.action}: cells=${m.cells} posting_skew=${m.postingSkew}%.2f " +
+      s"max_files_per_cell=${m.maxFilesPerCell} " +
+      s"orphan_generations=${if (m.orphans.isEmpty) "none"
+        else m.orphans.mkString(",")}")
   }
 
   /** Orphan points without a catalog row (drivers/cassandra.py:2734-2842). */

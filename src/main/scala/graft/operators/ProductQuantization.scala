@@ -219,6 +219,11 @@ object ProductQuantization {
       m: Int, ksub: Int, pqIters: Int,
       byResidual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
+    // under the compaction guard like every other whole-index rewrite:
+    // an unguarded rebuild overwrites the postings a concurrent
+    // appendToIvfPqIndex is appending into — the append must fail fast
+    // instead of being silently dropped
+    graft.sources.Compaction.guardedCompaction(spark, dir) {
     val cents = Clustering.kmeansFit(corpus, idCol, vecCol,
       kCells, coarseIters)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -246,6 +251,7 @@ object ProductQuantization {
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"$dir/postings")
     }
+    }
   }
 
   /** APPEND new vectors to a [[buildIvfPqIndex]] index without
@@ -261,13 +267,18 @@ object ProductQuantization {
   def appendToIvfPqIndex(newVectors: DataFrame, idCol: String,
       vecCol: String, dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val byResidual = readMeta(spark, dir)
-    val cents = spark.read.parquet(s"$dir/centroids")
-    Similarity.requireSameDim(newVectors, vecCol, cents)
-    val cb = spark.read.parquet(s"$dir/codebooks")
-    encodePostings(newVectors, idCol, vecCol, cents, cb, byResidual)
-      .write.mode("append").partitionBy("cell_id")
-      .parquet(s"$dir/postings")
+    // appender side of the guard, like the float twin: a concurrent
+    // compactIvfIndex/rebuild would otherwise read-then-overwrite the
+    // cell dirs this is appending into and silently drop the batch
+    graft.sources.Compaction.guardedAppend(spark, dir) {
+      val byResidual = readMeta(spark, dir)
+      val cents = spark.read.parquet(s"$dir/centroids")
+      Similarity.requireSameDim(newVectors, vecCol, cents)
+      val cb = spark.read.parquet(s"$dir/codebooks")
+      encodePostings(newVectors, idCol, vecCol, cents, cb, byResidual)
+        .write.mode("append").partitionBy("cell_id")
+        .parquet(s"$dir/postings")
+    }
   }
 
   /** (neighbor_id, codes, recon_norm, cell_id) postings for `vectors`

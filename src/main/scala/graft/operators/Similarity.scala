@@ -280,17 +280,43 @@ object Similarity {
     (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
   }
 
+  /** The generation-suffixed `(centroids|postings)_g<N>` directory
+    * numbers present under `dir`, newest first. */
+  private def onDiskGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Int] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "*_g*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName)
+      .collect { case GenDirName(_, g) => g.toInt }
+      .distinct.sorted.reverse.toSeq
+
+  private val GenDirName = "(centroids|postings)_g(\\d+)".r
+
   /** The index's current generation number: what `dir/MANIFEST` names
     * ([[retrainIvfIndex]] wrote it), or 0 for an index that has never
     * been retrained (no manifest — [[buildIvfIndex]]'s fixed paths).
     * A manifest that exists but does not parse fails loudly: silently
-    * treating it as generation 0 would serve a superseded index. */
+    * treating it as generation 0 would serve a superseded index.
+    *
+    * MANIFEST ABSENT is ambiguous and resolved by what is on disk:
+    * while the fixed `centroids` directory exists the index has never
+    * completed a retrain swap (or its first retrain hasn't swapped
+    * yet), so generation 0 is the complete one; once the fixed paths
+    * are gone, a missing manifest means a reader landed in a swap's
+    * delete→rename instant — or a retrain crashed between its swap and
+    * its old-generation drop — and the NEWEST on-disk generation is
+    * the fully-written one (a retrain only touches the pointer after
+    * both generation writes commit), so resolve the max `*_g<N>`
+    * rather than stranding on fixed paths a previous retrain already
+    * deleted. */
   private[operators] def liveGeneration(
       spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
     val (fs, root) = indexFs(spark, dir)
     val m = new org.apache.hadoop.fs.Path(root, ManifestName)
-    if (!fs.exists(m)) 0
-    else {
+    if (!fs.exists(m)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, "centroids"))) 0
+      else onDiskGenerations(fs, root).headOption.getOrElse(0)
+    } else {
       val in = fs.open(m)
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
@@ -325,28 +351,35 @@ object Similarity {
     * A REBUILD of a previously retrained index resets the generation
     * state: the manifest and any `*_g<N>` directories are removed
     * first, so a probe never resolves a stale pointer onto the old
-    * generation while the fresh build sits unread at the fixed paths. */
+    * generation while the fresh build sits unread at the fixed paths.
+    * Runs under the compaction guard: a rebuild overwrites (and then
+    * deletes) directories an in-flight [[appendToIvfIndex]] resolved
+    * inside ITS guard, so an unguarded rebuild could silently drop a
+    * concurrent append's postings — the exact race the retrain/compact
+    * verbs already exclude. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, k: Int, iters: Int): Unit = {
     import graft.operators.Clustering
     val spark = corpus.sparkSession
-    val (fs, root) = indexFs(spark, dir)
-    val cents = Clustering.kmeansFit(corpus, idCol, vecCol, k, iters)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    Clustering.assignCells(
-        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-        "neighbor_id", "cv", cents)
-      .withColumn("cnorm", l2norm(col("cv")))
-      .select("neighbor_id", "cv", "cnorm", "cell_id")
-      .write.mode("overwrite").partitionBy("cell_id")
-      .parquet(s"$dir/postings")
-    // generation reset LAST: the fixed-path data above is complete
-    // before the pointer stops naming the old generation
-    fs.delete(new org.apache.hadoop.fs.Path(root, ManifestName), false)
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "*_g*")))
-      .getOrElse(Array.empty)
-      .filter(st => st.getPath.getName.matches("(centroids|postings)_g\\d+"))
-      .foreach(st => fs.delete(st.getPath, true))
+    graft.sources.Compaction.guardedCompaction(spark, dir) {
+      val (fs, root) = indexFs(spark, dir)
+      val cents = Clustering.kmeansFit(corpus, idCol, vecCol, k, iters)
+      cents.write.mode("overwrite").parquet(s"$dir/centroids")
+      Clustering.assignCells(
+          corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+          "neighbor_id", "cv", cents)
+        .withColumn("cnorm", l2norm(col("cv")))
+        .select("neighbor_id", "cv", "cnorm", "cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$dir/postings")
+      // generation reset LAST: the fixed-path data above is complete
+      // before the pointer stops naming the old generation
+      fs.delete(new org.apache.hadoop.fs.Path(root, ManifestName), false)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "*_g*")))
+        .getOrElse(Array.empty)
+        .filter(st => GenDirName.matches(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 
   /** RETRAIN an IVF index in place — the drift answer FAISS spells
@@ -375,7 +408,7 @@ object Similarity {
         "re-cluster them — rebuild with buildIvfPqIndex from the source " +
         "vectors instead")
     val oldGen = liveGeneration(spark, dir)
-    val (oldCents, oldPosts) = livePaths(spark, dir)
+    val (_, oldPosts) = livePaths(spark, dir)
     val gen = oldGen + 1
     val base = spark.read.parquet(oldPosts).select("neighbor_id", "cv")
     val cents = Clustering.kmeansFit(base, "neighbor_id", "cv", k, iters)
@@ -388,10 +421,12 @@ object Similarity {
     // pointer swap: write aside, then delete + rename (rename-over-
     // existing is not portable across Hadoop filesystems). Readers
     // never see a TORN pointer; in the delete→rename instant a reader
-    // sees NO pointer and resolves the fixed gen-0 paths — the same
-    // in-flight-reader-vs-compactor caveat the generation drop below
-    // already carries (a retrain, like any compaction here, assumes
-    // probes drain or retry)
+    // sees NO pointer and [[liveGeneration]]'s no-manifest rule
+    // resolves the newest COMPLETE state — the fixed paths while they
+    // still exist (first retrain), the max on-disk generation once
+    // they are gone (both generations are fully written before this
+    // point, so either resolution is a correct read). The same rule
+    // covers a crash landing between this rename and the sweep below.
     val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.toString.getBytes(
@@ -401,10 +436,19 @@ object Similarity {
     if (!fs.rename(tmp, manifest))
       throw new java.io.IOException(
         s"could not swap $dir/$ManifestName to generation $gen")
-    // the superseded generation: in-flight probes of it are the same
-    // reader-vs-compactor caveat every compaction here carries
-    fs.delete(new org.apache.hadoop.fs.Path(oldCents), true)
-    fs.delete(new org.apache.hadoop.fs.Path(oldPosts), true)
+    // sweep EVERY superseded state, not just this retrain's direct
+    // predecessor: a crash between a previous swap and its drop leaves
+    // a whole orphan generation behind (invisible to readers, who go
+    // through the pointer — but paid for in storage forever unless
+    // someone cleans it). In-flight probes of a swept generation are
+    // the same reader-vs-compactor caveat every compaction here
+    // carries.
+    fs.delete(new org.apache.hadoop.fs.Path(root, "centroids"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "postings"), true)
+    onDiskGenerations(fs, root).filter(_ != gen).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"centroids_g$g"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"postings_g$g"), true)
+    }
   }
 
   /** Maintenance report for a persisted IVF index: one row per cell
@@ -428,6 +472,85 @@ object Similarity {
       .agg(count(lit(1)).as("postings"),
         countDistinct(col("_metadata.file_path")).as("files"))
       .orderBy("cell_id")
+  }
+
+  /** Index states present on disk but NOT live — generations (or the
+    * fixed gen-0 paths) a crash between a retrain's pointer swap and
+    * its sweep left behind. Invisible to readers (everything resolves
+    * through the pointer) but paid for in storage until the next
+    * [[retrainIvfIndex]] sweeps them; [[maintainIvfIndex]] and `bgutil
+    * indexstats` surface them so the leak is operator-visible.
+    * Metadata-only (one directory listing). Gen-0 orphans report as 0. */
+  def orphanGenerations(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Int] = {
+    val (fs, root) = indexFs(spark, dir)
+    val live = liveGeneration(spark, dir)
+    val fixed =
+      if (live != 0 &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, "centroids"))) Seq(0)
+      else Nil
+    fixed ++ onDiskGenerations(fs, root).filter(_ != live).sorted
+  }
+
+  /** One [[maintainIvfIndex]] decision: the signals it read and the
+    * verb it dispatched (`"retrain"`, `"compact"`, or `"noop"`). */
+  final case class IndexMaintenance(action: String, cells: Long,
+      postingSkew: Double, maxFilesPerCell: Long, orphans: Seq[Int])
+
+  /** The auto-maintenance entry point a deployment crons — reads
+    * [[indexStats]] and applies the thresholds docs/SCALE.md states as
+    * guidance, so the compact-vs-retrain decision is executable rather
+    * than manual:
+    *
+    *  - posting SKEW (`max(postings) / avg(postings)`) above `maxSkew`
+    *    → the appended data has drifted away from the frozen quantizer
+    *    and piled into a few cells (recall at fixed nProbe decays —
+    *    measured in AnnRecallSpec's drift test) → [[retrainIvfIndex]]
+    *    at the live centroid count (`retrainK` overrides, e.g. to grow
+    *    the cell count with the corpus);
+    *  - else file count per cell above `maxFiles` (streaming appends'
+    *    small-files creep) → [[compactIvfIndex]];
+    *  - else no-op.
+    *
+    * Retrain wins when both trigger — it rewrites every posting anyway,
+    * so the file creep is fixed for free. The signal read is
+    * metadata-scale (one row per cell); each dispatched verb runs under
+    * the compaction guard it already carries, so a maintenance cron
+    * racing an append fails fast instead of losing the append. Orphan
+    * generations ride along in the report (the retrain path sweeps
+    * them; the others leave them for the next retrain/rebuild).
+    *
+    * What a same-k retrain buys is a quantizer fitted to the CURRENT
+    * distribution — recall at fixed nProbe recovers (measured in
+    * AnnRecallSpec's drift test) — NOT necessarily balanced cells: if
+    * the appended mass is genuinely denser in one region, that region
+    * keeps its density under any k-sized quantizer. Skew that stays
+    * high across retrains is the signal that the CELL COUNT no longer
+    * matches the corpus — pass a larger `retrainK` (the k≈√N guidance,
+    * docs/SCALE.md) instead of retraining at the stale k every night. */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxSkew: Double = 4.0, maxFiles: Long = 4,
+      retrainK: Int = -1, retrainIters: Int = 2): IndexMaintenance = {
+    require(maxSkew > 0 && maxFiles > 0,
+      s"thresholds must be positive: maxSkew=$maxSkew maxFiles=$maxFiles")
+    val stats = indexStats(spark, dir)
+      .agg(count(lit(1)).as("cells"),
+        (max(col("postings")) / avg(col("postings"))).as("skew"),
+        max(col("files")).as("max_files"))
+      .head()
+    val (cells, skew, files) =
+      (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
+    val orphans = orphanGenerations(spark, dir)
+    if (skew > maxSkew) {
+      val k = if (retrainK > 0) retrainK
+        else spark.read.parquet(livePaths(spark, dir)._1).count().toInt
+      retrainIvfIndex(spark, dir, k, retrainIters)
+      // the retrain swept every non-live state, orphans included
+      IndexMaintenance("retrain", cells, skew, files, orphans)
+    } else if (files > maxFiles) {
+      compactIvfIndex(spark, dir)
+      IndexMaintenance("compact", cells, skew, files, orphans)
+    } else IndexMaintenance("noop", cells, skew, files, orphans)
   }
 
   /** APPEND new vectors to a [[buildIvfIndex]] index without

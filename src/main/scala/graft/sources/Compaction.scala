@@ -204,10 +204,22 @@ object Compaction {
     // argument)
     try createMarker(fs, marker, overwrite = false)
     catch {
-      // only an EXISTING marker is the refusal signal; a body-write
-      // failure deleted its half-raised marker (createMarker) and is a
-      // real IO error, not a concurrent compaction — rethrow it
-      case e: java.io.IOException if fs.exists(marker) =>
+      // the create-exclusive failure ITSELF is the refusal signal —
+      // match the typed already-exists exceptions directly, so a
+      // competing compactor that finishes (dropping its marker) between
+      // our failed create and any after-the-fact exists() check still
+      // reports as the concurrent compaction it was
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCompactionException(
+          s"compaction of $dir refused: $CompactingMarker already present — " +
+            "another compaction is running, or a crashed one left it (clear " +
+            "with Compaction.clearMarkers after confirming it is gone)")
+      // filesystems that signal exists with a bare IOException: only an
+      // EXISTING marker is the refusal signal; a body-write failure
+      // deleted its half-raised marker (createMarker) and is a real IO
+      // error, not a concurrent compaction — rethrow it
+      case _: java.io.IOException if fs.exists(marker) =>
         throw new ConcurrentCompactionException(
           s"compaction of $dir refused: $CompactingMarker already present — " +
             "another compaction is running, or a crashed one left it (clear " +

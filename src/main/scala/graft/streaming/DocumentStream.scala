@@ -89,7 +89,18 @@ object DocumentStream {
     * against its own earlier output and appends nothing — no
     * batch_seq/LWW resolution needed on read. */
   def appendNovel(batch: DataFrame, textCol: String, idCol: String,
-      storeDir: String, batchId: Long): Unit = {
+      storeDir: String, batchId: Long): Unit =
+    novelAgainstStore(batch, textCol, idCol, storeDir)
+      .withColumn("batch_seq", lit(batchId))
+      .write.mode("append").partitionBy("kp").parquet(storeDir)
+
+  /** The batch's HISTORY-novel rows (see [[appendNovel]], which writes
+    * them): batch-deduped on the content key (ties to the lowest
+    * `idCol`), then anti-joined against ONLY the key column of ONLY the
+    * store partitions whose prefixes occur in the batch. Returns the
+    * input columns plus `content_key` and `kp`. */
+  private[streaming] def novelAgainstStore(batch: DataFrame,
+      textCol: String, idCol: String, storeDir: String): DataFrame = {
     val spark = batch.sparkSession
     val cols = batch.columns
     require(!cols.contains("content_key") && !cols.contains("kp"),
@@ -110,20 +121,28 @@ object DocumentStream {
       fs.exists(p) &&
         fs.listStatus(p).exists(_.getPath.getName.startsWith("kp="))
     }
-    val novel =
-      if (!hasHistory) batchDedup
-      else {
-        // prefixes from the pre-dedup batch: the same kp set (dedup only
-        // drops duplicate keys) without re-running the groupBy
-        val prefixes = keyed.select("kp").distinct().collect()
-          .map(_.getString(0)).toSeq
-        val hist = spark.read.parquet(storeDir)
-          .filter(col("kp").isin(prefixes: _*))
-          .select("content_key")
-        batchDedup.join(hist, Seq("content_key"), "left_anti")
-      }
-    novel.withColumn("batch_seq", lit(batchId))
-      .write.mode("append").partitionBy("kp").parquet(storeDir)
+    if (!hasHistory) batchDedup
+    else {
+      // prefixes from the pre-dedup batch: the same kp set (dedup only
+      // drops duplicate keys) without re-running the groupBy
+      val prefixes = keyed.select("kp").distinct().collect()
+        .map(_.getString(0)).toSeq
+      // EXPLICIT read schema, never inference: when every kp= directory
+      // so far happens to be all-digits (hex prefixes like "62", "97"),
+      // partition-type inference types kp as INT — then a hex prefix in
+      // the filter crashes the cast, and a zero-padded one ("07" read
+      // back as 7) would silently MISS its history and re-admit
+      // duplicates. Only the two key columns are read at all.
+      val histSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content_key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("kp",
+          org.apache.spark.sql.types.StringType)))
+      val hist = spark.read.schema(histSchema).parquet(storeDir)
+        .filter(col("kp").isin(prefixes: _*))
+        .select("content_key")
+      batchDedup.join(hist, Seq("content_key"), "left_anti")
+    }
   }
 
   /** History-backed streaming dedup: unlike [[dedupExact]], whose state
@@ -268,4 +287,89 @@ object DocumentStream {
       }
       .start()
   }
+
+  /** ONE micro-batch of the full curation path — the composite a
+    * deployment actually runs per trigger instead of three separate
+    * jobs: quality gate (stateless) → frozen-classifier routing
+    * ([[graft.operators.Classify.nbPredict]], broadcast-sized model,
+    * `predicted`/`score` ride as columns) → history-novel append into
+    * the content-key-prefix-partitioned store (the [[appendNovel]]
+    * anti-join: per batch a column-pruned, partition-pruned scan, never
+    * a full-history pass) → a per-batch CARD INCREMENT
+    * (`groupCol`-grouped doc/token/byte totals of what actually entered
+    * the corpus) into `cardDir` partitioned by `batch_seq`.
+    *
+    * Idempotency: the store append replays as a no-op (the anti-join
+    * sees the earlier attempt's rows); the card increment is computed
+    * from the SAME novel set and dynamic-partition-overwrites only its
+    * own `batch_seq=` directory, so a replayed batch rewrites an
+    * identical increment (or, having appended nothing, leaves the
+    * original untouched). The one at-least-once caveat: a crash AFTER
+    * the store commit but BEFORE the card commit under-counts that
+    * batch's card — the store stays authoritative, and
+    * [[graft.operators.Profile.datasetCard]] over it recomputes the
+    * exact totals at any time. The novel set is localCheckpointed once
+    * (batch-bounded) — it feeds both writes, and without the pin the
+    * gate + routing + anti-join would execute twice per trigger. */
+  def curationBatch(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, groupCol: String, model: DataFrame,
+      minQuality: Double, storeDir: String, cardDir: String): Unit = {
+    val reserved = Seq("predicted", "score", "batch_seq")
+      .filter(batch.columns.contains)
+    require(reserved.isEmpty,
+      s"input stream already has column(s) ${reserved.mkString(", ")} — " +
+        "they are produced by the curation job; rename them upstream")
+    val gated = qualityGate(batch, textCol, minQuality)
+    val scored = graft.operators.Classify
+      .nbPredict(model, gated, idCol, textCol)
+      .select(col("doc_id").as(idCol), col("label").as("predicted"),
+        col("score"))
+    val routed = gated.join(scored, Seq(idCol))
+    val novel = novelAgainstStore(routed, textCol, idCol, storeDir)
+      .localCheckpoint(true)
+    try {
+      novel.withColumn("batch_seq", lit(batchId))
+        .write.mode("append").partitionBy("kp").parquet(storeDir)
+      novel
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+            .as("n_tokens"),
+          sum(octet_length(col(textCol)).cast("long")).as("n_bytes"))
+        .withColumn("batch_seq", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_seq")
+        .parquet(cardDir)
+    } finally novel.unpersist(false)
+  }
+
+  /** The running card [[curationBatch]] maintains: sum the per-batch
+    * increments. Mergeable by construction (plain sums), so the read is
+    * one aggregation over metadata-sized rows — one row per (group,
+    * batch); compact the increment log like any other store if batch
+    * count ever dominates. Fails loudly if no batch has produced a
+    * card yet. */
+  def curationCard(spark: org.apache.spark.sql.SparkSession,
+      cardDir: String, groupCol: String): DataFrame =
+    spark.read.parquet(cardDir)
+      .groupBy(col(groupCol))
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_bytes").as("n_bytes"))
+
+  /** The end-to-end streaming curation job: [[curationBatch]] per
+    * trigger. `model` is trained offline ([[graft.operators.Classify
+    * .nbFit]]) and frozen — broadcast-sized by construction. */
+  def startCurationPipelineJob(docs: DataFrame, textCol: String,
+      idCol: String, groupCol: String, model: DataFrame,
+      storeDir: String, cardDir: String, checkpointDir: String,
+      minQuality: Double = 0.0): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curationBatch(batch, batchId, textCol, idCol, groupCol, model,
+          minQuality, storeDir, cardDir)
+      }
+      .start()
 }

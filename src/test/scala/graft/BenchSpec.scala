@@ -43,6 +43,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.PhaseSplitTasks.subsetOf(allNames.toSet))
   }
 
+  test("chunk manifest: distinct, every entry a real task, r11 chunks " +
+      "intact") {
+    val known = Bench.ChunkManifest.flatten
+    assert(known.distinct === known, "duplicate tasks in ChunkManifest")
+    val unknown = known.filterNot(allNames.toSet)
+    assert(unknown.isEmpty, s"ChunkManifest names unknown tasks: $unknown")
+    // the frozen r11 composition: 15 headline chunks + x + bg. New tasks
+    // must NOT be inserted here (they run in the trailing chunk) — a
+    // change to these counts means an existing chunk was edited, which
+    // invalidates every cross-round comparison for its members.
+    assert(Bench.ChunkManifest.size === 17)
+    assert(Bench.ChunkManifest.map(_.size) ===
+      Seq(8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 3, 3, 7))
+    assert(Bench.ChunkManifest.head.head === "a1_aggregators")
+    assert(Bench.ChunkManifest(16).last === "bg_ingest_100x1")
+  }
+
   test("worst-case compact stdout line fits the driver's 2000-char tail") {
     // worst case: every median prints wide (FOUR digits before the point,
     // so the static guarantee holds even on a host where a query runs
@@ -53,8 +70,9 @@ class BenchSpec extends AnyFunSuite {
     // the compact line summarizes steal as [mean, max] (full per-pass
     // readings live in bench_out.json) so chunk count can't grow the line
     val steal = Seq.fill(2)("0.999").mkString("[", ",", "]")
+    // sf prints as its basename on the compact line (emit shortens it)
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,"cpu_steal":$steal,"sf":"/root/testdata/sf0.1","full":"bench_out.json"}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,"cpu_steal":$steal,"sf":"sf0.1","full":"bench_out.json"}"""
     assert(line.length < 1900, s"compact line ${line.length} chars")
   }
 }

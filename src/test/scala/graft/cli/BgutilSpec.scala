@@ -322,4 +322,41 @@ class BgutilSpec extends SparkSuite {
     val viaRun = stdout(Bgutil.run(db, "markers", Array.empty))
     assert(viaRun.contains("no guard markers"))
   }
+
+  test("indexstats + maintainindex: the IVF maintenance report and the " +
+      "auto compact-vs-retrain dispatch on the CLI") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val db = Db(spark, java.nio.file.Files.createTempDirectory("bgix").toString)
+    def stdout(f: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos))(f)
+      bos.toString("UTF-8")
+    }
+    // 4 angular clusters, one per cell; then a pile of appends near
+    // cluster 0 drifts the distribution away from the frozen quantizer
+    def vecs(ids: Range, cluster: Int => Int) = {
+      val base = Array(0.0, math.Pi / 2, math.Pi, 3 * math.Pi / 2)
+      ids.map { i =>
+        val a = base(cluster(i)) + 0.02 * ((i % 7) - 3)
+        (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+      }.toDF("id", "vec")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bgix_idx").toString
+    Similarity.buildIvfIndex(vecs(0 until 20, _ % 4), "id", "vec", dir,
+      k = 4, iters = 2)
+    val report = stdout(Bgutil.run(db, "indexstats", Array(dir)))
+    assert(report.contains("cell_id\tpostings\tfiles"))
+    assert(report.contains("cells=4"))
+    assert(report.contains("orphan_generations=none"))
+    // drifted appends push the skew over the CLI-passed threshold:
+    // maintainindex dispatches the retrain and reports it
+    Similarity.appendToIvfIndex(vecs(100 until 160, _ => 0), "id", "vec", dir)
+    val acted = stdout(Bgutil.run(db, "maintainindex", Array(dir, "2.0")))
+    assert(acted.startsWith("retrain:"), acted)
+    assert(Similarity.livePaths(spark, dir)._2.endsWith("postings_g1"))
+    // the post-retrain report reads through the generation pointer
+    assert(stdout(Bgutil.run(db, "indexstats", Array(dir)))
+      .contains("orphan_generations=none"))
+  }
 }

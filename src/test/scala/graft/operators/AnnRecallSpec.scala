@@ -91,6 +91,76 @@ class AnnRecallSpec extends SparkSuite {
     assert(r >= 0.9, f"clustered recall $r%.2f below 0.9")
   }
 
+  // Measured here (deterministic fixture): recall@3 at nProbe=1 decays
+  // to ~0.67 after the drifted append and recovers to 1.00 after
+  // retrainIvfIndex — the recall evidence behind the retrain verb. Note
+  // the posting skew stays ~1.06 in THIS geometry: skew is the trigger
+  // for pile-type drift (mass collecting in few cells — the
+  // maintainIvfIndex spec's fixture); boundary-straddle drift decays
+  // recall while leaving cells balanced, which is why docs/SCALE.md
+  // also recommends periodic retrains or a recall probe, not skew alone.
+  test("drift decays recall@3 at fixed nProbe; retrain recovers it " +
+      "(the recall evidence behind the retrain verb)") {
+    import spark.implicits._
+    // 8 base clusters the index is trained on, and 8 DRIFTED
+    // MICRO-clusters (5 members each) centered on the midpoints between
+    // adjacent base centers — the worst case for a frozen quantizer:
+    // every drifted cluster straddles a stale Voronoi boundary, so its
+    // few members split across two cells, and for a drifted query whose
+    // exact top-3 IS its micro-cluster, a single probe finds only its
+    // own side. Ids 0..7 are base seeds and 8..15 drifted seeds, so the
+    // retrain's first-k seeding covers all 16 true clusters.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val b = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val m = Array.tabulate(8)(j =>
+      Array.tabulate(dim)(d => (b(j)(d) + b((j + 1) % 8)(d)) / 2))
+    def isDrifted(i: Int): Boolean = (i >= 8 && i < 16) || i >= 488
+    val pts = (0 until 520).map { i =>
+      val c =
+        if (i < 8) b(i)
+        else if (i < 16) m(i - 8)
+        else if (i < 488) b(i % 8)
+        else m(i % 8)
+      (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val all = pts.toDF("vec_id", "embedding").cache()
+    val driftedIds = pts.map(_._1).filter(i => isDrifted(i.toInt)).toSet
+    val base = all.filter(!col("vec_id").isin(driftedIds.toSeq: _*))
+    val drifted = all.filter(col("vec_id").isin(driftedIds.toSeq: _*))
+    val queries = drifted // all 40 drifted points query their siblings
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topk(Similarity.bruteForceKnn(queries, all, "vec_id",
+      "embedding", 3).select("query_id", "rank", "neighbor_id"))
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", dir,
+      k = 8, iters = 3)
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", dir)
+    val skewRow = Similarity.indexStats(spark, dir)
+      .agg(max(col("postings")) / avg(col("postings"))).head().getDouble(0)
+    val before = recallAt3(topk(Similarity.ivfIndexKnn(queries, dir,
+      "vec_id", "embedding", k = 3, nProbe = 1)
+      .select("query_id", "rank", "neighbor_id")), exact)
+
+    // retrain at a cell count matching the CURRENT corpus (16 true
+    // clusters) — maintainIvfIndex's grow-retrainK path
+    Similarity.retrainIvfIndex(spark, dir, k = 16, iters = 3)
+    val after = recallAt3(topk(Similarity.ivfIndexKnn(queries, dir,
+      "vec_id", "embedding", k = 3, nProbe = 1)
+      .select("query_id", "rank", "neighbor_id")), exact)
+
+    info(f"drift recall@3 at nProbe=1: before retrain=$before%.2f, " +
+      f"after retrain=$after%.2f (post-drift posting skew=$skewRow%.2f)")
+    assert(before < 0.8,
+      f"drift did not decay recall (before=$before%.2f) — fixture broken")
+    assert(after >= 0.85, f"retrain did not recover recall: $after%.2f")
+    assert(after - before >= 0.15,
+      f"no measurable recovery: $before%.2f -> $after%.2f")
+  }
+
   test("multi-probe recall/cost curve; best config reaches recall ≥ 0.5") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

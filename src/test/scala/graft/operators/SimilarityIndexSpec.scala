@@ -261,4 +261,130 @@ class SimilarityIndexSpec extends SparkSuite {
     Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
     assert(Similarity.livePaths(spark, dir)._2.endsWith("postings_g1"))
   }
+
+  test("build refuses while an append is in flight (the rebuild race)") {
+    // a rebuild overwrites (then deletes) the directories a concurrent
+    // append resolved inside ITS guard — it must fail fast, not drop
+    // the append silently
+    val dir = java.nio.file.Files.createTempDirectory("ivfbg").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    graft.sources.Compaction.guardedAppend(spark, dir) {
+      intercept[graft.sources.ConcurrentCompactionException] {
+        Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+      }
+    }
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+  }
+
+  test("no MANIFEST + no fixed paths resolves the newest on-disk " +
+      "generation (the delete→rename instant / crashed-swap reader)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfgen").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2)
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2) // gen 2
+    val withPointer = rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 3, nProbe = 2))
+    // simulate a reader landing in a third retrain's swap instant (or
+    // after a crash between delete and rename): the pointer is gone,
+    // the fixed paths were deleted two retrains ago — before the
+    // fallback this read stranded on dir/postings with a
+    // FileNotFoundException
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "MANIFEST"))
+    assert(Similarity.livePaths(spark, dir)._2.endsWith("postings_g2"))
+    assert(rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 3, nProbe = 2)) === withPointer)
+    // while the fixed paths EXIST, absent manifest still means gen 0
+    // (a first retrain writing its g1 aside must not be resolved early)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfgen0").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir2, k = 4, iters = 2)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir2, "centroids_g1")) // half-written aside
+    assert(Similarity.livePaths(spark, dir2)._2.endsWith("/postings"))
+  }
+
+  test("a crash between swap and drop leaks a generation: reported as " +
+      "orphan, swept by the next retrain") {
+    val dir = java.nio.file.Files.createTempDirectory("ivforph").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2) // gen 1 live
+    assert(Similarity.orphanGenerations(spark, dir) === Seq.empty)
+    // simulate a second retrain crashing between its MANIFEST swap and
+    // its old-generation drop: gen 2 written and live, gen 1 left behind
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dir, "centroids_g1"), new java.io.File(dir, "centroids_g2"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dir, "postings_g1"), new java.io.File(dir, "postings_g2"))
+    // write the swapped pointer through the Hadoop fs (the crashed
+    // retrain did) so the checksummed local filesystem stays coherent
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "MANIFEST"), true)
+    try out.write("2".getBytes("UTF-8")) finally out.close()
+    assert(Similarity.orphanGenerations(spark, dir) === Seq(1))
+    // the orphan is invisible to readers (pointer-resolved) but the
+    // next retrain must sweep EVERY non-live state, not just gen 2
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2) // gen 3
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("postings_g3") && names.contains("centroids_g3"))
+    assert(!names.exists(n => n.matches("(centroids|postings)_g[12]")))
+    assert(Similarity.orphanGenerations(spark, dir) === Seq.empty)
+    val brute = rows(Similarity.bruteForceKnn(queries, corpus, "id", "vec", k = 3))
+    assert(rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 3, nProbe = 10)) === brute)
+  }
+
+  // ---- auto-maintenance ---------------------------------------------------
+
+  /** 2-D unit-ish vectors in 4 angular clusters; ids 0..3 land one per
+    * cluster so kmeansFit's first-k seeding starts a centroid in each. */
+  private def clustered(ids: Range, cluster: Int => Int,
+      jitter: Double = 0.02): DataFrame = {
+    val base = Array(0.0, math.Pi / 2, math.Pi, 3 * math.Pi / 2)
+    ids.map { i =>
+      val a = base(cluster(i)) + jitter * ((i % 7) - 3)
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "vec")
+  }
+
+  test("maintainIvfIndex: drifted appends trigger retrain, file creep " +
+      "triggers compact, a healthy index is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfmaint").toString
+    // balanced build: 4 clusters × 5 vectors, one cell each
+    Similarity.buildIvfIndex(clustered(0 until 20, _ % 4), "id", "vec",
+      dir, k = 4, iters = 2)
+    val healthy = Similarity.maintainIvfIndex(spark, dir,
+      maxSkew = 2.0, maxFiles = 64)
+    assert(healthy.action === "noop" && healthy.cells === 4)
+    assert(healthy.postingSkew < 1.5, s"balanced skew ${healthy.postingSkew}")
+    // drift: 60 appended vectors all near cluster 0 pile into one cell
+    // (frozen quantizer), pushing max/avg postings over the threshold
+    Similarity.appendToIvfIndex(clustered(100 until 160, _ => 0),
+      "id", "vec", dir)
+    val drifted = Similarity.maintainIvfIndex(spark, dir,
+      maxSkew = 2.0, maxFiles = 64)
+    assert(drifted.action === "retrain",
+      s"expected retrain at skew ${drifted.postingSkew}")
+    assert(drifted.postingSkew > 2.0)
+    // the retrain swapped a generation and conserved every posting
+    // (what it buys is a quantizer fitted to the CURRENT data — the
+    // recall recovery AnnRecallSpec measures; a genuinely denser
+    // region keeps its density, so persistent skew after a same-k
+    // retrain is the grow-retrainK signal, per the scaladoc)
+    assert(Similarity.livePaths(spark, dir)._2.endsWith("postings_g1"))
+    assert(spark.read.parquet(Similarity.livePaths(spark, dir)._2)
+      .count() === 80)
+    // file creep without drift: two balanced appends add files per cell
+    Similarity.appendToIvfIndex(clustered(200 until 220, _ % 4), "id", "vec", dir)
+    Similarity.appendToIvfIndex(clustered(300 until 320, _ % 4), "id", "vec", dir)
+    val creep = Similarity.maintainIvfIndex(spark, dir,
+      maxSkew = 100.0, maxFiles = 2)
+    assert(creep.action === "compact",
+      s"expected compact at maxFiles ${creep.maxFilesPerCell}")
+    val compacted = Similarity.maintainIvfIndex(spark, dir,
+      maxSkew = 100.0, maxFiles = 2)
+    assert(compacted.action === "noop" && compacted.maxFilesPerCell <= 2)
+    // postings survived every verb: 20 + 60 + 20 + 20
+    assert(spark.read.parquet(Similarity.livePaths(spark, dir)._2)
+      .count() === 120)
+  }
 }

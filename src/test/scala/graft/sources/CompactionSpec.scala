@@ -171,6 +171,33 @@ class CompactionSpec extends SparkSuite {
     Similarity.compactIvfIndex(spark, dir) // guard released → runs clean
   }
 
+  test("IVF-PQ index: append and rebuild hold the guard too") {
+    import graft.operators.ProductQuantization
+    val dir = tmp("ivfpq_guard")
+    val c = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + 3 * d) % 11).toFloat - 5)))
+      .toDF("vec_id", "embedding")
+    def build(): Unit = ProductQuantization.buildIvfPqIndex(c, "vec_id",
+      "embedding", dir, kCells = 2, coarseIters = 1, m = 2, ksub = 4,
+      pqIters = 1)
+    build()
+    // append refuses while a compaction/rebuild holds the flag — the
+    // PQ twin of the float index's silent-drop race
+    Compaction.guardedCompaction(spark, dir) {
+      intercept[ConcurrentCompactionException] {
+        ProductQuantization.appendToIvfPqIndex(
+          c.filter(col("vec_id") < 2), "vec_id", "embedding", dir)
+      }
+    }
+    // and a rebuild refuses over an in-flight append
+    Compaction.guardedAppend(spark, dir) {
+      intercept[ConcurrentCompactionException] { build() }
+    }
+    // both released: the append runs clean
+    ProductQuantization.appendToIvfPqIndex(
+      c.filter(col("vec_id") < 2), "vec_id", "embedding", dir)
+  }
+
   test("points store: write during compaction fails fast") {
     val dir = tmp("pts_guard")
     val stage = Retention.fromString("60*60s:24*3600s").stage0
