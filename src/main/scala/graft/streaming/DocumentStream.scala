@@ -76,23 +76,44 @@ object DocumentStream {
   /** Append the batch's HISTORY-novel documents to a content-keyed
     * store: documents whose md5 is already anywhere in `storeDir` are
     * dropped, ties within the batch resolve to the lowest `idCol`, and
-    * survivors land partitioned by the key's first two hex chars.
+    * survivors land partitioned by the key's first `prefixChars` hex
+    * chars (an EXISTING store's width wins — see [[DefaultPrefixChars]]).
     *
     * The prefix partitioning is the scale story: the anti-join reads
     * ONLY the key column of ONLY the partitions whose prefixes occur in
-    * the batch (≤256, collected driver-side from the deduped batch —
-    * batch-bounded metadata). Per micro-batch that is a column-pruned,
-    * partition-pruned scan, not a full-history pass.
+    * the batch (≤ 16^width, collected driver-side from the deduped
+    * batch — batch-bounded metadata). Per micro-batch that is a
+    * column-pruned, partition-pruned scan, not a full-history pass.
     *
     * Crash-replay idempotent BY CONSTRUCTION: if a batch's append
     * committed but the checkpoint didn't, the replayed batch anti-joins
     * against its own earlier output and appends nothing — no
     * batch_seq/LWW resolution needed on read. */
   def appendNovel(batch: DataFrame, textCol: String, idCol: String,
-      storeDir: String, batchId: Long): Unit =
-    novelAgainstStore(batch, textCol, idCol, storeDir)
+      storeDir: String, batchId: Long,
+      prefixChars: Int = DefaultPrefixChars): Unit =
+    novelAgainstStore(batch, textCol, idCol, storeDir, prefixChars)
       .withColumn("batch_seq", lit(batchId))
+      // one writer per prefix: without this every shuffle task writes
+      // into every kp= dir it holds a row for — up to tasks × dirs tiny
+      // files PER MICRO-BATCH (the bg_curation_stream bench measured
+      // the spray at ~4× the whole path's useful work)
+      .repartition(col("kp"))
       .write.mode("append").partitionBy("kp").parquet(storeDir)
+
+  /** Key-prefix width for NEW history stores: 1 hex char = 16
+    * partition directories. The width bounds BOTH sides of the
+    * per-batch cost: the append writes at most `16^width` files per
+    * micro-batch (one writer per touched prefix — at ~15 ms per file
+    * commit, the 2-char width's 256-file floor measured 4-5 s/batch on
+    * small batches, ~4× the path's useful work), and the anti-join
+    * prunes history to the batch's prefixes, which only bites when a
+    * batch touches FEW prefixes (a trickle). Width 1 is the balanced
+    * default; pass 2 when provisioning a store for single-document
+    * trickles over deep history. The width is written into the store's
+    * layout and DETECTED from it afterwards — every later batch
+    * follows the store, so mixed-width corruption cannot happen. */
+  val DefaultPrefixChars = 1
 
   /** The batch's HISTORY-novel rows (see [[appendNovel]], which writes
     * them): batch-deduped on the content key (ties to the lowest
@@ -100,28 +121,36 @@ object DocumentStream {
     * store partitions whose prefixes occur in the batch. Returns the
     * input columns plus `content_key` and `kp`. */
   private[streaming] def novelAgainstStore(batch: DataFrame,
-      textCol: String, idCol: String, storeDir: String): DataFrame = {
+      textCol: String, idCol: String, storeDir: String,
+      prefixChars: Int = DefaultPrefixChars): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 4,
+      s"prefixChars must be in [1, 4], got $prefixChars")
     val spark = batch.sparkSession
     val cols = batch.columns
     require(!cols.contains("content_key") && !cols.contains("kp"),
       "appendNovel: input must not already have content_key/kp columns")
+    // an empty first batch leaves only _SUCCESS behind (no files, no
+    // schema to infer) — history exists only once a kp= partition does.
+    // An existing store also fixes the prefix width (dir name length):
+    // the parameter only applies to the store's FIRST batch.
+    val kpDirs = {
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("kp="))
+    }
+    val width = kpDirs.headOption.map(_.length - "kp=".length)
+      .getOrElse(prefixChars)
     val keyed = batch
       .withColumn("content_key", md5(col(textCol)))
-      .withColumn("kp", substring(col("content_key"), 1, 2))
+      .withColumn("kp", substring(col("content_key"), 1, width))
     val batchDedup = keyed
       .groupBy("content_key", "kp")
       .agg(min_by(struct(cols.map(col).toSeq: _*), col(idCol)).as("__w"))
       .select(col("content_key") +: col("kp") +:
         cols.map(c => col(s"__w.$c").as(c)): _*)
-    // an empty first batch leaves only _SUCCESS behind (no files, no
-    // schema to infer) — history exists only once a kp= partition does
-    val hasHistory = {
-      val p = new org.apache.hadoop.fs.Path(storeDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) &&
-        fs.listStatus(p).exists(_.getPath.getName.startsWith("kp="))
-    }
-    if (!hasHistory) batchDedup
+    if (kpDirs.isEmpty) batchDedup
     else {
       // prefixes from the pre-dedup batch: the same kp set (dedup only
       // drops duplicate keys) without re-running the groupBy
@@ -324,11 +353,16 @@ object DocumentStream {
       .nbPredict(model, gated, idCol, textCol)
       .select(col("doc_id").as(idCol), col("label").as("predicted"),
         col("score"))
-    val routed = gated.join(scored, Seq(idCol))
+    // gate + scoring pinned once: the anti-join's driver-side prefix
+    // collect and the novel materialization below would otherwise each
+    // re-execute the whole regex-heavy gate + NB plan (measured as the
+    // second-largest per-batch cost after the store write)
+    val routed = gated.join(scored, Seq(idCol)).localCheckpoint(true)
     val novel = novelAgainstStore(routed, textCol, idCol, storeDir)
       .localCheckpoint(true)
     try {
       novel.withColumn("batch_seq", lit(batchId))
+        .repartition(col("kp")) // one writer per prefix, see appendNovel
         .write.mode("append").partitionBy("kp").parquet(storeDir)
       novel
         .groupBy(col(groupCol))
@@ -341,7 +375,7 @@ object DocumentStream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_seq")
         .parquet(cardDir)
-    } finally novel.unpersist(false)
+    } finally { novel.unpersist(false); routed.unpersist(false) }
   }
 
   /** The running card [[curationBatch]] maintains: sum the per-batch
