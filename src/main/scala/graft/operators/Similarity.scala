@@ -313,13 +313,19 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
     val (fs, root) = indexFs(spark, dir)
     val m = new org.apache.hadoop.fs.Path(root, ManifestName)
-    if (!fs.exists(m)) {
+    def noManifest(): Int =
       if (fs.exists(new org.apache.hadoop.fs.Path(root, "centroids"))) 0
       else onDiskGenerations(fs, root).headOption.getOrElse(0)
-    } else {
-      val in = fs.open(m)
-      val s = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+    if (!fs.exists(m)) noManifest()
+    else {
+      // the pointer can vanish between the exists() and the open() (a
+      // swap's delete→rename instant) — same resolution as never having
+      // seen it, not an error
+      val s = try {
+        val in = fs.open(m)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return noManifest() }
       s.toIntOption.filter(_ > 0).getOrElse(
         throw new IllegalStateException(
           s"$dir/$ManifestName is corrupt ('$s') — expected a positive " +
