@@ -136,6 +136,8 @@ object Bgutil {
         "  clearmarkers [dir]                            stale-marker recovery (confirm holder dead first)\n" +
         "  indexstats <indexDir>                         IVF index per-cell postings/files + skew + orphans\n" +
         "  maintainindex <indexDir> [maxSkew] [maxFiles] auto compact-vs-retrain from the indexstats signals\n" +
+        "  recallprobe <indexDir> [n] [k] [nProbe]       measured recall@k vs brute force on a posting sample\n" +
+        "  sweeporphans <indexDir>                       reclaim crashed-swap orphan generations (guarded)\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
         "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
         "  dirs <glob>                                   directory glob (stored table or derived)\n" +
@@ -192,6 +194,17 @@ object Bgutil {
     case "maintainindex" => maintainIndexCmd(db, rest(0),
       maxSkew = if (rest.length > 1) rest(1).toDouble else 4.0,
       maxFiles = if (rest.length > 2) rest(2).toLong else 4L)
+    case "recallprobe" =>
+      val r = graft.operators.Similarity.recallProbe(db.spark, rest(0),
+        nQueries = if (rest.length > 1) rest(1).toInt else 32,
+        k = if (rest.length > 2) rest(2).toInt else 3,
+        nProbe = if (rest.length > 3) rest(3).toInt else 1)
+      println(f"recall=$r%.4f")
+    case "sweeporphans" =>
+      val swept = graft.operators.Similarity
+        .sweepOrphanGenerations(db.spark, rest(0))
+      swept.foreach(p => println(s"swept $p"))
+      println(s"swept ${swept.length} orphan dir(s)")
     case "info" => info(db)
     case "clustersdiff" => clustersDiff(db, Db(db.spark, rest(0)),
       rest(1).toLong, rest(2).toLong, rest.drop(3).toSeq)

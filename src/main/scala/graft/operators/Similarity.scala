@@ -498,10 +498,64 @@ object Similarity {
     fixed ++ onDiskGenerations(fs, root).filter(_ != live).sorted
   }
 
+  /** Reclaim orphan index generations WITHOUT retraining: delete every
+    * non-live state [[orphanGenerations]] reports (a crashed swap's
+    * leak) and return the swept directory paths. Runs under the
+    * compaction guard — a retrain in progress holds the same flag while
+    * its new generation is still being written, so the sweep can never
+    * mistake a half-written aside for an orphan. Metadata-only. */
+  def sweepOrphanGenerations(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    graft.sources.Compaction.guardedCompaction(spark, dir) {
+      val (fs, _) = indexFs(spark, dir)
+      val doomed = orphanGenerations(spark, dir).flatMap { g =>
+        if (g == 0) Seq(s"$dir/centroids", s"$dir/postings")
+        else Seq(s"$dir/centroids_g$g", s"$dir/postings_g$g")
+      }.filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      doomed
+    }
+
+  /** Measured recall of the persisted index against brute force on a
+    * deterministic SAMPLE of its own postings — the drift signal
+    * posting skew cannot see: boundary-straddle drift decays recall at
+    * fixed nProbe while leaving cells balanced (AnnRecallSpec measures
+    * 1.00 → 0.67 in that geometry; docs/SCALE.md). The sample is the
+    * `nQueries` postings with the smallest md5(id) — deterministic,
+    * hash-spread across the corpus, one TakeOrdered scan. Cost: one
+    * broadcast-query brute-force pass over the postings plus the probe
+    * itself — schedule it like a health check, not per batch.
+    * Returns mean recall@k in [0, 1]. */
+  def recallProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nQueries: Int = 32, k: Int = 3, nProbe: Int = 1): Double = {
+    require(nQueries > 0 && k > 0, s"nQueries=$nQueries k=$k")
+    val (_, postPath) = livePaths(spark, dir)
+    val posts = spark.read.parquet(postPath)
+      .select(col("neighbor_id").as("id"), col("cv").as("vec"))
+    val queries = posts
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nQueries)
+      .localCheckpoint(true) // feeds both the exact and the probe side
+    def topk(df: DataFrame): Map[Long, Set[Long]] = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topk(bruteForceKnn(queries, posts, "id", "vec", k))
+    val got = topk(ivfIndexKnn(queries, dir, "id", "vec", k, nProbe))
+    val per = exact.map { case (q, want) =>
+      if (want.isEmpty) 1.0
+      else got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    if (per.isEmpty) 1.0 else per.sum / per.size
+  }
+
   /** One [[maintainIvfIndex]] decision: the signals it read and the
-    * verb it dispatched (`"retrain"`, `"compact"`, or `"noop"`). */
+    * verb it dispatched (`"retrain"`, `"compact"`, or `"noop"`).
+    * `recall` is NaN unless the maintenance ran its optional recall
+    * probe. */
   final case class IndexMaintenance(action: String, cells: Long,
-      postingSkew: Double, maxFilesPerCell: Long, orphans: Seq[Int])
+      postingSkew: Double, maxFilesPerCell: Long, orphans: Seq[Int],
+      recall: Double = Double.NaN)
 
   /** The auto-maintenance entry point a deployment crons — reads
     * [[indexStats]] and applies the thresholds docs/SCALE.md states as
@@ -533,12 +587,23 @@ object Similarity {
     * keeps its density under any k-sized quantizer. Skew that stays
     * high across retrains is the signal that the CELL COUNT no longer
     * matches the corpus — pass a larger `retrainK` (the k≈√N guidance,
-    * docs/SCALE.md) instead of retraining at the stale k every night. */
+    * docs/SCALE.md) instead of retraining at the stale k every night.
+    *
+    * `minRecall` (NaN = off) adds the signal skew cannot see: run
+    * [[recallProbe]] at (`probeK`, `probeNProbe`) and retrain when the
+    * measured recall drops below the floor even with balanced cells —
+    * boundary-straddle drift. The probe costs a brute-force pass over
+    * the postings, so enable it on the health-check cadence, not per
+    * batch. */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxSkew: Double = 4.0, maxFiles: Long = 4,
-      retrainK: Int = -1, retrainIters: Int = 2): IndexMaintenance = {
+      retrainK: Int = -1, retrainIters: Int = 2,
+      minRecall: Double = Double.NaN, probeK: Int = 3,
+      probeNProbe: Int = 1): IndexMaintenance = {
     require(maxSkew > 0 && maxFiles > 0,
       s"thresholds must be positive: maxSkew=$maxSkew maxFiles=$maxFiles")
+    require(minRecall.isNaN || (minRecall >= 0 && minRecall <= 1),
+      s"minRecall must be in [0, 1] (or NaN = off): $minRecall")
     val stats = indexStats(spark, dir)
       .agg(count(lit(1)).as("cells"),
         (max(col("postings")) / avg(col("postings"))).as("skew"),
@@ -547,16 +612,19 @@ object Similarity {
     val (cells, skew, files) =
       (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
     val orphans = orphanGenerations(spark, dir)
-    if (skew > maxSkew) {
+    val recall =
+      if (minRecall.isNaN) Double.NaN
+      else recallProbe(spark, dir, k = probeK, nProbe = probeNProbe)
+    if (skew > maxSkew || (!recall.isNaN && recall < minRecall)) {
       val k = if (retrainK > 0) retrainK
         else spark.read.parquet(livePaths(spark, dir)._1).count().toInt
       retrainIvfIndex(spark, dir, k, retrainIters)
       // the retrain swept every non-live state, orphans included
-      IndexMaintenance("retrain", cells, skew, files, orphans)
+      IndexMaintenance("retrain", cells, skew, files, orphans, recall)
     } else if (files > maxFiles) {
       compactIvfIndex(spark, dir)
-      IndexMaintenance("compact", cells, skew, files, orphans)
-    } else IndexMaintenance("noop", cells, skew, files, orphans)
+      IndexMaintenance("compact", cells, skew, files, orphans, recall)
+    } else IndexMaintenance("noop", cells, skew, files, orphans, recall)
   }
 
   /** APPEND new vectors to a [[buildIvfIndex]] index without

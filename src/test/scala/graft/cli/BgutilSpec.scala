@@ -358,5 +358,12 @@ class BgutilSpec extends SparkSuite {
     // the post-retrain report reads through the generation pointer
     assert(stdout(Bgutil.run(db, "indexstats", Array(dir)))
       .contains("orphan_generations=none"))
+    // recall probe on the CLI: full probe is exact by construction
+    val probed = stdout(Bgutil.run(db, "recallprobe",
+      Array(dir, "16", "3", "8")))
+    assert(probed.trim === "recall=1.0000", probed)
+    // orphan sweep on the CLI: nothing to reclaim on a healthy index
+    assert(stdout(Bgutil.run(db, "sweeporphans", Array(dir)))
+      .contains("swept 0 orphan dir(s)"))
   }
 }

@@ -333,6 +333,65 @@ class SimilarityIndexSpec extends SparkSuite {
       k = 3, nProbe = 10)) === brute)
   }
 
+  test("sweepOrphanGenerations reclaims a crashed swap's leak without " +
+      "retraining; guarded; no-op on a clean index") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfswp").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    assert(Similarity.sweepOrphanGenerations(spark, dir) === Seq.empty)
+    Similarity.retrainIvfIndex(spark, dir, k = 4, iters = 2) // gen 1
+    // crash simulation as in the orphan test: gen 2 live, gen 1 leaked
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dir, "centroids_g1"), new java.io.File(dir, "centroids_g2"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dir, "postings_g1"), new java.io.File(dir, "postings_g2"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "MANIFEST"), true)
+    try out.write("2".getBytes("UTF-8")) finally out.close()
+    // a sweep racing an append fails fast (compactor flag)
+    graft.sources.Compaction.guardedAppend(spark, dir) {
+      intercept[graft.sources.ConcurrentCompactionException] {
+        Similarity.sweepOrphanGenerations(spark, dir)
+      }
+    }
+    val swept = Similarity.sweepOrphanGenerations(spark, dir)
+    assert(swept.map(_.split('/').last).toSet ===
+      Set("centroids_g1", "postings_g1"))
+    assert(Similarity.orphanGenerations(spark, dir) === Seq.empty)
+    // the live generation is untouched and probe-green
+    val brute = rows(Similarity.bruteForceKnn(queries, corpus, "id", "vec", k = 3))
+    assert(rows(Similarity.ivfIndexKnn(queries, dir, "id", "vec",
+      k = 3, nProbe = 10)) === brute)
+  }
+
+  test("recallProbe: 1.0 at full probe, deterministic and < 1.0 at " +
+      "single probe on a near-uniform corpus") {
+    val dir = buildIndex()
+    // nProbe >= trained k makes the probe exact by construction
+    assert(Similarity.recallProbe(spark, dir, k = 3, nProbe = 10) === 1.0)
+    // near-uniform gaussian vectors are the single-probe worst case:
+    // recall must be imperfect (the signal the probe exists for) and
+    // the hash-sampled query set makes it deterministic. Same default
+    // sample size as maintain's probe so the reported recall matches.
+    val r1 = Similarity.recallProbe(spark, dir, k = 3, nProbe = 1)
+    val r2 = Similarity.recallProbe(spark, dir, k = 3, nProbe = 1)
+    assert(r1 === r2)
+    assert(r1 > 0.0 && r1 < 1.0, s"single-probe recall $r1")
+    // maintain's optional recall floor: below it → retrain dispatched
+    // even with balanced cells (the straddle-drift signal skew misses)
+    val m = Similarity.maintainIvfIndex(spark, dir, maxSkew = 100.0,
+      maxFiles = 100, minRecall = 0.99, probeNProbe = 1)
+    assert(m.action === "retrain" && m.recall === r1)
+    assert(Similarity.livePaths(spark, dir)._2.endsWith("postings_g1"))
+    // floor 0.0 never triggers; recall still reported
+    val m2 = Similarity.maintainIvfIndex(spark, dir, maxSkew = 100.0,
+      maxFiles = 100, minRecall = 0.0, probeNProbe = 10)
+    assert(m2.action === "noop" && m2.recall === 1.0)
+    // probe off (default): recall rides as NaN
+    assert(Similarity.maintainIvfIndex(spark, dir, maxSkew = 100.0,
+      maxFiles = 100).recall.isNaN)
+  }
+
   // ---- auto-maintenance ---------------------------------------------------
 
   /** 2-D unit-ish vectors in 4 angular clusters; ids 0..3 land one per
