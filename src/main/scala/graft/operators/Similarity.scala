@@ -528,25 +528,53 @@ object Similarity {
     * Returns mean recall@k in [0, 1]. */
   def recallProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
       nQueries: Int = 32, k: Int = 3, nProbe: Int = 1): Double = {
-    require(nQueries > 0 && k > 0, s"nQueries=$nQueries k=$k")
+    require(nQueries > 0, s"nQueries must be positive: $nQueries")
     val (_, postPath) = livePaths(spark, dir)
+    requireFloatIndex(spark, dir)
     val posts = spark.read.parquet(postPath)
       .select(col("neighbor_id").as("id"), col("cv").as("vec"))
     val queries = posts
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(nQueries)
       .localCheckpoint(true) // feeds both the exact and the probe side
+    recallProbeWith(spark, dir, queries, "id", "vec", k, nProbe)
+  }
+
+  /** [[recallProbe]] against a caller-held query set (a true held-out
+    * sample) instead of the index's own postings. `queries` should be
+    * broadcast-sized — both sides scan the corpus once per call. */
+  def recallProbeWith(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 1): Double = {
+    require(k > 0, s"k must be positive: $k")
+    val (_, postPath) = livePaths(spark, dir)
+    requireFloatIndex(spark, dir)
+    val posts = spark.read.parquet(postPath)
+      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
     def topk(df: DataFrame): Map[Long, Set[Long]] = df
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
-    val exact = topk(bruteForceKnn(queries, posts, "id", "vec", k))
-    val got = topk(ivfIndexKnn(queries, dir, "id", "vec", k, nProbe))
+    val exact = topk(bruteForceKnn(queries, posts, idCol, vecCol, k))
+    val got = topk(ivfIndexKnn(queries, dir, idCol, vecCol, k, nProbe))
     val per = exact.map { case (q, want) =>
       if (want.isEmpty) 1.0
       else got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
     }
     if (per.isEmpty) 1.0 else per.sum / per.size
+  }
+
+  /** The recall probe's exact side re-ranks raw posting vectors, which
+    * a PQ index does not store — refuse with the way out rather than
+    * failing on a missing `cv` column downstream. */
+  private def requireFloatIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, root) = indexFs(spark, dir)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "codebooks")),
+      s"$dir is an IVF-PQ index (codebooks artifact present): its postings " +
+        "are PQ codes, not float vectors, so the probe's brute-force side " +
+        "cannot re-rank them — measure recall against a held-out float " +
+        "query/corpus pair via bruteForceKnn + ivfPqKnn instead")
   }
 
   /** One [[maintainIvfIndex]] decision: the signals it read and the

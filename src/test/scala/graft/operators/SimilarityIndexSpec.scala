@@ -390,6 +390,16 @@ class SimilarityIndexSpec extends SparkSuite {
     // probe off (default): recall rides as NaN
     assert(Similarity.maintainIvfIndex(spark, dir, maxSkew = 100.0,
       maxFiles = 100).recall.isNaN)
+    // held-out query set: identical contract through the overload
+    assert(Similarity.recallProbeWith(spark, dir,
+      queries, "id", "vec", k = 3, nProbe = 10) === 1.0)
+    // a PQ index refuses the probe with the way out (codes, not vectors)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(dir, "codebooks"))
+    val pq = intercept[IllegalArgumentException] {
+      Similarity.recallProbe(spark, dir)
+    }
+    assert(pq.getMessage.contains("PQ codes"))
   }
 
   // ---- auto-maintenance ---------------------------------------------------
