@@ -486,7 +486,12 @@ object Similarity {
     * through the pointer) but paid for in storage until the next
     * [[retrainIvfIndex]] sweeps them; [[maintainIvfIndex]] and `bgutil
     * indexstats` surface them so the leak is operator-visible.
-    * Metadata-only (one directory listing). Gen-0 orphans report as 0. */
+    * Metadata-only (one directory listing). Gen-0 orphans report as 0.
+    * The report itself is unguarded, so one taken while a retrain is
+    * RUNNING can list that retrain's half-written aside — harmless:
+    * [[sweepOrphanGenerations]] takes the compactor flag the retrain
+    * already holds, so acting on the report fails fast instead of
+    * eating the aside. */
   def orphanGenerations(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Int] = {
     val (fs, root) = indexFs(spark, dir)

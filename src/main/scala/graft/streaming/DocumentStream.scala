@@ -88,7 +88,13 @@ object DocumentStream {
     * Crash-replay idempotent BY CONSTRUCTION: if a batch's append
     * committed but the checkpoint didn't, the replayed batch anti-joins
     * against its own earlier output and appends nothing — no
-    * batch_seq/LWW resolution needed on read. */
+    * batch_seq/LWW resolution needed on read.
+    *
+    * ONE WRITER PER STORE: the dedup guarantee is anti-join-then-append,
+    * so two jobs appending to the same store can both pass the
+    * anti-join before either commits and double-admit a document. A
+    * streaming query serializes its own batches; do not point two
+    * queries at one store. */
   def appendNovel(batch: DataFrame, textCol: String, idCol: String,
       storeDir: String, batchId: Long,
       prefixChars: Int = DefaultPrefixChars): Unit =
@@ -379,17 +385,90 @@ object DocumentStream {
   }
 
   /** The running card [[curationBatch]] maintains: sum the per-batch
-    * increments. Mergeable by construction (plain sums), so the read is
-    * one aggregation over metadata-sized rows — one row per (group,
-    * batch); compact the increment log like any other store if batch
-    * count ever dominates. Fails loudly if no batch has produced a
-    * card yet. */
+    * increments plus the [[rebuildCard]] summary, if one exists. The
+    * summary's `folded_thru` watermark masks every increment it already
+    * subsumes (`batch_seq <= folded_thru`), so a rebuild crash that
+    * leaves folded increment directories behind cannot double-count —
+    * stale directories are simply ignored until the next rebuild's
+    * cleanup. Mergeable by construction (plain sums); the read is one
+    * aggregation over metadata-sized rows. Fails loudly if no batch has
+    * produced a card yet. */
   def curationCard(spark: org.apache.spark.sql.SparkSession,
-      cardDir: String, groupCol: String): DataFrame =
-    spark.read.parquet(cardDir)
+      cardDir: String, groupCol: String): DataFrame = {
+    // mergeSchema: increment footers lack the summary's folded_thru
+    val raw = spark.read.option("mergeSchema", "true").parquet(cardDir)
+    val all =
+      if (raw.columns.contains("folded_thru")) raw
+      else raw.withColumn("folded_thru", lit(null).cast("long"))
+    val thru = all.filter(col("batch_seq") === -1L)
+      .agg(max(col("folded_thru"))).head().get(0) match {
+        case null => Long.MinValue
+        case t: Long => t
+      }
+    all.filter(col("batch_seq") === -1L || col("batch_seq") > thru)
       .groupBy(col(groupCol))
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
         sum("n_bytes").as("n_bytes"))
+  }
+
+  /** Compact AND repair the card: recompute the group totals from the
+    * STORE (the authoritative state) into one summary partition
+    * (`batch_seq=-1`) carrying `folded_thru` = the max `batch_seq`
+    * present in the store at scan time, then drop every increment
+    * directory the summary subsumes. Run on the maintenance cadence —
+    * the increment log otherwise grows one directory per trigger
+    * forever, and this also heals the one at-least-once window
+    * [[curationBatch]] documents (store committed, card increment
+    * lost), because the summary is derived from the store, not from
+    * the possibly-lossy increments.
+    *
+    * Crash-consistent via the watermark: a crash after the summary
+    * write but before the directory drops leaves increments that
+    * [[curationCard]] already masks (`batch_seq <= folded_thru`), and
+    * the next rebuild cleans them. Concurrent batches are safe by the
+    * commit order [[curationBatch]] guarantees (store append commits
+    * BEFORE the card increment): a batch scanned here is subsumed and
+    * its increment masked; a batch that missed the scan has
+    * `batch_seq > folded_thru` and stays live. Guarded against a
+    * second concurrent rebuild. Returns the dropped directories. */
+  def rebuildCard(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, cardDir: String, textCol: String,
+      groupCol: String): Seq[String] =
+    graft.sources.Compaction.guardedCompaction(spark, cardDir) {
+      val store = spark.read.parquet(storeDir)
+      // ONE store scan: group totals + per-group max batch_seq, pinned
+      // (the watermark derivation and the write both read it)
+      val summary = store
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+            .as("n_tokens"),
+          sum(octet_length(col(textCol)).cast("long")).as("n_bytes"),
+          max(col("batch_seq")).as("__thru"))
+        .localCheckpoint(true)
+      try {
+        // one watermark for the whole summary (max over groups): the
+        // commit-order argument needs a single scan-time high-water mark
+        val thru = summary.agg(max("__thru")).head().getLong(0)
+        summary.drop("__thru")
+          .withColumn("folded_thru", lit(thru))
+          .withColumn("batch_seq", lit(-1L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_seq").parquet(cardDir)
+        val p = new org.apache.hadoop.fs.Path(cardDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val doomed = fs.listStatus(p).map(_.getPath)
+          .filter { d =>
+            val n = d.getName
+            n.startsWith("batch_seq=") &&
+              n.stripPrefix("batch_seq=").toLongOption
+                .exists(s => s >= 0 && s <= thru)
+          }.toSeq
+        doomed.foreach(fs.delete(_, true))
+        doomed.map(_.toString)
+      } finally summary.unpersist(false)
+    }
 
   /** The end-to-end streaming curation job: [[curationBatch]] per
     * trigger. `model` is trained offline ([[graft.operators.Classify

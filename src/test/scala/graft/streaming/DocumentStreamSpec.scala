@@ -221,6 +221,49 @@ class DocumentStreamSpec extends SparkSuite {
     // increments are batch_seq-partitioned (per-batch dynamic overwrite)
     assert(new java.io.File(card).listFiles()
       .exists(_.getName.startsWith("batch_seq=")))
+
+    // ---- rebuildCard: compaction + repair of the increment log ----
+    // simulate the documented at-least-once window: one increment lost
+    // (store committed, card increment didn't) → the card undercounts
+    val lost = new java.io.File(card).listFiles()
+      .filter(_.getName.matches("batch_seq=99")).head
+    org.apache.commons.io.FileUtils.deleteDirectory(lost)
+    val under = DocumentStream.curationCard(spark, card, "source")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(under("web") === 2L, "doc 8's increment was dropped")
+    // rebuild folds everything into one summary FROM THE STORE — the
+    // totals match the store exactly, healing the lost increment
+    val dropped = DocumentStream.rebuildCard(spark, store, card,
+      "text", "source")
+    assert(dropped.nonEmpty)
+    val healed = DocumentStream.curationCard(spark, card, "source")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(healed("web") === 3L && healed("books") === 1L)
+    val dirs = new java.io.File(card).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_seq=")).toSet
+    assert(dirs === Set("batch_seq=-1"), s"increments not folded: $dirs")
+    // a crash between summary write and directory drop leaves masked
+    // increments behind: plant a stale one at a folded batch_seq — the
+    // watermark ignores it, so the totals don't double-count
+    DocumentStream.curationBatch(
+      Seq(CuratedDoc(9L, "one more english document after the fold", "web"))
+        .toDF(), 120L, "text", "doc_id", "source", model, 0.0, store, card)
+    val stale = new java.io.File(card, "batch_seq=50")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(card, "batch_seq=120"), stale)
+    val masked = DocumentStream.curationCard(spark, card, "source")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(masked("web") === 4L,
+      "stale folded increment must be masked by folded_thru")
+    // and the next rebuild cleans the stale directory too
+    DocumentStream.rebuildCard(spark, store, card, "text", "source")
+    assert(!stale.exists())
+    assert(DocumentStream.curationCard(spark, card, "source")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap.apply("web") === 4L)
   }
 
   test("streaming dataset card: per-group totals update across batches, " +
