@@ -1100,6 +1100,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // K12: the maintenance recall probe's per-query evidence — for each
+    // query, how many of its brute-force top-3 the persisted index
+    // returns at nProbe=1 (the fixed-probe recall that decays under
+    // drift). Distributed join-count, no driver-side set compare; the
+    // oracle mirrors BOTH ranking sides (kmeans-CTE IVF probe + brute
+    // force) and the hit join in SQL.
+    "k12_recall_probe" -> { (s, dir) =>
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k12ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+        k = 8, iters = 2)
+      Similarity.recallProbeRows(s, idx,
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nProbe = 1)
+        .orderBy("query_id")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -5478,6 +5496,41 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin,
 
     "k6_knn_ivf_index" -> fullTrainIvfProbeOracle,
+
+    // both ranking sides of the recall probe, mirrored: the IVF side at
+    // nProbe=1 (rn <= 1 against the final c2 centroids — exactly what
+    // ivfIndexKnn probes after buildIvfIndex k=8/iters=2) and the
+    // brute-force side, then the per-query hit count as a left join
+    "k12_recall_probe" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |cells AS (SELECT vec_id, embedding, cell_id FROM a3 WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id, embedding, cell_id FROM a3
+         |  WHERE rn <= 1 AND vec_id >= 5 AND vec_id < 10),
+         |iscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+         |  FROM qcells q JOIN cells c ON q.cell_id = c.cell_id AND q.vec_id != c.vec_id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM iscored) WHERE rank <= 3),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id >= 5 AND q.vec_id < 10),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM bscored) WHERE rank <= 3)
+         |SELECT e.query_id, count(*) AS n_want,
+         |  count(i.neighbor_id) AS hits
+         |FROM exact e LEFT JOIN ivf i
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     // identical SQL to k6 BY DESIGN: the retrained index (stale build →
     // append → retrain at the k6 configuration → probe through the

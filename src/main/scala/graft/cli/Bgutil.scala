@@ -135,7 +135,7 @@ object Bgutil {
         "  markers [dir]                                 inspect guard markers + provenance\n" +
         "  clearmarkers [dir]                            stale-marker recovery (confirm holder dead first)\n" +
         "  indexstats <indexDir>                         IVF index per-cell postings/files + skew + orphans\n" +
-        "  maintainindex <indexDir> [maxSkew] [maxFiles] auto compact-vs-retrain from the indexstats signals\n" +
+        "  maintainindex <indexDir> [maxSkew] [maxFiles] [minRecall]  auto compact-vs-retrain from the signals\n" +
         "  recallprobe <indexDir> [n] [k] [nProbe]       measured recall@k vs brute force on a posting sample\n" +
         "  sweeporphans <indexDir>                       reclaim crashed-swap orphan generations (guarded)\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
@@ -193,7 +193,8 @@ object Bgutil {
     case "indexstats" => indexStatsCmd(db, rest(0))
     case "maintainindex" => maintainIndexCmd(db, rest(0),
       maxSkew = if (rest.length > 1) rest(1).toDouble else 4.0,
-      maxFiles = if (rest.length > 2) rest(2).toLong else 4L)
+      maxFiles = if (rest.length > 2) rest(2).toLong else 4L,
+      minRecall = if (rest.length > 3) rest(3).toDouble else Double.NaN)
     case "recallprobe" =>
       val r = graft.operators.Similarity.recallProbe(db.spark, rest(0),
         nQueries = if (rest.length > 1) rest(1).toInt else 32,
@@ -983,13 +984,15 @@ object Bgutil {
     * indexstats signals, dispatch retrain (skew over threshold) or
     * compact (files over threshold) or nothing, and report what ran. */
   def maintainIndexCmd(db: Db, dir: String, maxSkew: Double,
-      maxFiles: Long): Unit = {
+      maxFiles: Long, minRecall: Double = Double.NaN): Unit = {
     val m = graft.operators.Similarity.maintainIvfIndex(db.spark, dir,
-      maxSkew = maxSkew, maxFiles = maxFiles)
+      maxSkew = maxSkew, maxFiles = maxFiles, minRecall = minRecall)
+    val recallNote =
+      if (m.recall.isNaN) "" else f" recall=${m.recall}%.4f"
     println(f"${m.action}: cells=${m.cells} posting_skew=${m.postingSkew}%.2f " +
       s"max_files_per_cell=${m.maxFilesPerCell} " +
       s"orphan_generations=${if (m.orphans.isEmpty) "none"
-        else m.orphans.mkString(",")}")
+        else m.orphans.mkString(",")}" + recallNote)
   }
 
   /** Orphan points without a catalog row (drivers/cassandra.py:2734-2842). */

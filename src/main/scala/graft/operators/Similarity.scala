@@ -551,22 +551,41 @@ object Similarity {
   def recallProbeWith(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 1): Double = {
+    // integer rows averaged driver-side in query-id order: a distributed
+    // double avg sums in partition order and wobbles at the ULP, and a
+    // health-check number must be bit-stable run to run
+    val rows = recallProbeRows(spark, dir, queries, idCol, vecCol, k, nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (rows.isEmpty) 1.0 // no query had any exact neighbor
+    else rows.map(r => r._3.toDouble / r._2).sum / rows.length
+  }
+
+  /** Per-query recall evidence behind [[recallProbe]]: one row
+    * `(query_id, n_want, hits)` per query with at least one exact
+    * neighbor — `n_want` = its brute-force top-k size (< k only when
+    * the corpus is smaller than k+1), `hits` = how many of those the
+    * index returned at the given `nProbe`. Fully distributed (the hit
+    * count is a join, not a driver-side set compare), so it holds at
+    * any query-set size; recall@k = avg(hits / n_want). Oracled
+    * cross-engine as `k12_recall_probe`. */
+  def recallProbeRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val (_, postPath) = livePaths(spark, dir)
     requireFloatIndex(spark, dir)
     val posts = spark.read.parquet(postPath)
       .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
-    def topk(df: DataFrame): Map[Long, Set[Long]] = df
+    val exact = bruteForceKnn(queries, posts, idCol, vecCol, k)
       .select("query_id", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
-    val exact = topk(bruteForceKnn(queries, posts, idCol, vecCol, k))
-    val got = topk(ivfIndexKnn(queries, dir, idCol, vecCol, k, nProbe))
-    val per = exact.map { case (q, want) =>
-      if (want.isEmpty) 1.0
-      else got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
-    }
-    if (per.isEmpty) 1.0 else per.sum / per.size
+    val got = ivfIndexKnn(queries, dir, idCol, vecCol, k, nProbe)
+      .select(col("query_id"), col("neighbor_id").as("__got"))
+    exact.join(got,
+        exact("query_id") === got("query_id") &&
+          col("neighbor_id") === col("__got"), "left")
+      .groupBy(exact("query_id"))
+      .agg(count(lit(1)).as("n_want"), count(col("__got")).as("hits"))
   }
 
   /** The recall probe's exact side re-ranks raw posting vectors, which

