@@ -129,15 +129,19 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|indexstats|maintainindex|info|clustersdiff|shell|web> [args...]\n" +
+        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|indexstats|maintainindex|recallprobe|sweeporphans|rebuildcard|compactstore|info|clustersdiff|shell|web> [args...]\n" +
         "  compact [sinceS] [bucketsPerSlice]            fold streaming re-emissions (all stages)\n" +
         "  expire <nowS>                                 drop whole bucket dirs past retention\n" +
         "  markers [dir]                                 inspect guard markers + provenance\n" +
         "  clearmarkers [dir]                            stale-marker recovery (confirm holder dead first)\n" +
         "  indexstats <indexDir>                         IVF index per-cell postings/files + skew + orphans\n" +
-        "  maintainindex <indexDir> [maxSkew] [maxFiles] [minRecall]  auto compact-vs-retrain from the signals\n" +
+        "  maintainindex <indexDir> [maxSkew] [maxFiles] [minRecall] [srcParquet [idCol] [vecCol]]\n" +
+        "                                                auto compact-vs-retrain from the signals; srcParquet\n" +
+        "                                                enables PQ rebuild + PQ recall (else refused-pq)\n" +
         "  recallprobe <indexDir> [n] [k] [nProbe]       measured recall@k vs brute force on a posting sample\n" +
         "  sweeporphans <indexDir>                       reclaim crashed-swap orphan generations (guarded)\n" +
+        "  rebuildcard <storeDir> <cardDir> [textCol] [groupCol]  fold the curation card's increment log\n" +
+        "  compactstore <storeDir> [prefixesPerSlice]    fold a curation store's per-trigger small files\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
         "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
         "  dirs <glob>                                   directory glob (stored table or derived)\n" +
@@ -194,7 +198,21 @@ object Bgutil {
     case "maintainindex" => maintainIndexCmd(db, rest(0),
       maxSkew = if (rest.length > 1) rest(1).toDouble else 4.0,
       maxFiles = if (rest.length > 2) rest(2).toLong else 4L,
-      minRecall = if (rest.length > 3) rest(3).toDouble else Double.NaN)
+      minRecall = if (rest.length > 3) rest(3).toDouble else Double.NaN,
+      sourceParquet = if (rest.length > 4) Some(rest(4)) else None,
+      sourceIdCol = if (rest.length > 5) rest(5) else "vec_id",
+      sourceVecCol = if (rest.length > 6) rest(6) else "embedding")
+    case "rebuildcard" =>
+      val dropped = graft.streaming.DocumentStream.rebuildCard(db.spark,
+        rest(0), rest(1),
+        textCol = if (rest.length > 2) rest(2) else "text",
+        groupCol = if (rest.length > 3) rest(3) else "source")
+      dropped.foreach(p => println(s"folded $p"))
+      println(s"folded ${dropped.length} increment dir(s)")
+    case "compactstore" =>
+      graft.streaming.DocumentStream.compactStore(db.spark, rest(0),
+        prefixesPerSlice = if (rest.length > 1) rest(1).toInt else 8)
+      println(s"compacted ${rest(0)}")
     case "recallprobe" =>
       val r = graft.operators.Similarity.recallProbe(db.spark, rest(0),
         nQueries = if (rest.length > 1) rest(1).toInt else 32,
@@ -979,14 +997,24 @@ object Bgutil {
         else orphans.mkString(",")}")
   }
 
-  /** `bgutil maintainindex <indexDir> [maxSkew] [maxFiles]` — the cron
-    * face of [[graft.operators.Similarity.maintainIvfIndex]]: read the
-    * indexstats signals, dispatch retrain (skew over threshold) or
-    * compact (files over threshold) or nothing, and report what ran. */
+  /** `bgutil maintainindex <indexDir> [maxSkew] [maxFiles] [minRecall]
+    * [srcParquet [idCol] [vecCol]]` — the cron face of
+    * [[graft.operators.Similarity.maintainIvfIndex]]: read the
+    * indexstats signals, dispatch retrain (skew over threshold, or
+    * measured recall under the floor) or compact (files over
+    * threshold) or nothing, and report what ran. `srcParquet` names
+    * the float source-vector relation an IVF-PQ index retrains from
+    * (and measures recall against); without it a PQ decision that
+    * needs the vectors prints `refused-pq` instead of throwing. */
   def maintainIndexCmd(db: Db, dir: String, maxSkew: Double,
-      maxFiles: Long, minRecall: Double = Double.NaN): Unit = {
+      maxFiles: Long, minRecall: Double = Double.NaN,
+      sourceParquet: Option[String] = None,
+      sourceIdCol: String = "vec_id",
+      sourceVecCol: String = "embedding"): Unit = {
     val m = graft.operators.Similarity.maintainIvfIndex(db.spark, dir,
-      maxSkew = maxSkew, maxFiles = maxFiles, minRecall = minRecall)
+      maxSkew = maxSkew, maxFiles = maxFiles, minRecall = minRecall,
+      rebuildFrom = sourceParquet.map(p =>
+        (db.spark.read.parquet(p), sourceIdCol, sourceVecCol)))
     val recallNote =
       if (m.recall.isNaN) "" else f" recall=${m.recall}%.4f"
     println(f"${m.action}: cells=${m.cells} posting_skew=${m.postingSkew}%.2f " +

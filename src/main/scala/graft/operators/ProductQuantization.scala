@@ -197,6 +197,21 @@ object ProductQuantization {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** The LIVE (centroids, codebooks, postings, meta) paths of an
+    * IVF-PQ index under `dir` — the four-relation twin of
+    * [[Similarity.livePaths]], resolving through the same `MANIFEST`
+    * generation pointer so a [[rebuildIvfPqIndex]] is one atomic swap
+    * away from every reader and writer. */
+  def livePqPaths(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, String, String, String) =
+    Similarity.liveGeneration(spark, dir) match {
+      case 0 =>
+        (s"$dir/centroids", s"$dir/codebooks", s"$dir/postings", s"$dir/meta")
+      case g =>
+        (s"$dir/centroids_g$g", s"$dir/codebooks_g$g",
+          s"$dir/postings_g$g", s"$dir/meta_g$g")
+    }
+
   /** Persist an IVF-PQ index (FAISS's IndexIVFPQ shape): coarse
     * k-means centroids + PQ codebooks (both driver-small) and an
     * inverted file of PQ-ENCODED postings partitioned by cell — each
@@ -213,7 +228,12 @@ object ProductQuantization {
     * centroid + PQ(residual); its norm is computed per posting at
     * encode time from the k·m·ksub (cell, sub, code) combination table
     * — broadcast-small by construction. The index records the mode in
-    * `dir/meta`, so probes are self-describing. */
+    * `dir/meta`, so probes are self-describing.
+    *
+    * A REBUILD of a previously [[rebuildIvfPqIndex]]-retrained index
+    * resets the generation state (manifest + `*_g<N>` dropped LAST,
+    * after the fixed-path data is complete), exactly like
+    * [[Similarity.buildIvfIndex]]. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, kCells: Int, coarseIters: Int,
       m: Int, ksub: Int, pqIters: Int,
@@ -224,20 +244,37 @@ object ProductQuantization {
     // appendToIvfPqIndex is appending into — the append must fail fast
     // instead of being silently dropped
     graft.sources.Compaction.guardedCompaction(spark, dir) {
+      writeIndexState(corpus, idCol, vecCol, s"$dir/centroids",
+        s"$dir/codebooks", s"$dir/postings", s"$dir/meta",
+        kCells, coarseIters, m, ksub, pqIters, byResidual)
+      Similarity.resetGenerations(spark, dir)
+    }
+  }
+
+  /** Train + encode one complete IVF-PQ index state at the given four
+    * paths — the write body shared by [[buildIvfPqIndex]] (fixed
+    * paths) and [[rebuildIvfPqIndex]] (a fresh generation's aside
+    * paths). Callers hold the compaction guard. */
+  private def writeIndexState(corpus: DataFrame, idCol: String,
+      vecCol: String, centPath: String, cbPath: String, postPath: String,
+      metaPath: String, kCells: Int, coarseIters: Int,
+      m: Int, ksub: Int, pqIters: Int, byResidual: Boolean): Unit = {
+    val spark = corpus.sparkSession
     val cents = Clustering.kmeansFit(corpus, idCol, vecCol,
       kCells, coarseIters)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cents.write.mode("overwrite").parquet(centPath)
     spark.range(1).select(lit(byResidual).as("by_residual"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+      .write.mode("overwrite").parquet(metaPath)
     if (!byResidual) {
       val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
-      cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+      cb.write.mode("overwrite").parquet(cbPath)
       encodePostings(corpus, idCol, vecCol, cents, cb, byResidual = false)
         .write.mode("overwrite").partitionBy("cell_id")
-        .parquet(s"$dir/postings")
+        .parquet(postPath)
     } else {
       val dim = probeDim(corpus, vecCol)
-      require(dim % m == 0, s"buildIvfPqIndex: dim $dim not divisible by m=$m")
+      require(dim % m == 0,
+        s"buildIvfPqIndex: dim $dim not divisible by m=$m")
       // train on the residuals of the build corpus (the same residual
       // relation encodePostings will recompute for the encode — training
       // and encoding stay one materialized pass each)
@@ -246,11 +283,56 @@ object ProductQuantization {
           "neighbor_id", "cv", cents)
       val resid = residuals(cells, cents).localCheckpoint(true)
       val cb = pqTrain(resid, "neighbor_id", "rv", m, ksub, pqIters)
-      cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+      cb.write.mode("overwrite").parquet(cbPath)
       encodeResidualPostings(resid, cents, cb)
         .write.mode("overwrite").partitionBy("cell_id")
-        .parquet(s"$dir/postings")
+        .parquet(postPath)
     }
+  }
+
+  /** RETRAIN an IVF-PQ index from its SOURCE vectors — the PQ twin of
+    * [[Similarity.retrainIvfIndex]] and FAISS's drift answer for
+    * IndexIVFPQ: the persisted postings are CODES, so re-clustering
+    * needs the original float relation (`source` must be the corpus
+    * the index currently serves — typically the durable embedding
+    * table its builds and appends came from). Coarse quantizer AND
+    * codebooks retrain at the given configuration, every vector is
+    * re-encoded, and the complete new state lands in a fresh
+    * generation (`centroids_g<N+1>`, `codebooks_g<N+1>`,
+    * `postings_g<N+1>`, `meta_g<N+1>`) before the `MANIFEST` pointer
+    * swaps atomically and every superseded state is swept — the exact
+    * lifecycle [[Similarity.retrainIvfIndex]] gives float indexes, so
+    * probes stay green throughout and a rebuilt index answers EXACTLY
+    * as a fresh [[buildIvfPqIndex]] over the same source (the k13
+    * oracle contract).
+    *
+    * `m`/`ksub` default to the LIVE codebook's shape and `byResidual`
+    * to the live meta — pass them to change the code budget or
+    * encoding at rebuild time. Runs under the compaction guard: a
+    * concurrent append either lands before the rebuild's read or
+    * fails fast, never into the doomed generation. */
+  def rebuildIvfPqIndex(source: DataFrame, idCol: String, vecCol: String,
+      dir: String, kCells: Int, coarseIters: Int,
+      m: Int = -1, ksub: Int = -1, pqIters: Int = 1,
+      byResidual: Option[Boolean] = None): Unit = {
+    val spark = source.sparkSession
+    graft.sources.Compaction.guardedCompaction(spark, dir) {
+      require(Similarity.isPqIndex(spark, dir),
+        s"$dir is not an IVF-PQ index (no codebooks artifact) — " +
+          "use Similarity.retrainIvfIndex for a float IVF index")
+      val (_, cbPath, _, metaPath) = livePqPaths(spark, dir)
+      val (liveM, liveKsub, _) =
+        codebookShape(spark.read.parquet(cbPath))
+      val useM = if (m > 0) m else liveM
+      val useKsub = if (ksub > 0) ksub else liveKsub
+      val mode = byResidual.getOrElse(readMeta(spark, metaPath))
+      val gen = Similarity.liveGeneration(spark, dir) + 1
+      writeIndexState(source, idCol, vecCol, s"$dir/centroids_g$gen",
+        s"$dir/codebooks_g$gen", s"$dir/postings_g$gen",
+        s"$dir/meta_g$gen", kCells, coarseIters, useM, useKsub,
+        pqIters, mode)
+      Similarity.swapManifest(spark, dir, gen)
+      Similarity.sweepNonLive(spark, dir, gen)
     }
   }
 
@@ -271,13 +353,17 @@ object ProductQuantization {
     // compactIvfIndex/rebuild would otherwise read-then-overwrite the
     // cell dirs this is appending into and silently drop the batch
     graft.sources.Compaction.guardedAppend(spark, dir) {
-      val byResidual = readMeta(spark, dir)
-      val cents = spark.read.parquet(s"$dir/centroids")
+      // paths resolved INSIDE the guard: a rebuild cannot swap the
+      // generation pointer between this resolution and the write (it
+      // holds the compactor flag, which this appender flag excludes)
+      val (centPath, cbPath, postPath, metaPath) = livePqPaths(spark, dir)
+      val byResidual = readMeta(spark, metaPath)
+      val cents = spark.read.parquet(centPath)
       Similarity.requireSameDim(newVectors, vecCol, cents)
-      val cb = spark.read.parquet(s"$dir/codebooks")
+      val cb = spark.read.parquet(cbPath)
       encodePostings(newVectors, idCol, vecCol, cents, cb, byResidual)
         .write.mode("append").partitionBy("cell_id")
-        .parquet(s"$dir/postings")
+        .parquet(postPath)
     }
   }
 
@@ -337,13 +423,14 @@ object ProductQuantization {
         col("cell_id"))
   }
 
-  /** Read `dir/meta`'s by_residual flag (false when absent — plain
-    * encoding predates the flag). */
+  /** Read a meta relation's by_residual flag (false when absent —
+    * plain encoding predates the flag). Takes the RESOLVED live meta
+    * path, not the index dir. */
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      metaPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(metaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && spark.read.parquet(s"$dir/meta").head().getBoolean(0)
+    fs.exists(p) && spark.read.parquet(metaPath).head().getBoolean(0)
   }
 
   /** Probe a [[buildIvfPqIndex]] index: rank each query's `nProbe`
@@ -360,10 +447,14 @@ object ProductQuantization {
     require(k >= 1 && nProbe >= 1,
       s"ivfPqKnn: k and nProbe must be positive (got k=$k nProbe=$nProbe)")
     val spark = queries.sparkSession
-    val byResidual = readMeta(spark, indexDir)
-    val cents = broadcast(spark.read.parquet(s"$indexDir/centroids")
+    // every relation through the generation pointer, so a
+    // rebuildIvfPqIndex is one atomic swap away from this probe
+    val (centPath, cbPath, postPath, metaPath) =
+      livePqPaths(spark, indexDir)
+    val byResidual = readMeta(spark, metaPath)
+    val cents = broadcast(spark.read.parquet(centPath)
       .withColumn("__cn", Similarity.l2norm(col("centroid"))))
-    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val cb = spark.read.parquet(cbPath)
     val (m, stride, subDim) = codebookShape(cb)
     val base = queries.select(col(idCol).as("query_id"), col(vecCol))
     // probe assignment — materialized: it feeds the driver-side
@@ -390,7 +481,7 @@ object ProductQuantization {
     val q = broadcast(probes.join(tbl, Seq("query_id")))
     val probed = probes.select("cell_id").distinct().collect()
       .map(_.get(0)).toSeq
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = spark.read.parquet(postPath)
       .filter(col("cell_id").isin(probed: _*))
     // residual mode: recon = centroid + PQ(residual), so dot(q, recon)
     // = qcdot + Σ_sub q_sub·rc — the table is over residual codebooks,
@@ -408,5 +499,46 @@ object ProductQuantization {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Measured recall of a persisted IVF-PQ index against brute force —
+    * the PQ twin of [[Similarity.recallProbe]], which cannot run on
+    * code postings: the exact side needs float vectors, so the caller
+    * supplies `source`, the corpus the index serves (the same relation
+    * its builds/appends encoded). Queries are the `nQueries` source
+    * rows with the smallest md5(id) — deterministic, hash-spread, one
+    * TakeOrdered scan — and the evidence fold is the bit-stable
+    * driver-side average every probe here uses. Note PQ recall folds
+    * BOTH the coarse probe miss AND the code-reconstruction error, so
+    * it sits below a float index's recall at the same nProbe — set
+    * floors against a measured baseline, not 1.0. */
+  def recallProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      source: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int = 32, k: Int = 3, nProbe: Int = 1): Double = {
+    require(nQueries > 0, s"nQueries must be positive: $nQueries")
+    val queries = source
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nQueries)
+      .localCheckpoint(true) // feeds both the exact and the probe side
+    Similarity.meanRecall(
+      recallProbeRows(spark, dir, source, queries, idCol, vecCol, k, nProbe))
+  }
+
+  /** Per-query recall evidence behind the PQ [[recallProbe]]: one row
+    * `(query_id, n_want, hits)` per query with at least one exact
+    * neighbor, fully distributed — the
+    * [[Similarity.recallProbeRows]] shape with the exact side ranking
+    * the SOURCE float vectors and the index side ranking through
+    * [[ivfPqKnn]]. Oracled cross-engine as `k13b_ivfpq_recall`. */
+  def recallProbeRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String, source: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val exact = Similarity.bruteForceKnn(queries, source, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val got = ivfPqKnn(queries, dir, idCol, vecCol, k, nProbe)
+      .select(col("query_id"), col("neighbor_id").as("__got"))
+    Similarity.recallHitCounts(exact, got)
   }
 }

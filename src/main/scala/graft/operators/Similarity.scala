@@ -274,14 +274,22 @@ object Similarity {
 
   private val ManifestName = "MANIFEST"
 
-  private def indexFs(spark: org.apache.spark.sql.SparkSession, dir: String)
+  private[operators] def indexFs(spark: org.apache.spark.sql.SparkSession,
+      dir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val root = new org.apache.hadoop.fs.Path(dir)
     (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
   }
 
-  /** The generation-suffixed `(centroids|postings)_g<N>` directory
-    * numbers present under `dir`, newest first. */
+  /** Every relation name an index generation can carry: float indexes
+    * use the first two; IVF-PQ indexes add `codebooks` + `meta`. One
+    * list so the swap/sweep/reset machinery treats both layouts
+    * uniformly (a name that does not exist is simply skipped). */
+  private[operators] val IndexRelations =
+    Seq("centroids", "postings", "codebooks", "meta")
+
+  /** The generation-suffixed `<relation>_g<N>` directory numbers
+    * present under `dir`, newest first. */
   private def onDiskGenerations(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Int] =
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "*_g*")))
@@ -290,7 +298,8 @@ object Similarity {
       .collect { case GenDirName(_, g) => g.toInt }
       .distinct.sorted.reverse.toSeq
 
-  private val GenDirName = "(centroids|postings)_g(\\d+)".r
+  private val GenDirName =
+    "(centroids|postings|codebooks|meta)_g(\\d+)".r
 
   /** The index's current generation number: what `dir/MANIFEST` names
     * ([[retrainIvfIndex]] wrote it), or 0 for an index that has never
@@ -338,11 +347,86 @@ object Similarity {
     * generation-suffixed once a [[retrainIvfIndex]] has swapped the
     * manifest pointer, the original fixed names before that. Every
     * reader and writer of a float IVF index resolves through this, so
-    * a retrain is one atomic pointer swap away from all of them. */
+    * a retrain is one atomic pointer swap away from all of them.
+    * (IVF-PQ indexes resolve their four relations through
+    * [[ProductQuantization.livePqPaths]], same pointer.) */
   def livePaths(spark: org.apache.spark.sql.SparkSession, dir: String)
       : (String, String) = liveGeneration(spark, dir) match {
     case 0 => (s"$dir/centroids", s"$dir/postings")
     case g => (s"$dir/centroids_g$g", s"$dir/postings_g$g")
+  }
+
+  /** Whether `dir` holds an IVF-PQ index: a `codebooks` artifact at the
+    * live generation — or at the fixed path regardless of generation
+    * (conservative: a stray codebooks relation next to a float index
+    * means SOMETHING is PQ-shaped here, and the float-only verbs must
+    * refuse rather than misread codes as vectors). */
+  private[operators] def isPqIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val (fs, root) = indexFs(spark, dir)
+    val liveName = liveGeneration(spark, dir) match {
+      case 0 => "codebooks"
+      case g => s"codebooks_g$g"
+    }
+    fs.exists(new org.apache.hadoop.fs.Path(root, "codebooks")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(root, liveName))
+  }
+
+  /** Atomically point `dir/MANIFEST` at `gen`: write aside, then
+    * delete + rename (rename-over-existing is not portable across
+    * Hadoop filesystems). Readers never see a TORN pointer; in the
+    * delete→rename instant a reader sees NO pointer and
+    * [[liveGeneration]]'s no-manifest rule resolves the newest
+    * COMPLETE state — correct because every generation is fully
+    * written before this swap runs. Callers hold the compaction
+    * guard. */
+  private[operators] def swapManifest(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      gen: Int): Unit = {
+    val (fs, root) = indexFs(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    val manifest = new org.apache.hadoop.fs.Path(root, ManifestName)
+    fs.delete(manifest, false)
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(
+        s"could not swap $dir/$ManifestName to generation $gen")
+  }
+
+  /** Delete EVERY index state that is not generation `keepGen`: the
+    * fixed-path relations and every other `*_g<N>` — not just the
+    * direct predecessor, so a crash between a previous swap and its
+    * drop cannot leak a generation forever. Covers all
+    * [[IndexRelations]], so float and PQ layouts sweep identically.
+    * Callers hold the compaction guard. */
+  private[operators] def sweepNonLive(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepGen: Int): Unit = {
+    val (fs, root) = indexFs(spark, dir)
+    if (keepGen != 0) IndexRelations.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    onDiskGenerations(fs, root).filter(_ != keepGen).foreach { g =>
+      IndexRelations.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"${n}_g$g"), true))
+    }
+  }
+
+  /** Reset an index's generation state after a fresh fixed-path build:
+    * drop the manifest and every `*_g<N>` directory, so a probe never
+    * resolves a stale pointer onto a superseded generation while the
+    * fresh build sits unread at the fixed paths. Runs LAST in a
+    * rebuild — the fixed-path data is complete before the pointer
+    * stops naming the old generation. */
+  private[operators] def resetGenerations(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val (fs, root) = indexFs(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(root, ManifestName), false)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "*_g*")))
+      .getOrElse(Array.empty)
+      .filter(st => GenDirName.matches(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** PERSIST an IVF index — the train-once / probe-many shape of a
@@ -368,7 +452,6 @@ object Similarity {
     import graft.operators.Clustering
     val spark = corpus.sparkSession
     graft.sources.Compaction.guardedCompaction(spark, dir) {
-      val (fs, root) = indexFs(spark, dir)
       val cents = Clustering.kmeansFit(corpus, idCol, vecCol, k, iters)
       cents.write.mode("overwrite").parquet(s"$dir/centroids")
       Clustering.assignCells(
@@ -380,11 +463,7 @@ object Similarity {
         .parquet(s"$dir/postings")
       // generation reset LAST: the fixed-path data above is complete
       // before the pointer stops naming the old generation
-      fs.delete(new org.apache.hadoop.fs.Path(root, ManifestName), false)
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "*_g*")))
-        .getOrElse(Array.empty)
-        .filter(st => GenDirName.matches(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, true))
+      resetGenerations(spark, dir)
     }
   }
 
@@ -407,12 +486,11 @@ object Similarity {
       dir: String, k: Int, iters: Int): Unit =
       graft.sources.Compaction.guardedCompaction(spark, dir) {
     import graft.operators.Clustering
-    val (fs, root) = indexFs(spark, dir)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "codebooks")),
+    require(!isPqIndex(spark, dir),
       s"$dir is an IVF-PQ index (codebooks artifact present): its postings " +
         "are PQ codes, not float vectors, so an in-place retrain cannot " +
-        "re-cluster them — rebuild with buildIvfPqIndex from the source " +
-        "vectors instead")
+        "re-cluster them — use ProductQuantization.rebuildIvfPqIndex with " +
+        "the source vectors instead")
     val oldGen = liveGeneration(spark, dir)
     val (_, oldPosts) = livePaths(spark, dir)
     val gen = oldGen + 1
@@ -424,37 +502,18 @@ object Similarity {
       .select("neighbor_id", "cv", "cnorm", "cell_id")
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$dir/postings_g$gen")
-    // pointer swap: write aside, then delete + rename (rename-over-
-    // existing is not portable across Hadoop filesystems). Readers
-    // never see a TORN pointer; in the delete→rename instant a reader
-    // sees NO pointer and [[liveGeneration]]'s no-manifest rule
-    // resolves the newest COMPLETE state — the fixed paths while they
-    // still exist (first retrain), the max on-disk generation once
-    // they are gone (both generations are fully written before this
-    // point, so either resolution is a correct read). The same rule
-    // covers a crash landing between this rename and the sweep below.
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$ManifestName.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(gen.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-    val manifest = new org.apache.hadoop.fs.Path(root, ManifestName)
-    fs.delete(manifest, false)
-    if (!fs.rename(tmp, manifest))
-      throw new java.io.IOException(
-        s"could not swap $dir/$ManifestName to generation $gen")
+    // pointer swap (see [[swapManifest]]: readers in the delete→rename
+    // instant resolve the newest COMPLETE state, and the same rule
+    // covers a crash between the rename and the sweep below), then
     // sweep EVERY superseded state, not just this retrain's direct
-    // predecessor: a crash between a previous swap and its drop leaves
-    // a whole orphan generation behind (invisible to readers, who go
-    // through the pointer — but paid for in storage forever unless
-    // someone cleans it). In-flight probes of a swept generation are
-    // the same reader-vs-compactor caveat every compaction here
-    // carries.
-    fs.delete(new org.apache.hadoop.fs.Path(root, "centroids"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(root, "postings"), true)
-    onDiskGenerations(fs, root).filter(_ != gen).foreach { g =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"centroids_g$g"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"postings_g$g"), true)
-    }
+    // predecessor — a crash between a previous swap and its drop
+    // leaves a whole orphan generation behind (invisible to readers,
+    // who go through the pointer, but paid for in storage forever
+    // unless someone cleans it). In-flight probes of a swept
+    // generation are the same reader-vs-compactor caveat every
+    // compaction here carries.
+    swapManifest(spark, dir, gen)
+    sweepNonLive(spark, dir, gen)
   }
 
   /** Maintenance report for a persisted IVF index: one row per cell
@@ -514,8 +573,8 @@ object Similarity {
     graft.sources.Compaction.guardedCompaction(spark, dir) {
       val (fs, _) = indexFs(spark, dir)
       val doomed = orphanGenerations(spark, dir).flatMap { g =>
-        if (g == 0) Seq(s"$dir/centroids", s"$dir/postings")
-        else Seq(s"$dir/centroids_g$g", s"$dir/postings_g$g")
+        if (g == 0) IndexRelations.map(n => s"$dir/$n")
+        else IndexRelations.map(n => s"$dir/${n}_g$g")
       }.filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
       doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
       doomed
@@ -551,15 +610,39 @@ object Similarity {
   def recallProbeWith(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 1): Double = {
-    // integer rows averaged driver-side in query-id order: a distributed
-    // double avg sums in partition order and wobbles at the ULP, and a
-    // health-check number must be bit-stable run to run
-    val rows = recallProbeRows(spark, dir, queries, idCol, vecCol, k, nProbe)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    meanRecall(
+      recallProbeRows(spark, dir, queries, idCol, vecCol, k, nProbe))
+  }
+
+  /** Fold per-query (query_id, n_want, hits) evidence rows into mean
+    * recall@k, driver-side in query-id order: a distributed double avg
+    * sums in partition order and wobbles at the ULP, and a
+    * health-check number must be bit-stable run to run. query_id keeps
+    * the CALLER's id type (long, int, string, ...), so the sort key is
+    * its string form — any fixed total order gives the same bit-stable
+    * sum, and assuming LongType crashed a cron'd probe on an
+    * int/string-keyed index. */
+  private[operators] def meanRecall(evidence: DataFrame): Double = {
+    val rows = evidence.collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     if (rows.isEmpty) 1.0 // no query had any exact neighbor
     else rows.map(r => r._3.toDouble / r._2).sum / rows.length
   }
+
+  /** The per-query hit count behind every recall probe: `exact` =
+    * (query_id, neighbor_id) brute-force truth, `got` = the index's
+    * answer with the neighbor as `__got` — one row (query_id, n_want,
+    * hits) per query with at least one exact neighbor, fully
+    * distributed (the hit count is a join, not a driver-side set
+    * compare). */
+  private[operators] def recallHitCounts(exact: DataFrame,
+      got: DataFrame): DataFrame =
+    exact.join(got,
+        exact("query_id") === got("query_id") &&
+          col("neighbor_id") === col("__got"), "left")
+      .groupBy(exact("query_id"))
+      .agg(count(lit(1)).as("n_want"), count(col("__got")).as("hits"))
 
   /** Per-query recall evidence behind [[recallProbe]]: one row
     * `(query_id, n_want, hits)` per query with at least one exact
@@ -581,25 +664,19 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val got = ivfIndexKnn(queries, dir, idCol, vecCol, k, nProbe)
       .select(col("query_id"), col("neighbor_id").as("__got"))
-    exact.join(got,
-        exact("query_id") === got("query_id") &&
-          col("neighbor_id") === col("__got"), "left")
-      .groupBy(exact("query_id"))
-      .agg(count(lit(1)).as("n_want"), count(col("__got")).as("hits"))
+    recallHitCounts(exact, got)
   }
 
   /** The recall probe's exact side re-ranks raw posting vectors, which
     * a PQ index does not store — refuse with the way out rather than
     * failing on a missing `cv` column downstream. */
   private def requireFloatIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val (fs, root) = indexFs(spark, dir)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "codebooks")),
+      dir: String): Unit =
+    require(!isPqIndex(spark, dir),
       s"$dir is an IVF-PQ index (codebooks artifact present): its postings " +
         "are PQ codes, not float vectors, so the probe's brute-force side " +
-        "cannot re-rank them — measure recall against a held-out float " +
-        "query/corpus pair via bruteForceKnn + ivfPqKnn instead")
-  }
+        "cannot re-rank them — probe against the index's SOURCE vectors " +
+        "via ProductQuantization.recallProbe instead")
 
   /** One [[maintainIvfIndex]] decision: the signals it read and the
     * verb it dispatched (`"retrain"`, `"compact"`, or `"noop"`).
@@ -646,37 +723,77 @@ object Similarity {
     * measured recall drops below the floor even with balanced cells —
     * boundary-straddle drift. The probe costs a brute-force pass over
     * the postings, so enable it on the health-check cadence, not per
-    * batch. */
+    * batch.
+    *
+    * IVF-PQ indexes (a `codebooks` artifact) store codes, not float
+    * vectors, so neither the in-place retrain nor the self-postings
+    * recall probe can run on them — the FAISS contract is
+    * retrain-from-source. Pass `rebuildFrom = Some((source, idCol,
+    * vecCol))` (the indexed corpus, float vectors) and a PQ retrain
+    * dispatches [[ProductQuantization.rebuildIvfPqIndex]] at the live
+    * configuration (same atomic generation swap), with the recall
+    * floor measured by [[ProductQuantization.recallProbe]] against the
+    * source. Without a source, a PQ decision that would need the
+    * vectors returns `action = "refused-pq"` — a typed refusal a cron
+    * can alert on, never an exception mid-dispatch. */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxSkew: Double = 4.0, maxFiles: Long = 4,
       retrainK: Int = -1, retrainIters: Int = 2,
       minRecall: Double = Double.NaN, probeK: Int = 3,
-      probeNProbe: Int = 1): IndexMaintenance = {
+      probeNProbe: Int = 1,
+      rebuildFrom: Option[(DataFrame, String, String)] = None)
+      : IndexMaintenance = {
     require(maxSkew > 0 && maxFiles > 0,
       s"thresholds must be positive: maxSkew=$maxSkew maxFiles=$maxFiles")
     require(minRecall.isNaN || (minRecall >= 0 && minRecall <= 1),
       s"minRecall must be in [0, 1] (or NaN = off): $minRecall")
+    val pq = isPqIndex(spark, dir)
     val stats = indexStats(spark, dir)
       .agg(count(lit(1)).as("cells"),
         (max(col("postings")) / avg(col("postings"))).as("skew"),
         max(col("files")).as("max_files"))
       .head()
-    val (cells, skew, files) =
-      (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
+    // zero posting rows → the max/avg aggregates are null; an empty
+    // index is balanced by definition (skew 0, no files), not an NPE
+    val cells = stats.getLong(0)
+    val skew = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    val files = if (stats.isNullAt(2)) 0L else stats.getLong(2)
     val orphans = orphanGenerations(spark, dir)
+    def report(action: String, recall: Double = Double.NaN) =
+      IndexMaintenance(action, cells, skew, files, orphans, recall)
+    // a requested recall floor that cannot be measured (PQ, no source)
+    // is a typed refusal, not a silent noop — the cron asked for a
+    // check this index cannot answer without its source vectors
+    if (pq && !minRecall.isNaN && rebuildFrom.isEmpty)
+      return report("refused-pq")
     val recall =
       if (minRecall.isNaN) Double.NaN
-      else recallProbe(spark, dir, k = probeK, nProbe = probeNProbe)
+      else if (!pq) recallProbe(spark, dir, k = probeK, nProbe = probeNProbe)
+      else {
+        val (src, srcId, srcVec) = rebuildFrom.get
+        ProductQuantization.recallProbe(spark, dir, src, srcId, srcVec,
+          k = probeK, nProbe = probeNProbe)
+      }
     if (skew > maxSkew || (!recall.isNaN && recall < minRecall)) {
       val k = if (retrainK > 0) retrainK
         else spark.read.parquet(livePaths(spark, dir)._1).count().toInt
-      retrainIvfIndex(spark, dir, k, retrainIters)
-      // the retrain swept every non-live state, orphans included
-      IndexMaintenance("retrain", cells, skew, files, orphans, recall)
+      if (!pq) {
+        retrainIvfIndex(spark, dir, k, retrainIters)
+        // the retrain swept every non-live state, orphans included
+        report("retrain", recall)
+      } else rebuildFrom match {
+        case Some((src, srcId, srcVec)) =>
+          ProductQuantization.rebuildIvfPqIndex(src, srcId, srcVec, dir,
+            kCells = k, coarseIters = retrainIters,
+            pqIters = retrainIters)
+          report("retrain", recall)
+        case None => report("refused-pq", recall)
+      }
     } else if (files > maxFiles) {
+      // compact is PQ-legal: it rewrites code postings byte-identically
       compactIvfIndex(spark, dir)
-      IndexMaintenance("compact", cells, skew, files, orphans, recall)
-    } else IndexMaintenance("noop", cells, skew, files, orphans, recall)
+      report("compact", recall)
+    } else report("noop", recall)
   }
 
   /** APPEND new vectors to a [[buildIvfIndex]] index without

@@ -98,14 +98,20 @@ object DocumentStream {
   def appendNovel(batch: DataFrame, textCol: String, idCol: String,
       storeDir: String, batchId: Long,
       prefixChars: Int = DefaultPrefixChars): Unit =
-    novelAgainstStore(batch, textCol, idCol, storeDir, prefixChars)
-      .withColumn("batch_seq", lit(batchId))
-      // one writer per prefix: without this every shuffle task writes
-      // into every kp= dir it holds a row for — up to tasks × dirs tiny
-      // files PER MICRO-BATCH (the bg_curation_stream bench measured
-      // the spray at ~4× the whole path's useful work)
-      .repartition(col("kp"))
-      .write.mode("append").partitionBy("kp").parquet(storeDir)
+    // appender flag for the whole anti-join→append span: a concurrent
+    // [[compactStore]] would otherwise read-then-overwrite the kp dirs
+    // this batch is appending into and silently drop it — with the
+    // two-flag protocol one side fails fast instead
+    graft.sources.Compaction.guardedAppend(batch.sparkSession, storeDir) {
+      novelAgainstStore(batch, textCol, idCol, storeDir, prefixChars)
+        .withColumn("batch_seq", lit(batchId))
+        // one writer per prefix: without this every shuffle task writes
+        // into every kp= dir it holds a row for — up to tasks × dirs tiny
+        // files PER MICRO-BATCH (the bg_curation_stream bench measured
+        // the spray at ~4× the whole path's useful work)
+        .repartition(col("kp"))
+        .write.mode("append").partitionBy("kp").parquet(storeDir)
+    }
 
   /** Key-prefix width for NEW history stores: 1 hex char = 16
     * partition directories. The width bounds BOTH sides of the
@@ -364,24 +370,30 @@ object DocumentStream {
     // re-execute the whole regex-heavy gate + NB plan (measured as the
     // second-largest per-batch cost after the store write)
     val routed = gated.join(scored, Seq(idCol)).localCheckpoint(true)
-    val novel = novelAgainstStore(routed, textCol, idCol, storeDir)
-      .localCheckpoint(true)
-    try {
-      novel.withColumn("batch_seq", lit(batchId))
-        .repartition(col("kp")) // one writer per prefix, see appendNovel
-        .write.mode("append").partitionBy("kp").parquet(storeDir)
-      novel
-        .groupBy(col(groupCol))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
-            .as("n_tokens"),
-          sum(octet_length(col(textCol)).cast("long")).as("n_bytes"))
-        .withColumn("batch_seq", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_seq")
-        .parquet(cardDir)
-    } finally { novel.unpersist(false); routed.unpersist(false) }
+    // appender flag across the anti-join→append span (see
+    // [[appendNovel]]): a concurrent [[compactStore]] fails fast
+    // instead of silently dropping this batch's postings
+    try graft.sources.Compaction.guardedAppend(
+        batch.sparkSession, storeDir) {
+      val novel = novelAgainstStore(routed, textCol, idCol, storeDir)
+        .localCheckpoint(true)
+      try {
+        novel.withColumn("batch_seq", lit(batchId))
+          .repartition(col("kp")) // one writer per prefix, see appendNovel
+          .write.mode("append").partitionBy("kp").parquet(storeDir)
+        novel
+          .groupBy(col(groupCol))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+              .as("n_tokens"),
+            sum(octet_length(col(textCol)).cast("long")).as("n_bytes"))
+          .withColumn("batch_seq", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_seq")
+          .parquet(cardDir)
+      } finally novel.unpersist(false)
+    } finally routed.unpersist(false)
   }
 
   /** The running card [[curationBatch]] maintains: sum the per-batch
@@ -425,16 +437,36 @@ object DocumentStream {
     * Crash-consistent via the watermark: a crash after the summary
     * write but before the directory drops leaves increments that
     * [[curationCard]] already masks (`batch_seq <= folded_thru`), and
-    * the next rebuild cleans them. Concurrent batches are safe by the
-    * commit order [[curationBatch]] guarantees (store append commits
-    * BEFORE the card increment): a batch scanned here is subsumed and
-    * its increment masked; a batch that missed the scan has
-    * `batch_seq > folded_thru` and stays live. Guarded against a
-    * second concurrent rebuild. Returns the dropped directories. */
+    * the next rebuild cleans them. Concurrent batches: the commit
+    * order [[curationBatch]] guarantees (store append commits BEFORE
+    * the card increment) means a FULLY-committed batch scanned here is
+    * subsumed and its increment masked, and a batch that missed the
+    * scan entirely stays live above the watermark — but a store append
+    * that is only PARTIALLY visible at scan time (the rebuild raced
+    * the commit) can be partially counted into a summary whose
+    * watermark then masks that batch's full increment, so the card
+    * UNDERCOUNTS that batch until the next rebuild re-derives it from
+    * the (by then fully committed) store. Self-healing, never
+    * double-counting — schedule rebuilds off the trigger cadence if
+    * the window matters. Guarded against a second concurrent rebuild.
+    * An empty store is a no-op. Returns the dropped directories. */
   def rebuildCard(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, cardDir: String, textCol: String,
       groupCol: String): Seq[String] =
     graft.sources.Compaction.guardedCompaction(spark, cardDir) {
+      // a store with no committed batch yet (missing dir, or an empty
+      // first batch's _SUCCESS with no files to infer a schema from)
+      // means nothing to fold — the cron no-ops instead of crashing
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val storeFs = storePath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val hasData = storeFs.exists(storePath) &&
+        storeFs.listStatus(storePath).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      if (!hasData) Seq.empty
+      else {
       val store = spark.read.parquet(storeDir)
       // ONE store scan: group totals + per-group max batch_seq, pinned
       // (the watermark derivation and the write both read it)
@@ -448,8 +480,14 @@ object DocumentStream {
         .localCheckpoint(true)
       try {
         // one watermark for the whole summary (max over groups): the
-        // commit-order argument needs a single scan-time high-water mark
-        val thru = summary.agg(max("__thru")).head().getLong(0)
+        // commit-order argument needs a single scan-time high-water
+        // mark. An EMPTY store (rebuild cron fires before the first
+        // non-empty batch) has no watermark and nothing to fold — the
+        // aggregate row is null, and that is a no-op, not an NPE
+        val thruRow = summary.agg(max("__thru")).head()
+        if (thruRow.isNullAt(0)) Seq.empty
+        else {
+        val thru = thruRow.getLong(0)
         summary.drop("__thru")
           .withColumn("folded_thru", lit(thru))
           .withColumn("batch_seq", lit(-1L))
@@ -467,7 +505,68 @@ object DocumentStream {
           }.toSeq
         doomed.foreach(fs.delete(_, true))
         doomed.map(_.toString)
+        }
       } finally summary.unpersist(false)
+      }
+    }
+
+  /** Compact a history/curation store's `kp=` partitions after
+    * streaming appends: every micro-batch drops one file per touched
+    * prefix ([[appendNovel]]'s one-writer-per-prefix floor), so at
+    * trickle cadence each of the ≤ 16^width directories accumulates
+    * one small file per trigger and the anti-join's pruned scan
+    * degrades into file-open overhead — the same small-files failure
+    * [[graft.operators.Similarity.compactIvfIndex]] exists for, fixed
+    * the same way: rewrite a slice of prefixes at a time (read,
+    * localCheckpoint, one writer per prefix, dynamic-overwrite only
+    * that slice's directories), so a killed run leaves earlier slices
+    * compacted and later ones untouched, and reads are correct
+    * throughout.
+    *
+    * Runs under the compaction guard on the STORE dir, and the store's
+    * writers ([[appendNovel]] / [[curationBatch]]) hold the appender
+    * flag across their anti-join→append span — the standard two-flag
+    * protocol: a compaction racing a micro-batch fails fast on one
+    * side or the other instead of silently dropping the batch, so this
+    * is safe to cron against a live stream (the losing trigger retries
+    * via the stream's own restart policy).
+    *
+    * The prefix list comes from the directory names (metadata-only)
+    * and the read carries an EXPLICIT schema with `kp` as a string —
+    * partition-type inference on all-digit hex prefixes types `kp` INT
+    * and would rewrite `kp=07` as `kp=7`, corrupting the store's width
+    * detection and dedup (the exact appendNovel bug round 12 fixed;
+    * a compactor must never reintroduce it). */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, prefixesPerSlice: Int = 8): Unit =
+    graft.sources.Compaction.guardedCompaction(spark, storeDir) {
+      require(prefixesPerSlice > 0,
+        s"prefixesPerSlice must be positive, got $prefixesPerSlice")
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val kps =
+        if (!fs.exists(p)) Seq.empty[String]
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("kp=")).map(_.stripPrefix("kp=")).sorted.toSeq
+      if (kps.nonEmpty) {
+        // file schema WITHOUT inference: read the data files directly
+        // (each kp dir as a root yields no partition column), then pin
+        // kp as an explicit string column for the partitioned read
+        val fileSchema = spark.read.parquet(s"$storeDir/kp=*").schema
+        val full = org.apache.spark.sql.types.StructType(
+          fileSchema.fields :+ org.apache.spark.sql.types.StructField(
+            "kp", org.apache.spark.sql.types.StringType))
+        val base = spark.read.schema(full).parquet(storeDir)
+        graft.sources.Compaction.rewriteSlices(kps, prefixesPerSlice) {
+          slice => base.filter(col("kp").isin(slice: _*))
+        } { (staged, slice) =>
+          staged.repartition(slice.length, col("kp"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kp")
+            .parquet(storeDir)
+        }
+      }
     }
 
   /** The end-to-end streaming curation job: [[curationBatch]] per

@@ -366,4 +366,85 @@ class BgutilSpec extends SparkSuite {
     assert(stdout(Bgutil.run(db, "sweeporphans", Array(dir)))
       .contains("swept 0 orphan dir(s)"))
   }
+
+  test("rebuildcard + compactstore: curation-store maintenance on the " +
+      "CLI; maintainindex refuses or rebuilds a PQ index via srcParquet") {
+    import spark.implicits._
+    import graft.streaming.DocumentStream
+    val db = Db(spark, java.nio.file.Files.createTempDirectory("bgcur").toString)
+    def stdout(f: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos))(f)
+      bos.toString("UTF-8")
+    }
+    val model = graft.operators.Classify.nbFit(Seq(
+      ("en", "the quick brown fox jumps over the lazy dog here"),
+      ("fr", "le renard brun rapide saute par dessus le chien"))
+      .toDF("lang", "text"), "lang", "text", vocabSize = 16)
+    val store = java.nio.file.Files.createTempDirectory("bgcur_st").toString
+    val card = java.nio.file.Files.createTempDirectory("bgcur_cd").toString
+    def docs(ids: Range) = ids
+      .map(i => (i.toLong, s"unique document number $i with plain words", "web"))
+      .toDF("doc_id", "text", "source")
+    DocumentStream.curationBatch(docs(0 until 8), 0L, "text", "doc_id",
+      "source", model, 0.0, store, card)
+    DocumentStream.curationBatch(docs(8 until 16), 1L, "text", "doc_id",
+      "source", model, 0.0, store, card)
+    def storeFiles(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    def kpDirs(): Set[String] = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("kp=")).toSet
+    val totals0 = DocumentStream.curationCard(spark, card, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(totals0 === Set(("web", 16L)))
+    // rebuildcard folds both increments into the summary
+    val folded = stdout(Bgutil.run(db, "rebuildcard", Array(store, card)))
+    assert(folded.contains("folded 2 increment dir(s)"), folded)
+    assert(DocumentStream.curationCard(spark, card, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet === totals0)
+    // compactstore folds the per-trigger small files: fewer files, same
+    // rows, identical kp directory NAMES (the explicit-schema read must
+    // never retype a digit prefix)
+    val (filesBefore, dirsBefore) = (storeFiles(), kpDirs())
+    val rowsBefore = spark.read.parquet(store).count()
+    stdout(Bgutil.run(db, "compactstore", Array(store)))
+    assert(storeFiles() < filesBefore,
+      s"expected fewer files: ${storeFiles()} !< $filesBefore")
+    assert(kpDirs() === dirsBefore)
+    assert(spark.read.parquet(store).count() === rowsBefore)
+    // and the anti-join still sees the compacted history
+    DocumentStream.curationBatch(docs(0 until 16), 2L, "text", "doc_id",
+      "source", model, 0.0, store, card)
+    assert(spark.read.parquet(store).count() === rowsBefore)
+
+    // ---- PQ maintainindex on the CLI ----
+    import graft.operators.ProductQuantization
+    def vecs(ids: Range, cluster: Int => Int) = {
+      val base = Array(0.0, math.Pi / 2, math.Pi, 3 * math.Pi / 2)
+      ids.map { i =>
+        val a = base(cluster(i)) + 0.02 * ((i % 7) - 3)
+        (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+      }.toDF("id", "vec")
+    }
+    val idx = java.nio.file.Files.createTempDirectory("bgcur_pq").toString
+    ProductQuantization.buildIvfPqIndex(vecs(0 until 20, _ % 4),
+      "id", "vec", idx, kCells = 4, coarseIters = 2, m = 2, ksub = 4,
+      pqIters = 1)
+    ProductQuantization.appendToIvfPqIndex(vecs(100 until 160, _ => 0),
+      "id", "vec", idx)
+    // skewed PQ index, no source → typed refusal on the CLI, no throw
+    val refused = stdout(Bgutil.run(db, "maintainindex", Array(idx, "2.0")))
+    assert(refused.startsWith("refused-pq:"), refused)
+    // with the source relation the same signals rebuild a generation
+    val src = java.nio.file.Files.createTempDirectory("bgcur_src").toString + "/v.parquet"
+    vecs(0 until 20, _ % 4).union(vecs(100 until 160, _ => 0))
+      .write.parquet(src)
+    val acted = stdout(Bgutil.run(db, "maintainindex",
+      Array(idx, "2.0", "4", "NaN", src, "id", "vec")))
+    assert(acted.startsWith("retrain:"), acted)
+    assert(spark.read.parquet(s"$idx/postings_g1").count() === 80)
+  }
 }

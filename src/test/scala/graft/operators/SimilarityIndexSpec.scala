@@ -402,6 +402,34 @@ class SimilarityIndexSpec extends SparkSuite {
     assert(pq.getMessage.contains("PQ codes"))
   }
 
+  test("recall probe is id-type agnostic: an int-keyed index probes " +
+      "without ClassCastException") {
+    // buildIvfIndex accepts any id type; the probe's driver-side fold
+    // assumed LongType and crashed a cron'd maintainindex on int ids
+    val intCorpus = vecs.map { case (i, v) => (i.toInt, v) }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfint").toString
+    Similarity.buildIvfIndex(intCorpus, "id", "vec", dir, k = 4, iters = 2)
+    assert(Similarity.recallProbe(spark, dir, k = 3, nProbe = 10) === 1.0)
+    val m = Similarity.maintainIvfIndex(spark, dir, maxSkew = 100.0,
+      maxFiles = 100, minRecall = 0.0, probeNProbe = 10)
+    assert(m.action === "noop" && m.recall === 1.0)
+  }
+
+  test("maintain on an index with zero posting rows reports noop with " +
+      "skew 0, not an NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfempty").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", dir, k = 4, iters = 2)
+    // overwrite the postings with a zero-row (schema-only) relation —
+    // the max/avg aggregates over it are null
+    val empty = spark.read.parquet(s"$dir/postings").limit(0)
+      .coalesce(1).localCheckpoint(true)
+    empty.write.mode("overwrite").parquet(s"$dir/postings")
+    val m = Similarity.maintainIvfIndex(spark, dir, maxSkew = 4.0,
+      maxFiles = 4)
+    assert(m.action === "noop")
+    assert(m.postingSkew === 0.0 && m.cells === 0L)
+  }
+
   // ---- auto-maintenance ---------------------------------------------------
 
   /** 2-D unit-ish vectors in 4 angular clusters; ids 0..3 land one per

@@ -266,6 +266,53 @@ class DocumentStreamSpec extends SparkSuite {
       .map(r => r._1 -> r._2).toMap.apply("web") === 4L)
   }
 
+  test("compactStore vs a live batch: the two-flag protocol fails one " +
+      "side fast instead of silently dropping the append") {
+    val store = java.nio.file.Files.createTempDirectory("cmp_store").toString
+    val batch = Seq((1L, "a compaction race fixture document", "web"))
+      .toDF("doc_id", "text", "source")
+    DocumentStream.appendNovel(batch, "text", "doc_id", store, 0L)
+    // an in-flight append blocks the compactor
+    graft.sources.Compaction.guardedAppend(spark, store) {
+      intercept[graft.sources.ConcurrentCompactionException] {
+        DocumentStream.compactStore(spark, store)
+      }
+    }
+    // an in-flight compaction blocks the batch's store append
+    graft.sources.Compaction.guardedCompaction(spark, store) {
+      intercept[graft.sources.ConcurrentCompactionException] {
+        DocumentStream.appendNovel(
+          Seq((2L, "another fixture document", "web"))
+            .toDF("doc_id", "text", "source"), "text", "doc_id", store, 1L)
+      }
+    }
+    // both sides idle: the compaction folds and the history holds
+    DocumentStream.compactStore(spark, store)
+    assert(spark.read.parquet(store).count() === 1L)
+    DocumentStream.appendNovel(batch, "text", "doc_id", store, 2L)
+    assert(spark.read.parquet(store).count() === 1L,
+      "replayed duplicate must still anti-join against compacted history")
+  }
+
+  test("rebuildCard before any committed batch is a no-op, not a crash") {
+    // the rebuild cron firing before the stream's first non-empty
+    // batch sees either no store dir at all or an empty first batch's
+    // _SUCCESS with no data files — both fold nothing
+    val base = java.nio.file.Files.createTempDirectory("cur_empty").toString
+    val card = java.nio.file.Files.createTempDirectory("cur_ecard").toString
+    assert(DocumentStream.rebuildCard(spark, s"$base/never_written", card,
+      "text", "source") === Seq.empty)
+    val store = s"$base/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store, "_SUCCESS"), "")
+    assert(DocumentStream.rebuildCard(spark, store, card,
+      "text", "source") === Seq.empty)
+    // no phantom summary either
+    val made = Option(new java.io.File(card).listFiles()).getOrElse(Array())
+    assert(!made.exists(_.getName.startsWith("batch_seq=")))
+  }
+
   test("streaming dataset card: per-group totals update across batches, " +
       "latest snapshot wins") {
     implicit val sqlCtx = spark.sqlContext
