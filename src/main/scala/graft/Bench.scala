@@ -57,9 +57,10 @@ object Bench {
     "er1_fuzzy_ed_join", "er2_nearest_master", "zo1_zorder_scan",
     "cd1_scd2_intervals", "cd2_pit_snapshot", "cd3_snapshot_diff",
     "dq1_expectations",
-    // r12 additions — NOT in ChunkManifest, so they run in the trailing
-    // chunk (the manifest rule: existing chunks never change)
-    "k12_recall_probe")
+    // r12/r13 additions — NOT in ChunkManifest, so they run in the
+    // trailing chunk (the manifest rule: existing chunks never change)
+    "k12_recall_probe", "k12b_recall_probe_heldout", "k13_ivfpq_rebuild",
+    "k13b_ivfpq_recall", "pr6_curation_card_lifecycle")
 
   /** Names of the composed-pipeline + BASELINE.md micro tasks that join
     * the headline list at runtime, in runtime order — the ONE source
@@ -117,7 +118,8 @@ object Bench {
   private[graft] val PhaseSplitTasks: Set[String] = Set(
     "r2_bm25_index_topk", "r6_phrase_index", "k6_knn_ivf_index",
     "k8_knn_ivfpq", "k9_knn_ivfpq_residual", "k10_ivf_append",
-    "k11_ivf_retrain", "k12_recall_probe",
+    "k11_ivf_retrain", "k12_recall_probe", "k12b_recall_probe_heldout",
+    "k13_ivfpq_rebuild", "k13b_ivfpq_recall",
     "zo1_zorder_scan")
 
   /** Per-JVM recorder for the [[PhaseSplitTasks]] sub-timings: task →

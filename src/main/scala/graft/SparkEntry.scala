@@ -1118,6 +1118,77 @@ object SparkEntry {
         .orderBy("query_id")
     },
 
+    // K12B: the HELD-OUT recall probe — recallProbeWith's external
+    // query-set contract pinned cross-engine: the index holds ONLY
+    // vec_id < 450, the query rows (450..454) were never indexed, and
+    // the evidence counts how many of each held-out query's
+    // brute-force top-3 (over the indexed corpus) the nProbe=1 probe
+    // returns. The production shape: recall measured on a true
+    // held-out sample instead of the index's own postings (k12)
+    "k12b_recall_probe_heldout" -> { (s, dir) =>
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k12bivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 450),
+        "vec_id", "embedding", idx, k = 8, iters = 2)
+      Similarity.recallProbeRows(s, idx,
+        emb.filter(col("vec_id") >= 450 && col("vec_id") < 455),
+        "vec_id", "embedding", k = 3, nProbe = 1)
+        .orderBy("query_id")
+    },
+
+    // K13: IVF-PQ RETRAIN from source + generation swap — the PQ drift
+    // answer (FAISS IndexIVFPQ retrains from the source vectors; the
+    // persisted postings are CODES, so k11's retrain-from-postings
+    // cannot apply): stale coarse+PQ quantizers trained on the first
+    // half (kCells=4, 1 round), append the rest unretrained (k10's
+    // shape), then rebuildIvfPqIndex re-trains BOTH quantizers from
+    // the full source at the k8 configuration, writes a fresh
+    // generation, and atomically swaps the MANIFEST pointer the probe
+    // resolves through. Oracle = k8's SQL verbatim: a rebuilt index
+    // must answer EXACTLY as a fresh build over the full corpus — the
+    // PQ lifecycle's correctness contract
+    "k13_ivfpq_rebuild" -> { (s, dir) =>
+      import graft.operators.ProductQuantization
+      // fixed per-dataset path (the k6/k10/k11 lifecycle rule): the
+      // build's generation reset wipes the previous run's manifest +
+      // generation dirs
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k13ivfpq_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val emb = table(s, dir, "embeddings")
+      ProductQuantization.buildIvfPqIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", idx, kCells = 4, coarseIters = 1,
+        m = 4, ksub = 8, pqIters = 1)
+      ProductQuantization.appendToIvfPqIndex(
+        emb.filter(col("vec_id") >= 250), "vec_id", "embedding", idx)
+      ProductQuantization.rebuildIvfPqIndex(emb, "vec_id", "embedding",
+        idx, kCells = 8, coarseIters = 2, m = 4, ksub = 8, pqIters = 1)
+      ProductQuantization.ivfPqKnn(
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        idx, "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // K13B: the PQ recall probe's per-query evidence — for each query,
+    // how many of its TRUE (float, brute-force) top-3 the IVF-PQ index
+    // returns at nProbe=1. Unlike k12 this folds BOTH loss sources a
+    // PQ deployment monitors: the coarse probe miss AND the
+    // code-reconstruction error reordering the shortlist. Exact side
+    // ranks the SOURCE vectors (PQ postings are codes); index side is
+    // the full ADC path through the persisted index
+    "k13b_ivfpq_recall" -> { (s, dir) =>
+      import graft.operators.ProductQuantization
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_k13bivfpq_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val emb = table(s, dir, "embeddings")
+      ProductQuantization.buildIvfPqIndex(emb, "vec_id", "embedding", idx,
+        kCells = 8, coarseIters = 2, m = 4, ksub = 8, pqIters = 1)
+      ProductQuantization.recallProbeRows(s, idx, emb,
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nProbe = 1)
+        .orderBy("query_id")
+    },
+
     // MM2: frame-sampling plumbing — every 4th frame of each payload
     // (frames = 256-byte spans), with a per-frame byte tag; the explode /
     // per-frame-extraction shape a video pipeline runs before decode
@@ -1211,6 +1282,42 @@ object SparkEntry {
       Profile.topTokensSketch(table(s, dir, "documents"), "lang", "text",
           k = 5, capacity = 4096)
         .orderBy("lang", "rk")
+    },
+
+    // PR6: the curation-card LIFECYCLE oracled end to end — three
+    // curationBatch triggers build the store + increment log, a
+    // rebuildCard folds the first two into the folded_thru summary, a
+    // third batch lands live above the watermark, and a STALE folded
+    // increment (a rebuild crash's leftover, planted as a copy of
+    // batch 2's increment at batch_seq=1) must be MASKED by the
+    // watermark. The oracle recomputes the expected totals from
+    // `documents` directly: per content key the winner is the earliest
+    // (batch, doc_id) pair — batches partition on doc_id % 3, so the
+    // winner is argmin(doc_id % 3, doc_id) — and the card sums the
+    // winners per source. Exercises the gate → route → history-dedup →
+    // increment → fold → mask algebra cross-engine
+    "pr6_curation_card_lifecycle" -> { (s, dir) =>
+      import graft.streaming.DocumentStream
+      val store = freshTmpDir("pr6store", dir)
+      val card = freshTmpDir("pr6card", dir)
+      val docs = table(s, dir, "documents")
+      // frozen router model — affects routing labels only, never the
+      // card totals; trained on a deterministic subset
+      val model = graft.operators.Classify.nbFit(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
+        vocabSize = 24).localCheckpoint(true)
+      def slice(i: Int) = docs.filter(col("doc_id") % 3 === i)
+      DocumentStream.curationBatch(slice(0), 0L, "text", "doc_id",
+        "source", model, 0.0, store, card)
+      DocumentStream.curationBatch(slice(1), 1L, "text", "doc_id",
+        "source", model, 0.0, store, card)
+      DocumentStream.rebuildCard(s, store, card, "text", "source")
+      DocumentStream.curationBatch(slice(2), 2L, "text", "doc_id",
+        "source", model, 0.0, store, card)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(card, "batch_seq=2"),
+        new java.io.File(card, "batch_seq=1"))
+      DocumentStream.curationCard(s, card, "source").orderBy("source")
     },
 
     // PR3: multi-granularity dataset card — ONE rollup pass yields the
@@ -4105,6 +4212,40 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
 
 
+  /** The k8-shaped IVF-PQ probe oracle — full-corpus coarse training
+    * (k=8, 2 rounds), PQ codebooks (m=4, ksub=8, 1 round), 2-cell
+    * probe, ADC top-3. Shared verbatim by k8 (fresh build) and k13
+    * (stale build → append → rebuild-from-source → probe through the
+    * generation pointer): the rebuilt index answering exactly this SQL
+    * is k13's correctness contract. */
+  private lazy val fullTrainIvfPqProbeOracle: String =
+    s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+      |$PqCtes,
+      |ccell AS (SELECT vec_id, cell_id FROM a3 WHERE rn = 1),
+      |qcell AS (
+      |  SELECT vec_id, cell_id FROM a3
+      |  WHERE rn <= 2 AND vec_id >= 5 AND vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    list_sum(list(list_inner_product(ps.sv, cb.cent) ORDER BY ps.sub)) AS score
+      |  FROM qcell q
+      |  JOIN ccell n ON n.cell_id = q.cell_id AND n.vec_id != q.vec_id
+      |  JOIN psub ps ON ps.vec_id = q.vec_id
+      |  JOIN ncodes nc ON nc.vec_id = n.vec_id AND nc.sub = ps.sub
+      |  JOIN cb2 cb ON cb.sub = nc.sub AND cb.code = nc.code
+      |  GROUP BY q.vec_id, n.vec_id),
+      |fin AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    round(s.score / (qn.qn * e.rnorm), 6) AS cos
+      |  FROM scored s JOIN qn ON qn.vec_id = s.query_id
+      |  JOIN enc e ON e.vec_id = s.neighbor_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM fin)
+      |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   /** The x2 DuckDB mirror, parameterized like [[x2Chain]]: kmeans CTEs
     * at (kSql, iters), SemDeDup pairs at 0.7 from the final assignment
     * a{iters+1}, prototype prune at 0.3, recursive-CTE components,
@@ -4791,6 +4932,24 @@ object SparkEntry {
         |  round(quantile_cont(tok, 0.99), 4) AS p99_tokens,
         |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // the lifecycle reduces to: one winner per content key (earliest
+    // batch = doc_id % 3, then lowest doc_id — appendNovel's
+    // batch-dedup + history anti-join), summed per source. The fold
+    // and the masked stale increment must leave exactly these totals
+    "pr6_curation_card_lifecycle" ->
+      """WITH w AS (
+        |  SELECT source, text,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS n_bytes
+        |FROM w WHERE rn = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "pr3_rollup_card" ->
       """WITH t AS (
@@ -5532,6 +5691,50 @@ object SparkEntry {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
+    // the held-out twin of k12: the kmeans CTEs train + assign over
+    // ONLY the indexed subset (vec_id < 450); the held-out queries get
+    // their nearest-cell assignment against the FINAL centroids (c2)
+    // in a separate ranking (they are not in a3), and both the IVF and
+    // brute-force sides rank only indexed rows
+    "k12b_recall_probe_heldout" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2,
+             source = "(SELECT * FROM embeddings WHERE vec_id < 450)")},
+         |cells AS (SELECT vec_id, embedding, cell_id FROM a3 WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id >= 450 AND vec_id < 455),
+         |qprobe AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT q.vec_id, q.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_cosine_similarity(q.embedding::DOUBLE[], c.centroid), 6) DESC,
+         |        c.cell_id ASC) AS rn
+         |    FROM q CROSS JOIN c2 c) WHERE rn <= 1),
+         |iscored AS (
+         |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+         |  FROM qprobe p JOIN cells c ON p.cell_id = c.cell_id AND p.vec_id != c.vec_id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM iscored) WHERE rank <= 3),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+         |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE c.vec_id < 450),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM bscored) WHERE rank <= 3)
+         |SELECT e.query_id, count(*) AS n_want,
+         |  count(i.neighbor_id) AS hits
+         |FROM exact e LEFT JOIN ivf i
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
     // identical SQL to k6 BY DESIGN: the retrained index (stale build →
     // append → retrain at the k6 configuration → probe through the
     // swapped generation pointer) must answer exactly as a fresh k6
@@ -5568,13 +5771,27 @@ object SparkEntry {
     // corpus rn=1 — exactly k6's shape), the PQ CTEs give codes and
     // reconstruction norms, and ADC scoring runs only on cell-matched
     // pairs
-    "k8_knn_ivfpq" ->
+    "k8_knn_ivfpq" -> fullTrainIvfPqProbeOracle,
+
+    // identical SQL to k8 BY DESIGN: the rebuilt index (stale build →
+    // append → rebuild-from-source at the k8 configuration → probe
+    // through the swapped generation pointer) must answer exactly as a
+    // fresh k8 build over the full corpus — the PQ lifecycle's
+    // correctness contract (the k11-vs-k6 pattern for code postings)
+    "k13_ivfpq_rebuild" -> fullTrainIvfPqProbeOracle,
+
+    // both sides of the PQ recall probe mirrored: the ADC side is k8's
+    // scoring at nProbe=1 (qcell rn <= 1), the exact side is float
+    // brute force, and the evidence is the per-query hit join — the
+    // number a PQ deployment crons to catch coarse-miss AND
+    // reconstruction drift together
+    "k13b_ivfpq_recall" ->
       s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
         |$PqCtes,
         |ccell AS (SELECT vec_id, cell_id FROM a3 WHERE rn = 1),
         |qcell AS (
         |  SELECT vec_id, cell_id FROM a3
-        |  WHERE rn <= 2 AND vec_id >= 5 AND vec_id < 10),
+        |  WHERE rn <= 1 AND vec_id >= 5 AND vec_id < 10),
         |scored AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
         |    list_sum(list(list_inner_product(ps.sv, cb.cent) ORDER BY ps.sub)) AS score
@@ -5589,12 +5806,26 @@ object SparkEntry {
         |    round(s.score / (qn.qn * e.rnorm), 6) AS cos
         |  FROM scored s JOIN qn ON qn.vec_id = s.query_id
         |  JOIN enc e ON e.vec_id = s.neighbor_id),
-        |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-        |  FROM fin)
-        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    FROM fin) WHERE rank <= 3),
+        |bscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id >= 5 AND q.vec_id < 10),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    FROM bscored) WHERE rank <= 3)
+        |SELECT e.query_id, count(*) AS n_want,
+        |  count(i.neighbor_id) AS hits
+        |FROM exact e LEFT JOIN ivf i
+        |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     // residual IVF-PQ: kmeans CTEs give the coarse cells (c2 final
     // centroids, a3 assignments); residuals r = v − centroid(cell) are
