@@ -488,6 +488,15 @@ object Bench {
       name -> (if (ss.isEmpty || ss.exists(_.isNaN)) -1.0
                else ss.sorted.apply(ss.size / 2))
     }
+    // per-task TRIMMED median (drop the task's max pass, then median):
+    // r11/r12 each burned hand re-runs disproving sub-1.3× movers that
+    // were one bursty pass inside an unchanged chunk — the trimmed
+    // number is what the round-over-round mover table should read
+    // (published alongside the raw median, which stays the official
+    // protocol number)
+    val trimmedJson = results.map { case (k, _) =>
+      s""""$k":${fmt(trimmedMedian(sampleLists(k)), 3)}"""
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, sec) => s""""$k":$sec""" }
       .mkString("{", ",", "}")
     // raw per-pass samples ride along for diagnosability (the median is
@@ -510,7 +519,7 @@ object Bench {
     }}.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"phases":$phasesJson,"cpu_steal":$stealJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_trimmed":$trimmedJson,"samples":$samplesJson,"phases":$phasesJson,"cpu_steal":$stealJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable =>
@@ -558,6 +567,20 @@ object Bench {
     else full.takeWhile(_ != '_')
 
   private[graft] def headlineNames: Seq[String] = Headline
+
+  /** Median after dropping the task's single worst pass — the
+    * burst-robust number the round-over-round mover comparison reads
+    * (see `queries_trimmed` in bench_out.json). With < 3 samples there
+    * is nothing sensible to trim, so it falls back to the plain
+    * median; any crashed pass poisons the task to -1 like the raw
+    * median does. */
+  private[graft] def trimmedMedian(ss: Vector[Double]): Double =
+    if (ss.isEmpty || ss.exists(_.isNaN)) -1.0
+    else if (ss.size < 3) ss.sorted.apply(ss.size / 2)
+    else {
+      val kept = ss.sorted.dropRight(1)
+      kept(kept.size / 2)
+    }
 
   /** (steal, total) jiffy counters across all cpus; fraction of host
     * cycles stolen between two readings. Zero/absent outside Linux.

@@ -127,6 +127,78 @@ object Classify {
       .filter(col("__rn") === 1)
       .select("doc_id", "label", "score")
 
+  /** A fitted NB model collected to the driver — the broadcast-sized
+    * V·C grid as plain maps, frozen once per deployment instead of
+    * re-planned per micro-batch. `labels` sorted ascending (the tie
+    * order). */
+  final case class FrozenNbModel(labels: Seq[String],
+      prior6: Map[String, Long], lik6: Map[String, Map[String, Long]]) {
+    require(labels.nonEmpty, "frozen NB model has no classes")
+  }
+
+  /** Collect a fitted model ([[nbFit]]'s V·C grid — broadcast-sized by
+    * construction, so this is a metadata-scale collect, same class as
+    * the IVF centroid reads) into a [[FrozenNbModel]]. Freeze ONCE per
+    * stream/deployment and score every batch with [[nbScoreFrozen]]. */
+  def nbFreeze(model: DataFrame): FrozenNbModel = {
+    val rows = model.select("label", "term", "lik6", "prior6").collect()
+    require(rows.nonEmpty, "cannot freeze an empty NB model")
+    val labels = rows.map(_.getString(0)).distinct.sorted.toSeq
+    val prior6 = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val lik6 = rows.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+    }
+    FrozenNbModel(labels, prior6, lik6)
+  }
+
+  /** Score + route with a frozen model as PURE COLUMN EXPRESSIONS — no
+    * explode, no join, no shuffle, no window: per class, the
+    * integer-scaled score is one native token pass
+    * ([[graft.functions.TokenMapSum]], the weight table riding as a
+    * codegen reference object), and the argmax folds over the C score
+    * columns with the same (score DESC, label ASC) tie rule
+    * [[nbPredict]] ranks by. Returns every input column plus
+    * `predicted` and `score` — bit-identical to joining
+    * [[nbPredict]]'s output back on the id (ClassifySpec pins the
+    * equivalence), because the integer score sums are
+    * order-independent by construction.
+    *
+    * This is the streaming-routing shape: the join path re-planned and
+    * re-shuffled the model against every micro-batch; this one adds a
+    * stateless projection to whatever plan the batch already runs, so
+    * a trigger pays exactly one extra map pass. Docs with a null
+    * `textCol` (no token rows in the join path) score on priors alone,
+    * same fallback. */
+  def nbScoreFrozen(model: FrozenNbModel, docs: DataFrame,
+      textCol: String): DataFrame = {
+    require(!docs.columns.contains("predicted") &&
+      !docs.columns.contains("score"),
+      "nbScoreFrozen: input already has predicted/score columns")
+    import graft.functions.TokenMapSum.token_map_sum
+    def s6(l: String) = col(s"__s6_$l")
+    val toksOnce = docs.withColumn("__toks", toks(col(textCol)))
+    val withScores = model.labels.foldLeft(toksOnce) { (d, l) =>
+      d.withColumn(s"__s6_$l", lit(model.prior6(l)) +
+        coalesce(token_map_sum(col("__toks"), model.lik6(l)), lit(0L)))
+    }
+    // first label (ascending) whose score is >= every other = argmax
+    // with the (score DESC, label ASC) tie rule — langId's fold shape
+    val predCol = model.labels.init.foldRight(
+        lit(model.labels.last): Column) { (l, els) =>
+      val ge = model.labels.filter(_ != l).map(o => s6(l) >= s6(o))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      when(ge, l).otherwise(els)
+    }
+    val scoreCol = model.labels.init.foldRight(
+        s6(model.labels.last): Column) { (l, els) =>
+      when(col("predicted") === l, s6(l)).otherwise(els)
+    } / 1000000.0
+    withScores
+      .withColumn("predicted", predCol)
+      .withColumn("score", scoreCol)
+      .drop("__toks" +: model.labels.map(l => s"__s6_$l"): _*)
+  }
+
   /** Classification margin — top-1 minus top-2 score per doc, the
     * standard uncertainty-sampling signal (docs a labeling pass should
     * look at first, or a router should treat as ambiguous). Returns

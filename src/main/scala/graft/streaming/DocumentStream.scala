@@ -261,7 +261,11 @@ object DocumentStream {
     * input besides the batch, so a crash-replayed batch re-scores
     * bit-identically (integer-scaled log sums); `batch_seq` stamps make
     * double-appends LWW-resolvable on read, the curation-job contract.
-    * Returns every input column plus `predicted` and `score`. */
+    * Returns every input column plus `predicted` and `score`. The
+    * model is frozen ONCE at stream start
+    * ([[graft.operators.Classify.nbFreeze]]); each trigger scores as a
+    * stateless projection ([[graft.operators.Classify.nbScoreFrozen]])
+    * — no per-batch model join or classifier shuffle. */
   def startClassifierRoutingJob(docs: DataFrame, idCol: String,
       textCol: String, model: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery = {
@@ -270,15 +274,12 @@ object DocumentStream {
     require(reserved.isEmpty,
       s"input stream already has column(s) ${reserved.mkString(", ")} — " +
         "they are produced by the routing job; rename them upstream")
+    val frozen = graft.operators.Classify.nbFreeze(model)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val scored = graft.operators.Classify
-          .nbPredict(model, batch, idCol, textCol)
-          .select(col("doc_id").as(idCol), col("label").as("predicted"),
-            col("score"))
-        batch.join(scored, Seq(idCol))
+        graft.operators.Classify.nbScoreFrozen(frozen, batch, textCol)
           .withColumn("batch_seq", lit(batchId))
           .write.mode("append").partitionBy("predicted").parquet(outDir)
         ()
@@ -331,14 +332,15 @@ object DocumentStream {
 
   /** ONE micro-batch of the full curation path — the composite a
     * deployment actually runs per trigger instead of three separate
-    * jobs: quality gate (stateless) → frozen-classifier routing
-    * ([[graft.operators.Classify.nbPredict]], broadcast-sized model,
-    * `predicted`/`score` ride as columns) → history-novel append into
+    * jobs: quality gate (stateless) + frozen-classifier routing
+    * ([[graft.operators.Classify.nbScoreFrozen]]: pure column
+    * expressions over a driver-frozen model, `predicted`/`score` ride
+    * as columns) in ONE projection pass → history-novel append into
     * the content-key-prefix-partitioned store (the [[appendNovel]]
-    * anti-join: per batch a column-pruned, partition-pruned scan, never
-    * a full-history pass) → a per-batch CARD INCREMENT
-    * (`groupCol`-grouped doc/token/byte totals of what actually entered
-    * the corpus) into `cardDir` partitioned by `batch_seq`.
+    * anti-join: per batch a column-pruned, partition-pruned scan,
+    * never a full-history pass) → a per-batch CARD INCREMENT
+    * (`groupCol`-grouped doc/token/byte totals of what actually
+    * entered the corpus) into `cardDir` partitioned by `batch_seq`.
     *
     * Idempotency: the store append replays as a no-op (the anti-join
     * sees the earlier attempt's rows); the card increment is computed
@@ -349,27 +351,43 @@ object DocumentStream {
     * the store commit but BEFORE the card commit under-counts that
     * batch's card — the store stays authoritative, and
     * [[graft.operators.Profile.datasetCard]] over it recomputes the
-    * exact totals at any time. The novel set is localCheckpointed once
-    * (batch-bounded) — it feeds both writes, and without the pin the
-    * gate + routing + anti-join would execute twice per trigger. */
+    * exact totals at any time.
+    *
+    * Execution shape (the r13 re-measurement of ROUND_NOTES_r12 §10's
+    * "planning floor": per-trigger analyze+optimize is ~0.13 s — the
+    * real cost was the join-shaped routing re-EXECUTING the gate and
+    * the source on both join sides, 3× the source rows per trigger,
+    * plus the NB explode/shuffle/window): the gate and the frozen
+    * scoring are now one stateless map over the batch, pinned ONCE
+    * (source read 1×, regex 1×, scoring 1×), the anti-join reads the
+    * pin, and the two writes read the pinned novel set. Per trigger:
+    * one projection job, one pruned anti-join, two writes — no
+    * classifier shuffle at all. */
   def curationBatch(batch: DataFrame, batchId: Long, textCol: String,
-      idCol: String, groupCol: String, model: DataFrame,
+      idCol: String, groupCol: String,
+      model: graft.operators.Classify.FrozenNbModel,
       minQuality: Double, storeDir: String, cardDir: String): Unit = {
     val reserved = Seq("predicted", "score", "batch_seq")
       .filter(batch.columns.contains)
     require(reserved.isEmpty,
       s"input stream already has column(s) ${reserved.mkString(", ")} — " +
         "they are produced by the curation job; rename them upstream")
-    val gated = qualityGate(batch, textCol, minQuality)
-    val scored = graft.operators.Classify
-      .nbPredict(model, gated, idCol, textCol)
-      .select(col("doc_id").as(idCol), col("label").as("predicted"),
-        col("score"))
-    // gate + scoring pinned once: the anti-join's driver-side prefix
-    // collect and the novel materialization below would otherwise each
-    // re-execute the whole regex-heavy gate + NB plan (measured as the
-    // second-largest per-batch cost after the store write)
-    val routed = gated.join(scored, Seq(idCol)).localCheckpoint(true)
+    // a micro-batch arrives with the SOURCE's partitioning — often one
+    // file = ONE partition — and the regex-heavy gate+score pass would
+    // run single-core. Fan small batches out to the executor cores
+    // first; the 1-batch shuffle is trivial next to the per-document
+    // work it unlocks. Batches already wider keep their layout.
+    val cores = batch.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (batch.rdd.getNumPartitions < cores) batch.repartition(cores)
+      else batch
+    // gate + routing pinned in ONE pass: everything downstream (the
+    // prefix collect, the batch dedup, the anti-join, both writes)
+    // reads this pin — the source and the per-document expressions
+    // execute exactly once per trigger
+    val routed = graft.operators.Classify.nbScoreFrozen(model,
+        qualityGate(spread, textCol, minQuality), textCol)
+      .localCheckpoint(true)
     // appender flag across the anti-join→append span (see
     // [[appendNovel]]): a concurrent [[compactStore]] fails fast
     // instead of silently dropping this batch's postings
@@ -395,6 +413,17 @@ object DocumentStream {
       } finally novel.unpersist(false)
     } finally routed.unpersist(false)
   }
+
+  /** [[curationBatch]] taking the model as a relation: freezes it
+    * (one metadata-scale collect) and delegates. Streaming callers
+    * should freeze ONCE via [[graft.operators.Classify.nbFreeze]] and
+    * use the frozen overload per trigger. */
+  def curationBatch(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, groupCol: String, model: DataFrame,
+      minQuality: Double, storeDir: String, cardDir: String): Unit =
+    curationBatch(batch, batchId, textCol, idCol, groupCol,
+      graft.operators.Classify.nbFreeze(model), minQuality, storeDir,
+      cardDir)
 
   /** The running card [[curationBatch]] maintains: sum the per-batch
     * increments plus the [[rebuildCard]] summary, if one exists. The
@@ -571,17 +600,21 @@ object DocumentStream {
 
   /** The end-to-end streaming curation job: [[curationBatch]] per
     * trigger. `model` is trained offline ([[graft.operators.Classify
-    * .nbFit]]) and frozen — broadcast-sized by construction. */
+    * .nbFit]]) and FROZEN ONCE here (one metadata-scale collect at
+    * stream start) — every trigger scores through the frozen maps,
+    * never re-reading or re-joining the model relation. */
   def startCurationPipelineJob(docs: DataFrame, textCol: String,
       idCol: String, groupCol: String, model: DataFrame,
       storeDir: String, cardDir: String, checkpointDir: String,
-      minQuality: Double = 0.0): StreamingQuery =
+      minQuality: Double = 0.0): StreamingQuery = {
+    val frozen = graft.operators.Classify.nbFreeze(model)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curationBatch(batch, batchId, textCol, idCol, groupCol, model,
+        curationBatch(batch, batchId, textCol, idCol, groupCol, frozen,
           minQuality, storeDir, cardDir)
       }
       .start()
+  }
 }

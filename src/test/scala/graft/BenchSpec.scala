@@ -43,6 +43,21 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.PhaseSplitTasks.subsetOf(allNames.toSet))
   }
 
+  test("trimmedMedian drops exactly the worst pass; small/crashed " +
+      "sample guards") {
+    // 5 passes with one burst: raw median 0.5, trimmed median of the
+    // 4 kept = element at index 2 of (0.4, 0.5, 0.5, 0.6) = 0.5; a
+    // burst in an otherwise tight task stops moving the number
+    assert(Bench.trimmedMedian(Vector(0.5, 9.0, 0.4, 0.6, 0.5)) === 0.5)
+    // the burst WAS the median's neighborhood: (1.0, 1.1, 9.0, 9.5, 9.9)
+    // raw median 9.0 vs trimmed median of (1.0, 1.1, 9.0, 9.5) = 9.0 —
+    // trimming one pass never hides a real sustained cost
+    assert(Bench.trimmedMedian(Vector(9.9, 1.0, 9.0, 9.5, 1.1)) === 9.0)
+    assert(Bench.trimmedMedian(Vector(1.0, 2.0)) === 2.0) // plain median
+    assert(Bench.trimmedMedian(Vector.empty) === -1.0)
+    assert(Bench.trimmedMedian(Vector(1.0, Double.NaN, 2.0)) === -1.0)
+  }
+
   test("chunk manifest: distinct, every entry a real task, r11 chunks " +
       "intact") {
     val known = Bench.ChunkManifest.flatten

@@ -103,4 +103,35 @@ class ClassifySpec extends SparkSuite {
     val out = Classify.nbPredict(m, test, "doc_id", "text").collect().head
     assert(out.getString(1) == "a")
   }
+
+  test("nbScoreFrozen == nbPredict per doc: argmax, exact scores, ties, " +
+      "OOV-only and repeated-token docs") {
+    val m = Classify.nbFit(train, "label", "text", vocabSize = 100)
+    val docs = Seq(
+      (1L, "buy pills now now"),           // repeated token counts twice
+      (2L, "meeting notes"),
+      (3L, "zzz qqq"),                     // OOV-only → priors-only tie
+      (4L, "buy meeting"),                 // contested
+      (5L, "")                             // empty text
+    ).toDF("doc_id", "text")
+    val joined = Classify.nbPredict(m, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    val frozen = Classify.nbFreeze(m)
+    assert(frozen.labels === Seq("ham", "spam"))
+    val inline = Classify.nbScoreFrozen(frozen, docs, "text")
+      .select("doc_id", "predicted", "score")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(inline === joined)
+    // every input column survives the projection
+    val cols = Classify.nbScoreFrozen(frozen, docs, "text").columns.toSeq
+    assert(cols === Seq("doc_id", "text", "predicted", "score"))
+    // reserved-column refusal
+    val bad = docs.withColumn("predicted",
+      org.apache.spark.sql.functions.lit("x"))
+    intercept[IllegalArgumentException] {
+      Classify.nbScoreFrozen(frozen, bad, "text")
+    }
+  }
 }
