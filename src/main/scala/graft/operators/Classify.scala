@@ -174,6 +174,12 @@ object Classify {
     require(!docs.columns.contains("predicted") &&
       !docs.columns.contains("score"),
       "nbScoreFrozen: input already has predicted/score columns")
+    // the scratch columns are dropped on the way out — refuse inputs
+    // that would collide with (and silently lose) them
+    val scratch = "__toks" +: model.labels.map(l => s"__s6_$l")
+    require(!docs.columns.exists(scratch.contains),
+      s"nbScoreFrozen: input carries reserved scratch column(s) " +
+        s"${docs.columns.filter(scratch.contains).mkString(", ")}")
     import graft.functions.TokenMapSum.token_map_sum
     def s6(l: String) = col(s"__s6_$l")
     val toksOnce = docs.withColumn("__toks", toks(col(textCol)))

@@ -38,6 +38,7 @@ object CurationProfile {
     val model = graft.operators.Classify.nbFit(
       curDocs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
       vocabSize = 24).localCheckpoint(true)
+    val frozen = graft.operators.Classify.nbFreeze(model)
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -72,23 +73,19 @@ object CurationProfile {
       val store = tmp("curprof_bstore"); val card = tmp("curprof_bcard")
       batches.zipWithIndex.foreach { case (batch, i) =>
         println(s"[prof] -- pass $pass batch $i --")
-        // mirrors curationBatch's r13 shape: gate pinned once, novelty
-        // before scoring, NB executes inside the store write
-        val gated = t("  gate: exec+ckpt (source 1x)") {
-          DocumentStream.qualityGate(batch, "text", 0.0)
+        // mirrors curationBatch's frozen shape: gate + frozen-NB route
+        // in one pinned projection, then the anti-join and two writes
+        val routed = t("  gate+route: one-pass exec+ckpt") {
+          graft.operators.Classify.nbScoreFrozen(frozen,
+            DocumentStream.qualityGate(batch, "text", 0.0), "text")
             .localCheckpoint(true)
         }
         val novel = t("  novel: anti-join+ckpt") {
-          DocumentStream.novelAgainstStore(gated, "text", "doc_id", store)
+          DocumentStream.novelAgainstStore(routed, "text", "doc_id", store)
             .localCheckpoint(true)
         }
-        t("  store write (incl. NB scoring)") {
-          val scored = graft.operators.Classify
-            .nbPredict(model, novel, "doc_id", "text")
-            .select(col("doc_id"), col("label").as("predicted"),
-              col("score"))
-          novel.join(scored, Seq("doc_id"))
-            .withColumn("batch_seq", lit(i.toLong))
+        t("  store write") {
+          novel.withColumn("batch_seq", lit(i.toLong))
             .repartition(col("kp"))
             .write.mode("append").partitionBy("kp").parquet(store)
         }
@@ -103,7 +100,7 @@ object CurationProfile {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_seq").parquet(card)
         }
-        novel.unpersist(false); gated.unpersist(false)
+        novel.unpersist(false); routed.unpersist(false)
       }
     }
     spark.stop()
