@@ -138,7 +138,8 @@ object Bgutil {
         "  maintainindex <indexDir> [maxSkew] [maxFiles] [minRecall] [srcParquet [idCol] [vecCol]]\n" +
         "                                                auto compact-vs-retrain from the signals; srcParquet\n" +
         "                                                enables PQ rebuild + PQ recall (else refused-pq)\n" +
-        "  recallprobe <indexDir> [n] [k] [nProbe]       measured recall@k vs brute force on a posting sample\n" +
+        "  recallprobe <indexDir> [n] [k] [nProbe] [srcParquet [idCol] [vecCol]]\n" +
+        "                                                measured recall@k vs brute force (srcParquet: PQ probe)\n" +
         "  sweeporphans <indexDir>                       reclaim crashed-swap orphan generations (guarded)\n" +
         "  rebuildcard <storeDir> <cardDir> [textCol] [groupCol]  fold the curation card's increment log\n" +
         "  compactstore <storeDir> [prefixesPerSlice]    fold a curation store's per-trigger small files\n" +
@@ -214,10 +215,22 @@ object Bgutil {
         prefixesPerSlice = if (rest.length > 1) rest(1).toInt else 8)
       println(s"compacted ${rest(0)}")
     case "recallprobe" =>
-      val r = graft.operators.Similarity.recallProbe(db.spark, rest(0),
-        nQueries = if (rest.length > 1) rest(1).toInt else 32,
-        k = if (rest.length > 2) rest(2).toInt else 3,
-        nProbe = if (rest.length > 3) rest(3).toInt else 1)
+      // float index: self-postings probe; PQ index: the 5th arg names
+      // the float source relation the exact side ranks (the
+      // maintainindex srcParquet convention)
+      val r =
+        if (rest.length > 4)
+          graft.operators.ProductQuantization.recallProbe(db.spark,
+            rest(0), db.spark.read.parquet(rest(4)),
+            idCol = if (rest.length > 5) rest(5) else "vec_id",
+            vecCol = if (rest.length > 6) rest(6) else "embedding",
+            nQueries = if (rest.length > 1) rest(1).toInt else 32,
+            k = if (rest.length > 2) rest(2).toInt else 3,
+            nProbe = if (rest.length > 3) rest(3).toInt else 1)
+        else graft.operators.Similarity.recallProbe(db.spark, rest(0),
+          nQueries = if (rest.length > 1) rest(1).toInt else 32,
+          k = if (rest.length > 2) rest(2).toInt else 3,
+          nProbe = if (rest.length > 3) rest(3).toInt else 1)
       println(f"recall=$r%.4f")
     case "sweeporphans" =>
       val swept = graft.operators.Similarity

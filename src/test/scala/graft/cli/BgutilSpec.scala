@@ -446,5 +446,11 @@ class BgutilSpec extends SparkSuite {
       Array(idx, "2.0", "4", "NaN", src, "id", "vec")))
     assert(acted.startsWith("retrain:"), acted)
     assert(spark.read.parquet(s"$idx/postings_g1").count() === 80)
+    // PQ recall probe on the CLI via the same srcParquet convention
+    val probed = stdout(Bgutil.run(db, "recallprobe",
+      Array(idx, "8", "3", "4", src, "id", "vec")))
+    assert(probed.trim.startsWith("recall="), probed)
+    val recall = probed.trim.stripPrefix("recall=").toDouble
+    assert(recall > 0.0 && recall <= 1.0, probed)
   }
 }
