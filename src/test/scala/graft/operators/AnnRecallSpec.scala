@@ -161,6 +161,79 @@ class AnnRecallSpec extends SparkSuite {
       f"no measurable recovery: $before%.2f -> $after%.2f")
   }
 
+  // Measured here (deterministic fixture): ADC recall@3 at nProbe=1
+  // decays to 0.46 after the drifted append and recovers to 0.79
+  // after rebuildIvfPqIndex(k=16) — below the float test's 1.00
+  // recovery because PQ recall folds the code-reconstruction error on
+  // top of the coarse probe, the calibrate-floors-to-a-measured-
+  // baseline rule docs/SCALE.md states.
+  test("PQ drift decays ADC recall@3 at fixed nProbe; " +
+      "rebuildIvfPqIndex from source recovers it (the k13 verb's " +
+      "recall evidence)") {
+    import spark.implicits._
+    // the float drift fixture verbatim (boundary-straddle
+    // micro-clusters), but the index is IVF-PQ in residual mode: the
+    // decay under drift must come from the frozen COARSE quantizer
+    // (same mechanism as the float test), with the PQ code loss riding
+    // on top — which is why the recovery bound is looser than the
+    // float test's (recall folds both loss sources; docs/SCALE.md's
+    // calibrate-floors-to-a-measured-baseline rule)
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val b = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val m = Array.tabulate(8)(j =>
+      Array.tabulate(dim)(d => (b(j)(d) + b((j + 1) % 8)(d)) / 2))
+    def isDrifted(i: Int): Boolean = (i >= 8 && i < 16) || i >= 488
+    val pts = (0 until 520).map { i =>
+      val c =
+        if (i < 8) b(i)
+        else if (i < 16) m(i - 8)
+        else if (i < 488) b(i % 8)
+        else m(i % 8)
+      (i.toLong, c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val all = pts.toDF("vec_id", "embedding").cache()
+    val driftedIds = pts.map(_._1).filter(i => isDrifted(i.toInt)).toSet
+    val base = all.filter(!col("vec_id").isin(driftedIds.toSeq: _*))
+    val drifted = all.filter(col("vec_id").isin(driftedIds.toSeq: _*))
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topk(Similarity.bruteForceKnn(drifted, all, "vec_id",
+      "embedding", 3).select("query_id", "rank", "neighbor_id"))
+
+    val dir = java.nio.file.Files.createTempDirectory("pqdrift").toString
+    ProductQuantization.buildIvfPqIndex(base, "vec_id", "embedding",
+      dir, kCells = 8, coarseIters = 3, m = 4, ksub = 16, pqIters = 2,
+      byResidual = true)
+    ProductQuantization.appendToIvfPqIndex(drifted, "vec_id",
+      "embedding", dir)
+    val before = recallAt3(topk(ProductQuantization.ivfPqKnn(drifted,
+      dir, "vec_id", "embedding", k = 3, nProbe = 1)
+      .select("query_id", "rank", "neighbor_id")), exact)
+    // the cron'd evidence number agrees with the hand fold: the PQ
+    // recall probe against the source on the SAME drifted queries
+    val probed = Similarity.meanRecall(
+      ProductQuantization.recallProbeRows(spark, dir, all, drifted,
+        "vec_id", "embedding", k = 3, nProbe = 1))
+    assert(math.abs(probed - before) < 1e-9,
+      f"probe $probed%.4f != hand fold $before%.4f")
+
+    // rebuild FROM SOURCE at a cell count matching the current corpus
+    // (16 true clusters) — maintainIvfIndex's grow-retrainK path for PQ
+    ProductQuantization.rebuildIvfPqIndex(all, "vec_id", "embedding",
+      dir, kCells = 16, coarseIters = 3)
+    val after = recallAt3(topk(ProductQuantization.ivfPqKnn(drifted,
+      dir, "vec_id", "embedding", k = 3, nProbe = 1)
+      .select("query_id", "rank", "neighbor_id")), exact)
+    info(f"PQ drift recall@3 at nProbe=1: before rebuild=$before%.2f, " +
+      f"after rebuild=$after%.2f")
+    assert(before < 0.8,
+      f"drift did not decay PQ recall (before=$before%.2f) — fixture broken")
+    assert(after - before >= 0.15,
+      f"no measurable recovery: $before%.2f -> $after%.2f")
+  }
+
   test("multi-probe recall/cost curve; best config reaches recall ≥ 0.5") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
