@@ -193,7 +193,9 @@ object Soak {
     "p7_weighted_sample",
     "k6_knn_ivf_index", "k7_knn_pq", "k8_knn_ivfpq",
     "k9_knn_ivfpq_residual", "k10_ivf_append", "k11_ivf_retrain",
-    "k12_recall_probe",
+    "k12_recall_probe", "k12b_recall_probe_heldout",
+    "k13_ivfpq_rebuild", "k13b_ivfpq_recall",
+    "pr6_curation_card_lifecycle",
     "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
     "d8b_semdedup_sqrtn",
     "r2_bm25_index_topk", "d15_cross_corpus_dedup",
