@@ -139,7 +139,8 @@ object Bgutil {
         "                                                auto compact-vs-retrain from the signals; srcParquet\n" +
         "                                                enables PQ rebuild + PQ recall (else refused-pq)\n" +
         "  recallprobe <indexDir> [n] [k] [nProbe] [srcParquet [idCol] [vecCol]]\n" +
-        "                                                measured recall@k vs brute force (srcParquet: PQ probe)\n" +
+        "                                                measured recall@k vs brute force; srcParquet = PQ source\n" +
+        "                                                floats, or a held-out query pool for a float index\n" +
         "  sweeporphans <indexDir>                       reclaim crashed-swap orphan generations (guarded)\n" +
         "  rebuildcard <storeDir> <cardDir> [textCol] [groupCol]  fold the curation card's increment log\n" +
         "  compactstore <storeDir> [prefixesPerSlice]    fold a curation store's per-trigger small files\n" +
@@ -215,22 +216,26 @@ object Bgutil {
         prefixesPerSlice = if (rest.length > 1) rest(1).toInt else 8)
       println(s"compacted ${rest(0)}")
     case "recallprobe" =>
-      // float index: self-postings probe; PQ index: the 5th arg names
-      // the float source relation the exact side ranks (the
-      // maintainindex srcParquet convention)
+      // no srcParquet → float self-postings probe. With srcParquet:
+      // a PQ index probes against the source floats (its exact side
+      // NEEDS them); a float index treats the source as a HELD-OUT
+      // query pool (the k12b shape) — one arg convention, routed by
+      // what the index actually is
+      val n = if (rest.length > 1) rest(1).toInt else 32
+      val k = if (rest.length > 2) rest(2).toInt else 3
+      val nProbe = if (rest.length > 3) rest(3).toInt else 1
       val r =
-        if (rest.length > 4)
-          graft.operators.ProductQuantization.recallProbe(db.spark,
-            rest(0), db.spark.read.parquet(rest(4)),
-            idCol = if (rest.length > 5) rest(5) else "vec_id",
-            vecCol = if (rest.length > 6) rest(6) else "embedding",
-            nQueries = if (rest.length > 1) rest(1).toInt else 32,
-            k = if (rest.length > 2) rest(2).toInt else 3,
-            nProbe = if (rest.length > 3) rest(3).toInt else 1)
-        else graft.operators.Similarity.recallProbe(db.spark, rest(0),
-          nQueries = if (rest.length > 1) rest(1).toInt else 32,
-          k = if (rest.length > 2) rest(2).toInt else 3,
-          nProbe = if (rest.length > 3) rest(3).toInt else 1)
+        if (rest.length > 4) {
+          val src = db.spark.read.parquet(rest(4))
+          val idCol = if (rest.length > 5) rest(5) else "vec_id"
+          val vecCol = if (rest.length > 6) rest(6) else "embedding"
+          if (graft.operators.Similarity.isPqIndex(db.spark, rest(0)))
+            graft.operators.ProductQuantization.recallProbe(db.spark,
+              rest(0), src, idCol, vecCol, n, k, nProbe)
+          else graft.operators.Similarity.recallProbeHeldOut(db.spark,
+            rest(0), src, idCol, vecCol, n, k, nProbe)
+        } else graft.operators.Similarity.recallProbe(db.spark, rest(0),
+          nQueries = n, k = k, nProbe = nProbe)
       println(f"recall=$r%.4f")
     case "sweeporphans" =>
       val swept = graft.operators.Similarity

@@ -360,8 +360,10 @@ object Similarity {
     * live generation — or at the fixed path regardless of generation
     * (conservative: a stray codebooks relation next to a float index
     * means SOMETHING is PQ-shaped here, and the float-only verbs must
-    * refuse rather than misread codes as vectors). */
-  private[operators] def isPqIndex(
+    * refuse rather than misread codes as vectors). Public so callers
+    * holding both kinds of index (maintenance crons, the CLI) can
+    * route to the right probe/retrain face. */
+  def isPqIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val (fs, root) = indexFs(spark, dir)
     val liveName = liveGeneration(spark, dir) match {
@@ -602,6 +604,24 @@ object Similarity {
       .limit(nQueries)
       .localCheckpoint(true) // feeds both the exact and the probe side
     recallProbeWith(spark, dir, queries, "id", "vec", k, nProbe)
+  }
+
+  /** [[recallProbe]] with the query SAMPLE drawn from a caller-held
+    * relation (a true held-out set — e.g. vectors that were never
+    * indexed, the k12b shape) instead of the index's own postings:
+    * the `nQueries` rows of `source` with the smallest md5(id), probed
+    * against the index, recall measured against brute force over the
+    * index's postings. */
+  def recallProbeHeldOut(spark: org.apache.spark.sql.SparkSession,
+      dir: String, source: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int = 32, k: Int = 3, nProbe: Int = 1): Double = {
+    require(nQueries > 0, s"nQueries must be positive: $nQueries")
+    val queries = source
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nQueries)
+      .localCheckpoint(true) // feeds both the exact and the probe side
+    recallProbeWith(spark, dir, queries, idCol, vecCol, k, nProbe)
   }
 
   /** [[recallProbe]] against a caller-held query set (a true held-out

@@ -362,6 +362,14 @@ class BgutilSpec extends SparkSuite {
     val probed = stdout(Bgutil.run(db, "recallprobe",
       Array(dir, "16", "3", "8")))
     assert(probed.trim === "recall=1.0000", probed)
+    // srcParquet on a FLOAT index routes to the held-out-pool probe
+    // (not the PQ face, which would fail on a missing codebooks)
+    val qsrc = java.nio.file.Files
+      .createTempDirectory("bgix_q").toString + "/q.parquet"
+    vecs(400 until 420, _ % 4).write.parquet(qsrc)
+    val heldout = stdout(Bgutil.run(db, "recallprobe",
+      Array(dir, "8", "3", "8", qsrc, "id", "vec")))
+    assert(heldout.trim === "recall=1.0000", heldout)
     // orphan sweep on the CLI: nothing to reclaim on a healthy index
     assert(stdout(Bgutil.run(db, "sweeporphans", Array(dir)))
       .contains("swept 0 orphan dir(s)"))

@@ -393,6 +393,11 @@ class SimilarityIndexSpec extends SparkSuite {
     // held-out query set: identical contract through the overload
     assert(Similarity.recallProbeWith(spark, dir,
       queries, "id", "vec", k = 3, nProbe = 10) === 1.0)
+    // and the pool-sampling face (the CLI's srcParquet convention for
+    // float indexes): deterministic sample, exact at full probe
+    assert(Similarity.recallProbeHeldOut(spark, dir,
+      corpus.filter(col("id") >= 30), "id", "vec",
+      nQueries = 8, k = 3, nProbe = 10) === 1.0)
     // a PQ index refuses the probe with the way out (codes, not vectors)
     java.nio.file.Files.createDirectory(
       java.nio.file.Paths.get(dir, "codebooks"))
