@@ -294,6 +294,44 @@ class DocumentStreamSpec extends SparkSuite {
       "replayed duplicate must still anti-join against compacted history")
   }
 
+  test("compactStore on a store whose prefixes are ALL digits keeps " +
+      "the prefix names and the dedup (the partition-retyping trap)") {
+    // craft texts whose md5 starts with a DIGIT so every kp= directory
+    // is all-digits — the exact store shape where partition-type
+    // inference types kp as INT (r12's appendNovel bug): an inferring
+    // compactor would rewrite kp=7 dirs and corrupt width detection
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def digitLed(n: Int): Seq[String] =
+      Iterator.from(0).map(i => s"all digit prefix fixture number $i")
+        .filter { t =>
+          ((md.digest(t.getBytes("UTF-8"))(0) >> 4) & 0xf) < 10
+        }.take(n).toSeq
+    val texts = digitLed(12)
+    val store = java.nio.file.Files.createTempDirectory("digit_store").toString
+    def batch(ts: Seq[String], off: Int) = ts.zipWithIndex
+      .map { case (t, i) => ((off + i).toLong, t, "web") }
+      .toDF("doc_id", "text", "source")
+    DocumentStream.appendNovel(batch(texts.take(6), 0), "text", "doc_id",
+      store, 0L)
+    DocumentStream.appendNovel(batch(texts.drop(6), 6), "text", "doc_id",
+      store, 1L)
+    def kpDirs() = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("kp=")).toSet
+    val before = kpDirs()
+    assert(before.nonEmpty &&
+      before.forall(_.stripPrefix("kp=").forall(_.isDigit)),
+      s"fixture must produce all-digit prefixes: $before")
+    val rows = spark.read.parquet(store).count()
+    DocumentStream.compactStore(spark, store)
+    assert(kpDirs() === before,
+      s"compaction retyped prefixes: $before -> ${kpDirs()}")
+    assert(spark.read.parquet(store).count() === rows)
+    // the compacted history still dedups a full replay
+    DocumentStream.appendNovel(batch(texts, 100), "text", "doc_id",
+      store, 2L)
+    assert(spark.read.parquet(store).count() === rows)
+  }
+
   test("rebuildCard before any committed batch is a no-op, not a crash") {
     // the rebuild cron firing before the stream's first non-empty
     // batch sees either no store dir at all or an empty first batch's
