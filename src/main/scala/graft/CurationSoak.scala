@@ -101,22 +101,28 @@ object CurationSoak {
       val t0 = System.nanoTime()
       val q = graft.streaming.DocumentStream.startCurationPipelineJob(
         stream, "text", "doc_id", "source", model, store, card, ckpt)
-      try q.processAllAvailable() finally ()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val (s1, j1) = Bench.cpuTicks()
-      val steal = if (j1 > j0) (s1 - s0).toDouble / (j1 - j0) else 0.0
-      val attribution = q.recentProgress.toSeq.map { p =>
-        val d = p.durationMs
-        s"""{"batch":${p.batchId},"rows":${p.numInputRows},""" +
-          s""""addBatch":${d.get("addBatch")},""" +
-          s""""planning":${d.get("queryPlanning")},""" +
-          s""""walCommit":${d.get("walCommit")},""" +
-          s""""total":${d.get("triggerExecution")}}"""
+      // the stop + temp-dir cleanup MUST be in the finally: a failed
+      // pass otherwise leaks a live streaming query (and its dirs) per
+      // retry — the r13 `finally ()` was a no-op
+      try {
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (s1, j1) = Bench.cpuTicks()
+        val steal = if (j1 > j0) (s1 - s0).toDouble / (j1 - j0) else 0.0
+        val attribution = q.recentProgress.toSeq.map { p =>
+          val d = p.durationMs
+          s"""{"batch":${p.batchId},"rows":${p.numInputRows},""" +
+            s""""addBatch":${d.get("addBatch")},""" +
+            s""""planning":${d.get("queryPlanning")},""" +
+            s""""walCommit":${d.get("walCommit")},""" +
+            s""""total":${d.get("triggerExecution")}}"""
+        }
+        (sec, steal, attribution)
+      } finally {
+        q.stop()
+        for (d <- Seq(srcDir, store, card, ckpt))
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
       }
-      q.stop()
-      for (d <- Seq(srcDir, store, card, ckpt))
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
-      (sec, steal, attribution)
     }
     onePass(small) // untimed warm-up
     def leg(dir: String): (Double, Vector[Double], Seq[String]) = {

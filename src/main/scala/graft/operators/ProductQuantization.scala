@@ -263,7 +263,14 @@ object ProductQuantization {
     val cents = Clustering.kmeansFit(corpus, idCol, vecCol,
       kCells, coarseIters)
     cents.write.mode("overwrite").parquet(centPath)
-    spark.range(1).select(lit(byResidual).as("by_residual"))
+    // the CONFIGURED (m, ksub) are persisted alongside the mode:
+    // pqTrain drops codes whose cluster goes empty, so inferring the
+    // budget back from the surviving codebook rows (max(code)+1) can
+    // under-read it — and a cron'd rebuild chain would then ratchet
+    // the code budget downward generation after generation, silently
+    // degrading recall. The meta row is the configuration of record.
+    spark.range(1).select(lit(byResidual).as("by_residual"),
+        lit(m).as("m"), lit(ksub).as("ksub"))
       .write.mode("overwrite").parquet(metaPath)
     if (!byResidual) {
       val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
@@ -306,11 +313,12 @@ object ProductQuantization {
     * as a fresh [[buildIvfPqIndex]] over the same source (the k13
     * oracle contract).
     *
-    * `m`/`ksub` default to the LIVE codebook's shape and `byResidual`
-    * to the live meta — pass them to change the code budget or
-    * encoding at rebuild time. Runs under the compaction guard: a
-    * concurrent append either lands before the rebuild's read or
-    * fails fast, never into the doomed generation. */
+    * `m`/`ksub` default to the live meta's CONFIGURED budget (falling
+    * back to the surviving codebook's shape only for a pre-meta-budget
+    * index) and `byResidual` to the live meta — pass them to change
+    * the code budget or encoding at rebuild time. Runs under the
+    * compaction guard: a concurrent append either lands before the
+    * rebuild's read or fails fast, never into the doomed generation. */
   def rebuildIvfPqIndex(source: DataFrame, idCol: String, vecCol: String,
       dir: String, kCells: Int, coarseIters: Int,
       m: Int = -1, ksub: Int = -1, pqIters: Int = 1,
@@ -321,11 +329,15 @@ object ProductQuantization {
         s"$dir is not an IVF-PQ index (no codebooks artifact) — " +
           "use Similarity.retrainIvfIndex for a float IVF index")
       val (_, cbPath, _, metaPath) = livePqPaths(spark, dir)
-      val (liveM, liveKsub, _) =
+      val meta = readMetaConfig(spark, metaPath)
+      // legacy fallback only: an index whose meta predates the budget
+      // columns infers from the surviving codebook rows (the best
+      // available evidence there, though dropped codes can under-read)
+      lazy val (liveM, liveKsub, _) =
         codebookShape(spark.read.parquet(cbPath))
-      val useM = if (m > 0) m else liveM
-      val useKsub = if (ksub > 0) ksub else liveKsub
-      val mode = byResidual.getOrElse(readMeta(spark, metaPath))
+      val useM = if (m > 0) m else meta.m.getOrElse(liveM)
+      val useKsub = if (ksub > 0) ksub else meta.ksub.getOrElse(liveKsub)
+      val mode = byResidual.getOrElse(meta.byResidual)
       val gen = Similarity.liveGeneration(spark, dir) + 1
       writeIndexState(source, idCol, vecCol, s"$dir/centroids_g$gen",
         s"$dir/codebooks_g$gen", s"$dir/postings_g$gen",
@@ -423,14 +435,37 @@ object ProductQuantization {
         col("cell_id"))
   }
 
+  /** One meta row, decoded: encoding mode plus the CONFIGURED code
+    * budget when the meta carries it (indexes written before the
+    * budget columns existed report None there). */
+  private final case class MetaConfig(byResidual: Boolean,
+      m: Option[Int], ksub: Option[Int])
+
   /** Read a meta relation's by_residual flag (false when absent —
     * plain encoding predates the flag). Takes the RESOLVED live meta
     * path, not the index dir. */
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
-      metaPath: String): Boolean = {
+      metaPath: String): Boolean =
+    readMetaConfig(spark, metaPath).byResidual
+
+  /** Read the full meta configuration (see [[MetaConfig]]); a missing
+    * meta relation decodes as plain encoding with no recorded budget.
+    * Columns are read BY NAME — the relation has grown columns over
+    * time and positional reads would misdecode an old layout. */
+  private def readMetaConfig(spark: org.apache.spark.sql.SparkSession,
+      metaPath: String): MetaConfig = {
     val p = new org.apache.hadoop.fs.Path(metaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && spark.read.parquet(metaPath).head().getBoolean(0)
+    if (!fs.exists(p)) MetaConfig(byResidual = false, None, None)
+    else {
+      val df = spark.read.parquet(metaPath)
+      def intCol(name: String): Option[Int] =
+        if (df.columns.contains(name))
+          Some(df.select(name).head().getInt(0))
+        else None
+      MetaConfig(df.select("by_residual").head().getBoolean(0),
+        intCol("m"), intCol("ksub"))
+    }
   }
 
   /** Probe a [[buildIvfPqIndex]] index: rank each query's `nProbe`

@@ -755,7 +755,10 @@ object Similarity {
     * floor measured by [[ProductQuantization.recallProbe]] against the
     * source. Without a source, a PQ decision that would need the
     * vectors returns `action = "refused-pq"` — a typed refusal a cron
-    * can alert on, never an exception mid-dispatch. */
+    * can alert on, never an exception mid-dispatch. The refusal covers
+    * ONLY the vector-needing decisions: file creep past `maxFiles`
+    * still dispatches [[compactIvfIndex]] (PQ-legal, no source
+    * needed), reported as `"compact"` with `recall = NaN`. */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxSkew: Double = 4.0, maxFiles: Long = 4,
       retrainK: Int = -1, retrainIters: Int = 2,
@@ -782,12 +785,14 @@ object Similarity {
     def report(action: String, recall: Double = Double.NaN) =
       IndexMaintenance(action, cells, skew, files, orphans, recall)
     // a requested recall floor that cannot be measured (PQ, no source)
-    // is a typed refusal, not a silent noop — the cron asked for a
-    // check this index cannot answer without its source vectors
-    if (pq && !minRecall.isNaN && rebuildFrom.isEmpty)
-      return report("refused-pq")
+    // refuses ONLY the recall/retrain decision — compaction is PQ-legal
+    // and needs no source vectors, so the files>maxFiles branch below
+    // still dispatches (a PQ index cron'd with a recall floor must not
+    // accumulate small files forever); when nothing else runs, the
+    // refusal surfaces typed as `refused-pq`, never an exception
+    val refusedRecall = pq && !minRecall.isNaN && rebuildFrom.isEmpty
     val recall =
-      if (minRecall.isNaN) Double.NaN
+      if (minRecall.isNaN || refusedRecall) Double.NaN
       else if (!pq) recallProbe(spark, dir, k = probeK, nProbe = probeNProbe)
       else {
         val (src, srcId, srcVec) = rebuildFrom.get
@@ -811,9 +816,12 @@ object Similarity {
       }
     } else if (files > maxFiles) {
       // compact is PQ-legal: it rewrites code postings byte-identically
+      // (dispatched even when the recall check was refused — the NaN
+      // recall in the report says the probe didn't run)
       compactIvfIndex(spark, dir)
       report("compact", recall)
-    } else report("noop", recall)
+    } else if (refusedRecall) report("refused-pq")
+    else report("noop", recall)
   }
 
   /** APPEND new vectors to a [[buildIvfIndex]] index without

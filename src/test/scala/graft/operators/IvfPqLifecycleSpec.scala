@@ -163,6 +163,68 @@ class IvfPqLifecycleSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/postings_g1").count() === 120)
   }
 
+  test("the configured (m, ksub) budget is persisted in meta and a " +
+      "rebuild defaults from it — dropped codes cannot ratchet the " +
+      "budget down across rebuilds") {
+    // ids 2 and 3 share one vector: pqTrain seeds codes 0..3 from ids
+    // 0..3, cent 3 == cent 2 exactly, every row ties to the LOWER code,
+    // so the TOP code (3) loses all members and drops — the shape where
+    // inferring ksub from surviving codebook rows under-reads 4 as 3
+    val dup = vecs.take(40).map { case (i, v) =>
+      if (i == 3L) (i, vecs(2)._2) else (i, v)
+    }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("pqbudget").toString
+    ProductQuantization.buildIvfPqIndex(dup, "id", "vec", dir,
+      kCells = 2, coarseIters = 1, m = 2, ksub = 4, pqIters = 1)
+    val meta0 = spark.read.parquet(s"$dir/meta").head()
+    assert(meta0.getAs[Int]("m") === 2 && meta0.getAs[Int]("ksub") === 4)
+    // the drop actually happened: the surviving codebook under-reads
+    val maxCode = spark.read.parquet(s"$dir/codebooks")
+      .agg(max("code")).head().getInt(0)
+    assert(maxCode < 3, s"expected code 3 dropped, max code $maxCode")
+    // rebuild with DEFAULT budget: trains at the configured 4, not the
+    // inferred 3 — bit-equal to a fresh ksub=4 build over the source
+    ProductQuantization.rebuildIvfPqIndex(dup, "id", "vec", dir,
+      kCells = 2, coarseIters = 1, pqIters = 1)
+    val meta1 = spark.read.parquet(s"$dir/meta_g1").head()
+    assert(meta1.getAs[Int]("m") === 2 && meta1.getAs[Int]("ksub") === 4,
+      "rebuild must persist the configured budget, not the survivor count")
+    val fresh = java.nio.file.Files.createTempDirectory("pqbudgetf").toString
+    ProductQuantization.buildIvfPqIndex(dup, "id", "vec", fresh,
+      kCells = 2, coarseIters = 1, m = 2, ksub = 4, pqIters = 1)
+    val q = dup.filter(col("id") < 5)
+    assert(rows(ProductQuantization.ivfPqKnn(q, dir, "id", "vec", 3, 2)) ===
+      rows(ProductQuantization.ivfPqKnn(q, fresh, "id", "vec", 3, 2)))
+    // second rebuild: still 4 — no downward ratchet across the chain
+    ProductQuantization.rebuildIvfPqIndex(dup, "id", "vec", dir,
+      kCells = 2, coarseIters = 1, pqIters = 1)
+    val meta2 = spark.read.parquet(s"$dir/meta_g2").head()
+    assert(meta2.getAs[Int]("m") === 2 && meta2.getAs[Int]("ksub") === 4)
+  }
+
+  test("a refused recall floor does not block PQ compaction: file " +
+      "creep still dispatches compact (recall NaN), and the refusal " +
+      "resurfaces once the creep is handled") {
+    val dir = java.nio.file.Files.createTempDirectory("pqrefcomp").toString
+    val balanced = clustered(0 until 20, _ % 4)
+    ProductQuantization.buildIvfPqIndex(balanced, "id", "vec", dir,
+      kCells = 4, coarseIters = 2, m = 2, ksub = 4, pqIters = 1)
+    ProductQuantization.appendToIvfPqIndex(clustered(200 until 220, _ % 4),
+      "id", "vec", dir)
+    ProductQuantization.appendToIvfPqIndex(clustered(300 until 320, _ % 4),
+      "id", "vec", dir)
+    // recall floor + no source + files over threshold: compaction is
+    // PQ-legal and must run — the NaN recall marks the unmeasured probe
+    val m = Similarity.maintainIvfIndex(spark, dir,
+      maxSkew = 100.0, maxFiles = 2, minRecall = 0.9)
+    assert(m.action === "compact" && m.recall.isNaN)
+    assert(spark.read.parquet(s"$dir/postings").count() === 60)
+    // creep handled; the refusal is typed again instead of a noop
+    val after = Similarity.maintainIvfIndex(spark, dir,
+      maxSkew = 100.0, maxFiles = 2, minRecall = 0.9)
+    assert(after.action === "refused-pq" && after.recall.isNaN)
+  }
+
   test("PQ recall probe: 1.0 on the exactness degenerate at full " +
       "probe, deterministic, and measured through maintain's floor") {
     val dir = java.nio.file.Files.createTempDirectory("pqrec").toString
