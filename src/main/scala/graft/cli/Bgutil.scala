@@ -129,7 +129,7 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|indexstats|maintainindex|recallprobe|sweeporphans|rebuildcard|compactstore|info|clustersdiff|shell|web> [args...]\n" +
+        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|indexstats|maintainindex|recallprobe|sweeporphans|rebuildcard|compactstore|textindexstats|compacttextindex|compactscdlog|compactlayout|info|clustersdiff|shell|web> [args...]\n" +
         "  compact [sinceS] [bucketsPerSlice]            fold streaming re-emissions (all stages)\n" +
         "  expire <nowS>                                 drop whole bucket dirs past retention\n" +
         "  markers [dir]                                 inspect guard markers + provenance\n" +
@@ -144,6 +144,10 @@ object Bgutil {
         "  sweeporphans <indexDir>                       reclaim crashed-swap orphan generations (guarded)\n" +
         "  rebuildcard <storeDir> <cardDir> [textCol] [groupCol]  fold the curation card's increment log\n" +
         "  compactstore <storeDir> [prefixesPerSlice]    fold a curation store's per-trigger small files\n" +
+        "  textindexstats <indexDir>                     text/phrase index per-bucket postings/files\n" +
+        "  compacttextindex <indexDir> [bucketsPerSlice] fold a text index's per-append small files\n" +
+        "  compactscdlog <logDir>                        drop an SCD changelog's replay duplicates\n" +
+        "  compactlayout <dir> [nFiles]                  refold an append-fragmented z-order layout\n" +
         "  read <glob> <startS> <endS> [maxDataPoints]   dense series, optionally consolidated\n" +
         "  render <glob> <startS> <endS> [fn[:arg]...]   apply graphite function chain\n" +
         "  dirs <glob>                                   directory glob (stored table or derived)\n" +
@@ -215,6 +219,23 @@ object Bgutil {
       graft.streaming.DocumentStream.compactStore(db.spark, rest(0),
         prefixesPerSlice = if (rest.length > 1) rest(1).toInt else 8)
       println(s"compacted ${rest(0)}")
+    case "textindexstats" => textIndexStatsCmd(db, rest(0))
+    case "compacttextindex" =>
+      graft.operators.Retrieval.compactTextIndex(db.spark, rest(0),
+        bucketsPerSlice = if (rest.length > 1) rest(1).toInt else 16)
+      println(s"compacted text index ${rest(0)}")
+    case "compactscdlog" =>
+      // the before/after row counts ARE the operator signal (how many
+      // replay duplicates the log carried); two column-pruned counts
+      // next to a full rewrite is noise
+      val before = db.spark.read.parquet(rest(0)).count()
+      graft.streaming.ScdStream.compactLog(db.spark, rest(0))
+      val after = db.spark.read.parquet(rest(0)).count()
+      println(s"compacted scd log ${rest(0)}: $before -> $after row(s)")
+    case "compactlayout" =>
+      graft.operators.Layout.compactLayout(db.spark, rest(0),
+        nFiles = if (rest.length > 1) rest(1).toInt else 0)
+      println(s"compacted layout ${rest(0)}")
     case "recallprobe" =>
       // no srcParquet → float self-postings probe. With srcParquet:
       // a PQ index probes against the source floats (its exact side
@@ -1013,6 +1034,33 @@ object Bgutil {
       s"max_files_per_cell=${if (cells.isEmpty) 0L else cells.map(_._3).max} " +
       s"orphan_generations=${if (orphans.isEmpty) "none"
         else orphans.mkString(",")}")
+  }
+
+  /** `bgutil textindexstats <indexDir>` — the text/phrase-index
+    * maintenance report: per-term-bucket postings + file counts (the
+    * [[graft.operators.Retrieval.compactTextIndex]] trigger signal —
+    * every append/micro-batch drops one more file per touched bucket),
+    * with the [[graft.operators.Retrieval.MarkerBucket]] partition
+    * broken out as the appended-docs ledger. Read-only;
+    * metadata-scale. */
+  def textIndexStatsCmd(db: Db, dir: String): Unit = {
+    import graft.operators.Retrieval
+    val rows = Retrieval.textIndexStats(db.spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    println("term_bucket\tpostings\tfiles")
+    rows.foreach { case (b, p, f) => println(s"$b\t$p\t$f") }
+    val (markers, buckets) = rows.partition(_._1 == Retrieval.MarkerBucket)
+    // appended-doc count = Σ__tf over the marker partition (1 per live
+    // marker, Σfolded for a fold row) — one pruned aggregate
+    val appended =
+      if (markers.isEmpty) 0L
+      else db.spark.read.parquet(s"$dir/postings")
+        .filter(col("term_bucket") === Retrieval.MarkerBucket)
+        .agg(coalesce(sum("__tf"), lit(0L))).head().getLong(0)
+    println(s"buckets=${buckets.length} " +
+      s"max_files_per_bucket=${if (buckets.isEmpty) 0L
+        else buckets.map(_._3).max} " +
+      s"marker_rows=${markers.map(_._2).sum} appended_docs=$appended")
   }
 
   /** `bgutil maintainindex <indexDir> [maxSkew] [maxFiles] [minRecall]

@@ -319,6 +319,24 @@ object Retrieval {
       .parquet(s"$dir/postings")
   }
 
+  /** Maintenance report for a [[buildTextIndex]]/[[buildPhraseIndex]]
+    * index: one row per postings partition — the term buckets, plus the
+    * [[MarkerBucket]] row once appends have landed — with posting-row
+    * and file counts. Files creeping up per bucket (streaming appends'
+    * one-file-per-batch floor) is the [[compactTextIndex]] trigger,
+    * exactly as [[Similarity.indexStats]] triggers the IVF compaction.
+    * Metadata-scale: one count per bucket, file names from the scan's
+    * `_metadata` column — postings are never deserialized beyond the
+    * partition column. `term_bucket` is cast long so the report's shape
+    * is independent of partition-column inference. */
+  def textIndexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term_bucket").cast("long").as("term_bucket"))
+      .agg(count(lit(1)).as("postings"),
+        countDistinct(col("_metadata.file_path")).as("files"))
+      .orderBy("term_bucket")
+
   private def statsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(size(toks(col(textCol))).cast("long").as("__dl"))

@@ -461,4 +461,84 @@ class BgutilSpec extends SparkSuite {
     val recall = probed.trim.stripPrefix("recall=").toDouble
     assert(recall > 0.0 && recall <= 1.0, probed)
   }
+
+  test("textindexstats + compacttextindex + compactscdlog + " +
+      "compactlayout: maintenance parity for the text index, SCD log " +
+      "and z-order layout on the CLI") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Layout, Retrieval}
+    val db = Db(spark, java.nio.file.Files.createTempDirectory("bgtx").toString)
+    def stdout(f: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos))(f)
+      bos.toString("UTF-8")
+    }
+    def parquetFiles(dir: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+
+    // ---- text index: stats report + compaction through the CLI ----
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"term$i shared common words here"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bgtx_idx").toString
+    Retrieval.buildTextIndex(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", idx, nBuckets = 8)
+    Retrieval.appendToTextIndex(
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 25),
+      "doc_id", "text", idx)
+    Retrieval.appendToTextIndex(docs.filter(col("doc_id") >= 25),
+      "doc_id", "text", idx)
+    val report = stdout(Bgutil.run(db, "textindexstats", Array(idx)))
+    assert(report.contains("term_bucket\tpostings\tfiles"), report)
+    assert(report.contains("buckets=8"), report)
+    assert(report.contains("appended_docs=10"), report)
+    // two appends → marker partition holds 10 live marker rows
+    assert(report.contains("marker_rows=10"), report)
+    val queries = Seq((1L, "shared common")).toDF("qid", "qtext")
+    def top(): Set[(Long, Long, Double, Int)] =
+      Retrieval.bm25IndexTopK(queries, "qid", "qtext", idx, k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val before = top()
+    val filesBefore = parquetFiles(idx)
+    stdout(Bgutil.run(db, "compacttextindex", Array(idx)))
+    assert(parquetFiles(idx) < filesBefore,
+      s"expected fewer files: ${parquetFiles(idx)} !< $filesBefore")
+    assert(top() === before, "probe results must survive compaction")
+    // markers folded to one row; the appended-doc ledger is conserved
+    val report2 = stdout(Bgutil.run(db, "textindexstats", Array(idx)))
+    assert(report2.contains("marker_rows=1"), report2)
+    assert(report2.contains("appended_docs=10"), report2)
+
+    // ---- SCD changelog: replay-duplicate fold through the CLI ----
+    val logDir = java.nio.file.Files.createTempDirectory("bgtx_scd").toString
+    val log = Seq((1L, 10L, 1L, "a"), (2L, 10L, 1L, "b"))
+      .toDF("k", "ts", "seq", "attr")
+      .withColumn("__kb", pmod(xxhash64(col("k")), lit(4)).cast("int"))
+    log.write.partitionBy("__kb").mode("append").parquet(logDir)
+    log.write.partitionBy("__kb").mode("append").parquet(logDir) // replay
+    val scdOut = stdout(Bgutil.run(db, "compactscdlog", Array(logDir)))
+    assert(scdOut.contains("4 -> 2 row(s)"), scdOut)
+    assert(spark.read.parquet(logDir).count() === 2)
+
+    // ---- z-order layout: append-fragmentation refold on the CLI ----
+    val lay = java.nio.file.Files.createTempDirectory("bgtx_lay").toString
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).as("b"),
+        col("id").as("payload"))
+    Layout.zorderWrite(grid.filter(col("payload") % 2 === 0),
+      Seq("a", "b"), lay, nFiles = 8, bits = 6)
+    Layout.zorderAppend(grid.filter(col("payload") % 2 === 1), lay,
+      nFiles = 4)
+    val layFilesBefore = parquetFiles(lay)
+    stdout(Bgutil.run(db, "compactlayout", Array(lay, "8")))
+    assert(parquetFiles(lay) < layFilesBefore,
+      s"expected fewer files: ${parquetFiles(lay)} !< $layFilesBefore")
+    assert(spark.read.parquet(lay).count() === 4096)
+  }
 }
