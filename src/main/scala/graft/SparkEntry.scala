@@ -2969,20 +2969,25 @@ object SparkEntry {
     // (kmeans' iterative shape: broadcast model, two aggregations per
     // round, every margin/gradient sum integer-scaled at the row level
     // so trajectories replay bit-identically under any partitioning).
-    // Train on the 4/5 split (y = lang=='en'), score the 1/5 holdout
+    // Train on the 4/5 split (y = lang=='en'); the 1/5 holdout is
+    // scored through the FROZEN deployment path (freeze + native
+    // HashedTfidfMargin projection — no explode/join/groupBy in the
+    // scoring stage; bit-equal to predict(), LogRegSpec pins it)
     "lr1_logreg_gate" -> { (s, dir) =>
       import graft.operators.{LogReg, Vectorize}
       val docs = table(s, dir, "documents")
       // ONE tfidf pass over the full corpus: idf consistent across the
-      // split; materialized — train rounds AND prediction read it
-      val feats = Vectorize.tfidfSparse(docs, "doc_id", "text", dim = 16)
-        .localCheckpoint(true)
+      // split; feats materialized — every train round reads them
+      val (feats0, idf) =
+        Vectorize.tfidfSparseWithIdf(docs, "doc_id", "text", dim = 16)
+      val feats = feats0.localCheckpoint(true)
       val labels = docs.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"),
           when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
       val w = LogReg.fit(feats, labels, dim = 16, eta = 0.5, rounds = 4)
-      LogReg.predict(feats, docs.filter(col("doc_id") % 5 === 0),
-          "doc_id", w)
+      LogReg.scoreFrozen(LogReg.freeze(w, idf),
+          docs.filter(col("doc_id") % 5 === 0), "text")
+        .select("doc_id", "score", "predicted")
         .orderBy("doc_id")
     },
 

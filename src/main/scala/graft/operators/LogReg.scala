@@ -97,6 +97,70 @@ object LogReg {
     w.toDF("slot", "w")
   }
 
+  /** A fitted model collected to the driver — bias + per-slot weight
+    * and corpus idf as plain arrays (dim+1 doubles twice: the broadcast
+    * model that was already planning metadata, frozen once per
+    * deployment instead of re-joined per batch). `idf` is NaN for slots
+    * with no corpus df — [[scoreFrozen]] skips them, the inner-join
+    * semantics of [[Vectorize.tfidfSparse]]'s weighting. */
+  final case class FrozenLrModel(bias: Double, idf: Array[Double],
+      w: Array[Double]) {
+    require(idf.length == w.length && w.nonEmpty,
+      s"frozen logreg model has idf/w length ${idf.length}/${w.length}")
+    def dim: Int = w.length
+  }
+
+  /** Collect a fitted model ([[fit]]'s (slot, w) with slot −1 = bias)
+    * and its corpus idf table ([[Vectorize.tfidfSparseWithIdf]]'s
+    * second half) into a [[FrozenLrModel]] — two dim-row metadata-scale
+    * collects, the [[Classify.nbFreeze]] contract. Freeze ONCE per
+    * stream/deployment and score every batch with [[scoreFrozen]]. */
+  def freeze(weights: DataFrame, idf: DataFrame): FrozenLrModel = {
+    val wRows = weights.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(wRows.contains(-1L), "weights have no bias row (slot -1)")
+    val dim = wRows.keys.max.toInt + 1
+    require(dim > 0 && (-1L until dim.toLong).forall(wRows.contains),
+      s"weights must cover every slot -1..${dim - 1}: ${wRows.keys}")
+    val idfRows = idf.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(idfRows.keys.forall(s => s >= 0 && s < dim),
+      s"idf slot outside [0, $dim): ${idfRows.keys.filterNot(s =>
+        s >= 0 && s < dim)}")
+    FrozenLrModel(wRows(-1L),
+      Array.tabulate(dim)(s => idfRows.getOrElse(s.toLong, Double.NaN)),
+      Array.tabulate(dim)(s => wRows(s.toLong)))
+  }
+
+  /** Score documents with a frozen model as ONE stateless projection —
+    * no explode, no feature pass, no model join, no per-doc groupBy:
+    * per doc, [[graft.functions.HashedTfidfMargin]] computes the
+    * integer-scaled TF-IDF dot product straight from the token array
+    * (the md5 slot hashing the join path did per exploded token, minus
+    * the explode/shuffle/join around it), and the score/predicted
+    * columns are the same sigmoid fold [[predict]] applies. Bit-equal
+    * to `predict(tfidfSparse(corpus…), docs, …)` when the frozen idf
+    * came from that corpus pass (LogRegSpec pins it): the margin is an
+    * integer sum of identical per-slot contributions. Docs with null
+    * `textCol` score on the bias alone ([[predict]]'s left-join
+    * fallback). Returns every input column plus `score` and
+    * `predicted` — the [[Classify.nbScoreFrozen]] contract; this is
+    * the streaming-routing shape, each micro-batch pays one extra map
+    * pass and nothing else. */
+  def scoreFrozen(model: FrozenLrModel, docs: DataFrame,
+      textCol: String): DataFrame = {
+    require(!docs.columns.contains("predicted") &&
+      !docs.columns.contains("score"),
+      "scoreFrozen: input already has predicted/score columns")
+    import graft.functions.HashedTfidfMargin.hashed_tfidf_margin
+    docs.withColumn("score",
+        round6(lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(hashed_tfidf_margin(
+              TextAnalysis.tokens(col(textCol)), model.idf, model.w),
+            lit(0L)) / 1000000.0 + model.bias)))))
+      .withColumn("predicted", col("score") >= 0.5)
+  }
+
   /** Score docs with a fitted model: (doc_id, score, predicted) with
     * score = round6(sigmoid(w·x + bias)), predicted = score ≥ 0.5. */
   def predict(features: DataFrame, docs: DataFrame, idCol: String,

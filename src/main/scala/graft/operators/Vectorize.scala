@@ -144,6 +144,17 @@ object Vectorize {
     weighted(tf, idf)
   }
 
+  /** [[tfidfSparse]] plus the corpus idf table it was weighted with:
+    * (sparse (doc_id, slot, weight), (slot, idf)) from ONE corpus pass.
+    * The idf side is what a frozen deployment needs to featurize NEW
+    * documents consistently with the training corpus
+    * ([[LogReg.freeze]]); it is dim-row metadata by construction. */
+  def tfidfSparseWithIdf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): (DataFrame, DataFrame) = {
+    val (tf, idf) = tfAndIdf(docs, idCol, textCol, dim)
+    (weighted(tf, idf), idf.select(col("slot"), col("__idf").as("idf")))
+  }
+
   /** Dense TF-IDF vectors: (doc_id, vec Array[Double] of length `dim`) —
     * the column shape the k-means / ANN / SemDeDup ladder consumes in
     * place of `embeddings.embedding`. */

@@ -287,6 +287,42 @@ object DocumentStream {
       .start()
   }
 
+  /** Logreg routing at ingest — [[startClassifierRoutingJob]] with the
+    * LEARNED gate ([[graft.operators.LogReg]]) instead of NB: a model
+    * fitted offline (weights + the corpus idf it was featurized with,
+    * [[graft.operators.Vectorize.tfidfSparseWithIdf]]) is frozen ONCE
+    * at stream start ([[graft.operators.LogReg.freeze]]) and every
+    * micro-batch scores as one stateless native projection
+    * ([[graft.operators.LogReg.scoreFrozen]] — no explode, no feature
+    * shuffle, no model join per trigger). Output lands partitioned by
+    * the boolean `predicted`, so downstream reads prune to the
+    * accepted/rejected side; `batch_seq` makes crash replays
+    * LWW-resolvable, and replays re-score bit-identically (the margin
+    * is an integer-scaled sum). Note the store's `predicted` partition
+    * column reads back as STRING 'true'/'false' — Spark's partition
+    * inference has no boolean type — so consumers prune with
+    * `predicted = 'true'` or cast on read. */
+  def startLrRoutingJob(docs: DataFrame, idCol: String,
+      textCol: String, weights: DataFrame, idf: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val reserved = Seq("predicted", "score", "batch_seq")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"input stream already has column(s) ${reserved.mkString(", ")} — " +
+        "they are produced by the routing job; rename them upstream")
+    val frozen = graft.operators.LogReg.freeze(weights, idf)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.LogReg.scoreFrozen(frozen, batch, textCol)
+          .withColumn("batch_seq", lit(batchId))
+          .write.mode("append").partitionBy("predicted").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming per-slice token heavy hitters — the streaming face of
     * [[graft.operators.Profile.topTokensSketch]], completing the
     * batch/streaming card symmetry ([[startStatsJob]] carries the

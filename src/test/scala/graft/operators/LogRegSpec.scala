@@ -113,4 +113,85 @@ class LogRegSpec extends SparkSuite {
       "doc_id", w).collect().head
     assert(out.getDouble(1) === r6(1.0 / (1.0 + math.exp(-bias))))
   }
+
+  /** A small text corpus whose tfidf features train a real model: the
+    * frozen-deployment pins below run the whole text → hash → tf·idf →
+    * margin chain, not a synthetic feature table. */
+  private def textCorpus = Seq(
+    (0L, "buy cheap pills now buy", 1.0),
+    (1L, "meeting notes for the board", 0.0),
+    (2L, "cheap cheap offer now", 1.0),
+    (3L, "quarterly board meeting agenda", 0.0),
+    (4L, "offer pills offer now now", 1.0),
+    (5L, "agenda and notes for review", 0.0),
+    (6L, "now buy the cheap offer", 1.0),
+    (7L, "review of the quarterly notes", 0.0),
+    (8L, "pills offer buy", 1.0),
+    (9L, "board review meeting", 0.0)
+  ).toDF("doc_id", "text", "y")
+
+  test("scoreFrozen is bit-equal to predict() over the join path") {
+    val docs = textCorpus
+    val (feats0, idf) =
+      Vectorize.tfidfSparseWithIdf(docs, "doc_id", "text", dim = 16)
+    val feats = feats0.localCheckpoint(true)
+    val w = LogReg.fit(feats, docs.select("doc_id", "y"),
+      dim = 16, eta = 0.5, rounds = 3)
+    val viaJoin = LogReg.predict(feats, docs, "doc_id", w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val frozen = LogReg.freeze(w, idf)
+    val viaKernel = LogReg.scoreFrozen(frozen, docs, "text")
+      .select("doc_id", "score", "predicted")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(viaKernel === viaJoin)
+    // the learned gate actually separates the fixture
+    val byId = viaKernel.map(t => t._1 -> t._3).toMap
+    assert((0L until 10L).forall(id => byId(id) === (id % 2 == 0)))
+  }
+
+  test("scoreFrozen: OOV tokens (slots with no corpus df) and null " +
+      "text fall back exactly like the join path") {
+    val docs = textCorpus
+    val (feats0, idf) =
+      Vectorize.tfidfSparseWithIdf(docs, "doc_id", "text", dim = 256)
+    val feats = feats0.localCheckpoint(true)
+    val w = LogReg.fit(feats, docs.select("doc_id", "y"),
+      dim = 256, eta = 0.5, rounds = 2)
+    val frozen = LogReg.freeze(w, idf)
+    val newDocs = Seq((100L, "zzz qqq unseen tokens entirely"),
+      (101L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = LogReg.scoreFrozen(frozen, newDocs, "text")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the join-path answer for the same docs: featurize under the
+    // TRAINING idf (the frozen-deployment contract — slots with no
+    // corpus df drop out of the inner join)
+    val newFeats = newDocs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Vectorize.termSlot(col("tok"), 256).as("slot"))
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("tf"))
+      .join(idf, "slot")
+      .select(col("doc_id"), col("slot"),
+        round(col("tf") * col("idf"), 6).as("weight"))
+    val viaJoin = LogReg.predict(newFeats, newDocs, "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === viaJoin)
+    // null text has no token rows anywhere: the shared answer IS the
+    // bias-only fallback
+    assert(got(101L) === r6(1.0 / (1.0 + math.exp(-frozen.bias))))
+  }
+
+  test("freeze rejects weight tables with missing slots or no bias") {
+    val idf = Seq((0L, 1.0)).toDF("slot", "idf")
+    intercept[IllegalArgumentException] {
+      LogReg.freeze(Seq((0L, 0.5)).toDF("slot", "w"), idf) // no bias
+    }
+    intercept[IllegalArgumentException] {
+      LogReg.freeze(Seq((-1L, 0.1), (1L, 0.5)).toDF("slot", "w"),
+        idf) // slot 0 missing
+    }
+  }
 }

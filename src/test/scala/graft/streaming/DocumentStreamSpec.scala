@@ -507,6 +507,66 @@ class DocumentStreamSpec extends SparkSuite {
       "batch_seq").subsetOf(cols))
   }
 
+  test("logreg routing: model frozen once, batches score through the " +
+      "native margin kernel, output partitioned by predicted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{LogReg, Vectorize}
+    // train the learned gate offline on a separable corpus
+    val train = Seq(
+      (0L, "buy cheap pills now", 1.0), (1L, "meeting notes today", 0.0),
+      (2L, "cheap offer now buy", 1.0), (3L, "board meeting agenda", 0.0),
+      (4L, "pills offer now", 1.0), (5L, "agenda notes review", 0.0)
+    ).toDF("doc_id", "text", "y")
+    val (feats0, idf) =
+      Vectorize.tfidfSparseWithIdf(train, "doc_id", "text", dim = 64)
+    val feats = feats0.localCheckpoint(true)
+    val w = LogReg.fit(feats, train.select("doc_id", "y"),
+      dim = 64, eta = 1.0, rounds = 10)
+    val input = MemoryStream[Doc]
+    val out = java.nio.file.Files.createTempDirectory("lr_route_out")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lr_route_ckpt")
+      .toString
+    val q = DocumentStream.startLrRoutingJob(input.toDF(), "doc_id",
+      "text", w, idf, out, ckpt)
+    try {
+      input.addData(Doc(10L, "buy pills now", 1L),
+        Doc(11L, "notes for the meeting", 2L))
+      q.processAllAvailable()
+      input.addData(Doc(12L, "cheap pills offer", 3L)) // frozen reuse
+      q.processAllAvailable()
+    } finally q.stop()
+    // the partition column reads back as string (no boolean partition
+    // inference in Spark) — the scaladoc'd consumer contract
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("predicted").cast("boolean")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(10L -> true, 11L -> false, 12L -> true))
+    // streamed scores == the batch frozen scorer == the join path
+    val batchDocs = Seq((10L, "buy pills now"),
+      (11L, "notes for the meeting"), (12L, "cheap pills offer"))
+      .toDF("doc_id", "text")
+    val viaBatch = LogReg.scoreFrozen(LogReg.freeze(w, idf),
+        batchDocs, "text")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamed = spark.read.parquet(out).select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === viaBatch)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs.contains("predicted=true") &&
+      dirs.contains("predicted=false"))
+    // reserved-column guard, same contract as the NB routing job
+    val clashing = input.toDF().withColumn("score", lit(0.5))
+    val e = intercept[IllegalArgumentException] {
+      DocumentStream.startLrRoutingJob(clashing, "doc_id", "text", w,
+        idf,
+        java.nio.file.Files.createTempDirectory("lr_clash_o").toString,
+        java.nio.file.Files.createTempDirectory("lr_clash_c").toString)
+    }
+    assert(e.getMessage.contains("score"))
+  }
+
   test("top-tokens card: summaries merge across batches == one-shot " +
       "batch sketch, max_err certifies exactness") {
     implicit val sqlCtx = spark.sqlContext
