@@ -1361,6 +1361,53 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // X9: curation against a PRE-SEEDED store — the redeployment shape
+    // pr6 doesn't cover: a PREVIOUS deployment curated one slice into
+    // the store (its card retired with it), then a NEW deployment
+    // streams two batches against that non-empty history with a fresh
+    // card. Pins, in one cross-engine fold: (a) admission — seeded
+    // history suppresses stream duplicates exactly like stream-written
+    // history (the anti-join has no notion of "who" wrote a key);
+    // (b) the fresh card counts ONLY what the new deployment admitted
+    // (n_docs == n_stream, both computed independently store-side);
+    // (c) routing — the frozen-NB labels of the admitted stream docs
+    // (n_stream_en), reproduced in SQL by the cl1 argmax chain. The
+    // model is frozen ONCE across all three triggers (the deployment
+    // contract). Batch seqs: seed 100, stream 0..1 — store rows carry
+    // their deployment's stamp
+    "x9_seeded_curation" -> { (s, dir) =>
+      import graft.streaming.DocumentStream
+      val seedCard = freshTmpDir("x9seedcard", dir)
+      val store = freshTmpDir("x9store", dir)
+      val card = freshTmpDir("x9card", dir)
+      val docs = table(s, dir, "documents")
+      val frozen = graft.operators.Classify.nbFreeze(
+        graft.operators.Classify.nbFit(
+          docs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
+          vocabSize = 24))
+      // previous deployment: seeds the store, card retired with it
+      DocumentStream.curationBatch(docs.filter(col("doc_id") % 3 === 0),
+        100L, "text", "doc_id", "source", frozen, 0.0, store, seedCard)
+      // new deployment over non-empty history: fresh card
+      DocumentStream.curationBatch(docs.filter(col("doc_id") % 3 === 1),
+        0L, "text", "doc_id", "source", frozen, 0.0, store, card)
+      DocumentStream.curationBatch(docs.filter(col("doc_id") % 3 === 2),
+        1L, "text", "doc_id", "source", frozen, 0.0, store, card)
+      val storeAgg = s.read.parquet(store)
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("batch_seq") < 100L, 1L).otherwise(0L))
+            .as("n_stream"),
+          sum(when(col("batch_seq") === 100L, 1L).otherwise(0L))
+            .as("n_seed"),
+          sum(when(col("batch_seq") < 100L &&
+              col("predicted") === "en", 1L).otherwise(0L))
+            .as("n_stream_en"))
+      DocumentStream.curationCard(s, card, "source")
+        .join(storeAgg, Seq("source"))
+        .orderBy("source")
+    },
+
     // H1: the pricing-summary rollup (TPC-H Q1 shape) over lineitem —
     // one partial-aggregating pass, all sums/avgs mergeable map-side;
     // rounded identically on both engines since double-sum order
@@ -5014,6 +5061,41 @@ object SparkEntry {
         |JOIN co ON sess.user_id = co.user_id
         |LEFT JOIN fdep f ON sess.user_id = f.user_id
         |ORDER BY sess.user_id""".stripMargin,
+
+    "x9_seeded_curation" ->
+      s"""WITH ${nbOracleCtes("doc_id % 3 <> 0")},
+        |w AS (
+        |  SELECT doc_id, source, text, doc_id % 3 AS b,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM documents),
+        |adm AS (SELECT * FROM w WHERE rn = 1),
+        |npred AS (
+        |  SELECT doc_id, label FROM (
+        |    SELECT doc_id, label,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, label) AS prn
+        |    FROM gsc) WHERE prn = 1),
+        |strm AS (
+        |  SELECT a.source, a.text, p.label
+        |  FROM adm a JOIN npred p USING (doc_id) WHERE a.b <> 0),
+        |seedc AS (
+        |  SELECT source, count(*) AS n_seed
+        |  FROM adm WHERE b = 0 GROUP BY 1),
+        |sagg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS n_bytes,
+        |    count(*) AS n_stream,
+        |    CAST(sum(CASE WHEN label = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stream_en
+        |  FROM strm GROUP BY source)
+        |SELECT sa.source, sa.n_docs, sa.n_tokens, sa.n_bytes,
+        |  sa.n_stream, CAST(coalesce(sc.n_seed, 0) AS BIGINT) AS n_seed,
+        |  sa.n_stream_en
+        |FROM sagg sa LEFT JOIN seedc sc USING (source)
+        |ORDER BY sa.source""".stripMargin,
 
     "h14_promo_revenue" ->
       """WITH r AS (
