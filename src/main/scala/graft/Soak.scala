@@ -195,7 +195,7 @@ object Soak {
     "k9_knn_ivfpq_residual", "k10_ivf_append", "k11_ivf_retrain",
     "k12_recall_probe", "k12b_recall_probe_heldout",
     "k13_ivfpq_rebuild", "k13b_ivfpq_recall",
-    "pr6_curation_card_lifecycle",
+    "pr6_curation_card_lifecycle", "x9_seeded_curation",
     "r1_bm25_topk", "t13_perplexity_buckets", "d14_prototypes",
     "d8b_semdedup_sqrtn",
     "r2_bm25_index_topk", "d15_cross_corpus_dedup",

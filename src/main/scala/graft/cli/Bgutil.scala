@@ -129,7 +129,7 @@ object Bgutil {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|indexstats|maintainindex|recallprobe|sweeporphans|rebuildcard|compactstore|textindexstats|compacttextindex|compactscdlog|compactlayout|info|clustersdiff|shell|web> [args...]\n" +
+        "usage: bgutil <dbdir> <syncdb|write|read|render|list|dirs|du|stats|clean|repair|copy|delete|compact|expire|markers|clearmarkers|indexstats|maintainindex|recallprobe|sweeporphans|rebuildcard|compactstore|storestats|maintainstore|textindexstats|compacttextindex|compactscdlog|compactlayout|info|clustersdiff|shell|web> [args...]\n" +
         "  compact [sinceS] [bucketsPerSlice]            fold streaming re-emissions (all stages)\n" +
         "  expire <nowS>                                 drop whole bucket dirs past retention\n" +
         "  markers [dir]                                 inspect guard markers + provenance\n" +
@@ -144,6 +144,8 @@ object Bgutil {
         "  sweeporphans <indexDir>                       reclaim crashed-swap orphan generations (guarded)\n" +
         "  rebuildcard <storeDir> <cardDir> [textCol] [groupCol]  fold the curation card's increment log\n" +
         "  compactstore <storeDir> [prefixesPerSlice]    fold a curation store's per-trigger small files\n" +
+        "  storestats <storeDir>                         curation store per-prefix docs/files report\n" +
+        "  maintainstore <storeDir> <cardDir> [maxFiles] [maxIncrements] [textCol] [groupCol]  one cron decision: compact and/or rebuild card\n" +
         "  textindexstats <indexDir>                     text/phrase index per-bucket postings/files\n" +
         "  compacttextindex <indexDir> [bucketsPerSlice] fold a text index's per-append small files\n" +
         "  compactscdlog <logDir>                        drop an SCD changelog's replay duplicates\n" +
@@ -219,6 +221,25 @@ object Bgutil {
       graft.streaming.DocumentStream.compactStore(db.spark, rest(0),
         prefixesPerSlice = if (rest.length > 1) rest(1).toInt else 8)
       println(s"compacted ${rest(0)}")
+    case "storestats" =>
+      val rows = graft.streaming.DocumentStream
+        .storeStats(db.spark, rest(0)).collect()
+      println("kp\tdocs\tfiles")
+      rows.foreach(r =>
+        println(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}"))
+      println(s"total: ${rows.map(_.getLong(1)).sum} doc(s) in " +
+        s"${rows.map(_.getLong(2)).sum} file(s) across " +
+        s"${rows.length} prefix(es)")
+    case "maintainstore" =>
+      val r = graft.streaming.DocumentStream.maintainStore(db.spark,
+        rest(0), rest(1),
+        maxFiles = if (rest.length > 2) rest(2).toLong else 16L,
+        maxIncrements = if (rest.length > 3) rest(3).toLong else 64L,
+        textCol = if (rest.length > 4) rest(4) else "text",
+        groupCol = if (rest.length > 5) rest(5) else "source")
+      println(s"action=${r.action} prefixes=${r.prefixes} " +
+        s"maxFilesPerPrefix=${r.maxFilesPerPrefix} " +
+        s"increments=${r.increments}")
     case "textindexstats" => textIndexStatsCmd(db, rest(0))
     case "compacttextindex" =>
       graft.operators.Retrieval.compactTextIndex(db.spark, rest(0),

@@ -602,6 +602,94 @@ object DocumentStream {
     * and would rewrite `kp=07` as `kp=7`, corrupting the store's width
     * detection and dedup (the exact appendNovel bug round 12 fixed;
     * a compactor must never reintroduce it). */
+  /** Per-prefix maintenance report for a curation store: (kp, docs,
+    * files) — the [[compactStore]] trigger signal (every micro-batch
+    * appends ~one file per touched prefix, so `files` grows with
+    * trigger count until a compaction folds it). Read-only,
+    * metadata-scale: only the two key columns are read (EXPLICIT
+    * schema — the all-digit-prefix inference trap), and the file count
+    * rides the `_metadata` column, never a driver-side listing of data
+    * files. An absent or not-yet-committed store reports zero rows. */
+  def storeStats(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val schema = StructType(Seq(StructField("content_key", StringType),
+      StructField("kp", StringType)))
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("kp", StringType),
+          StructField("docs", org.apache.spark.sql.types.LongType),
+          StructField("files", org.apache.spark.sql.types.LongType))))
+    else spark.read.schema(schema).parquet(storeDir)
+      .groupBy(col("kp"))
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("_metadata.file_path")).as("files"))
+      .orderBy("kp")
+  }
+
+  /** One store-maintenance decision, reported typed (the
+    * [[graft.operators.Similarity.maintainIvfIndex]] contract): what
+    * ran, and the signals it ran on. */
+  final case class StoreMaintenance(action: String, prefixes: Long,
+    maxFilesPerPrefix: Long, increments: Long)
+
+  /** The curation store's cron verb — ONE call an operator schedules,
+    * completing the maintenance symmetry with the IVF index
+    * (`maintainindex`) and making the two store verbs a DECISION
+    * instead of two blind invocations:
+    *
+    *  - any kp prefix holding more than `maxFiles` data files →
+    *    [[compactStore]] (the per-trigger small-file fold);
+    *  - the card's increment log exceeding `maxIncrements` live
+    *    `batch_seq=` directories → [[rebuildCard]] (fold + heal from
+    *    the authoritative store).
+    *
+    * Both signals are metadata-scale reads ([[storeStats]] is a
+    * two-column pruned aggregate; the increment count is one directory
+    * listing). Dispatch is typed, never a mid-cron exception for a
+    * policy decision: `action` ∈ {"compact+rebuildcard", "compact",
+    * "rebuildcard", "noop"}. Concurrency keeps the repo-wide fail-fast
+    * contract — a live appender racing the dispatched compaction
+    * throws [[graft.sources.ConcurrentCompactionException]] rather
+    * than silently dropping a batch (run the cron off the trigger
+    * cadence, or catch and retry). */
+  def maintainStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, cardDir: String, maxFiles: Long = 16,
+      maxIncrements: Long = 64, textCol: String = "text",
+      groupCol: String = "source",
+      prefixesPerSlice: Int = 8): StoreMaintenance = {
+    val stats = storeStats(spark, storeDir).collect()
+    val worst = if (stats.isEmpty) 0L else stats.map(_.getLong(2)).max
+    val cardPath = new org.apache.hadoop.fs.Path(cardDir)
+    val cardFs = cardPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val increments =
+      if (!cardFs.exists(cardPath)) 0L
+      else cardFs.listStatus(cardPath).count { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch_seq=") &&
+          n.stripPrefix("batch_seq=").toLongOption.exists(_ >= 0L)
+      }.toLong
+    val doCompact = worst > maxFiles
+    val doRebuild = increments > maxIncrements
+    if (doCompact) compactStore(spark, storeDir, prefixesPerSlice)
+    if (doRebuild) rebuildCard(spark, storeDir, cardDir, textCol, groupCol)
+    val action = (doCompact, doRebuild) match {
+      case (true, true)  => "compact+rebuildcard"
+      case (true, false) => "compact"
+      case (false, true) => "rebuildcard"
+      case _             => "noop"
+    }
+    StoreMaintenance(action, stats.length.toLong, worst, increments)
+  }
+
   def compactStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, prefixesPerSlice: Int = 8): Unit =
     graft.sources.Compaction.guardedCompaction(spark, storeDir) {

@@ -541,4 +541,70 @@ class BgutilSpec extends SparkSuite {
       s"expected fewer files: ${parquetFiles(lay)} !< $layFilesBefore")
     assert(spark.read.parquet(lay).count() === 4096)
   }
+
+  test("storestats + maintainstore: one cron decision compacts the " +
+      "store and folds the card, preserving totals and admission") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocumentStream
+    val db = Db(spark, java.nio.file.Files.createTempDirectory("bgms").toString)
+    def stdout(f: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos))(f)
+      bos.toString("UTF-8")
+    }
+    def parquetFiles(dir: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val store = java.nio.file.Files.createTempDirectory("bgms_store").toString
+    val card = java.nio.file.Files.createTempDirectory("bgms_card").toString
+    val model = graft.operators.Classify.nbFit(
+      Seq(("en", "alpha beta"), ("fr", "gamma delta")).toDF("lang", "text"),
+      "lang", "text", vocabSize = 8)
+    val frozen = graft.operators.Classify.nbFreeze(model)
+    def batch(seq: Long) = (0L until 12L)
+      .map(i => (seq * 100 + i, s"doc b$seq n$i alpha beta payload", "en",
+        "src", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (b <- 0L until 3L)
+      DocumentStream.curationBatch(batch(b), b, "text", "doc_id",
+        "source", frozen, 0.0, store, card)
+
+    // the stats report: per-prefix docs/files plus the total line
+    val report = stdout(Bgutil.run(db, "storestats", Array(store)))
+    assert(report.contains("kp\tdocs\tfiles"), report)
+    assert(report.contains("total: 36 doc(s)"), report)
+
+    // below both thresholds -> typed noop, nothing rewritten
+    val filesBefore = parquetFiles(store)
+    val noop = stdout(Bgutil.run(db, "maintainstore",
+      Array(store, card, "64", "64")))
+    assert(noop.contains("action=noop"), noop)
+    assert(parquetFiles(store) === filesBefore)
+
+    // past both thresholds -> compact + rebuildcard in one decision
+    val totalsBefore = DocumentStream.curationCard(spark, card, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val out = stdout(Bgutil.run(db, "maintainstore",
+      Array(store, card, "1", "1")))
+    assert(out.contains("action=compact+rebuildcard"), out)
+    assert(parquetFiles(store) < filesBefore,
+      s"expected fewer files: ${parquetFiles(store)} !< $filesBefore")
+    assert(spark.read.parquet(store).count() === 36)
+    // the folded card reports identical totals; increments were dropped
+    val totalsAfter = DocumentStream.curationCard(spark, card, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(totalsAfter === totalsBefore)
+    val incDirs = new java.io.File(card).listFiles().map(_.getName)
+      .filter(n => n.startsWith("batch_seq=") && !n.endsWith("=-1"))
+    assert(incDirs.isEmpty, incDirs.mkString(","))
+    // admission survives the maintenance: replaying batch 0 admits 0
+    DocumentStream.curationBatch(batch(0L), 3L, "text", "doc_id",
+      "source", frozen, 0.0, store, card)
+    assert(spark.read.parquet(store).count() === 36)
+  }
 }
