@@ -11,13 +11,15 @@ import org.apache.spark.sql.expressions.Window
   * cluster, then drop near-identical pairs WITHIN each cluster — the
   * cluster structure bounds the pairwise comparison to cell-sized blocks).
   *
-  * Everything is declarative DataFrame ops — no collect, no UDFs, no
-  * MLlib dependency:
-  *  - assignment: corpus × broadcast(centroids) + a max_by aggregation
-  *    (map-side partials; never a corpus-wide sort),
+  * Everything is declarative DataFrame ops — no UDFs, no MLlib
+  * dependency, and the only collect is the k-row centroid freeze (the
+  * broadcast-model class of metadata-scale reads):
+  *  - assignment: ONE stateless projection per vector against the
+  *    frozen k×dim matrix ([[graft.functions.NearestCentroid]] — no
+  *    crossJoin row blow-up, no per-id shuffle),
   *  - centroid update: posexplode to (cell, dim) rows → one partial-
   *    aggregated groupBy of k·d cells → re-assembled array.
-  * Per iteration that is one broadcast join and two shuffles whose
+  * Per iteration that is one corpus projection and one shuffle whose
   * output is k·d rows — at 100 TB the corpus is scanned `iters` times
   * but never reshuffled by itself.
   *
@@ -31,12 +33,66 @@ object Clustering {
     * cell_id, ccos). `centroids` must be (cell_id, centroid) and small
     * enough to broadcast (k centroids — always, by construction).
     *
-    * Norms are precomputed per vector and per centroid BEFORE the
-    * corpus × k join, so each of the corpus·k pairs pays one interpreted
-    * array pass (the dot product), not three — bit-identical to
-    * `cosine()` by construction of [[Similarity.l2norm]]. */
+    * Executes as ONE stateless projection: the centroid matrix is
+    * frozen driver-side (k rows — the same metadata-scale collect the
+    * broadcast already implied) and every vector scores against it in
+    * a single native pass ([[graft.functions.NearestCentroid]]). The
+    * previous shape — crossJoin(broadcast) × k then a per-id max_by
+    * aggregation — materialized k rows PER VECTOR and paid a corpus
+    * shuffle on every call; this one pays neither, which compounds
+    * across every caller (each k-means round, every IVF build/append/
+    * probe assignment, SemDeDup, prototype pruning, the per-trigger
+    * streaming index append). Bit-identical to the join path
+    * ([[assignCellsJoin]], kept for the equivalence spec): same
+    * ascending-index double folds, same round-6, same
+    * (ccos DESC, cell_id ASC) tie rule, same null/NaN edges. */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame =
+      centroids: DataFrame): DataFrame = {
+    val cellType = centroids.schema("cell_id").dataType
+    val rows = centroids.select(col("cell_id").cast("long"),
+      col("centroid")).collect()
+    // empty centroids: the join path emitted zero rows (the crossJoin
+    // had nothing to pair) — reproduce that, schema included
+    if (rows.isEmpty)
+      return df.filter(lit(false)).select(col(idCol), col(vecCol),
+        lit(null).cast(cellType).as("cell_id"),
+        lit(null).cast("double").as("ccos"))
+    val sorted = rows.map { r =>
+      r.getLong(0) -> r.getSeq[Any](1)
+        .map(_.asInstanceOf[Number].doubleValue()).toArray
+    }.sortBy(_._1)
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim),
+      s"assignCells: centroids disagree on dimension " +
+        s"(${sorted.map(_._2.length).distinct.mkString(",")})")
+    val ids = sorted.map(_._1)
+    val flat = new Array[Double](ids.length * dim)
+    sorted.zipWithIndex.foreach { case ((_, c), i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim)
+    }
+    // self-norms at freeze time, the exact sqrt(array_dot(c, c)) fold
+    val cns = sorted.map { case (_, c) =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += c(j) * c(j); j += 1 }
+      math.sqrt(s)
+    }
+    import graft.functions.NearestCentroid.nearest_centroid
+    df.select(col(idCol), col(vecCol),
+        nearest_centroid(col(vecCol), ids, flat, cns).as("__nc"))
+      // a NULL vector is the one case the kernel can't carry through
+      // the struct: the join path kept the row with a null-poisoned
+      // ccos on the lowest cell — coalesce reproduces it
+      .select(col(idCol), col(vecCol),
+        coalesce(col("__nc.cell_id"), lit(ids.head)).cast(cellType)
+          .as("cell_id"),
+        col("__nc.ccos").as("ccos"))
+  }
+
+  /** The pre-kernel join-shaped assignment — retained ONLY as the
+    * equivalence oracle for [[assignCells]] (NearestCentroidSpec pins
+    * the two bit-equal on every edge); no production path calls it. */
+  private[graft] def assignCellsJoin(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame =
     df.select(col(idCol), col(vecCol),
         Similarity.l2norm(col(vecCol)).as("__vn"))
       .crossJoin(broadcast(centroids

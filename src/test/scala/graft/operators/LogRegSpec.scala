@@ -184,6 +184,31 @@ class LogRegSpec extends SparkSuite {
     assert(got(101L) === r6(1.0 / (1.0 + math.exp(-frozen.bias))))
   }
 
+  test("scoreFrozen's physical plan is one stateless projection: no " +
+      "join, no exchange, the native margin kernel inline") {
+    val docs = textCorpus
+    val (feats0, idf) =
+      Vectorize.tfidfSparseWithIdf(docs, "doc_id", "text", dim = 16)
+    val w = LogReg.fit(feats0.localCheckpoint(true),
+      docs.select("doc_id", "y"), dim = 16, eta = 0.5, rounds = 1)
+    val frozen = LogReg.freeze(w, idf)
+    // over a LOCAL fixture the optimizer constant-folds the whole
+    // scoring into a LocalTableScan — already join-free, but to pin the
+    // DISTRIBUTED shape (projection over the scan, kernel inline, no
+    // exchange) the scored side must be a real file relation
+    val fileDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = LogReg.scoreFrozen(frozen, fileDocs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_hashed_tfidf_margin"), plan)
+    // and the local-fixture fold stays join-free too
+    val localPlan = LogReg.scoreFrozen(frozen, docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!localPlan.toLowerCase.contains("join"), localPlan)
+  }
+
   test("freeze rejects weight tables with missing slots or no bias") {
     val idf = Seq((0L, 1.0)).toDF("slot", "idf")
     intercept[IllegalArgumentException] {
