@@ -57,6 +57,51 @@ object ProductQuantization {
     * operator here uses. */
   private def assignCodes(sv: DataFrame, idCol: String,
       codebooks: DataFrame): DataFrame = {
+    val cellRows = codebooks.select(col("sub"), col("code"), col("cent"))
+      .collect()
+    // empty codebooks: the join path emitted zero rows — reproduce it
+    if (cellRows.isEmpty)
+      return sv.filter(lit(false)).select(col(idCol), col("sub"),
+        col("sv"), lit(null).cast("int").as("code"))
+    val bySub = cellRows
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Any](2).map(_.asInstanceOf[Number].doubleValue()).toArray))
+      .groupBy(_._1)
+    val m = bySub.keys.max + 1
+    require(bySub.keySet == (0 until m).toSet,
+      s"assignCodes: non-contiguous subspaces ${bySub.keySet}")
+    val subDim = cellRows.head.getSeq[Any](2).length
+    require(cellRows.forall(_.getSeq[Any](2).length == subDim),
+      "assignCodes: codebook entries disagree on subDim")
+    val perSub = (0 until m).map(s => bySub(s).sortBy(_._2))
+    val subStart = perSub.scanLeft(0)(_ + _.length).toArray
+    val codes = perSub.flatten.map(_._2).toArray
+    val cent = new Array[Double](codes.length * subDim)
+    perSub.flatten.zipWithIndex.foreach { case ((_, _, c), i) =>
+      System.arraycopy(c, 0, cent, i * subDim, subDim)
+    }
+    // frozen self-norms, the exact dot(cent, cent) ascending fold
+    val c2 = perSub.flatten.map { case (_, _, c) =>
+      var s = 0.0; var j = 0
+      while (j < subDim) { s += c(j) * c(j); j += 1 }
+      s
+    }.toArray
+    val firstCodes = subStart.init.map(codes(_))
+    import graft.functions.NearestCode.nearest_code
+    sv.select(col(idCol), col("sub"), col("sv"),
+      // a NULL subvector can't carry through the kernel: the join path
+      // kept the row on the sub's first code — coalesce reproduces it
+      coalesce(
+        nearest_code(col("sub"), col("sv"), subStart, codes, cent, c2,
+          subDim),
+        element_at(lit(firstCodes), col("sub") + 1)).as("code"))
+  }
+
+  /** The pre-kernel join-shaped code assignment — retained ONLY as the
+    * equivalence oracle for [[assignCodes]] (NearestCodeSpec pins the
+    * two bit-equal); no production path calls it. */
+  private[graft] def assignCodesJoin(sv: DataFrame, idCol: String,
+      codebooks: DataFrame): DataFrame = {
     val c = broadcast(codebooks
       .withColumn("__c2", dot(col("cent"), col("cent"))))
     sv.withColumn("__v2", dot(col("sv"), col("sv")))
@@ -116,12 +161,20 @@ object ProductQuantization {
     * double per vector instead of the float array. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): DataFrame = {
-    val (m, _, subDim) = codebookShape(codebooks)
+    val (m, stride, subDim) = codebookShape(codebooks)
     val sv = subvectors(corpus, idCol, vecCol, m, subDim)
-    val c2 = broadcast(codebooks.select(col("sub"), col("code"),
-      dot(col("cent"), col("cent")).as("__c2")))
+    // the per-(sub, code) self-norms, dense by slot = sub·stride + code
+    // (0.0 at dropped-code gaps — never referenced): an O(1) literal
+    // lookup instead of the broadcast join the pre-kernel path paid,
+    // computed engine-side with the same dot fold the join carried
+    val c2Rows = codebooks.select(col("sub"), col("code"),
+      dot(col("cent"), col("cent")).as("__c2")).collect()
+    val c2Dense = new Array[Double](m * stride)
+    c2Rows.foreach(r =>
+      c2Dense(r.getInt(0) * stride + r.getInt(1)) = r.getDouble(2))
     assignCodes(sv, idCol, codebooks)
-      .join(c2, Seq("sub", "code"))
+      .withColumn("__c2", element_at(lit(c2Dense),
+        col("sub") * stride + col("code") + 1))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(
         struct(col("sub"), col("code"), col("__c2")))).as("__sc"))

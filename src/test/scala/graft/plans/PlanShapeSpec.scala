@@ -18,19 +18,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
   }
 
-  test("k-means assignment broadcasts centroids, aggregates map-side") {
-    val emb = (0L until 20L).map(i =>
-      (i, Array.tabulate(8)(j => (i * 7 + j).toFloat))).toDF("vec_id", "embedding")
+  test("k-means assignment is one stateless projection: no join, no " +
+      "exchange, the frozen-matrix kernel inline") {
+    // a FILE relation, so the optimizer can't constant-fold the whole
+    // assignment away (a local fixture folds to LocalTableScan — also
+    // join-free, pinned in NearestCentroidSpec)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Seq((0L, Array.fill(8)(1.0)), (1L, Array.fill(8)(-1.0)))
       .toDF("cell_id", "centroid")
     val p = plan(Clustering.assignCells(emb, "vec_id", "embedding", cents))
-    assert(p.contains("Broadcast"), s"centroids not broadcast:\n$p")
-    // the argmax must reduce BEFORE the exchange (k rows per vector in,
-    // one out) — partial_max_by on the map side is the scale property.
-    // (Carrying the vector in the agg struct makes Spark pick
-    // SortAggregate — local per-partition sorts, NOT a corpus-wide sort;
-    // the exchange still moves one row per vector.)
-    assert(p.contains("partial_max_by"), s"no map-side partial argmax:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(p.contains("graft_nearest_centroid"), s"kernel not inline:\n$p")
   }
 
   test("brute-force kNN broadcasts the query side; corpus is not shuffled") {
