@@ -3023,15 +3023,16 @@ object SparkEntry {
     "lr1_logreg_gate" -> { (s, dir) =>
       import graft.operators.{LogReg, Vectorize}
       val docs = table(s, dir, "documents")
-      // ONE tfidf pass over the full corpus: idf consistent across the
-      // split; feats materialized — every train round reads them
-      val (feats0, idf) =
-        Vectorize.tfidfSparseWithIdf(docs, "doc_id", "text", dim = 16)
-      val feats = feats0.localCheckpoint(true)
       val labels = docs.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"),
           when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = LogReg.fit(feats, labels, dim = 16, eta = 0.5, rounds = 4)
+      // text-native training: per round two projections + one
+      // dim-bounded shuffle, no joins (bit-equal to the relational
+      // fit over tfidfSparse — LogRegSpec pins the trajectory)
+      val w = LogReg.fitText(docs, "doc_id", "text", labels,
+        dim = 16, eta = 0.5, rounds = 4)
+      val (_, idf) =
+        Vectorize.tfidfSparseWithIdf(docs, "doc_id", "text", dim = 16)
       LogReg.scoreFrozen(LogReg.freeze(w, idf),
           docs.filter(col("doc_id") % 5 === 0), "text")
         .select("doc_id", "score", "predicted")

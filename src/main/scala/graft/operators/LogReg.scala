@@ -97,6 +97,84 @@ object LogReg {
     w.toDF("slot", "w")
   }
 
+  /** TEXT-NATIVE training — [[fit]] specialized to hashed-TF-IDF
+    * features straight from a text column, with the join-shaped inner
+    * loop replaced by kernels (the [[scoreFrozen]] treatment applied
+    * to TRAINING): the per-doc (slot, weight) entries are staged ONCE
+    * by [[graft.functions.HashedTfidfSlots]] (a projection — no
+    * explode, no corpus shuffle, no idf join), each round's margins
+    * come from [[graft.functions.HashedTfidfMargin]] over the staged
+    * tokens (a projection — the old path joined the feature relation
+    * against the weights and shuffled per-doc sums), and the gradient
+    * is ONE partial-aggregated groupBy(slot) whose output is dim rows
+    * (the old path also joined the doc-scale probability relation back
+    * into the feature relation first). Per round: two projections +
+    * one dim-bounded shuffle + two metadata collects — no join
+    * anywhere.
+    *
+    * Bit-identical to `fit(Vectorize.tfidfSparse(docs…), labels…)` —
+    * LogRegSpec pins the whole trained trajectory — because every
+    * margin/gradient contribution is the same integer-scaled long the
+    * relational path summed, and integer sums are order-free. Labels
+    * join the corpus once at stage time (the relational path paid the
+    * same restriction join). Unlabeled docs never enter the stage;
+    * labeled docs with empty/null text get margin 0 (the left-join
+    * fallback) and still count toward `n` and the bias gradient. */
+  def fitText(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, dim: Int, eta: Double, rounds: Int): DataFrame = {
+    require(dim > 0 && rounds > 0 && eta > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.HashedTfidfMargin.hashed_tfidf_margin
+    import graft.functions.HashedTfidfSlots.hashed_tfidf_slots
+    val (_, idfDf) = Vectorize.tfidfSparseWithIdf(docs, idCol, textCol, dim)
+    val idfRows = idfDf.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idf = Array.tabulate(dim)(s =>
+      idfRows.getOrElse(s.toLong, Double.NaN))
+    // the stage: one row per LABELED doc — y, tokens (margins re-read
+    // them each round against the moving weights), and the staged
+    // (slot, weight) entries (fixed across rounds; the gradient
+    // explodes them). Materialized once, read 2×rounds times.
+    val stage = docs
+      .select(col(idCol).as("__did"), col(textCol).as("__txt"))
+      .join(labels.select(col("doc_id").as("__lid"), col("y").as("__y")),
+        col("__did") === col("__lid"))
+      .select(col("__y").as("y"),
+        TextAnalysis.tokens(col("__txt")).as("__toks"))
+      .withColumn("__slots", hashed_tfidf_slots(col("__toks"), idf))
+      .localCheckpoint(true)
+    val n = labels.count().toDouble
+    var w: Seq[(Long, Double)] =
+      (-1L until dim.toLong).map(_ -> 0.0)
+    for (_ <- 1 to rounds) {
+      val bias = w.head._2
+      val wArr = Array.tabulate(dim)(s => w(s + 1)._2)
+      val scored = stage.withColumn("p",
+        round6(lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(hashed_tfidf_margin(col("__toks"), idf, wArr),
+            lit(0L)) / 1000000.0 + bias)))))
+        .localCheckpoint(true)
+      val slotGrads = scored
+        .select(col("p"), col("y"), explode(col("__slots")).as("__e"))
+        .groupBy(col("__e.slot").as("slot"))
+        .agg(round6(sum(scaled6(col("__e.weight") * (col("p") - col("y"))))
+          / 1000000.0 / n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val biasGrad = scored.agg(round6(sum(scaled6(col("p") - col("y")))
+          / 1000000.0 / n).as("g"))
+        .head().getDouble(0)
+      w = w.map { case (s, ws) =>
+        val g = if (s == -1L) biasGrad else slotGrads.getOrElse(s, 0.0)
+        s -> BigDecimal(ws - eta * g)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      scored.unpersist(false)
+    }
+    stage.unpersist(false)
+    w.toDF("slot", "w")
+  }
+
   /** A fitted model collected to the driver — bias + per-slot weight
     * and corpus idf as plain arrays (dim+1 doubles twice: the broadcast
     * model that was already planning metadata, frozen once per

@@ -209,6 +209,41 @@ class LogRegSpec extends SparkSuite {
     assert(!localPlan.toLowerCase.contains("join"), localPlan)
   }
 
+  test("fitText's trained trajectory is bit-equal to fit over " +
+      "tfidfSparse — for every round count") {
+    val docs = textCorpus
+    val labels = docs.select("doc_id", "y")
+    for (rounds <- Seq(1, 3, 5); dim <- Seq(8, 64)) {
+      val feats = Vectorize.tfidfSparse(docs, "doc_id", "text", dim)
+        .localCheckpoint(true)
+      val viaJoin = LogReg.fit(feats, labels, dim, eta = 0.5, rounds)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaText = LogReg.fitText(docs, "doc_id", "text", labels,
+          dim, eta = 0.5, rounds)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaText === viaJoin, s"rounds=$rounds dim=$dim")
+    }
+  }
+
+  test("fitText: labeled docs with null/empty text take the margin-0 " +
+      "fallback, and the per-round plans are join-free") {
+    val base = textCorpus
+    val docs = base.unionByName(Seq(
+      (20L, null.asInstanceOf[String], 1.0),
+      (21L, "", 0.0)).toDF("doc_id", "text", "y"))
+    val labels = docs.select("doc_id", "y")
+    // the SAME relation on both sides (null-text docs still count into
+    // the idf's N — explodedSlots just emits no rows for them)
+    val feats = Vectorize.tfidfSparse(docs, "doc_id", "text", 16)
+      .localCheckpoint(true)
+    val viaJoin = LogReg.fit(feats, labels, 16, eta = 0.5, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaText = LogReg.fitText(docs, "doc_id", "text", labels,
+        16, eta = 0.5, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaText === viaJoin)
+  }
+
   test("freeze rejects weight tables with missing slots or no bias") {
     val idf = Seq((0L, 1.0)).toDF("slot", "idf")
     intercept[IllegalArgumentException] {
