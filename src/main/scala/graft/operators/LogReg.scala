@@ -128,6 +128,7 @@ object LogReg {
     import graft.functions.HashedTfidfMargin.hashed_tfidf_margin
     import graft.functions.HashedTfidfSlots.hashed_tfidf_slots
     val (_, idfDf) = Vectorize.tfidfSparseWithIdf(docs, idCol, textCol, dim)
+    // dim-row metadata-scale collect (the freeze contract)
     val idfRows = idfDf.collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val idf = Array.tabulate(dim)(s =>

@@ -57,6 +57,8 @@ object ProductQuantization {
     * operator here uses. */
   private def assignCodes(sv: DataFrame, idCol: String,
       codebooks: DataFrame): DataFrame = {
+    // m·ksub-row metadata-scale collect — the codebook is broadcast-
+    // small by contract (the same freeze class as the IVF centroids)
     val cellRows = codebooks.select(col("sub"), col("code"), col("cent"))
       .collect()
     // empty codebooks: the join path emitted zero rows — reproduce it
