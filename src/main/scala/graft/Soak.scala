@@ -154,6 +154,12 @@ object Soak {
       // row reads the srcx/ variant where copy k re-keys the source
       else if (q == "x1_curation_sources")
         SparkEntry.queries("x1_curation_pipeline")(spark, s"$dir/srcx").count()
+      // the fixed-k SemDeDup leg EXISTS to measure the N²/k regime the
+      // semanticDupPairs rail refuses by default — open the explicit
+      // escape hatch here, exactly as a deliberate fixed-k caller would
+      else if (q == "x2_embedding_pipeline")
+        SparkEntry.x2Chain(spark, dir, k = 8, iters = 2,
+          maxCandidatePairs = Long.MaxValue).count()
       else SparkEntry.queries(q)(spark, dir).count()
     val rows = selected.map { q =>
       // untimed warm-up leg: a fresh JVM's first query otherwise pays

@@ -43,15 +43,19 @@ object SparkEntry {
     * at d8b's k≈√N — the pair stage's documented corpus-scale
     * operating point (Σcell² ≈ N^1.5 instead of N²/k; docs/SCALE.md).
     * `private[graft]` so Soak can drive the variant without a
-    * duplicate chain. */
+    * duplicate chain; `maxCandidatePairs` is the pair stage's scale
+    * rail, which the soak's fixed-k leg opens deliberately to keep
+    * the quadratic regime measurable. */
   private[graft] def x2Chain(s: SparkSession, dir: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int,
+      maxCandidatePairs: Long =
+        graft.operators.Clustering.DefaultMaxCandidatePairs): DataFrame = {
     import graft.operators.{Clustering, Dedup}
     val emb = table(s, dir, "embeddings")
     val cents = Clustering.kmeansFit(emb, "vec_id", "embedding", k, iters)
     // pair list feeds TWO consumers (drop set + components)
     val pairs = Clustering.semanticDupPairs(emb, "vec_id", "embedding",
-        cents, threshold = 0.7)
+        cents, threshold = 0.7, maxCandidatePairs)
       .localCheckpoint(true)
     val dropIds = pairs.select(col("id_b").as("vec_id")).distinct()
     val survivors = emb.join(dropIds, Seq("vec_id"), "left_anti")

@@ -29,9 +29,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Clustering {
 
+  /** Default candidate-pair budget for [[semanticDupPairs]] — 2·10⁹
+    * pairwise cosines is hours of cluster work; a plan estimated past
+    * it is almost always a fixed-k cell layout that should have been
+    * trained at k ≈ √N, and the refusal says exactly that. */
+  val DefaultMaxCandidatePairs: Long = 2_000_000_000L
+
   /** Nearest-centroid assignment by cosine: returns (idCol, vecCol,
     * cell_id, ccos). `centroids` must be (cell_id, centroid) and small
-    * enough to broadcast (k centroids — always, by construction).
+    * enough to broadcast (k centroids — always, by construction), with
+    * UNIQUE cell_ids (validated here with a caller-facing error; the
+    * pre-kernel join path silently let whichever duplicate won the
+    * max_by).
+    *
+    * EAGER: the centroid relation is collect()ed at CALL time to
+    * freeze the k×dim kernel matrix — the k-row metadata-scale read
+    * the broadcast already implied, but paid when the plan is BUILT,
+    * not when it first executes. Callers composing an assignment plan
+    * before the centroids are computable must defer this call until
+    * they are.
     *
     * Executes as ONE stateless projection: the centroid matrix is
     * frozen driver-side (k rows — the same metadata-scale collect the
@@ -61,6 +77,14 @@ object Clustering {
       r.getLong(0) -> r.getSeq[Any](1)
         .map(_.asInstanceOf[Number].doubleValue()).toArray
     }.sortBy(_._1)
+    // validate BEFORE the kernel sees the matrix: its strictly-ascending
+    // require would otherwise surface as an opaque kernel-layout error
+    val dups = sorted.map(_._1)
+      .groupBy(identity).collect { case (id, g) if g.length > 1 => id }
+    require(dups.isEmpty,
+      s"assignCells: duplicate cell_id in centroids: " +
+        s"${dups.toSeq.sorted.mkString(", ")} — centroid relations " +
+        "must carry one row per cell")
     val dim = sorted.head._2.length
     require(sorted.forall(_._2.length == dim),
       s"assignCells: centroids disagree on dimension " +
@@ -141,9 +165,26 @@ object Clustering {
     * unlike labels the blocks come from the data itself. Returns
     * (id_a, id_b, cos) with id_a < id_b; feed to
     * [[Dedup.connectedComponents]] / [[Dedup.leakageSafeSplit]] like any
-    * other duplicate-pair source. */
+    * other duplicate-pair source.
+    *
+    * SCALE RAIL: the candidate-pair count is Σ |cell|·(|cell|−1)/2 —
+    * with a cell count k FIXED while the corpus grows, cells grow as
+    * N/k and the stage is an N²/k regime (measured exponent 1.27 on
+    * the 100× soak; docs/SCALE.md). At the recommended k ≈ √N (Abbas
+    * et al. 2023 — [[kmeansFit]] with a derived k, the d8b/x2_sqrtn
+    * operating point) the estimate stays ≈ N^1.5 and the rail never
+    * fires. Before building the self-join this operator therefore
+    * counts cell sizes (one aggregation over the already-materialized
+    * assignment, k rows out) and REFUSES when the estimate exceeds
+    * `maxCandidatePairs` (default [[DefaultMaxCandidatePairs]]), with
+    * the per-cell evidence and the derived-k fix in the message.
+    * Passing `maxCandidatePairs = Long.MaxValue` is the EXPLICIT
+    * escape hatch for deliberately running a fixed-k plan at a scale
+    * the default would refuse (the soak's x2 leg does, to keep the
+    * quadratic regime measurable). */
   def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double): DataFrame = {
+      centroids: DataFrame, threshold: Double,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     // norms once per vector BEFORE the within-cell self-join: each of the
     // Σ cell² candidate pairs then costs one interpreted array pass.
     // Materialize the assignment (N rows) before aliasing it as both join
@@ -154,6 +195,28 @@ object Clustering {
     val cells = assignCells(corpus, idCol, vecCol, centroids)
       .withColumn("__n", Similarity.l2norm(col(vecCol)))
       .localCheckpoint(true)
+    // the rail: k-row cell-size histogram off the materialized
+    // assignment, refusal BEFORE any pairwise work is planned
+    if (maxCandidatePairs < Long.MaxValue) {
+      val sizes = cells.groupBy("cell_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val est = sizes.map { case (_, c) => c * (c - 1) / 2 }.sum
+      if (est > maxCandidatePairs) {
+        val n = sizes.map(_._2).sum
+        val (bigCell, bigSize) = sizes.maxBy(_._2)
+        val sqrtN = math.max(1, math.sqrt(n.toDouble).round)
+        throw new IllegalArgumentException(
+          s"semanticDupPairs: estimated candidate pairs $est " +
+            s"(Σ |cell|·(|cell|−1)/2 over ${sizes.length} cells; " +
+            s"largest cell $bigCell has $bigSize of $n vectors) " +
+            s"exceeds maxCandidatePairs=$maxCandidatePairs — the " +
+            s"fixed-k quadratic regime. Train centroids with " +
+            s"k ≈ √N (here ≥ $sqrtN; kmeansFit with a derived k, " +
+            s"the d8b operating point) to keep the estimate near " +
+            s"N^1.5, or pass maxCandidatePairs = Long.MaxValue to " +
+            s"run this fixed-k plan anyway.")
+      }
+    }
     val a = cells.select(col("cell_id"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("__n").as("na"))
     val b = cells.select(col("cell_id"), col(idCol).as("id_b"),

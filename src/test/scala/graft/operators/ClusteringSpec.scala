@@ -73,6 +73,43 @@ class ClusteringSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b, _) => a == 0L && b == 1L })
   }
 
+  test("assignCells refuses duplicate cell_ids with a caller-facing message") {
+    val cents = Seq(
+      (3L, Array(1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0)),
+      (5L, Array(0.0, 0.0, 1.0))
+    ).toDF("cell_id", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.assignCells(corpus, "vec_id", "embedding", cents)
+    }
+    assert(e.getMessage.contains("duplicate cell_id"))
+    assert(e.getMessage.contains("3"))
+  }
+
+  test("semanticDupPairs rail refuses a fixed-k quadratic plan; the " +
+      "explicit hatch runs it") {
+    val cents = Clustering.kmeansFit(corpus, "vec_id", "embedding",
+      k = 2, iters = 3)
+    // 6 vectors in 2 cells of 3 → Σ c(c−1)/2 = 6 candidate pairs;
+    // a budget of 5 must refuse with the evidence in the message
+    val e = intercept[IllegalArgumentException] {
+      Clustering.semanticDupPairs(corpus, "vec_id", "embedding", cents,
+        threshold = 0.98, maxCandidatePairs = 5L)
+    }
+    assert(e.getMessage.contains("estimated candidate pairs 6"))
+    assert(e.getMessage.contains("maxCandidatePairs=5"))
+    assert(e.getMessage.contains("Long.MaxValue"))
+    // the explicit fixed-k hatch produces exactly the default-rail rows
+    val railed = Clustering.semanticDupPairs(corpus, "vec_id",
+        "embedding", cents, threshold = 0.98)
+      .as[(Long, Long, Double)].collect().toSet
+    val hatch = Clustering.semanticDupPairs(corpus, "vec_id",
+        "embedding", cents, threshold = 0.98,
+        maxCandidatePairs = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hatch === railed && hatch.nonEmpty)
+  }
+
   test("prototypesPrune drops the most prototypical per cell, keeps the hard") {
     val cents = Clustering.kmeansFit(corpus, "vec_id", "embedding",
       k = 2, iters = 3)
