@@ -3025,20 +3025,20 @@ object SparkEntry {
     // HashedTfidfMargin projection — no explode/join/groupBy in the
     // scoring stage; bit-equal to predict(), LogRegSpec pins it)
     "lr1_logreg_gate" -> { (s, dir) =>
-      import graft.operators.{LogReg, Vectorize}
+      import graft.operators.LogReg
       val docs = table(s, dir, "documents")
       val labels = docs.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"),
           when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      // text-native training: per round two projections + one
-      // dim-bounded shuffle, no joins (bit-equal to the relational
-      // fit over tfidfSparse — LogRegSpec pins the trajectory)
-      val w = LogReg.fitText(docs, "doc_id", "text", labels,
+      // text-native training straight to the frozen deployment model:
+      // per round two projections + one dim-bounded shuffle, no joins
+      // (bit-equal to the relational fit over tfidfSparse — LogRegSpec
+      // pins the trajectory), and the corpus idf computed FOR training
+      // is the frozen model's idf — one corpus pass total, not the
+      // fitText-then-rebuild-idf two
+      val model = LogReg.fitTextFrozen(docs, "doc_id", "text", labels,
         dim = 16, eta = 0.5, rounds = 4)
-      val (_, idf) =
-        Vectorize.tfidfSparseWithIdf(docs, "doc_id", "text", dim = 16)
-      LogReg.scoreFrozen(LogReg.freeze(w, idf),
-          docs.filter(col("doc_id") % 5 === 0), "text")
+      LogReg.scoreFrozen(model, docs.filter(col("doc_id") % 5 === 0), "text")
         .select("doc_id", "score", "predicted")
         .orderBy("doc_id")
     },

@@ -115,16 +115,48 @@ object LogReg {
     * Bit-identical to `fit(Vectorize.tfidfSparse(docs…), labels…)` —
     * LogRegSpec pins the whole trained trajectory — because every
     * margin/gradient contribution is the same integer-scaled long the
-    * relational path summed, and integer sums are order-free. Labels
-    * join the corpus once at stage time (the relational path paid the
-    * same restriction join). Unlabeled docs never enter the stage;
-    * labeled docs with empty/null text get margin 0 (the left-join
-    * fallback) and still count toward `n` and the bias gradient. */
+    * relational path summed, and integer sums are order-free. The
+    * stage is labels LEFT-joined to the corpus (the relational path's
+    * restriction join ran the other way but [[probs]] left-joined
+    * from labels too): a label whose doc_id has no corpus row, like a
+    * labeled doc with empty/null text, gets margin 0, still counts
+    * toward `n` and the bias gradient, and contributes to no slot —
+    * exactly [[fit]]'s behavior. Unlabeled docs never enter the
+    * stage. Where [[fit]]'s join arithmetic and the per-row stage
+    * GENUINELY diverge — a doc_id duplicated in the corpus
+    * ([[Vectorize.tfidfSparse]] merges tf across the copies; a
+    * per-row stage would weight each copy separately) or in the
+    * labels (the restriction join would double the margin rows) —
+    * this refuses with a caller-facing error instead of training a
+    * silently different trajectory; both checks are label-scale
+    * aggregations. */
   def fitText(docs: DataFrame, idCol: String, textCol: String,
       labels: DataFrame, dim: Int, eta: Double, rounds: Int): DataFrame = {
-    require(dim > 0 && rounds > 0 && eta > 0)
     val spark = docs.sparkSession
     import spark.implicits._
+    fitTextImpl(docs, idCol, textCol, labels, dim, eta, rounds)._1
+      .toDF("slot", "w")
+  }
+
+  /** [[fitText]] straight to the deployment artifact: the corpus idf
+    * computed for the training stage is REUSED as the frozen model's
+    * idf half instead of re-derived — a fitText → [[freeze]] pipeline
+    * otherwise pays the full [[Vectorize.tfidfSparseWithIdf]] corpus
+    * pass twice (once inside training, once to rebuild the idf table
+    * training already had). Same weights, same idf values, one corpus
+    * scan; score with [[scoreFrozen]]. */
+  def fitTextFrozen(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, dim: Int, eta: Double,
+      rounds: Int): FrozenLrModel = {
+    val (w, idf) = fitTextImpl(docs, idCol, textCol, labels, dim, eta,
+      rounds)
+    FrozenLrModel(w.head._2, idf, w.tail.map(_._2).toArray)
+  }
+
+  private def fitTextImpl(docs: DataFrame, idCol: String,
+      textCol: String, labels: DataFrame, dim: Int, eta: Double,
+      rounds: Int): (Seq[(Long, Double)], Array[Double]) = {
+    require(dim > 0 && rounds > 0 && eta > 0)
     import graft.functions.HashedTfidfMargin.hashed_tfidf_margin
     import graft.functions.HashedTfidfSlots.hashed_tfidf_slots
     val (_, idfDf) = Vectorize.tfidfSparseWithIdf(docs, idCol, textCol, dim)
@@ -133,19 +165,32 @@ object LogReg {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val idf = Array.tabulate(dim)(s =>
       idfRows.getOrElse(s.toLong, Double.NaN))
-    // the stage: one row per LABELED doc — y, tokens (margins re-read
+    // the stage: one row per LABEL — y, tokens (margins re-read
     // them each round against the moving weights), and the staged
     // (slot, weight) entries (fixed across rounds; the gradient
-    // explodes them). Materialized once, read 2×rounds times.
-    val stage = docs
-      .select(col(idCol).as("__did"), col(textCol).as("__txt"))
-      .join(labels.select(col("doc_id").as("__lid"), col("y").as("__y")),
-        col("__did") === col("__lid"))
+    // explodes them). Materialized once, read 2×rounds times. LEFT
+    // join so a label without a corpus row stays (null tokens → null
+    // slots/margin → the bias-only fallback, fit's exact semantics).
+    val stage = labels
+      .select(col("doc_id").as("__lid"), col("y").as("__y"))
+      .join(docs.select(col(idCol).as("__did"), col(textCol).as("__txt")),
+        col("__lid") === col("__did"), "left")
       .select(col("__y").as("y"),
         TextAnalysis.tokens(col("__txt")).as("__toks"))
       .withColumn("__slots", hashed_tfidf_slots(col("__toks"), idf))
       .localCheckpoint(true)
     val n = labels.count().toDouble
+    // the two shapes where per-row staging and fit's join arithmetic
+    // genuinely diverge — refuse loudly (label-scale aggregations on
+    // label-scale relations; the stage is already materialized)
+    require(labels.select("doc_id").distinct().count() == n.toLong,
+      "fitText: duplicate doc_id in labels — the staged trajectory " +
+        "would diverge from fit's restriction-join arithmetic; " +
+        "dedupe the labels (or train via fit over tfidfSparse)")
+    require(stage.count() == n.toLong,
+      "fitText: a labeled doc_id matches multiple corpus rows — " +
+        "tfidfSparse merges duplicate ids, a per-row stage cannot; " +
+        "dedupe the corpus ids (or train via fit over tfidfSparse)")
     var w: Seq[(Long, Double)] =
       (-1L until dim.toLong).map(_ -> 0.0)
     for (_ <- 1 to rounds) {
@@ -173,7 +218,7 @@ object LogReg {
       scored.unpersist(false)
     }
     stage.unpersist(false)
-    w.toDF("slot", "w")
+    (w, idf)
   }
 
   /** A fitted model collected to the driver — bias + per-slot weight

@@ -244,6 +244,74 @@ class LogRegSpec extends SparkSuite {
     assert(viaText === viaJoin)
   }
 
+  test("fitText: labels referencing ABSENT doc_ids train bit-equal to " +
+      "fit (bias-only rows that still count into n)") {
+    val docs = textCorpus
+    // two labels whose doc_ids have no corpus row: fit gives them
+    // p = sigmoid(bias) via its left join and counts them in n — the
+    // stage's labels-side left join must reproduce that exactly
+    val labels = docs.select("doc_id", "y").unionByName(
+      Seq((100L, 1.0), (101L, 0.0)).toDF("doc_id", "y"))
+    for (rounds <- Seq(1, 3)) {
+      val feats = Vectorize.tfidfSparse(docs, "doc_id", "text", 16)
+        .localCheckpoint(true)
+      val viaJoin = LogReg.fit(feats, labels, 16, eta = 0.5, rounds)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaText = LogReg.fitText(docs, "doc_id", "text", labels,
+          16, eta = 0.5, rounds)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaText === viaJoin, s"rounds=$rounds")
+    }
+  }
+
+  test("fitText refuses duplicate ids (labels or corpus) with a " +
+      "caller-facing message") {
+    val docs = textCorpus
+    val labels = docs.select("doc_id", "y")
+    val dupLabels = labels.unionByName(Seq((0L, 1.0)).toDF("doc_id", "y"))
+    val e1 = intercept[IllegalArgumentException] {
+      LogReg.fitText(docs, "doc_id", "text", dupLabels, 16,
+        eta = 0.5, rounds = 1)
+    }
+    assert(e1.getMessage.contains("duplicate doc_id in labels"))
+    val dupDocs = docs.unionByName(
+      Seq((0L, "buy again", 1.0)).toDF("doc_id", "text", "y"))
+    val e2 = intercept[IllegalArgumentException] {
+      LogReg.fitText(dupDocs, "doc_id", "text", labels, 16,
+        eta = 0.5, rounds = 1)
+    }
+    assert(e2.getMessage.contains("matches multiple corpus rows"))
+  }
+
+  test("fitTextFrozen reuses the training idf: same frozen model as " +
+      "freeze(fitText, tfidfSparseWithIdf) without the second corpus " +
+      "pass") {
+    val docs = textCorpus
+    val labels = docs.select("doc_id", "y")
+    val direct = LogReg.fitTextFrozen(docs, "doc_id", "text", labels,
+      dim = 16, eta = 0.5, rounds = 3)
+    val w = LogReg.fitText(docs, "doc_id", "text", labels,
+      dim = 16, eta = 0.5, rounds = 3)
+    val (_, idf) =
+      Vectorize.tfidfSparseWithIdf(docs, "doc_id", "text", dim = 16)
+    val twoPass = LogReg.freeze(w, idf)
+    assert(direct.bias === twoPass.bias)
+    assert(direct.w.toSeq === twoPass.w.toSeq)
+    // NaN-bearing idf arrays: compare slot-wise with NaN == NaN
+    assert(direct.idf.length === twoPass.idf.length)
+    direct.idf.zip(twoPass.idf).zipWithIndex.foreach { case ((a, b), s) =>
+      assert(a === b || (a.isNaN && b.isNaN), s"idf slot $s: $a vs $b")
+    }
+    // and the deployment face scores identically through either model
+    val viaDirect = LogReg.scoreFrozen(direct, docs, "text")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaTwoPass = LogReg.scoreFrozen(twoPass, docs, "text")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaDirect === viaTwoPass)
+  }
+
   test("freeze rejects weight tables with missing slots or no bias") {
     val idf = Seq((0L, 1.0)).toDF("slot", "idf")
     intercept[IllegalArgumentException] {
