@@ -298,10 +298,13 @@ object DocumentStream {
     * the boolean `predicted`, so downstream reads prune to the
     * accepted/rejected side; `batch_seq` makes crash replays
     * LWW-resolvable, and replays re-score bit-identically (the margin
-    * is an integer-scaled sum). Note the store's `predicted` partition
-    * column reads back as STRING 'true'/'false' — Spark's partition
-    * inference has no boolean type — so consumers prune with
-    * `predicted = 'true'` or cast on read. */
+    * is an integer-scaled sum). The store's `predicted` partition
+    * column is written as an explicit STRING label ('true'/'false' —
+    * the NB router's label-column shape): Spark's partition inference
+    * has no boolean type, so writing the boolean would read back as a
+    * surprise string anyway; making it a string at the write keeps
+    * the batch schema and the read-back schema identical. Consumers
+    * prune with `predicted = 'true'`. */
   def startLrRoutingJob(docs: DataFrame, idCol: String,
       textCol: String, weights: DataFrame, idf: DataFrame,
       outDir: String, checkpointDir: String): StreamingQuery = {
@@ -316,6 +319,10 @@ object DocumentStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.LogReg.scoreFrozen(frozen, batch, textCol)
+          // explicit string label BEFORE the partitioned write: the
+          // store's schema is then the batch's schema (partition
+          // inference would have stringified a boolean on read anyway)
+          .withColumn("predicted", col("predicted").cast("string"))
           .withColumn("batch_seq", lit(batchId))
           .write.mode("append").partitionBy("predicted").parquet(outDir)
         ()

@@ -536,12 +536,15 @@ class DocumentStreamSpec extends SparkSuite {
       input.addData(Doc(12L, "cheap pills offer", 3L)) // frozen reuse
       q.processAllAvailable()
     } finally q.stop()
-    // the partition column reads back as string (no boolean partition
-    // inference in Spark) — the scaladoc'd consumer contract
-    val got = spark.read.parquet(out)
-      .select(col("doc_id"), col("predicted").cast("boolean")).collect()
-      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(got === Map(10L -> true, 11L -> false, 12L -> true))
+    // the partition column is an EXPLICIT string label at the write
+    // (the NB router's shape), so the store schema equals the batch
+    // schema — no boolean-turned-string read-back surprise
+    val stored = spark.read.parquet(out)
+    assert(stored.schema("predicted").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val got = stored.select("doc_id", "predicted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "true", 11L -> "false", 12L -> "true"))
     // streamed scores == the batch frozen scorer == the join path
     val batchDocs = Seq((10L, "buy pills now"),
       (11L, "notes for the meeting"), (12L, "cheap pills offer"))
