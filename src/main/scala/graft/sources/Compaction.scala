@@ -118,14 +118,37 @@ object Compaction {
     * marker is deleted before rethrowing — otherwise it would leak and
     * block every future compaction until a manual clearMarkers, and
     * [[guardedCompaction]]'s exists-check would misreport the write
-    * failure as a concurrent compaction. */
+    * failure as a concurrent compaction.
+    *
+    * On a LOCAL filesystem the exclusive create goes through java.nio
+    * (`Files.createFile` = O_EXCL, atomic on POSIX): Hadoop's
+    * RawLocalFileSystem implements `create(overwrite = false)` as
+    * check-then-create, which let two same-host compactors
+    * theoretically both pass the arbiter. HDFS and object stores
+    * create-exclusively inside `fs.create` already. */
   private def createMarker(fs: FileSystem, marker: Path,
       overwrite: Boolean): Unit = {
-    val out = fs.create(marker, overwrite)
-    try { try out.write(markerBody()) finally out.close() }
-    catch { case e: Throwable =>
-      try fs.delete(marker, false) catch { case _: Throwable => () }
-      throw e
+    if (!overwrite && fs.getScheme == "file") {
+      val local =
+        java.nio.file.Paths.get(fs.makeQualified(marker).toUri.getPath)
+      // fs.create made parents implicitly; java.nio does not
+      java.nio.file.Files.createDirectories(local.getParent)
+      // throws java.nio.file.FileAlreadyExistsException — the typed
+      // refusal signal guardedCompaction's catch already matches
+      java.nio.file.Files.createFile(local)
+      try java.nio.file.Files.write(local, markerBody())
+      catch { case e: Throwable =>
+        try java.nio.file.Files.deleteIfExists(local)
+        catch { case _: Throwable => () }
+        throw e
+      }
+    } else {
+      val out = fs.create(marker, overwrite)
+      try { try out.write(markerBody()) finally out.close() }
+      catch { case e: Throwable =>
+        try fs.delete(marker, false) catch { case _: Throwable => () }
+        throw e
+      }
     }
   }
 
@@ -196,12 +219,13 @@ object Compaction {
   def guardedCompaction[T](spark: SparkSession, dir: String)(body: => T): T = {
     val (fs, root) = fileSystem(spark, dir)
     val marker = new Path(root, CompactingMarker)
-    // create-exclusive is the compactor-vs-compactor arbiter; on HDFS /
-    // object stores it is atomic, on RawLocalFileSystem it is
-    // check-then-create (two LOCAL compactors could theoretically both
-    // pass — a test-environment-only caveat; the appender/compactor
-    // direction, the data-loss one, is sound everywhere by the two-flag
-    // argument)
+    // create-exclusive is the compactor-vs-compactor arbiter: atomic on
+    // HDFS / object stores inside fs.create, and atomic on local disks
+    // too via createMarker's O_EXCL java.nio path (RawLocalFileSystem's
+    // own create(overwrite = false) is check-then-create); the
+    // appender/compactor direction, the data-loss one, is sound
+    // everywhere by the two-flag argument
+
     try createMarker(fs, marker, overwrite = false)
     catch {
       // the create-exclusive failure ITSELF is the refusal signal —

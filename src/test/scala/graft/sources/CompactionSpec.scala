@@ -58,6 +58,44 @@ class CompactionSpec extends SparkSuite {
     }
   }
 
+  test("compactor arbiter is atomic on local disks: exactly one winner " +
+      "under simultaneous attempts (O_EXCL, not check-then-create)") {
+    val dir = tmp("guard_race")
+    val n = 8
+    val attempted = new java.util.concurrent.CountDownLatch(n)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val refusals = new java.util.concurrent.atomic.AtomicInteger
+    // every thread races the SAME marker create; the winner holds the
+    // guard until all n have attempted, so no loser can sneak a
+    // second sequential win — with a check-then-create arbiter this
+    // setup could admit two winners
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        start.await()
+        try Compaction.guardedCompaction(spark, dir) {
+          attempted.countDown()
+          attempted.await(20, java.util.concurrent.TimeUnit.SECONDS)
+          wins.incrementAndGet()
+          ()
+        }
+        catch {
+          case _: ConcurrentCompactionException =>
+            attempted.countDown()
+            refusals.incrementAndGet()
+            ()
+        }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(30000))
+    assert(wins.get === 1)
+    assert(refusals.get === n - 1)
+    // the winner dropped the marker on exit — the dir is clean
+    assert(Compaction.inspectMarkers(spark, dir).isEmpty)
+  }
+
   test("crashed holder's stale marker fails loudly; clearMarkers recovers") {
     val dir = tmp("guard4")
     // a crashed appender: marker left behind, no process holds it
