@@ -621,6 +621,51 @@ object Bench {
     * (benchmarks/accessor_bench.py:99-192). Setup (stores, catalogs) runs
     * ONCE, untimed, here; the returned thunks are timed by the caller's
     * interleaved passes like every other query. */
+  /** The carbon-ingest write path at an arbitrary batch scale — the
+    * bg_ingest_1m_points body, shared with the soak's ingest-exponent
+    * row: `nPoints` raw points over `nMetrics` series (points per
+    * series stays fixed when both scale together — the more-series
+    * axis a growing metrics fleet actually rides) through stage0 LWW
+    * dedup + the hourly rollup + both partitioned store writes in ONE
+    * write job. Stage0 salt sizes to the batch
+    * ([[graft.sources.PointsStore.saltFor]]); the rollup side is
+    * nMetrics × hourly-buckets rows (batch-span-bounded, ~17 per
+    * series here), so its flat salt of 8 stays right across factors. */
+  private[graft] def ingestPoints(spark: SparkSession, nPoints: Long,
+      nMetrics: Long, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.model.Retention
+    import graft.operators.Downsample
+    import graft.sources.PointsStore
+    val retention = Retention.fromString("3600*60s:2160*3600s")
+    val raw = spark.range(nPoints).select(
+      concat(lit("bulk.m"), (col("id") % nMetrics)).as("metric_id"),
+      ((col("id") / nMetrics).cast("long") * 60).as("ts"),
+      col("id").cast("double").as("value"))
+      .withColumn("aggregator", lit("average"))
+    // the deduped micro-batch feeds BOTH the stage0 write and the
+    // rollup — persist so the LWW shuffle runs once, exactly like a
+    // live ingest job holding its micro-batch in memory
+    val deduped = Downsample.lastWriteWins(raw, 60, col("value"))
+      .withColumn("count", lit(1.0)).withColumn("replica", lit(0))
+      .persist()
+    try {
+      // the whole batch lands in ONE stage0 time bucket (span
+      // 120000 s > data span) — size the salt to the batch, exactly
+      // what a live carbon instance flushing batches this size should
+      // do. BOTH stages land in one write job with one commit
+      // (writeMulti): the rollup branch fills scheduler slots the
+      // stage0 shuffle leaves idle instead of paying a second job +
+      // commit
+      PointsStore.writeMulti(Seq(
+        (deduped.drop("aggregator"), retention.stage0,
+          PointsStore.saltFor(nPoints)),
+        (Downsample.rollupStage(deduped, 3600).drop("aggregator")
+          .withColumn("replica", lit(0)), retention.stages(1), 8)),
+        dir)
+    } finally deduped.unpersist(false)
+  }
+
   private def baselineMicroTasks(spark: SparkSession,
       sfDir: String): Seq[(String, () => Unit)] = {
     import org.apache.spark.sql.functions._
@@ -702,41 +747,15 @@ object Bench {
       }),
       // ingest throughput vs the reference's ~200k points/s design point
       // (plugins/carbon.py:93-95): 1M points through stage0 LWW dedup +
-      // both rollups + partitioned store writes
+      // both rollups + partitioned store writes ([[ingestPoints]] —
+      // the body the soak's exponent row scales by factor).
       // ingest reps write to FRESH dirs so repetition neither appends to
       // the read-micro store nor measures an ever-growing table
       "bg_ingest_1m_points" -> (() => {
         // fixed dir wiped per rep: PointsStore.write is append-mode, and
         // a per-rep temp dir leaks a 1M-point store copy per bench pass
-        val dir = SparkEntry.freshTmpDir("bgingest1m", "bench")
-        val raw = spark.range(1000000L).select(
-          concat(lit("bulk.m"), (col("id") % 1000)).as("metric_id"),
-          ((col("id") / 1000).cast("long") * 60).as("ts"),
-          col("id").cast("double").as("value"))
-          .withColumn("aggregator", lit("average"))
-        // the deduped micro-batch feeds BOTH the stage0 write and the
-        // rollup — persist so the LWW shuffle runs once, exactly like a
-        // live ingest job holding its micro-batch in memory
-        val deduped = Downsample.lastWriteWins(raw, 60, col("value"))
-          .withColumn("count", lit(1.0)).withColumn("replica", lit(0))
-          .persist()
-        try {
-          // the whole 1M-point batch lands in ONE stage0 time bucket
-          // (span 120000 s > data span), so the flat salt of 8 caps the
-          // write at 8 tasks on 32 cores — size the salt to the batch
-          // (saltFor(1M) = 31 writers), exactly what a live carbon
-          // instance flushing batches this size should do. BOTH stages
-          // land in one write job with one commit (writeMulti): the
-          // rollup branch fills scheduler slots the stage0 shuffle
-          // leaves idle instead of paying a second job + commit
-          PointsStore.writeMulti(Seq(
-            (deduped.drop("aggregator"), retention.stage0,
-              PointsStore.saltFor(1000000L)),
-            (Downsample.rollupStage(deduped, 3600).drop("aggregator")
-              .withColumn("replica", lit(0)), retention.stages(1), 8)),
-            dir)
-        } finally deduped.unpersist(false)
-        ()
+        ingestPoints(spark, 1000000L, 1000L,
+          SparkEntry.freshTmpDir("bgingest1m", "bench"))
       }),
       "bg_ingest_100x1" -> (() => {
         val dir = SparkEntry.freshTmpDir("bgingest100", "bench")

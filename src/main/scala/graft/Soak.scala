@@ -110,6 +110,26 @@ object Soak {
       }
     }
 
+    // --x2railprobe: demonstrate the semanticDupPairs DEFAULT rail at
+    // the inflated scale — the fixed-k=8 x2 plan should REFUSE with
+    // the Σ cell² evidence (after paying only k-means + the k-row
+    // histogram, never the self-join). Prints the outcome and exits.
+    if (only == Set("--x2railprobe")) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.x2Chain(spark, out, k = 8, iters = 2).count()
+        println(f"X2RAILPROBE: NO REFUSAL at factor $factor " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s — corpus still " +
+          "inside the default budget)")
+      } catch {
+        case e: IllegalArgumentException =>
+          println(f"X2RAILPROBE: refused in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s — ${e.getMessage}")
+      }
+      spark.stop()
+      return
+    }
+
     // seconds AND the leg's host-steal fraction: a soak exponent
     // published without its steal readings is unfalsifiable against
     // host-neighbor noise — r10 measured identical back-to-back d2
@@ -160,6 +180,15 @@ object Soak {
       else if (q == "x2_embedding_pipeline")
         SparkEntry.x2Chain(spark, dir, k = 8, iters = 2,
           maxCandidatePairs = Long.MaxValue).count()
+      // ingest generates its own batch — the factor IS the batch
+      // scale: nPoints and the series count grow together (points per
+      // series fixed, the more-series axis a metrics fleet grows
+      // along), through the exact bg_ingest_1m_points write path
+      else if (q == "bg_ingest_points") {
+        val f = if (dir == base) 1 else factor
+        Bench.ingestPoints(spark, 1000000L * f, 1000L * f,
+          SparkEntry.freshTmpDir("soak_ingest", "soak"))
+      }
       else SparkEntry.queries(q)(spark, dir).count()
     val rows = selected.map { q =>
       // untimed warm-up leg: a fresh JVM's first query otherwise pays
@@ -234,7 +263,8 @@ object Soak {
     "cd1_scd2_intervals", "cd2_pit_snapshot", "cd3_snapshot_diff",
     "dq1_expectations",
     "x2_embedding_pipeline", "x2_sqrtn", "x5_pretrain_prep_pipeline",
-    "x1_curation_pipeline", "x1_curation_sources")
+    "x1_curation_pipeline", "x1_curation_sources",
+    "bg_ingest_points")
 
   /** Fact-table file count for inflated (and 1×-normalized) copies:
     * one file per core of the local[32] session, so scan parallelism
