@@ -200,8 +200,11 @@ object Clustering {
     if (maxCandidatePairs < Long.MaxValue) {
       val sizes = cells.groupBy("cell_id").count()
         .collect().map(r => r.getLong(0) -> r.getLong(1))
-      val est = sizes.map { case (_, c) => c * (c - 1) / 2 }.sum
-      if (est > maxCandidatePairs) {
+      // BigInt: c·(c−1)/2 overflows Long past c ≈ 4.3e9 — exactly the
+      // corpus scale this rail exists for, and a wrapped-negative
+      // estimate would silently PASS the check
+      val est = sizes.map { case (_, c) => BigInt(c) * (c - 1) / 2 }.sum
+      if (est > BigInt(maxCandidatePairs)) {
         val n = sizes.map(_._2).sum
         val (bigCell, bigSize) = sizes.maxBy(_._2)
         val sqrtN = math.max(1, math.sqrt(n.toDouble).round)
