@@ -307,13 +307,22 @@ object DocumentStream {
     * prune with `predicted = 'true'`. */
   def startLrRoutingJob(docs: DataFrame, idCol: String,
       textCol: String, weights: DataFrame, idf: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    startLrRoutingJob(docs, idCol, textCol,
+      graft.operators.LogReg.freeze(weights, idf), outDir, checkpointDir)
+
+  /** [[startLrRoutingJob]] taking the deployment artifact directly —
+    * the [[graft.operators.LogReg.fitTextFrozen]] → route path: the
+    * model trained in one corpus pass routes without ever re-deriving
+    * its (weights, idf) as relations. */
+  def startLrRoutingJob(docs: DataFrame, idCol: String,
+      textCol: String, frozen: graft.operators.LogReg.FrozenLrModel,
       outDir: String, checkpointDir: String): StreamingQuery = {
     val reserved = Seq("predicted", "score", "batch_seq")
       .filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"input stream already has column(s) ${reserved.mkString(", ")} — " +
         "they are produced by the routing job; rename them upstream")
-    val frozen = graft.operators.LogReg.freeze(weights, idf)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -559,11 +559,13 @@ class DocumentStreamSpec extends SparkSuite {
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
     assert(dirs.contains("predicted=true") &&
       dirs.contains("predicted=false"))
-    // reserved-column guard, same contract as the NB routing job
+    // reserved-column guard, same contract as the NB routing job —
+    // driven through the frozen-model overload (the fitTextFrozen →
+    // route path; the (weights, idf) face delegates to it)
     val clashing = input.toDF().withColumn("score", lit(0.5))
     val e = intercept[IllegalArgumentException] {
-      DocumentStream.startLrRoutingJob(clashing, "doc_id", "text", w,
-        idf,
+      DocumentStream.startLrRoutingJob(clashing, "doc_id", "text",
+        LogReg.freeze(w, idf),
         java.nio.file.Files.createTempDirectory("lr_clash_o").toString,
         java.nio.file.Files.createTempDirectory("lr_clash_c").toString)
     }
