@@ -179,18 +179,23 @@ object LogReg {
         TextAnalysis.tokens(col("__txt")).as("__toks"))
       .withColumn("__slots", hashed_tfidf_slots(col("__toks"), idf))
       .localCheckpoint(true)
-    val n = labels.count().toDouble
     // the two shapes where per-row staging and fit's join arithmetic
-    // genuinely diverge — refuse loudly (label-scale aggregations on
-    // label-scale relations; the stage is already materialized)
-    require(labels.select("doc_id").distinct().count() == n.toLong,
+    // genuinely diverge — refuse loudly. ONE aggregation pass over the
+    // labels subtree yields both n and the duplicate check (labels may
+    // be corpus-derived, so each extra action on it re-scans the
+    // corpus); the stage count reads the just-checkpointed stage.
+    val cnt = labels.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    val nL = cnt.getLong(0)
+    require(cnt.getLong(1) == nL,
       "fitText: duplicate doc_id in labels — the staged trajectory " +
         "would diverge from fit's restriction-join arithmetic; " +
         "dedupe the labels (or train via fit over tfidfSparse)")
-    require(stage.count() == n.toLong,
+    require(stage.count() == nL,
       "fitText: a labeled doc_id matches multiple corpus rows — " +
         "tfidfSparse merges duplicate ids, a per-row stage cannot; " +
         "dedupe the corpus ids (or train via fit over tfidfSparse)")
+    val n = nL.toDouble
     var w: Seq[(Long, Double)] =
       (-1L until dim.toLong).map(_ -> 0.0)
     for (_ <- 1 to rounds) {
