@@ -208,6 +208,10 @@ object Clustering {
         val n = sizes.map(_._2).sum
         val (bigCell, bigSize) = sizes.maxBy(_._2)
         val sqrtN = math.max(1, math.sqrt(n.toDouble).round)
+        // release the materialized assignment deterministically — a
+        // caller iterating against repeated refusals (notebook loop)
+        // must not accumulate N-row checkpoint blocks until GC
+        cells.unpersist(false)
         throw new IllegalArgumentException(
           s"semanticDupPairs: estimated candidate pairs $est " +
             s"(Σ |cell|·(|cell|−1)/2 over ${sizes.length} cells; " +

@@ -165,6 +165,24 @@ object LogReg {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val idf = Array.tabulate(dim)(s =>
       idfRows.getOrElse(s.toLong, Double.NaN))
+    // the two shapes where per-row staging and fit's join arithmetic
+    // genuinely diverge — refuse loudly, and BEFORE the stage is built
+    // so a refused call fails at label scale instead of after a full
+    // corpus-join materialization. ONE aggregation pass over the
+    // labels subtree yields n and the duplicate check (labels may be
+    // corpus-derived, so each extra action on it re-scans the corpus).
+    // Duplicates are judged among NON-null doc_ids (count(col) skips
+    // nulls, count_distinct ignores them): a null-id label is not a
+    // duplicate — it rides the left join's no-match arm to the same
+    // bias-only contribution fit gives it.
+    val cnt = labels.agg(count(lit(1)).as("n"),
+      count(col("doc_id")).as("nn"),
+      count_distinct(col("doc_id")).as("nd")).head()
+    val nL = cnt.getLong(0)
+    require(cnt.getLong(2) == cnt.getLong(1),
+      "fitText: duplicate doc_id in labels — the staged trajectory " +
+        "would diverge from fit's restriction-join arithmetic; " +
+        "dedupe the labels (or train via fit over tfidfSparse)")
     // the stage: one row per LABEL — y, tokens (margins re-read
     // them each round against the moving weights), and the staged
     // (slot, weight) entries (fixed across rounds; the gradient
@@ -179,18 +197,6 @@ object LogReg {
         TextAnalysis.tokens(col("__txt")).as("__toks"))
       .withColumn("__slots", hashed_tfidf_slots(col("__toks"), idf))
       .localCheckpoint(true)
-    // the two shapes where per-row staging and fit's join arithmetic
-    // genuinely diverge — refuse loudly. ONE aggregation pass over the
-    // labels subtree yields both n and the duplicate check (labels may
-    // be corpus-derived, so each extra action on it re-scans the
-    // corpus); the stage count reads the just-checkpointed stage.
-    val cnt = labels.agg(count(lit(1)).as("n"),
-      count_distinct(col("doc_id")).as("nd")).head()
-    val nL = cnt.getLong(0)
-    require(cnt.getLong(1) == nL,
-      "fitText: duplicate doc_id in labels — the staged trajectory " +
-        "would diverge from fit's restriction-join arithmetic; " +
-        "dedupe the labels (or train via fit over tfidfSparse)")
     require(stage.count() == nL,
       "fitText: a labeled doc_id matches multiple corpus rows — " +
         "tfidfSparse merges duplicate ids, a per-row stage cannot; " +

@@ -120,15 +120,20 @@ object Compaction {
     * [[guardedCompaction]]'s exists-check would misreport the write
     * failure as a concurrent compaction.
     *
-    * On a LOCAL filesystem the exclusive create goes through java.nio
+    * The create is always EXCLUSIVE (every guard marker is a claim).
+    * On a LOCAL filesystem it goes through java.nio
     * (`Files.createFile` = O_EXCL, atomic on POSIX): Hadoop's
     * RawLocalFileSystem implements `create(overwrite = false)` as
     * check-then-create, which let two same-host compactors
     * theoretically both pass the arbiter. HDFS and object stores
-    * create-exclusively inside `fs.create` already. */
-  private def createMarker(fs: FileSystem, marker: Path,
-      overwrite: Boolean): Unit = {
-    if (!overwrite && fs.getScheme == "file") {
+    * create-exclusively inside `fs.create` already; a FileSystem that
+    * does not implement `getScheme` (the base class throws) takes the
+    * `fs.create` arm, the pre-round-15 behavior. */
+  private def createMarker(fs: FileSystem, marker: Path): Unit = {
+    val isLocalFs =
+      try fs.getScheme == "file"
+      catch { case _: UnsupportedOperationException => false }
+    if (isLocalFs) {
       val local =
         java.nio.file.Paths.get(fs.makeQualified(marker).toUri.getPath)
       // fs.create made parents implicitly; java.nio does not
@@ -143,7 +148,7 @@ object Compaction {
         throw e
       }
     } else {
-      val out = fs.create(marker, overwrite)
+      val out = fs.create(marker, false)
       try { try out.write(markerBody()) finally out.close() }
       catch { case e: Throwable =>
         try fs.delete(marker, false) catch { case _: Throwable => () }
@@ -202,7 +207,7 @@ object Compaction {
       write: => T): T = {
     fs.mkdirs(root) // the very first append may precede the directory
     val mine = new Path(root, AppendingPrefix + java.util.UUID.randomUUID())
-    createMarker(fs, mine, overwrite = false)
+    createMarker(fs, mine)
     try {
       if (fs.exists(new Path(root, CompactingMarker)))
         throw new ConcurrentCompactionException(
@@ -226,7 +231,7 @@ object Compaction {
     // appender/compactor direction, the data-loss one, is sound
     // everywhere by the two-flag argument
 
-    try createMarker(fs, marker, overwrite = false)
+    try createMarker(fs, marker)
     catch {
       // the create-exclusive failure ITSELF is the refusal signal —
       // match the typed already-exists exceptions directly, so a

@@ -287,6 +287,16 @@ object DocumentStream {
       .start()
   }
 
+  /** The routing jobs' reserved-output-column guard, shared by both
+    * LR faces (the NB job keeps its inline copy of the same check). */
+  private def requireNoRoutingColumns(docs: DataFrame): Unit = {
+    val reserved = Seq("predicted", "score", "batch_seq")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"input stream already has column(s) ${reserved.mkString(", ")} — " +
+        "they are produced by the routing job; rename them upstream")
+  }
+
   /** Logreg routing at ingest — [[startClassifierRoutingJob]] with the
     * LEARNED gate ([[graft.operators.LogReg]]) instead of NB: a model
     * fitted offline (weights + the corpus idf it was featurized with,
@@ -295,21 +305,25 @@ object DocumentStream {
     * micro-batch scores as one stateless native projection
     * ([[graft.operators.LogReg.scoreFrozen]] — no explode, no feature
     * shuffle, no model join per trigger). Output lands partitioned by
-    * the boolean `predicted`, so downstream reads prune to the
-    * accepted/rejected side; `batch_seq` makes crash replays
-    * LWW-resolvable, and replays re-score bit-identically (the margin
-    * is an integer-scaled sum). The store's `predicted` partition
-    * column is written as an explicit STRING label ('true'/'false' —
-    * the NB router's label-column shape): Spark's partition inference
-    * has no boolean type, so writing the boolean would read back as a
+    * `predicted`, so downstream reads prune to the accepted/rejected
+    * side; `batch_seq` makes crash replays LWW-resolvable, and
+    * replays re-score bit-identically (the margin is an
+    * integer-scaled sum). The store's `predicted` partition column is
+    * written as an explicit STRING label ('true'/'false' — the NB
+    * router's label-column shape): Spark's partition inference has no
+    * boolean type, so writing the boolean would read back as a
     * surprise string anyway; making it a string at the write keeps
     * the batch schema and the read-back schema identical. Consumers
     * prune with `predicted = 'true'`. */
   def startLrRoutingJob(docs: DataFrame, idCol: String,
       textCol: String, weights: DataFrame, idf: DataFrame,
-      outDir: String, checkpointDir: String): StreamingQuery =
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    // validate the stream's columns BEFORE freeze's collect jobs and
+    // model requires: the cheap actionable error comes first
+    requireNoRoutingColumns(docs)
     startLrRoutingJob(docs, idCol, textCol,
       graft.operators.LogReg.freeze(weights, idf), outDir, checkpointDir)
+  }
 
   /** [[startLrRoutingJob]] taking the deployment artifact directly —
     * the [[graft.operators.LogReg.fitTextFrozen]] → route path: the
@@ -318,11 +332,7 @@ object DocumentStream {
   def startLrRoutingJob(docs: DataFrame, idCol: String,
       textCol: String, frozen: graft.operators.LogReg.FrozenLrModel,
       outDir: String, checkpointDir: String): StreamingQuery = {
-    val reserved = Seq("predicted", "score", "batch_seq")
-      .filter(docs.columns.contains)
-    require(reserved.isEmpty,
-      s"input stream already has column(s) ${reserved.mkString(", ")} — " +
-        "they are produced by the routing job; rename them upstream")
+    requireNoRoutingColumns(docs)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -247,11 +247,14 @@ class LogRegSpec extends SparkSuite {
   test("fitText: labels referencing ABSENT doc_ids train bit-equal to " +
       "fit (bias-only rows that still count into n)") {
     val docs = textCorpus
-    // two labels whose doc_ids have no corpus row: fit gives them
-    // p = sigmoid(bias) via its left join and counts them in n — the
-    // stage's labels-side left join must reproduce that exactly
+    // two labels whose doc_ids have no corpus row, plus one with a
+    // NULL doc_id: fit gives all three p = sigmoid(bias) via its left
+    // join (null joins nothing) and counts them in n — the stage's
+    // labels-side left join must reproduce that exactly, and the
+    // duplicate guard must NOT misread null ids as duplicates
     val labels = docs.select("doc_id", "y").unionByName(
-      Seq((100L, 1.0), (101L, 0.0)).toDF("doc_id", "y"))
+      Seq((Some(100L), 1.0), (Some(101L), 0.0),
+        (Option.empty[Long], 1.0)).toDF("doc_id", "y"))
     for (rounds <- Seq(1, 3)) {
       val feats = Vectorize.tfidfSparse(docs, "doc_id", "text", 16)
         .localCheckpoint(true)
