@@ -3065,6 +3065,14 @@ object SparkEntry {
       ModelEval.confusionAt(lr1Scored(s, dir), "score", "y",
         threshold = 0.5)
     },
+    // EV4: the full operating curve — one confusion row per distinct
+    // score as threshold, strictest to laxest (the PR curve's exact
+    // points; cumulative integer counts over the distinct-score
+    // histogram, never a per-threshold corpus pass)
+    "ev4_pr_curve" -> { (s, dir) =>
+      import graft.operators.ModelEval
+      ModelEval.operatingPoints(lr1Scored(s, dir), "score", "y")
+    },
 
     // DS1: DSIR importance weights (Xie et al. 2023) — hashed unigram+
     // bigram distributions of target (lang='en') vs raw (everything),
@@ -7221,6 +7229,37 @@ object SparkEntry {
         |    THEN round((tp + tn) / (tp + fp + tn + fn), 6) END
         |    AS accuracy
         |FROM cf""".stripMargin,
+
+    "ev4_pr_curve" ->
+      s"""WITH ${tfidfCtes(256)},
+        |${lrOracleCtes(8, 256, eta = 1.0)},
+        |${lrScoredCte(8)},
+        |pg AS (SELECT score AS threshold, count(*) AS n, sum(y) AS pos
+        |       FROM sc GROUP BY 1),
+        |pc AS (SELECT threshold,
+        |    CAST(sum(pos) OVER (ORDER BY threshold DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(n - pos) OVER (ORDER BY threshold DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(pos) OVER ()
+        |      - sum(pos) OVER (ORDER BY threshold DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS fn
+        |  FROM pg),
+        |pf AS (SELECT threshold, tp, fp, fn,
+        |    CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END
+        |      AS "precision",
+        |    CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END
+        |      AS recall
+        |  FROM pc)
+        |SELECT threshold, tp, fp, fn, "precision", recall,
+        |  CASE WHEN "precision" IS NOT NULL AND recall IS NOT NULL
+        |      AND "precision" + recall > 0
+        |    THEN round(2.0 * "precision" * recall /
+        |      ("precision" + recall), 6) END AS f1
+        |FROM pf ORDER BY threshold DESC""".stripMargin,
 
     "ds1_dsir_weights" -> s"WITH ${dsirCtes(256)}\n$DsirWeightsSelect",
 

@@ -95,6 +95,44 @@ object ModelEval {
       .orderBy("bucket")
   }
 
+  /** The full operating curve: one row per DISTINCT score, treating
+    * that score as the decision threshold (predict positive iff
+    * score ≥ threshold) — the table a deployment sweeps to pick its
+    * gate threshold, and the PR curve's exact points. Cumulative
+    * tp/fp come from one descending pass over the distinct-score
+    * histogram (exact integers; precision/recall/f1 are single IEEE
+    * divisions of exact counts, round6, NULL-guarded like
+    * [[confusionAt]]). Returns (threshold, tp, fp, fn, precision,
+    * recall, f1) ordered by threshold DESCENDING — the sweep from
+    * strictest gate to laxest. Same distinct-score window bound as
+    * [[aucRoc]]. */
+  def operatingPoints(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol)).as("__pos"))
+    val desc6 = Window.orderBy(col("threshold").desc)
+    val cum = desc6.rowsBetween(Window.unboundedPreceding, 0)
+    val all = desc6.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val prec = when(col("tp") + col("fp") > 0,
+      round6(col("tp") / (col("tp") + col("fp"))))
+    val rec = when(col("tp") + col("fn") > 0,
+      round6(col("tp") / (col("tp") + col("fn"))))
+    g.select(col("threshold"),
+        sum(col("__pos")).over(cum).cast("long").as("tp"),
+        sum(col("__n") - col("__pos")).over(cum).cast("long").as("fp"),
+        (sum(col("__pos")).over(all) - sum(col("__pos")).over(cum))
+          .cast("long").as("fn"))
+      .withColumn("precision", prec)
+      .withColumn("recall", rec)
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            col("precision") + col("recall") > 0,
+          round6(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")))))
+      .orderBy(col("threshold").desc)
+  }
+
   /** Confusion matrix at `threshold` (predicted positive iff
     * score ≥ threshold) with the derived rates: ONE row
     * (tp, fp, tn, fn, precision, recall, f1, accuracy), rates NULL

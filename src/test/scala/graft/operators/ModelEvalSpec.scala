@@ -86,6 +86,32 @@ class ModelEvalSpec extends SparkSuite {
       (9L, 1L, 1.0, 1.0)))
   }
 
+  test("operatingPoints: one confusion row per distinct score, " +
+      "cumulative counts exact, ties collapse into one threshold") {
+    val rows = Seq(
+      (0.9, 1.0), (0.9, 0.0),   // tie block at 0.9
+      (0.6, 1.0),
+      (0.2, 0.0), (0.2, 1.0), (0.2, 0.0)) // tie block at 0.2
+      .toDF("score", "y")
+    val got = ModelEval.operatingPoints(rows, "score", "y")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // threshold 0.9: predicts the 0.9 block → tp 1 fp 1 fn 2
+    // threshold 0.6: + the 0.6 row → tp 2 fp 1 fn 1
+    // threshold 0.2: everything → tp 3 fp 3 fn 0
+    assert(got === Array(
+      (0.9, 1L, 1L, 2L, 0.5, r6(1.0 / 3)),
+      (0.6, 2L, 1L, 1L, r6(2.0 / 3), r6(2.0 / 3)),
+      (0.2, 3L, 3L, 0L, 0.5, 1.0)))
+    // every row's cells agree with confusionAt at that threshold
+    for ((t, tp, fp, fn, _, _) <- got) {
+      val c = ModelEval.confusionAt(rows, "score", "y", t)
+        .collect().head
+      assert((c.getLong(0), c.getLong(1), c.getLong(3)) ===
+        ((tp, fp, fn)), s"threshold $t")
+    }
+  }
+
   test("confusionAt: cells and derived rates, NULL rates where the " +
       "denominator is zero, zero row on empty input") {
     val rows = Seq(
