@@ -3065,6 +3065,13 @@ object SparkEntry {
       ModelEval.confusionAt(lr1Scored(s, dir), "score", "y",
         threshold = 0.5)
     },
+    // EV5: per-slice gate quality — AUC by corpus source, the fully
+    // distributed (partitioned-window) face of the rank statistic;
+    // single-class slices report NULL auc
+    "ev5_auc_by_source" -> { (s, dir) =>
+      import graft.operators.ModelEval
+      ModelEval.aucRocBy(lr1Scored(s, dir), "score", "y", "source")
+    },
     // EV4: the full operating curve — one confusion row per distinct
     // score as threshold, strictest to laxest (the PR curve's exact
     // points; cumulative integer counts over the distinct-score
@@ -4008,7 +4015,7 @@ object SparkEntry {
     val model = LogReg.fitTextFrozen(docs, "doc_id", "text", labels,
       dim = 256, eta = 1.0, rounds = 8)
     LogReg.scoreFrozen(model, docs.filter(col("doc_id") % 5 === 0), "text")
-      .select(col("doc_id"), col("score"),
+      .select(col("doc_id"), col("source"), col("score"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
   }
 
@@ -4017,11 +4024,12 @@ object SparkEntry {
     * holdout scored under the trained lw`rounds` weights, labeled. */
   private def lrScoredCte(rounds: Int): String =
     s"""sc AS MATERIALIZED (
-      |  SELECT d.doc_id,
+      |  SELECT d.doc_id, d.source,
       |    round(1 / (1 + exp(-(coalesce(mg.m6, 0) / 1e6 + bs.b))), 6)
       |      AS score,
       |    CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-      |  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0) d
+      |  FROM (SELECT doc_id, lang, source
+      |        FROM documents WHERE doc_id % 5 = 0) d
       |  LEFT JOIN (SELECT wv.doc_id,
       |               sum(CAST(floor(wv.weight * w.w * 1e6 + 0.5)
       |                 AS BIGINT)) AS m6
@@ -7229,6 +7237,28 @@ object SparkEntry {
         |    THEN round((tp + tn) / (tp + fp + tn + fn), 6) END
         |    AS accuracy
         |FROM cf""".stripMargin,
+
+    "ev5_auc_by_source" ->
+      s"""WITH ${tfidfCtes(256)},
+        |${lrOracleCtes(8, 256, eta = 1.0)},
+        |${lrScoredCte(8)},
+        |eg AS (SELECT source, score, count(*) AS n, sum(y) AS pos
+        |       FROM sc GROUP BY 1, 2),
+        |ec AS (SELECT source, n, pos,
+        |         coalesce(sum(n) OVER (PARTITION BY source
+        |           ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS below
+        |       FROM eg),
+        |et AS (SELECT source,
+        |         sum(pos * (below + (n + 1) / 2.0)) AS prs,
+        |         sum(pos) AS p, sum(n - pos) AS nn
+        |       FROM ec GROUP BY 1)
+        |SELECT source, CASE WHEN p > 0 AND nn > 0
+        |    THEN round((prs - p * (p + 1) / 2.0) / (p * nn), 6) END
+        |    AS auc,
+        |  CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+        |FROM et ORDER BY source""".stripMargin,
 
     "ev4_pr_curve" ->
       s"""WITH ${tfidfCtes(256)},

@@ -50,29 +50,48 @@ object ModelEval {
     * cumulative `below` via one ordered window over that histogram,
     * one final aggregation. The corpus is touched once. */
   def aucRoc(scored: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
-    val g = scored.groupBy(col(scoreCol).as("__s"))
+      labelCol: String): DataFrame =
+    aucAgg(scored, scoreCol, labelCol, Nil)
+
+  /** [[aucRoc]] per group — gate quality sliced by a corpus dimension
+    * (source, shard, time slice): one row (byCol, auc, n_pos, n_neg)
+    * per group, ordered by group, NULL auc for single-class groups.
+    * The cumulative window partitions by the group, so nothing runs
+    * single-partition — the fully-distributed face of the statistic. */
+  def aucRocBy(scored: DataFrame, scoreCol: String, labelCol: String,
+      byCol: String): DataFrame =
+    aucAgg(scored, scoreCol, labelCol, Seq(byCol)).orderBy(byCol)
+
+  private def aucAgg(scored: DataFrame, scoreCol: String,
+      labelCol: String, byCols: Seq[String]): DataFrame = {
+    val g = scored
+      .groupBy((byCols.map(col) :+ col(scoreCol).as("__s")): _*)
       .agg(count(lit(1)).as("__n"), sum(col(labelCol)).as("__pos"))
     // ordered cumulative over the distinct-score relation (bounded by
-    // the score domain — see object scaladoc); rowsBetween(-1) makes
-    // `below` strictly-preceding counts, tie block excluded
-    val below = Window.orderBy("__s")
+    // the score domain — see object scaladoc; per-group when grouped,
+    // where the window is partitioned and fully distributed);
+    // rowsBetween(-1) makes `below` strictly-preceding counts, the
+    // tie block excluded
+    val below = Window.partitionBy(byCols.map(col): _*).orderBy("__s")
       .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("__below", coalesce(sum("__n").over(below), lit(0L)))
-      // each term: positives in the tie block × the block's average
-      // rank — an exact multiple of 0.5, so the sum is order-free
+    val cum = g.withColumn("__below",
+      coalesce(sum("__n").over(below), lit(0L)))
+    // each term: positives in the tie block × the block's average
+    // rank — an exact multiple of 0.5, so the sum is order-free
+    val agg = (if (byCols.isEmpty) cum.groupBy()
+      else cum.groupBy(byCols.map(col): _*))
       .agg(
         sum(col("__pos") * (col("__below") + (col("__n") + 1) / 2.0))
           .as("__prs"),
         sum("__pos").as("__p"),
         sum(col("__n") - col("__pos")).as("__nn"))
-      .select(
-        when(col("__p") > 0 && col("__nn") > 0,
-          round6((col("__prs") - col("__p") * (col("__p") + 1) / 2.0) /
-            (col("__p") * col("__nn"))))
-          .as("auc"),
-        col("__p").cast("long").as("n_pos"),
-        col("__nn").cast("long").as("n_neg"))
+    agg.select((byCols.map(col) ++ Seq(
+      when(col("__p") > 0 && col("__nn") > 0,
+        round6((col("__prs") - col("__p") * (col("__p") + 1) / 2.0) /
+          (col("__p") * col("__nn"))))
+        .as("auc"),
+      col("__p").cast("long").as("n_pos"),
+      col("__nn").cast("long").as("n_neg"))): _*)
   }
 
   /** Reliability diagram input: scores in [0, 1] into `buckets`

@@ -70,6 +70,26 @@ class ModelEvalSpec extends SparkSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("aucRocBy: per-group AUC equals per-group aucRoc; single-class " +
+      "groups NULL; partitioned window (no single-partition warning " +
+      "path)") {
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- Seq("a", "b", "c"); _ <- 0 until 30
+    } yield (g, r6(rnd.nextInt(10) / 9.0), if (rnd.nextBoolean()) 1.0 else 0.0)
+    val oneClass = Seq(("d", 0.5, 1.0), ("d", 0.6, 1.0))
+    val df = (rows ++ oneClass).toDF("src", "score", "y")
+    val got = ModelEval.aucRocBy(df, "score", "y", "src")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = ModelEval.aucRoc(df.filter(col("src") === g),
+        "score", "y").collect().head.getDouble(0)
+      assert(got(g) === Some(solo), s"group $g")
+    }
+    assert(got("d") === None)
+  }
+
   test("calibrationBuckets: equal-width buckets, 1.0 folds into the " +
       "last, exact means and rates") {
     val rows = Seq(
