@@ -44,31 +44,22 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** (id, slot) — one row per unigram AND adjacent-bigram occurrence,
-    * hashed into [0, dim). Bigram feature string is `w1 ‖ ' ' ‖ w2`
-    * (space-joined, disjoint from any unigram token — tokens cannot
-    * contain whitespace by construction of the split). */
-  private def featureSlots(df: DataFrame, idCol: String, textCol: String,
-      dim: Int): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
-    val n = size(t)
-    // unigrams ++ bigrams, assembled map-side (slice-zip, no window)
-    val bigrams = zip_with(
-      slice(t, lit(1), greatest(n - 1, lit(0))),
-      slice(t, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    df.select(col(idCol).as("__id"),
-        explode(concat(t, bigrams)).as("__f"))
-      .select(col("__id"),
-        Vectorize.termSlot(col("__f"), dim).as("slot"))
-  }
-
   /** Per-doc hashed feature counts (__id, slot, cnt) — docs × dim
-    * bounded. */
+    * bounded. Features are every unigram AND adjacent bigram
+    * (`w1 ‖ ' ' ‖ w2` — space-joined, disjoint from any unigram token:
+    * tokens cannot contain whitespace by construction of the split),
+    * hashed into [0, dim) by the md5-nibble contract. The histogram
+    * runs INSIDE each doc's row ([[graft.functions.NgramSlotTf]] —
+    * parity with the old explode → termSlot → groupBy(__id, slot)
+    * path pinned in SlotTfSpec), so the corpus-scale exchange and the
+    * token-level hash aggregate are gone; rows are identical. */
   private def docCounts(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame =
-    featureSlots(df, idCol, textCol, dim)
-      .groupBy("__id", "slot").agg(count(lit(1)).as("cnt"))
+    df.select(col(idCol).as("__id"),
+        explode(graft.functions.NgramSlotTf.ngram_slot_tf(
+          TextAnalysis.tokens(col(textCol)), dim)).as("__e"))
+      .select(col("__id"), col("__e.slot").as("slot"),
+        col("__e.cnt").as("cnt"))
 
   /** Smoothed log-probability per bucket over the FULL [0, dim) space:
     * (slot, logp) with `logp = ln((c + 1) / (T + dim))`, c = 0 for

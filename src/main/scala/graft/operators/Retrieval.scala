@@ -72,12 +72,20 @@ object Retrieval {
 
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
-  /** (doc_id, __dl, __term) — one row per corpus token. */
-  private def explodedTokens(docs: DataFrame, idCol: String,
+  /** (doc_id, __dl, __term, __tf) — one row per DISTINCT corpus
+    * (doc, term), with the term's in-doc occurrence count. The per-doc
+    * tf aggregate runs INSIDE the row ([[graft.functions.TokenTf]] —
+    * all of a doc's tokens arrive in its one text cell), so the old
+    * explode → groupBy(doc, __dl, __term) corpus-scale exchange and its
+    * token-level hash-aggregate disappear from every consumer (live
+    * hits, index build, append); the relational rows are identical. */
+  private def docTermTf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
       .select(col("doc_id"), size(col("__t")).as("__dl"),
-        explode(col("__t")).as("__term"))
+        explode(graft.functions.TokenTf.token_tf(col("__t"))).as("__e"))
+      .select(col("doc_id"), col("__dl"),
+        col("__e.term").as("__term"), col("__e.tf").as("__tf"))
 
   /** (query_id, __term) with terms deduped per query — broadcast side. */
   private def queryTerms(queries: DataFrame, queryIdCol: String,
@@ -136,13 +144,15 @@ object Retrieval {
     require(k > 0, s"k must be positive, got $k")
     val stats = docs.select(size(toks(col(textCol))).as("__dl"))
       .agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
-    // candidate postings: exploded corpus ⋈ broadcast query terms, tf per
-    // (query, doc, term) — the only corpus-wide pass, shuffle is hits-only
-    val hits = explodedTokens(docs, idCol, textCol)
+    // candidate postings: per-doc (term, tf) rows ⋈ broadcast query
+    // terms — the only corpus-wide pass, map-only (tf was counted
+    // inside each doc's row; (query, term) pairs are distinct, so the
+    // join output is already one row per (query, doc, term))
+    val hits = docTermTf(docs, idCol, textCol)
       .join(broadcast(queryTerms(queries, queryIdCol, queryTextCol)),
         Seq("__term"))
-      .groupBy("query_id", "doc_id", "__dl", "__term")
-      .agg(count(lit(1)).as("__tf"))
+      .select(col("query_id"), col("doc_id"), col("__dl"), col("__term"),
+        col("__tf"))
     scoreRank(hits, stats, k, k1, b, materializeHits = true)
   }
 
@@ -161,9 +171,7 @@ object Retrieval {
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    explodedTokens(docs, idCol, textCol)
-      .groupBy("doc_id", "__dl", "__term")
-      .agg(count(lit(1)).as("__tf"))
+    docTermTf(docs, idCol, textCol)
       .select(col("doc_id"), col("__dl").cast("long").as("__dl"),
         col("__term"), col("__tf"), lit(FoldableSeq).as("__seq"),
         pmod(xxhash64(col("__term")), lit(nBuckets)).as("term_bucket"))
@@ -209,9 +217,7 @@ object Retrieval {
   private[graft] def appendDocsWithMarkers(docs: DataFrame,
       idCol: String, textCol: String, dir: String, nBuckets: Int,
       seq: Long): Unit = {
-    val postings = explodedTokens(docs, idCol, textCol)
-      .groupBy("doc_id", "__dl", "__term")
-      .agg(count(lit(1)).as("__tf"))
+    val postings = docTermTf(docs, idCol, textCol)
       .select(col("doc_id"), col("__dl").cast("long").as("__dl"),
         col("__term"), col("__tf"), lit(seq).as("__seq"),
         pmod(xxhash64(col("__term")), lit(nBuckets)).as("term_bucket"))

@@ -104,26 +104,30 @@ object Vectorize {
       case _ => df.localCheckpoint(true)
     }
 
-  /** (doc_id, slot) — one row per corpus token, slot-hashed. */
-  private def explodedSlots(docs: DataFrame, idCol: String, textCol: String,
-      dim: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(toks(col(textCol))).as("__term"))
-      .select(col("doc_id"), termSlot(col("__term"), dim).as("slot"))
-
   /** The shared corpus pass: slot tf counts (docs × dim-bounded,
     * checkpointed — df AND the weight join read it) and the dim-row idf
-    * table. Every public face composes from this one pair. */
+    * table. Every public face composes from this one pair.
+    *
+    * The per-doc slot histogram runs INSIDE each doc's row
+    * ([[graft.functions.SlotTf]] — same md5-nibble slot hash as
+    * [[termSlot]], parity in SlotTfSpec), so the old explode →
+    * groupBy(doc, slot) corpus-scale exchange is gone; and because the
+    * tf relation is one row per DISTINCT (doc, slot) by construction,
+    * df is a plain `count`, not a `countDistinct` (one less aggregate
+    * expansion). Rows are identical to the relational path. */
   private def tfAndIdf(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): (DataFrame, DataFrame) = {
     require(dim > 0 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
     val tf = materializeStats(
-      explodedSlots(docs, idCol, textCol, dim)
-        .groupBy("doc_id", "slot").agg(count(lit(1)).as("__tf")),
+      docs.select(col(idCol).as("doc_id"),
+          explode(graft.functions.SlotTf.slot_tf(toks(col(textCol)), dim))
+            .as("__e"))
+        .select(col("doc_id"), col("__e.slot").as("slot"),
+          col("__e.cnt").as("__tf")),
       resolveStatsMode(docs))
     val n = docs.select(countDistinct(col(idCol)).as("__n"))
     val idf = tf.groupBy("slot")
-      .agg(countDistinct(col("doc_id")).as("__df"))
+      .agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(n))
       .select(col("slot"), log(lit(1.0) + col("__n") / col("__df"))
         .as("__idf"))
