@@ -158,6 +158,17 @@ object Bench {
       // multi-pass warm-up tails in the samples. Size the cache to the
       // whole headline set.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Scan-split floor (guide §6): openCostInBytes floors the scan
+      // split size, and the 4 MB default leaves every sf0.1 table
+      // (0.6-11 MB) as ONE scan task — the corpus tokenize passes ran
+      // single-core while 31 cores idled (measured: r1's stats scan,
+      // 3 s on one task). At production scale the floor is inert
+      // (bytesPerCore = totalBytes / defaultParallelism >> any floor,
+      // and maxPartitionBytes caps the split), so the knob only
+      // affects small-input parallelism; parameterized, local default
+      // sized for the bench corpus.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "16384"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

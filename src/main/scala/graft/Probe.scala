@@ -19,7 +19,7 @@ object Probe {
 
   private def makeSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,8 +28,13 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
-      .getOrCreate()
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "16384"))
+    // generic A/B passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -137,6 +142,29 @@ object Probe {
           acc.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (k, v) =>
             println(f"[probe]   ${v / 1e3}%8.2f s  $k")
           }
+        }
+      case "jobsites" :: n :: Nil =>
+        // one pass; histogram of job callsites — where the job count
+        // (the per-job fixed driver latency) comes from
+        val sites = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              val cs = Option(j.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short")))
+                .getOrElse("?")
+              sites.merge(cs, 1, (a, b) => a + b)
+            }
+          })
+        Bench.drainBlocks(spark)
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(n)(spark, sfDir))
+        println(f"[probe] wall ${(System.nanoTime() - t0) / 1e9}%.3f s; job callsites:")
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        sites.asScala.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+          println(f"[probe]   $v%4d  $k")
         }
       case "micro" :: name :: reps :: Nil =>
         val r = reps.toInt

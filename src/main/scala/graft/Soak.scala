@@ -63,6 +63,11 @@ object Soak {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // small-input scan parallelism, same knob/default as the bench
+      // session (Bench.makeSession) so soak legs and bench singles
+      // measure the same plans
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "16384"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v;k2=v2" — session conf overrides for

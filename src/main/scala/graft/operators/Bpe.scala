@@ -56,6 +56,11 @@ object Bpe {
   /** Train `rounds` merges. Returns
     * (merges: (round, lhs, rhs, merged, pair_count), finalReprs:
     * (word, freq, repr)). Stops early if no pair is left to merge. */
+  /** How many lazy merge rounds may stack before [[trainMerges]] cuts
+    * the reprs lineage with a checkpoint (each pending round adds one
+    * `replace` node to the plan). */
+  private val LineageCutRounds = 16
+
   def trainMerges(words: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
@@ -85,9 +90,15 @@ object Bpe {
         val (l, rr, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, l, rr, l + rr, cnt))
+        // LAZY per round: a replace is one map-side string op over the
+        // vocabulary-scale reprs, so the next round's top-pair job just
+        // re-runs the pending chain from the last cut — a checkpoint
+        // per round cost one materialization job each and bought
+        // nothing. The lineage is cut every LineageCutRounds rounds so
+        // a long training run cannot grow an unbounded plan.
         reprs = reprs.withColumn("repr",
-            replace(col("repr"), lit(s" $l $rr "), lit(s" ${l + rr} ")))
-          .localCheckpoint(true)
+          replace(col("repr"), lit(s" $l $rr "), lit(s" ${l + rr} ")))
+        if (r % LineageCutRounds == 0) reprs = reprs.localCheckpoint(true)
         r += 1
       }
     }

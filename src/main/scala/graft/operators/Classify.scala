@@ -94,10 +94,14 @@ object Classify {
       .localCheckpoint(true)
   }
 
-  /** Every (doc, class) score with its per-doc rank — the shared tail
-    * of prediction and margin scoring. Rank 1 = argmax, rule
+  /** Every (doc, class) score with its per-doc rank — the join-shaped
+    * scoring path (explode → broadcast join → groupBy → window), kept
+    * as the EQUIVALENCE ORACLE for the frozen projections
+    * ([[nbPredict]]/[[nbMargin]] now ride [[nbScoreFrozen]]'s
+    * kernel shape; ClassifySpec pins the two paths row-identical —
+    * the assignCellsJoin pattern). Rank 1 = argmax, rule
     * (score desc, label asc). */
-  private def scoredRanked(model: DataFrame, test: DataFrame,
+  private[operators] def scoredRanked(model: DataFrame, test: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val docTok = test.select(col(idCol).as("doc_id"),
       explode(toks(col(textCol))).as("term"))
@@ -119,13 +123,22 @@ object Classify {
 
   /** Score `test` against a fitted model and keep the arg-max class per
     * doc: (doc_id, label, score) with score = (prior6 + Σ lik6) / 1e6.
-    * The model is broadcast; the corpus-side shuffle carries only
-    * (doc, class) partial sums. */
+    *
+    * Rides the FROZEN projection ([[nbFreeze]] — one metadata-scale
+    * collect of the V·C grid — then [[nbScoreFrozen]]'s native token
+    * pass): no explode, no corpus-side shuffle, no window; one map
+    * pass over `test`. Row-identical to the old join-shaped path
+    * ([[scoredRanked]] rn=1 — ClassifySpec pins it; the integer score
+    * sums are order-independent and every s6 fits a double exactly,
+    * so integer and descaled-double ranking agree). Assumes unique ids
+    * per test row (the corpus contract); an EMPTY model now refuses
+    * loudly at freeze instead of returning an empty result. */
   def nbPredict(model: DataFrame, test: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    scoredRanked(model, test, idCol, textCol)
-      .filter(col("__rn") === 1)
-      .select("doc_id", "label", "score")
+    nbScoreFrozen(nbFreeze(model), test.select(col(idCol), col(textCol)),
+        textCol)
+      .select(col(idCol).as("doc_id"), col("predicted").as("label"),
+        col("score"))
 
   /** A fitted NB model collected to the driver — the broadcast-sized
     * V·C grid as plain maps, frozen once per deployment instead of
@@ -169,61 +182,83 @@ object Classify {
     * a trigger pays exactly one extra map pass. Docs with a null
     * `textCol` (no token rows in the join path) score on priors alone,
     * same fallback. */
+  /** Shared frozen-scoring scaffold: every input column plus the
+    * `__toks` scratch and one integer-scaled `__s6_<label>` score per
+    * class (one native token pass each — [[graft.functions.TokenMapSum]]).
+    * Callers fold their own argmax/margin expressions over the score
+    * columns and drop the scratch. */
+  private def frozenS6(model: FrozenNbModel, docs: DataFrame,
+      textCol: String, face: String): DataFrame = {
+    import graft.functions.TokenMapSum.token_map_sum
+    // the scratch columns are dropped on the way out — refuse inputs
+    // that would collide with (and silently lose) them
+    val scratch = "__toks" +: model.labels.map(l => s"__s6_$l")
+    require(!docs.columns.exists(scratch.contains),
+      s"$face: input carries reserved scratch column(s) " +
+        s"${docs.columns.filter(scratch.contains).mkString(", ")}")
+    val toksOnce = docs.withColumn("__toks", toks(col(textCol)))
+    model.labels.foldLeft(toksOnce) { (d, l) =>
+      d.withColumn(s"__s6_$l", lit(model.prior6(l)) +
+        coalesce(token_map_sum(col("__toks"), model.lik6(l)), lit(0L)))
+    }
+  }
+
+  private def s6(l: String) = col(s"__s6_$l")
+
+  /** The label-ascending score array + the [[graft.functions.Top2Scores]]
+    * pick: top/second under (score DESC, label ASC) — label-ascending
+    * array order makes the kernel's smallest-index tie rule exactly the
+    * window rule. One linear kernel pass; the old nested CaseWhen
+    * argmax folds cost SECONDS of driver codegen per planning pass at
+    * C≈8 (Catalyst re-stringifies every enclosing block per nesting
+    * level in reduceCodeSize). */
+  private def top2Col(labels: Seq[String]): Column =
+    graft.functions.Top2Scores.top2_scores(array(labels.map(s6): _*))
+
+  private def labelAt(labels: Seq[String], idx: Column): Column =
+    element_at(array(labels.map(lit): _*), idx + 1)
+
   def nbScoreFrozen(model: FrozenNbModel, docs: DataFrame,
       textCol: String): DataFrame = {
     require(!docs.columns.contains("predicted") &&
       !docs.columns.contains("score"),
       "nbScoreFrozen: input already has predicted/score columns")
-    // the scratch columns are dropped on the way out — refuse inputs
-    // that would collide with (and silently lose) them
-    val scratch = "__toks" +: model.labels.map(l => s"__s6_$l")
-    require(!docs.columns.exists(scratch.contains),
-      s"nbScoreFrozen: input carries reserved scratch column(s) " +
-        s"${docs.columns.filter(scratch.contains).mkString(", ")}")
-    import graft.functions.TokenMapSum.token_map_sum
-    def s6(l: String) = col(s"__s6_$l")
-    val toksOnce = docs.withColumn("__toks", toks(col(textCol)))
-    val withScores = model.labels.foldLeft(toksOnce) { (d, l) =>
-      d.withColumn(s"__s6_$l", lit(model.prior6(l)) +
-        coalesce(token_map_sum(col("__toks"), model.lik6(l)), lit(0L)))
-    }
-    // first label (ascending) whose score is >= every other = argmax
-    // with the (score DESC, label ASC) tie rule — langId's fold shape
-    val predCol = model.labels.init.foldRight(
-        lit(model.labels.last): Column) { (l, els) =>
-      val ge = model.labels.filter(_ != l).map(o => s6(l) >= s6(o))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      when(ge, l).otherwise(els)
-    }
-    val scoreCol = model.labels.init.foldRight(
-        s6(model.labels.last): Column) { (l, els) =>
-      when(col("predicted") === l, s6(l)).otherwise(els)
-    } / 1000000.0
+    val withScores = frozenS6(model, docs, textCol, "nbScoreFrozen")
     withScores
-      .withColumn("predicted", predCol)
-      .withColumn("score", scoreCol)
-      .drop("__toks" +: model.labels.map(l => s"__s6_$l"): _*)
+      .withColumn("__t2", top2Col(model.labels))
+      .withColumn("predicted", labelAt(model.labels, col("__t2.top_idx")))
+      .withColumn("score", col("__t2.top") / 1000000.0)
+      .drop("__toks" +: "__t2" +: model.labels.map(l => s"__s6_$l"): _*)
   }
 
   /** Classification margin — top-1 minus top-2 score per doc, the
     * standard uncertainty-sampling signal (docs a labeling pass should
     * look at first, or a router should treat as ambiguous). Returns
     * (doc_id, top_label, second_label, margin); integer-scaled scores
-    * make the subtraction exact. Requires a model with ≥ 2 classes. */
+    * make the subtraction exact. Requires a model with ≥ 2 classes.
+    *
+    * Rides the frozen projection like [[nbPredict]] — the top-2 pick
+    * folds over the C per-class score columns (second = the argmax
+    * with the predicted label masked out, same tie rule), one map pass
+    * over `test`, no shuffle; row-identical to the old window-ranked
+    * path (ClassifySpec pins it; margin subtracts the same two
+    * descaled doubles the window path subtracted). */
   def nbMargin(model: DataFrame, test: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // the model is a materialized V·C grid — this count is local-cheap,
-    // and failing here beats every margin silently coming back null
-    val nClasses = model.select("label").distinct().count()
-    require(nClasses >= 2,
-      s"nbMargin needs a model with >= 2 classes, got $nClasses")
-    scoredRanked(model, test, idCol, textCol)
-      .filter(col("__rn") <= 2)
-      .groupBy("doc_id")
-      .agg(
-        max(when(col("__rn") === 1, col("label"))).as("top_label"),
-        max(when(col("__rn") === 2, col("label"))).as("second_label"),
-        round(max(when(col("__rn") === 1, col("score"))) -
-          max(when(col("__rn") === 2, col("score"))), 6).as("margin"))
+    val fm = nbFreeze(model)
+    require(fm.labels.size >= 2,
+      s"nbMargin needs a model with >= 2 classes, got ${fm.labels.size}")
+    val withScores = frozenS6(fm,
+      test.select(col(idCol), col(textCol)), textCol, "nbMargin")
+    // top-2 in one kernel pass; margin subtracts the same two descaled
+    // doubles the window path subtracted (each s6 fits a double
+    // exactly, so descale-then-subtract matches bit for bit)
+    withScores
+      .withColumn("__t2", top2Col(fm.labels))
+      .select(col(idCol).as("doc_id"),
+        labelAt(fm.labels, col("__t2.top_idx")).as("top_label"),
+        labelAt(fm.labels, col("__t2.second_idx")).as("second_label"),
+        round(col("__t2.top") / 1000000.0 -
+          col("__t2.second") / 1000000.0, 6).as("margin"))
   }
 }

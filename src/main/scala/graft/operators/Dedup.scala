@@ -417,21 +417,24 @@ object Dedup {
         .join(labels.select(col("id").as("id_b"), col("cluster").as("nc")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min("nc").as("nc"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
       // pointer jumping: follow the label one more level (labels are
-      // always node ids, so the self-join below always finds a row)
+      // always node ids, so the self-join below always finds a row).
+      // The round's change flag rides INSIDE the checkpointed rows, so
+      // the convergence probe below scans the (already materialized)
+      // blocks instead of re-joining this round's labels against the
+      // previous round's.
       val updated = propagated
         .join(propagated.select(col("id").as("cluster"),
           col("cluster").as("cc")), Seq("cluster"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"),
+          (least(col("cluster"), coalesce(col("cc"), col("cluster")))
+            =!= col("__old")).as("__changed"))
         .localCheckpoint(true)
-      converged = updated.alias("u")
-        .join(labels.alias("l"), "id")
-        .filter(col("u.cluster") =!= col("l.cluster"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("__changed")).isEmpty
+      labels = updated.select("id", "cluster")
       i += 1
     }
     if (!converged)

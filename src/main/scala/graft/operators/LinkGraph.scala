@@ -81,7 +81,9 @@ object LinkGraph {
     rankIteration(spark, edges, n, iters,
       initRank = when(isSeed, lit(scale / ns)).otherwise(lit(0L)),
       teleport = when(isSeed, lit(base)).otherwise(lit(0L)),
-      danglingShare = d => when(isSeed, lit(d / ns)).otherwise(lit(0L)))
+      // d div ns: exact long floor-division in-plan (d ≥ 0), the same
+      // value the old driver-side `lit(d / ns)` literal carried
+      danglingShare = d => when(isSeed, intDiv(d, ns)).otherwise(lit(0L)))
   }
 
   /** The shared damped mass-flow recurrence behind [[pagerank]]
@@ -95,7 +97,7 @@ object LinkGraph {
     * with the restart policy injected as expressions over `node`. */
   private def rankIteration(spark: SparkSession, edges: DataFrame,
       n: Long, iters: Int, initRank: Column, teleport: Column,
-      danglingShare: Long => Column): DataFrame = {
+      danglingShare: Column => Column): DataFrame = {
     val ed = edges.select(col("src").cast("long"),
       col("dst").cast("long")).localCheckpoint(true)
     val odeg = ed.groupBy("src").agg(count(lit(1)).as("__odeg"))
@@ -104,10 +106,14 @@ object LinkGraph {
     var ranks = nodes.withColumn("rank_scaled", initRank)
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // the dangling mass rides as a one-row broadcast scalar INSIDE
+      // the round's plan (same integer value the old driver-side
+      // head() collected) — per round this drops one action and one
+      // duplicate execution of the ranks-scan lineage; the checkpoint
+      // below stays the one materialization barrier per round
       val dangling = ranks.join(odeg,
           ranks("node") === odeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank_scaled")), lit(0L)))
-        .head().getLong(0)
+        .agg(coalesce(sum(col("rank_scaled")), lit(0L)).as("__dang"))
       val incoming = ed
         .join(ranks, ed("src") === ranks("node"))
         .join(odeg, "src")
@@ -116,10 +122,11 @@ object LinkGraph {
             .as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__in"))
       ranks = nodes.join(incoming, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (teleport +
             floor((coalesce(col("__in"), lit(0L)) +
-              danglingShare(dangling)) * 85L / 100L).cast("long"))
+              danglingShare(col("__dang"))) * 85L / 100L).cast("long"))
             .as("rank_scaled"))
         .localCheckpoint(true)
     }
@@ -167,19 +174,25 @@ object LinkGraph {
     // to all-zero instead of dividing by zero.
     def halfRound(mass: DataFrame, massCol: String, fromCol: String,
         toCol: String, outCol: String): DataFrame = {
-      val raw = nodes.join(
-          ed.join(mass, ed(fromCol) === mass("node"))
-            .groupBy(col(toCol).as("__n"))
-            .agg(sum(col(massCol)).as("__m")),
-          col("node") === col("__n"), "left")
+      val gathered = ed.join(mass, ed(fromCol) === mass("node"))
+        .groupBy(col(toCol).as("__n"))
+        .agg(sum(col(massCol)).as("__m"))
+      // the L1 total rides as a one-row broadcast scalar INSIDE the
+      // half-round's plan (missing nodes contribute 0, so the sum over
+      // `gathered` equals the old sum over the node-joined relation) —
+      // the old driver-side head() both cost an action per half-round
+      // and re-executed the gather lineage a second time. The zero
+      // total (empty graph / edgeless mass) renormalizes to all-zero
+      // via the when-guard, exactly like the old driver-side branch.
+      val total = gathered.agg(coalesce(sum(col("__m")), lit(0L)).as("__tot"))
+      nodes.join(gathered, col("node") === col("__n"), "left")
         .select(col("node"), coalesce(col("__m"), lit(0L)).as(outCol))
-      val total = raw.agg(coalesce(sum(col(outCol)), lit(0L)))
-        .head().getLong(0)
-      val normalized =
-        if (total == 0L) raw.select(col("node"), lit(0L).as(outCol))
-        else raw.select(col("node"),
-          expr(s"$outCol * ${scale}L div ${total}L").as(outCol))
-      normalized.localCheckpoint(true)
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          when(col("__tot") === 0L, lit(0L))
+            .otherwise(expr(s"$outCol * ${scale}L div __tot"))
+            .as(outCol))
+        .localCheckpoint(true)
     }
     var hub = nodes.withColumn("h", lit(scale / n)).localCheckpoint(true)
     var auth = nodes.withColumn("a", lit(0L))
@@ -270,6 +283,14 @@ object LinkGraph {
     rankIteration(spark, edges, n, iters,
       initRank = lit(scale / n),
       teleport = lit((15L * (scale / n)) / 100L),
-      danglingShare = d => lit(d / n))
+      danglingShare = d => intDiv(d, n))
   }
+
+  /** `a div b` for non-negative longs with a literal divisor — the
+    * in-plan twin of driver-side `lit(a / b)`: subtract the remainder,
+    * then divide the (now exactly divisible) value as DECIMAL so the
+    * quotient is exact for the full long range (a double `/` would
+    * round past 2^53). */
+  private def intDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
 }

@@ -175,6 +175,14 @@ object Retrieval {
       .select(col("doc_id"), col("__dl").cast("long").as("__dl"),
         col("__term"), col("__tf"), lit(FoldableSeq).as("__seq"),
         pmod(xxhash64(col("__term")), lit(nBuckets)).as("term_bucket"))
+      // cluster by the partition column before the write: the tf
+      // relation arrives with the SCAN's partitioning (docTermTf no
+      // longer shuffles), so without this one exchange the write would
+      // fan every input task across every bucket directory (the old
+      // groupBy's layout: tasks × buckets files) — or, for a small
+      // corpus, run single-task. One writer per bucket: ~1 file per
+      // bucket, probes read exactly one file per probed bucket.
+      .repartition(col("term_bucket"))
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(s"$dir/postings")
@@ -228,7 +236,11 @@ object Retrieval {
       lit(seq).as("__seq"),
       lit(MarkerBucket).as("term_bucket"))
     graft.sources.Compaction.guardedAppend(docs.sparkSession, dir) {
+      // one writer per touched bucket (same rationale as the build's
+      // pre-write exchange): an append drops one file per bucket
+      // instead of one per (input task × bucket)
       postings.unionByName(markers)
+        .repartition(col("term_bucket"))
         .write.mode("append")
         .partitionBy("term_bucket")
         .parquet(s"$dir/postings")

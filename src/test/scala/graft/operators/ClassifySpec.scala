@@ -104,6 +104,34 @@ class ClassifySpec extends SparkSuite {
     assert(out.getString(1) == "a")
   }
 
+  test("frozen-projection nbPredict/nbMargin == the join-shaped " +
+      "scoredRanked oracle, row for row") {
+    import org.apache.spark.sql.functions._
+    val m = Classify.nbFit(train, "label", "text", vocabSize = 100)
+    val docs = Seq(
+      (1L, "buy pills now now"), (2L, "meeting notes"),
+      (3L, "zzz qqq"), (4L, "buy meeting"), (5L, ""),
+      (6L, "notes buy notes pills"), (7L, "the the the"),
+      (8L, "today for now")
+    ).toDF("doc_id", "text")
+    val ranked = Classify.scoredRanked(m, docs, "doc_id", "text")
+    val oldPredict = ranked.filter(col("__rn") === 1)
+      .select("doc_id", "label", "score")
+    val oldMargin = ranked.filter(col("__rn") <= 2)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("__rn") === 1, col("label"))).as("top_label"),
+        max(when(col("__rn") === 2, col("label"))).as("second_label"),
+        round(max(when(col("__rn") === 1, col("score"))) -
+          max(when(col("__rn") === 2, col("score"))), 6).as("margin"))
+    val newPredict = Classify.nbPredict(m, docs, "doc_id", "text")
+    val newMargin = Classify.nbMargin(m, docs, "doc_id", "text")
+    assert(newPredict.exceptAll(oldPredict).count() === 0)
+    assert(oldPredict.exceptAll(newPredict).count() === 0)
+    assert(newMargin.exceptAll(oldMargin).count() === 0)
+    assert(oldMargin.exceptAll(newMargin).count() === 0)
+  }
+
   test("nbScoreFrozen == nbPredict per doc: argmax, exact scores, ties, " +
       "OOV-only and repeated-token docs") {
     val m = Classify.nbFit(train, "label", "text", vocabSize = 100)
