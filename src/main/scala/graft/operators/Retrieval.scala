@@ -111,13 +111,15 @@ object Retrieval {
     val hits = if (materializeHits) hitsRaw.localCheckpoint(true) else hitsRaw
     val dfreq = hits.groupBy("__term")
       .agg(countDistinct(col("doc_id")).as("__df"))
+    // avgdl rides the idf rows: one broadcast feeds the scoring join
+    // instead of two (the idf table is per-term metadata either way)
     val idf = dfreq.crossJoin(broadcast(stats))
       .select(col("__term"),
         log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
-          .as("__idf"))
+          .as("__idf"),
+        col("__avgdl"))
     val termScores = hits
       .join(broadcast(idf), Seq("__term"))
-      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         // grouping mirrors the oracle's `1 - b + b*dl/avgdl` bit-exactly:
         // IEEE * and + commute, so (dl*b)/avgdl + (1-b) == (b*dl)/avgdl
