@@ -331,6 +331,8 @@ object ProductQuantization {
       val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
       cb.write.mode("overwrite").parquet(cbPath)
       encodePostings(corpus, idCol, vecCol, cents, cb, byResidual = false)
+        // one writer per cell, see Similarity.buildIvfIndex
+        .repartition(col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(postPath)
     } else {
@@ -347,6 +349,7 @@ object ProductQuantization {
       val cb = pqTrain(resid, "neighbor_id", "rv", m, ksub, pqIters)
       cb.write.mode("overwrite").parquet(cbPath)
       encodeResidualPostings(resid, cents, cb)
+        .repartition(col("cell_id")) // one writer per cell
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(postPath)
     }
@@ -429,6 +432,7 @@ object ProductQuantization {
       Similarity.requireSameDim(newVectors, vecCol, cents)
       val cb = spark.read.parquet(cbPath)
       encodePostings(newVectors, idCol, vecCol, cents, cb, byResidual)
+        .repartition(col("cell_id")) // one file per touched cell per batch
         .write.mode("append").partitionBy("cell_id")
         .parquet(postPath)
     }

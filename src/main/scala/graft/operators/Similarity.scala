@@ -461,6 +461,10 @@ object Similarity {
           "neighbor_id", "cv", cents)
         .withColumn("cnorm", l2norm(col("cv")))
         .select("neighbor_id", "cv", "cnorm", "cell_id")
+        // one writer per cell (write.distribution-mode=hash shape):
+        // the assignment arrives scan-partitioned, and an un-clustered
+        // partitioned write drops up to (tasks x cells) files
+        .repartition(col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"$dir/postings")
       // generation reset LAST: the fixed-path data above is complete
@@ -502,6 +506,7 @@ object Similarity {
     Clustering.assignCells(base, "neighbor_id", "cv", cents)
       .withColumn("cnorm", l2norm(col("cv")))
       .select("neighbor_id", "cv", "cnorm", "cell_id")
+      .repartition(col("cell_id")) // one writer per cell, see buildIvfIndex
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$dir/postings_g$gen")
     // pointer swap (see [[swapManifest]]: readers in the delete→rename
@@ -856,6 +861,9 @@ object Similarity {
           "neighbor_id", "cv", cents)
         .withColumn("cnorm", l2norm(col("cv")))
         .select("neighbor_id", "cv", "cnorm", "cell_id")
+        // one file per touched cell per append batch, not one per
+        // (input task x cell) — probe cost is file-count bounded
+        .repartition(col("cell_id"))
         .write.mode("append").partitionBy("cell_id")
         .parquet(postPath)
     }
