@@ -229,6 +229,70 @@ object Probe {
           noop(thunk())
           println(f"[probe] pass $pass $name%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
+      case "explainfrag" :: outDir :: Nil =>
+        // before/after fragment plans for the per-doc-count kernels and
+        // the frozen NB faces: the queries checkpoint these subtrees
+        // eagerly, so the change is invisible in query-level explain —
+        // these fragments are the exact shapes the operators build
+        new java.io.File(outDir).mkdirs()
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def toks = split(lower(col("text")), "\\s+")
+        def dump(name: String, df: DataFrame): Unit = {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/$name.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          System.err.println(s"[probe] wrote $outDir/$name.txt")
+        }
+        // Retrieval docTermTf: relational vs kernel
+        dump("frag_retrieval_tf_before", docs
+          .select(col("doc_id"), toks.as("__t"))
+          .select(col("doc_id"), size(col("__t")).as("__dl"),
+            explode(col("__t")).as("__term"))
+          .groupBy("doc_id", "__dl", "__term")
+          .agg(count(lit(1)).as("__tf")))
+        dump("frag_retrieval_tf_after", docs
+          .select(col("doc_id"), toks.as("__t"))
+          .select(col("doc_id"), size(col("__t")).as("__dl"),
+            explode(graft.functions.TokenTf.token_tf(col("__t"))).as("__e"))
+          .select(col("doc_id"), col("__dl"),
+            col("__e.term").as("__term"), col("__e.tf").as("__tf")))
+        // Vectorize tf: relational vs kernel
+        dump("frag_vectorize_tf_before", docs
+          .select(col("doc_id"), explode(toks).as("__term"))
+          .select(col("doc_id"),
+            graft.operators.Vectorize.termSlot(col("__term"), 64).as("slot"))
+          .groupBy("doc_id", "slot").agg(count(lit(1)).as("__tf")))
+        dump("frag_vectorize_tf_after", docs
+          .select(col("doc_id"),
+            explode(graft.functions.SlotTf.slot_tf(toks, 64)).as("__e"))
+          .select(col("doc_id"), col("__e.slot").as("slot"),
+            col("__e.cnt").as("__tf")))
+        // Classify predict: join-shaped oracle vs frozen projection
+        val model = graft.operators.Classify.nbFit(
+          docs.filter(col("doc_id") % 5 =!= 0), "lang", "text",
+          vocabSize = 24)
+        val testDocs = docs.filter(col("doc_id") % 5 === 0)
+        // the old join-shaped predict (scoredRanked rn=1), inlined
+        val docTok = testDocs.select(col("doc_id"),
+          explode(toks).as("term"))
+        val hitSums = docTok.join(broadcast(model), Seq("term"))
+          .groupBy("doc_id", "label").agg(sum(col("lik6")).as("__lik"))
+        val priors = model.select("label", "prior6").distinct()
+        val grid = testDocs.select(col("doc_id")).crossJoin(broadcast(priors))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score").desc, col("label").asc)
+        dump("frag_nbpredict_before", grid
+          .join(hitSums, Seq("doc_id", "label"), "left")
+          .select(col("doc_id"), col("label"),
+            ((col("prior6") + coalesce(col("__lik"), lit(0L))) / 1000000.0)
+              .as("score"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select("doc_id", "label", "score"))
+        dump("frag_nbpredict_after", graft.operators.Classify
+          .nbPredict(model, docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text"))
       case "explainmicro" :: name :: Nil =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val df = name match {

@@ -18,11 +18,14 @@ import org.apache.spark.sql.expressions.Window
   * Scale shape (the part that must survive 100 TB):
   *  - The query set is display-sized and is BROADCAST as
   *    (query_id, term) pairs filtering the corpus map-side. The corpus
-  *    is never shuffled at corpus size and is scanned exactly ONCE per
-  *    face (stats aside): document frequency is derived from the
-  *    materialized hits, not a second corpus pass, and every shuffle in
-  *    the plan (tf counting, df counting, per-query score sum) carries
-  *    only rows whose term matched a query term.
+  *    is scanned exactly ONCE per face (stats aside): per-doc tf is
+  *    counted INSIDE each doc's row ([[graft.functions.TokenTf]] — no
+  *    explode → groupBy exchange), document frequency is derived from
+  *    the materialized hits, not a second corpus pass, and every
+  *    LIVE-path shuffle (df counting, per-query score sum) carries
+  *    only rows whose term matched a query term. The index BUILD pays
+  *    one postings-sized exchange to cluster by term_bucket before its
+  *    partitioned write (one writer/file per bucket).
   *  - Corpus statistics (N, avgdl) are a one-row aggregate cross-joined
   *    in, the same scalar-broadcast pattern the downsampler uses; the
   *    persisted index stores them at build time.

@@ -26,11 +26,12 @@ import org.apache.spark.sql.expressions.Window
   *  - `w(d, s)`   = round(tf · idf, 6)         (round-before-use rule)
   *
   * Scale shape:
-  *  - ONE corpus scan: explode → partial-agg'd groupBy(doc, slot). The
-  *    tf relation is bounded by docs × dim (NOT token count) and is
-  *    localCheckpoint'ed because two consumers read it (df and the
-  *    weight join — the d8 lesson); at 100 TB that is metadata scale
-  *    relative to the corpus (docs × dim × 16 B).
+  *  - ONE corpus scan, NO corpus exchange: the per-doc slot histogram
+  *    is computed inside each doc's row ([[graft.functions.SlotTf]]) and
+  *    exploded already-final. The tf relation is bounded by docs × dim
+  *    (NOT token count) and is localCheckpoint'ed because two consumers
+  *    read it (df and the weight join — the d8 lesson); at 100 TB that
+  *    is metadata scale relative to the corpus (docs × dim × 16 B).
   *  - df/idf is a dim-row aggregate, broadcast into the weight join.
   *  - [[tfidfKnn]] is the vector twin of BM25 ([[Retrieval.bm25TopK]]):
   *    query vectors broadcast, the corpus side never shuffled at corpus

@@ -142,20 +142,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(ws(0).partitionSpec.size === 1)
   }
 
-  test("NB prediction: scoring join against the model is broadcast; " +
-      "token-scale data never sort-merges") {
+  test("NB prediction is a frozen projection: no join, no exchange, " +
+      "no window in the scoring plan") {
     val train = Seq(("a", "x y z"), ("b", "p q r")).toDF("label", "text")
     val model = graft.operators.Classify.nbFit(train, "label", "text", 10)
     val test_ = (0L until 100L).map(i => (i, s"x p t$i")).toDF("doc_id", "text")
     val p = plan(graft.operators.Classify.nbPredict(model, test_,
       "doc_id", "text"))
-    // the exploded-token ⋈ model join is the token-scale one — broadcast
-    assert(p.contains("BroadcastHashJoin [term"),
-      s"model not broadcast into the token join:\n$p")
-    // grid ⋈ hitSums is docs×C on both sides (post-aggregation) — one
-    // shuffled join there is fine; more is a regression
-    val smj = "SortMergeJoin".r.findAllIn(p).size
-    assert(smj <= 1, s"unexpected extra sort-merge joins ($smj):\n$p")
+    // the model rides as TokenMapSum reference objects — scoring adds
+    // ZERO exchanges/joins/windows to whatever plan the input runs
+    // (the join-shaped path this replaced paid an exploded-token
+    // broadcast join plus a docs×C shuffle and a rank window)
+    for (bad <- Seq("Exchange", "Join", "Window"))
+      assert(!p.contains(bad), s"frozen predict plan contains $bad:\n$p")
   }
 
   test("chunkWindows is map-only: zero exchanges") {
