@@ -145,7 +145,7 @@ object Bench {
     * each build their own, which is the point of the fork). */
   private def makeSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -158,18 +158,15 @@ object Bench {
       // multi-pass warm-up tails in the samples. Size the cache to the
       // whole headline set.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
-      // Scan-split floor (guide §6): openCostInBytes floors the scan
-      // split size, and the 4 MB default leaves every sf0.1 table
-      // (0.6-11 MB) as ONE scan task — the corpus tokenize passes ran
-      // single-core while 31 cores idled (measured: r1's stats scan,
-      // 3 s on one task). At production scale the floor is inert
-      // (bytesPerCore = totalBytes / defaultParallelism >> any floor,
-      // and maxPartitionBytes caps the split), so the knob only
-      // affects small-input parallelism; parameterized, local default
-      // sized for the bench corpus.
-      .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "16384"))
-      .getOrCreate()
+    // Scan-split floor: r15 defaulted this to 16 KB to parallelize the
+    // tiny sf0.1 scans, but the driver's matched-protocol bench showed
+    // the extra tasks cost more than the parallelism bought (89/131
+    // queries regressed, monotone in core count). Spark's 4 MB default
+    // stands; the env override remains for explicit A/Bs only.
+    sys.env.get("SPARK_GRAFT_OPEN_COST").foreach { v =>
+      builder.config("spark.sql.files.openCostInBytes", v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

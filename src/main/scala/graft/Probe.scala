@@ -27,8 +27,11 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "16384"))
+    // Spark-default scan splits (the r15 16 KB floor regressed the
+    // bench; see Bench.makeSession). Env override for explicit A/Bs.
+    sys.env.get("SPARK_GRAFT_OPEN_COST").foreach { v =>
+      builder.config("spark.sql.files.openCostInBytes", v)
+    }
     // generic A/B passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
       val Array(k, v) = kv.split("=", 2)

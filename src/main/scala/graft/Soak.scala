@@ -56,19 +56,19 @@ object Soak {
       return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // small-input scan parallelism, same knob/default as the bench
-      // session (Bench.makeSession) so soak legs and bench singles
-      // measure the same plans
-      .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "16384"))
-      .getOrCreate()
+    // Spark-default scan splits (the r15 16 KB floor regressed the
+    // bench; see Bench.makeSession). Env override for explicit A/Bs.
+    sys.env.get("SPARK_GRAFT_OPEN_COST").foreach { v =>
+      builder.config("spark.sql.files.openCostInBytes", v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v;k2=v2" — session conf overrides for
     // measurement variants (e.g. the single-node r4 memory knob:
