@@ -2860,16 +2860,15 @@ object SparkEntry {
     // defaults to. Contributions are fixed-point (10⁹ div (60+rk)) so
     // the fused score is exact in any addition order
     "r4_hybrid_rrf" -> { (s, dir) =>
-      import graft.operators.{Retrieval, Vectorize}
+      import graft.operators.Retrieval
       val docs = table(s, dir, "documents")
       val queries = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"),
           trim(substring(col("text"), 40, 60)).as("qtext"))
-      val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
-        queries, "query_id", "qtext", k = 10)
-      val vec = Vectorize.tfidfKnn(docs, "doc_id", "text",
-        queries, "query_id", "qtext", dim = 64, k = 10)
-      Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      // one shared corpus pass feeds both retrieval faces (row-identical
+      // to rrfFuse(bm25TopK, tfidfKnn) — RetrievalSpec pins it)
+      Retrieval.hybridRrfTopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", dim = 64, k = 10)
         .orderBy("query_id", "rk")
     },
 

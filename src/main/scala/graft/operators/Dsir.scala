@@ -54,12 +54,14 @@ object Dsir {
     * path pinned in SlotTfSpec), so the corpus-scale exchange and the
     * token-level hash aggregate are gone; rows are identical. */
   private def docCounts(df: DataFrame, idCol: String, textCol: String,
-      dim: Int): DataFrame =
+      dim: Int): DataFrame = {
+    IdContract.check(df, idCol, "Dsir.docCounts")
     df.select(col(idCol).as("__id"),
         explode(graft.functions.NgramSlotTf.ngram_slot_tf(
           TextAnalysis.tokens(col(textCol)), dim)).as("__e"))
       .select(col("__id"), col("__e.slot").as("slot"),
         col("__e.cnt").as("cnt"))
+  }
 
   /** Smoothed log-probability per bucket over the FULL [0, dim) space:
     * (slot, logp) with `logp = ln((c + 1) / (T + dim))`, c = 0 for

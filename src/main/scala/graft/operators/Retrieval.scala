@@ -83,12 +83,14 @@ object Retrieval {
     * token-level hash-aggregate disappear from every consumer (live
     * hits, index build, append); the relational rows are identical. */
   private def docTermTf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String): DataFrame = {
+    IdContract.check(docs, idCol, "Retrieval.docTermTf")
     docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
       .select(col("doc_id"), size(col("__t")).as("__dl"),
         explode(graft.functions.TokenTf.token_tf(col("__t"))).as("__e"))
       .select(col("doc_id"), col("__dl"),
         col("__e.term").as("__term"), col("__e.tf").as("__tf"))
+  }
 
   /** (query_id, __term) with terms deduped per query — broadcast side. */
   private def queryTerms(queries: DataFrame, queryIdCol: String,
@@ -159,6 +161,55 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("__dl"), col("__term"),
         col("__tf"))
     scoreRank(hits, stats, k, k1, b, materializeHits = true)
+  }
+
+  /** Hybrid retrieval — [[rrfFuse]] of the BM25 ([[bm25TopK]]) and
+    * TF-IDF-cosine ([[Vectorize.tfidfKnn]]) top-`k` lists — from ONE
+    * corpus scan. Composing the two public faces pays the corpus
+    * tokenize pass twice (each face scans and tokenizes `docs`
+    * itself); here the per-doc term histogram ([[graft.functions
+    * .TokenTf]]), slot histogram ([[graft.functions.SlotTf]]) and
+    * document length are computed side by side in the SAME row and the
+    * shared base is materialized once (under [[Vectorize]]'s
+    * statsStorage policy) — every corpus statistic both faces need
+    * (N, avgdl, df, idf, tf) derives from it without touching `docs`
+    * again. Row-identical to the two-pass composition
+    * (RetrievalSpec pins it): both faces run their unchanged scoring
+    * tails ([[scoreRank]], [[Vectorize.tfidfKnnScore]]) on relationally
+    * identical inputs. Returns (query_id, doc_id, rrf_score, rk). */
+  def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      dim: Int, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      c: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    IdContract.check(docs, idCol, "Retrieval.hybridRrfTopK")
+    val base = Vectorize.materializeStats(
+      docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+        .select(col("doc_id"), size(col("__t")).as("__dl"),
+          graft.functions.TokenTf.token_tf(col("__t")).as("__terms"),
+          graft.functions.SlotTf.slot_tf(col("__t"), dim).as("__slots")),
+      Vectorize.resolveStatsMode(docs))
+    // lexical face: stats + hits off the base — no materializeHits
+    // (the base is already materialized; the two scoreRank consumers
+    // re-run only the map-side explode + broadcast join)
+    val stats = base.agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
+    val hits = base
+      .select(col("doc_id"), col("__dl"), explode(col("__terms")).as("__e"))
+      .select(col("doc_id"), col("__dl"), col("__e.term").as("__term"),
+        col("__e.tf").as("__tf"))
+      .join(broadcast(queryTerms(queries, queryIdCol, queryTextCol)),
+        Seq("__term"))
+      .select(col("query_id"), col("doc_id"), col("__dl"), col("__term"),
+        col("__tf"))
+    val lex = scoreRank(hits, stats, k, k1, b, materializeHits = false)
+    // vector face: tf + idf off the same base rows
+    val tf = base.select(col("doc_id"), explode(col("__slots")).as("__e"))
+      .select(col("doc_id"), col("__e.slot").as("slot"),
+        col("__e.cnt").as("__tf"))
+    val n = base.agg(countDistinct(col("doc_id")).as("__n"))
+    val vec = Vectorize.tfidfKnnScore(tf, Vectorize.idfOf(tf, n), queries,
+      queryIdCol, queryTextCol, dim, k, Vectorize.resolveStatsMode(docs))
+    rrfFuse(Seq(lex, vec), k, c)
   }
 
   /** Persist the inverted index for [[bm25IndexTopK]]: postings

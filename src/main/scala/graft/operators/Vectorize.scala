@@ -95,8 +95,10 @@ object Vectorize {
     * storage mode: both modes cut lineage re-execution for the multiple
     * consumers; `disk` keeps the blocks off-heap entirely. The mode is
     * resolved ONCE per query from the corpus relation (not per stat
-    * relation) so one query never mixes modes. */
-  private def materializeStats(df: DataFrame, mode: String): DataFrame =
+    * relation) so one query never mixes modes. Package-visible so the
+    * hybrid composition ([[Retrieval.hybridRrfTopK]]) can stage its
+    * shared corpus pass under the same policy. */
+  private[operators] def materializeStats(df: DataFrame, mode: String): DataFrame =
     mode match {
       case "disk" =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -119,6 +121,7 @@ object Vectorize {
   private def tfAndIdf(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): (DataFrame, DataFrame) = {
     require(dim > 0 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
+    IdContract.check(docs, idCol, "Vectorize.tfAndIdf")
     val tf = materializeStats(
       docs.select(col(idCol).as("doc_id"),
           explode(graft.functions.SlotTf.slot_tf(toks(col(textCol)), dim))
@@ -127,13 +130,20 @@ object Vectorize {
           col("__e.cnt").as("__tf")),
       resolveStatsMode(docs))
     val n = docs.select(countDistinct(col(idCol)).as("__n"))
-    val idf = tf.groupBy("slot")
+    (tf, idfOf(tf, n))
+  }
+
+  /** The dim-row idf table from a (doc_id, slot, __tf) relation and the
+    * one-row corpus doc count — the tail of [[tfAndIdf]], shared with
+    * the hybrid composition's base-derived tf. `tf` must be one row per
+    * DISTINCT (doc, slot) (the SlotTf kernel contract), so df is a
+    * plain count. */
+  private[operators] def idfOf(tf: DataFrame, n: DataFrame): DataFrame =
+    tf.groupBy("slot")
       .agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(n))
       .select(col("slot"), log(lit(1.0) + col("__n") / col("__df"))
         .as("__idf"))
-    (tf, idf)
-  }
 
   private def weighted(tf: DataFrame, idf: DataFrame): DataFrame =
     tf.join(broadcast(idf), Seq("slot"))
@@ -206,8 +216,21 @@ object Vectorize {
     // inside tfAndIdf, idf is the dim-row table — no second df
     // aggregation for the query side
     val (tf, idf) = tfAndIdf(docs, idCol, textCol, dim)
+    tfidfKnnScore(tf, idf, queries, queryIdCol, queryTextCol, dim, k,
+      resolveStatsMode(docs))
+  }
+
+  /** The scoring tail of [[tfidfKnn]] over a precomputed corpus tf
+    * relation ((doc_id, slot, __tf), one row per distinct (doc, slot))
+    * and its idf table — package-visible so the hybrid composition
+    * ([[Retrieval.hybridRrfTopK]]) can feed both retrieval faces from
+    * one shared corpus pass. Identical plan from `cs` down. */
+  private[operators] def tfidfKnnScore(tf: DataFrame, idf: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      dim: Int, k: Int, statsMode: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     // corpus sparse weights materialized once: norms AND the dot join
-    val cs = materializeStats(weighted(tf, idf), resolveStatsMode(docs))
+    val cs = materializeStats(weighted(tf, idf), statsMode)
     val cn = cs.groupBy("doc_id")
       .agg(sqrt(sum(col("weight") * col("weight"))).as("__cn"))
     // normalized corpus side: one co-keyed corpus-token × doc-count

@@ -37,6 +37,58 @@ class RetrievalSpec extends SparkSuite {
     assert(got.map(_._3).toSeq === Seq(1, 2, 3))
   }
 
+  test("hybridRrfTopK is row-identical to rrfFuse(bm25TopK, tfidfKnn)") {
+    // richer corpus: repeated terms, shared vocabulary, an unmatched doc
+    val corpus = Seq(
+      (1L, "apple banana apple kiwi"),
+      (2L, "banana cherry banana"),
+      (3L, "cherry cherry cherry durian"),
+      (4L, "kiwi durian apple"),
+      (5L, "unrelated filler words only")
+    ).toDF("doc_id", "text")
+    val qs = queries(10L -> "apple cherry", 11L -> "banana kiwi")
+    val lex = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      qs, "query_id", "qtext", k = 3)
+    val vec = Vectorize.tfidfKnn(corpus, "doc_id", "text",
+      qs, "query_id", "qtext", dim = 16, k = 3)
+    val twoPass = Retrieval.rrfFuse(Seq(lex, vec), k = 3)
+      .orderBy("query_id", "rk")
+      .collect().toSeq
+    val onePass = Retrieval.hybridRrfTopK(corpus, "doc_id", "text",
+        qs, "query_id", "qtext", dim = 16, k = 3)
+      .orderBy("query_id", "rk")
+      .collect().toSeq
+    assert(onePass === twoPass)
+  }
+
+  test("duplicate doc ids fail loudly with the id-contract rail on") {
+    val dup = Seq((1L, "apple"), (1L, "banana"), (2L, "cherry"))
+      .toDF("doc_id", "text")
+    spark.conf.set(IdContract.Key, "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.bm25TopK(dup, "doc_id", "text",
+          queries(1L -> "apple"), "query_id", "qtext", k = 3).collect()
+      }
+      assert(e.getMessage.contains("duplicate doc_id"))
+      val e2 = intercept[IllegalArgumentException] {
+        Vectorize.tfidfKnn(dup, "doc_id", "text",
+          queries(1L -> "apple"), "query_id", "qtext", dim = 8, k = 3)
+          .collect()
+      }
+      assert(e2.getMessage.contains("duplicate doc_id"))
+      val e3 = intercept[IllegalArgumentException] {
+        Dsir.importanceWeights(dup, "doc_id", "text", dup.limit(1),
+          dim = 8).collect()
+      }
+      assert(e3.getMessage.contains("duplicate doc_id"))
+    } finally spark.conf.unset(IdContract.Key)
+    // rail off (the default): the kernel path runs per-row, by contract
+    assert(Retrieval.bm25TopK(dup, "doc_id", "text",
+      queries(1L -> "apple"), "query_id", "qtext", k = 3)
+      .collect().nonEmpty)
+  }
+
   test("a unique term retrieves its own document at rank 1") {
     val corpus = (0L until 20L).map(i =>
       (i, s"common filler words uniq$i here")).toDF("doc_id", "text")
