@@ -56,16 +56,26 @@ object Bpe {
   /** Train `rounds` merges. Returns
     * (merges: (round, lhs, rhs, merged, pair_count), finalReprs:
     * (word, freq, repr)). Stops early if no pair is left to merge. */
-  /** How many lazy merge rounds may stack before [[trainMerges]] cuts
-    * the reprs lineage with a checkpoint (each pending round adds one
-    * `replace` node to the plan). */
-  private val LineageCutRounds = 16
+  /** Conf key for how many lazy merge rounds may stack before
+    * [[trainMerges]] cuts the reprs lineage with a checkpoint (each
+    * pending round adds one `replace` node whose re-execution every
+    * later round in the window pays again: the next round's top-pair
+    * job re-runs the pending chain from the last cut). Small cadence =
+    * more checkpoint jobs, less re-execution; large = the reverse. */
+  val LineageCutKey = "spark.graft.bpe.lineageCutRounds"
+
+  /** Default cadence: measured A/B over 1/2/4/8/16 on bp1 (48 rounds)
+    * and bp3 — see OPTIMIZATION_r16.md. */
+  private val LineageCutDefault = 16
 
   def trainMerges(words: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     val spark = words.sparkSession
     import spark.implicits._
+    val cutEvery = spark.conf.getOption(LineageCutKey)
+      .map(_.toInt).getOrElse(LineageCutDefault)
+    require(cutEvery > 0, s"$LineageCutKey must be positive, got $cutEvery")
     var reprs = words.select(col("word"), col("freq"),
         seedRepr(col("word")).as("repr"))
       .localCheckpoint(true)
@@ -90,15 +100,14 @@ object Bpe {
         val (l, rr, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, l, rr, l + rr, cnt))
-        // LAZY per round: a replace is one map-side string op over the
-        // vocabulary-scale reprs, so the next round's top-pair job just
-        // re-runs the pending chain from the last cut — a checkpoint
-        // per round cost one materialization job each and bought
-        // nothing. The lineage is cut every LineageCutRounds rounds so
-        // a long training run cannot grow an unbounded plan.
+        // LAZY between cuts: a replace is one map-side string op over
+        // the vocabulary-scale reprs, so the next round's top-pair job
+        // re-runs the pending chain from the last cut. The cadence
+        // trades that re-execution (up to cutEvery−1 stacked replaces)
+        // against one materialization job per cut; see LineageCutKey.
         reprs = reprs.withColumn("repr",
           replace(col("repr"), lit(s" $l $rr "), lit(s" ${l + rr} ")))
-        if (r % LineageCutRounds == 0) reprs = reprs.localCheckpoint(true)
+        if (r % cutEvery == 0) reprs = reprs.localCheckpoint(true)
         r += 1
       }
     }
