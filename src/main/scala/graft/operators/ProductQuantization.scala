@@ -317,42 +317,59 @@ object ProductQuantization {
     val spark = corpus.sparkSession
     val cents = Clustering.kmeansFit(corpus, idCol, vecCol,
       kCells, coarseIters)
-    cents.write.mode("overwrite").parquet(centPath)
-    // the CONFIGURED (m, ksub) are persisted alongside the mode:
-    // pqTrain drops codes whose cluster goes empty, so inferring the
-    // budget back from the surviving codebook rows (max(code)+1) can
-    // under-read it — and a cron'd rebuild chain would then ratchet
-    // the code budget downward generation after generation, silently
-    // degrading recall. The meta row is the configuration of record.
-    spark.range(1).select(lit(byResidual).as("by_residual"),
-        lit(m).as("m"), lit(ksub).as("ksub"))
-      .write.mode("overwrite").parquet(metaPath)
-    if (!byResidual) {
-      val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
-      cb.write.mode("overwrite").parquet(cbPath)
-      encodePostings(corpus, idCol, vecCol, cents, cb, byResidual = false)
-        // one writer per cell, see Similarity.buildIvfIndex
-        .repartition(col("cell_id"))
-        .write.mode("overwrite").partitionBy("cell_id")
-        .parquet(postPath)
-    } else {
-      val dim = probeDim(corpus, vecCol)
-      require(dim % m == 0,
-        s"buildIvfPqIndex: dim $dim not divisible by m=$m")
-      // train on the residuals of the build corpus (the same residual
-      // relation encodePostings will recompute for the encode — training
-      // and encoding stay one materialized pass each)
-      val cells = Clustering.assignCells(
-          corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-          "neighbor_id", "cv", cents)
-      val resid = residuals(cells, cents).localCheckpoint(true)
-      val cb = pqTrain(resid, "neighbor_id", "rv", m, ksub, pqIters)
-      cb.write.mode("overwrite").parquet(cbPath)
-      encodeResidualPostings(resid, cents, cb)
-        .repartition(col("cell_id")) // one writer per cell
-        .write.mode("overwrite").partitionBy("cell_id")
-        .parquet(postPath)
-    }
+    // The four artifact writes are independent JOBS once their inputs
+    // are frozen driver-side (cents/codebooks are k-row checkpointed
+    // relations): run the small metadata writes on a side thread so
+    // their per-job commit latency hides under the training/encode work
+    // instead of serializing with it (guide §2.6 — overlap independent
+    // jobs; the lifecycle's ~tiny-write latency was the measured k13
+    // cost). Layout and contents are byte-identical to the sequential
+    // writes; awaited before return so the state is complete.
+    val pending = Similarity.overlappedWrites(
+      () => cents.write.mode("overwrite").parquet(centPath),
+      // the CONFIGURED (m, ksub) are persisted alongside the mode:
+      // pqTrain drops codes whose cluster goes empty, so inferring the
+      // budget back from the surviving codebook rows (max(code)+1) can
+      // under-read it — and a cron'd rebuild chain would then ratchet
+      // the code budget downward generation after generation, silently
+      // degrading recall. The meta row is the configuration of record.
+      () => spark.range(1).select(lit(byResidual).as("by_residual"),
+          lit(m).as("m"), lit(ksub).as("ksub"))
+        .write.mode("overwrite").parquet(metaPath))
+    try {
+      if (!byResidual) {
+        val cb = pqTrain(corpus, idCol, vecCol, m, ksub, pqIters)
+        val cbPending = Similarity.overlappedWrites(
+          () => cb.write.mode("overwrite").parquet(cbPath))
+        try {
+          encodePostings(corpus, idCol, vecCol, cents, cb, byResidual = false)
+            // one writer per cell, see Similarity.buildIvfIndex
+            .repartition(col("cell_id"))
+            .write.mode("overwrite").partitionBy("cell_id")
+            .parquet(postPath)
+        } finally Similarity.awaitWrites(cbPending)
+      } else {
+        val dim = probeDim(corpus, vecCol)
+        require(dim % m == 0,
+          s"buildIvfPqIndex: dim $dim not divisible by m=$m")
+        // train on the residuals of the build corpus (the same residual
+        // relation encodePostings will recompute for the encode — training
+        // and encoding stay one materialized pass each)
+        val cells = Clustering.assignCells(
+            corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+            "neighbor_id", "cv", cents)
+        val resid = residuals(cells, cents).localCheckpoint(true)
+        val cb = pqTrain(resid, "neighbor_id", "rv", m, ksub, pqIters)
+        val cbPending = Similarity.overlappedWrites(
+          () => cb.write.mode("overwrite").parquet(cbPath))
+        try {
+          encodeResidualPostings(resid, cents, cb)
+            .repartition(col("cell_id")) // one writer per cell
+            .write.mode("overwrite").partitionBy("cell_id")
+            .parquet(postPath)
+        } finally Similarity.awaitWrites(cbPending)
+      }
+    } finally Similarity.awaitWrites(pending)
   }
 
   /** RETRAIN an IVF-PQ index from its SOURCE vectors — the PQ twin of

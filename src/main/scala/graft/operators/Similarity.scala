@@ -455,22 +455,67 @@ object Similarity {
     val spark = corpus.sparkSession
     graft.sources.Compaction.guardedCompaction(spark, dir) {
       val cents = Clustering.kmeansFit(corpus, idCol, vecCol, k, iters)
-      cents.write.mode("overwrite").parquet(s"$dir/centroids")
-      Clustering.assignCells(
-          corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-          "neighbor_id", "cv", cents)
-        .withColumn("cnorm", l2norm(col("cv")))
-        .select("neighbor_id", "cv", "cnorm", "cell_id")
-        // one writer per cell (write.distribution-mode=hash shape):
-        // the assignment arrives scan-partitioned, and an un-clustered
-        // partitioned write drops up to (tasks x cells) files
-        .repartition(col("cell_id"))
-        .write.mode("overwrite").partitionBy("cell_id")
-        .parquet(s"$dir/postings")
+      // centroid write overlapped with the postings job (guide §2.6):
+      // cents is a k-row checkpointed relation, so the two writes are
+      // independent jobs — the small write's commit latency hides under
+      // the corpus-scale assign+write instead of serializing before it
+      val pending = overlappedWrites(
+        () => cents.write.mode("overwrite").parquet(s"$dir/centroids"))
+      try {
+        Clustering.assignCells(
+            corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+            "neighbor_id", "cv", cents)
+          .withColumn("cnorm", l2norm(col("cv")))
+          .select("neighbor_id", "cv", "cnorm", "cell_id")
+          // one writer per cell (write.distribution-mode=hash shape):
+          // the assignment arrives scan-partitioned, and an un-clustered
+          // partitioned write drops up to (tasks x cells) files
+          .repartition(col("cell_id"))
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$dir/postings")
+      } finally awaitWrites(pending)
       // generation reset LAST: the fixed-path data above is complete
       // before the pointer stops naming the old generation
       resetGenerations(spark, dir)
     }
+  }
+
+  /** Launch independent write jobs on side threads (guide §2.6 —
+    * overlap independent jobs): the callers' artifact writes commute
+    * (different paths, inputs already frozen driver-side), so their
+    * per-job commit latency can hide under the caller's main-thread
+    * work. MUST be awaited via [[awaitWrites]] before the caller
+    * publishes the state. */
+  private[operators] def overlappedWrites(
+      writes: (() => Unit)*): Seq[java.util.concurrent.Future[_]] = {
+    val pool = writePool
+    writes.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+      override def call(): Unit = w()
+    }))
+  }
+
+  /** Await [[overlappedWrites]]; rethrows the first write failure. */
+  private[operators] def awaitWrites(
+      pending: Seq[java.util.concurrent.Future[_]]): Unit =
+    pending.foreach { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+
+  /** Small daemon pool for [[overlappedWrites]] — 2 threads is plenty
+    * (the point is hiding commit latency, not parallel throughput). */
+  private lazy val writePool = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-index-write-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    java.util.concurrent.Executors.newFixedThreadPool(2, tf)
   }
 
   /** RETRAIN an IVF index in place — the drift answer FAISS spells
@@ -502,13 +547,18 @@ object Similarity {
     val gen = oldGen + 1
     val base = spark.read.parquet(oldPosts).select("neighbor_id", "cv")
     val cents = Clustering.kmeansFit(base, "neighbor_id", "cv", k, iters)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids_g$gen")
-    Clustering.assignCells(base, "neighbor_id", "cv", cents)
-      .withColumn("cnorm", l2norm(col("cv")))
-      .select("neighbor_id", "cv", "cnorm", "cell_id")
-      .repartition(col("cell_id")) // one writer per cell, see buildIvfIndex
-      .write.mode("overwrite").partitionBy("cell_id")
-      .parquet(s"$dir/postings_g$gen")
+    // overlapped like buildIvfIndex: the k-row centroid write's commit
+    // latency hides under the corpus-scale reassign+write
+    val pending = overlappedWrites(() =>
+      cents.write.mode("overwrite").parquet(s"$dir/centroids_g$gen"))
+    try {
+      Clustering.assignCells(base, "neighbor_id", "cv", cents)
+        .withColumn("cnorm", l2norm(col("cv")))
+        .select("neighbor_id", "cv", "cnorm", "cell_id")
+        .repartition(col("cell_id")) // one writer per cell, see buildIvfIndex
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$dir/postings_g$gen")
+    } finally awaitWrites(pending)
     // pointer swap (see [[swapManifest]]: readers in the delete→rename
     // instant resolve the newest COMPLETE state, and the same rule
     // covers a crash between the rename and the sweep below), then
