@@ -96,36 +96,13 @@ object EntityResolution {
     // which would silently degrade the equi-join to filtered all-pairs
     val va = vars.select(col("name").as("name_a"), col("__v").as("__va"))
     val vb = vars.select(col("name").as("name_b"), col("__v").as("__vb"))
-    // The verification stage is CPU-dense (a Levenshtein DP per unique
-    // pair) but BYTE-small, so AQE's byte-based partition coalescing
-    // runs it on a handful of tasks (measured: 3 tasks at 32 cores,
-    // er1 5.0 s → 3.2 s once spread). Pinning the pair-dedup exchange
-    // to an explicit cpu-proportional partition count fixes exactly
-    // this stage: an explicitly-numbered repartition is exempt from
-    // AQE coalescing, and the dedup aggregate reuses its hash
-    // partitioning, so the exchange count is unchanged — the DP just
-    // runs at CPU-matched width. Scoped here (not a session-wide
-    // minPartitionSize floor, which measurably taxed every other
-    // query's stages with ~150 ms/task of extra overhead).
-    val nVerify =
-      df.sparkSession.sparkContext.defaultParallelism * VerifyWavesPerCore
     va.join(vb,
         col("__va") === col("__vb") && col("name_a") < col("name_b"))
-      .select("name_a", "name_b")
-      .repartition(nVerify, col("name_a"), col("name_b"))
-      .distinct()
+      .select("name_a", "name_b").distinct()
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b"), k).cast("long").as("dist"))
       .filter(col("dist") >= 0)
   }
-
-  /** Task waves per core for the pinned verify stage of
-    * [[editDistancePairs]]: enough tasks that the DP-heavy stage load-
-    * balances across stragglers, few enough that per-task overhead
-    * stays negligible at any scale (the count is cpu-proportional, not
-    * data-proportional — correct for a CPU-bound stage whose rows are
-    * vocabulary-pair-scale by construction). */
-  private val VerifyWavesPerCore = 4
 
   /** The master registry's deletion-variant table (__mname, __vm),
     * distinct, tagged with its expansion depth — the reusable half of
