@@ -64,9 +64,15 @@ object Bpe {
     * more checkpoint jobs, less re-execution; large = the reverse. */
   val LineageCutKey = "spark.graft.bpe.lineageCutRounds"
 
-  /** Default cadence: measured A/B over 1/2/4/8/16 on bp1 (48 rounds)
-    * and bp3 — see OPTIMIZATION_r16.md. */
-  private val LineageCutDefault = 16
+  /** Default cadence: 1 = checkpoint every round. Measured A/B over
+    * 1/4/16 on bp1 (8 rounds, solo fresh-JVM probes, clean harness):
+    * warm wall 1.8 s / 2.0 s / 2.8 s — each pending round's replace is
+    * re-executed by EVERY later top-pair job in the window (O(window²)
+    * total re-execution) and stacks replace nodes into the per-round
+    * plan, which costs more than the one materialization job per round
+    * it saves, at bench scale and worse at vocabulary scale (the
+    * re-executed chain is vocab-sized work). See OPTIMIZATION_r16.md. */
+  private val LineageCutDefault = 1
 
   def trainMerges(words: DataFrame,
       rounds: Int): (DataFrame, DataFrame) = {
