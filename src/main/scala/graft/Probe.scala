@@ -182,16 +182,6 @@ object Probe {
           "explode_count" -> (() =>
             docs.select(explode(split(lower(col("text")), "\\s+")).as("t"))
               .groupBy("t").count()),
-          "ws_split" -> (() =>
-            docs.select(graft.functions.WsSplit.ws_split(lower(col("text")))
-              .as("t"))),
-          "ws_split_size" -> (() =>
-            docs.select(size(graft.functions.WsSplit.ws_split(
-              lower(col("text")))).as("n"))),
-          "ws_explode_count" -> (() =>
-            docs.select(explode(graft.functions.WsSplit.ws_split(
-              lower(col("text")))).as("t"))
-              .groupBy("t").count()),
           // r1 decomposition: which fragment owns the seconds
           "r1_queryterms" -> (() => {
             val queries = docs.filter(col("doc_id") % 97 === 0)

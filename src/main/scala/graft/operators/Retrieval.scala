@@ -73,7 +73,7 @@ object Retrieval {
     * after a crash) survives a fold. */
   val FoldableSeq: Long = -1L
 
-  private def toks(c: Column): Column = split(lower(c), "\\s+")
+  private def toks(c: Column): Column = TextAnalysis.tokens(c)
 
   /** (doc_id, __dl, __term, __tf) — one row per DISTINCT corpus
     * (doc, term), with the term's in-doc occurrence count. The per-doc
